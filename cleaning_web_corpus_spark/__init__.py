@@ -1,0 +1,15 @@
+"""PySpark-native text-quality / enrichment engine.
+
+A from-scratch, Spark-first reimplementation of the data-processing
+capabilities of the reference web-corpus cleaning platform
+(Girish011/cleaning-web-corpus): language-ID + perplexity + heuristic
+quality rules, PII/toxicity scrubbing, rule-based enrichment, and the
+warehouse query layer — expressed as DataFrame transforms over
+parquet/Iceberg tables of multi-turn transcripts.
+
+Nothing in here is a port: execution is delegated to Catalyst/Tungsten
+(whole-stage codegen, AQE, broadcast joins); Python only runs inside
+Arrow-batched pandas UDFs with per-executor model singletons.
+"""
+
+__version__ = "0.1.0"

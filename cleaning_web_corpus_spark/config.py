@@ -1,0 +1,108 @@
+"""Typed, validated pipeline configuration.
+
+Mirrors the semantics of the reference's Pydantic config surface
+(/root/reference/src/config.py:81-144 ``TextQualityConfig``) with the
+*effective* values from /root/reference/configs/default.yaml:33-47
+(the yaml overrides the Pydantic defaults for word-repetition 0.6 and
+ngram-repetition 8 — see BASELINE.md "Effective filter thresholds").
+
+Config objects are plain pydantic models built on the driver; their
+values are closed over by pandas UDFs (tiny, so closure capture is the
+right broadcast mechanism — Spark pickles them once per task, and
+Arrow batching means per-row cost is zero).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pydantic import BaseModel, Field, field_validator
+
+
+class QualityConfig(BaseModel):
+    """Thresholds for the text-quality filter chain.
+
+    Defaults reproduce the reference's effective (yaml) configuration,
+    i.e. document-scale filtering. Use :meth:`for_transcripts` for the
+    per-turn preset (a conversational turn is far shorter than a web
+    page, per SURVEY.md §7.0.4).
+    """
+
+    min_words: int = Field(default=500, ge=1)
+    max_words: int = Field(default=50_000, ge=1)
+    min_avg_word_length: float = Field(default=3.0, ge=0.0)
+    language: str = "en"
+
+    max_char_repetition_ratio: float = Field(default=0.3, ge=0.0, le=1.0)
+    max_word_repetition_ratio: float = Field(default=0.6, ge=0.0, le=1.0)
+    max_ngram_repetition: int = Field(default=8, ge=1)
+    ngram_size: int = Field(default=3, ge=2, le=10)
+    min_words_for_repetition_check: int = Field(default=50, ge=1)
+
+    enable_perplexity_filter: bool = True
+    max_perplexity: float = Field(default=1000.0, gt=0.0)
+    min_words_for_perplexity: int = Field(default=20, ge=1)
+
+    # Language detection is skipped (lenient pass) below this word count,
+    # matching /root/reference/src/quality/text_filters.py:225-232.
+    min_words_for_langid: int = Field(default=10, ge=1)
+
+    @field_validator("max_words")
+    @classmethod
+    def _max_ge_min(cls, v: int, info):
+        if "min_words" in info.data and v < info.data["min_words"]:
+            raise ValueError(f"max_words ({v}) must be >= min_words ({info.data['min_words']})")
+        return v
+
+    @classmethod
+    def for_transcripts(cls) -> "QualityConfig":
+        """Per-turn thresholds: a turn is a short utterance, not a web page."""
+        return cls(
+            min_words=3,
+            max_words=8_000,
+            min_avg_word_length=2.0,
+            min_words_for_repetition_check=30,
+            min_words_for_perplexity=10,
+        )
+
+
+class ScrubConfig(BaseModel):
+    """PII + toxicity scrub settings (north-rule addition; not in the
+    reference — spec documented in FIXTURES.md §3)."""
+
+    scrub_email: bool = True
+    scrub_ssn: bool = True
+    scrub_phone: bool = True
+    scrub_ip: bool = True
+    scrub_toxicity: bool = True
+
+    email_token: str = "<EMAIL>"
+    ssn_token: str = "<SSN>"
+    phone_token: str = "<PHONE>"
+    ip_token: str = "<IP>"
+    toxicity_token: str = "<TOXIC>"
+
+
+class ConversationConfig(BaseModel):
+    """Conversation-level keep/drop aggregation.
+
+    The reference aggregates child rows per document
+    (/root/reference/dbt/models/facts/fct_cleaning_procedures.sql:26-50);
+    we aggregate turn verdicts per conv_id. A conversation is kept when
+    the fraction of failing turns is <= ``max_failed_turn_fraction``.
+    """
+
+    max_failed_turn_fraction: float = Field(default=0.0, ge=0.0, le=1.0)
+    # number of salt buckets used when pre-partitioning turn work; see
+    # pipeline/conversation.py for the skew rationale.
+    salt_buckets: int = Field(default=64, ge=1)
+
+
+class PipelineConfig(BaseModel):
+    quality: QualityConfig = Field(default_factory=QualityConfig.for_transcripts)
+    scrub: ScrubConfig = Field(default_factory=ScrubConfig)
+    conversation: ConversationConfig = Field(default_factory=ConversationConfig)
+
+    # model identifiers recorded in the lineage/metrics table
+    langid_model_version: str = "ngram-lid-v1"
+    perplexity_model_version: str = "bigram-ppl-v1"

@@ -1,0 +1,1 @@
+from cleaning_web_corpus_spark.filters.chain import Verdict, evaluate_text  # noqa: F401

@@ -1,0 +1,230 @@
+"""The text-quality filter chain: one pass, fixed order, first failure wins.
+
+Reproduces the observable contract of the reference's
+``TextQualityFilter.filter`` (/root/reference/src/quality/text_filters.py:508-605):
+
+    empty -> word_count -> avg_word_length -> language ->
+    repetition(char -> word -> ngram, gated on length) -> perplexity
+
+with byte-identical ``reason`` strings (formats at text_filters.py:543-596)
+and the same lenient-pass contracts (short text skips langid/repetition/
+perplexity; model-unavailable or detector-error skips are passes).
+
+This module is deliberately engine-agnostic pure Python: it is the body
+that runs inside Arrow-batched pandas UDFs (filters/udf.py). Unlike the
+reference — which re-tokenizes the text five times per document — we
+tokenize once and thread the token list through every check; semantics
+are identical because every reference check derives from the same
+``re.findall(r'\\b\\w+\\b', text.lower())`` tokenization.
+
+Language detection and perplexity scoring are injected as callables so
+the chain stays model-agnostic:
+
+    detector(text)        -> lang code (str) or None  (None => lenient pass,
+                             mirroring langdetect-unavailable/detect-error
+                             at text_filters.py:216-222, 247-255)
+    ppl_scorer(words)     -> perplexity (float) or None (None => lenient pass,
+                             mirroring kenlm-unavailable at :466-471)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Tuple
+
+from cleaning_web_corpus_spark.config import QualityConfig
+from cleaning_web_corpus_spark.functions.tokenize import tokenize
+
+# Function words excluded from the word-repetition ratio: they repeat
+# naturally in any fluent text. Same membership as the reference's
+# COMMON_WORDS (/root/reference/src/quality/text_filters.py:18-43) —
+# a threshold-style data constant, kept identical for label parity.
+STOP_WORDS = frozenset(
+    """
+    a an the
+    i you he she it we they me him her us them
+    this that these those my your his its our their
+    in on at to for of with by from up about into
+    through during including against among throughout despite
+    towards upon concerning
+    and or but if because as since while although though
+    is are was were be been being have has had having
+    do does did doing done
+    will would should could may might must can cannot
+    not no yes very too also just only even still yet
+    more most less least so such well much many
+    what when where who why how which whose whom
+    all each every both few other another some any same
+    own than then there here
+    """.split()
+)
+
+MIN_CONTENT_WORDS = 10  # text_filters.py:46
+
+# 3+ repeats of any single char (newline excluded by '.'), text_filters.py:274
+_CHAR_RUN_RE = re.compile(r"(.)\1{2,}")
+
+
+@dataclass
+class Verdict:
+    passed: bool
+    reason: str
+    stats: Dict[str, str] = field(default_factory=dict)
+
+
+def _char_repetition_ratio(text: str) -> float:
+    """Share of characters belonging to runs of >=3 identical chars.
+
+    Texts under 10 chars score 0.0 (text_filters.py:269-270)."""
+    if len(text) < 10:
+        return 0.0
+    repeated = sum(m.end() - m.start() for m in _CHAR_RUN_RE.finditer(text))
+    return repeated / len(text)
+
+
+def _word_repetition_ratio(words: List[str]) -> Tuple[float, int]:
+    """Duplicate-content-word share; (ratio, n_content_words).
+
+    <5 words or <MIN_CONTENT_WORDS content words => 0.0
+    (text_filters.py:305-319)."""
+    if len(words) < 5:
+        return 0.0, 0
+    counts: Dict[str, int] = {}
+    n_content = 0
+    for w in words:
+        if w in STOP_WORDS:
+            continue
+        n_content += 1
+        counts[w] = counts.get(w, 0) + 1
+    if n_content < MIN_CONTENT_WORDS:
+        return 0.0, n_content
+    duplicates = n_content - len(counts)  # == sum(c-1 for c in counts.values() if c>1)
+    return duplicates / n_content, n_content
+
+
+def _max_ngram_repetition(words: List[str], n: int) -> int:
+    """Highest frequency of any word n-gram; <2n words => 0
+    (text_filters.py:362-377)."""
+    if len(words) < n * 2:
+        return 0
+    counts: Dict[Tuple[str, ...], int] = {}
+    best = 0
+    for i in range(len(words) - n + 1):
+        g = tuple(words[i : i + n])
+        c = counts.get(g, 0) + 1
+        counts[g] = c
+        if c > best:
+            best = c
+    return best
+
+
+def evaluate_text(
+    text: Optional[str],
+    cfg: QualityConfig,
+    detector: Optional[Callable[[str], Optional[str]]] = None,
+    ppl_scorer: Optional[Callable[[List[str]], Optional[float]]] = None,
+) -> Verdict:
+    """Run the full chain on one text; first failing check decides.
+
+    Returns reason strings byte-matching the reference formats."""
+    stats: Dict[str, str] = {}
+
+    # -- normalize / empty (text_filters.py:122-135, 525-530)
+    norm = text.strip() if text else ""
+    if not norm:
+        return Verdict(False, "empty_text", {})
+
+    words = tokenize(norm)
+    n = len(words)
+
+    # -- word count (text_filters.py:152-173, 534-551)
+    stats["word_count"] = str(n)
+    if n < cfg.min_words:
+        return Verdict(False, f"word_count_too_low: {n} words (required: >= {cfg.min_words})", stats)
+    if n > cfg.max_words:
+        return Verdict(False, f"word_count_too_high: {n} words (required: <= {cfg.max_words})", stats)
+
+    # -- avg word length (text_filters.py:175-204, 553-563)
+    # n >= min_words >= 1 here, so the reference's "no_words" branch is
+    # unreachable after a passing word-count check — kept for chain parity.
+    if n == 0:
+        return Verdict(False, f"avg_word_length_failed: 0.00 (required: >= {cfg.min_avg_word_length:.2f})", stats)
+    # reference compares the RAW mean (text_filters.py:197) but formats the
+    # rounded stats value into the reason (:557-561) — reproduce both.
+    avg_len = sum(map(len, words)) / n
+    stats["avg_word_length"] = str(round(avg_len, 2))
+    if avg_len < cfg.min_avg_word_length:
+        return Verdict(
+            False,
+            f"avg_word_length_failed: {round(avg_len, 2):.2f} (required: >= {cfg.min_avg_word_length:.2f})",
+            stats,
+        )
+
+    # -- language (text_filters.py:206-255, 565-575): lenient pass when the
+    # text is short, the detector is absent, or the detector errors.
+    if detector is not None and n >= cfg.min_words_for_langid:
+        try:
+            detected = detector(norm)
+        except Exception:
+            detected = None
+        if detected is not None:
+            stats["detected_language"] = detected
+            if detected != cfg.language:
+                return Verdict(
+                    False,
+                    f"language_failed: detected '{detected}' (expected: '{cfg.language}')",
+                    stats,
+                )
+
+    # -- repetition, gated on length (text_filters.py:393-444, 577-586)
+    if n < cfg.min_words_for_repetition_check:
+        stats["repetition_check_skipped"] = "true"
+    else:
+        char_ratio = _char_repetition_ratio(norm)
+        stats["char_repetition_ratio"] = f"{char_ratio:.3f}"
+        if char_ratio > cfg.max_char_repetition_ratio:
+            return Verdict(
+                False,
+                f"char_repetition_too_high: {char_ratio:.3f} (max: {cfg.max_char_repetition_ratio:.3f})",
+                stats,
+            )
+
+        word_ratio, n_content = _word_repetition_ratio(words)
+        stats["word_repetition_ratio"] = f"{word_ratio:.3f}"
+        stats["content_words"] = str(n_content)
+        if word_ratio > cfg.max_word_repetition_ratio:
+            return Verdict(
+                False,
+                f"word_repetition_too_high: {word_ratio:.3f} (max: {cfg.max_word_repetition_ratio:.3f})",
+                stats,
+            )
+
+        max_rep = _max_ngram_repetition(words, cfg.ngram_size)
+        stats["max_ngram_repetition"] = str(max_rep)
+        if max_rep > cfg.max_ngram_repetition:
+            return Verdict(
+                False,
+                f"ngram_repetition_too_high: {max_rep} (max: {cfg.max_ngram_repetition})",
+                stats,
+            )
+
+    # -- perplexity (text_filters.py:446-506, 588-598): lenient pass when
+    # disabled, model absent, short text, or scorer error.
+    if cfg.enable_perplexity_filter and ppl_scorer is not None and n >= cfg.min_words_for_perplexity:
+        try:
+            ppl = ppl_scorer(words)
+        except Exception:
+            ppl = None
+        if ppl is not None:
+            # raw comparison (text_filters.py:490), rounded value in the
+            # stats/reason (:493, :596) — reproduce both.
+            stats["perplexity"] = str(round(ppl, 2))
+            if ppl > cfg.max_perplexity:
+                return Verdict(
+                    False,
+                    f"perplexity_too_high: {round(ppl, 2):.2f} (max: {cfg.max_perplexity:.2f})",
+                    stats,
+                )
+
+    return Verdict(True, "passed", stats)

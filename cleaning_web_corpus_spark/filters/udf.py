@@ -1,0 +1,86 @@
+"""Arrow-batched verdict UDF.
+
+One pandas UDF evaluates the whole filter chain and returns a struct
+``(passed boolean, reason string, stats map<string,string>)`` — the
+Spark shape of the reference's filter result dict
+(/root/reference/src/quality/text_filters.py:508-605, schema mapping in
+SURVEY.md §1.1 "Filter result").
+
+Why ONE UDF and not per-check native columns: the chain's contract is
+*ordered short-circuit with the first failing reason recorded*
+(SURVEY.md §4 X1) — Catalyst neither knows UDF costs nor preserves
+evaluation order across independent expressions, and Java regex
+diverges from CPython on unicode tokenization. Inside the UDF we still
+short-circuit per row, tokenize once, and run models batched with
+per-executor singletons (models/langid.py, models/perplexity.py). The
+iterator form keeps per-partition setup (config rebuild, model lookup)
+out of the per-batch path.
+
+Cheap native pre-filters remain available to callers as a pure
+optimization (e.g. ``F.length(text) > 0`` partition pruning) because
+the first chain checks are the cheap ones anyway.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cleaning_web_corpus_spark.config import QualityConfig
+from cleaning_web_corpus_spark.filters.chain import evaluate_text
+from cleaning_web_corpus_spark.models.langid import make_detector
+from cleaning_web_corpus_spark.models.perplexity import make_scorer
+
+VERDICT_SCHEMA = StructType(
+    [
+        StructField("passed", BooleanType(), False),
+        StructField("reason", StringType(), False),
+        StructField("stats", MapType(StringType(), StringType()), True),
+    ]
+)
+
+
+def make_verdict_udf(
+    cfg: QualityConfig,
+    fasttext_model_path: Optional[str] = None,
+    kenlm_model_path: Optional[str] = None,
+    emit_stats: bool = True,
+):
+    """Build the verdict pandas UDF for a given config.
+
+    The config is serialized as a plain dict into the closure (tiny;
+    task-pickled once) and rebuilt per partition. Model paths refer to
+    files shipped via ``spark-submit --files`` when real fastText/KenLM
+    backends are used; otherwise the embedded deterministic models load
+    once per executor.
+    """
+    cfg_blob = cfg.model_dump()
+
+    def _evaluate(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        local_cfg = QualityConfig(**cfg_blob)
+        detector = make_detector(fasttext_model_path)
+        scorer = make_scorer(kenlm_model_path)
+        for texts in batches:
+            passed = []
+            reasons = []
+            stats = []
+            for t in texts:
+                v = evaluate_text(t, local_cfg, detector, scorer)
+                passed.append(v.passed)
+                reasons.append(v.reason)
+                if emit_stats:
+                    stats.append(v.stats)
+            if not emit_stats:
+                stats = [{}] * len(passed)
+            yield pd.DataFrame({"passed": passed, "reason": reasons, "stats": stats})
+
+    return F.pandas_udf(_evaluate, VERDICT_SCHEMA)

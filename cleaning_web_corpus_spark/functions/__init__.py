@@ -1,0 +1,1 @@
+from cleaning_web_corpus_spark.functions.tokenize import tokenize, WORD_RE  # noqa: F401

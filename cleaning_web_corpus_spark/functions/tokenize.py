@@ -1,0 +1,29 @@
+"""Tokenization shared by every text operator.
+
+The reference tokenizes with ``re.findall(r'\\b\\w+\\b', text.lower())``
+(/root/reference/src/quality/text_filters.py:149). Parity demands the
+CPython ``re`` engine — Java's ``\\w``/``\\b`` are ASCII-only unless the
+``(?U)`` flag is set, so JVM-side tokenization can silently diverge on
+unicode (café, résumé). All parity-critical paths therefore tokenize in
+Python inside Arrow-batched pandas UDFs; the equivalent JVM expression
+(for non-parity contexts) is ``F.split(F.lower(c), r"\\W+")``-style and
+lives in the SQL oracle strings instead.
+
+Note: for ``\\w+``, the ``\\b`` anchors are redundant (a maximal run of
+word chars is boundary-delimited by construction), so ``findall(r"\\w+")``
+is byte-identical and measurably faster; we keep the semantics, not the
+spelling.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+# equivalent to the reference's r'\b\w+\b' for findall purposes
+WORD_RE = re.compile(r"\w+")
+
+
+def tokenize(text: str) -> List[str]:
+    """Lowercase + extract maximal word-character runs."""
+    return WORD_RE.findall(text.lower())

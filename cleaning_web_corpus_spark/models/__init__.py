@@ -1,0 +1,2 @@
+from cleaning_web_corpus_spark.models.langid import NgramLanguageID  # noqa: F401
+from cleaning_web_corpus_spark.models.perplexity import BigramPerplexityModel  # noqa: F401

@@ -1,0 +1,149 @@
+"""Language identification.
+
+fastText's lid.176 (the north-rule backend) is a linear classifier over
+character n-gram features. That binary is not shipped in this container,
+so the default backend is ``NgramLanguageID`` — a from-scratch,
+deterministic multinomial Naive Bayes over character 1-3-grams, trained
+at build time from the embedded seed corpora. When a real fastText model
+IS available (shipped to executors with ``spark-submit --files
+lid.176.bin``), :func:`make_detector` transparently prefers it.
+
+Lifecycle (the part that matters at 100 TB): the model is built ONCE on
+the driver, serialized into the UDF closure / broadcast, and rehydrated
+once per executor via a module-level cache — never per row, never per
+batch. Inference is a tight loop over an Arrow batch.
+
+Contract parity with the reference (text_filters.py:206-255): the
+caller (filters/chain.py) skips detection for <10-word texts and treats
+``None``/exceptions as a lenient pass.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+from cleaning_web_corpus_spark.models.seed_corpora import LANG_CORPORA
+
+_MAX_DETECT_CHARS = 1000  # detection saturates; cap per-text cost
+
+
+def _letters_only(text: str) -> str:
+    """Keep unicode letters and collapse everything else to single spaces.
+
+    Mirrors what real LID models do during featurization: digits, urls,
+    emails and punctuation carry no language signal and would otherwise
+    drown short texts in unknown-gram floor penalties."""
+    out = []
+    prev_space = True
+    for ch in text:
+        if ch.isalpha():
+            out.append(ch)
+            prev_space = False
+        elif not prev_space:
+            out.append(" ")
+            prev_space = True
+    return "".join(out).strip()
+
+
+def _char_ngrams(text: str, max_chars: int = _MAX_DETECT_CHARS) -> List[str]:
+    """Character 1/2/3-grams over the lowercased, letters-only text."""
+    t = " " + _letters_only(text.lower())[:max_chars] + " "
+    grams: List[str] = []
+    append = grams.append
+    n = len(t)
+    for i in range(n):
+        append(t[i])
+        if i + 2 <= n:
+            append(t[i : i + 2])
+        if i + 3 <= n:
+            append(t[i : i + 3])
+    return grams
+
+
+class NgramLanguageID:
+    """Multinomial NB over char n-grams; add-one smoothed, log-space."""
+
+    def __init__(self, corpora: Optional[Dict[str, str]] = None):
+        corpora = corpora or LANG_CORPORA
+        self.langs: List[str] = sorted(corpora)
+        self._logprob: Dict[str, Dict[str, float]] = {}
+        self._floor: Dict[str, float] = {}
+        for lang in self.langs:
+            counts: Dict[str, int] = {}
+            for g in _char_ngrams(corpora[lang], max_chars=1 << 30):
+                counts[g] = counts.get(g, 0) + 1
+            total = sum(counts.values())
+            # Corpus-size-invariant evidence weights: log(1 + relative
+            # frequency * K). Unseen grams contribute 0 for every
+            # language, so differing seed-corpus sizes introduce no
+            # out-of-vocabulary penalty bias between languages.
+            k = 10_000.0
+            self._logprob[lang] = {
+                g: math.log(1.0 + (c / total) * k) for g, c in counts.items()
+            }
+            self._floor[lang] = 0.0
+
+    def scores(self, text: str) -> Dict[str, float]:
+        grams = _char_ngrams(text)
+        out: Dict[str, float] = {}
+        for lang in self.langs:
+            lp = self._logprob[lang]
+            floor = self._floor[lang]
+            out[lang] = sum(lp.get(g, floor) for g in grams)
+        return out
+
+    def detect(self, text: str) -> Optional[str]:
+        """Best language code, or None when there is no usable signal."""
+        if not text or not text.strip():
+            return None
+        scores = self.scores(text)
+        return max(scores.items(), key=lambda kv: (kv[1], kv[0]))[0]
+
+
+# ---------------------------------------------------------------------------
+# per-executor singleton + pluggable fastText backend
+
+_CACHED: Dict[Tuple, object] = {}
+
+
+def get_default_model() -> NgramLanguageID:
+    """Per-process lazy singleton (one build per executor, not per task)."""
+    m = _CACHED.get(("ngram-lid",))
+    if m is None:
+        m = NgramLanguageID()
+        _CACHED[("ngram-lid",)] = m
+    return m
+
+
+def make_detector(fasttext_model_path: Optional[str] = None):
+    """Return ``detector(text) -> lang_code | None``.
+
+    Prefers a real fastText model when both the library and the model
+    file are present on the executor (ship with --files); otherwise the
+    embedded n-gram model. The returned callable is safe to close over
+    in a pandas UDF: heavyweight state loads lazily per executor.
+    """
+    if fasttext_model_path:
+        def _ft_detect(text: str) -> Optional[str]:
+            key = ("fasttext", fasttext_model_path)
+            model = _CACHED.get(key)
+            if model is None:
+                try:
+                    import fasttext  # type: ignore
+
+                    model = fasttext.load_model(fasttext_model_path)
+                except Exception:
+                    model = False  # unavailable: remember, fall through
+                _CACHED[key] = model
+            if not model:
+                return get_default_model().detect(text)
+            labels, _ = model.predict(text.replace("\n", " "))
+            return labels[0].replace("__label__", "") if labels else None
+
+        return _ft_detect
+
+    def _ngram_detect(text: str) -> Optional[str]:
+        return get_default_model().detect(text)
+
+    return _ngram_detect

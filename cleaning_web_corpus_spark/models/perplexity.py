@@ -1,0 +1,126 @@
+"""KenLM-style n-gram perplexity scoring.
+
+The reference scores ``model.perplexity(" ".join(words))`` with an
+optional KenLM binary and skips the check when the model is absent
+(text_filters.py:82-120, 446-506). KenLM is not shipped in this
+container, so the default backend is ``BigramPerplexityModel`` — a
+from-scratch word-bigram model with stupid backoff, trained at build
+time on the embedded English seed corpus. A real KenLM binary (shipped
+via ``--files``) is preferred when importable.
+
+Scoring contract mirrors KenLM:
+
+    perplexity(words) = 10 ** (-log10 P(<s> w1 .. wn </s>) / (n + 1))
+
+i.e. the sentence log10-probability including the </s> transition,
+normalized by n+1 tokens — so numbers are commensurable with the
+reference's max_perplexity=1000 threshold. Unknown words hit a hard
+log-probability floor, which is what pushes shuffled-character
+gibberish far above the threshold while in-vocabulary fluent text
+stays in the tens-to-hundreds range.
+
+Executor lifecycle matches langid.py: build/load once per executor via
+a module cache; batched scoring inside Arrow pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+from cleaning_web_corpus_spark.models.seed_corpora import EN_CORPUS
+
+_BOS = "<s>"
+_EOS = "</s>"
+_LOG10_UNK = -6.0  # unknown-word floor: one-in-a-million
+_BACKOFF = math.log10(0.4)  # stupid backoff weight
+
+
+class BigramPerplexityModel:
+    def __init__(self, corpus: Optional[str] = None):
+        corpus = corpus if corpus is not None else EN_CORPUS
+        uni: Dict[str, int] = {}
+        bi: Dict[Tuple[str, str], int] = {}
+        total = 0
+        for line in corpus.strip().splitlines():
+            words = line.split()
+            if not words:
+                continue
+            prev = _BOS
+            uni[_BOS] = uni.get(_BOS, 0) + 1
+            for w in words + [_EOS]:
+                uni[w] = uni.get(w, 0) + 1
+                bi[(prev, w)] = bi.get((prev, w), 0) + 1
+                total += 1
+                prev = w
+        self._uni_log: Dict[str, float] = {
+            w: math.log10(c / total) for w, c in uni.items()
+        }
+        self._bi_log: Dict[Tuple[str, str], float] = {
+            (p, w): math.log10(c / uni[p]) for (p, w), c in bi.items()
+        }
+
+    def _word_log10(self, w: str) -> float:
+        return self._uni_log.get(w, _LOG10_UNK)
+
+    def score(self, words: List[str]) -> float:
+        """Total log10 probability of <s> w1..wn </s> (stupid backoff)."""
+        total = 0.0
+        prev = _BOS
+        bi = self._bi_log
+        for w in list(words) + [_EOS]:
+            lp = bi.get((prev, w))
+            if lp is None:
+                lp = _BACKOFF + self._word_log10(w)
+            total += lp
+            prev = w
+        return total
+
+    def perplexity(self, words: List[str]) -> float:
+        n = len(words) + 1  # + </s>, matching KenLM's normalization
+        if n <= 0:
+            return float("inf")
+        return 10.0 ** (-self.score(words) / n)
+
+
+# ---------------------------------------------------------------------------
+
+_CACHED: Dict[Tuple, object] = {}
+
+
+def get_default_model() -> BigramPerplexityModel:
+    m = _CACHED.get(("bigram-ppl",))
+    if m is None:
+        m = BigramPerplexityModel()
+        _CACHED[("bigram-ppl",)] = m
+    return m
+
+
+def make_scorer(kenlm_model_path: Optional[str] = None):
+    """Return ``scorer(words) -> perplexity | None``.
+
+    ``None`` signals "model unavailable" and the filter chain passes the
+    check leniently, matching the reference's graceful fallback.
+    """
+    if kenlm_model_path:
+        def _kenlm_score(words: List[str]) -> Optional[float]:
+            key = ("kenlm", kenlm_model_path)
+            model = _CACHED.get(key)
+            if model is None:
+                try:
+                    import kenlm  # type: ignore
+
+                    model = kenlm.Model(kenlm_model_path)
+                except Exception:
+                    model = False
+                _CACHED[key] = model
+            if not model:
+                return get_default_model().perplexity(words)
+            return model.perplexity(" ".join(words))
+
+        return _kenlm_score
+
+    def _bigram_score(words: List[str]) -> Optional[float]:
+        return get_default_model().perplexity(words)
+
+    return _bigram_score

@@ -1,0 +1,186 @@
+"""Deterministic embedded seed corpora.
+
+The container ships neither fastText's lid.176 model nor a KenLM binary,
+so the language-ID and perplexity models are trained at import time from
+these embedded corpora. Everything is a string constant: no randomness,
+no downloads, identical on driver and executors. The real fastText /
+KenLM backends are pluggable behind try-imports (models/langid.py,
+models/perplexity.py) for clusters that ship them via --files.
+
+The transcript fixture generator (pipeline/transcripts.py) draws its
+"good English" sentences from EN_CORPUS, which guarantees in-vocabulary
+text scores low perplexity while shuffled-character gibberish lands in
+the unknown-word floor — mirroring how a real KenLM trained on clean
+web text separates fluent English from noise.
+"""
+
+EN_CORPUS = """
+the quick brown fox jumps over the lazy dog near the river bank
+please remember to rinse the sponge after you wipe the counter
+first mix a small amount of detergent with warm water in the bucket
+then apply the solution to the stain and blot gently with a clean cloth
+vacuum the carpet slowly so the machine can lift the dust from the fibers
+let the surface dry completely before you place the furniture back
+thank you for your help with this question about cleaning the kitchen
+i think we should check the results of the test before we continue
+the assistant answered the question and provided a detailed explanation
+can you tell me more about how this process works in practice
+the weather today is sunny with a light breeze from the west
+she walked to the store to buy bread milk and a dozen eggs
+the report shows that sales increased during the last three months
+our team will review the document and send feedback by the end of the week
+he opened the window to let some fresh air into the room
+the children played in the garden while their parents prepared dinner
+scientists have discovered a new species of fish in the deep ocean
+the library is open every day from nine in the morning until eight at night
+if you have any questions please do not hesitate to contact our support team
+the train arrives at the station at half past seven in the evening
+to remove the odor sprinkle baking soda on the mattress and wait an hour
+use a soft brush to scrub the grout between the bathroom tiles
+spray the glass cleaner on the mirror and wipe it with a paper towel
+the washing machine finished the cycle so you can hang the clothes now
+always wear rubber gloves when you work with bleach or strong chemicals
+steam cleaning is an effective method for removing deep stains from upholstery
+the user asked the model to summarize the long article in three sentences
+the function returns a table with one row for every conversation turn
+we measured the throughput of the pipeline on the large cluster yesterday
+the data was partitioned by key so the join could avoid an extra shuffle
+each record contains an identifier a timestamp and a short text message
+the system wrote the results to the table after the job completed
+many people enjoy reading books in the quiet hours of the early morning
+the old house at the corner of the street was painted bright blue last summer
+a balanced diet and regular exercise are important for good health
+the museum exhibits paintings from the seventeenth and eighteenth centuries
+after the meeting we agreed to schedule a follow up call for next tuesday
+the recipe calls for two cups of flour one egg and a pinch of salt
+travelers should arrive at the airport two hours before the flight departs
+the engineer explained the design of the bridge to the curious students
+music from the concert could be heard across the entire park
+the company announced a new product during the annual conference
+water boils at one hundred degrees at sea level under normal pressure
+the cat slept on the warm windowsill for most of the afternoon
+remember to save your work before you close the application
+the garden needs water every morning during the hot summer months
+a gentle reminder that the invoice is due at the end of this month
+the students finished their homework before the bell rang
+this tool extracts the main text from the page and stores it in the table
+the model detected the language of the message and scored its quality
+"""
+
+DE_CORPUS = """
+der schnelle braune fuchs springt über den faulen hund am fluss
+bitte denken sie daran den schwamm nach dem wischen auszuspülen
+zuerst mischen sie etwas waschmittel mit warmem wasser in einem eimer
+dann tragen sie die lösung auf den fleck auf und tupfen sie vorsichtig
+das wetter ist heute sonnig mit einer leichten brise aus dem westen
+sie ging zum laden um brot milch und ein dutzend eier zu kaufen
+der bericht zeigt dass die verkäufe in den letzten monaten gestiegen sind
+wir werden das dokument prüfen und bis ende der woche eine rückmeldung geben
+er öffnete das fenster um frische luft in das zimmer zu lassen
+die kinder spielten im garten während die eltern das abendessen vorbereiteten
+die bibliothek ist jeden tag von neun uhr morgens bis acht uhr abends geöffnet
+wenn sie fragen haben wenden sie sich bitte an unser team
+der zug kommt um halb acht am bahnhof an
+viele menschen lesen gerne bücher in den ruhigen stunden des morgens
+eine ausgewogene ernährung und regelmäßige bewegung sind wichtig für die gesundheit
+"""
+
+FR_CORPUS = """
+le rapide renard brun saute par dessus le chien paresseux près de la rivière
+veuillez rincer l'éponge après avoir essuyé le comptoir de la cuisine
+d'abord mélangez un peu de détergent avec de l'eau chaude dans un seau
+ensuite appliquez la solution sur la tache et tamponnez doucement
+le temps est ensoleillé aujourd'hui avec une légère brise de l'ouest
+elle est allée au magasin pour acheter du pain du lait et une douzaine d'œufs
+le rapport montre que les ventes ont augmenté au cours des trois derniers mois
+notre équipe examinera le document et enverra ses commentaires avant la fin de la semaine
+il a ouvert la fenêtre pour laisser entrer l'air frais dans la pièce
+les enfants jouaient dans le jardin pendant que leurs parents préparaient le dîner
+la bibliothèque est ouverte tous les jours de neuf heures à vingt heures
+si vous avez des questions n'hésitez pas à contacter notre équipe
+le train arrive à la gare à sept heures et demie du soir
+beaucoup de gens aiment lire des livres dans les heures calmes du matin
+une alimentation équilibrée et de l'exercice régulier sont importants pour la santé
+"""
+
+ES_CORPUS = """
+el rápido zorro marrón salta sobre el perro perezoso cerca del río
+por favor recuerde enjuagar la esponja después de limpiar el mostrador
+primero mezcle un poco de detergente con agua tibia en el cubo
+luego aplique la solución sobre la mancha y seque suavemente con un paño
+el tiempo hoy es soleado con una brisa ligera del oeste
+ella fue a la tienda a comprar pan leche y una docena de huevos
+el informe muestra que las ventas aumentaron durante los últimos tres meses
+nuestro equipo revisará el documento y enviará comentarios antes del fin de semana
+él abrió la ventana para dejar entrar aire fresco en la habitación
+los niños jugaban en el jardín mientras sus padres preparaban la cena
+la biblioteca está abierta todos los días desde las nueve hasta las ocho
+si tiene alguna pregunta no dude en contactar a nuestro equipo de soporte
+el tren llega a la estación a las siete y media de la tarde
+muchas personas disfrutan leer libros en las horas tranquilas de la mañana
+una dieta equilibrada y ejercicio regular son importantes para la salud
+"""
+
+IT_CORPUS = """
+la rapida volpe marrone salta sopra il cane pigro vicino al fiume
+per favore ricordati di sciacquare la spugna dopo aver pulito il bancone
+prima mescola un po di detersivo con acqua calda nel secchio
+poi applica la soluzione sulla macchia e tampona delicatamente con un panno
+il tempo oggi è soleggiato con una leggera brezza da ovest
+lei è andata al negozio per comprare pane latte e una dozzina di uova
+il rapporto mostra che le vendite sono aumentate negli ultimi tre mesi
+il nostro team esaminerà il documento e invierà un riscontro entro la fine della settimana
+lui ha aperto la finestra per far entrare aria fresca nella stanza
+i bambini giocavano in giardino mentre i genitori preparavano la cena
+la biblioteca è aperta tutti i giorni dalle nove del mattino alle otto di sera
+se hai domande non esitare a contattare il nostro team di supporto
+il treno arriva alla stazione alle sette e mezza di sera
+molte persone amano leggere libri nelle ore tranquille del mattino
+una dieta equilibrata e un esercizio regolare sono importanti per la salute
+"""
+
+PT_CORPUS = """
+a rápida raposa marrom pula sobre o cão preguiçoso perto do rio
+por favor lembre se de enxaguar a esponja depois de limpar o balcão
+primeiro misture um pouco de detergente com água morna no balde
+depois aplique a solução na mancha e seque suavemente com um pano limpo
+o tempo hoje está ensolarado com uma brisa leve do oeste
+ela foi à loja comprar pão leite e uma dúzia de ovos
+o relatório mostra que as vendas aumentaram nos últimos três meses
+nossa equipe revisará o documento e enviará comentários até o fim da semana
+ele abriu a janela para deixar entrar ar fresco no quarto
+as crianças brincavam no jardim enquanto os pais preparavam o jantar
+a biblioteca está aberta todos os dias das nove da manhã às oito da noite
+se você tiver dúvidas não hesite em contatar nossa equipe de suporte
+o trem chega à estação às sete e meia da noite
+muitas pessoas gostam de ler livros nas horas tranquilas da manhã
+uma dieta equilibrada e exercícios regulares são importantes para a saúde
+"""
+
+NL_CORPUS = """
+de snelle bruine vos springt over de luie hond bij de rivier
+vergeet niet de spons uit te spoelen nadat je het aanrecht hebt afgeveegd
+meng eerst een beetje wasmiddel met warm water in de emmer
+breng daarna de oplossing aan op de vlek en dep voorzichtig met een doek
+het weer is vandaag zonnig met een lichte bries uit het westen
+ze ging naar de winkel om brood melk en een dozijn eieren te kopen
+het rapport laat zien dat de verkoop de afgelopen drie maanden is gestegen
+ons team zal het document beoordelen en voor het einde van de week feedback sturen
+hij opende het raam om frisse lucht in de kamer te laten
+de kinderen speelden in de tuin terwijl hun ouders het avondeten klaarmaakten
+de bibliotheek is elke dag open van negen uur s ochtends tot acht uur s avonds
+als je vragen hebt neem dan gerust contact op met ons team
+de trein komt om half acht aan op het station
+veel mensen lezen graag boeken in de rustige uren van de ochtend
+een uitgebalanceerd dieet en regelmatige beweging zijn belangrijk voor de gezondheid
+"""
+
+LANG_CORPORA = {
+    "en": EN_CORPUS,
+    "de": DE_CORPUS,
+    "fr": FR_CORPUS,
+    "es": ES_CORPUS,
+    "it": IT_CORPUS,
+    "pt": PT_CORPUS,
+    "nl": NL_CORPUS,
+}

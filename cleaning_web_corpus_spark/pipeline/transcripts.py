@@ -1,0 +1,208 @@
+"""Deterministic synthetic multi-turn transcript corpus.
+
+Input-table shape per BASELINE.json input_hint:
+    (conv_id string, turn_idx int, role string, text string,
+     tool string, ts timestamp)
+
+Design constraints (FIXTURES.md §1, §4):
+
+* **Deterministic regardless of partitioning** — every turn's content
+  is a pure function of (seed, conv_ordinal, turn_idx). Generation is
+  distributed via ``spark.range(n_convs)`` + ``mapInPandas``; the same
+  (seed, n_convs) always produces the identical corpus whatever the
+  parallelism, which is what makes the local[8]-vs-local[32] scaling
+  benchmark an apples-to-apples comparison.
+* **Skew tail** — conv ordinals divisible by ``mega_every`` become
+  mega-conversations (100-5000 turns) to exercise the skew path.
+* **Out-of-order layout** — turn rows are emitted in a deterministic
+  shuffle of turn_idx so the stable (conv_id, turn_idx) ordering is
+  actually load-bearing.
+* **Duplicate rows** — some (conv_id, turn_idx) pairs are emitted twice
+  with different ts, exercising latest-wins dedup (the reference's
+  window dedup at /root/reference/dbt/models/staging/stg_documents.sql:8-16).
+* **Fixture categories** — text categories from FIXTURES.md §3, each
+  engineered to trip exactly one filter (or none); "good" turns draw
+  sentences from the perplexity model's own seed corpus so they are
+  in-vocabulary by construction.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+from typing import Iterator, List, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from cleaning_web_corpus_spark.models.seed_corpora import (
+    DE_CORPUS,
+    EN_CORPUS,
+    ES_CORPUS,
+    FR_CORPUS,
+)
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+_EN_SENTENCES = [s.strip() for s in EN_CORPUS.strip().splitlines()]
+_NON_EN_SENTENCES = [
+    s.strip()
+    for corpus in (DE_CORPUS, FR_CORPUS, ES_CORPUS)
+    for s in corpus.strip().splitlines()
+]
+
+_ROLES = ("user", "assistant", "tool")
+_TOOLS = (
+    None, None, None, None,  # most turns have no tool
+    "vacuum", "sponge", "brush", "microfiber_cloth", "steam_cleaner",
+    "vinegar", "baking_soda", "detergent", "mop", "towel", "spray_bottle",
+)
+
+_BASE_TS = dt.datetime(2025, 6, 1, 0, 0, 0)
+
+# (category, weight) — weights sum to 100
+_CATEGORIES: List[Tuple[str, int]] = [
+    ("good", 58),
+    ("good_long", 6),
+    ("good_pii", 6),
+    ("good_toxic", 4),
+    ("good_unicode", 3),
+    ("empty", 3),
+    ("whitespace", 2),
+    ("too_short", 5),
+    ("short_words", 3),
+    ("non_english", 5),
+    ("char_repeat", 2),
+    ("word_repeat", 1),
+    ("ngram_repeat", 1),
+    ("gibberish", 1),
+]
+_CAT_POP = [c for c, w in _CATEGORIES for _ in range(w)]
+
+_PII_SNIPPETS = [
+    "you can reach me at jane.roe@example.com for the details",
+    "my office number is (555) 123-4567 so call after lunch",
+    "the form listed 123-45-6789 as the identifier by mistake",
+    "the server at 192.168.10.42 stopped responding last night",
+    "send the invoice to billing@corp-mail.org before friday",
+    "alt contact: 555-987-6543 or the backup line 555.222.3333",
+]
+
+_TOXIC_SNIPPETS = [
+    "that damn printer is broken again and it drives me crazy",
+    "this stupid process takes forever to finish every time",
+    "what the hell happened to the report from yesterday",
+    "the old vacuum is a piece of crap and loses suction",
+]
+
+_UNICODE_SNIPPET = (
+    "the café on the corner serves naïve tourists a résumé of local "
+    "specialities while señor garcía plays the piano"
+)
+
+
+def _good_sentences(rng: random.Random, k: int) -> str:
+    return ". ".join(rng.choice(_EN_SENTENCES) for _ in range(k)) + "."
+
+
+def _gibberish(rng: random.Random, n_words: int) -> str:
+    alphabet = "bcdfghjklmnpqrstvwxz"
+    return " ".join(
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(4, 9)))
+        for _ in range(n_words)
+    )
+
+
+def _turn_text(rng: random.Random) -> str:
+    cat = rng.choice(_CAT_POP)
+    if cat == "good":
+        return _good_sentences(rng, rng.randint(1, 4))
+    if cat == "good_long":
+        return _good_sentences(rng, rng.randint(8, 20))
+    if cat == "good_pii":
+        return _good_sentences(rng, 2) + " " + rng.choice(_PII_SNIPPETS)
+    if cat == "good_toxic":
+        return _good_sentences(rng, 2) + " " + rng.choice(_TOXIC_SNIPPETS)
+    if cat == "good_unicode":
+        return _UNICODE_SNIPPET + ". " + _good_sentences(rng, 1)
+    if cat == "empty":
+        return ""
+    if cat == "whitespace":
+        return "   \n\t  "
+    if cat == "too_short":
+        return " ".join(rng.choice(["ok", "yes", "sure"]) for _ in range(rng.randint(1, 2)))
+    if cat == "short_words":
+        return " ".join(rng.choice(["a", "an", "is", "it", "on", "up", "we", "do"]) for _ in range(12))
+    if cat == "non_english":
+        return ". ".join(rng.choice(_NON_EN_SENTENCES) for _ in range(2)) + "."
+    if cat == "char_repeat":
+        base = _good_sentences(rng, 3)
+        filler = "zzzzzzzzzz!!!!!!!!!!" * (len(base) // 30 + 2)
+        return base + " " + filler
+    if cat == "word_repeat":
+        base = _good_sentences(rng, 3)
+        return base + " " + " ".join(["repetition"] * 60)
+    if cat == "ngram_repeat":
+        base = _good_sentences(rng, 3)
+        return base + " " + " ".join(["alpha beta gamma"] * 12)
+    if cat == "gibberish":
+        return _gibberish(rng, rng.randint(12, 30))
+    raise AssertionError(cat)
+
+
+def _emit_conversation(seed: int, ordinal: int, mega_every: int) -> List[tuple]:
+    rng = random.Random((seed << 32) ^ ordinal)
+    conv_id = f"conv{ordinal:010d}"
+    if mega_every and ordinal % mega_every == 0 and ordinal > 0:
+        n_turns = rng.randint(100, 5000)  # mega-conversation skew tail
+    else:
+        n_turns = rng.randint(2, 12)
+    rows = []
+    for turn_idx in range(n_turns):
+        trng = random.Random((seed << 40) ^ (ordinal << 16) ^ turn_idx)
+        rows.append(
+            (
+                conv_id,
+                turn_idx,
+                _ROLES[turn_idx % 3],
+                _turn_text(trng),
+                trng.choice(_TOOLS),
+                _BASE_TS + dt.timedelta(minutes=turn_idx, days=ordinal % 365),
+            )
+        )
+    # duplicate one turn with a later ts: latest-wins dedup fixture
+    if ordinal % 97 == 0 and rows:
+        c, t, r, _txt, tool, ts = rows[0]
+        dup_rng = random.Random((seed << 48) ^ ordinal)
+        rows.append((c, t, r, _turn_text(dup_rng), tool, ts + dt.timedelta(seconds=30)))
+    # deterministic out-of-order layout
+    rng.shuffle(rows)
+    return rows
+
+
+def generate_transcripts(
+    spark: SparkSession,
+    n_convs: int,
+    seed: int = 42,
+    mega_every: int = 1000,
+    partitions: int = 0,
+) -> DataFrame:
+    """Distributed deterministic corpus of ``n_convs`` conversations."""
+    partitions = partitions or spark.sparkContext.defaultParallelism * 4
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for ordinal in pdf["id"]:
+                out.extend(_emit_conversation(seed, int(ordinal), mega_every))
+            yield pd.DataFrame(
+                out, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+            )
+
+    return (
+        spark.range(n_convs)
+        .repartition(partitions)  # even conv spread; content is partition-independent
+        .mapInPandas(_gen, schema=TRANSCRIPT_SCHEMA)
+    )

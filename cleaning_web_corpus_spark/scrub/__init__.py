@@ -1,0 +1,2 @@
+from cleaning_web_corpus_spark.scrub.pii import scrub_text  # noqa: F401
+from cleaning_web_corpus_spark.scrub.native import scrub_col  # noqa: F401

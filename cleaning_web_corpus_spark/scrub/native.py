@@ -1,0 +1,25 @@
+"""JVM-side scrub: a chained ``regexp_replace`` column expression.
+
+This is the production scrub path. Each rule compiles to one
+``RegExpReplace`` expression, the whole chain fuses into a single
+whole-stage-codegen projection — zero Python, zero serialization, and
+it scales linearly with input splits. Byte-equality with the Python
+twin (scrub/pii.py) is enforced by tests/test_scrub.py over the fixture
+corpus including unicode adversaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.config import ScrubConfig
+from cleaning_web_corpus_spark.scrub.pii import java_rules_for
+
+
+def scrub_col(col: Column, cfg: ScrubConfig) -> Column:
+    """Column expression applying the ordered scrub chain."""
+    out = col
+    for java_regex, replacement in java_rules_for(cfg):
+        out = F.regexp_replace(out, java_regex, replacement)
+    return out

@@ -1,0 +1,101 @@
+"""PII + toxicity scrubbing — pure-Python reference path.
+
+North-rule addition (the reference repo has no PII handling; the
+pattern-dictionary style follows its keyword machinery at
+/root/reference/src/enrichment/patterns.py:251-280). The spec:
+
+order of application (fixed, observable, byte-deterministic):
+    1. email  -> <EMAIL>
+    2. ssn    -> <SSN>     (before phone: both are dash-digit shapes)
+    3. phone  -> <PHONE>
+    4. ip     -> <IP>
+    5. toxicity wordlist -> <TOXIC>
+
+The production path runs JVM-side (scrub/native.py) via regexp_replace
+so scrubbing stays inside whole-stage codegen; this module is the
+semantic twin used for per-turn byte-equality tests and as the in-UDF
+fallback. Patterns use only constructs with identical semantics in
+CPython ``re`` and ``java.util.regex`` (ASCII classes, lookaround), and
+the Java variants force ``(?U)`` where ``\\b`` could diverge on unicode.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+from cleaning_web_corpus_spark.config import ScrubConfig
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SSN_PATTERN = r"(?<![0-9])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![0-9])"
+PHONE_PATTERN = (
+    r"(?<![0-9])(?:\+?1[-. ])?"
+    r"(?:\([0-9]{3}\) ?|[0-9]{3}[-. ])"
+    r"[0-9]{3}[-. ][0-9]{4}(?![0-9])"
+)
+IP_PATTERN = r"(?<![0-9.])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9.])"
+
+# Deterministic toxicity wordlist (mild, fixed); \b-bounded alternation
+# in the style of the reference's keyword matching (patterns.py:269).
+TOXICITY_WORDS: Tuple[str, ...] = (
+    "asshole", "bastard", "bitch", "crap", "damn", "dumbass",
+    "fuck", "hell", "idiot", "jackass", "moron", "shit", "stupid",
+)
+TOXICITY_PATTERN = r"\b(?:" + "|".join(TOXICITY_WORDS) + r")(?:s|es|ed|ing)?\b"
+
+# (enabled-flag name, python regex, token-field name) in application order
+_RULES: List[Tuple[str, str, str]] = [
+    ("scrub_email", EMAIL_PATTERN, "email_token"),
+    ("scrub_ssn", SSN_PATTERN, "ssn_token"),
+    ("scrub_phone", PHONE_PATTERN, "phone_token"),
+    ("scrub_ip", IP_PATTERN, "ip_token"),
+    ("scrub_toxicity", TOXICITY_PATTERN, "toxicity_token"),
+]
+
+_COMPILED = {
+    "scrub_email": re.compile(EMAIL_PATTERN),
+    "scrub_ssn": re.compile(SSN_PATTERN),
+    "scrub_phone": re.compile(PHONE_PATTERN),
+    "scrub_ip": re.compile(IP_PATTERN),
+    # IGNORECASE over ASCII words == Java (?i) over the same
+    "scrub_toxicity": re.compile(TOXICITY_PATTERN, re.IGNORECASE),
+}
+
+
+def rules_for(cfg: ScrubConfig) -> List[Tuple[re.Pattern, str]]:
+    out = []
+    for flag, _pat, token_field in _RULES:
+        if getattr(cfg, flag):
+            out.append((_COMPILED[flag], getattr(cfg, token_field)))
+    return out
+
+
+def scrub_text(text: str, cfg: ScrubConfig) -> str:
+    """Apply the full scrub chain to one string (reference semantics)."""
+    if not text:
+        return text
+    for pattern, token in rules_for(cfg):
+        text = pattern.sub(token, text)
+    return text
+
+
+def java_rules_for(cfg: ScrubConfig) -> List[Tuple[str, str]]:
+    """(java_regex, replacement) pairs for the JVM regexp_replace chain.
+
+    Identical match semantics to the Python chain: the toxicity rule adds
+    (?iU) so Java's \\b/case-folding agree with CPython's unicode-aware
+    defaults; the PII rules use explicit [0-9] classes, which are
+    engine-independent.
+    """
+    out = []
+    java_pat = {
+        "scrub_email": EMAIL_PATTERN,
+        "scrub_ssn": SSN_PATTERN,
+        "scrub_phone": PHONE_PATTERN,
+        "scrub_ip": IP_PATTERN,
+        "scrub_toxicity": "(?iU)" + TOXICITY_PATTERN,
+    }
+    for flag, _pat, token_field in _RULES:
+        if getattr(cfg, flag):
+            out.append((java_pat[flag], getattr(cfg, token_field)))
+    return out

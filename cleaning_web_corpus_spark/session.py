@@ -1,0 +1,45 @@
+"""SparkSession factory with the scale-oriented defaults.
+
+The knobs here are the ones that matter when the same job runs on a
+1000-executor cluster against ~100 TB instead of local[32] against
+megabytes: AQE (runtime coalescing + skew-join splitting), Arrow for
+pandas-UDF transfer, sane shuffle-partition and broadcast thresholds.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    master: str | None = None,
+    app_name: str = "cleaning-web-corpus-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    if shuffle_partitions is None:
+        cpus = os.cpu_count() or 8
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", cpus))
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark

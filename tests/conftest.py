@@ -1,0 +1,20 @@
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from cleaning_web_corpus_spark.session import build_session
+
+    spark = build_session(
+        master="local[4]",
+        app_name="cwc-spark-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "4g"},
+    )
+    yield spark
+    spark.stop()

@@ -1,0 +1,162 @@
+"""Pure-Python reference twin of the filter chain + scrub.
+
+This is the label oracle for parity tests (FIXTURES.md §5): a naive,
+per-document implementation that mirrors the reference's *structure* —
+one check at a time, re-tokenizing for every check exactly like
+/root/reference/src/quality/text_filters.py does — with fresh model
+calls and no Spark, no batching, no shared tokenization. The engine
+(cleaning_web_corpus_spark.filters.chain + the pandas UDF + the native
+JVM scrub) must reproduce these labels, reasons, and scrubbed bytes
+per turn.
+
+Deliberately does NOT import the engine's chain/scrub modules: pattern
+constants and threshold logic are restated so a defect in either side
+surfaces as a mismatch.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Tuple
+
+from cleaning_web_corpus_spark.models.langid import NgramLanguageID
+from cleaning_web_corpus_spark.models.perplexity import BigramPerplexityModel
+
+STOPS = set(
+    "a an the i you he she it we they me him her us them this that these those "
+    "my your his its our their in on at to for of with by from up about into "
+    "through during including against among throughout despite towards upon "
+    "concerning and or but if because as since while although though is are was "
+    "were be been being have has had having do does did doing done will would "
+    "should could may might must can cannot not no yes very too also just only "
+    "even still yet more most less least so such well much many what when where "
+    "who why how which whose whom all each every both few other another some "
+    "any same own than then there here".split()
+)
+
+_LID = NgramLanguageID()
+_PPL = BigramPerplexityModel()
+
+
+def _words(text: str):
+    return re.findall(r"\b\w+\b", text.lower())
+
+
+def twin_verdict(text: Optional[str], cfg) -> Tuple[bool, str]:
+    """(passed, reason) for one text, reference-ordered."""
+    t = (text or "").strip()
+    if not t:
+        return False, "empty_text"
+
+    # word count
+    wc = len(_words(t))
+    if wc < cfg.min_words:
+        return False, f"word_count_too_low: {wc} words (required: >= {cfg.min_words})"
+    if wc > cfg.max_words:
+        return False, f"word_count_too_high: {wc} words (required: <= {cfg.max_words})"
+
+    # avg word length
+    ws = _words(t)
+    avg = sum(len(w) for w in ws) / len(ws)
+    if avg < cfg.min_avg_word_length:
+        return False, (
+            f"avg_word_length_failed: {round(avg, 2):.2f} "
+            f"(required: >= {cfg.min_avg_word_length:.2f})"
+        )
+
+    # language (lenient below 10 words / on None)
+    if len(_words(t)) >= cfg.min_words_for_langid:
+        det = _LID.detect(t)
+        if det is not None and det != cfg.language:
+            return False, f"language_failed: detected '{det}' (expected: '{cfg.language}')"
+
+    # repetition block, gated
+    if len(_words(t)) >= cfg.min_words_for_repetition_check:
+        # char runs
+        if len(t) >= 10:
+            rep = sum(
+                len(m.group(0)) for m in re.finditer(r"(.)\1{2,}", t)
+            )
+            ratio = rep / len(t)
+        else:
+            ratio = 0.0
+        if ratio > cfg.max_char_repetition_ratio:
+            return False, (
+                f"char_repetition_too_high: {ratio:.3f} "
+                f"(max: {cfg.max_char_repetition_ratio:.3f})"
+            )
+
+        # word repetition over content words
+        ws = _words(t)
+        wr = 0.0
+        if len(ws) >= 5:
+            content = [w for w in ws if w not in STOPS]
+            if len(content) >= 10:
+                counts: Dict[str, int] = {}
+                for w in content:
+                    counts[w] = counts.get(w, 0) + 1
+                dup = sum(c - 1 for c in counts.values() if c > 1)
+                wr = dup / len(content)
+        if wr > cfg.max_word_repetition_ratio:
+            return False, (
+                f"word_repetition_too_high: {wr:.3f} "
+                f"(max: {cfg.max_word_repetition_ratio:.3f})"
+            )
+
+        # n-gram repetition
+        ws = _words(t)
+        n = cfg.ngram_size
+        mx = 0
+        if len(ws) >= 2 * n:
+            gc: Dict[tuple, int] = {}
+            for i in range(len(ws) - n + 1):
+                g = tuple(ws[i : i + n])
+                gc[g] = gc.get(g, 0) + 1
+            mx = max(gc.values())
+        if mx > cfg.max_ngram_repetition:
+            return False, (
+                f"ngram_repetition_too_high: {mx} (max: {cfg.max_ngram_repetition})"
+            )
+
+    # perplexity
+    if cfg.enable_perplexity_filter:
+        ws = _words(t)
+        if len(ws) >= cfg.min_words_for_perplexity:
+            ppl = _PPL.perplexity(ws)
+            if ppl > cfg.max_perplexity:
+                return False, (
+                    f"perplexity_too_high: {round(ppl, 2):.2f} "
+                    f"(max: {cfg.max_perplexity:.2f})"
+                )
+
+    return True, "passed"
+
+
+# --- scrub twin: the FIXTURES.md spec restated -----------------------------
+
+_SCRUB_STEPS = [
+    (re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"), "<EMAIL>"),
+    (re.compile(r"(?<![0-9])[0-9]{3}-[0-9]{2}-[0-9]{4}(?![0-9])"), "<SSN>"),
+    (
+        re.compile(
+            r"(?<![0-9])(?:\+?1[-. ])?(?:\([0-9]{3}\) ?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}(?![0-9])"
+        ),
+        "<PHONE>",
+    ),
+    (re.compile(r"(?<![0-9.])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9.])"), "<IP>"),
+    (
+        re.compile(
+            r"\b(?:asshole|bastard|bitch|crap|damn|dumbass|fuck|hell|idiot|jackass|moron|shit|stupid)(?:s|es|ed|ing)?\b",
+            re.IGNORECASE,
+        ),
+        "<TOXIC>",
+    ),
+]
+
+
+def twin_scrub(text: Optional[str]) -> Optional[str]:
+    if not text:
+        return text
+    for pat, token in _SCRUB_STEPS:
+        text = pat.sub(token, text)
+    return text

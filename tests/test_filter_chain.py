@@ -1,0 +1,247 @@
+"""Unit tests for the filter chain.
+
+Ports the semantics of the reference's test suite
+(/root/reference/tests/test_text_filters.py — boundary cases, edge
+cases, first-failure ordering) onto our chain, plus hypothesis
+cross-checks against the naive twin.
+"""
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cleaning_web_corpus_spark.config import QualityConfig
+from cleaning_web_corpus_spark.filters.chain import (
+    _char_repetition_ratio,
+    _max_ngram_repetition,
+    _word_repetition_ratio,
+    evaluate_text,
+)
+from cleaning_web_corpus_spark.functions.tokenize import tokenize
+from tests.reference_twin import twin_verdict
+
+CFG = QualityConfig(
+    min_words=5,
+    max_words=50,
+    min_avg_word_length=3.0,
+    min_words_for_repetition_check=10,
+    min_words_for_perplexity=10,
+)
+
+GOOD = "please apply the detergent to the carpet and wait for ten minutes"
+
+
+def words_of(n, word="cleaning"):
+    return " ".join([word] * n)
+
+
+class TestTokenize:
+    def test_matches_reference_regex(self):
+        # engine tokenization must equal re.findall(r'\b\w+\b', lower)
+        for t in [
+            "Hello, World! 123",
+            "café résumé naïve",
+            "foo_bar baz-qux",
+            "  multiple   spaces\n\tand lines ",
+            "punctuation!!! everywhere... (really?)",
+            "",
+        ]:
+            assert tokenize(t) == re.findall(r"\b\w+\b", t.lower())
+
+
+class TestWordCount:
+    # reference: tests/test_text_filters.py:13-67 (incl. exact boundaries)
+    def test_too_short(self):
+        v = evaluate_text("only four tiny words", CFG)
+        assert not v.passed
+        assert v.reason == "word_count_too_low: 4 words (required: >= 5)"
+
+    def test_too_long(self):
+        v = evaluate_text(words_of(51), CFG)
+        assert not v.passed
+        assert v.reason == "word_count_too_high: 51 words (required: <= 50)"
+
+    def test_boundary_min(self):
+        # exactly min_words passes word count (5 real words, avg len ok)
+        v = evaluate_text("apply detergent carefully tonight please", CFG)
+        assert v.reason != "word_count_too_low: 5 words (required: >= 5)"
+
+    def test_boundary_max(self):
+        cfg = QualityConfig(min_words=1, max_words=8, min_avg_word_length=0.0)
+        v = evaluate_text(words_of(8), cfg)
+        assert "word_count_too_high" not in v.reason
+
+    def test_empty(self):
+        assert evaluate_text("", CFG).reason == "empty_text"
+        assert evaluate_text("   \n\t  ", CFG).reason == "empty_text"
+        assert evaluate_text(None, CFG).reason == "empty_text"
+
+
+class TestAvgWordLength:
+    # reference: tests/test_text_filters.py:70-114
+    def test_short_words_fail(self):
+        v = evaluate_text("a an is it on up we do", CFG)
+        assert not v.passed
+        assert v.reason.startswith("avg_word_length_failed: ")
+        assert "(required: >= 3.00)" in v.reason
+
+    def test_reason_format_rounds(self):
+        # avg of ["ab","ab","ab","ab","abc"] = 11/5 = 2.2
+        v = evaluate_text("ab ab ab ab abc", CFG)
+        assert v.reason == "avg_word_length_failed: 2.20 (required: >= 3.00)"
+
+
+class TestLanguage:
+    # reference: tests/test_text_filters.py:117-157; lenient contracts
+    def test_english_passes(self):
+        detector = lambda t: "en"
+        v = evaluate_text(GOOD, CFG, detector=detector)
+        assert v.passed
+
+    def test_german_fails(self):
+        detector = lambda t: "de"
+        v = evaluate_text(GOOD, CFG, detector=detector)
+        assert v.reason == "language_failed: detected 'de' (expected: 'en')"
+
+    def test_short_text_lenient(self):
+        # <10 words: language check skipped even for wrong language
+        detector = lambda t: "de"
+        cfg = QualityConfig(min_words=1, max_words=50, min_avg_word_length=0.0)
+        v = evaluate_text("kurzer text hier bitte", cfg, detector=detector)
+        assert v.passed
+
+    def test_detector_error_lenient(self):
+        def boom(t):
+            raise RuntimeError("no features")
+
+        v = evaluate_text(GOOD, CFG, detector=boom)
+        assert v.passed
+
+    def test_no_detector_lenient(self):
+        assert evaluate_text(GOOD, CFG, detector=None).passed
+
+
+class TestRepetition:
+    # reference: tests/test_text_filters.py:300-453
+    def test_char_repetition_ratio(self):
+        assert _char_repetition_ratio("short") == 0.0  # <10 chars
+        assert _char_repetition_ratio("aaaaaaaaaa") == 1.0
+        text = "abcdefg" + "zzzz"  # 4 repeated of 11
+        assert _char_repetition_ratio(text) == pytest.approx(4 / 11)
+
+    def test_char_repeat_fails(self):
+        base = " ".join(["varied"] + [f"word{i}" for i in range(12)])
+        text = base + " " + "z" * (3 * len(base))
+        v = evaluate_text(text, CFG)
+        assert not v.passed
+        assert v.reason.startswith("char_repetition_too_high: ")
+        assert v.reason.endswith("(max: 0.300)")
+
+    def test_word_repetition_excludes_stopwords(self):
+        # all stop words -> no content words -> ratio 0
+        ratio, _ = _word_repetition_ratio(tokenize("the the the the the the the the the the the the"))
+        assert ratio == 0.0
+
+    def test_word_repeat_fails(self):
+        distinct = " ".join(f"object{i}" for i in range(10))
+        text = distinct + " " + " ".join(["cleaning"] * 30)
+        v = evaluate_text(text, CFG)
+        assert not v.passed
+        assert v.reason.startswith("word_repetition_too_high: ")
+
+    def test_ngram_repeat_fails(self):
+        # enough distinct fillers that word-repetition stays <= 0.6 and
+        # the 3-gram check is the one that fires (10 > max 8)
+        distinct = " ".join(f"object{i}" for i in range(16))
+        text = distinct + " " + " ".join(["alpha beta gamma"] * 10)
+        v = evaluate_text(text, CFG)
+        assert not v.passed
+        assert v.reason == "ngram_repetition_too_high: 10 (max: 8)"
+
+    def test_short_text_skips_repetition(self):
+        # <min_words_for_repetition_check words: aaaa runs tolerated
+        cfg = QualityConfig(
+            min_words=1, max_words=50, min_avg_word_length=0.0,
+            min_words_for_repetition_check=50, enable_perplexity_filter=False,
+        )
+        v = evaluate_text("zzzzzzzz yyyyyyyy xxxxxxxx wwwwwwww", cfg)
+        assert v.passed
+        assert v.stats.get("repetition_check_skipped") == "true"
+
+    def test_ngram_counts(self):
+        assert _max_ngram_repetition(tokenize("a b c a b c a b c"), 3) == 3
+        assert _max_ngram_repetition(["a", "b", "c"], 3) == 0  # <2n words
+
+
+class TestOrdering:
+    """First-failure short-circuit: reference tests/test_text_filters.py:203-219."""
+
+    def test_word_count_beats_language(self):
+        # too-short German text: word_count fires first
+        detector = lambda t: "de"
+        v = evaluate_text("kurz und gut", CFG, detector=detector)
+        assert v.reason.startswith("word_count_too_low")
+
+    def test_avg_length_beats_language(self):
+        detector = lambda t: "de"
+        v = evaluate_text("ab cd ef gh ij kl mn op qr st uv wx", CFG, detector=detector)
+        assert v.reason.startswith("avg_word_length_failed")
+
+    def test_char_beats_word_repetition(self):
+        # text failing both char and word repetition reports char first
+        text = " ".join(f"object{i}" for i in range(10)) + " " + ("cleaning " * 30) + "z" * 500
+        v = evaluate_text(text, CFG)
+        assert v.reason.startswith("char_repetition_too_high")
+
+    def test_perplexity_last(self):
+        scorer = lambda ws: 99999.0
+        v = evaluate_text(GOOD, CFG, ppl_scorer=scorer)
+        assert v.reason == "perplexity_too_high: 99999.00 (max: 1000.00)"
+
+    def test_scorer_error_lenient(self):
+        def boom(ws):
+            raise RuntimeError("model")
+
+        assert evaluate_text(GOOD, CFG, ppl_scorer=boom).passed
+
+
+class TestUnicode:
+    # reference edge cases: tests/test_text_filters.py:222-264
+    def test_unicode_words_tokenize(self):
+        assert tokenize("Café RÉSUMÉ naïve") == ["café", "résumé", "naïve"]
+
+    def test_mixed_numbers_punct(self):
+        v = evaluate_text("mix 2 cups flour with 1 egg and stir well together", CFG)
+        assert v.reason != "empty_text"
+
+
+from cleaning_web_corpus_spark.models.langid import get_default_model as _lid
+from cleaning_web_corpus_spark.models.perplexity import get_default_model as _ppl
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=400,
+    )
+)
+def test_chain_agrees_with_twin_on_arbitrary_text(text):
+    """Engine chain == naive twin for any unicode input, models included."""
+    cfg = QualityConfig(
+        min_words=3,
+        max_words=40,
+        min_avg_word_length=2.5,
+        min_words_for_repetition_check=8,
+        min_words_for_perplexity=8,
+    )
+    v = evaluate_text(
+        text,
+        cfg,
+        detector=_lid().detect,
+        ppl_scorer=lambda ws: _ppl().perplexity(ws),
+    )
+    tp, tr = twin_verdict(text, cfg)
+    assert (v.passed, v.reason) == (tp, tr)

@@ -1,0 +1,54 @@
+"""Lineage metrics + resume-from-committed-snapshot behavior."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.config import PipelineConfig
+from cleaning_web_corpus_spark.pipeline import lineage
+from cleaning_web_corpus_spark.pipeline.run import run_pipeline
+from cleaning_web_corpus_spark.pipeline.transcripts import generate_transcripts
+
+
+def test_metrics_and_resume(spark, tmp_path):
+    out = str(tmp_path / "out")
+    corpus = generate_transcripts(spark, 40, seed=11, mega_every=0, partitions=4)
+    pcfg = PipelineConfig()
+
+    res = run_pipeline(spark, corpus, pcfg, out_dir=out)
+    n_turns = res.turn_verdicts.count()
+
+    # lineage rows: per-partition counts sum to the stage input
+    m = lineage.read_metrics(spark, out)
+    agg = m.filter(F.col("stage") == "turn_verdicts").agg(
+        F.sum("input_rows").alias("in_rows"),
+        F.sum("output_rows").alias("out_rows"),
+    ).first()
+    assert agg.in_rows == n_turns
+    passed = res.turn_verdicts.filter("passed").count()
+    assert agg.out_rows == passed
+
+    # drop-reason histogram totals == per-reason counts (A10 analogue)
+    hist = (
+        m.filter(F.col("stage") == "turn_verdicts")
+        .select(F.explode("drop_reason_histogram").alias("reason", "n"))
+        .groupBy("reason")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    )
+    by_reason = {
+        r.reason: r.cnt
+        for r in res.turn_verdicts.groupBy("reason").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert {h.reason: h.n for h in hist} == by_reason
+
+    # model versions recorded
+    row = m.first()
+    assert row.model_versions["langid"] == pcfg.langid_model_version
+
+    # resume: committed stages are skipped (mtime of outputs unchanged)
+    marker = os.path.join(out, "turn_verdicts", "_SUCCESS")
+    mtime = os.path.getmtime(marker)
+    res2 = run_pipeline(spark, corpus, pcfg, out_dir=out, resume=True)
+    assert os.path.getmtime(marker) == mtime
+    assert res2.turn_verdicts.count() == n_turns

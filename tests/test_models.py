@@ -1,0 +1,96 @@
+"""Language-ID and perplexity model contracts.
+
+These back the north rule's model requirements: deterministic,
+broadcast-once-per-executor models with lenient-skip semantics
+(reference contracts at text_filters.py:206-255, 446-506)."""
+
+import pickle
+
+from cleaning_web_corpus_spark.functions.tokenize import tokenize
+from cleaning_web_corpus_spark.models.langid import (
+    NgramLanguageID,
+    get_default_model as lid_singleton,
+    make_detector,
+)
+from cleaning_web_corpus_spark.models.perplexity import (
+    BigramPerplexityModel,
+    get_default_model as ppl_singleton,
+    make_scorer,
+)
+from cleaning_web_corpus_spark.models.seed_corpora import LANG_CORPORA
+
+
+class TestLangid:
+    def test_detects_all_seed_languages(self):
+        m = NgramLanguageID()
+        probes = {
+            "en": "please remember to rinse the sponge after you wipe the counter today",
+            "de": "bitte denken sie daran den schwamm nach dem wischen gut auszuspülen",
+            "fr": "veuillez rincer l'éponge après avoir essuyé le comptoir de la cuisine",
+            "es": "por favor recuerde enjuagar la esponja después de limpiar el mostrador",
+            "it": "si prega di risciacquare la spugna dopo aver pulito il bancone",
+            "pt": "por favor lembre se de enxaguar a esponja depois de limpar o balcão",
+            "nl": "vergeet niet de spons uit te spoelen nadat je het aanrecht hebt gewassen",
+        }
+        for lang, text in probes.items():
+            assert m.detect(text) == lang
+
+    def test_deterministic(self):
+        a, b = NgramLanguageID(), NgramLanguageID()
+        t = "the quick brown fox jumps over the lazy dog"
+        assert a.detect(t) == b.detect(t)
+        assert a.scores(t) == b.scores(t)
+
+    def test_empty_returns_none(self):
+        assert NgramLanguageID().detect("") is None
+        assert NgramLanguageID().detect("   ") is None
+
+    def test_digits_and_pii_dont_flip_english(self):
+        m = NgramLanguageID()
+        assert m.detect("contact me at john.doe@example.com or call (555) 123-4567 thanks") == "en"
+
+    def test_singleton(self):
+        assert lid_singleton() is lid_singleton()
+
+    def test_picklable(self):
+        m = NgramLanguageID()
+        m2 = pickle.loads(pickle.dumps(m))
+        assert m2.detect("the weather is nice today in the park") == "en"
+
+    def test_make_detector_fallback(self):
+        # nonexistent fastText path falls back to the embedded model
+        det = make_detector("/nonexistent/lid.176.bin")
+        assert det("the weather is nice today in the park and the sun shines") == "en"
+
+    def test_covers_expected_languages(self):
+        assert set(LANG_CORPORA) == {"en", "de", "fr", "es", "it", "pt", "nl"}
+
+
+class TestPerplexity:
+    def test_fluent_vs_gibberish_separation(self):
+        m = BigramPerplexityModel()
+        good = tokenize("first mix a small amount of detergent with warm water in the bucket")
+        gib = tokenize("xqzv jkwpl mnrtb vvxzq plmnk qqwrt zzxcv bnmas dfghj klqwe rtyui opasd")
+        assert m.perplexity(good) < 1000.0
+        assert m.perplexity(gib) > 1000.0
+
+    def test_kenlm_normalization_shape(self):
+        # ppl = 10 ** (-score / (n_words + 1))
+        m = BigramPerplexityModel()
+        ws = tokenize("the quick brown fox jumps over the lazy dog")
+        assert m.perplexity(ws) == 10.0 ** (-m.score(ws) / (len(ws) + 1))
+
+    def test_deterministic(self):
+        ws = tokenize("apply the solution to the stain and blot gently")
+        assert BigramPerplexityModel().perplexity(ws) == BigramPerplexityModel().perplexity(ws)
+
+    def test_singleton(self):
+        assert ppl_singleton() is ppl_singleton()
+
+    def test_make_scorer_fallback(self):
+        scorer = make_scorer("/nonexistent/model.bin")
+        assert scorer(tokenize("the weather is nice today")) is not None
+
+    def test_picklable(self):
+        m = pickle.loads(pickle.dumps(BigramPerplexityModel()))
+        assert m.perplexity(["the", "dog"]) > 0

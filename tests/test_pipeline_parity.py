@@ -1,0 +1,153 @@
+"""End-to-end parity: Spark pipeline vs the pure-Python twin.
+
+The north-rule correctness gate (BASELINE.json): per-turn keep/drop F1
+>= 0.99 against reference labels, byte-identical scrubbed text under
+stable (conv_id, turn_idx) ordering, and conversation-level keep/drop
+derived from turn verdicts. The twin (tests/reference_twin.py) computes
+labels naively per turn; the pipeline must reproduce them through
+dedup + salted repartition + Arrow UDF + JVM scrub.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.config import PipelineConfig
+from cleaning_web_corpus_spark.pipeline.conversation import dedup_latest
+from cleaning_web_corpus_spark.pipeline.run import run_pipeline
+from cleaning_web_corpus_spark.pipeline.transcripts import generate_transcripts
+from tests.reference_twin import twin_scrub, twin_verdict
+
+N_CONVS = 120
+SEED = 7
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # mega_every small so the skew path is exercised even at test scale
+    df = generate_transcripts(spark, N_CONVS, seed=SEED, mega_every=60, partitions=8)
+    df.cache()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    pcfg = PipelineConfig()
+    res = run_pipeline(spark, corpus, pcfg)
+    tv = res.turn_verdicts.collect()
+    cv = {r.conv_id: r for r in res.conv_verdicts.collect()}
+    return pcfg, tv, cv
+
+
+def _twin_rows(corpus_rows, pcfg):
+    """Latest-wins dedup + per-turn twin labels, computed naively."""
+    latest = {}
+    for r in corpus_rows:
+        k = (r.conv_id, r.turn_idx)
+        if k not in latest or r.ts > latest[k].ts:
+            latest[k] = r
+    out = {}
+    for (cid, tidx), r in latest.items():
+        passed, reason = twin_verdict(r.text, pcfg.quality)
+        out[(cid, tidx)] = (passed, reason, twin_scrub(r.text))
+    return out
+
+
+def test_corpus_is_deterministic(spark):
+    a = generate_transcripts(spark, 20, seed=3, partitions=2).orderBy("conv_id", "turn_idx", "ts")
+    b = generate_transcripts(spark, 20, seed=3, partitions=7).orderBy("conv_id", "turn_idx", "ts")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+def test_turn_level_parity(corpus, result):
+    pcfg, tv, _ = result
+    expected = _twin_rows(corpus.collect(), pcfg)
+    assert len(tv) == len(expected)  # dedup agreed
+
+    mismatch_labels = 0
+    for r in tv:
+        exp_passed, exp_reason, exp_scrub = expected[(r.conv_id, r.turn_idx)]
+        assert r.reason == exp_reason, (r.conv_id, r.turn_idx, r.reason, exp_reason)
+        assert r.text_scrubbed == exp_scrub, (r.conv_id, r.turn_idx)
+        if r.passed != exp_passed:
+            mismatch_labels += 1
+    f1_proxy = 1 - mismatch_labels / len(tv)
+    assert f1_proxy >= 0.99
+    assert mismatch_labels == 0  # we target exact agreement, not just F1
+
+
+def test_reason_diversity(result):
+    """The synthetic corpus must actually exercise every filter."""
+    _, tv, _ = result
+    prefixes = {r.reason.split(":")[0] for r in tv}
+    assert {
+        "passed",
+        "empty_text",
+        "word_count_too_low",
+        "avg_word_length_failed",
+        "language_failed",
+        "char_repetition_too_high",
+        "word_repetition_too_high",
+        "perplexity_too_high",
+    } <= prefixes, prefixes
+
+
+def test_conversation_level_parity(corpus, result):
+    pcfg, tv, cv = result
+    expected = _twin_rows(corpus.collect(), pcfg)
+
+    by_conv = {}
+    for (cid, tidx), (passed, reason, _s) in expected.items():
+        by_conv.setdefault(cid, []).append((tidx, passed, reason))
+
+    assert set(cv) == set(by_conv)
+    for cid, turns in by_conv.items():
+        n = len(turns)
+        failed = [(tidx, reason) for tidx, passed, reason in turns if not passed]
+        kept_exp = (len(failed) / n) <= pcfg.conversation.max_failed_turn_fraction
+        row = cv[cid]
+        assert row.n_turns == n
+        assert row.n_failed == len(failed)
+        assert row.kept == kept_exp, cid
+        if failed:
+            assert row.drop_reason == min(failed)[1]
+        else:
+            assert row.drop_reason is None
+
+
+def test_dedup_latest_wins(spark, corpus):
+    dup_keys = (
+        corpus.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).collect()
+    )
+    assert dup_keys, "generator must emit duplicate fixtures"
+    deduped = dedup_latest(corpus)
+    assert deduped.groupBy("conv_id", "turn_idx").count().agg(F.max("count")).first()[0] == 1
+    # surviving row carries the max ts of its group
+    k = dup_keys[0]
+    survivor = deduped.filter(
+        (F.col("conv_id") == k.conv_id) & (F.col("turn_idx") == k.turn_idx)
+    ).first()
+    max_ts = (
+        corpus.filter((F.col("conv_id") == k.conv_id) & (F.col("turn_idx") == k.turn_idx))
+        .agg(F.max("ts"))
+        .first()[0]
+    )
+    assert survivor.ts == max_ts
+
+
+def test_mega_conversation_verdicts_match_small(result):
+    """Mega-conversations (skew tail) get the same per-turn semantics."""
+    _, tv, cv = result
+    mega = max(cv.values(), key=lambda r: r.n_turns)
+    assert mega.n_turns >= 100  # the skew fixture exists
+    per_turn = [r for r in tv if r.conv_id == mega.conv_id]
+    assert len(per_turn) == mega.n_turns
+
+
+def test_kept_turns_are_scrubbed_and_ordered(spark, result, corpus):
+    pcfg, _, cv = result
+    res = run_pipeline(spark, corpus, pcfg)
+    kept = res.kept_turns.collect()
+    kept_convs = {c for c, r in cv.items() if r.kept}
+    assert {r.conv_id for r in kept} <= kept_convs
+    assert all(hasattr(r, "text_scrubbed") for r in kept)

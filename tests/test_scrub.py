@@ -1,0 +1,76 @@
+"""Scrub spec unit tests + JVM-vs-Python byte-equality.
+
+The production scrub runs JVM-side (regexp_replace chain); these tests
+pin the spec and prove the native chain is byte-identical to the
+Python twin, including on unicode adversaries (the parity hard part,
+SURVEY.md §7.3.1).
+"""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.config import ScrubConfig
+from cleaning_web_corpus_spark.scrub.native import scrub_col
+from cleaning_web_corpus_spark.scrub.pii import scrub_text
+from tests.reference_twin import twin_scrub
+
+CFG = ScrubConfig()
+
+CASES = [
+    ("mail me at john.doe@example.com today", "mail me at <EMAIL> today"),
+    ("ids: 123-45-6789 and 987-65-4321.", "ids: <SSN> and <SSN>."),
+    ("call (555) 123-4567 or 555-987-6543 now", "call <PHONE> or <PHONE> now"),
+    ("call +1 555-123-4567 ok", "call <PHONE> ok"),
+    ("host 192.168.1.1 and 10.0.0.255", "host <IP> and <IP>"),
+    ("version 1.2.3 stays", "version 1.2.3 stays"),  # not an IP (3 groups)
+    ("that damn thing is stupid", "that <TOXIC> thing is <TOXIC>"),
+    ("DAMN and Damned and damning", "<TOXIC> and <TOXIC> and <TOXIC>"),
+    ("hello world, nothing here", "hello world, nothing here"),
+    ("a@b.co x 12-34-5678", "<EMAIL> x 12-34-5678"),  # SSN needs 3-2-4
+    ("ssn inside phone 555-123-4567x", "ssn inside phone <PHONE>x"),
+    ("", ""),
+    # unicode neighbors: \b must be unicode-consistent across engines
+    ("das ist hellé not hell", "das ist hellé not <TOXIC>"),
+    ("damné vs damn", "damné vs <TOXIC>"),
+]
+
+
+@pytest.mark.parametrize("raw,expected", CASES)
+def test_python_scrub_spec(raw, expected):
+    assert scrub_text(raw, CFG) == expected
+
+
+@pytest.mark.parametrize("raw,expected", CASES)
+def test_twin_matches_spec(raw, expected):
+    assert twin_scrub(raw) == expected
+
+
+def test_native_matches_python_on_cases(spark):
+    df = spark.createDataFrame([(i, c) for i, (c, _) in enumerate(CASES)], "id int, text string")
+    rows = (
+        df.withColumn("scrubbed", scrub_col(F.col("text"), CFG))
+        .orderBy("id")
+        .collect()
+    )
+    for row, (raw, expected) in zip(rows, CASES):
+        assert row.scrubbed == expected, raw
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_native_matches_python_on_random_unicode(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "id int, text string")
+    rows = df.withColumn("s", scrub_col(F.col("text"), CFG)).orderBy("id").collect()
+    for row, raw in zip(rows, texts):
+        assert row.s == scrub_text(raw, CFG)
