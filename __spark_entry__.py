@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline query (full verdict UDF over
+the documents table -> drop-reason histogram). ``queries()`` exposes one
+DataFrame builder per implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline extensions: dedup, ANN, text analysis);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for everything
+SQL-expressible. Model-backed ops (langid/perplexity UDFs, SimHash,
+LSH-ANN) have no SQL twin -> rows-only checks, with their real parity
+covered by tests/test_pipeline_parity.py against the pure-Python twin.
 """
 
 from __future__ import annotations
@@ -12,27 +15,87 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full filter chain (models included) over documents -> histogram.
+
+    The Spark form of the reference's pipeline counters
+    (/root/reference/src/processors/text_processor.py:265-268)."""
+    from cleaning_web_corpus_spark.config import QualityConfig
+    from cleaning_web_corpus_spark.filters.udf import make_verdict_udf
+
+    cfg = QualityConfig(
+        min_words=20,
+        max_words=80,
+        min_avg_word_length=3.0,
+        min_words_for_repetition_check=30,
+        min_words_for_perplexity=10,
+        max_word_repetition_ratio=0.95,  # word-salad corpus: repetition ratio is high by construction
+        max_ngram_repetition=50,
+    )
+    verdict = make_verdict_udf(cfg, emit_stats=False)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.withColumn("v", verdict(F.col("text")))
+        .groupBy(F.col("v.reason").alias("reason"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _flagship(spark, "/root/testdata/sf0.001")
+
+
+def _verdict_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc verdicts from the model-backed chain (rows-only check)."""
+    from cleaning_web_corpus_spark.config import QualityConfig
+    from cleaning_web_corpus_spark.filters.udf import make_verdict_udf
+
+    cfg = QualityConfig(
+        min_words=20, max_words=80, min_avg_word_length=3.0,
+        min_words_for_repetition_check=30, min_words_for_perplexity=10,
+        max_word_repetition_ratio=0.95, max_ngram_repetition=50,
+    )
+    verdict = make_verdict_udf(cfg, emit_stats=False)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        verdict(F.col("text")).alias("v"),
+    ).select("doc_id", F.col("v.passed").alias("passed"), F.col("v.reason").alias("reason"))
+
+
+def _scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native JVM scrub chain over documents (PII/toxicity spec)."""
+    from cleaning_web_corpus_spark.config import ScrubConfig
+    from cleaning_web_corpus_spark.scrub.native import scrub_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", scrub_col(F.col("text"), ScrubConfig()).alias("text_scrubbed"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from cleaning_web_corpus_spark.ops import ann, dedup, text_queries
+    from cleaning_web_corpus_spark.warehouse import queries as wh
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(wh.QUERIES)
+    out.update(text_queries.QUERIES)
+    out.update(dedup.QUERIES)
+    out.update(ann.QUERIES)
+    out["verdict_full_chain"] = _verdict_full  # rows-only (models)
+    out["scrub_documents"] = _scrub_docs
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from cleaning_web_corpus_spark.ops import ann, dedup, text_queries
+    from cleaning_web_corpus_spark.warehouse import queries as wh
+
+    out: dict[str, str] = {}
+    out.update(wh.ORACLES)
+    out.update(text_queries.ORACLES)
+    out.update(dedup.ORACLES)
+    out.update(ann.ORACLES)
+    return out

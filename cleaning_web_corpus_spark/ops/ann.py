@@ -1,0 +1,147 @@
+"""Similarity search over an embedding column.
+
+* ``embedding_knn`` — brute-force cosine top-k, fully native
+  (``zip_with`` dot product inside codegen, TakeOrderedAndProject for
+  the top-k). This is the correctness baseline; embeddings are cast to
+  double so Spark and the DuckDB oracle agree bit-for-bit.
+* ``embedding_near_dups`` — cosine near-duplicate pairs above a
+  threshold (the embedding-cosine dedup variant).
+* ``ann_lsh_knn`` — the scale path: random-hyperplane LSH (signs of
+  dot products with seeded Gaussian planes) buckets vectors, and the
+  query searches only its own bucket. Plane generation is a
+  deterministic numpy RandomState on the driver, broadcast via
+  closure; hashing runs in an Arrow UDF (rows-only oracle — the plane
+  math is not SQL-portable).
+
+At 100 TB the brute-force variant is a single pass (scan + project +
+top-k, no shuffle before the final reduce); the LSH variant trades
+recall for touching only 1/2^bits of the corpus per query.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+PROBE_VEC_ID = 0
+TOP_K = 10
+NEAR_DUP_COS = 0.9
+LSH_BITS = 8
+EMBED_DIM = 64
+
+
+def _cosine(a: str, b: str):
+    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)")
+    na = F.sqrt(F.expr(f"aggregate({a}, 0D, (s, v) -> s + v * v)"))
+    nb = F.sqrt(F.expr(f"aggregate({b}, 0D, (s, v) -> s + v * v)"))
+    return dot / (na * nb)
+
+
+def _emb_double(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb"), "label"
+    )
+
+
+def embedding_knn(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb_double(spark, sf)
+    probe = emb.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("emb").alias("probe_emb")
+    )
+    return (
+        emb.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.round(_cosine("emb", "probe_emb"), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb_double(spark, sf)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(_cosine("ea", "eb"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+    )
+
+
+def _planes() -> np.ndarray:
+    return np.random.RandomState(0).standard_normal((LSH_BITS, EMBED_DIM))
+
+
+def _bucket_udf():
+    planes = _planes()
+
+    def _batch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for col in it:
+            mat = np.stack(col.to_numpy())  # (batch, dim)
+            bits = (mat @ planes.T) > 0  # (batch, bits)
+            vals = (bits * (1 << np.arange(LSH_BITS))).sum(axis=1)
+            yield pd.Series(vals.astype("int64"))
+
+    return F.pandas_udf(_batch, "long")
+
+
+def ann_lsh_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k within the probe's LSH bucket (approximate; rows-only check)."""
+    bucket = _bucket_udf()
+    emb = _emb_double(spark, sf).withColumn("bucket", bucket(F.col("emb")))
+    probe = emb.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("emb").alias("probe_emb"), F.col("bucket").alias("probe_bucket")
+    )
+    return (
+        emb.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .filter(F.col("bucket") == F.col("probe_bucket"))
+        .select("vec_id", "label", F.round(_cosine("emb", "probe_emb"), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embedding_knn": embedding_knn,
+    "embedding_near_dups": embedding_near_dups,
+    "ann_lsh_knn": ann_lsh_knn,  # rows-only (no oracle)
+}
+
+_SQL_COS = (
+    "list_dot_product(emb_a, emb_b) /"
+    " (sqrt(list_dot_product(emb_a, emb_a)) * sqrt(list_dot_product(emb_b, emb_b)))"
+)
+
+ORACLES: Dict[str, str] = {
+    "embedding_knn": f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+        probe AS (SELECT e AS pe FROM emb WHERE vec_id = {PROBE_VEC_ID})
+        SELECT vec_id, label,
+               ROUND(list_dot_product(e, pe) /
+                     (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(pe, pe))), 6) AS cosine
+        FROM emb, probe WHERE vec_id != {PROBE_VEC_ID}
+        ORDER BY cosine DESC, vec_id ASC LIMIT {TOP_K}
+    """,
+    "embedding_near_dups": f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_dot_product(a.e, b.e) /
+                     (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+        FROM emb a, emb b
+        WHERE a.vec_id < b.vec_id
+          AND ROUND(list_dot_product(a.e, b.e) /
+                    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= {NEAR_DUP_COS}
+    """,
+}

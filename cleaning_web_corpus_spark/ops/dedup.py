@@ -1,0 +1,217 @@
+"""Deduplication operators for a training-data pipeline.
+
+Four families over the ``documents`` table (plus an embedding-cosine
+variant in ops/ann.py):
+
+* exact        — hash-groupBy (one shuffle on the digest)
+* n-gram Jaccard — shingle explode + shingle-bucket self-join; the join
+                 key is the shingle, so only docs sharing a shingle are
+                 ever paired (candidate generation, not O(n^2))
+* MinHash+LSH  — k=8 md5-derived min-hashes, banded 2-per-band into 4
+                 buckets; candidate pairs share a band. All hashing is
+                 md5-based and therefore engine-portable: the DuckDB
+                 oracle reproduces signatures bit-for-bit.
+* SimHash      — 64-bit sign-aggregated token hashes via an Arrow UDF
+                 (blake2b is not SQL-portable -> rows-only check).
+
+Scale: every operator is a chain of explode -> groupBy/join on short
+keys; no driver-side loops, no pairwise-all comparisons. The LSH band
+join is the 100 TB path: near-dup detection cost is proportional to
+bucket collisions, not corpus^2.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Dict, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+N_HASHES = 8
+BAND_SIZE = 2
+JACCARD_THRESHOLD = 0.2
+
+
+def _shingles(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct 3-token shingles per document."""
+    toks = f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+    # guard: sequence(1, 0) in Spark generates a DESCENDING [1, 0] — empty
+    # array must be explicit for texts with < 3 tokens
+    shingle_arr = F.expr(
+        f"case when size({toks}) < 3 then array()"
+        f" else array_distinct(transform(sequence(1, size({toks}) - 2),"
+        f" i -> concat_ws(' ', ({toks})[i-1], ({toks})[i], ({toks})[i+1]))) end"
+    )
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
+    )
+
+
+# --- exact dedup ------------------------------------------------------------
+def exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "documents")
+        .groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+# --- n-gram Jaccard near-dup ------------------------------------------------
+def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    sh = _shingles(spark, sf)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+# --- MinHash signatures + LSH candidates ------------------------------------
+def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    sh = _shingles(spark, sf)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig{i}")
+        for i in range(N_HASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    sigs = minhash_signatures(spark, sf)
+    n_bands = N_HASHES // BAND_SIZE
+    bands = None
+    for j in range(n_bands):
+        piece = sigs.select(
+            "doc_id",
+            F.lit(j).cast("long").alias("band_idx"),
+            F.md5(F.concat(*[F.col(f"sig{j * BAND_SIZE + k}") for k in range(BAND_SIZE)])).alias(
+                "band_hash"
+            ),
+        )
+        bands = piece if bands is None else bands.unionAll(piece)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# --- SimHash (engine-only; Arrow UDF) ---------------------------------------
+def _simhash64(tokens) -> int:
+    acc = [0] * 64
+    for tok in tokens:
+        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        for j in range(64):
+            acc[j] += 1 if (h >> j) & 1 else -1
+    out = 0
+    for j in range(64):
+        if acc[j] > 0:
+            out |= 1 << j
+    return out - (1 << 63)  # signed 64-bit for Spark LongType
+
+
+def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    import re as _re
+
+    pat = _re.compile(TOKEN_RE)
+
+    def _batch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            yield texts.map(lambda s: _simhash64(pat.findall((s or "").lower())))
+
+    udf = F.pandas_udf(_batch, "long")
+    return t(spark, sf, "documents").select(
+        "doc_id", udf(F.col("text")).alias("simhash")
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "exact_dedup": exact_dedup,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_signatures": minhash_signatures,
+    "minhash_lsh_candidates": minhash_lsh_candidates,
+    "simhash_fingerprints": simhash_fingerprints,  # rows-only (no oracle)
+}
+
+_SQL_SHINGLES = f"""
+    shingles AS (
+        SELECT doc_id, UNNEST(list_distinct([
+            tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+            FOR i IN range(1, GREATEST(len(tok) - 2, 0) + 1)
+        ])) AS shingle
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tok
+              FROM documents)
+    )
+"""
+
+_SQL_SIGS = ", ".join(
+    f"MIN(md5('{i}:' || shingle)) AS sig{i}" for i in range(N_HASHES)
+)
+
+ORACLES: Dict[str, str] = {
+    "exact_dedup": """
+        SELECT md5(text) AS text_md5,
+               COUNT(*) AS n_copies,
+               MIN(doc_id) AS canonical_doc_id
+        FROM documents GROUP BY md5(text)
+    """,
+    "ngram_jaccard_pairs": f"""
+        WITH {_SQL_SHINGLES},
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM shingles a JOIN shingles b USING (shingle)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, n_common,
+               ROUND(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_common / (sa.n + sb.n - n_common), 4) >= {JACCARD_THRESHOLD}
+    """,
+    "minhash_signatures": f"""
+        WITH {_SQL_SHINGLES}
+        SELECT doc_id, {_SQL_SIGS} FROM shingles GROUP BY doc_id
+    """,
+    "minhash_lsh_candidates": f"""
+        WITH {_SQL_SHINGLES},
+        sigs AS (SELECT doc_id, {_SQL_SIGS} FROM shingles GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, 0::BIGINT AS band_idx, md5(sig0 || sig1) AS band_hash FROM sigs
+            UNION ALL SELECT doc_id, 1, md5(sig2 || sig3) FROM sigs
+            UNION ALL SELECT doc_id, 2, md5(sig4 || sig5) FROM sigs
+            UNION ALL SELECT doc_id, 3, md5(sig6 || sig7) FROM sigs
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b USING (band_idx, band_hash)
+        WHERE a.doc_id < b.doc_id
+    """,
+}

@@ -1,0 +1,363 @@
+"""Text-filter / enrichment operators as NATIVE column expressions.
+
+These are the SQL-expressible projections of the filter chain (F3/F4,
+the A9 ablation study, the A10 drop-reason histogram) and of the
+rule-based enrichment scoring (P7-P9), run over the driver's
+``documents`` table with exact DuckDB oracles. The full chain with
+models and unicode-exact tokenization lives in filters/; here the
+corpus is ASCII word-salad, where Java regex, RE2 and CPython agree,
+so everything stays inside whole-stage codegen.
+
+Thresholds are chosen so every verdict bucket is non-empty on the
+driver corpus (documents are ~8-110 words of tech vocabulary).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+TOKEN_RE = "[a-z0-9_]+"  # ASCII projection of the reference \b\w+\b tokenizer
+MIN_WORDS, MAX_WORDS = 20, 80
+MIN_AWL = 3.9
+
+# Column builders are FUNCTIONS, not module constants: constructing a
+# Column requires an active SparkContext, and this module is also
+# imported inside Python UDF workers (via ops.dedup), where there is none.
+def _wc():
+    return F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+    ).cast("long")
+
+
+def _awl():
+    return F.expr(
+        f"aggregate(regexp_extract_all(lower(text), '{TOKEN_RE}', 0), 0L,"
+        " (a, x) -> a + length(x), a -> a)"
+    ) / F.size(F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"))
+
+
+# --- P7/F3/F4: per-doc word statistics --------------------------------------
+def word_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        _wc().alias("word_count"),
+        F.round(_awl(), 4).alias("avg_word_length"),
+        F.length("text").cast("long").alias("char_count"),
+    )
+
+
+# --- A10/F11: drop-reason histogram, chain-ordered CASE ---------------------
+# reference reason formats: text_filters.py:543-573; ordering contract X1
+def _reason_col():
+    return (
+        F.when(F.trim(F.col("text")) == "", F.lit("empty_text"))
+        .when(
+            _wc() < MIN_WORDS,
+            F.format_string("word_count_too_low: %d words (required: >= %d)", _wc(), F.lit(MIN_WORDS)),
+        )
+        .when(
+            _wc() > MAX_WORDS,
+            F.format_string("word_count_too_high: %d words (required: <= %d)", _wc(), F.lit(MAX_WORDS)),
+        )
+        .when(
+            _awl() < MIN_AWL,
+            F.format_string(
+                "avg_word_length_failed: %.2f (required: >= %.2f)",
+                F.round(_awl(), 2), F.lit(float(MIN_AWL)),
+            ),
+        )
+        .when(
+            F.col("lang") != "en",
+            F.format_string("language_failed: detected '%s' (expected: 'en')", F.col("lang")),
+        )
+        .otherwise(F.lit("passed"))
+    )
+
+
+def drop_reason_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "documents")
+        .select(_reason_col().alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --- A9: ablation retention + removed-set Jaccard overlap -------------------
+# reference: ablation_study.py:335-453 — we compute all per-check booleans in
+# ONE pass and aggregate, instead of the reference's N passes over the corpus
+def _flags(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        _wc().between(MIN_WORDS, MAX_WORDS).alias("wc_pass"),
+        (_awl() >= MIN_AWL).alias("awl_pass"),
+        (F.col("lang") == "en").alias("lang_pass"),
+    )
+
+
+def ablation_retention(spark: SparkSession, sf: str) -> DataFrame:
+    flags = _flags(spark, sf)
+    total = F.count(F.lit(1))
+    rows = []
+    for name in ["wc_pass", "awl_pass", "lang_pass"]:
+        rows.append(
+            flags.agg(
+                F.lit(name.replace("_pass", "")).alias("filter_name"),
+                F.sum(F.col(name).cast("long")).alias("n_pass"),
+                (total - F.sum(F.col(name).cast("long"))).alias("n_fail"),
+                F.round(F.sum(F.col(name).cast("long")) / total, 4).alias("retention"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def ablation_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise Jaccard of the removed sets, one aggregate pass."""
+    flags = _flags(spark, sf)
+    names = ["wc_pass", "awl_pass", "lang_pass"]
+    rows = []
+    for a in names:
+        for b in names:
+            if a >= b:
+                continue
+            inter = F.sum((~F.col(a) & ~F.col(b)).cast("long"))
+            union = F.sum((~F.col(a) | ~F.col(b)).cast("long"))
+            rows.append(
+                flags.agg(
+                    F.lit(a.replace("_pass", "")).alias("filter_a"),
+                    F.lit(b.replace("_pass", "")).alias("filter_b"),
+                    inter.alias("n_both_removed"),
+                    union.alias("n_either_removed"),
+                    F.round(inter / F.nullif(union, F.lit(0)), 4).alias("jaccard"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+# --- P8/P9: keyword-confidence scoring + arg-max category -------------------
+# reference formula: conf = min(1, count / (len(keywords)/2)), patterns.py:251-280;
+# arg-max with default, patterns.py:283-305. Keyword vocab adapted to the
+# driver corpus; ties broken alphabetically (CASE order).
+CATEGORIES: Dict[str, list] = {
+    "agg": ["agg", "group", "sort", "order"],
+    "join": ["join", "merge", "hash", "key"],
+    "scan": ["scan", "table", "read", "column"],
+    "stream": ["stream", "window", "batch", "row"],
+}
+
+
+def _cat_count(cat: str):
+    total = None
+    for kw in CATEGORIES[cat]:
+        c = F.regexp_count(F.lower(F.col("text")), F.lit(rf"\b{kw}\b"))
+        total = c if total is None else total + c
+    return total
+
+
+def enrich_dims(spark: SparkSession, sf: str) -> DataFrame:
+    df = t(spark, sf, "documents")
+    confs = {
+        cat: F.round(
+            F.least(F.lit(1.0), _cat_count(cat) / F.lit(len(CATEGORIES[cat]) / 2.0)), 3
+        )
+        for cat in CATEGORIES
+    }
+    best_conf = F.greatest(*confs.values())
+    best = F.when(best_conf == 0.0, F.lit("other"))
+    for cat in sorted(CATEGORIES):  # alphabetical tie-break
+        best = best.when(confs[cat] == best_conf, F.lit(cat))
+    return df.select(
+        "doc_id",
+        *[confs[cat].alias(f"conf_{cat}") for cat in sorted(CATEGORIES)],
+        best.alias("best_category"),
+    )
+
+
+# --- stg quality score: deterministic CASE ----------------------------------
+# reference: stg_documents.sql:60-66
+def quality_scores(spark: SparkSession, sf: str) -> DataFrame:
+    score = (
+        F.when((_wc() >= 60) & (_awl() >= 4.0), 1.0)
+        .when((_wc() >= 40) & (_awl() >= 3.9), 0.8)
+        .when((_wc() >= 20) & (_awl() >= 3.5), 0.6)
+        .when(_wc() >= 10, 0.4)
+        .otherwise(0.2)
+    )
+    return t(spark, sf, "documents").select(
+        "doc_id", score.alias("quality_score"),
+        (_wc() > 0).alias("has_content"),
+    )
+
+
+# --- P5: stable fingerprints ------------------------------------------------
+# reference id scheme: sha256/md5 with prefixes (load_to_clickhouse.py:32-49)
+def fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    norm = F.lower(F.trim(F.col("text")))
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.md5(norm).alias("md5_fp"),
+        F.sha2(norm, 256).alias("sha256_fp"),
+        F.substring(F.md5(norm), 1, 8).alias("short_id"),
+    )
+
+
+# --- P2/P3: normalization projections ---------------------------------------
+# reference: stg_documents.sql:30-35, stg_steps.sql:24
+def normalized_dims(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.lower(F.trim(F.col("source"))).alias("source_norm"),
+        F.regexp_replace(F.lower(F.trim(F.col("lang"))), " ", "_").alias("lang_norm"),
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")).alias("text_squeezed"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "word_stats": word_stats,
+    "drop_reason_histogram": drop_reason_histogram,
+    "ablation_retention": ablation_retention,
+    "ablation_overlap": ablation_overlap,
+    "enrich_dims": enrich_dims,
+    "quality_scores": quality_scores,
+    "fingerprints": fingerprints,
+    "normalized_dims": normalized_dims,
+}
+
+_SQL_WC = f"len(regexp_extract_all(lower(text), '{TOKEN_RE}'))"
+_SQL_AWL = (
+    f"(list_sum(list_transform(regexp_extract_all(lower(text), '{TOKEN_RE}'),"
+    f" x -> length(x)))::DOUBLE / {_SQL_WC})"
+)
+
+_SQL_CAT_COUNT = {
+    cat: " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{kw}\\b'))" for kw in kws
+    )
+    for cat, kws in CATEGORIES.items()
+}
+
+ORACLES: Dict[str, str] = {
+    "word_stats": f"""
+        SELECT doc_id,
+               {_SQL_WC}::BIGINT AS word_count,
+               ROUND({_SQL_AWL}, 4) AS avg_word_length,
+               LENGTH(text)::BIGINT AS char_count
+        FROM documents
+    """,
+    "drop_reason_histogram": f"""
+        WITH reasons AS (
+            SELECT CASE
+                WHEN TRIM(text) = '' THEN 'empty_text'
+                WHEN {_SQL_WC} < {MIN_WORDS} THEN
+                    printf('word_count_too_low: %d words (required: >= %d)', {_SQL_WC}, {MIN_WORDS})
+                WHEN {_SQL_WC} > {MAX_WORDS} THEN
+                    printf('word_count_too_high: %d words (required: <= %d)', {_SQL_WC}, {MAX_WORDS})
+                WHEN {_SQL_AWL} < {MIN_AWL} THEN
+                    printf('avg_word_length_failed: %.2f (required: >= %.2f)', ROUND({_SQL_AWL}, 2), {MIN_AWL})
+                WHEN lang != 'en' THEN
+                    printf('language_failed: detected ''%s'' (expected: ''en'')', lang)
+                ELSE 'passed' END AS reason
+            FROM documents
+        )
+        SELECT reason, COUNT(*) AS n_docs FROM reasons GROUP BY reason
+    """,
+    "ablation_retention": f"""
+        WITH flags AS (
+            SELECT ({_SQL_WC} BETWEEN {MIN_WORDS} AND {MAX_WORDS}) AS wc_pass,
+                   ({_SQL_AWL} >= {MIN_AWL}) AS awl_pass,
+                   (lang = 'en') AS lang_pass
+            FROM documents
+        )
+        SELECT 'wc' AS filter_name, SUM(wc_pass::INT)::BIGINT AS n_pass,
+               (COUNT(*) - SUM(wc_pass::INT))::BIGINT AS n_fail,
+               ROUND(SUM(wc_pass::INT) / COUNT(*), 4) AS retention FROM flags
+        UNION ALL
+        SELECT 'awl', SUM(awl_pass::INT)::BIGINT,
+               (COUNT(*) - SUM(awl_pass::INT))::BIGINT,
+               ROUND(SUM(awl_pass::INT) / COUNT(*), 4) FROM flags
+        UNION ALL
+        SELECT 'lang', SUM(lang_pass::INT)::BIGINT,
+               (COUNT(*) - SUM(lang_pass::INT))::BIGINT,
+               ROUND(SUM(lang_pass::INT) / COUNT(*), 4) FROM flags
+    """,
+    "ablation_overlap": f"""
+        WITH flags AS (
+            SELECT ({_SQL_WC} BETWEEN {MIN_WORDS} AND {MAX_WORDS}) AS wc_pass,
+                   ({_SQL_AWL} >= {MIN_AWL}) AS awl_pass,
+                   (lang = 'en') AS lang_pass
+            FROM documents
+        )
+        SELECT 'awl' AS filter_a, 'lang' AS filter_b,
+               SUM((NOT awl_pass AND NOT lang_pass)::INT)::BIGINT AS n_both_removed,
+               SUM((NOT awl_pass OR NOT lang_pass)::INT)::BIGINT AS n_either_removed,
+               ROUND(SUM((NOT awl_pass AND NOT lang_pass)::INT) /
+                     NULLIF(SUM((NOT awl_pass OR NOT lang_pass)::INT), 0), 4) AS jaccard
+        FROM flags
+        UNION ALL
+        SELECT 'awl', 'wc',
+               SUM((NOT awl_pass AND NOT wc_pass)::INT)::BIGINT,
+               SUM((NOT awl_pass OR NOT wc_pass)::INT)::BIGINT,
+               ROUND(SUM((NOT awl_pass AND NOT wc_pass)::INT) /
+                     NULLIF(SUM((NOT awl_pass OR NOT wc_pass)::INT), 0), 4)
+        FROM flags
+        UNION ALL
+        SELECT 'lang', 'wc',
+               SUM((NOT lang_pass AND NOT wc_pass)::INT)::BIGINT,
+               SUM((NOT lang_pass OR NOT wc_pass)::INT)::BIGINT,
+               ROUND(SUM((NOT lang_pass AND NOT wc_pass)::INT) /
+                     NULLIF(SUM((NOT lang_pass OR NOT wc_pass)::INT), 0), 4)
+        FROM flags
+    """,
+    "enrich_dims": f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   ROUND(LEAST(1.0, ({_SQL_CAT_COUNT['agg']}) / 2.0), 3) AS conf_agg,
+                   ROUND(LEAST(1.0, ({_SQL_CAT_COUNT['join']}) / 2.0), 3) AS conf_join,
+                   ROUND(LEAST(1.0, ({_SQL_CAT_COUNT['scan']}) / 2.0), 3) AS conf_scan,
+                   ROUND(LEAST(1.0, ({_SQL_CAT_COUNT['stream']}) / 2.0), 3) AS conf_stream
+            FROM documents
+        )
+        SELECT doc_id, conf_agg, conf_join, conf_scan, conf_stream,
+               CASE WHEN GREATEST(conf_agg, conf_join, conf_scan, conf_stream) = 0.0 THEN 'other'
+                    WHEN conf_agg = GREATEST(conf_agg, conf_join, conf_scan, conf_stream) THEN 'agg'
+                    WHEN conf_join = GREATEST(conf_agg, conf_join, conf_scan, conf_stream) THEN 'join'
+                    WHEN conf_scan = GREATEST(conf_agg, conf_join, conf_scan, conf_stream) THEN 'scan'
+                    ELSE 'stream' END AS best_category
+        FROM scored
+    """,
+    "quality_scores": f"""
+        SELECT doc_id,
+               (CASE WHEN {_SQL_WC} >= 60 AND {_SQL_AWL} >= 4.0 THEN 1.0
+                     WHEN {_SQL_WC} >= 40 AND {_SQL_AWL} >= 3.9 THEN 0.8
+                     WHEN {_SQL_WC} >= 20 AND {_SQL_AWL} >= 3.5 THEN 0.6
+                     WHEN {_SQL_WC} >= 10 THEN 0.4
+                     ELSE 0.2 END)::DOUBLE AS quality_score,
+               ({_SQL_WC} > 0) AS has_content
+        FROM documents
+    """,
+    "fingerprints": """
+        SELECT doc_id,
+               md5(LOWER(TRIM(text))) AS md5_fp,
+               sha256(LOWER(TRIM(text))) AS sha256_fp,
+               SUBSTR(md5(LOWER(TRIM(text))), 1, 8) AS short_id
+        FROM documents
+    """,
+    "normalized_dims": """
+        SELECT doc_id,
+               LOWER(TRIM(source)) AS source_norm,
+               REPLACE(LOWER(TRIM(lang)), ' ', '_') AS lang_norm,
+               TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) AS text_squeezed
+        FROM documents
+    """,
+}

@@ -1,0 +1,1 @@
+from cleaning_web_corpus_spark.warehouse.queries import QUERIES, ORACLES  # noqa: F401

@@ -1,0 +1,281 @@
+"""Warehouse / API-layer query semantics as DataFrame builders.
+
+Each entry reimplements a query shape from the reference's warehouse
+layer (dbt models + FastAPI routers + agent tools — SURVEY.md §2.4-2.8)
+over the driver's TPC-H-ish tables, with an exact DuckDB oracle in
+``ORACLES``. Aliases match between Spark and SQL because the driver
+hash-compares by sorted column name.
+
+Scale notes are attached per query: these run on the same engine paths
+(hash agg with partial aggregation, window exec, TakeOrderedAndProject,
+broadcast joins under AQE) that a 1000-executor job would use.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- W1/W2: latest-record dedup window --------------------------------------
+# reference: /root/reference/dbt/models/staging/stg_documents.sql:8-16
+def stg_dedup_latest(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        t(spark, sf, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
+# --- J1 + A1: two-level fact rollup -----------------------------------------
+# reference: /root/reference/dbt/models/facts/fct_cleaning_procedures.sql:26-74
+def fact_order_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    orders = t(spark, sf, "orders")
+    lineitem = t(spark, sf, "lineitem")
+    per_order = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey, "left")
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.count("l_orderkey").alias("n_lines"),
+            F.coalesce(F.sum("l_quantity"), F.lit(0.0)).alias("order_qty"),
+        )
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        F.sum("n_lines").alias("total_lines"),
+        F.round(F.avg("n_lines"), 4).alias("avg_lines"),
+        F.round(F.sum("order_qty"), 2).alias("total_qty"),
+        F.round(F.avg("order_qty"), 4).alias("avg_qty"),
+    )
+
+
+# --- A4: coverage matrices as one cube --------------------------------------
+# reference runs 4 separate GROUP BYs (/root/reference/src/api/routers/stats.py:245-335);
+# cube() is the idiomatic consolidation (SURVEY.md §2.5 A4)
+def coverage_cube(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+# --- W4/A7: per-group top-k via rank ----------------------------------------
+# replaces the reference's N+1 LIMIT-per-group loop (fetch_methods.py:97-138)
+def top_parts_per_flag(spark: SparkSession, sf: str) -> DataFrame:
+    rev = (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag", "l_partkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("revenue"), F.asc("l_partkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+# --- O1: paginated ordered search -------------------------------------------
+# reference: ORDER BY ... LIMIT ... OFFSET (procedures.py:182-198)
+def order_search_page(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(10)
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+# --- A8/U2: gap analysis as anti-join ---------------------------------------
+# reference's canonical-minus-covered set difference (stats.py:343-356);
+# restricted to pending orders so the gap set is non-empty at test scale
+def customers_without_orders(spark: SparkSession, sf: str) -> DataFrame:
+    customer = t(spark, sf, "customer")
+    pending = t(spark, sf, "orders").filter(F.col("o_orderstatus") == "P")
+    return customer.join(
+        pending, customer.c_custkey == pending.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+# --- P13 + O2: CASE-scored similarity search --------------------------------
+# reference: search_similar_scenarios.py:72-81
+def similar_parts(spark: SparkSession, sf: str) -> DataFrame:
+    probe_brand, probe_type = "Brand#13", "ECONOMY"
+    p = t(spark, sf, "part")
+    score = (
+        F.when((F.col("p_brand") == probe_brand) & (F.col("p_type") == probe_type), 1.0)
+        .when(F.col("p_brand") == probe_brand, 0.5)
+        .when(F.col("p_type") == probe_type, 0.3)
+        .otherwise(0.1)
+    )
+    return (
+        p.withColumn("similarity_score", score)
+        .orderBy(F.desc("similarity_score"), F.asc("p_partkey"))
+        .limit(25)
+        .select("p_partkey", "p_brand", "p_type", "similarity_score")
+    )
+
+
+# --- U1: union + dedup ------------------------------------------------------
+# reference: seeds merge (orchestrator.py:173-200)
+def events_union_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id")
+    b = ev.filter(F.col("value") > 150).select("user_id")
+    return a.union(b).distinct()
+
+
+# --- A5: exact percentile stats ---------------------------------------------
+# reference: nearest-rank percentiles per metric (dataset_stats.py:142-157);
+# Spark exact `percentile` == DuckDB quantile_cont (linear interpolation)
+def value_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+            F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+            F.round(F.avg("value"), 4).alias("mean_value"),
+            F.round(F.stddev_samp("value"), 4).alias("stdev_value"),
+        )
+    )
+
+
+# --- J2/J3-shape: join + filter + agg ---------------------------------------
+# reference: fetch_tools.py:61-76 (join + GROUP BY + count/avg)
+def top_customer_orders(spark: SparkSession, sf: str) -> DataFrame:
+    customer = t(spark, sf, "customer")
+    orders = t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stg_dedup_latest": stg_dedup_latest,
+    "fact_order_rollup": fact_order_rollup,
+    "coverage_cube": coverage_cube,
+    "top_parts_per_flag": top_parts_per_flag,
+    "order_search_page": order_search_page,
+    "customers_without_orders": customers_without_orders,
+    "similar_parts": similar_parts,
+    "events_union_dedup": events_union_dedup,
+    "value_percentiles": value_percentiles,
+    "top_customer_orders": top_customer_orders,
+}
+
+ORACLES: Dict[str, str] = {
+    "stg_dedup_latest": """
+        SELECT user_id, event_id, event_type, ROUND(value, 2) AS value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "fact_order_rollup": """
+        WITH per_order AS (
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   COUNT(l.l_orderkey) AS n_lines,
+                   COALESCE(SUM(l.l_quantity), 0.0) AS order_qty
+            FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_orderpriority
+        )
+        SELECT o_orderpriority,
+               COUNT(*) AS order_count,
+               SUM(n_lines)::BIGINT AS total_lines,
+               ROUND(AVG(n_lines), 4) AS avg_lines,
+               ROUND(SUM(order_qty), 2) AS total_qty,
+               ROUND(AVG(order_qty), 4) AS avg_qty
+        FROM per_order GROUP BY o_orderpriority
+    """,
+    "coverage_cube": """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_items,
+               ROUND(SUM(l_quantity), 2) AS total_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "top_parts_per_flag": """
+        WITH rev AS (
+            SELECT l_returnflag, l_partkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem GROUP BY l_returnflag, l_partkey
+        )
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY l_returnflag
+                ORDER BY revenue DESC, l_partkey ASC) AS rank
+            FROM rev
+        ) WHERE rank <= 3
+    """,
+    "order_search_page": """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderstatus = 'O'
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 20 OFFSET 10
+    """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')
+    """,
+    "similar_parts": """
+        SELECT p_partkey, p_brand, p_type,
+               (CASE WHEN p_brand = 'Brand#13' AND p_type = 'ECONOMY' THEN 1.0
+                     WHEN p_brand = 'Brand#13' THEN 0.5
+                     WHEN p_type = 'ECONOMY' THEN 0.3
+                     ELSE 0.1 END)::DOUBLE AS similarity_score
+        FROM part
+        ORDER BY similarity_score DESC, p_partkey ASC
+        LIMIT 25
+    """,
+    "events_union_dedup": """
+        SELECT DISTINCT user_id FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            UNION ALL
+            SELECT user_id FROM events WHERE value > 150
+        )
+    """,
+    "value_percentiles": """
+        SELECT event_type,
+               COUNT(*) AS n,
+               ROUND(quantile_cont(value, 0.25)::DOUBLE, 4) AS p25,
+               ROUND(quantile_cont(value, 0.5)::DOUBLE, 4) AS p50,
+               ROUND(quantile_cont(value, 0.75)::DOUBLE, 4) AS p75,
+               ROUND(quantile_cont(value, 0.95)::DOUBLE, 4) AS p95,
+               ROUND(AVG(value), 4) AS mean_value,
+               ROUND(STDDEV_SAMP(value), 4) AS stdev_value
+        FROM events GROUP BY event_type
+    """,
+    "top_customer_orders": """
+        SELECT c_mktsegment,
+               COUNT(*) AS order_count,
+               ROUND(AVG(o_totalprice), 4) AS avg_price,
+               COUNT(DISTINCT c_custkey) AS n_customers
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY c_mktsegment
+    """,
+}

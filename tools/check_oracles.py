@@ -1,0 +1,129 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and, where an
+``oracle_sql()`` twin exists, the same query on DuckDB over the same
+parquet tables; compares row count, column names, and an
+order-insensitive value hash (columns sorted by name, rows sorted,
+values stringified with float rounding).
+
+Usage: python tools/check_oracles.py [sf_dir] [only_query_substr]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon(val):
+    import datetime
+    import math
+
+    if val is None:
+        return "NULL"
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "NaN"
+        return f"{val:.6g}"
+    if isinstance(val, (datetime.datetime, datetime.date)):
+        return str(val)
+    return str(val)
+
+
+def value_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2] if len(sys.argv) > 2 else ""
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from cleaning_web_corpus_spark.session import build_session
+
+    spark = build_session(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_ok = n_bad = n_rows_only = 0
+    for name, fn in sorted(qs.items()):
+        if only and only not in name:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_bad += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(rows)} rows  ({dt:.1f}s)")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_bad += 1
+            continue
+        problems = []
+        if len(rows) != len(orows):
+            problems.append(f"rowcount {len(rows)} != {len(orows)}")
+        if sorted(cols) != sorted(ocols):
+            problems.append(f"cols {sorted(cols)} != {sorted(ocols)}")
+        if not problems:
+            hs, ho = value_hash(rows, cols), value_hash(orows, ocols)
+            if hs != ho:
+                problems.append("value-hash mismatch")
+                # show first differing line for debugging
+                order_s = sorted(range(len(cols)), key=lambda i: cols[i])
+                order_o = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                ls = sorted("|".join(_canon(r[i]) for i in order_s) for r in rows)
+                lo = sorted("|".join(_canon(r[i]) for i in order_o) for r in orows)
+                for a, b in zip(ls, lo):
+                    if a != b:
+                        problems.append(f"  spark : {a[:160]}")
+                        problems.append(f"  duckdb: {b[:160]}")
+                        break
+        if problems:
+            print(f"FAIL  {name}: " + "; ".join(problems[:1]))
+            for p in problems[1:]:
+                print(p)
+            n_bad += 1
+        else:
+            print(f"OK    {name}: {len(rows)} rows  ({dt:.1f}s)")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} fail, {n_rows_only} rows-only")
+    spark.stop()
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
