@@ -1,0 +1,244 @@
+"""Benchmark harness.
+
+Headline metric (BASELINE.json): end-to-end filter-pipeline throughput
+in turns/sec — langid + perplexity + heuristic rules + scrub + the
+conversation aggregation — over the deterministic synthetic transcript
+corpus, reading from materialized parquet (generation is excluded; the
+engine's job starts at the table, as it would on a cluster).
+
+Also times representative operator queries from ``__spark_entry__`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "e2e_filter_pipeline_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1,
+   "n_turns": N, "turns_per_sec": R}
+
+Scaling evidence (north rule: >=0.8 efficiency from N to 4N executors;
+no real cluster here, so two parallelism levels on identical input):
+  python bench.py --scaling     # local[8] vs local[32] -> BENCH/SCALING.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+# transcript corpus size scales with the sf of the testdata dir
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+N_CONVS_PER_SF = 400_000  # sf0.1 -> 40k convs (~350k turns incl. mega tail)
+
+BENCH_QUERIES = [
+    "word_stats",
+    "drop_reason_histogram",
+    "stg_dedup_latest",
+    "fact_order_rollup",
+    "coverage_cube",
+    "top_parts_per_flag",
+    "exact_dedup",
+    "minhash_lsh_candidates",
+    "embedding_knn",
+    "scrub_documents",
+]
+
+
+def _build(master: str, shuffle_partitions: int):
+    from cleaning_web_corpus_spark.session import build_session
+
+    return build_session(
+        master=master, app_name="cwc-bench", shuffle_partitions=shuffle_partitions
+    )
+
+
+def materialize_corpus(spark, n_convs: int, path: str) -> int:
+    from cleaning_web_corpus_spark.pipeline.transcripts import generate_transcripts
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        generate_transcripts(spark, n_convs, seed=42, mega_every=1000).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path).count()
+
+
+def warm_up(spark):
+    """Spawn Python workers + build executor-side models + JIT codegen so
+    the measured pass reflects steady-state throughput (on a real cluster
+    these costs amortize over hours of input)."""
+    from pyspark.sql import functions as F
+
+    from cleaning_web_corpus_spark.config import PipelineConfig
+    from cleaning_web_corpus_spark.filters.udf import make_verdict_udf
+
+    pcfg = PipelineConfig()
+    verdict = make_verdict_udf(pcfg.quality, emit_stats=False)
+    (
+        spark.range(2048)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.concat(F.lit("please apply the detergent to the carpet "), F.col("id")).alias("text"))
+        .select(verdict(F.col("text")).alias("v"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
+def run_pipeline_timed(spark, corpus_path: str):
+    """The measured section: read parquet -> verdicts + scrub -> conv agg."""
+    from pyspark.sql import functions as F
+
+    from cleaning_web_corpus_spark.config import PipelineConfig
+    from cleaning_web_corpus_spark.pipeline.conversation import conversation_verdicts
+    from cleaning_web_corpus_spark.pipeline.run import turn_verdicts_df
+
+    pcfg = PipelineConfig()
+    t0 = time.time()
+    transcripts = spark.read.parquet(corpus_path)
+    tv = turn_verdicts_df(transcripts, pcfg, emit_stats=False)
+    cv = conversation_verdicts(tv, pcfg.conversation)
+    # one action drives the whole DAG; the agg result is tiny
+    stats = cv.agg(
+        F.sum("n_turns").alias("turns"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("kept_convs"),
+        F.count(F.lit(1)).alias("convs"),
+    ).collect()[0]
+    elapsed = time.time() - t0
+    return elapsed, int(stats.turns), int(stats.kept_convs), int(stats.convs)
+
+
+def time_queries(spark, sf_dir: str) -> dict:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # warm the noop sink + codegen once so the first query isn't charged
+    # for one-time JVM initialization
+    spark.range(10).write.format("noop").mode("overwrite").save()
+    out = {}
+    for name in BENCH_QUERIES:
+        best = None
+        for _ in range(2):  # report steady-state (2nd run skips JIT compile)
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
+    return out
+
+
+def main_default():
+    sf = _sf_of(SF_DIR)
+    n_convs = max(200, int(N_CONVS_PER_SF * sf))
+    corpus_path = os.path.join(
+        tempfile.gettempdir(), f"cwc_bench_corpus_sf{sf}_{n_convs}"
+    )
+    spark = _build(f"local[{CPUS}]", CPUS)
+    try:
+        n_rows = materialize_corpus(spark, n_convs, corpus_path)
+        warm_up(spark)
+        # best of 2: first run still pays one-time JIT/codegen for the
+        # scan+window+agg shapes; steady state is what scales to hours
+        # of cluster input
+        elapsed, n_turns, kept, convs = run_pipeline_timed(spark, corpus_path)
+        e2, n2, k2, c2 = run_pipeline_timed(spark, corpus_path)
+        if e2 < elapsed:
+            elapsed, n_turns, kept, convs = e2, n2, k2, c2
+        queries = time_queries(spark, SF_DIR)
+        print(
+            json.dumps(
+                {
+                    "metric": "e2e_filter_pipeline_sec",
+                    "value": round(elapsed, 3),
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": sf,
+                    "n_turns": n_turns,
+                    "corpus_rows": n_rows,
+                    "turns_per_sec": round(n_turns / elapsed, 1),
+                    "kept_convs": kept,
+                    "n_convs": convs,
+                    "cpus": CPUS,
+                }
+            )
+        )
+    finally:
+        spark.stop()
+
+
+def main_scaling():
+    """Same job, identical input, at local[8] and local[32]."""
+    sf = _sf_of(SF_DIR)
+    n_convs = max(200, int(N_CONVS_PER_SF * sf))
+    corpus_path = os.path.join(
+        tempfile.gettempdir(), f"cwc_bench_corpus_sf{sf}_{n_convs}"
+    )
+    results = {}
+    for cores in (8, 32):
+        spark = _build(f"local[{cores}]", cores)
+        try:
+            materialize_corpus(spark, n_convs, corpus_path)
+            # warm-up pass (workers/models/codegen), then measured pass
+            warm_up(spark)
+            run_pipeline_timed(spark, corpus_path)
+            elapsed, n_turns, _, _ = run_pipeline_timed(spark, corpus_path)
+            results[cores] = (elapsed, n_turns, n_turns / elapsed)
+        finally:
+            spark.stop()
+    eff = (results[32][2] / results[8][2]) / (32 / 8)
+    os.makedirs("BENCH", exist_ok=True)
+    lines = [
+        "# Scaling evidence (N vs 4N parallelism, identical input)",
+        "",
+        "Same end-to-end filter pipeline (langid + perplexity + heuristic",
+        "rules + scrub + conversation agg) over the identical materialized",
+        f"transcript corpus ({results[8][1]} turns, seed 42), measured after a",
+        "warm-up pass. The north-rule criterion is throughput scaling",
+        "efficiency >= 0.8 from N to 4N executors; the sandbox has one",
+        "machine, so N=local[8] vs 4N=local[32] cores.",
+        "",
+        "| parallelism | elapsed (s) | turns/sec |",
+        "| --- | --- | --- |",
+        f"| local[8] | {results[8][0]:.2f} | {results[8][2]:.0f} |",
+        f"| local[32] | {results[32][0]:.2f} | {results[32][2]:.0f} |",
+        "",
+        f"**Scaling efficiency (8 -> 32 cores): {eff:.3f}**",
+        "",
+    ]
+    with open("BENCH/SCALING.md", "w") as f:
+        f.write("\n".join(lines))
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency_8_to_32",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "queries": {
+                    "local8_turns_per_sec": round(results[8][2], 1),
+                    "local32_turns_per_sec": round(results[32][2], 1),
+                },
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        main_scaling()
+    else:
+        main_default()

@@ -1,0 +1,102 @@
+"""spark-submit entrypoint.
+
+Cluster deployment (north rule: ships as a --py-files package):
+
+    python tools/package_pyfiles.py               # -> dist/cwc_spark.zip
+    spark-submit --py-files dist/cwc_spark.zip \\
+        --files lid.176.bin,model.arpa \\
+        -m cleaning_web_corpus_spark.cli run \\
+        --input  s3://bucket/transcripts/ \\
+        --output s3://bucket/cleaned/ \\
+
+Local smoke:
+
+    python -m cleaning_web_corpus_spark.cli generate --convs 1000 --output /tmp/corpus
+    python -m cleaning_web_corpus_spark.cli run --input /tmp/corpus --output /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="cleaning-web-corpus-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="write a deterministic synthetic transcript corpus")
+    g.add_argument("--convs", type=int, required=True)
+    g.add_argument("--output", required=True)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--mega-every", type=int, default=1000)
+
+    r = sub.add_parser("run", help="run the filter pipeline (resumable)")
+    r.add_argument("--input", required=True)
+    r.add_argument("--output", required=True)
+    r.add_argument("--no-resume", action="store_true")
+    r.add_argument("--fasttext-model", default=None)
+    r.add_argument("--kenlm-model", default=None)
+    r.add_argument("--master", default=None)
+
+    s = sub.add_parser("stream", help="incremental ingest (availableNow)")
+    s.add_argument("--input", required=True)
+    s.add_argument("--output", required=True)
+
+    args = p.parse_args(argv)
+
+    from cleaning_web_corpus_spark.session import build_session
+
+    spark = build_session(master=getattr(args, "master", None))
+    try:
+        if args.cmd == "generate":
+            from cleaning_web_corpus_spark.pipeline.transcripts import generate_transcripts
+
+            df = generate_transcripts(
+                spark, args.convs, seed=args.seed, mega_every=args.mega_every
+            )
+            df.write.mode("overwrite").parquet(args.output)
+            print(json.dumps({"written": spark.read.parquet(args.output).count()}))
+
+        elif args.cmd == "run":
+            from pyspark.sql import functions as F
+
+            from cleaning_web_corpus_spark.config import PipelineConfig
+            from cleaning_web_corpus_spark.pipeline.run import run_pipeline
+
+            res = run_pipeline(
+                spark,
+                spark.read.parquet(args.input),
+                PipelineConfig(),
+                out_dir=args.output,
+                resume=not args.no_resume,
+            )
+            summary = res.conv_verdicts.agg(
+                F.count(F.lit(1)).alias("convs"),
+                F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("kept"),
+                F.sum("n_turns").alias("turns"),
+            ).first()
+            print(
+                json.dumps(
+                    {
+                        "run_id": res.run_id,
+                        "conversations": summary.convs,
+                        "kept_conversations": int(summary.kept),
+                        "turns": int(summary.turns),
+                    }
+                )
+            )
+
+        elif args.cmd == "stream":
+            from cleaning_web_corpus_spark.streaming.incremental import incremental_pipeline
+
+            q = incremental_pipeline(spark, args.input, args.output)
+            q.awaitTermination()
+            print(json.dumps({"status": "drained"}))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,6 @@
+from cleaning_web_corpus_spark.enrich.extract import (  # noqa: F401
+    enrich_turns,
+    explode_steps,
+    explode_tools,
+    make_enrich_udf,
+)

@@ -1,0 +1,110 @@
+"""Keyword vocabulary + patterns for rule-based enrichment.
+
+Same shape as the reference's pattern dictionaries
+(/root/reference/src/enrichment/patterns.py:15-245): category ->
+keyword list for surfaces, dirt types, methods and tools, plus step
+regexes and action verbs. The vocabulary is data, compacted here; the
+scoring/extraction *algorithms* live in extract.py.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+
+def _d(**groups: str) -> Dict[str, List[str]]:
+    return {k: v.split("|") for k, v in groups.items()}
+
+
+SURFACE_KEYWORDS = _d(
+    pillows_bedding="pillow|pillows|bedding|bed|mattress|duvet|comforter|blanket|sheets|cushion|cushions|headboard",
+    clothes="shirt|shirts|clothes|clothing|fabric|garment|garments|laundry|sweater|jacket|pants|jeans|dress|blouse|suit",
+    carpets_floors="carpet|carpets|rug|rugs|floor|floors|flooring|mat|mats|hardwood|linoleum|vinyl",
+    upholstery="sofa|sofas|couch|couches|chair|chairs|upholstery|upholstered|furniture|armchair|recliner|ottoman|loveseat|sectional",
+    hard_surfaces="countertop|countertops|counter|counters|table|tables|desk|shelf|shelves|cabinet|cabinets|tile|tiles|granite|marble|quartz",
+    appliances="oven|ovens|refrigerator|fridge|dishwasher|microwave|stove|stovetop|range|appliance|appliances|washer|dryer|freezer",
+    bathroom="bathroom|shower|showers|bathtub|tub|sink|sinks|toilet|toilets|grout|mirror|faucet|faucets",
+    outdoor="patio|deck|decks|outdoor|decking|porch|balcony|driveway|sidewalk",
+)
+
+DIRT_KEYWORDS = _d(
+    dust="dust|dusty|dusting",
+    stain="stain|stains|stained|staining|spill|spills|spilled|spot|spots|discoloration|mark|marks",
+    odor="odor|odour|odors|smell|smells|smelly|musty|stale",
+    grease="grease|greasy|oil|oily|fat|fatty",
+    mold="mold|mould|mildew|moldy|fungus|fungal",
+    pet_hair="fur|furry|dander|shedding|hair|hairs",
+    water_stain="limescale",
+    ink="ink|pen|marker",
+)
+
+METHOD_KEYWORDS = _d(
+    washing_machine="washer",
+    hand_wash="handwashing|soak|soaking|soaked",
+    vacuum="vacuum|vacuuming|vacuumed|hoover|hoovering",
+    spot_clean="spot",
+    steam_clean="steam|steaming|steamed",
+    dry_clean="dry",
+    wipe="wipe|wiping|wiped",
+    scrub="scrub|scrubbing|scrubbed",
+)
+
+TOOL_KEYWORDS = _d(
+    vacuum="vacuum|hoover",
+    sponge="sponge|sponges",
+    brush="brush|brushes|toothbrush",
+    microfiber_cloth="microfiber",
+    steam_cleaner="steamer",
+    vinegar="vinegar",
+    baking_soda="bicarbonate",
+    detergent="detergent|soap",
+    bleach="bleach",
+    hydrogen_peroxide="peroxide",
+    ammonia="ammonia",
+    rubbing_alcohol="alcohol|isopropyl",
+    spray_bottle="sprayer|spray",
+    bucket="bucket|pail",
+    mop="mop|mops",
+    towel="towel|towels|rag|rags|cloth",
+    gloves="gloves",
+)
+
+# multi-word phrases counted in addition to the single words above
+PHRASE_KEYWORDS: Dict[str, Dict[str, List[str]]] = {
+    "method": {
+        "washing_machine": ["washing machine", "machine wash", "wash cycle"],
+        "hand_wash": ["hand wash", "wash by hand"],
+        "steam_clean": ["steam clean", "steam cleaning"],
+        "spot_clean": ["spot clean", "spot treatment"],
+        "dry_clean": ["dry clean", "dry cleaning"],
+        "wipe": ["wipe down", "damp cloth"],
+    },
+    "tool": {
+        "baking_soda": ["baking soda"],
+        "spray_bottle": ["spray bottle"],
+        "steam_cleaner": ["steam cleaner", "steam mop"],
+        "microfiber_cloth": ["microfiber cloth"],
+        "hydrogen_peroxide": ["hydrogen peroxide"],
+        "rubbing_alcohol": ["rubbing alcohol"],
+        "towel": ["paper towel"],
+    },
+}
+
+ACTION_VERBS = (
+    "mix apply spray wipe scrub rinse dry let allow remove blot vacuum wash "
+    "soak dilute combine add pour dampen saturate cover place wait repeat "
+    "shake stir spread gently carefully thoroughly"
+).split()
+
+# step-boundary regexes (numbered / ordinal / bullet / imperative)
+NUMBERED_STEP_RE = re.compile(r"^(?:step\s+)?(\d+)[\.\):]\s+(.+)$", re.IGNORECASE | re.MULTILINE)
+ORDINAL_STEP_RE = re.compile(
+    r"^(?:first|second|third|fourth|fifth|then|next|finally|lastly)[,:]\s+(.+)$",
+    re.IGNORECASE | re.MULTILINE,
+)
+BULLET_STEP_RE = re.compile(r"^\s*[-•*]\s+(.+)$", re.MULTILINE)
+IMPERATIVE_STEP_RE = re.compile(
+    r"^(?:" + "|".join(ACTION_VERBS[:24]) + r")[\s,].+$",
+    re.IGNORECASE | re.MULTILINE,
+)

@@ -73,7 +73,9 @@ def make_verdict_udf(
             passed = []
             reasons = []
             stats = []
-            for t in texts:
+            # .tolist() first: iterating a plain list beats pandas Series
+            # iteration in the per-row hot loop
+            for t in texts.tolist():
                 v = evaluate_text(t, local_cfg, detector, scorer)
                 passed.append(v.passed)
                 reasons.append(v.reason)

@@ -1,0 +1,141 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video ride through Spark as ``binary`` columns with a typed
+metadata struct; transforms run as ``mapInPandas`` over Arrow batches —
+the schema, partitioning, UDF signatures and batch shapes are real and
+tested, while the actual codec work is stubbed (no imaging/audio
+libraries in this container): decode raises ``NotImplementedError``
+unless the deterministic fake decoder is requested, exactly as flagged
+in the build contract.
+
+Reference analogues: the image side-channel and its filters
+(/root/reference/src/crawlers/pipelines.py:33-91 download/checksum,
+/root/reference/src/quality/image_filters.py resolution/aspect/format
+checks). The metadata-level filters (F13-F15 in SURVEY.md §2.2) are
+implemented for real — they only need the struct, not the pixels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("format", StringType(), True),       # jpg|png|webp|...
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("byte_size", LongType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+ALLOWED_FORMATS = ("jpg", "jpeg", "png", "webp")
+MIN_DIM = 224           # image_filters.py:66-102
+MAX_ASPECT = 3.0        # image_filters.py:104-150
+
+
+def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (payload = seeded pseudo-bytes)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        formats = ["jpg", "png", "webp", "gif", "bmp"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+                w = 64 + (h[0] << 3)
+                ht = 64 + (h[1] << 2)
+                rows.append(
+                    (
+                        i,
+                        i % max(1, n // 4),
+                        "image",
+                        formats[h[2] % len(formats)],
+                        w,
+                        ht,
+                        len(h) * 8,
+                        h * 8,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "doc_id", "media_type", "format",
+                    "width", "height", "byte_size", "payload",
+                ],
+            )
+
+    return spark.range(n).repartition(8).mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
+# --- metadata-level filters (fully real: F13-F15) ---------------------------
+def filter_resolution(df: DataFrame, min_dim: int = MIN_DIM) -> DataFrame:
+    """Lenient on unknown dims, like the reference (image_filters.py:66-102)."""
+    ok = (
+        F.col("width").isNull()
+        | F.col("height").isNull()
+        | ((F.col("width") >= min_dim) & (F.col("height") >= min_dim))
+    )
+    return df.filter(ok)
+
+
+def filter_aspect_ratio(df: DataFrame, max_ratio: float = MAX_ASPECT) -> DataFrame:
+    ratio = F.greatest("width", "height") / F.least("width", "height")
+    ok = F.col("width").isNull() | F.col("height").isNull() | (ratio <= max_ratio)
+    return df.filter(ok)
+
+
+def filter_format(df: DataFrame, allowed=ALLOWED_FORMATS) -> DataFrame:
+    return df.filter(F.lower(F.col("format")).isin(*allowed))
+
+
+# --- payload transforms (real plumbing, stubbed codecs) ---------------------
+FEATURE_SCHEMA = "media_id long, feature_dim int, feature_hash string"
+
+
+def extract_features(df: DataFrame, fake: bool = False) -> DataFrame:
+    """Per-payload feature extraction via mapInPandas.
+
+    ``fake=True`` runs a deterministic digest-based featurizer (CI path);
+    otherwise raises NotImplementedError: real decode needs an imaging
+    library shipped to executors (PIL/torchvision via --archives), at
+    which point ONLY the body of ``_featurize`` changes — partitioning,
+    Arrow batching and schema stay identical.
+    """
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "media decode requires an imaging library on executors; "
+                    "pass fake=True for the deterministic stub"
+                )
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature_dim": 64,
+                    "feature_hash": [
+                        hashlib.sha256(bytes(p)).hexdigest()[:16] for p in pdf["payload"]
+                    ],
+                }
+            )
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(_featurize, FEATURE_SCHEMA)

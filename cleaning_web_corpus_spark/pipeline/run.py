@@ -44,14 +44,27 @@ def turn_verdicts_df(
     *,
     partitions: int = 0,
     emit_stats: bool = True,
+    salt: bool = False,
 ) -> DataFrame:
     """Dedup + per-turn verdict + scrub; the expensive, perfectly
-    parallel stage."""
+    parallel stage.
+
+    Skew: the dedup window shuffles on the composite (conv_id, turn_idx)
+    hash, which already spreads a mega-conversation's turns evenly
+    across partitions — that shuffle IS the salted layout, so no second
+    repartition is paid on the default path. ``salt=True`` forces an
+    explicit salted repartition for inputs that skip dedup (e.g. an
+    upstream source already deduplicated but badly clustered by
+    conv_id).
+    """
     spark = transcripts.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism * 4
 
     deduped = conv.dedup_latest(transcripts)
-    spread = conv.salted_repartition(deduped, pcfg.conversation, partitions)
+    if salt:
+        spread = conv.salted_repartition(deduped, pcfg.conversation, partitions)
+    else:
+        spread = deduped
 
     verdict = make_verdict_udf(pcfg.quality, emit_stats=emit_stats)
     return (

@@ -1,0 +1,1 @@
+from cleaning_web_corpus_spark.streaming.incremental import incremental_pipeline  # noqa: F401

@@ -1,0 +1,61 @@
+"""Incremental (Structured Streaming) variant of the filter pipeline.
+
+The reference is strictly batch (SURVEY.md §2.9) and the north rule's
+resumability is snapshot-based, but a 10^12-turn table is typically fed
+continuously; this module ingests new transcript files incrementally
+while REUSING the exact batch stage functions via ``foreachBatch`` —
+one code path, two execution modes.
+
+Semantics:
+* source: file-stream over the transcript directory (on a real cluster:
+  ``spark.readStream.format("iceberg")`` over the input table).
+* watermark on ``ts`` bounds state for late data.
+* latest-wins dedup applies WITHIN each micro-batch (cross-batch
+  duplicates are resolved downstream by the batch compaction job — the
+  same window-dedup staging the warehouse layer runs anyway, mirroring
+  how the reference dedups at staging time rather than ingest time:
+  /root/reference/dbt/models/staging/stg_documents.sql:8-16).
+* ``Trigger.AvailableNow`` drains what exists and stops — incremental
+  batch, checkpointed, restartable.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+from cleaning_web_corpus_spark.config import PipelineConfig
+from cleaning_web_corpus_spark.pipeline.run import turn_verdicts_df
+from cleaning_web_corpus_spark.pipeline.transcripts import TRANSCRIPT_SCHEMA
+
+
+def incremental_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    pcfg: Optional[PipelineConfig] = None,
+    available_now: bool = True,
+):
+    """Start the incremental job; returns the StreamingQuery."""
+    pcfg = pcfg or PipelineConfig()
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .parquet(input_path)
+        .withWatermark("ts", "1 hour")
+    )
+
+    sink_path = os.path.join(out_dir, "turn_verdicts_stream")
+    checkpoint = os.path.join(out_dir, "_checkpoints", "turn_verdicts_stream")
+
+    def _process(batch_df, batch_id: int):
+        tv = turn_verdicts_df(batch_df, pcfg, emit_stats=False)
+        tv.write.mode("append").parquet(sink_path)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,101 @@
+"""Staging + fact models over the pipeline's own outputs.
+
+The Spark form of the reference's dbt layer applied to transcripts:
+
+* ``stg_turns``  — window dedup + validity predicates + normalization +
+  per-row metrics + quality score (stg_documents.sql / stg_steps.sql)
+* ``fct_cleaning_procedures`` — two-level join-aggregate over enriched
+  turns and their exploded steps/tools children
+  (fct_cleaning_procedures.sql:26-74)
+
+DataFrames returned lazily == dbt views; ``writeTo``/parquet commits ==
+dbt table materializations (SURVEY.md §4 X7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stg_turns(turn_verdicts: DataFrame) -> DataFrame:
+    """Staging view over turn verdicts.
+
+    Validity predicates mirror stg_documents.sql:43-54 (non-null,
+    non-empty keys); normalization mirrors :30-35; the word-count
+    estimate mirrors stg_steps.sql:41-47 (space-count + 1 on the
+    whitespace-squeezed text); quality score mirrors :60-66.
+    """
+    squeezed = F.trim(F.regexp_replace(F.col("text_scrubbed"), r"\s+", " "))
+    wc = (
+        F.length(squeezed) - F.length(F.regexp_replace(squeezed, " ", "")) + 1
+    ).cast("long")
+    dedup_w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.desc("ts"))
+    return (
+        turn_verdicts.withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .filter(
+            F.col("conv_id").isNotNull()
+            & (F.col("conv_id") != "")
+            & F.col("turn_idx").isNotNull()
+            & F.col("text_scrubbed").isNotNull()
+            & (F.trim(F.col("text_scrubbed")) != "")
+        )
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.lower(F.trim(F.col("role"))).alias("role"),
+            F.regexp_replace(F.lower(F.trim(F.coalesce(F.col("tool"), F.lit("")))), " ", "_").alias("tool"),
+            "ts",
+            "passed",
+            "reason",
+            squeezed.alias("turn_text"),
+            F.length(squeezed).alias("turn_text_length"),
+            wc.alias("turn_word_count"),
+            F.when(wc >= 200, 1.0)
+            .when(wc >= 50, 0.8)
+            .when(wc >= 20, 0.6)
+            .when(wc >= 5, 0.4)
+            .otherwise(0.2)
+            .alias("quality_score"),
+        )
+    )
+
+
+def fct_cleaning_procedures(
+    enriched_turns: DataFrame, steps: DataFrame, tools: DataFrame
+) -> DataFrame:
+    """Two-level aggregate: per turn (distinct child counts), then per
+    (surface_type, dirt_type, cleaning_method) combination."""
+    turn_metrics = (
+        enriched_turns.select(
+            "conv_id",
+            "turn_idx",
+            F.col("enrichment.surface_type").alias("surface_type"),
+            F.col("enrichment.dirt_type").alias("dirt_type"),
+            F.col("enrichment.cleaning_method").alias("cleaning_method"),
+            F.col("enrichment.surface_confidence").alias("surface_confidence"),
+            "ts",
+        )
+        .join(steps.select("conv_id", "turn_idx", "step_id"), ["conv_id", "turn_idx"], "left")
+        .join(tools.select("conv_id", "turn_idx", "tool_name"), ["conv_id", "turn_idx"], "left")
+        .groupBy(
+            "conv_id", "turn_idx", "surface_type", "dirt_type",
+            "cleaning_method", "surface_confidence", "ts",
+        )
+        .agg(
+            F.countDistinct("step_id").alias("step_count"),
+            F.countDistinct("tool_name").alias("tool_count"),
+        )
+    )
+    return turn_metrics.groupBy("surface_type", "dirt_type", "cleaning_method").agg(
+        F.count(F.lit(1)).alias("turn_count"),
+        F.sum("step_count").alias("total_step_count"),
+        F.round(F.avg("step_count"), 4).alias("avg_step_count"),
+        F.sum("tool_count").alias("total_tool_count"),
+        F.round(F.avg("tool_count"), 4).alias("avg_tool_count"),
+        F.round(F.avg("surface_confidence"), 4).alias("avg_confidence"),
+        F.min("ts").alias("first_seen_at"),
+        F.max("ts").alias("last_seen_at"),
+    )

@@ -1,0 +1,118 @@
+"""Enrichment extractor tests — ported semantics from the reference's
+tests/test_enrichment.py (keyword->category, step patterns, confidence
+thresholds, overlap dedup)."""
+
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.enrich.extract import (
+    enrich_one,
+    enrich_turns,
+    explode_steps,
+    explode_tools,
+)
+
+
+class TestDims:
+    def test_surface_extraction(self):
+        r = enrich_one("how to clean a carpet and remove dirt from the rug fibers")
+        assert r[0] == "carpets_floors"
+        assert r[1] > 0
+
+    def test_dirt_extraction(self):
+        r = enrich_one("remove the stain and the spot from the stained fabric")
+        assert r[2] == "stain"
+
+    def test_method_extraction(self):
+        r = enrich_one("vacuum the floor thoroughly then vacuum again with the vacuum cleaner")
+        assert r[4] == "vacuum"
+
+    def test_defaults_when_no_keywords(self):
+        r = enrich_one("completely unrelated quantum physics lecture notes")
+        assert r[0] == "other"
+        assert r[2] == "general"
+        assert r[4] == "other"
+        assert r[1] == 0.0
+
+    def test_confidence_formula(self):
+        # min(1, hits / (n_keywords/2)) — reference patterns.py:276
+        r = enrich_one("vinegar")
+        tools = {t["name"]: t["confidence"] for t in r[6]}
+        assert tools["vinegar"] == 1.0  # 1 hit / (1/2) capped at 1.0
+
+
+class TestTools:
+    def test_multiple_tools_sorted_desc(self):
+        r = enrich_one(
+            "use a sponge and a brush and another brush with some vinegar and vinegar again and vinegar"
+        )
+        tools = r[6]
+        confs = [t["confidence"] for t in tools]
+        assert confs == sorted(confs, reverse=True)
+        names = {t["name"] for t in tools}
+        assert {"sponge", "brush", "vinegar"} <= names
+
+    def test_threshold_excludes_zero(self):
+        r = enrich_one("nothing relevant here at all")
+        assert r[6] == []
+
+
+class TestSteps:
+    def test_numbered_steps(self):
+        text = "1. Mix the detergent with warm water\n2. Apply the solution to the stain\n3. Rinse thoroughly with clean water"
+        steps = enrich_one(text)[7]
+        assert len(steps) == 3
+        assert steps[0]["order"] == 1
+        assert steps[0]["confidence"] >= 0.5
+        assert "Mix the detergent" in steps[0]["step"]
+
+    def test_bullet_steps(self):
+        text = "- Blot the stain with a towel\n- Spray the cleaner on the spot\n- Wipe clean with a damp cloth"
+        steps = enrich_one(text)[7]
+        assert len(steps) == 3
+
+    def test_ordinal_steps(self):
+        text = "First, vacuum the entire carpet area. Then, apply the cleaning solution carefully.\nfinally, let the carpet dry completely overnight"
+        steps = enrich_one(text)[7]
+        assert len(steps) >= 1
+
+    def test_short_fragments_dropped(self):
+        steps = enrich_one("1. Mix\n2. Dry")[7]
+        assert steps == []
+
+    def test_overlap_dedup(self):
+        # same step via numbered list AND imperative pattern -> one copy
+        text = "1. Apply the solution to the stain gently\nApply the solution to the stain gently"
+        steps = enrich_one(text)[7]
+        texts = [s["step"].lower() for s in steps]
+        assert len(texts) == len(set(texts))
+        assert len(steps) == 1
+
+    def test_orders_are_dense(self):
+        text = "1. Mix the detergent with water now\n2. Apply it to the dirty spot\n3. Rinse everything with water"
+        steps = enrich_one(text)[7]
+        assert [s["order"] for s in steps] == list(range(1, len(steps) + 1))
+
+
+class TestSparkIntegration:
+    def test_enrich_and_explode(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("c1", 0, "1. Mix the detergent with warm water\n2. Apply the mixture to the carpet stain", "x"),
+                ("c1", 1, "use a sponge and some vinegar on the countertop", "x"),
+                ("c2", 0, "no relevant content in this message", "x"),
+            ],
+            "conv_id string, turn_idx int, text_scrubbed string, role string",
+        )
+        enriched = enrich_turns(df)
+        rows = {(r.conv_id, r.turn_idx): r.enrichment for r in enriched.collect()}
+        assert rows[("c1", 1)].cleaning_method in ("other", "wipe", "scrub")
+        assert {t.name for t in rows[("c1", 1)].tools} >= {"sponge", "vinegar"}
+
+        steps = explode_steps(enriched)
+        srows = steps.collect()
+        assert all(len(r.step_id) == 64 for r in srows)  # sha256 hex
+        assert {r.conv_id for r in srows} == {"c1"}
+
+        tools = explode_tools(enriched)
+        trows = tools.filter(F.col("conv_id") == "c1").collect()
+        assert {r.tool_name for r in trows} >= {"sponge", "vinegar"}

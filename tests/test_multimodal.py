@@ -1,0 +1,54 @@
+"""Multimodal plumbing: binary payload schema, metadata filters, and
+the mapInPandas featurizer (stub codec, real batch shape)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.multimodal import (
+    extract_features,
+    filter_aspect_ratio,
+    filter_format,
+    filter_resolution,
+    synthesize_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = synthesize_media(spark, 200)
+    df.cache()
+    yield df
+    df.unpersist()
+
+
+def test_schema_and_determinism(spark, media):
+    assert dict(media.dtypes)["payload"] == "binary"
+    again = synthesize_media(spark, 200)
+    a = {r.media_id: (r.format, r.width, r.height, bytes(r.payload)) for r in media.collect()}
+    b = {r.media_id: (r.format, r.width, r.height, bytes(r.payload)) for r in again.collect()}
+    assert a == b
+
+
+def test_metadata_filters(media):
+    res = filter_resolution(media)
+    assert res.filter((F.col("width") < 224) & F.col("width").isNotNull()).count() == 0
+    asp = filter_aspect_ratio(media)
+    bad = asp.filter(
+        F.greatest("width", "height") / F.least("width", "height") > 3.0
+    ).count()
+    assert bad == 0
+    fmt = filter_format(media)
+    assert set(r.format for r in fmt.select("format").distinct().collect()) <= {
+        "jpg", "jpeg", "png", "webp"
+    }
+
+
+def test_featurizer_stub_contract(media):
+    # real-decode path refuses loudly
+    with pytest.raises(Exception, match="NotImplementedError|imaging"):
+        extract_features(media, fake=False).collect()
+    # fake path produces the declared schema deterministically
+    feats = extract_features(media, fake=True)
+    rows = feats.collect()
+    assert len(rows) == media.count()
+    assert all(r.feature_dim == 64 and len(r.feature_hash) == 16 for r in rows)

@@ -1,0 +1,47 @@
+"""Incremental (Structured Streaming) pipeline: drain-once semantics,
+checkpointed restart, same verdicts as the batch path."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.config import PipelineConfig
+from cleaning_web_corpus_spark.pipeline.run import turn_verdicts_df
+from cleaning_web_corpus_spark.pipeline.transcripts import generate_transcripts
+from cleaning_web_corpus_spark.streaming.incremental import incremental_pipeline
+
+
+def test_incremental_matches_batch(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    pcfg = PipelineConfig()
+
+    corpus = generate_transcripts(spark, 30, seed=5, mega_every=0, partitions=2)
+    corpus.write.mode("overwrite").parquet(inp)
+
+    q = incremental_pipeline(spark, inp, out, pcfg)
+    q.awaitTermination(120)
+
+    stream_tv = spark.read.parquet(os.path.join(out, "turn_verdicts_stream"))
+    batch_tv = turn_verdicts_df(spark.read.parquet(inp), pcfg)
+
+    s = {(r.conv_id, r.turn_idx): (r.passed, r.reason, r.text_scrubbed) for r in stream_tv.collect()}
+    b = {(r.conv_id, r.turn_idx): (r.passed, r.reason, r.text_scrubbed) for r in batch_tv.collect()}
+    assert s == b
+
+    # restart with no new data: checkpoint prevents reprocessing
+    n_before = stream_tv.count()
+    q2 = incremental_pipeline(spark, inp, out, pcfg)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(out, "turn_verdicts_stream")).count() == n_before
+
+    # new files arrive -> only the increment is processed
+    more = generate_transcripts(spark, 10, seed=99, mega_every=0, partitions=1)
+    more.write.mode("append").parquet(inp)
+    q3 = incremental_pipeline(spark, inp, out, pcfg)
+    q3.awaitTermination(120)
+    n_after = spark.read.parquet(os.path.join(out, "turn_verdicts_stream")).count()
+    n_more = (
+        more.select("conv_id", "turn_idx").distinct().count()
+    )
+    assert n_after == n_before + n_more

@@ -1,0 +1,70 @@
+"""Staging + fact model semantics over pipeline outputs."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.enrich.extract import (
+    enrich_turns,
+    explode_steps,
+    explode_tools,
+)
+from cleaning_web_corpus_spark.warehouse.staging import (
+    fct_cleaning_procedures,
+    stg_turns,
+)
+
+TS = dt.datetime(2025, 6, 1)
+
+
+@pytest.fixture(scope="module")
+def verdicts(spark):
+    rows = [
+        ("c1", 0, "user", None, TS, True, "passed", "how to clean the  carpet stain"),
+        ("c1", 0, "user", None, TS + dt.timedelta(seconds=5), True, "passed", "newer duplicate row wins"),
+        ("c1", 1, "Assistant ", "Steam Cleaner", TS, True, "passed", "use the steam cleaner on the rug"),
+        ("c2", 0, "user", None, TS, False, "empty_text", "   "),  # invalid: blank text
+        ("", 1, "user", None, TS, True, "passed", "orphan row dropped"),  # invalid key
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, tool string, ts timestamp,"
+        " passed boolean, reason string, text_scrubbed string",
+    )
+
+
+def test_stg_turns(verdicts):
+    out = stg_turns(verdicts)
+    rows = {(r.conv_id, r.turn_idx): r for r in out.collect()}
+    # dedup: latest ts wins
+    assert rows[("c1", 0)].turn_text == "newer duplicate row wins"
+    # validity: blank text and empty conv_id dropped
+    assert ("c2", 0) not in rows and ("", 1) not in rows
+    # normalization
+    assert rows[("c1", 1)].role == "assistant"
+    assert rows[("c1", 1)].tool == "steam_cleaner"
+    # whitespace squeeze + word count estimate
+    assert rows[("c1", 0)].turn_word_count == 4
+    assert 0.2 <= rows[("c1", 0)].quality_score <= 1.0
+
+
+def test_fct_two_level_aggregate(spark):
+    df = spark.createDataFrame(
+        [
+            ("c1", 0, "1. Apply the detergent to the carpet stain\n2. Rinse the carpet with water", TS),
+            ("c1", 1, "vacuum the carpet with the vacuum cleaner", TS),
+            ("c2", 0, "wipe the countertop with a sponge and vinegar", TS),
+        ],
+        "conv_id string, turn_idx int, text_scrubbed string, ts timestamp",
+    )
+    enriched = enrich_turns(df)
+    steps = explode_steps(enriched)
+    tools = explode_tools(enriched)
+    fct = fct_cleaning_procedures(enriched, steps, tools)
+    rows = fct.collect()
+    assert rows
+    total_turns = sum(r.turn_count for r in rows)
+    assert total_turns == 3
+    carpet = [r for r in rows if r.surface_type == "carpets_floors"]
+    assert carpet and sum(r.total_step_count for r in carpet) >= 2

@@ -1,0 +1,25 @@
+"""Build dist/cwc_spark.zip for spark-submit --py-files."""
+
+import os
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "cleaning_web_corpus_spark"
+OUT = os.path.join(ROOT, "dist", "cwc_spark.zip")
+
+
+def main():
+    os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    with zipfile.ZipFile(OUT, "w", zipfile.ZIP_DEFLATED) as z:
+        for dirpath, _dirs, files in os.walk(os.path.join(ROOT, PKG)):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    z.write(full, os.path.relpath(full, ROOT))
+    print(OUT)
+
+
+if __name__ == "__main__":
+    main()
