@@ -1,0 +1,55 @@
+"""Free-text -> canonical dimension normalization (P14).
+
+The reference maps arbitrary user phrasing onto canonical dimension
+values with a reverse keyword map plus a substring fallback
+(/root/reference/src/agents/normalization.py:39-185). Spark shape: an
+exact lookup via a literal ``create_map`` (JVM-side) and a chained
+``contains`` fallback — no UDF.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+from typing import Dict, List
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.enrich import vocab
+
+
+def _reverse_map(keyword_dict: Dict[str, List[str]]) -> Dict[str, str]:
+    out: Dict[str, str] = {}
+    for cat, kws in keyword_dict.items():
+        out[cat] = cat  # canonical name maps to itself
+        for kw in kws:
+            out.setdefault(kw, cat)
+    return out
+
+
+def normalize_dim_col(col: Column, keyword_dict: Dict[str, List[str]], default: str) -> Column:
+    """lower/trim/underscore, exact reverse-keyword lookup, then a
+    substring fallback over the canonical names, else ``default``."""
+    cleaned = F.regexp_replace(F.lower(F.trim(col)), r"\s+", "_")
+    rev = _reverse_map(keyword_dict)
+    lookup = F.create_map(*[F.lit(x) for x in chain.from_iterable(rev.items())])
+    exact = lookup[cleaned]
+    fallback = None
+    for cat in sorted(keyword_dict):
+        cond = cleaned.contains(cat)
+        fallback = (
+            F.when(cond, F.lit(cat)) if fallback is None else fallback.when(cond, F.lit(cat))
+        )
+    return F.coalesce(exact, fallback, F.lit(default))
+
+
+def normalize_method(col: Column) -> Column:
+    return normalize_dim_col(col, vocab.METHOD_KEYWORDS, "other")
+
+
+def normalize_surface(col: Column) -> Column:
+    return normalize_dim_col(col, vocab.SURFACE_KEYWORDS, "other")
+
+
+def normalize_dirt(col: Column) -> Column:
+    return normalize_dim_col(col, vocab.DIRT_KEYWORDS, "general")

@@ -20,93 +20,81 @@ caller (filters/chain.py) skips detection for <10-word texts and treats
 
 from __future__ import annotations
 
-import math
-from typing import Dict, List, Optional, Tuple
+import re
+from typing import Dict, Optional, Tuple
+
+import numpy as np
 
 from cleaning_web_corpus_spark.models.seed_corpora import LANG_CORPORA
 
 _MAX_DETECT_CHARS = 600  # detection saturates; cap per-text cost
 
+# strip digits/punct/symbols: they carry no language signal and would
+# drown short texts in unknown-gram noise (real LID featurizers do the
+# same); C-speed regex instead of a per-char Python loop
+_NON_LETTER_RE = re.compile(r"[\W\d_]+", re.UNICODE)
 
-def _letters_only(text: str) -> str:
-    """Keep unicode letters and collapse everything else to single spaces.
-
-    Mirrors what real LID models do during featurization: digits, urls,
-    emails and punctuation carry no language signal and would otherwise
-    drown short texts in unknown-gram floor penalties."""
-    out = []
-    prev_space = True
-    for ch in text:
-        if ch.isalpha():
-            out.append(ch)
-            prev_space = False
-        elif not prev_space:
-            out.append(" ")
-            prev_space = True
-    return "".join(out).strip()
+# char -> 5-bit code: space=0, a-z=1..26, non-ascii letters bucketed
+# 27..31 (stable by codepoint); trigram id = c0*1024 + c1*32 + c2
+_CODES = np.zeros(256, dtype=np.int32)
+for _i in range(256):
+    _c = chr(_i)
+    if "a" <= _c <= "z":
+        _CODES[_i] = _i - 96
+    elif _c == " ":
+        _CODES[_i] = 0
+    else:
+        _CODES[_i] = 27 + (_i % 5)
+_N_TRIGRAMS = 32 * 32 * 32
 
 
-def _char_ngrams(text: str, max_chars: int = _MAX_DETECT_CHARS) -> List[str]:
-    """Character trigrams over the lowercased, letters-only text.
-
-    Trigrams alone match the 1+2+3-gram mix on our probe set at half
-    the featurization cost (the hot path of the whole pipeline)."""
-    t = " " + _letters_only(text.lower())[:max_chars] + " "
-    return [t[i : i + 3] for i in range(len(t) - 2)]
+def _trigram_ids(text: str, max_chars: int = _MAX_DETECT_CHARS) -> np.ndarray:
+    t = " " + _NON_LETTER_RE.sub(" ", text.lower()).strip()[:max_chars] + " "
+    b = np.frombuffer(t.encode("latin-1", "replace"), dtype=np.uint8)
+    codes = _CODES[b]
+    return codes[:-2] * 1024 + codes[1:-1] * 32 + codes[2:]
 
 
 class NgramLanguageID:
-    """Linear classifier over char n-grams (fastText-lid-shaped).
+    """Linear classifier over hashed char trigrams (fastText-lid-shaped).
 
-    Scoring is one pass over the text's distinct grams: each known gram
-    maps to a dense per-language weight vector (tuple), accumulated
-    count-weighted. Unseen grams contribute 0 for every language, so
-    differing seed-corpus sizes introduce no out-of-vocabulary penalty
-    bias between languages. Weight = log(1 + relative_frequency * K),
-    i.e. corpus-size-invariant evidence.
+    Featurization encodes the lowercased letters-only text into 5-bit
+    char codes and derives dense trigram ids, so scoring one text is a
+    single numpy gather + column sum over a (32768, n_langs) float32
+    weight matrix (~0.9 MB — broadcast-friendly, built once per
+    executor). Weight = log1p(relative_frequency * K): corpus-size
+    invariant, and unseen grams contribute 0 for every language, so no
+    out-of-vocabulary penalty bias between languages.
     """
 
     def __init__(self, corpora: Optional[Dict[str, str]] = None):
         corpora = corpora or LANG_CORPORA
-        self.langs: List[str] = sorted(corpora)
-        n_langs = len(self.langs)
-        per_lang: List[Dict[str, float]] = []
-        for lang in self.langs:
-            counts: Dict[str, int] = {}
-            for g in _char_ngrams(corpora[lang], max_chars=1 << 30):
-                counts[g] = counts.get(g, 0) + 1
-            total = sum(counts.values())
-            k = 10_000.0
-            per_lang.append(
-                {g: math.log(1.0 + (c / total) * k) for g, c in counts.items()}
+        self.langs = sorted(corpora)
+        self._w = np.zeros((_N_TRIGRAMS, len(self.langs)), dtype=np.float32)
+        for li, lang in enumerate(self.langs):
+            ids = _trigram_ids(corpora[lang], max_chars=1 << 30)
+            counts = np.bincount(ids, minlength=_N_TRIGRAMS).astype(np.float64)
+            self._w[:, li] = np.log1p(counts / counts.sum() * 10_000.0).astype(
+                np.float32
             )
-        # merge into gram -> weight-vector (tuple of floats, one per lang)
-        self._weights: Dict[str, Tuple[float, ...]] = {}
-        vocab = set()
-        for lp in per_lang:
-            vocab.update(lp)
-        for g in vocab:
-            self._weights[g] = tuple(per_lang[i].get(g, 0.0) for i in range(n_langs))
 
     def scores(self, text: str) -> Dict[str, float]:
-        acc = [0.0] * len(self.langs)
-        counts: Dict[str, int] = {}
-        for g in _char_ngrams(text):
-            counts[g] = counts.get(g, 0) + 1
-        weights = self._weights
-        for g, c in counts.items():
-            w = weights.get(g)
-            if w is not None:
-                for i, wi in enumerate(w):
-                    acc[i] += c * wi
-        return dict(zip(self.langs, acc))
+        ids = _trigram_ids(text)
+        if len(ids) == 0:
+            return {lang: 0.0 for lang in self.langs}
+        acc = self._w[ids].sum(axis=0)
+        return {lang: float(acc[i]) for i, lang in enumerate(self.langs)}
 
     def detect(self, text: str) -> Optional[str]:
         """Best language code, or None when there is no usable signal."""
         if not text or not text.strip():
             return None
-        scores = self.scores(text)
-        return max(scores.items(), key=lambda kv: (kv[1], kv[0]))[0]
+        ids = _trigram_ids(text)
+        if len(ids) == 0:
+            return None
+        acc = self._w[ids].sum(axis=0)
+        # deterministic tie-break: first language in sorted order
+        return self.langs[int(np.argmax(acc))]
 
 
 # ---------------------------------------------------------------------------

@@ -38,19 +38,34 @@ JACCARD_THRESHOLD = 0.2
 
 
 def _shingles(spark: SparkSession, sf: str) -> DataFrame:
-    """Distinct 3-token shingles per document."""
-    toks = f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+    """Distinct 3-token shingles per document.
+
+    Two performance notes baked into the shape:
+    * tokens are materialized in their OWN projection — higher-order
+      lambdas run interpreted, so inlining regexp_extract_all into the
+      transform() body would re-run the regex per array element
+      (measured 18x slower);
+    * the scan is repartitioned to the session parallelism first — a
+      small dimension table arrives as one split, and the explode is
+      the expensive part, not the scan.
+    """
+    parallelism = spark.sparkContext.defaultParallelism
+    toksed = (
+        t(spark, sf, "documents")
+        .repartition(parallelism)
+        .select(
+            "doc_id",
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)").alias("toks"),
+        )
+    )
     # guard: sequence(1, 0) in Spark generates a DESCENDING [1, 0] — empty
     # array must be explicit for texts with < 3 tokens
     shingle_arr = F.expr(
-        f"case when size({toks}) < 3 then array()"
-        f" else array_distinct(transform(sequence(1, size({toks}) - 2),"
-        f" i -> concat_ws(' ', ({toks})[i-1], ({toks})[i], ({toks})[i+1]))) end"
+        "case when size(toks) < 3 then array()"
+        " else array_distinct(transform(sequence(1, size(toks) - 2),"
+        " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))) end"
     )
-    return (
-        t(spark, sf, "documents")
-        .select("doc_id", F.explode(shingle_arr).alias("shingle"))
-    )
+    return toksed.select("doc_id", F.explode(shingle_arr).alias("shingle"))
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -103,16 +118,18 @@ def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
 def minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
     sigs = minhash_signatures(spark, sf)
     n_bands = N_HASHES // BAND_SIZE
-    bands = None
-    for j in range(n_bands):
-        piece = sigs.select(
-            "doc_id",
-            F.lit(j).cast("long").alias("band_idx"),
-            F.md5(F.concat(*[F.col(f"sig{j * BAND_SIZE + k}") for k in range(BAND_SIZE)])).alias(
-                "band_hash"
-            ),
-        )
-        bands = piece if bands is None else bands.unionAll(piece)
+    # posexplode of the band array, NOT a per-band union: Spark does not
+    # share subplans across union branches, so a 4-way union would scan
+    # and aggregate the shingle table 4 times
+    band_arr = F.array(
+        *[
+            F.md5(F.concat(*[F.col(f"sig{j * BAND_SIZE + k}") for k in range(BAND_SIZE)]))
+            for j in range(n_bands)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
+    ).withColumn("band_idx", F.col("band_idx").cast("long"))
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, ["band_idx", "band_hash"])

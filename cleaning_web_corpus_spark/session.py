@@ -21,8 +21,11 @@ def build_session(
 ) -> SparkSession:
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
     if shuffle_partitions is None:
-        cpus = os.cpu_count() or 8
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", cpus))
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+        # 4x cores: task-wave averaging — with exactly one wave the
+        # slowest partition sets stage latency; AQE coalesces the
+        # small-data cases back down
+        shuffle_partitions = cpus * 4
 
     b = (
         SparkSession.builder.master(master)

@@ -1,0 +1,7 @@
+from cleaning_web_corpus_spark.sources.io import (  # noqa: F401
+    read_jsonl,
+    read_seeds,
+    write_csv_report,
+    write_json_report,
+    write_jsonl,
+)

@@ -1,0 +1,64 @@
+"""Sources and sinks (SURVEY.md §2.1).
+
+The reference moves data as JSONL files, a seeds.txt with comments,
+and CSV/JSON evaluation reports; each maps to one declarative Spark
+reader/writer, with the reference's skip-invalid-line behavior
+reproduced via PERMISSIVE mode + corrupt-record filtering.
+
+| reference | here |
+|---|---|
+| S1 line-by-line json.loads, skip bad lines (text_processor.py:171-186) | ``read_jsonl`` |
+| S2 append one JSON object per doc (text_processor.py:263) | ``write_jsonl`` |
+| S6 seeds.txt with '#' comments (seed_spider.py:9-23) | ``read_seeds`` |
+| S7 coverage-matrix CSV (dataset_stats.py:470-495) | ``write_csv_report`` |
+| S8 stats JSON report (dataset_stats.py:387-468) | ``write_json_report`` |
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: Optional[str] = None
+) -> DataFrame:
+    """JSONL scan that silently drops undecodable lines, like the
+    reference's try/except-continue loop. With an explicit schema the
+    corrupt-record column is requested and filtered; schema inference
+    drops bad lines on its own."""
+    reader = spark.read.option("mode", "PERMISSIVE")
+    if schema:
+        full = f"{schema}, {CORRUPT_COL} string"
+        df = reader.schema(full).json(path)
+        return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """One JSON object per row. ``single_file`` mirrors the reference's
+    one-output-file layout (driver-side coalesce — only for small
+    report-sized outputs; large outputs keep their partitioning)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
+
+
+def read_seeds(spark: SparkSession, path: str) -> DataFrame:
+    """seeds.txt -> one url per row; '#' comments and blanks stripped."""
+    return (
+        spark.read.text(path)
+        .select(F.trim(F.regexp_replace(F.col("value"), "#.*$", "")).alias("url"))
+        .filter(F.col("url") != "")
+    )
+
+
+def write_csv_report(df: DataFrame, path: str) -> None:
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_json_report(df: DataFrame, path: str) -> None:
+    df.coalesce(1).write.mode("overwrite").json(path)

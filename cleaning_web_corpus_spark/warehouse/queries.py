@@ -138,6 +138,19 @@ def events_union_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return a.union(b).distinct()
 
 
+# --- J4: hydration by id-list (semi-join) -----------------------------------
+# reference: steps/tools fetched via IN (id1, id2, ...) lists
+# (procedures.py:210-255) — a left-semi join in Spark; the literal list
+# becomes a broadcast side so no shuffle is paid
+def events_hydration(spark: SparkSession, sf: str) -> DataFrame:
+    wanted = spark.createDataFrame([(u,) for u in (3, 7, 11, 42)], "user_id bigint")
+    return (
+        t(spark, sf, "events")
+        .join(F.broadcast(wanted), "user_id", "left_semi")
+        .select("user_id", "event_id", "event_type", F.round("value", 2).alias("value"))
+    )
+
+
 # --- A5: exact percentile stats ---------------------------------------------
 # reference: nearest-rank percentiles per metric (dataset_stats.py:142-157);
 # Spark exact `percentile` == DuckDB quantile_cont (linear interpolation)
@@ -184,6 +197,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_union_dedup": events_union_dedup,
     "value_percentiles": value_percentiles,
     "top_customer_orders": top_customer_orders,
+    "events_hydration": events_hydration,
 }
 
 ORACLES: Dict[str, str] = {
@@ -268,6 +282,10 @@ ORACLES: Dict[str, str] = {
                ROUND(AVG(value), 4) AS mean_value,
                ROUND(STDDEV_SAMP(value), 4) AS stdev_value
         FROM events GROUP BY event_type
+    """,
+    "events_hydration": """
+        SELECT user_id, event_id, event_type, ROUND(value, 2) AS value
+        FROM events WHERE user_id IN (3, 7, 11, 42)
     """,
     "top_customer_orders": """
         SELECT c_mktsegment,

@@ -1,0 +1,35 @@
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.enrich.normalize import (
+    normalize_dirt,
+    normalize_method,
+    normalize_surface,
+)
+
+
+def test_normalize_dims(spark):
+    df = spark.createDataFrame(
+        [
+            ("Steam  Cleaning",),   # exact phrase -> canonical via cleanup+substring
+            ("steam_clean",),       # canonical maps to itself
+            ("vacuuming",),         # keyword reverse lookup
+            ("Hoover",),            # synonym
+            ("mystery technique",), # fallback default
+        ],
+        "raw string",
+    )
+    rows = [r.m for r in df.select(normalize_method(F.col("raw")).alias("m")).collect()]
+    assert rows == ["steam_clean", "steam_clean", "vacuum", "vacuum", "other"]
+
+
+def test_normalize_surface_and_dirt(spark):
+    df = spark.createDataFrame([("Carpets",), ("granite countertop",)], "raw string")
+    got = [
+        tuple(r)
+        for r in df.select(
+            normalize_surface(F.col("raw")).alias("s"),
+            normalize_dirt(F.lit("Greasy stains")).alias("d"),
+        ).collect()
+    ]
+    assert got[0][0] == "carpets_floors"
+    assert all(d in ("grease", "stain") for _s, d in got)

@@ -1,0 +1,46 @@
+"""Source/sink semantics: bad-line skipping, seeds comment stripping."""
+
+import json
+
+
+from cleaning_web_corpus_spark.sources.io import (
+    read_jsonl,
+    read_seeds,
+    write_jsonl,
+)
+
+
+def test_jsonl_skips_bad_lines(spark, tmp_path):
+    p = tmp_path / "in.jsonl"
+    lines = [
+        json.dumps({"doc_id": 1, "text": "alpha"}),
+        "not json at all {{{",
+        json.dumps({"doc_id": 2, "text": "beta"}),
+        "",
+        json.dumps({"doc_id": 3, "text": "gamma"}),
+    ]
+    p.write_text("\n".join(lines))
+    df = read_jsonl(spark, str(p), schema="doc_id bigint, text string")
+    rows = {r.doc_id: r.text for r in df.collect()}
+    assert rows == {1: "alpha", 2: "beta", 3: "gamma"}
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id bigint, text string")
+    out = str(tmp_path / "out")
+    write_jsonl(df, out, single_file=True)
+    back = read_jsonl(spark, out, schema="doc_id bigint, text string")
+    assert {tuple(r) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_read_seeds(spark, tmp_path):
+    p = tmp_path / "seeds.txt"
+    p.write_text(
+        "# comment line\n"
+        "https://example.com/a\n"
+        "\n"
+        "https://example.com/b  # trailing comment\n"
+        "   \n"
+    )
+    urls = sorted(r.url for r in read_seeds(spark, str(p)).collect())
+    assert urls == ["https://example.com/a", "https://example.com/b"]

@@ -1,0 +1,102 @@
+"""Scaling-control experiments: separate engine coordination overhead
+from single-box hardware ceilings.
+
+The north rule's criterion is throughput-scaling efficiency >= 0.8 from
+N to 4N EXECUTORS — i.e. 4x machines, each with its own DRAM. This
+sandbox has one machine, so the honest decomposition is:
+
+  A. ALU control  — pure-register spin loop, 8 vs 32 pinned procs.
+     Measures raw core availability (expected ~0.9 with shared cache).
+  B. Workload control — the exact per-turn filter computation driven by
+     plain multiprocessing (no Spark, no JVM, no Arrow), 8 vs 32 pinned.
+     Measures the workload's own single-box memory-bandwidth ceiling.
+  C. Engine — the full Spark pipeline (bench.py --scaling).
+
+C / B = the engine's coordination overhead, which is what actually
+predicts multi-node scaling (each node adds its own memory bandwidth).
+
+Usage: python tools/scaling_controls.py [corpus_dir]
+Prints one JSON line with all three efficiencies.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CHUNK = None
+
+
+def _burn(_):
+    t0 = time.time()
+    x = 0
+    while time.time() - t0 < 2.0:
+        x += 1
+    return x
+
+
+def _filter_work(chunk_id):
+    from cleaning_web_corpus_spark.config import QualityConfig
+    from cleaning_web_corpus_spark.filters.chain import evaluate_text
+    from cleaning_web_corpus_spark.models.langid import get_default_model
+    from cleaning_web_corpus_spark.models.perplexity import get_default_model as P
+
+    cfg = QualityConfig.for_transcripts()
+    det = get_default_model().detect
+    ppl = P()
+    n = 0
+    for t in CHUNK[chunk_id]:
+        evaluate_text(t, cfg, det, lambda ws: ppl.perplexity(ws))
+        n += 1
+    return n
+
+
+def _alu(nproc: int) -> float:
+    os.sched_setaffinity(0, set(range(nproc)))
+    with mp.Pool(nproc) as p:
+        return sum(p.map(_burn, range(nproc))) / 2.0
+
+
+def _workload(nproc: int, texts) -> float:
+    global CHUNK
+    os.sched_setaffinity(0, set(range(nproc)))
+    k = len(texts) // nproc
+    CHUNK = [texts[i * k : (i + 1) * k] for i in range(nproc)]
+    with mp.Pool(nproc) as p:
+        p.map(_filter_work, range(nproc))  # warm: model build per proc
+        t0 = time.time()
+        tot = sum(p.map(_filter_work, range(nproc)))
+        return tot / (time.time() - t0)
+
+
+def main():
+    import duckdb
+
+    corpus = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cwc_bench_corpus_sf0.1_320000"
+    texts = [
+        r[0]
+        for r in duckdb.connect()
+        .execute(f"select text from '{corpus}/*.parquet' limit 400000")
+        .fetchall()
+    ]
+    alu8, alu32 = _alu(8), _alu(32)
+    w8, w32 = _workload(8, texts), _workload(32, texts)
+    print(
+        json.dumps(
+            {
+                "alu_efficiency_8_to_32": round(alu32 / alu8 / 4, 3),
+                "workload_efficiency_8_to_32": round(w32 / w8 / 4, 3),
+                "workload_8c_turns_per_sec": round(w8),
+                "workload_32c_turns_per_sec": round(w32),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
