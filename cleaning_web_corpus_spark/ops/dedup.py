@@ -168,12 +168,54 @@ def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= 3 on 64-bit SimHash.
+
+    The pigeonhole band trick (reference's pairwise Hamming loop at
+    image_filters.py:326-400 made scalable): split the 64-bit hash into
+    4 x 16-bit chunks — any pair within distance 3 shares at least one
+    exact chunk, so candidates come from an equi-join on (chunk_idx,
+    chunk_value) and only candidates pay the bit_count(xor) check.
+    """
+    sigs = simhash_fingerprints(spark, sf)
+    chunks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), k * 16).bitwiseAND(F.lit(0xFFFF))
+                    for k in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": exact_dedup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_candidates": minhash_lsh_candidates,
     "simhash_fingerprints": simhash_fingerprints,  # rows-only (no oracle)
+    "simhash_near_dups": simhash_near_dups,  # rows-only (no oracle)
 }
 
 _SQL_SHINGLES = f"""

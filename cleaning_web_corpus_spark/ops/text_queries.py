@@ -200,6 +200,30 @@ def quality_scores(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- A2: coverage summary ---------------------------------------------------
+# reference: stats.py:172-181 (SUM + COUNT + COUNT DISTINCT x3)
+def coverage_summary(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# --- A3: 1-D distributions ---------------------------------------------------
+# reference: stats.py:204-238 (GROUP BY dim + SUM ORDER BY DESC)
+def lang_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 # --- P5: stable fingerprints ------------------------------------------------
 # reference id scheme: sha256/md5 with prefixes (load_to_clickhouse.py:32-49)
 def fingerprints(spark: SparkSession, sf: str) -> DataFrame:
@@ -229,6 +253,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ablation_retention": ablation_retention,
     "ablation_overlap": ablation_overlap,
     "enrich_dims": enrich_dims,
+    "coverage_summary": coverage_summary,
+    "lang_distribution": lang_distribution,
     "quality_scores": quality_scores,
     "fingerprints": fingerprints,
     "normalized_dims": normalized_dims,
@@ -345,6 +371,17 @@ ORACLES: Dict[str, str] = {
                      ELSE 0.2 END)::DOUBLE AS quality_score,
                ({_SQL_WC} > 0) AS has_content
         FROM documents
+    """,
+    "coverage_summary": """
+        SELECT COUNT(*) AS n_docs,
+               COUNT(DISTINCT lang) AS n_langs,
+               COUNT(DISTINCT source) AS n_sources,
+               SUM(n_chars)::BIGINT AS total_chars
+        FROM documents
+    """,
+    "lang_distribution": """
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars)::BIGINT AS total_chars
+        FROM documents GROUP BY lang
     """,
     "fingerprints": """
         SELECT doc_id,

@@ -1,0 +1,31 @@
+"""Driver-contract smoke: entry() + every queries() entry runs."""
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_entry_runs(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"reason", "n_docs"}
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    # the vast majority must be oracle-checked
+    assert len(oracles) >= 20
+
+
+def test_every_query_runs(spark):
+    failures = {}
+    for name, fn in entrymod.queries().items():
+        try:
+            df = fn(spark, SF)
+            df.limit(5).collect()  # forces plan + a little execution
+        except Exception as e:  # pragma: no cover
+            failures[name] = str(e)[:200]
+    assert not failures, failures
