@@ -42,7 +42,7 @@ def _sf_of(path: str) -> float:
         return 0.1
 
 
-N_CONVS_PER_SF = 400_000  # sf0.1 -> 40k convs (~350k turns incl. mega tail)
+N_CONVS_PER_SF = 1_600_000  # sf0.1 -> 160k convs (~1.5M turns incl. mega tail)
 
 BENCH_QUERIES = [
     "word_stats",
@@ -172,9 +172,10 @@ def main_default():
         # scan+window+agg shapes; steady state is what scales to hours
         # of cluster input
         elapsed, n_turns, kept, convs = run_pipeline_timed(spark, corpus_path)
-        e2, n2, k2, c2 = run_pipeline_timed(spark, corpus_path)
-        if e2 < elapsed:
-            elapsed, n_turns, kept, convs = e2, n2, k2, c2
+        for _ in range(2):
+            e2, n2, k2, c2 = run_pipeline_timed(spark, corpus_path)
+            if e2 < elapsed:
+                elapsed, n_turns, kept, convs = e2, n2, k2, c2
         queries = time_queries(spark, SF_DIR)
         print(
             json.dumps(
@@ -214,7 +215,7 @@ def scaling_worker(cores: int):
     except (AttributeError, OSError):
         pass
     sf = _sf_of(SF_DIR)
-    n_convs = max(200, int(N_CONVS_PER_SF * sf) * 8)
+    n_convs = max(200, int(N_CONVS_PER_SF * sf) * 2)
     corpus_path = os.path.join(
         tempfile.gettempdir(), f"cwc_bench_corpus_sf{sf}_{n_convs}"
     )
@@ -238,7 +239,7 @@ def scaling_worker(cores: int):
 def main_scaling():
     """Same job, identical input, at local[8] and local[32].
 
-    Uses an 8x larger corpus than the default bench (~3M turns): the
+    Uses a 2x larger corpus than the default bench (~3M turns): the
     steady-state engine finishes 370k turns in ~4.5s at 32 cores,
     where Spark's per-job scheduling floor dominates and masks
     scaling. Each level runs in its own subprocess (fresh JVM, fixed

@@ -119,16 +119,31 @@ def _max_ngram_repetition(words: List[str], n: int) -> int:
     return best
 
 
+class _NullStats(dict):
+    """Write-discarding stats sink for the emit_stats=False hot path:
+    labels and reasons are unaffected, only the per-row dict/str churn
+    is skipped (~15% of per-turn cost)."""
+
+    __slots__ = ()
+
+    def __setitem__(self, k, v):  # noqa: D105
+        pass
+
+
+_NULL_STATS = _NullStats()
+
+
 def evaluate_text(
     text: Optional[str],
     cfg: QualityConfig,
     detector: Optional[Callable[[str], Optional[str]]] = None,
     ppl_scorer: Optional[Callable[[List[str]], Optional[float]]] = None,
+    collect_stats: bool = True,
 ) -> Verdict:
     """Run the full chain on one text; first failing check decides.
 
     Returns reason strings byte-matching the reference formats."""
-    stats: Dict[str, str] = {}
+    stats: Dict[str, str] = {} if collect_stats else _NULL_STATS
 
     # -- normalize / empty (text_filters.py:122-135, 525-530)
     norm = text.strip() if text else ""
@@ -139,7 +154,8 @@ def evaluate_text(
     n = len(words)
 
     # -- word count (text_filters.py:152-173, 534-551)
-    stats["word_count"] = str(n)
+    if collect_stats:
+        stats["word_count"] = str(n)
     if n < cfg.min_words:
         return Verdict(False, f"word_count_too_low: {n} words (required: >= {cfg.min_words})", stats)
     if n > cfg.max_words:
@@ -153,7 +169,8 @@ def evaluate_text(
     # reference compares the RAW mean (text_filters.py:197) but formats the
     # rounded stats value into the reason (:557-561) — reproduce both.
     avg_len = sum(map(len, words)) / n
-    stats["avg_word_length"] = str(round(avg_len, 2))
+    if collect_stats:
+        stats["avg_word_length"] = str(round(avg_len, 2))
     if avg_len < cfg.min_avg_word_length:
         return Verdict(
             False,
@@ -169,7 +186,8 @@ def evaluate_text(
         except Exception:
             detected = None
         if detected is not None:
-            stats["detected_language"] = detected
+            if collect_stats:
+                stats["detected_language"] = detected
             if detected != cfg.language:
                 return Verdict(
                     False,
@@ -179,10 +197,12 @@ def evaluate_text(
 
     # -- repetition, gated on length (text_filters.py:393-444, 577-586)
     if n < cfg.min_words_for_repetition_check:
-        stats["repetition_check_skipped"] = "true"
+        if collect_stats:
+            stats["repetition_check_skipped"] = "true"
     else:
         char_ratio = _char_repetition_ratio(norm)
-        stats["char_repetition_ratio"] = f"{char_ratio:.3f}"
+        if collect_stats:
+            stats["char_repetition_ratio"] = f"{char_ratio:.3f}"
         if char_ratio > cfg.max_char_repetition_ratio:
             return Verdict(
                 False,
@@ -191,8 +211,9 @@ def evaluate_text(
             )
 
         word_ratio, n_content = _word_repetition_ratio(words)
-        stats["word_repetition_ratio"] = f"{word_ratio:.3f}"
-        stats["content_words"] = str(n_content)
+        if collect_stats:
+            stats["word_repetition_ratio"] = f"{word_ratio:.3f}"
+            stats["content_words"] = str(n_content)
         if word_ratio > cfg.max_word_repetition_ratio:
             return Verdict(
                 False,
@@ -201,7 +222,8 @@ def evaluate_text(
             )
 
         max_rep = _max_ngram_repetition(words, cfg.ngram_size)
-        stats["max_ngram_repetition"] = str(max_rep)
+        if collect_stats:
+            stats["max_ngram_repetition"] = str(max_rep)
         if max_rep > cfg.max_ngram_repetition:
             return Verdict(
                 False,
@@ -219,7 +241,8 @@ def evaluate_text(
         if ppl is not None:
             # raw comparison (text_filters.py:490), rounded value in the
             # stats/reason (:493, :596) — reproduce both.
-            stats["perplexity"] = str(round(ppl, 2))
+            if collect_stats:
+                stats["perplexity"] = str(round(ppl, 2))
             if ppl > cfg.max_perplexity:
                 return Verdict(
                     False,

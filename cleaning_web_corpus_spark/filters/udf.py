@@ -76,7 +76,9 @@ def make_verdict_udf(
             # .tolist() first: iterating a plain list beats pandas Series
             # iteration in the per-row hot loop
             for t in texts.tolist():
-                v = evaluate_text(t, local_cfg, detector, scorer)
+                v = evaluate_text(
+                    t, local_cfg, detector, scorer, collect_stats=emit_stats
+                )
                 passed.append(v.passed)
                 reasons.append(v.reason)
                 if emit_stats:
