@@ -75,6 +75,21 @@ def _scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", scrub_col(F.col("text"), ScrubConfig()).alias("text_scrubbed"))
 
 
+def _ablation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-chain ablation (independent per-check flags, one pass) over
+    documents; rows-only (models not SQL-expressible)."""
+    from cleaning_web_corpus_spark.config import QualityConfig
+    from cleaning_web_corpus_spark.filters.ablation import ablation_report
+
+    cfg = QualityConfig(
+        min_words=20, max_words=80, min_avg_word_length=3.0,
+        min_words_for_repetition_check=30, min_words_for_perplexity=10,
+        max_word_repetition_ratio=0.95, max_ngram_repetition=50,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ablation_report(docs, cfg, text_col="text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from cleaning_web_corpus_spark.ops import ann, dedup, text_queries
     from cleaning_web_corpus_spark.warehouse import queries as wh
@@ -86,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(ann.QUERIES)
     out["verdict_full_chain"] = _verdict_full  # rows-only (models)
     out["scrub_documents"] = _scrub_docs
+    out["ablation_chain_retention"] = _ablation_chain  # rows-only (models)
     return out
 
 

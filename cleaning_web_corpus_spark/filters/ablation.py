@@ -1,0 +1,133 @@
+"""Ablation study over the real filter chain (F12 + A9).
+
+The reference re-runs the whole corpus once per filter combination
+(/root/reference/src/evaluation/ablation_study.py:335-453). Here ONE
+Arrow UDF pass emits an independent pass/fail flag per check (no
+short-circuit — each check evaluated on its own, mirroring the
+reference's SelectiveTextFilter at ablation_study.py:86-169), and
+retention + pairwise removed-set Jaccard fall out of a single
+aggregation — N+1 corpus passes become 1.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, StructField, StructType
+
+from cleaning_web_corpus_spark.config import QualityConfig
+from cleaning_web_corpus_spark.filters.chain import (
+    _char_repetition_ratio,
+    _max_ngram_repetition,
+    _word_repetition_ratio,
+)
+from cleaning_web_corpus_spark.functions.tokenize import tokenize
+from cleaning_web_corpus_spark.models.langid import make_detector
+from cleaning_web_corpus_spark.models.perplexity import make_scorer
+
+CHECKS = ["word_count", "avg_word_length", "language", "char_rep", "word_rep", "ngram_rep", "perplexity"]
+
+FLAGS_SCHEMA = StructType([StructField(c, BooleanType(), False) for c in CHECKS])
+
+
+def check_flags(
+    text: Optional[str], cfg: QualityConfig, detector, scorer
+) -> List[bool]:
+    """Independent verdicts per check (lenient gates preserved)."""
+    norm = (text or "").strip()
+    words = tokenize(norm) if norm else []
+    n = len(words)
+
+    wc = bool(norm) and cfg.min_words <= n <= cfg.max_words
+    awl = n > 0 and (sum(map(len, words)) / n) >= cfg.min_avg_word_length
+
+    lang = True
+    if detector is not None and n >= cfg.min_words_for_langid:
+        try:
+            det = detector(norm)
+        except Exception:
+            det = None
+        lang = det is None or det == cfg.language
+
+    gated = n >= cfg.min_words_for_repetition_check
+    char_ok = not gated or _char_repetition_ratio(norm) <= cfg.max_char_repetition_ratio
+    word_ok = (
+        not gated
+        or _word_repetition_ratio(words)[0] <= cfg.max_word_repetition_ratio
+    )
+    ngram_ok = (
+        not gated
+        or _max_ngram_repetition(words, cfg.ngram_size) <= cfg.max_ngram_repetition
+    )
+
+    ppl_ok = True
+    if (
+        cfg.enable_perplexity_filter
+        and scorer is not None
+        and n >= cfg.min_words_for_perplexity
+    ):
+        try:
+            p = scorer(words)
+        except Exception:
+            p = None
+        ppl_ok = p is None or p <= cfg.max_perplexity
+
+    return [wc, awl, lang, char_ok, word_ok, ngram_ok, ppl_ok]
+
+
+def make_flags_udf(cfg: QualityConfig):
+    blob = cfg.model_dump()
+
+    def _batch(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        local = QualityConfig(**blob)
+        det = make_detector()
+        sc = make_scorer()
+        for texts in it:
+            rows = [check_flags(t, local, det, sc) for t in texts.tolist()]
+            yield pd.DataFrame(rows, columns=CHECKS)
+
+    return F.pandas_udf(_batch, FLAGS_SCHEMA)
+
+
+def ablation_report(turns: DataFrame, cfg: QualityConfig, text_col: str = "text") -> DataFrame:
+    """Per-check retention over a transcript table — one pass."""
+    udf = make_flags_udf(cfg)
+    flagged = turns.select(udf(F.col(text_col)).alias("f")).select("f.*")
+    total = F.count(F.lit(1))
+    aggs = [total.alias("n_turns")]
+    for c in CHECKS:
+        aggs.append(F.sum(F.col(c).cast("long")).alias(f"pass_{c}"))
+    wide = flagged.agg(*aggs)
+    # long form: one row per check, retention rate
+    stack_expr = ", ".join(f"'{c}', pass_{c}" for c in CHECKS)
+    return wide.selectExpr(
+        "n_turns", f"stack({len(CHECKS)}, {stack_expr}) as (check_name, n_pass)"
+    ).select(
+        "check_name",
+        "n_pass",
+        (F.col("n_turns") - F.col("n_pass")).alias("n_fail"),
+        F.round(F.col("n_pass") / F.col("n_turns"), 4).alias("retention"),
+    )
+
+
+def ablation_overlap(turns: DataFrame, cfg: QualityConfig, text_col: str = "text") -> DataFrame:
+    """Pairwise Jaccard of removed sets across all checks — one pass."""
+    udf = make_flags_udf(cfg)
+    flagged = turns.select(udf(F.col(text_col)).alias("f")).select("f.*")
+    aggs = []
+    for i, a in enumerate(CHECKS):
+        for b in CHECKS[i + 1 :]:
+            both = F.sum((~F.col(a) & ~F.col(b)).cast("long"))
+            either = F.sum((~F.col(a) | ~F.col(b)).cast("long"))
+            aggs.append(
+                F.round(both / F.nullif(either, F.lit(0)), 4).alias(f"{a}|{b}")
+            )
+    wide = flagged.agg(*aggs).collect()[0].asDict()
+    rows = [
+        (k.split("|")[0], k.split("|")[1], v) for k, v in wide.items()
+    ]
+    spark = turns.sparkSession
+    return spark.createDataFrame(rows, "check_a string, check_b string, jaccard double")

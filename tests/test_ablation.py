@@ -1,0 +1,74 @@
+"""Ablation flags: independence, chain consistency, one-pass aggregates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.config import PipelineConfig, QualityConfig
+from cleaning_web_corpus_spark.filters.ablation import (
+    CHECKS,
+    ablation_overlap,
+    ablation_report,
+    check_flags,
+)
+from cleaning_web_corpus_spark.filters.chain import evaluate_text
+from cleaning_web_corpus_spark.models.langid import get_default_model
+from cleaning_web_corpus_spark.models.perplexity import get_default_model as _ppl
+from cleaning_web_corpus_spark.pipeline.transcripts import generate_transcripts
+
+CFG = QualityConfig.for_transcripts()
+DET = get_default_model().detect
+SC = lambda ws: _ppl().perplexity(ws)  # noqa: E731
+
+
+def test_flags_independent_of_short_circuit():
+    # a text that fails word count AND language: the chain reports only
+    # word_count, the ablation flags report both independently
+    text = "kurzer deutscher text hier bitte jetzt sofort danke schön wirklich sehr gut heute"
+    cfg = QualityConfig(min_words=20, max_words=100, min_avg_word_length=2.0)
+    flags = dict(zip(CHECKS, check_flags(text, cfg, DET, SC)))
+    assert not flags["word_count"]
+    assert not flags["language"]
+    v = evaluate_text(text, cfg, DET, SC)
+    assert v.reason.startswith("word_count_too_low")
+
+
+def test_all_pass_implies_chain_pass():
+    corpus_cfg = CFG
+    texts = [
+        "please apply the detergent to the carpet and wait for ten minutes",
+        "",
+        "a b c d e f",
+        "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz " * 20,
+    ]
+    for t in texts:
+        flags = check_flags(t, corpus_cfg, DET, SC)
+        chain = evaluate_text(t, corpus_cfg, DET, SC)
+        if chain.passed:
+            assert all(flags), t
+        else:
+            assert not all(flags) or chain.reason == "empty_text", t
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return generate_transcripts(spark, 60, seed=13, mega_every=0, partitions=4)
+
+
+def test_report_shape_and_totals(spark, corpus):
+    rep = ablation_report(corpus, CFG)
+    rows = {r.check_name: r for r in rep.collect()}
+    assert set(rows) == set(CHECKS)
+    n = corpus.count()
+    for r in rows.values():
+        assert r.n_pass + r.n_fail == n
+        assert 0.0 <= r.retention <= 1.0
+    # the synthetic corpus must fail something in each family
+    assert rows["word_count"].n_fail > 0
+    assert rows["language"].n_fail > 0
+
+
+def test_overlap_is_symmetric_pairlist(spark, corpus):
+    ov = ablation_overlap(corpus, CFG)
+    rows = ov.collect()
+    assert len(rows) == len(CHECKS) * (len(CHECKS) - 1) // 2
+    assert all(r.jaccard is None or 0 <= r.jaccard <= 1 for r in rows)

@@ -1,0 +1,33 @@
+"""Conversation-layer config variants: salted path equivalence and
+fraction-based keep thresholds."""
+
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.config import ConversationConfig, PipelineConfig
+from cleaning_web_corpus_spark.pipeline.conversation import conversation_verdicts
+from cleaning_web_corpus_spark.pipeline.run import turn_verdicts_df
+from cleaning_web_corpus_spark.pipeline.transcripts import generate_transcripts
+
+
+def test_salted_path_same_verdicts(spark):
+    corpus = generate_transcripts(spark, 40, seed=21, mega_every=20, partitions=4)
+    pcfg = PipelineConfig()
+    plain = turn_verdicts_df(corpus, pcfg, salt=False)
+    salted = turn_verdicts_df(corpus, pcfg, salt=True)
+    a = {(r.conv_id, r.turn_idx): (r.passed, r.reason, r.text_scrubbed) for r in plain.collect()}
+    b = {(r.conv_id, r.turn_idx): (r.passed, r.reason, r.text_scrubbed) for r in salted.collect()}
+    assert a == b
+
+
+def test_fraction_threshold_keeps_mixed_conversations(spark):
+    corpus = generate_transcripts(spark, 80, seed=22, mega_every=0, partitions=4)
+    pcfg = PipelineConfig()
+    tv = turn_verdicts_df(corpus, pcfg)
+    strict = conversation_verdicts(tv, ConversationConfig(max_failed_turn_fraction=0.0))
+    lenient = conversation_verdicts(tv, ConversationConfig(max_failed_turn_fraction=0.5))
+    n_strict = strict.filter("kept").count()
+    n_lenient = lenient.filter("kept").count()
+    assert n_lenient > n_strict  # monotone in the threshold
+    # lenient keeps exactly those with failed fraction <= 0.5
+    bad = lenient.filter(F.col("kept") & (F.col("failed_turn_fraction") > 0.5)).count()
+    assert bad == 0
