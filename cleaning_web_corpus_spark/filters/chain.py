@@ -30,6 +30,7 @@ the chain stays model-agnostic:
 from __future__ import annotations
 
 import re
+from collections import Counter
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
 
@@ -105,18 +106,12 @@ def _word_repetition_ratio(words: List[str]) -> Tuple[float, int]:
 
 def _max_ngram_repetition(words: List[str], n: int) -> int:
     """Highest frequency of any word n-gram; <2n words => 0
-    (text_filters.py:362-377)."""
+    (text_filters.py:362-377). C-speed zip/Counter instead of a Python
+    index loop (hot path)."""
     if len(words) < n * 2:
         return 0
-    counts: Dict[Tuple[str, ...], int] = {}
-    best = 0
-    for i in range(len(words) - n + 1):
-        g = tuple(words[i : i + n])
-        c = counts.get(g, 0) + 1
-        counts[g] = c
-        if c > best:
-            best = c
-    return best
+    counts = Counter(zip(*(words[i:] for i in range(n))))
+    return max(counts.values())
 
 
 class _NullStats(dict):

@@ -1,0 +1,25 @@
+from cleaning_web_corpus_spark.sources.tables import TableIO, iceberg_catalog
+
+
+def test_mode_detection_parquet(spark):
+    io = TableIO.for_session(spark)
+    assert not io.is_iceberg
+    assert iceberg_catalog(spark) is None
+
+
+def test_parquet_roundtrip_and_commit(spark, tmp_path):
+    io = TableIO.for_session(spark)
+    path = str(tmp_path / "t1")
+    assert not io.is_committed(path)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    io.overwrite(df, path)
+    assert io.is_committed(path)
+    assert io.read(path).count() == 2
+    io.append(df, path)
+    assert io.read(path).count() == 4
+
+
+def test_qualify_iceberg_identifiers(spark):
+    io = TableIO(spark, catalog="lake")
+    assert io.is_iceberg
+    assert io._qualify("db.transcripts") == "lake.db.transcripts"
