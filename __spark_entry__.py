@@ -12,10 +12,48 @@ covered by tests/test_pipeline_parity.py against the pure-Python twin.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# make the package importable regardless of the harness's cwd
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if _REPO_DIR not in sys.path:
+    sys.path.insert(0, _REPO_DIR)
+os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+_SHIPPED = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Python UDF workers resolve imports from their own sys.path, not
+    the driver's — ship the package zip once per session so the
+    model-backed queries run under any harness cwd."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    try:
+        import zipfile
+
+        zip_path = os.path.join(_REPO_DIR, "dist", "cwc_spark.zip")
+        if not os.path.exists(zip_path):
+            os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+            pkg = os.path.join(_REPO_DIR, "cleaning_web_corpus_spark")
+            with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
+                for dirpath, _dirs, files in os.walk(pkg):
+                    if "__pycache__" in dirpath:
+                        continue
+                    for fn in files:
+                        if fn.endswith(".py"):
+                            full = os.path.join(dirpath, fn)
+                            z.write(full, os.path.relpath(full, _REPO_DIR))
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # already added, or workers share the driver's path anyway
+    _SHIPPED.add(key)
 
 
 def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -23,6 +61,7 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The Spark form of the reference's pipeline counters
     (/root/reference/src/processors/text_processor.py:265-268)."""
+    _ensure_shipped(spark)
     from cleaning_web_corpus_spark.config import QualityConfig
     from cleaning_web_corpus_spark.filters.udf import make_verdict_udf
 
@@ -50,6 +89,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _verdict_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc verdicts from the model-backed chain (rows-only check)."""
+    _ensure_shipped(spark)
     from cleaning_web_corpus_spark.config import QualityConfig
     from cleaning_web_corpus_spark.filters.udf import make_verdict_udf
 
@@ -78,6 +118,7 @@ def _scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ablation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-chain ablation (independent per-check flags, one pass) over
     documents; rows-only (models not SQL-expressible)."""
+    _ensure_shipped(spark)
     from cleaning_web_corpus_spark.config import QualityConfig
     from cleaning_web_corpus_spark.filters.ablation import ablation_report
 
@@ -102,7 +143,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["verdict_full_chain"] = _verdict_full  # rows-only (models)
     out["scrub_documents"] = _scrub_docs
     out["ablation_chain_retention"] = _ablation_chain  # rows-only (models)
-    return out
+
+    def _with_shipping(fn):
+        def inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_shipped(spark)  # UDF-bearing queries need the pkg on workers
+            return fn(spark, sf_dir)
+
+        return inner
+
+    return {k: _with_shipping(v) for k, v in out.items()}
 
 
 def oracle_sql() -> dict[str, str]:
