@@ -115,6 +115,28 @@ def _scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", scrub_col(F.col("text"), ScrubConfig()).alias("text_scrubbed"))
 
 
+def _scrub_email_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email rule of the scrub chain in isolation — the one PII pattern
+    with identical semantics in Java regex and RE2, so it carries an
+    exact DuckDB oracle for the scrub path (the full chain needs
+    lookaround, which RE2 lacks -> rows-only, byte-parity via tests)."""
+    from cleaning_web_corpus_spark.scrub.pii import EMAIL_PATTERN
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), EMAIL_PATTERN, "<EMAIL>").alias("text_scrubbed"),
+    )
+
+
+_SCRUB_EMAIL_ORACLE = r"""
+    SELECT doc_id,
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                          '<EMAIL>', 'g') AS text_scrubbed
+    FROM documents
+"""
+
+
 def _ablation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-chain ablation (independent per-check flags, one pass) over
     documents; rows-only (models not SQL-expressible)."""
@@ -141,7 +163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(dedup.QUERIES)
     out.update(ann.QUERIES)
     out["verdict_full_chain"] = _verdict_full  # rows-only (models)
-    out["scrub_documents"] = _scrub_docs
+    out["scrub_documents"] = _scrub_docs  # rows-only (lookaround regexes)
+    out["scrub_email_documents"] = _scrub_email_docs
     out["ablation_chain_retention"] = _ablation_chain  # rows-only (models)
 
     def _with_shipping(fn):
@@ -163,4 +186,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(text_queries.ORACLES)
     out.update(dedup.ORACLES)
     out.update(ann.ORACLES)
+    out["scrub_email_documents"] = _SCRUB_EMAIL_ORACLE
     return out

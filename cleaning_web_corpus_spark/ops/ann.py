@@ -10,8 +10,10 @@
   dot products with seeded Gaussian planes) buckets vectors, and the
   query searches only its own bucket. Plane generation is a
   deterministic numpy RandomState on the driver, broadcast via
-  closure; hashing runs in an Arrow UDF (rows-only oracle — the plane
-  math is not SQL-portable).
+  closure; hashing runs in an Arrow UDF. The DuckDB oracle inlines
+  the plane constants as list literals and reproduces the same
+  bucket assignment (sign tests are robust to summation-order
+  rounding differences at float64).
 
 At 100 TB the brute-force variant is a single pass (scan + project +
 top-k, no shuffle before the final reduce); the LSH variant trades
@@ -32,7 +34,10 @@ from cleaning_web_corpus_spark.warehouse.queries import t
 PROBE_VEC_ID = 0
 TOP_K = 10
 NEAR_DUP_COS = 0.9
-LSH_BITS = 8
+# 4 bits -> 16 buckets: at the test scales (500-5k vectors) each bucket
+# still holds enough vectors that the in-bucket top-k is a meaningful
+# check; at corpus scale you raise bits to keep bucket size ~ k * fanout
+LSH_BITS = 4
 EMBED_DIM = 64
 
 
@@ -116,8 +121,21 @@ def ann_lsh_knn(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn": embedding_knn,
     "embedding_near_dups": embedding_near_dups,
-    "ann_lsh_knn": ann_lsh_knn,  # rows-only (no oracle)
+    "ann_lsh_knn": ann_lsh_knn,
 }
+
+
+def _sql_bucket(vec_expr: str) -> str:
+    """Bucket expression with the seeded planes inlined as literals."""
+    planes = _planes()
+    terms = []
+    for j in range(LSH_BITS):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[j]) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({vec_expr}, {lit}) > 0"
+            f" THEN {1 << j} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
 
 _SQL_COS = (
     "list_dot_product(emb_a, emb_b) /"
@@ -143,5 +161,16 @@ ORACLES: Dict[str, str] = {
         WHERE a.vec_id < b.vec_id
           AND ROUND(list_dot_product(a.e, b.e) /
                     (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= {NEAR_DUP_COS}
+    """,
+    "ann_lsh_knn": f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+        bk AS (SELECT vec_id, e, label, {_sql_bucket('e')} AS bucket FROM emb),
+        probe AS (SELECT e AS pe, bucket AS pb FROM bk WHERE vec_id = {PROBE_VEC_ID})
+        SELECT vec_id, label,
+               ROUND(list_dot_product(e, pe) /
+                     (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(pe, pe))), 6) AS cosine
+        FROM bk, probe
+        WHERE vec_id != {PROBE_VEC_ID} AND bucket = pb
+        ORDER BY cosine DESC, vec_id ASC LIMIT {TOP_K}
     """,
 }

@@ -11,8 +11,11 @@ variant in ops/ann.py):
                  buckets; candidate pairs share a band. All hashing is
                  md5-based and therefore engine-portable: the DuckDB
                  oracle reproduces signatures bit-for-bit.
-* SimHash      — 64-bit sign-aggregated token hashes via an Arrow UDF
-                 (blake2b is not SQL-portable -> rows-only check).
+* SimHash      — 64-bit sign-aggregated token hashes via an Arrow UDF.
+                 Token hashes are the first 8 bytes of md5, so the
+                 fingerprint (and the banded Hamming near-dup join on
+                 it) is engine-portable: the DuckDB oracle rebuilds the
+                 identical bit votes from md5 hex nibbles.
 
 Scale: every operator is a chain of explode -> groupBy/join on short
 keys; no driver-side loops, no pairwise-all comparisons. The LSH band
@@ -143,14 +146,16 @@ def minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
 def _simhash64(tokens) -> int:
     acc = [0] * 64
     for tok in tokens:
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+        # first 8 bytes of md5, big-endian == first 16 hex chars; md5 is
+        # the one digest every engine shares, which makes the oracle exact
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
         for j in range(64):
             acc[j] += 1 if (h >> j) & 1 else -1
     out = 0
     for j in range(64):
         if acc[j] > 0:
             out |= 1 << j
-    return out - (1 << 63)  # signed 64-bit for Spark LongType
+    return out - (1 << 64) if out >= (1 << 63) else out  # two's-complement long
 
 
 def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
@@ -214,8 +219,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_candidates": minhash_lsh_candidates,
-    "simhash_fingerprints": simhash_fingerprints,  # rows-only (no oracle)
-    "simhash_near_dups": simhash_near_dups,  # rows-only (no oracle)
+    "simhash_fingerprints": simhash_fingerprints,
+    "simhash_near_dups": simhash_near_dups,
 }
 
 _SQL_SHINGLES = f"""
@@ -232,6 +237,37 @@ _SQL_SHINGLES = f"""
 _SQL_SIGS = ", ".join(
     f"MIN(md5('{i}:' || shingle)) AS sig{i}" for i in range(N_HASHES)
 )
+
+# SimHash twin: bit j of a token's 64-bit hash lives in md5-hex nibble
+# 16 - j//4 (1-based, from the left), bit j%4 of that nibble.
+_SQL_SIMHASH_VOTES = ", ".join(
+    f"SUM(CASE WHEN ((nv[{16 - j // 4}] >> {j % 4}) & 1) = 1"
+    f" THEN 1 ELSE -1 END) AS a{j}"
+    for j in range(64)
+)
+# bit 63 carries -2^63 in two's complement; NULL votes (token-less docs)
+# fall through every CASE to 0, matching the Python empty-token hash.
+_SQL_SIMHASH_VALUE = " + ".join(
+    ["CASE WHEN a63 > 0 THEN -9223372036854775808 ELSE 0 END"]
+    + [f"CASE WHEN a{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(63)]
+)
+_SQL_SIMHASH_FP = f"""
+    toks AS (
+        SELECT doc_id, UNNEST(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+        FROM documents
+    ),
+    nib AS (
+        SELECT doc_id,
+               [strpos('0123456789abcdef', substr(md5(tok), i, 1)) - 1
+                FOR i IN range(1, 17)] AS nv
+        FROM toks
+    ),
+    votes AS (SELECT doc_id, {_SQL_SIMHASH_VOTES} FROM nib GROUP BY doc_id),
+    fp AS (
+        SELECT d.doc_id, ({_SQL_SIMHASH_VALUE}) AS simhash
+        FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+    )
+"""
 
 ORACLES: Dict[str, str] = {
     "exact_dedup": """
@@ -272,5 +308,22 @@ ORACLES: Dict[str, str] = {
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b USING (band_idx, band_hash)
         WHERE a.doc_id < b.doc_id
+    """,
+    "simhash_fingerprints": f"""
+        WITH {_SQL_SIMHASH_FP}
+        SELECT doc_id, simhash FROM fp
+    """,
+    "simhash_near_dups": f"""
+        WITH {_SQL_SIMHASH_FP},
+        chunks AS (
+            SELECT fp.doc_id, fp.simhash, c.chunk_idx,
+                   ((fp.simhash >> (c.chunk_idx * 16)) & 65535) AS chunk_val
+            FROM fp, (SELECT UNNEST([0, 1, 2, 3]) AS chunk_idx) c
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM chunks a JOIN chunks b USING (chunk_idx, chunk_val)
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
     """,
 }
