@@ -116,25 +116,35 @@ def warm_up(spark):
 
 
 def run_pipeline_timed(spark, corpus_path: str):
-    """The measured section: read parquet -> verdicts + scrub -> conv agg."""
+    """The measured section: read parquet -> verdicts -> conv agg ->
+    kept turns incl. the PII/toxicity scrub + stable ordering.
+
+    ``tv`` is persisted so the verdict UDF runs exactly once while both
+    the conversation aggregate and the kept-turns sink consume it — the
+    same single-evaluation the materialized production path gets from
+    its committed parquet stage."""
     from pyspark.sql import functions as F
 
     from cleaning_web_corpus_spark.config import PipelineConfig
     from cleaning_web_corpus_spark.pipeline.conversation import conversation_verdicts
-    from cleaning_web_corpus_spark.pipeline.run import turn_verdicts_df
+    from cleaning_web_corpus_spark.pipeline.run import kept_turns_df, turn_verdicts_df
 
     pcfg = PipelineConfig()
     t0 = time.time()
     transcripts = spark.read.parquet(corpus_path)
-    tv = turn_verdicts_df(transcripts, pcfg, emit_stats=False)
-    cv = conversation_verdicts(tv, pcfg.conversation)
-    # one action drives the whole DAG; the agg result is tiny
+    tv = turn_verdicts_df(transcripts, pcfg, emit_stats=False).persist()
+    cv = conversation_verdicts(tv, pcfg.conversation).persist()
     stats = cv.agg(
         F.sum("n_turns").alias("turns"),
         F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("kept_convs"),
         F.count(F.lit(1)).alias("convs"),
     ).collect()[0]
+    # scrub + ordered write of the kept minority (noop sink: measures
+    # compute, not sandbox disk)
+    kept_turns_df(tv, cv, pcfg.scrub).write.format("noop").mode("overwrite").save()
     elapsed = time.time() - t0
+    tv.unpersist()
+    cv.unpersist()
     return elapsed, int(stats.turns), int(stats.kept_convs), int(stats.convs)
 
 
@@ -160,7 +170,11 @@ def time_queries(spark, sf_dir: str) -> dict:
 
 def main_default():
     sf = _sf_of(SF_DIR)
-    n_convs = max(200, int(N_CONVS_PER_SF * sf))
+    # 2x the nominal sf size (same corpus the scaling bench uses): at 32
+    # cores the steady-state pipeline clears 1.5M turns in ~5s, where
+    # Spark's per-job floor and JIT tiering are a visible fraction; 3M
+    # turns is the compute-bound regime a cluster job lives in
+    n_convs = max(200, int(N_CONVS_PER_SF * sf) * 2)
     corpus_path = os.path.join(
         tempfile.gettempdir(), f"cwc_bench_corpus_sf{sf}_{n_convs}"
     )
@@ -168,9 +182,10 @@ def main_default():
     try:
         n_rows = materialize_corpus(spark, n_convs, corpus_path)
         warm_up(spark)
-        # best of 2: first run still pays one-time JIT/codegen for the
-        # scan+window+agg shapes; steady state is what scales to hours
-        # of cluster input
+        # one full warm pass (JIT tiering over the generated code keeps
+        # improving through the first end-to-end executions), then best
+        # of 3; steady state is what scales to hours of cluster input
+        run_pipeline_timed(spark, corpus_path)
         elapsed, n_turns, kept, convs = run_pipeline_timed(spark, corpus_path)
         for _ in range(2):
             e2, n2, k2, c2 = run_pipeline_timed(spark, corpus_path)
@@ -215,7 +230,8 @@ def scaling_worker(cores: int):
     except (AttributeError, OSError):
         pass
     sf = _sf_of(SF_DIR)
-    n_convs = max(200, int(N_CONVS_PER_SF * sf) * 2)
+    mult = int(os.environ.get("SPARK_GRAFT_SCALING_MULT", "2"))
+    n_convs = max(200, int(N_CONVS_PER_SF * sf) * mult)
     corpus_path = os.path.join(
         tempfile.gettempdir(), f"cwc_bench_corpus_sf{sf}_{n_convs}"
     )

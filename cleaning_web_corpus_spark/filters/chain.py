@@ -127,6 +127,10 @@ class _NullStats(dict):
 
 _NULL_STATS = _NullStats()
 
+# sentinel: "no precomputed detection — call the detector" (None is a
+# valid precomputed result meaning lenient pass)
+_UNSET = object()
+
 
 def evaluate_text(
     text: Optional[str],
@@ -134,10 +138,16 @@ def evaluate_text(
     detector: Optional[Callable[[str], Optional[str]]] = None,
     ppl_scorer: Optional[Callable[[List[str]], Optional[float]]] = None,
     collect_stats: bool = True,
+    detected=_UNSET,
 ) -> Verdict:
     """Run the full chain on one text; first failing check decides.
 
-    Returns reason strings byte-matching the reference formats."""
+    Returns reason strings byte-matching the reference formats.
+
+    ``detected`` lets a batch caller (filters/udf.py) supply the
+    language-ID result precomputed over the whole Arrow batch; it is
+    consulted under exactly the same conditions as the per-row
+    ``detector`` call, so labels and reasons are unchanged."""
     stats: Dict[str, str] = {} if collect_stats else _NULL_STATS
 
     # -- normalize / empty (text_filters.py:122-135, 525-530)
@@ -175,11 +185,12 @@ def evaluate_text(
 
     # -- language (text_filters.py:206-255, 565-575): lenient pass when the
     # text is short, the detector is absent, or the detector errors.
-    if detector is not None and n >= cfg.min_words_for_langid:
-        try:
-            detected = detector(norm)
-        except Exception:
-            detected = None
+    if (detector is not None or detected is not _UNSET) and n >= cfg.min_words_for_langid:
+        if detected is _UNSET:
+            try:
+                detected = detector(norm)
+            except Exception:
+                detected = None
         if detected is not None:
             if collect_stats:
                 stats["detected_language"] = detected

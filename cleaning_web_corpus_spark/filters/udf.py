@@ -36,8 +36,8 @@ from pyspark.sql.types import (
 )
 
 from cleaning_web_corpus_spark.config import QualityConfig
-from cleaning_web_corpus_spark.filters.chain import evaluate_text
-from cleaning_web_corpus_spark.models.langid import make_detector
+from cleaning_web_corpus_spark.filters.chain import _UNSET, evaluate_text
+from cleaning_web_corpus_spark.models.langid import make_batch_detector, make_detector
 from cleaning_web_corpus_spark.models.perplexity import make_scorer
 
 VERDICT_SCHEMA = StructType(
@@ -68,6 +68,7 @@ def make_verdict_udf(
     def _evaluate(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         local_cfg = QualityConfig(**cfg_blob)
         detector = make_detector(fasttext_model_path)
+        batch_detector = make_batch_detector(fasttext_model_path)
         scorer = make_scorer(kenlm_model_path)
         for texts in batches:
             passed = []
@@ -75,9 +76,25 @@ def make_verdict_udf(
             stats = []
             # .tolist() first: iterating a plain list beats pandas Series
             # iteration in the per-row hot loop
-            for t in texts.tolist():
+            rows = texts.tolist()
+            # language-ID vectorized over the whole batch (the dominant
+            # per-turn cost when per-row: numpy dispatch overhead); the
+            # chain consults dets[i] under the same conditions it would
+            # call the per-row detector, so labels/reasons are identical.
+            # Batch failure falls back to per-row (lenient, like the
+            # reference's detector-error pass).
+            try:
+                dets = batch_detector([(t.strip() if t else "") for t in rows])
+            except Exception:
+                dets = None
+            for i, t in enumerate(rows):
                 v = evaluate_text(
-                    t, local_cfg, detector, scorer, collect_stats=emit_stats
+                    t,
+                    local_cfg,
+                    detector,
+                    scorer,
+                    collect_stats=emit_stats,
+                    detected=dets[i] if dets is not None else _UNSET,
                 )
                 passed.append(v.passed)
                 reasons.append(v.reason)

@@ -20,7 +20,6 @@ caller (filters/chain.py) skips detection for <10-word texts and treats
 
 from __future__ import annotations
 
-import re
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -29,29 +28,22 @@ from cleaning_web_corpus_spark.models.seed_corpora import LANG_CORPORA
 
 _MAX_DETECT_CHARS = 600  # detection saturates; cap per-text cost
 
-# strip digits/punct/symbols: they carry no language signal and would
-# drown short texts in unknown-gram noise (real LID featurizers do the
-# same); C-speed regex instead of a per-char Python loop
-_NON_LETTER_RE = re.compile(r"[\W\d_]+", re.UNICODE)
-
-# char -> 5-bit code: space=0, a-z=1..26, non-ascii letters bucketed
-# 27..31 (stable by codepoint); trigram id = c0*1024 + c1*32 + c2
-_CODES = np.zeros(256, dtype=np.int32)
-for _i in range(256):
-    _c = chr(_i)
-    if "a" <= _c <= "z":
-        _CODES[_i] = _i - 96
-    elif _c == " ":
-        _CODES[_i] = 0
-    else:
-        _CODES[_i] = 27 + (_i % 5)
+# byte -> 5-bit code table: a-z = 1..26; every other ASCII byte
+# (digits/punct/space/control — no language signal) = 0 (space code);
+# high bytes 128..255 (latin-1 letters after lower()) bucketed 27..31.
+# One C-speed ``bytes.translate`` replaces the regex-sub + table-gather
+# featurizer (which cost ~12 us/text — the former langid bottleneck).
+# Trigram id = c0*1024 + c1*32 + c2.
+_CODE_TABLE = bytes(
+    (_i - 96) if ord("a") <= _i <= ord("z") else (0 if _i < 128 else 27 + (_i % 5))
+    for _i in range(256)
+)
 _N_TRIGRAMS = 32 * 32 * 32
 
 
 def _trigram_ids(text: str, max_chars: int = _MAX_DETECT_CHARS) -> np.ndarray:
-    t = " " + _NON_LETTER_RE.sub(" ", text.lower()).strip()[:max_chars] + " "
-    b = np.frombuffer(t.encode("latin-1", "replace"), dtype=np.uint8)
-    codes = _CODES[b]
+    b = (" " + text.lower() + " ").encode("latin-1", "replace")[: max_chars + 2]
+    codes = np.frombuffer(b.translate(_CODE_TABLE), dtype=np.uint8).astype(np.int32)
     return codes[:-2] * 1024 + codes[1:-1] * 32 + codes[2:]
 
 
@@ -90,11 +82,54 @@ class NgramLanguageID:
         if not text or not text.strip():
             return None
         ids = _trigram_ids(text)
-        if len(ids) == 0:
+        # all-zero ids == no letter bytes at all (digits/punct only):
+        # no usable signal -> lenient None, like the pre-translate
+        # featurizer which stripped such texts to empty
+        if len(ids) == 0 or not ids.any():
             return None
-        acc = self._w[ids].sum(axis=0)
+        # float64 accumulation: keeps detect() and detect_batch() in
+        # agreement (order-of-summation noise is ~1e-16 relative there)
+        acc = self._w[ids].sum(axis=0, dtype=np.float64)
         # deterministic tie-break: first language in sorted order
         return self.langs[int(np.argmax(acc))]
+
+    _BATCH_CHUNK = 1024  # ~17 MB of gathered weights per chunk at 7 langs
+
+    def detect_batch(self, texts) -> list:
+        """Vectorized ``detect`` over a whole Arrow batch.
+
+        Per-text numpy dispatch (~15 us each: gather + sum + argmax) is
+        the dominant cost of per-row detection; here the per-chunk cost
+        is ONE gather + one ``np.add.reduceat`` + one argmax for ~1k
+        texts. Featurization (regex + encode) stays per-text — it is
+        C-speed already. Same output contract as ``detect``: None for
+        empty/featureless texts."""
+        out: list = [None] * len(texts)
+        for lo in range(0, len(texts), self._BATCH_CHUNK):
+            chunk = texts[lo : lo + self._BATCH_CHUNK]
+            idx = []
+            ids_list = []
+            for i, t in enumerate(chunk):
+                if not t or not t.strip():
+                    continue
+                ids = _trigram_ids(t)
+                if len(ids) == 0 or not ids.any():
+                    continue
+                idx.append(lo + i)
+                ids_list.append(ids)
+            if not idx:
+                continue
+            lens = np.fromiter((len(x) for x in ids_list), dtype=np.int64)
+            offs = np.zeros(len(ids_list), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            gathered = self._w[np.concatenate(ids_list)]
+            # dtype=float64: accumulate in double without materializing a
+            # float64 copy of the gathered block
+            sums = np.add.reduceat(gathered, offs, axis=0, dtype=np.float64)
+            best = np.argmax(sums, axis=1)
+            for k, i in enumerate(idx):
+                out[i] = self.langs[int(best[k])]
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -143,3 +178,37 @@ def make_detector(fasttext_model_path: Optional[str] = None):
         return get_default_model().detect(text)
 
     return _ngram_detect
+
+
+def make_batch_detector(fasttext_model_path: Optional[str] = None):
+    """Return ``batch_detect(texts) -> list[lang_code | None]``.
+
+    The batched twin of :func:`make_detector` for Arrow-batch callers
+    (filters/udf.py): fastText's native list-predict when available,
+    otherwise :meth:`NgramLanguageID.detect_batch`."""
+    if fasttext_model_path:
+        def _ft_batch(texts) -> list:
+            key = ("fasttext", fasttext_model_path)
+            model = _CACHED.get(key)
+            if model is None:
+                try:
+                    import fasttext  # type: ignore
+
+                    model = fasttext.load_model(fasttext_model_path)
+                except Exception:
+                    model = False
+                _CACHED[key] = model
+            if not model:
+                return get_default_model().detect_batch(texts)
+            cleaned = [(t or "").replace("\n", " ") for t in texts]
+            labels, _ = model.predict(cleaned)
+            return [
+                (lb[0].replace("__label__", "") if lb else None) for lb in labels
+            ]
+
+        return _ft_batch
+
+    def _ngram_batch(texts) -> list:
+        return get_default_model().detect_batch(texts)
+
+    return _ngram_batch

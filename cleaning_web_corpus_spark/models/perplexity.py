@@ -56,9 +56,11 @@ class BigramPerplexityModel:
         self._uni_log: Dict[str, float] = {
             w: math.log10(c / total) for w, c in uni.items()
         }
-        self._bi_log: Dict[Tuple[str, str], float] = {
-            (p, w): math.log10(c / uni[p]) for (p, w), c in bi.items()
-        }
+        # nested prev -> {next: logp}: the hot loop does two plain-string
+        # dict probes per word instead of building+hashing a tuple key
+        self._bi_by_prev: Dict[str, Dict[str, float]] = {}
+        for (p, w), c in bi.items():
+            self._bi_by_prev.setdefault(p, {})[w] = math.log10(c / uni[p])
 
     def _word_log10(self, w: str) -> float:
         return self._uni_log.get(w, _LOG10_UNK)
@@ -66,14 +68,16 @@ class BigramPerplexityModel:
     def score(self, words: List[str]) -> float:
         """Total log10 probability of <s> w1..wn </s> (stupid backoff)."""
         total = 0.0
-        prev = _BOS
-        bi = self._bi_log
+        by_prev = self._bi_by_prev
+        uni = self._uni_log
+        empty: Dict[str, float] = {}
+        prev_map = by_prev.get(_BOS, empty)
         for w in list(words) + [_EOS]:
-            lp = bi.get((prev, w))
+            lp = prev_map.get(w)
             if lp is None:
-                lp = _BACKOFF + self._word_log10(w)
+                lp = _BACKOFF + uni.get(w, _LOG10_UNK)
             total += lp
-            prev = w
+            prev_map = by_prev.get(w, empty)
         return total
 
     def perplexity(self, words: List[str]) -> float:

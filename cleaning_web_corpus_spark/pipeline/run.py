@@ -5,8 +5,15 @@ The Spark restructuring of the reference's process stage
 sequential per-row loop) into one declarative DAG:
 
     read -> latest-wins dedup -> salted repartition ->
-    verdict UDF + native scrub -> conv-level keep/drop ->
-    kept turns + per-partition lineage metrics
+    verdict UDF -> conv-level keep/drop ->
+    kept turns (scrub applied HERE, to kept turns only) +
+    per-partition lineage metrics
+
+Scrub placement: the JVM regex chain costs as much per turn as the
+whole verdict UDF, and most turns are dropped — so scrubbing runs
+after the conversation filter, on the kept minority only. Output is
+identical (dropped turns never surface scrubbed text); cost scales
+with the kept fraction, not the corpus.
 
 Stage outputs commit atomically (parquet ``_SUCCESS`` locally, Iceberg
 snapshots on a real cluster — see pipeline/lineage.py) and a re-run
@@ -23,7 +30,7 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cleaning_web_corpus_spark.config import PipelineConfig
+from cleaning_web_corpus_spark.config import PipelineConfig, ScrubConfig
 from cleaning_web_corpus_spark.filters.udf import make_verdict_udf
 from cleaning_web_corpus_spark.pipeline import conversation as conv
 from cleaning_web_corpus_spark.pipeline import lineage
@@ -69,7 +76,6 @@ def turn_verdicts_df(
     verdict = make_verdict_udf(pcfg.quality, emit_stats=emit_stats)
     return (
         spread.withColumn("verdict", verdict(F.col("text")))
-        .withColumn("text_scrubbed", scrub_col(F.col("text"), pcfg.scrub))
         .select(
             "conv_id",
             "turn_idx",
@@ -79,22 +85,34 @@ def turn_verdicts_df(
             F.col("verdict.passed").alias("passed"),
             F.col("verdict.reason").alias("reason"),
             F.col("verdict.stats").alias("stats"),
-            "text_scrubbed",
+            "text",
         )
     )
 
 
-def kept_turns_df(turn_verdicts: DataFrame, conv_verdicts: DataFrame) -> DataFrame:
-    """Turns of kept conversations, stably ordered per (conv_id, turn_idx).
+def kept_turns_df(
+    turn_verdicts: DataFrame,
+    conv_verdicts: DataFrame,
+    scrub_cfg: Optional[ScrubConfig] = None,
+) -> DataFrame:
+    """Scrubbed turns of kept conversations, stably ordered per
+    (conv_id, turn_idx).
 
     The join shuffles on conv_id; AQE's skew-join splitting keeps
     mega-conversations from straggling, and only narrow columns ride on
-    the conv_verdicts side.
+    the conv_verdicts side. The PII/toxicity scrub chain runs here — on
+    the kept minority, after the conversation filter — so its cost
+    scales with output size, not input size.
     """
+    scrub_cfg = scrub_cfg or ScrubConfig()
     kept = conv_verdicts.filter(F.col("kept")).select("conv_id")
-    return conv.ordered_turns(
-        turn_verdicts.filter(F.col("passed")).join(kept, "conv_id", "inner")
-    ).select("conv_id", "turn_idx", "role", "tool", "ts", "text_scrubbed")
+    return (
+        conv.ordered_turns(
+            turn_verdicts.filter(F.col("passed")).join(kept, "conv_id", "inner")
+        )
+        .withColumn("text_scrubbed", scrub_col(F.col("text"), scrub_cfg))
+        .select("conv_id", "turn_idx", "role", "tool", "ts", "text_scrubbed")
+    )
 
 
 def run_pipeline(
@@ -117,7 +135,7 @@ def run_pipeline(
     if out_dir is None:
         tv = turn_verdicts_df(transcripts, pcfg, emit_stats=emit_stats)
         cv = conv.conversation_verdicts(tv, pcfg.conversation)
-        return PipelineResult(tv, cv, kept_turns_df(tv, cv), run_id)
+        return PipelineResult(tv, cv, kept_turns_df(tv, cv, pcfg.scrub), run_id)
 
     metrics_root = os.path.join(out_dir, lineage.METRICS_SUBDIR)
     tv_path = os.path.join(out_dir, "turn_verdicts")
@@ -142,7 +160,7 @@ def run_pipeline(
     cv = spark.read.parquet(cv_path)
 
     if not (resume and lineage.is_committed(kept_path)):
-        lineage.commit_stage(kept_turns_df(tv, cv), kept_path)
+        lineage.commit_stage(kept_turns_df(tv, cv, pcfg.scrub), kept_path)
     kept = spark.read.parquet(kept_path)
 
     return PipelineResult(tv, cv, kept, run_id)

@@ -66,9 +66,8 @@ def test_turn_level_parity(corpus, result):
 
     mismatch_labels = 0
     for r in tv:
-        exp_passed, exp_reason, exp_scrub = expected[(r.conv_id, r.turn_idx)]
+        exp_passed, exp_reason, _exp_scrub = expected[(r.conv_id, r.turn_idx)]
         assert r.reason == exp_reason, (r.conv_id, r.turn_idx, r.reason, exp_reason)
-        assert r.text_scrubbed == exp_scrub, (r.conv_id, r.turn_idx)
         if r.passed != exp_passed:
             mismatch_labels += 1
     f1_proxy = 1 - mismatch_labels / len(tv)
@@ -145,9 +144,18 @@ def test_mega_conversation_verdicts_match_small(result):
 
 
 def test_kept_turns_are_scrubbed_and_ordered(spark, result, corpus):
+    """Byte-identical scrubbed text on the north-rule surface: every
+    kept turn's text_scrubbed equals the pure-Python twin's scrub of
+    the same (deduped) turn. Scrub runs after the conversation filter,
+    so kept turns are exactly where the invariant is observable."""
     pcfg, _, cv = result
     res = run_pipeline(spark, corpus, pcfg)
     kept = res.kept_turns.collect()
     kept_convs = {c for c, r in cv.items() if r.kept}
     assert {r.conv_id for r in kept} <= kept_convs
-    assert all(hasattr(r, "text_scrubbed") for r in kept)
+    assert kept, "fixture must keep some conversations"
+    expected = _twin_rows(corpus.collect(), pcfg)
+    for r in kept:
+        exp_passed, _exp_reason, exp_scrub = expected[(r.conv_id, r.turn_idx)]
+        assert exp_passed  # only passing turns of kept convs surface
+        assert r.text_scrubbed == exp_scrub, (r.conv_id, r.turn_idx)
