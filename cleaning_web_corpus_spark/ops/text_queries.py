@@ -247,8 +247,38 @@ def normalized_dims(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- J6/A11: conversation-level keep/drop through the REAL aggregation ------
+# The production conversation_verdicts (earliest-failing-reason via
+# min-over-struct, fraction threshold; pipeline/conversation.py) is
+# driven here with a fully native per-turn verdict so the whole
+# aggregation is oracle-checkable: documents grouped by `source` play
+# conversations; turn order = row_number over doc_id.
+CONV_MAX_FAILED_FRACTION = 0.25
+
+
+def conversation_keep_drop(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from cleaning_web_corpus_spark.config import ConversationConfig
+    from cleaning_web_corpus_spark.pipeline.conversation import conversation_verdicts
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    tv = t(spark, sf, "documents").select(
+        F.col("source").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        _wc().between(MIN_WORDS, MAX_WORDS).alias("passed"),
+        F.when(_wc() < MIN_WORDS, F.lit("word_count_too_low"))
+        .when(_wc() > MAX_WORDS, F.lit("word_count_too_high"))
+        .otherwise(F.lit("passed"))
+        .alias("reason"),
+    )
+    cfg = ConversationConfig(max_failed_turn_fraction=CONV_MAX_FAILED_FRACTION)
+    return conversation_verdicts(tv, cfg)
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "word_stats": word_stats,
+    "conversation_keep_drop": conversation_keep_drop,
     "drop_reason_histogram": drop_reason_histogram,
     "ablation_retention": ablation_retention,
     "ablation_overlap": ablation_overlap,
@@ -274,6 +304,26 @@ _SQL_CAT_COUNT = {
 }
 
 ORACLES: Dict[str, str] = {
+    "conversation_keep_drop": f"""
+        WITH tv AS (
+            SELECT source AS conv_id,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS turn_idx,
+                   {_SQL_WC} BETWEEN {MIN_WORDS} AND {MAX_WORDS} AS passed,
+                   CASE WHEN {_SQL_WC} < {MIN_WORDS} THEN 'word_count_too_low'
+                        WHEN {_SQL_WC} > {MAX_WORDS} THEN 'word_count_too_high'
+                        ELSE 'passed' END AS reason
+            FROM documents
+        )
+        SELECT conv_id,
+               COUNT(*)::BIGINT AS n_turns,
+               SUM(CASE WHEN NOT passed THEN 1 ELSE 0 END)::BIGINT AS n_failed,
+               arg_min(reason, turn_idx) FILTER (WHERE NOT passed) AS drop_reason,
+               (SUM(CASE WHEN NOT passed THEN 1 ELSE 0 END)::DOUBLE / COUNT(*))
+                   <= {CONV_MAX_FAILED_FRACTION} AS kept,
+               ROUND(SUM(CASE WHEN NOT passed THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 6)
+                   AS failed_turn_fraction
+        FROM tv GROUP BY conv_id
+    """,
     "word_stats": f"""
         SELECT doc_id,
                {_SQL_WC}::BIGINT AS word_count,

@@ -94,3 +94,42 @@ class TestPerplexity:
     def test_picklable(self):
         m = pickle.loads(pickle.dumps(BigramPerplexityModel()))
         assert m.perplexity(["the", "dog"]) > 0
+
+
+class TestBatchDetect:
+    """detect_batch is the Arrow-batch twin of detect (filters/udf.py
+    precomputes it per batch); agreement must be exact, including the
+    lenient-None contract and the chunking boundary."""
+
+    def test_agrees_with_per_row_detect(self):
+        m = lid_singleton()
+        texts = [
+            "the quick brown fox jumps over the lazy dog and runs far away",
+            "der schnelle braune fuchs springt uber den faulen hund hinweg",
+            "", "   ", None, "123 ... !!! 456", "a",
+            "le renard brun rapide saute par dessus le chien paresseux",
+        ]
+        assert m.detect_batch(texts) == [m.detect(t) if t else None for t in texts]
+
+    def test_lenient_none_for_no_signal(self):
+        m = lid_singleton()
+        out = m.detect_batch(["", "   ", "12 34 !!", None])
+        assert out == [None, None, None, None]
+
+    def test_chunk_boundary(self):
+        m = lid_singleton()
+        base = "the quick brown fox jumps over the lazy dog today"
+        n = m._BATCH_CHUNK + 7  # force a second chunk
+        texts = [f"{base} {i}" for i in range(n)]
+        out = m.detect_batch(texts)
+        assert len(out) == n
+        assert out == [m.detect(t) for t in texts]
+
+    def test_make_batch_detector_fallback(self):
+        from cleaning_web_corpus_spark.models.langid import make_batch_detector
+
+        batch = make_batch_detector()
+        assert batch(["the cat sat on the mat near the door today again"]) == ["en"]
+        # missing fastText binary falls back to the embedded model
+        batch_ft = make_batch_detector("/nonexistent/lid.176.bin")
+        assert batch_ft(["the cat sat on the mat near the door today again"]) == ["en"]
