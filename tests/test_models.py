@@ -133,3 +133,15 @@ class TestBatchDetect:
         # missing fastText binary falls back to the embedded model
         batch_ft = make_batch_detector("/nonexistent/lid.176.bin")
         assert batch_ft(["the cat sat on the mat near the door today again"]) == ["en"]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+class TestBatchDetectProperty:
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.text(max_size=300), min_size=1, max_size=20))
+    def test_batch_equals_per_row_on_arbitrary_unicode(self, texts):
+        m = lid_singleton()
+        assert m.detect_batch(texts) == [m.detect(t) for t in texts]
