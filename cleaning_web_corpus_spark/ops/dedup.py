@@ -119,6 +119,13 @@ def minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate pairs sharing an LSH band — via bucket grouping, not a
+    self-join: a self-join would evaluate the whole shingle->signature
+    subtree twice (Spark only reuses identical exchanges, and a
+    broadcast side wraps the subtree differently), while one
+    groupBy(band) + in-bucket pair expansion pays a single pass and a
+    single shuffle. Bucket sizes are bounded by LSH design, so the
+    in-memory pair expansion per bucket is small."""
     sigs = minhash_signatures(spark, sf)
     n_bands = N_HASHES // BAND_SIZE
     # posexplode of the band array, NOT a per-band union: Spark does not
@@ -130,14 +137,19 @@ def minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
             for j in range(n_bands)
         ]
     )
-    bands = sigs.select(
-        "doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
-    ).withColumn("band_idx", F.col("band_idx").cast("long"))
-    a, b = bands.alias("a"), bands.alias("b")
+    buckets = (
+        sigs.select("doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash"))
+        .groupBy("band_idx", "band_hash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.expr(
+        "filter(flatten(transform(ids, x -> transform(ids, y ->"
+        " struct(x AS doc_a, y AS doc_b)))), p -> p.doc_a < p.doc_b)"
+    )
     return (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -198,17 +210,24 @@ def simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
             )
         ).alias("chunk_idx", "chunk_val"),
     )
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # bucket grouping instead of a self-join: the self-join would run
+    # the fingerprint pandas UDF twice (once per side); grouping pays
+    # one UDF pass + one shuffle, and expands pairs within each small
+    # chunk bucket natively
+    buckets = (
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("rs"))
+        .filter(F.size("rs") > 1)
+    )
+    pairs = F.expr(
+        "filter(flatten(transform(rs, x -> transform(rs, y -> struct("
+        "x.doc_id AS doc_a, y.doc_id AS doc_b,"
+        " bit_count(x.simhash ^ y.simhash) AS hamming)))),"
+        " p -> p.doc_a < p.doc_b)"
+    )
     return (
-        a.join(b, ["chunk_idx", "chunk_val"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .distinct()
     )
