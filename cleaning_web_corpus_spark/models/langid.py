@@ -20,6 +20,7 @@ caller (filters/chain.py) skips detection for <10-word texts and treats
 
 from __future__ import annotations
 
+import codecs
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -30,9 +31,10 @@ _MAX_DETECT_CHARS = 600  # detection saturates; cap per-text cost
 
 # byte -> 5-bit code table: a-z = 1..26; every other ASCII byte
 # (digits/punct/space/control — no language signal) = 0 (space code);
-# high bytes 128..255 (latin-1 letters after lower()) bucketed 27..31.
-# One C-speed ``bytes.translate`` replaces the regex-sub + table-gather
-# featurizer (which cost ~12 us/text — the former langid bottleneck).
+# high bytes 128..255 (latin-1 letters after lower(), and the \xff
+# stand-in for non-latin-1 chars) bucketed 27..31. One C-speed
+# ``bytes.translate`` replaces the regex-sub + table-gather featurizer
+# (which cost ~12 us/text — the former langid bottleneck).
 # Trigram id = c0*1024 + c1*32 + c2.
 _CODE_TABLE = bytes(
     (_i - 96) if ord("a") <= _i <= ord("z") else (0 if _i < 128 else 27 + (_i % 5))
@@ -40,11 +42,27 @@ _CODE_TABLE = bytes(
 )
 _N_TRIGRAMS = 32 * 32 * 32
 
+# Non-latin-1 chars (Cyrillic, Greek, CJK, ...) must keep their
+# letter-signal so wrong-script text is still DETECTED (and rejected by
+# an English-only filter) rather than leniently passed: encode them to
+# \xff — a high byte that lands in the 27..31 pseudo-letter buckets —
+# instead of the default '?' (ASCII -> code 0, i.e. invisible).
+codecs.register_error(
+    "cwc_high_byte", lambda e: ("\xff" * (e.end - e.start), e.end)
+)
+
 
 def _trigram_ids(text: str, max_chars: int = _MAX_DETECT_CHARS) -> np.ndarray:
-    b = (" " + text.lower() + " ").encode("latin-1", "replace")[: max_chars + 2]
+    b = (" " + text.lower() + " ").encode("latin-1", "cwc_high_byte")[: max_chars + 2]
     codes = np.frombuffer(b.translate(_CODE_TABLE), dtype=np.uint8).astype(np.int32)
-    return codes[:-2] * 1024 + codes[1:-1] * 32 + codes[2:]
+    ids = codes[:-2] * 1024 + codes[1:-1] * 32 + codes[2:]
+    if len(b) > max_chars and not ids.any():
+        # pathological prefix (digits/punct only) swallowed the capped
+        # window: fall back to the full text so trailing letters count
+        b = (" " + text.lower() + " ").encode("latin-1", "cwc_high_byte")
+        codes = np.frombuffer(b.translate(_CODE_TABLE), dtype=np.uint8).astype(np.int32)
+        ids = codes[:-2] * 1024 + codes[1:-1] * 32 + codes[2:]
+    return ids
 
 
 class NgramLanguageID:
@@ -147,6 +165,23 @@ def get_default_model() -> NgramLanguageID:
     return m
 
 
+def _load_fasttext(path: str):
+    """Load-and-cache a fastText model per process; ``False`` (cached)
+    when the library or file is unavailable so callers fall back once,
+    not per call."""
+    key = ("fasttext", path)
+    model = _CACHED.get(key)
+    if model is None:
+        try:
+            import fasttext  # type: ignore
+
+            model = fasttext.load_model(path)
+        except Exception:
+            model = False
+        _CACHED[key] = model
+    return model
+
+
 def make_detector(fasttext_model_path: Optional[str] = None):
     """Return ``detector(text) -> lang_code | None``.
 
@@ -157,16 +192,7 @@ def make_detector(fasttext_model_path: Optional[str] = None):
     """
     if fasttext_model_path:
         def _ft_detect(text: str) -> Optional[str]:
-            key = ("fasttext", fasttext_model_path)
-            model = _CACHED.get(key)
-            if model is None:
-                try:
-                    import fasttext  # type: ignore
-
-                    model = fasttext.load_model(fasttext_model_path)
-                except Exception:
-                    model = False  # unavailable: remember, fall through
-                _CACHED[key] = model
+            model = _load_fasttext(fasttext_model_path)
             if not model:
                 return get_default_model().detect(text)
             labels, _ = model.predict(text.replace("\n", " "))
@@ -188,16 +214,7 @@ def make_batch_detector(fasttext_model_path: Optional[str] = None):
     otherwise :meth:`NgramLanguageID.detect_batch`."""
     if fasttext_model_path:
         def _ft_batch(texts) -> list:
-            key = ("fasttext", fasttext_model_path)
-            model = _CACHED.get(key)
-            if model is None:
-                try:
-                    import fasttext  # type: ignore
-
-                    model = fasttext.load_model(fasttext_model_path)
-                except Exception:
-                    model = False
-                _CACHED[key] = model
+            model = _load_fasttext(fasttext_model_path)
             if not model:
                 return get_default_model().detect_batch(texts)
             cleaned = [(t or "").replace("\n", " ") for t in texts]

@@ -38,6 +38,13 @@ from cleaning_web_corpus_spark.warehouse.queries import t
 N_HASHES = 8
 BAND_SIZE = 2
 JACCARD_THRESHOLD = 0.2
+# Buckets larger than this are skipped by the pair expansion: a bucket
+# of k identical/near-identical docs would emit k^2/2 pairs (a flood of
+# 100k boilerplate copies -> 5*10^9 pairs in ONE aggregation row). Such
+# floods are exact-dup territory — run exact_dedup first; the cap keeps
+# candidate generation O(bucket_cap * n) worst-case, NOT silent: capped
+# buckets are observable as groups in the bucket aggregate.
+MAX_BUCKET = 1000
 
 
 def _shingles(spark: SparkSession, sf: str) -> DataFrame:
@@ -141,7 +148,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
         sigs.select("doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash"))
         .groupBy("band_idx", "band_hash")
         .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter(F.size("ids").between(2, MAX_BUCKET))
     )
     pairs = F.expr(
         "filter(flatten(transform(ids, x -> transform(ids, y ->"
@@ -217,7 +224,7 @@ def simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     buckets = (
         chunks.groupBy("chunk_idx", "chunk_val")
         .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("rs"))
-        .filter(F.size("rs") > 1)
+        .filter(F.size("rs").between(2, MAX_BUCKET))
     )
     pairs = F.expr(
         "filter(flatten(transform(rs, x -> transform(rs, y -> struct("
@@ -327,6 +334,11 @@ ORACLES: Dict[str, str] = {
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b USING (band_idx, band_hash)
         WHERE a.doc_id < b.doc_id
+          AND (band_idx, band_hash) IN (
+              SELECT (band_idx, band_hash) FROM bands
+              GROUP BY band_idx, band_hash
+              HAVING COUNT(*) <= {MAX_BUCKET}
+          )
     """,
     "simhash_fingerprints": f"""
         WITH {_SQL_SIMHASH_FP}
@@ -344,5 +356,10 @@ ORACLES: Dict[str, str] = {
         FROM chunks a JOIN chunks b USING (chunk_idx, chunk_val)
         WHERE a.doc_id < b.doc_id
           AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+          AND (chunk_idx, chunk_val) IN (
+              SELECT (chunk_idx, chunk_val) FROM chunks
+              GROUP BY chunk_idx, chunk_val
+              HAVING COUNT(*) <= {MAX_BUCKET}
+          )
     """,
 }

@@ -5,15 +5,16 @@ The Spark restructuring of the reference's process stage
 sequential per-row loop) into one declarative DAG:
 
     read -> latest-wins dedup -> salted repartition ->
-    verdict UDF -> conv-level keep/drop ->
-    kept turns (scrub applied HERE, to kept turns only) +
-    per-partition lineage metrics
+    verdict UDF + scrub of PASSING turns -> conv-level keep/drop ->
+    kept turns + per-partition lineage metrics
 
-Scrub placement: the JVM regex chain costs as much per turn as the
-whole verdict UDF, and most turns are dropped — so scrubbing runs
-after the conversation filter, on the kept minority only. Output is
-identical (dropped turns never surface scrubbed text); cost scales
-with the kept fraction, not the corpus.
+Scrub placement: ``text_scrubbed`` is computed as
+``when(passed, scrub(text))`` and RAW TEXT IS NEVER COMMITTED — a
+failed turn's text (PII included) is not retained in any stage output,
+and the JVM regex chain (which costs as much per turn as the whole
+verdict UDF) is skipped for the failing fraction. Downstream stages
+(conversation verdicts, kept turns, warehouse staging) consume
+``text_scrubbed`` only.
 
 Stage outputs commit atomically (parquet ``_SUCCESS`` locally, Iceberg
 snapshots on a real cluster — see pipeline/lineage.py) and a re-run
@@ -85,7 +86,12 @@ def turn_verdicts_df(
             F.col("verdict.passed").alias("passed"),
             F.col("verdict.reason").alias("reason"),
             F.col("verdict.stats").alias("stats"),
-            "text",
+            # native expressions evaluate lazily under when(), so the
+            # regex chain runs only for passing rows; failed turns
+            # commit NULL — raw text (and its PII) is never retained
+            F.when(
+                F.col("verdict.passed"), scrub_col(F.col("text"), pcfg.scrub)
+            ).alias("text_scrubbed"),
         )
     )
 
@@ -100,18 +106,19 @@ def kept_turns_df(
 
     The join shuffles on conv_id; AQE's skew-join splitting keeps
     mega-conversations from straggling, and only narrow columns ride on
-    the conv_verdicts side. The PII/toxicity scrub chain runs here — on
-    the kept minority, after the conversation filter — so its cost
-    scales with output size, not input size.
+    the conv_verdicts side. ``text_scrubbed`` normally comes straight
+    from the verdict stage (scrubbed-at-pass, see module docstring);
+    the fallback scrubs here for inputs that still carry raw ``text``
+    (e.g. a stage committed by an older build).
     """
-    scrub_cfg = scrub_cfg or ScrubConfig()
     kept = conv_verdicts.filter(F.col("kept")).select("conv_id")
-    return (
-        conv.ordered_turns(
-            turn_verdicts.filter(F.col("passed")).join(kept, "conv_id", "inner")
+    joined = turn_verdicts.filter(F.col("passed")).join(kept, "conv_id", "inner")
+    if "text_scrubbed" not in turn_verdicts.columns:
+        joined = joined.withColumn(
+            "text_scrubbed", scrub_col(F.col("text"), scrub_cfg or ScrubConfig())
         )
-        .withColumn("text_scrubbed", scrub_col(F.col("text"), scrub_cfg))
-        .select("conv_id", "turn_idx", "role", "tool", "ts", "text_scrubbed")
+    return conv.ordered_turns(joined).select(
+        "conv_id", "turn_idx", "role", "tool", "ts", "text_scrubbed"
     )
 
 

@@ -14,8 +14,8 @@ def test_salted_path_same_verdicts(spark):
     pcfg = PipelineConfig()
     plain = turn_verdicts_df(corpus, pcfg, salt=False)
     salted = turn_verdicts_df(corpus, pcfg, salt=True)
-    a = {(r.conv_id, r.turn_idx): (r.passed, r.reason, r.text) for r in plain.collect()}
-    b = {(r.conv_id, r.turn_idx): (r.passed, r.reason, r.text) for r in salted.collect()}
+    a = {(r.conv_id, r.turn_idx): (r.passed, r.reason, r.text_scrubbed) for r in plain.collect()}
+    b = {(r.conv_id, r.turn_idx): (r.passed, r.reason, r.text_scrubbed) for r in salted.collect()}
     assert a == b
 
 

@@ -145,3 +145,22 @@ class TestBatchDetectProperty:
     def test_batch_equals_per_row_on_arbitrary_unicode(self, texts):
         m = lid_singleton()
         assert m.detect_batch(texts) == [m.detect(t) for t in texts]
+
+
+class TestNonLatinScripts:
+    """Wrong-script text must be DETECTED (so an English-only filter
+    drops it), never leniently passed; signal-free text stays None."""
+
+    def test_non_latin1_scripts_are_detected_not_skipped(self):
+        m = lid_singleton()
+        for t in [
+            "съешь же ещё этих мягких французских булок да выпей чаю",
+            "ο γρηγορος καφε σκυλος πηδαει πανω απο το τεμπελικο σκυλι",
+            "快速的棕色狐狸跳过懒狗 今天天气很好 我们去公园散步吧",
+        ]:
+            assert m.detect(t) is not None  # some (non-en) label -> dropped
+
+    def test_junk_prefix_beyond_cap_still_detects(self):
+        m = lid_singleton()
+        t = "0123456789 " * 60 + "the quick brown fox jumps over the lazy dog"
+        assert m.detect(t) == "en"

@@ -66,8 +66,14 @@ def test_turn_level_parity(corpus, result):
 
     mismatch_labels = 0
     for r in tv:
-        exp_passed, exp_reason, _exp_scrub = expected[(r.conv_id, r.turn_idx)]
+        exp_passed, exp_reason, exp_scrub = expected[(r.conv_id, r.turn_idx)]
         assert r.reason == exp_reason, (r.conv_id, r.turn_idx, r.reason, exp_reason)
+        # scrubbed-at-pass contract: byte-exact scrub for passing turns,
+        # NULL (no raw-text retention) for failing turns
+        if exp_passed:
+            assert r.text_scrubbed == exp_scrub, (r.conv_id, r.turn_idx)
+        else:
+            assert r.text_scrubbed is None, (r.conv_id, r.turn_idx)
         if r.passed != exp_passed:
             mismatch_labels += 1
     f1_proxy = 1 - mismatch_labels / len(tv)

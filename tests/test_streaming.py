@@ -25,8 +25,8 @@ def test_incremental_matches_batch(spark, tmp_path):
     stream_tv = spark.read.parquet(os.path.join(out, "turn_verdicts_stream"))
     batch_tv = turn_verdicts_df(spark.read.parquet(inp), pcfg)
 
-    s = {(r.conv_id, r.turn_idx): (r.passed, r.reason, r.text) for r in stream_tv.collect()}
-    b = {(r.conv_id, r.turn_idx): (r.passed, r.reason, r.text) for r in batch_tv.collect()}
+    s = {(r.conv_id, r.turn_idx): (r.passed, r.reason, r.text_scrubbed) for r in stream_tv.collect()}
+    b = {(r.conv_id, r.turn_idx): (r.passed, r.reason, r.text_scrubbed) for r in batch_tv.collect()}
     assert s == b
 
     # restart with no new data: checkpoint prevents reprocessing
