@@ -245,3 +245,57 @@ def test_chain_agrees_with_twin_on_arbitrary_text(text):
     )
     tp, tr = twin_verdict(text, cfg)
     assert (v.passed, v.reason) == (tp, tr)
+
+
+class TestReferenceParityGaps:
+    """Remaining cases from the reference suite not covered above
+    (/root/reference/tests/test_text_filters.py:194, 270-301, 414-431,
+    459-509, 571-620)."""
+
+    def test_whitespace_only_fails(self):  # ref :194
+        v = evaluate_text("   \n\t  ", CFG)
+        assert not v.passed and v.reason == "empty_text"
+
+    def test_stats_include_all_metrics(self):  # ref :270-287
+        v = evaluate_text(GOOD, CFG, collect_stats=True)
+        assert v.passed
+        assert "word_count" in v.stats and "avg_word_length" in v.stats
+        assert "char_repetition_ratio" in v.stats
+        assert "word_repetition_ratio" in v.stats
+        assert "max_ngram_repetition" in v.stats
+
+    def test_repetition_skipped_stat(self):  # ref :414-431
+        v = evaluate_text(words_of(6, "scrubbing"), CFG, collect_stats=True)
+        assert v.stats.get("repetition_check_skipped") == "true"
+
+    def test_perplexity_disabled_passes(self):  # ref :459-473
+        cfg = CFG.model_copy(update={"enable_perplexity_filter": False})
+        v = evaluate_text(GOOD, cfg, ppl_scorer=lambda w: 1e9)
+        assert v.passed and "perplexity" not in v.stats
+
+    def test_perplexity_no_model_passes(self):  # ref :474-490
+        v = evaluate_text(GOOD, CFG, ppl_scorer=None)
+        assert v.passed
+
+    def test_perplexity_short_text_skipped(self):  # ref :491-509
+        cfg = CFG.model_copy(update={"min_words_for_perplexity": 50})
+        v = evaluate_text(GOOD, cfg, ppl_scorer=lambda w: 1e9)
+        assert v.passed  # scorer would fail, but the gate skips it
+
+    def test_char_repetition_edge_cases(self):  # ref :571-588
+        assert _char_repetition_ratio("") == 0.0
+        assert _char_repetition_ratio("aaaa") == 0.0  # < 10 chars
+        assert _char_repetition_ratio("ab" * 20) == 0.0  # no runs >= 3
+        assert _char_repetition_ratio("a" * 20) == 1.0
+
+    def test_word_repetition_edge_cases(self):  # ref :589-608
+        assert _word_repetition_ratio([]) == (0.0, 0)
+        assert _word_repetition_ratio(["dog"] * 4)[0] == 0.0  # < 5 words
+        # < MIN_CONTENT_WORDS content words -> 0.0
+        ratio, n_content = _word_repetition_ratio(["the"] * 30 + ["dog"] * 5)
+        assert ratio == 0.0 and n_content == 5
+
+    def test_ngram_repetition_edge_cases(self):  # ref :609-620
+        assert _max_ngram_repetition([], 3) == 0
+        assert _max_ngram_repetition(["a", "b", "c", "d", "e"], 3) == 0  # < 2n
+        assert _max_ngram_repetition(["a", "b", "c"] * 4, 3) >= 4
