@@ -118,10 +118,80 @@ def ann_lsh_knn(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- IVF: trained coarse quantizer (the other classic ANN scale path) ------
+IVF_K = 16
+IVF_NPROBE = 4
+IVF_TRAIN_CAP = 2048
+IVF_ITERS = 10
+
+
+def _train_centroids(emb_df: DataFrame) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample.
+
+    IVF's coarse quantizer is trained on a small sample (standard
+    practice — FAISS trains on ~
+    k*256 vectors), then assignment runs distributed. Determinism: the
+    sample is the first IVF_TRAIN_CAP vectors by vec_id, init is the
+    first K sample vectors, fixed iteration count, no RNG."""
+    sample = emb_df.orderBy("vec_id").limit(IVF_TRAIN_CAP).select("emb").collect()
+    X = np.array([r.emb for r in sample], dtype=np.float64)
+    X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+    C = X[:IVF_K].copy()
+    for _ in range(IVF_ITERS):
+        assign = np.argmax(X @ C.T, axis=1)
+        for k in range(IVF_K):
+            members = X[assign == k]
+            if len(members):
+                c = members.sum(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    C[k] = c / n
+    return C
+
+
+def _cell_udf(centroids: np.ndarray):
+    def _batch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for col in it:
+            mat = np.stack(col.to_numpy()).astype(np.float64)
+            mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
+            yield pd.Series(np.argmax(mat @ centroids.T, axis=1).astype("int64"))
+
+    return F.pandas_udf(_batch, "long")
+
+
+def ann_ivf_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k within the IVF_NPROBE cells nearest the probe (approximate;
+    rows-only check — centroids are data-trained, so there is no static
+    SQL twin; recall vs brute force is asserted in tests/test_ann.py).
+
+    At corpus scale the cell id becomes a partition column of the
+    embedding table, so a probe touches nprobe/K of the data."""
+    emb = _emb_double(spark, sf)
+    centroids = _train_centroids(emb)
+    cell = _cell_udf(centroids)
+    probe_row = emb.filter(F.col("vec_id") == PROBE_VEC_ID).select("emb").collect()[0]
+    p = np.array(probe_row.emb, dtype=np.float64)
+    p = p / (np.linalg.norm(p) + 1e-12)
+    probe_cells = [int(i) for i in np.argsort(-(centroids @ p))[:IVF_NPROBE]]
+    probe = emb.filter(F.col("vec_id") == PROBE_VEC_ID).select(
+        F.col("emb").alias("probe_emb")
+    )
+    return (
+        emb.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .withColumn("cell", cell(F.col("emb")))
+        .filter(F.col("cell").isin(probe_cells))
+        .crossJoin(F.broadcast(probe))
+        .select("vec_id", "label", F.round(_cosine("emb", "probe_emb"), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn": embedding_knn,
     "embedding_near_dups": embedding_near_dups,
     "ann_lsh_knn": ann_lsh_knn,
+    "ann_ivf_knn": ann_ivf_knn,  # rows-only (data-trained centroids)
 }
 
 

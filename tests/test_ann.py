@@ -1,0 +1,43 @@
+"""ANN approximation quality: the scale paths must actually find
+near-neighbors, not just run. Brute-force cosine top-k (oracle-checked
+in the driver gate) is ground truth; LSH and IVF are graded on recall
+against it.
+"""
+
+from cleaning_web_corpus_spark.ops.ann import (
+    TOP_K,
+    ann_ivf_knn,
+    ann_lsh_knn,
+    embedding_knn,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ids(df):
+    return [r.vec_id for r in df.collect()]
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    exact = set(_ids(embedding_knn(spark, SF)))
+    approx = set(_ids(ann_ivf_knn(spark, SF)))
+    assert len(approx) == TOP_K
+    # nprobe/K = 1/4 of the corpus searched; near-neighbors cluster, so
+    # recall should be well above the random-baseline 25%
+    assert len(exact & approx) >= TOP_K // 2
+
+
+def test_lsh_returns_plausible_neighbors(spark):
+    exact = _ids(embedding_knn(spark, SF))
+    approx = _ids(ann_lsh_knn(spark, SF))
+    assert approx, "probe bucket must not be empty"
+    # every LSH result must at least be a genuine cosine ranking:
+    # ordered by descending cosine (ties by vec_id) — verified by the
+    # exact-oracle in the driver gate; here assert overlap is nonzero
+    assert set(exact) & set(approx)
+
+
+def test_ivf_deterministic(spark):
+    a = _ids(ann_ivf_knn(spark, SF))
+    b = _ids(ann_ivf_knn(spark, SF))
+    assert a == b
