@@ -259,22 +259,33 @@ def main_scaling():
     steady-state engine finishes 370k turns in ~4.5s at 32 cores,
     where Spark's per-job scheduling floor dominates and masks
     scaling. Each level runs in its own subprocess (fresh JVM, fixed
-    32g heap) and reports the best of 2 measured passes after a full
-    warm pass.
+    32g heap) and reports the best of its measured passes after warm
+    passes.
+
+    The two levels are INTERLEAVED over several rounds (8, 32, 8, 32)
+    and the per-level best across rounds is used: this sandbox host's
+    effective core speed drifts by >2x across ~10-minute windows, so a
+    single 8-then-32 sequence can produce physically impossible
+    ratios (observed: a no-Spark control measuring 1.63 "efficiency").
+    Interleaving makes both levels sample the same host windows.
     """
     import subprocess
 
     sf = _sf_of(SF_DIR)
     results = {}
     env = dict(os.environ, SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
-    for cores in (8, 32):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores)],
-            capture_output=True, text=True, env=env, check=True,
-        )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        d = json.loads(line)
-        results[cores] = (d["elapsed"], d["n_turns"], d["n_turns"] / d["elapsed"])
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+    for _round in range(rounds):
+        for cores in (8, 32):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores)],
+                capture_output=True, text=True, env=env, check=True,
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+            d = json.loads(line)
+            cur = (d["elapsed"], d["n_turns"], d["n_turns"] / d["elapsed"])
+            if cores not in results or cur[2] > results[cores][2]:
+                results[cores] = cur
     eff = (results[32][2] / results[8][2]) / (32 / 8)
 
     # hardware controls: what does THIS box allow, independent of Spark?
@@ -333,7 +344,8 @@ def main_scaling():
             f"{eff:.3f}, i.e. engine coordination costs only the gap between",
             "those two numbers — on N vs 4N separate executors (each with",
             "its own DRAM) the engine-attributable efficiency is the",
-            f"pipeline/workload ratio {round(eff / wl, 3) if wl else 'n/a'}, above the 0.8 bar.",
+            f"pipeline/workload ratio {round(eff / wl, 3) if wl else 'n/a'}"
+            " (criterion: >= 0.8).",
             "",
         ]
     with open("BENCH/SCALING.md", "w") as f:
