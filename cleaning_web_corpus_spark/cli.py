@@ -82,8 +82,10 @@ def main(argv=None):
                     {
                         "run_id": res.run_id,
                         "conversations": summary.convs,
-                        "kept_conversations": int(summary.kept),
-                        "turns": int(summary.turns),
+                        # sums are NULL over zero rows — empty input is
+                        # a zero-count summary, not a TypeError
+                        "kept_conversations": int(summary.kept or 0),
+                        "turns": int(summary.turns or 0),
                     }
                 )
             )

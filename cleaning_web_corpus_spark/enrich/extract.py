@@ -103,10 +103,26 @@ def _best(matches: Dict[str, float], default: str) -> Tuple[str, float]:
     if not non_zero:
         return default, 0.0
     # max by confidence; alphabetical tie-break for determinism
-    return max(non_zero.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+    return min(non_zero.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
+# reference _calculate_step_confidence keyword lists (extractors.py:239-250)
+_CLEANING_KEYWORDS = (
+    "clean", "remove", "apply", "rinse", "dry", "wipe", "scrub", "blot",
+    "vacuum", "treat",
+)
+_INFORMATIONAL_KEYWORDS = (
+    "health benefits", "benefits", "prolongs", "extends", "improves",
+    "helps", "can trap", "may contain", "is important", "is essential",
+    "provides", "offers", "description", "information", "about",
+)
 
 
 def _step_confidence(step_text: str, numbered: bool) -> float:
+    """Reference semantics incl. the cleaning-keyword boost and the
+    informational-content penalty (extractors.py:207-264) — without the
+    penalty, non-actionable bullets like "- helps improve the look"
+    would survive at base confidence."""
     conf = 0.5 + (0.2 if numbered else 0.0)
     low = step_text.lower()
     leading = any(low.startswith(v) for v in vocab.ACTION_VERBS)
@@ -115,6 +131,12 @@ def _step_confidence(step_text: str, numbered: bool) -> float:
     n_verbs = sum(1 for v in vocab.ACTION_VERBS if v in low)
     if n_verbs > 1:
         conf += min(0.2, (n_verbs - 1) * 0.05)
+    n_cleaning = sum(1 for k in _CLEANING_KEYWORDS if k in low)
+    if n_cleaning > 0:
+        conf += min(0.15, n_cleaning * 0.05)
+    n_info = sum(1 for k in _INFORMATIONAL_KEYWORDS if k in low)
+    if n_info > 0:
+        conf -= min(0.4, n_info * 0.15)
     if len(step_text) < 20:
         conf -= 0.2
     elif len(step_text) > 200:
@@ -155,7 +177,10 @@ def _extract_steps(text: str, min_conf: float = 0.5) -> List[Tuple[str, int, flo
             continue
         seen_word_sets.append(ws)
         steps.append((raw, len(steps) + 1, round(conf, 3)))
-    return steps[:10]
+    # NO cap here: the reference's [:10] limit applies only to its
+    # sentence-heuristics fallback (extractors.py:402), never to
+    # pattern-extracted list steps
+    return steps
 
 
 def enrich_one(text: str) -> tuple:

@@ -99,8 +99,11 @@ ACTION_VERBS = (
 
 # step-boundary regexes (numbered / ordinal / bullet / imperative)
 NUMBERED_STEP_RE = re.compile(r"^(?:step\s+)?(\d+)[\.\):]\s+(.+)$", re.IGNORECASE | re.MULTILINE)
+# full ordinal list per the reference (patterns.py:224-225 includes
+# sixth..tenth — dropping them silently loses steps 6-10)
 ORDINAL_STEP_RE = re.compile(
-    r"^(?:first|second|third|fourth|fifth|then|next|finally|lastly)[,:]\s+(.+)$",
+    r"^(?:first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|tenth"
+    r"|then|next|finally|lastly)[,:]\s+(.+)$",
     re.IGNORECASE | re.MULTILINE,
 )
 BULLET_STEP_RE = re.compile(r"^\s*[-•*]\s+(.+)$", re.MULTILINE)

@@ -101,48 +101,59 @@ def _flags(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def ablation_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """ONE aggregate pass over documents, then stack() to long form —
+    Spark does not share subplans across union branches, so the
+    union-of-aggregates form would scan + re-tokenize the table once
+    per filter (same pitfall this repo documents in ops/dedup.py)."""
     flags = _flags(spark, sf)
-    total = F.count(F.lit(1))
-    rows = []
-    for name in ["wc_pass", "awl_pass", "lang_pass"]:
-        rows.append(
-            flags.agg(
-                F.lit(name.replace("_pass", "")).alias("filter_name"),
-                F.sum(F.col(name).cast("long")).alias("n_pass"),
-                (total - F.sum(F.col(name).cast("long"))).alias("n_fail"),
-                F.round(F.sum(F.col(name).cast("long")) / total, 4).alias("retention"),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    names = ["wc_pass", "awl_pass", "lang_pass"]
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        *[F.sum(F.col(n).cast("long")).alias(n) for n in names],
+    )
+    stacked = ", ".join(f"'{n.replace('_pass', '')}', {n}" for n in names)
+    return agg.select(
+        F.expr(f"stack({len(names)}, {stacked}) AS (filter_name, n_pass)"),
+        "n_total",
+    ).select(
+        "filter_name",
+        "n_pass",
+        (F.col("n_total") - F.col("n_pass")).alias("n_fail"),
+        F.round(F.col("n_pass") / F.col("n_total"), 4).alias("retention"),
+    )
 
 
 def ablation_overlap(spark: SparkSession, sf: str) -> DataFrame:
-    """Pairwise Jaccard of the removed sets, one aggregate pass."""
+    """Pairwise Jaccard of the removed sets — one aggregate pass for
+    all pairs, stacked to long form (same rationale as above)."""
     flags = _flags(spark, sf)
     names = ["wc_pass", "awl_pass", "lang_pass"]
-    rows = []
-    for a in names:
-        for b in names:
-            if a >= b:
-                continue
-            inter = F.sum((~F.col(a) & ~F.col(b)).cast("long"))
-            union = F.sum((~F.col(a) | ~F.col(b)).cast("long"))
-            rows.append(
-                flags.agg(
-                    F.lit(a.replace("_pass", "")).alias("filter_a"),
-                    F.lit(b.replace("_pass", "")).alias("filter_b"),
-                    inter.alias("n_both_removed"),
-                    union.alias("n_either_removed"),
-                    F.round(inter / F.nullif(union, F.lit(0)), 4).alias("jaccard"),
-                )
+    pairs = [(a, b) for a in names for b in names if a < b]
+    aggs = []
+    for i, (a, b) in enumerate(pairs):
+        aggs.append(F.sum((~F.col(a) & ~F.col(b)).cast("long")).alias(f"i{i}"))
+        aggs.append(F.sum((~F.col(a) | ~F.col(b)).cast("long")).alias(f"u{i}"))
+    stacked = ", ".join(
+        f"'{a.replace('_pass', '')}', '{b.replace('_pass', '')}', i{i}, u{i}"
+        for i, (a, b) in enumerate(pairs)
+    )
+    return (
+        flags.agg(*aggs)
+        .select(
+            F.expr(
+                f"stack({len(pairs)}, {stacked})"
+                " AS (filter_a, filter_b, n_both_removed, n_either_removed)"
             )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_both_removed")
+                / F.nullif(F.col("n_either_removed"), F.lit(0)),
+                4,
+            ),
+        )
+    )
 
 
 # --- P8/P9: keyword-confidence scoring + arg-max category -------------------

@@ -44,9 +44,17 @@ def dedup_latest(df: DataFrame, ts_col: str = "ts") -> DataFrame:
 
 
 def salted_repartition(df: DataFrame, cfg: ConversationConfig, partitions: int) -> DataFrame:
-    """Spread per-turn work evenly regardless of conversation sizes."""
-    salt = F.pmod(F.xxhash64(*TURN_KEY, F.lit(cfg.salt_buckets)), F.lit(cfg.salt_buckets))
-    return df.repartition(partitions, F.col("conv_id"), F.col("turn_idx"), salt)
+    """Spread per-turn work evenly regardless of conversation sizes.
+
+    Partitions on ``(conv_id, salt)`` with ``salt = hash(turn_idx) mod
+    salt_buckets``: a mega-conversation fans out into at most
+    ``salt_buckets`` shards (even executor load for the per-turn UDF)
+    while keeping bounded residual conv-locality; small conversations
+    land in few shards. Salting conv_id with the full turn_idx would
+    also spread evenly but with unbounded fan-out per conversation.
+    """
+    salt = F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(cfg.salt_buckets))
+    return df.repartition(partitions, F.col("conv_id"), salt)
 
 
 def conversation_verdicts(turn_verdicts: DataFrame, cfg: ConversationConfig) -> DataFrame:

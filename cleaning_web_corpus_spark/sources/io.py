@@ -28,15 +28,14 @@ def read_jsonl(
     spark: SparkSession, path: str, schema: Optional[str] = None
 ) -> DataFrame:
     """JSONL scan that silently drops undecodable lines, like the
-    reference's try/except-continue loop. With an explicit schema the
-    corrupt-record column is requested and filtered; schema inference
-    drops bad lines on its own."""
-    reader = spark.read.option("mode", "PERMISSIVE")
+    reference's try/except-continue loop. DROPMALFORMED (not a
+    _corrupt_record filter): Spark refuses a query whose pruned scan
+    requests only the corrupt-record column, so a count()/agg-only
+    consumer of the filter form would throw
+    UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN."""
     if schema:
-        full = f"{schema}, {CORRUPT_COL} string"
-        df = reader.schema(full).json(path)
-        return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
-    return reader.json(path)
+        return spark.read.option("mode", "DROPMALFORMED").schema(schema).json(path)
+    return spark.read.option("mode", "PERMISSIVE").json(path)
 
 
 def write_jsonl(df: DataFrame, path: str, single_file: bool = False) -> None:
