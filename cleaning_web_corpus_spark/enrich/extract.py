@@ -146,6 +146,83 @@ def _step_confidence(step_text: str, numbered: bool) -> float:
     return min(1.0, max(0.0, conf))
 
 
+# sentence-fallback vocab (reference extractors.py:340-345, 415-433)
+_SENT_SPLIT_RE = re.compile(r"[.!?]\s+")
+_FALLBACK_TOOLS = (
+    "towel", "sponge", "brush", "vacuum", "cloth", "spray bottle",
+    "vinegar", "baking soda", "soap", "detergent", "gloves",
+    "paper towel", "bucket", "mop", "scrub brush",
+)
+_INFO_PHRASES = (
+    "health benefits", "benefits of", "prolongs", "extends", "improves",
+    "is important", "is essential", "helps", "can trap", "may contain",
+    "provides", "offers", "description", "information about",
+    "this is", "these are", "it is", "they are", "carpets can",
+    "carpets help", "carpets provide", "carpets trap",
+)
+_DESCRIPTIVE_WORDS = (
+    "benefit", "benefits", "important", "essential", "helpful",
+    "useful", "effective", "good", "better", "best",
+)
+_SUBJECT_PRONOUNS = ("i ", "you ", "he ", "she ", "it ", "they ", "we ")
+
+
+def _is_descriptive(low: str) -> bool:
+    """Reference _is_descriptive_or_informational (extractors.py:404-447)."""
+    for ph in _INFO_PHRASES:
+        if low.startswith(ph) or f" {ph} " in low:
+            return True
+    has_verb = any(v in low for v in vocab.ACTION_VERBS)
+    if sum(1 for w in _DESCRIPTIVE_WORDS if w in low) >= 2 and not has_verb:
+        return True
+    if len(low.split()) > 50 and not has_verb:
+        return True
+    return False
+
+
+def _steps_from_sentences(text: str, min_conf: float) -> List[Tuple[str, float]]:
+    """Heuristic sentence extraction when no structured pattern matched
+    (reference extractors.py:318-402): imperative start (+0.4),
+    sequential indicator (+0.2), tool mentions (<=+0.2), no leading
+    subject pronoun (+0.1), contained action verbs (<=+0.2) over a 0.2
+    base; capped at 10 sentences like the reference."""
+    out: List[Tuple[str, float]] = []
+    for sentence in _SENT_SPLIT_RE.split(text):
+        sentence = sentence.strip()
+        if not sentence or len(sentence) < 20:
+            continue
+        low = sentence.lower()
+        if _is_descriptive(low):
+            continue
+        is_step = False
+        conf = 0.2
+        for v in vocab.ACTION_VERBS:
+            if low.startswith(v):
+                is_step = True
+                conf += 0.4
+                break
+        for ind in vocab.STEP_INDICATORS:
+            if ind in low:
+                is_step = True
+                conf += 0.2
+                break
+        n_tools = sum(1 for t in _FALLBACK_TOOLS if t in low)
+        if n_tools > 0:
+            is_step = True
+            conf += min(0.2, n_tools * 0.1)
+        if is_step and not any(low.startswith(p) for p in _SUBJECT_PRONOUNS):
+            conf += 0.1
+        n_verbs = sum(1 for v in vocab.ACTION_VERBS if v in low)
+        if n_verbs > 0:
+            is_step = True
+            conf += min(0.2, n_verbs * 0.1)
+        if is_step and conf >= min_conf:
+            out.append((sentence, conf))
+        if len(out) >= 10:
+            break
+    return out
+
+
 def _extract_steps(text: str, min_conf: float = 0.5) -> List[Tuple[str, int, float]]:
     found: List[Tuple[str, float]] = []
     for m in vocab.NUMBERED_STEP_RE.finditer(text):
@@ -157,14 +234,22 @@ def _extract_steps(text: str, min_conf: float = 0.5) -> List[Tuple[str, int, flo
     for m in vocab.IMPERATIVE_STEP_RE.finditer(text):
         found.append((m.group(0).strip(), False))
 
-    steps: List[Tuple[str, int, float]] = []
-    seen_word_sets: List[set] = []
+    scored: List[Tuple[str, float]] = []
     for raw, numbered in found:
         if len(raw) <= 10:
             continue
         conf = _step_confidence(raw, numbered)
-        if conf < min_conf:
-            continue
+        if conf >= min_conf:
+            scored.append((raw, conf))
+
+    # sentence-heuristics fallback when no structured pattern yielded a
+    # confident step (reference extractors.py:199-200)
+    if not scored:
+        scored = _steps_from_sentences(text, min_conf)
+
+    steps: List[Tuple[str, int, float]] = []
+    seen_word_sets: List[set] = []
+    for raw, conf in scored:
         ws = set(raw.lower().split())
         dup = False
         for prev in seen_word_sets:
@@ -178,8 +263,8 @@ def _extract_steps(text: str, min_conf: float = 0.5) -> List[Tuple[str, int, flo
         seen_word_sets.append(ws)
         steps.append((raw, len(steps) + 1, round(conf, 3)))
     # NO cap here: the reference's [:10] limit applies only to its
-    # sentence-heuristics fallback (extractors.py:402), never to
-    # pattern-extracted list steps
+    # sentence-heuristics fallback (capped inside _steps_from_sentences),
+    # never to pattern-extracted list steps
     return steps
 
 

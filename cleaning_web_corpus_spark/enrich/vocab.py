@@ -97,6 +97,13 @@ ACTION_VERBS = (
     "shake stir spread gently carefully thoroughly"
 ).split()
 
+# sequential-instruction indicators for the sentence-fallback extractor
+# (reference patterns.py:234-237)
+STEP_INDICATORS = (
+    "step", "steps", "first", "second", "third", "then", "next", "finally",
+    "lastly", "after", "before", "once", "when", "while", "during",
+)
+
 # step-boundary regexes (numbered / ordinal / bullet / imperative)
 NUMBERED_STEP_RE = re.compile(r"^(?:step\s+)?(\d+)[\.\):]\s+(.+)$", re.IGNORECASE | re.MULTILINE)
 # full ordinal list per the reference (patterns.py:224-225 includes

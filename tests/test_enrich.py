@@ -116,3 +116,58 @@ class TestSparkIntegration:
         tools = explode_tools(enriched)
         trows = tools.filter(F.col("conv_id") == "c1").collect()
         assert {r.tool_name for r in trows} >= {"sponge", "vinegar"}
+
+
+class TestStepExtractionReviewRegressions:
+    """Pin the behaviors restored by review: informational-content
+    penalty, sixth..tenth ordinals, no cap on pattern steps, and the
+    sentence-heuristics fallback (reference extractors.py:199-200,
+    318-447)."""
+
+    def test_informational_bullet_rejected(self):
+        from cleaning_web_corpus_spark.enrich.extract import _extract_steps
+
+        steps = _extract_steps("- helps remove the dust and improves the look of the carpet")
+        assert steps == []
+
+    def test_ordinal_sixth_through_tenth(self):
+        from cleaning_web_corpus_spark.enrich.extract import _extract_steps
+
+        text = "Sixth, rinse the area with warm water now.\nTenth, vacuum the dry carpet again."
+        got = {s for s, _o, _c in _extract_steps(text)}
+        assert len(got) == 2
+
+    def test_no_cap_on_pattern_steps(self):
+        from cleaning_web_corpus_spark.enrich.extract import _extract_steps
+
+        lines = [
+            "1. vacuum the entire carpet surface thoroughly",
+            "2. mix the detergent with warm water in a bucket",
+            "3. apply the solution to the stained area gently",
+            "4. scrub the fibers with a soft brush tool",
+            "5. blot the moisture with a clean towel",
+            "6. rinse the area with cold fresh water",
+            "7. dry the carpet with a fan overnight",
+            "8. spray the enzyme cleaner over the whole surface",
+            "9. wait thirty minutes for the cleaner to settle",
+            "10. vacuum the dried residue completely away",
+            "11. spray the deodorizer across the treated region",
+            "12. repeat the treatment weekly for the best results",
+        ]
+        assert len(_extract_steps("\n".join(lines))) == 12
+
+    def test_sentence_fallback_when_no_patterns(self):
+        from cleaning_web_corpus_spark.enrich.extract import _extract_steps
+
+        # no numbered/ordinal/bullet lines; sentences are imperative but
+        # start mid-paragraph so only the fallback can find them.
+        # NB the imperative-pattern regex also requires line starts.
+        text = (
+            "The carpet needs care. Dampen a clean cloth with the vinegar "
+            "solution carefully. After that you should work slowly. "
+            "Carpets can trap a lot of dust over time."
+        )
+        steps = _extract_steps(text)
+        assert any("dampen a clean cloth" in s.lower() for s, _o, _c in steps)
+        # the descriptive sentence is filtered out
+        assert not any("carpets can trap" in s.lower() for s, _o, _c in steps)
