@@ -31,41 +31,32 @@ _SHIPPED = set()
 def _ensure_shipped(spark: SparkSession) -> None:
     """Python UDF workers resolve imports from their own sys.path, not
     the driver's — ship the package zip once per session so the
-    model-backed queries run under any harness cwd."""
+    model-backed queries run under any harness cwd. The zip is rebuilt
+    whenever package sources are newer (addPyFile'd zips shadow
+    PYTHONPATH on workers, so a stale zip would silently run OLD code
+    in every UDF while the driver runs new code)."""
     key = id(spark.sparkContext)
     if key in _SHIPPED:
         return
-    try:
-        import zipfile
+    from cleaning_web_corpus_spark.packaging import build_pyfiles_zip
 
-        zip_path = os.path.join(_REPO_DIR, "dist", "cwc_spark.zip")
-        if not os.path.exists(zip_path):
-            os.makedirs(os.path.dirname(zip_path), exist_ok=True)
-            pkg = os.path.join(_REPO_DIR, "cleaning_web_corpus_spark")
-            with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
-                for dirpath, _dirs, files in os.walk(pkg):
-                    if "__pycache__" in dirpath:
-                        continue
-                    for fn in files:
-                        if fn.endswith(".py"):
-                            full = os.path.join(dirpath, fn)
-                            z.write(full, os.path.relpath(full, _REPO_DIR))
+    zip_path = build_pyfiles_zip(
+        _REPO_DIR, os.path.join(_REPO_DIR, "dist", "cwc_spark.zip")
+    )
+    try:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:
         pass  # already added, or workers share the driver's path anyway
     _SHIPPED.add(key)
 
 
-def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full filter chain (models included) over documents -> histogram.
-
-    The Spark form of the reference's pipeline counters
-    (/root/reference/src/processors/text_processor.py:265-268)."""
-    _ensure_shipped(spark)
+def _doc_cfg():
+    """The one documents-scale chain config, shared by the flagship
+    histogram, the per-doc verdict query, and the ablation report so
+    the three always describe the same chain."""
     from cleaning_web_corpus_spark.config import QualityConfig
-    from cleaning_web_corpus_spark.filters.udf import make_verdict_udf
 
-    cfg = QualityConfig(
+    return QualityConfig(
         min_words=20,
         max_words=80,
         min_avg_word_length=3.0,
@@ -74,7 +65,17 @@ def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_word_repetition_ratio=0.95,  # word-salad corpus: repetition ratio is high by construction
         max_ngram_repetition=50,
     )
-    verdict = make_verdict_udf(cfg, emit_stats=False)
+
+
+def _flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full filter chain (models included) over documents -> histogram.
+
+    The Spark form of the reference's pipeline counters
+    (/root/reference/src/processors/text_processor.py:265-268)."""
+    _ensure_shipped(spark)
+    from cleaning_web_corpus_spark.filters.udf import make_verdict_udf
+
+    verdict = make_verdict_udf(_doc_cfg(), emit_stats=False)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         docs.withColumn("v", verdict(F.col("text")))
@@ -90,15 +91,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def _verdict_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc verdicts from the model-backed chain (rows-only check)."""
     _ensure_shipped(spark)
-    from cleaning_web_corpus_spark.config import QualityConfig
     from cleaning_web_corpus_spark.filters.udf import make_verdict_udf
 
-    cfg = QualityConfig(
-        min_words=20, max_words=80, min_avg_word_length=3.0,
-        min_words_for_repetition_check=30, min_words_for_perplexity=10,
-        max_word_repetition_ratio=0.95, max_ngram_repetition=50,
-    )
-    verdict = make_verdict_udf(cfg, emit_stats=False)
+    verdict = make_verdict_udf(_doc_cfg(), emit_stats=False)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         "doc_id",
@@ -141,16 +136,10 @@ def _ablation_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-chain ablation (independent per-check flags, one pass) over
     documents; rows-only (models not SQL-expressible)."""
     _ensure_shipped(spark)
-    from cleaning_web_corpus_spark.config import QualityConfig
     from cleaning_web_corpus_spark.filters.ablation import ablation_report
 
-    cfg = QualityConfig(
-        min_words=20, max_words=80, min_avg_word_length=3.0,
-        min_words_for_repetition_check=30, min_words_for_perplexity=10,
-        max_word_repetition_ratio=0.95, max_ngram_repetition=50,
-    )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return ablation_report(docs, cfg, text_col="text")
+    return ablation_report(docs, _doc_cfg(), text_col="text")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

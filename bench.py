@@ -44,6 +44,21 @@ def _sf_of(path: str) -> float:
 
 N_CONVS_PER_SF = 1_600_000  # sf0.1 -> 160k convs (~1.5M turns incl. mega tail)
 
+
+def _corpus_path(n_convs: int) -> str:
+    """Cache path for the materialized corpus, keyed by size AND a hash
+    of the generator source — editing generate_transcripts invalidates
+    the cache instead of silently benchmarking stale data."""
+    import hashlib
+
+    from cleaning_web_corpus_spark.pipeline import transcripts as _t
+
+    with open(_t.__file__, "rb") as f:
+        gen_hash = hashlib.md5(f.read()).hexdigest()[:8]
+    return os.path.join(
+        tempfile.gettempdir(), f"cwc_bench_corpus_{n_convs}_{gen_hash}"
+    )
+
 BENCH_QUERIES = [
     "word_stats",
     "drop_reason_histogram",
@@ -175,9 +190,7 @@ def main_default():
     # Spark's per-job floor and JIT tiering are a visible fraction; 3M
     # turns is the compute-bound regime a cluster job lives in
     n_convs = max(200, int(N_CONVS_PER_SF * sf) * 2)
-    corpus_path = os.path.join(
-        tempfile.gettempdir(), f"cwc_bench_corpus_sf{sf}_{n_convs}"
-    )
+    corpus_path = _corpus_path(n_convs)
     spark = _build(f"local[{CPUS}]", CPUS)
     try:
         n_rows = materialize_corpus(spark, n_convs, corpus_path)
@@ -225,16 +238,18 @@ def scaling_worker(cores: int):
     cores, which would silently hand the "8-core" baseline ~16 cores
     and corrupt the N-vs-4N comparison.
     """
+    pinned = True
     try:
         os.sched_setaffinity(0, set(range(cores)))
-    except (AttributeError, OSError):
-        pass
+    except (AttributeError, OSError) as e:
+        # an unpinned "8-core" level silently gets extra host cores and
+        # corrupts the comparison — surface it instead of pretending
+        print(f"WARNING: CPU pinning failed ({e}); level runs UNPINNED", file=sys.stderr)
+        pinned = False
     sf = _sf_of(SF_DIR)
     mult = int(os.environ.get("SPARK_GRAFT_SCALING_MULT", "2"))
     n_convs = max(200, int(N_CONVS_PER_SF * sf) * mult)
-    corpus_path = os.path.join(
-        tempfile.gettempdir(), f"cwc_bench_corpus_sf{sf}_{n_convs}"
-    )
+    corpus_path = _corpus_path(n_convs)
     spark = _build(f"local[{cores}]", cores)
     try:
         materialize_corpus(spark, n_convs, corpus_path)
@@ -247,7 +262,7 @@ def scaling_worker(cores: int):
         for _ in range(3):
             elapsed, n_turns, _, _ = run_pipeline_timed(spark, corpus_path)
             best = (elapsed, n_turns) if best is None or elapsed < best[0] else best
-        print(json.dumps({"elapsed": best[0], "n_turns": best[1]}))
+        print(json.dumps({"elapsed": best[0], "n_turns": best[1], "pinned": pinned}))
     finally:
         spark.stop()
 
@@ -291,9 +306,15 @@ def main_scaling():
     # hardware controls: what does THIS box allow, independent of Spark?
     controls = {}
     try:
+        # pass the SAME corpus path the workers used: the control must
+        # measure identical data or the pipeline/workload ratio is junk
+        ctl_corpus = _corpus_path(
+            max(200, int(N_CONVS_PER_SF * sf)
+                * int(os.environ.get("SPARK_GRAFT_SCALING_MULT", "2")))
+        )
         out = subprocess.run(
             [sys.executable, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                          "tools", "scaling_controls.py")],
+                                          "tools", "scaling_controls.py"), ctl_corpus],
             capture_output=True, text=True, timeout=420, check=True,
         )
         controls = json.loads(

@@ -1,0 +1,50 @@
+"""Build the ``--py-files`` zip — ONE implementation shared by
+``tools/package_pyfiles.py`` (spark-submit artifact) and the driver
+contract's auto-ship path (``__spark_entry__._ensure_shipped``), so the
+two artifacts can never drift.
+
+Staleness matters: pyspark inserts addPyFile'd zips AHEAD of PYTHONPATH
+entries on workers, so shipping an old zip makes every UDF silently run
+old code while the driver runs new code. The build therefore rebuilds
+whenever any package source is newer than the zip, and writes via a
+temp file + ``os.replace`` so an interrupted build never leaves a
+corrupt zip for later sessions to ship.
+"""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+PKG = "cleaning_web_corpus_spark"
+
+
+def build_pyfiles_zip(repo_dir: str, zip_path: str, force: bool = False) -> str:
+    """(Re)build ``zip_path`` from the package sources; returns it.
+
+    Skips the build only when the existing zip is at least as new as
+    every ``.py`` source under the package."""
+    pkg = os.path.join(repo_dir, PKG)
+    sources = []
+    for dirpath, _dirs, files in os.walk(pkg):
+        if "__pycache__" in dirpath:
+            continue
+        sources.extend(
+            os.path.join(dirpath, fn) for fn in files if fn.endswith(".py")
+        )
+    sources.sort()
+    if not force and os.path.exists(zip_path):
+        zip_mtime = os.path.getmtime(zip_path)
+        if all(os.path.getmtime(s) <= zip_mtime for s in sources):
+            return zip_path
+    os.makedirs(os.path.dirname(zip_path), exist_ok=True)
+    tmp = f"{zip_path}.{os.getpid()}.tmp"
+    try:
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            for full in sources:
+                z.write(full, os.path.relpath(full, repo_dir))
+        os.replace(tmp, zip_path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    return zip_path

@@ -1,24 +1,18 @@
 """Build dist/cwc_spark.zip for spark-submit --py-files."""
 
 import os
-import zipfile
+import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-PKG = "cleaning_web_corpus_spark"
+sys.path.insert(0, ROOT)
+
+from cleaning_web_corpus_spark.packaging import build_pyfiles_zip  # noqa: E402
+
 OUT = os.path.join(ROOT, "dist", "cwc_spark.zip")
 
 
 def main():
-    os.makedirs(os.path.dirname(OUT), exist_ok=True)
-    with zipfile.ZipFile(OUT, "w", zipfile.ZIP_DEFLATED) as z:
-        for dirpath, _dirs, files in os.walk(os.path.join(ROOT, PKG)):
-            if "__pycache__" in dirpath:
-                continue
-            for fn in files:
-                if fn.endswith(".py"):
-                    full = os.path.join(dirpath, fn)
-                    z.write(full, os.path.relpath(full, ROOT))
-    print(OUT)
+    print(build_pyfiles_zip(ROOT, OUT, force=True))
 
 
 if __name__ == "__main__":

@@ -29,9 +29,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CHUNK = None
-
-
 def _burn(_):
     t0 = time.time()
     x = 0
@@ -40,7 +37,9 @@ def _burn(_):
     return x
 
 
-def _filter_work(chunk_id):
+def _filter_work(chunk):
+    """Chunk arrives as the map argument (start-method-portable: a
+    module-global mutated pre-fork would be None under spawn/forkserver)."""
     from cleaning_web_corpus_spark.config import QualityConfig
     from cleaning_web_corpus_spark.filters.chain import evaluate_text
     from cleaning_web_corpus_spark.models.langid import get_default_model
@@ -50,7 +49,7 @@ def _filter_work(chunk_id):
     det = get_default_model().detect
     ppl = P()
     n = 0
-    for t in CHUNK[chunk_id]:
+    for t in chunk:
         evaluate_text(t, cfg, det, lambda ws: ppl.perplexity(ws))
         n += 1
     return n
@@ -63,14 +62,13 @@ def _alu(nproc: int) -> float:
 
 
 def _workload(nproc: int, texts) -> float:
-    global CHUNK
     os.sched_setaffinity(0, set(range(nproc)))
     k = len(texts) // nproc
-    CHUNK = [texts[i * k : (i + 1) * k] for i in range(nproc)]
+    chunks = [texts[i * k : (i + 1) * k] for i in range(nproc)]
     with mp.Pool(nproc) as p:
-        p.map(_filter_work, range(nproc))  # warm: model build per proc
+        p.map(_filter_work, chunks)  # warm: model build per proc
         t0 = time.time()
-        tot = sum(p.map(_filter_work, range(nproc)))
+        tot = sum(p.map(_filter_work, chunks))
         return tot / (time.time() - t0)
 
 
