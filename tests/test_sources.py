@@ -44,3 +44,14 @@ def test_read_seeds(spark, tmp_path):
     )
     urls = sorted(r.url for r in read_seeds(spark, str(p)).collect())
     assert urls == ["https://example.com/a", "https://example.com/b"]
+
+
+def test_jsonl_count_only_with_bad_lines(spark, tmp_path):
+    """Aggregation-only consumers must work: the former _corrupt_record
+    filter made Spark throw QUERY_ONLY_CORRUPT_RECORD_COLUMN when
+    column pruning left only the corrupt column in the scan."""
+    p = tmp_path / "docs.jsonl"
+    p.write_text('{"doc_id": 1, "text": "ok"}\nnot json\n{"doc_id": 2, "text": "b"}\n')
+    from cleaning_web_corpus_spark.sources.io import read_jsonl
+
+    assert read_jsonl(spark, str(p), schema="doc_id bigint, text string").count() == 2
