@@ -27,6 +27,66 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+def transcript_table_ddl(
+    catalog: str, db: str = "corpus", table: str = "transcripts", buckets: int = 4096
+) -> str:
+    """Production DDL for the 10^12-turn input table.
+
+    Partition spec rationale at that scale:
+
+    * ``days(ts)`` — ingestion is time-ordered, so daily partitions make
+      re-ingest/backfill windows prune to a handful of partitions, and
+      resume-from-snapshot reprocesses only the affected days.
+    * ``bucket(N, conv_id)`` — co-locates a conversation's turns for
+      conv-keyed reads (dedup window, conversation aggregate shuffle
+      keys align with storage), while a mega-conversation still spreads
+      across its days rather than hot-spotting one file. N is sized so
+      a day-bucket slice is ~0.5-1 GB (here 4096 for ~10^9 turns/day at
+      ~250 B/turn).
+    * sorted within files by (conv_id, turn_idx) — Parquet min/max
+      stats then prune conv_id point-lookups to a few pages, and the
+      kept-turns output ordering is mostly a no-op sort.
+    """
+    return f"""
+        CREATE TABLE IF NOT EXISTS {catalog}.{db}.{table} (
+            conv_id  STRING NOT NULL,
+            turn_idx INT    NOT NULL,
+            role     STRING,
+            text     STRING,
+            tool     STRING,
+            ts       TIMESTAMP
+        )
+        USING iceberg
+        PARTITIONED BY (days(ts), bucket({buckets}, conv_id))
+        TBLPROPERTIES (
+            'write.distribution-mode' = 'hash',
+            'sort-order' = 'conv_id ASC, turn_idx ASC',
+            'write.target-file-size-bytes' = '536870912',
+            'write.parquet.compression-codec' = 'zstd'
+        )
+    """
+
+
+def metrics_table_ddl(
+    catalog: str, db: str = "corpus", table: str = "pipeline_metrics"
+) -> str:
+    """Lineage/metrics table (pipeline/lineage.py writes its rows):
+    partitioned by stage + run so resume checks scan one partition."""
+    return f"""
+        CREATE TABLE IF NOT EXISTS {catalog}.{db}.{table} (
+            run_id                STRING NOT NULL,
+            stage                 STRING NOT NULL,
+            partition_id          INT,
+            input_rows            BIGINT,
+            output_rows           BIGINT,
+            drop_reason_histogram MAP<STRING, BIGINT>,
+            model_versions        MAP<STRING, STRING>
+        )
+        USING iceberg
+        PARTITIONED BY (stage, run_id)
+    """
+
+
 def iceberg_catalog(spark: SparkSession) -> str | None:
     """Name of the first configured Iceberg catalog, if any."""
     try:

@@ -23,3 +23,19 @@ def test_qualify_iceberg_identifiers(spark):
     io = TableIO(spark, catalog="lake")
     assert io.is_iceberg
     assert io._qualify("db.transcripts") == "lake.db.transcripts"
+
+
+def test_transcript_ddl_parses(spark):
+    """The production DDL must be syntactically valid Spark SQL — parse
+    (not execute: no Iceberg jar in the sandbox) via the session parser."""
+    from cleaning_web_corpus_spark.sources.tables import (
+        metrics_table_ddl,
+        transcript_table_ddl,
+    )
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for ddl in [transcript_table_ddl("ice"), metrics_table_ddl("ice")]:
+        plan = parser.parsePlan(ddl)  # throws ParseException if malformed
+        assert plan is not None
+    ddl = transcript_table_ddl("ice", buckets=1024)
+    assert "bucket(1024, conv_id)" in ddl and "days(ts)" in ddl
