@@ -58,10 +58,17 @@ def _trigram_ids(text: str, max_chars: int = _MAX_DETECT_CHARS) -> np.ndarray:
     ids = codes[:-2] * 1024 + codes[1:-1] * 32 + codes[2:]
     if len(b) > max_chars and not ids.any():
         # pathological prefix (digits/punct only) swallowed the capped
-        # window: fall back to the full text so trailing letters count
-        b = (" " + text.lower() + " ").encode("latin-1", "cwc_high_byte")
-        codes = np.frombuffer(b.translate(_CODE_TABLE), dtype=np.uint8).astype(np.int32)
-        ids = codes[:-2] * 1024 + codes[1:-1] * 32 + codes[2:]
+        # window: re-window from the first letter byte instead of
+        # featurizing the full text — keeps per-row cost O(max_chars)
+        # even for megabytes of digits with trailing letters (the scan
+        # below is a C-speed translate + argmax, not Python per char)
+        full = (" " + text.lower() + " ").encode("latin-1", "cwc_high_byte")
+        codes_full = np.frombuffer(full.translate(_CODE_TABLE), dtype=np.uint8)
+        nz = np.flatnonzero(codes_full)
+        if len(nz):
+            start = max(0, nz[0] - 1)
+            window = codes_full[start : start + max_chars + 2].astype(np.int32)
+            ids = window[:-2] * 1024 + window[1:-1] * 32 + window[2:]
     return ids
 
 

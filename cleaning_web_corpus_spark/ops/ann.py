@@ -4,8 +4,21 @@
   (``zip_with`` dot product inside codegen, TakeOrderedAndProject for
   the top-k). This is the correctness baseline; embeddings are cast to
   double so Spark and the DuckDB oracle agree bit-for-bit.
-* ``embedding_near_dups`` — cosine near-duplicate pairs above a
-  threshold (the embedding-cosine dedup variant).
+* ``embedding_near_dups`` — cosine near-duplicate CANDIDATE pairs: the
+  scale path. Banded random-hyperplane LSH (8 bands x 4 bits) buckets
+  every vector once per band; pairs sharing a bucket in >=1 band are
+  equi-join candidates, and cosine is computed only within buckets.
+  Sum-of-bucket^2 work instead of n^2 — no cross join anywhere in the
+  plan. Buckets above ``ND_MAX_BUCKET`` are dropped (the same
+  bounded-flood guard as ops/dedup.py), and band count / bits per band
+  scale with the corpus. Approximate by design, exactly like the
+  SimHash banding in ops/dedup.py: the operator's contract is
+  "same-bucket pairs above the threshold", which the DuckDB oracle
+  reproduces bit-for-bit from the inlined plane constants.
+* ``embedding_near_dups_exact`` — the all-pairs brute force. TEST-SCALE
+  ONLY (O(n^2) cross join): it exists as the recall baseline the banded
+  operator is measured against in tests/test_ann.py, and as the
+  simplest oracle twin. Never run this form at corpus scale.
 * ``ann_lsh_knn`` — the scale path: random-hyperplane LSH (signs of
   dot products with seeded Gaussian planes) buckets vectors, and the
   query searches only its own bucket. Plane generation is a
@@ -33,7 +46,15 @@ from cleaning_web_corpus_spark.warehouse.queries import t
 
 PROBE_VEC_ID = 0
 TOP_K = 10
-NEAR_DUP_COS = 0.9
+# near-dup banding: threshold + band geometry tuned so the driver corpus
+# (random-ish 64-dim vectors, max pairwise cosine ~0.51 at sf0.01)
+# yields a non-empty, non-trivial result — a 0-row-vs-0-row oracle match
+# proves nothing. At corpus scale raise ND_BAND_BITS (bucket count is
+# 2^bits per band) to keep bucket size ~ sqrt(pairs budget).
+NEAR_DUP_COS = 0.45
+ND_BANDS = 8
+ND_BAND_BITS = 4
+ND_MAX_BUCKET = 1000  # flood guard, same rationale as ops/dedup.py MAX_BUCKET
 # 4 bits -> 16 buckets: at the test scales (500-5k vectors) each bucket
 # still holds enough vectors that the in-bucket top-k is a meaningful
 # check; at corpus scale you raise bits to keep bucket size ~ k * fanout
@@ -72,7 +93,9 @@ def embedding_knn(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+def embedding_near_dups_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """All-pairs brute force — TEST-SCALE recall baseline only (O(n^2));
+    the production operator is the banded ``embedding_near_dups``."""
     emb = _emb_double(spark, sf)
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
@@ -81,6 +104,62 @@ def embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", F.round(_cosine("ea", "eb"), 6).alias("cosine"))
         .filter(F.col("cosine") >= NEAR_DUP_COS)
+    )
+
+
+def _nd_planes() -> np.ndarray:
+    return np.random.RandomState(0).standard_normal((ND_BANDS * ND_BAND_BITS, EMBED_DIM))
+
+
+def _band_sigs_udf():
+    planes = _nd_planes()
+    weights = 1 << np.arange(ND_BAND_BITS)
+
+    def _batch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for col in it:
+            mat = np.stack(col.to_numpy())  # (batch, dim)
+            bits = (mat @ planes.T) > 0  # (batch, bands*bits)
+            sigs = np.stack(
+                [
+                    (bits[:, b * ND_BAND_BITS : (b + 1) * ND_BAND_BITS] * weights).sum(axis=1)
+                    for b in range(ND_BANDS)
+                ],
+                axis=1,
+            ).astype("int64")
+            yield pd.Series(list(sigs))
+
+    return F.pandas_udf(_batch, "array<long>")
+
+
+def embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded-LSH near-duplicate pairs: candidates only where a band
+    bucket collides, cosine computed within buckets — the scale-safe
+    plan (shuffle on (band, sig), never a cross join). Oversized
+    buckets (> ND_MAX_BUCKET) are dropped like ops/dedup.py's flood cap;
+    a pair colliding in several bands is deduplicated after scoring
+    (the cosine is a pure function of the two vectors, so duplicate
+    candidate rows carry identical values)."""
+    sigs = _emb_double(spark, sf).withColumn("sigs", _band_sigs_udf()(F.col("emb")))
+    banded = sigs.select(
+        "vec_id", "emb", F.posexplode("sigs").alias("band", "sig")
+    )
+    # bucket-size flood cap via a window count: ONE evaluation of the
+    # signature UDF and one (band, sig) shuffle that the candidate join
+    # reuses — a groupBy+self-join form would re-run the UDF subtree
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "sig")
+    capped = banded.withColumn("n_bucket", F.count(F.lit(1)).over(w)).filter(
+        F.col("n_bucket") <= ND_MAX_BUCKET
+    )
+    a = capped.select("band", "sig", F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
+    b = capped.select("band", "sig", F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(_cosine("ea", "eb"), 6).alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COS)
+        .distinct()
     )
 
 
@@ -125,16 +204,16 @@ IVF_TRAIN_CAP = 2048
 IVF_ITERS = 10
 
 
-def _train_centroids(emb_df: DataFrame) -> np.ndarray:
-    """Deterministic spherical k-means on a driver-side sample.
+def train_centroids_np(X_raw: np.ndarray) -> np.ndarray:
+    """Deterministic spherical k-means over a raw sample matrix.
 
     IVF's coarse quantizer is trained on a small sample (standard
-    practice — FAISS trains on ~
-    k*256 vectors), then assignment runs distributed. Determinism: the
-    sample is the first IVF_TRAIN_CAP vectors by vec_id, init is the
-    first K sample vectors, fixed iteration count, no RNG."""
-    sample = emb_df.orderBy("vec_id").limit(IVF_TRAIN_CAP).select("emb").collect()
-    X = np.array([r.emb for r in sample], dtype=np.float64)
+    practice — FAISS trains on ~k*256 vectors), then assignment runs
+    distributed. Determinism: init is the first K sample vectors, fixed
+    iteration count, no RNG — so the oracle generator
+    (tools/oracle_labels.py) reproduces the identical centroids from
+    the same sample read straight off parquet, no Spark involved."""
+    X = np.asarray(X_raw, dtype=np.float64)
     X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
     C = X[:IVF_K].copy()
     for _ in range(IVF_ITERS):
@@ -149,30 +228,48 @@ def _train_centroids(emb_df: DataFrame) -> np.ndarray:
     return C
 
 
+def assign_cells_np(X_raw: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Cell id per row — the same math the Arrow UDF runs per batch."""
+    X = np.asarray(X_raw, dtype=np.float64)
+    X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+    return np.argmax(X @ centroids.T, axis=1)
+
+
+def probe_cells_np(probe_raw: np.ndarray, centroids: np.ndarray) -> list:
+    p = np.asarray(probe_raw, dtype=np.float64)
+    p = p / (np.linalg.norm(p) + 1e-12)
+    return [int(i) for i in np.argsort(-(centroids @ p))[:IVF_NPROBE]]
+
+
 def _cell_udf(centroids: np.ndarray):
     def _batch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for col in it:
-            mat = np.stack(col.to_numpy()).astype(np.float64)
-            mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12)
-            yield pd.Series(np.argmax(mat @ centroids.T, axis=1).astype("int64"))
+            cells = assign_cells_np(np.stack(col.to_numpy()), centroids)
+            yield pd.Series(cells.astype("int64"))
 
     return F.pandas_udf(_batch, "long")
 
 
 def ann_ivf_knn(spark: SparkSession, sf: str) -> DataFrame:
-    """Top-k within the IVF_NPROBE cells nearest the probe (approximate;
-    rows-only check — centroids are data-trained, so there is no static
-    SQL twin; recall vs brute force is asserted in tests/test_ann.py).
+    """Top-k within the IVF_NPROBE cells nearest the probe.
 
+    Oracle: tools/oracle_labels.py recomputes the centroids from the
+    same deterministic sample (straight off parquet, no Spark), assigns
+    every vector's cell in one numpy pass, and the DuckDB twin joins
+    that label table with the probe-cell ids inlined as literals — the
+    distributed Arrow-UDF assignment here must reproduce it exactly.
+
+    ONE bounded driver collect (the training sample; the probe row is a
+    member of it, since the sample is the first IVF_TRAIN_CAP vec_ids).
     At corpus scale the cell id becomes a partition column of the
     embedding table, so a probe touches nprobe/K of the data."""
     emb = _emb_double(spark, sf)
-    centroids = _train_centroids(emb)
+    sample = emb.orderBy("vec_id").limit(IVF_TRAIN_CAP).select("vec_id", "emb").collect()
+    X = np.array([r.emb for r in sample], dtype=np.float64)
+    centroids = train_centroids_np(X)
     cell = _cell_udf(centroids)
-    probe_row = emb.filter(F.col("vec_id") == PROBE_VEC_ID).select("emb").collect()[0]
-    p = np.array(probe_row.emb, dtype=np.float64)
-    p = p / (np.linalg.norm(p) + 1e-12)
-    probe_cells = [int(i) for i in np.argsort(-(centroids @ p))[:IVF_NPROBE]]
+    probe_idx = next(i for i, r in enumerate(sample) if r.vec_id == PROBE_VEC_ID)
+    probe_cells = probe_cells_np(X[probe_idx], centroids)
     probe = emb.filter(F.col("vec_id") == PROBE_VEC_ID).select(
         F.col("emb").alias("probe_emb")
     )
@@ -190,22 +287,80 @@ def ann_ivf_knn(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn": embedding_knn,
     "embedding_near_dups": embedding_near_dups,
+    "embedding_near_dups_exact": embedding_near_dups_exact,
     "ann_lsh_knn": ann_lsh_knn,
-    "ann_ivf_knn": ann_ivf_knn,  # rows-only (data-trained centroids)
+    "ann_ivf_knn": ann_ivf_knn,  # oracle built at oracle_sql() time (trained cells)
 }
 
 
-def _sql_bucket(vec_expr: str) -> str:
-    """Bucket expression with the seeded planes inlined as literals."""
-    planes = _planes()
+def _sql_band_sig(vec_expr: str, planes: np.ndarray) -> str:
+    """Signature expression with plane rows inlined as list literals."""
     terms = []
-    for j in range(LSH_BITS):
+    for j in range(planes.shape[0]):
         lit = "[" + ", ".join(repr(float(x)) for x in planes[j]) + "]"
         terms.append(
             f"CASE WHEN list_dot_product({vec_expr}, {lit}) > 0"
             f" THEN {1 << j} ELSE 0 END"
         )
     return "(" + " + ".join(terms) + ")"
+
+
+def _sql_bucket(vec_expr: str) -> str:
+    """LSH-kNN bucket expression (seeded planes inlined)."""
+    return _sql_band_sig(vec_expr, _planes())
+
+
+def _near_dup_oracle() -> str:
+    """DuckDB twin of the banded near-dup plan: same planes (inlined),
+    same band buckets, same flood cap, same post-filter."""
+    planes = _nd_planes()
+    branches = []
+    for band in range(ND_BANDS):
+        rows = planes[band * ND_BAND_BITS : (band + 1) * ND_BAND_BITS]
+        branches.append(
+            f"SELECT vec_id, e, {band} AS band, {_sql_band_sig('e', rows)} AS sig FROM emb"
+        )
+    bands_sql = "\n            UNION ALL ".join(branches)
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        bands AS ({bands_sql}),
+        capped AS (
+            SELECT vec_id, band, sig FROM (
+                SELECT vec_id, band, sig,
+                       COUNT(*) OVER (PARTITION BY band, sig) AS n_bucket
+                FROM bands)
+            WHERE n_bucket <= {ND_MAX_BUCKET}),
+        pairs AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
+            WHERE a.vec_id < b.vec_id)
+        SELECT * FROM (
+            SELECT vec_a, vec_b,
+                   ROUND(list_dot_product(ea.e, eb.e) /
+                         (sqrt(list_dot_product(ea.e, ea.e)) *
+                          sqrt(list_dot_product(eb.e, eb.e))), 6) AS cosine
+            FROM pairs
+            JOIN emb ea ON ea.vec_id = pairs.vec_a
+            JOIN emb eb ON eb.vec_id = pairs.vec_b)
+        WHERE cosine >= {NEAR_DUP_COS}
+    """
+
+
+def ivf_oracle_sql(cells_path: str, probe_cells: list) -> str:
+    """DuckDB twin of ann_ivf_knn against the numpy-labeled cell table
+    (tools/oracle_labels.py), probe cells inlined as literals."""
+    cells_in = ", ".join(str(int(c)) for c in probe_cells)
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+        cells AS (SELECT vec_id, cell FROM read_parquet('{cells_path}')),
+        probe AS (SELECT e AS pe FROM emb WHERE vec_id = {PROBE_VEC_ID})
+        SELECT emb.vec_id, label,
+               ROUND(list_dot_product(e, pe) /
+                     (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(pe, pe))), 6) AS cosine
+        FROM emb JOIN cells ON emb.vec_id = cells.vec_id, probe
+        WHERE emb.vec_id != {PROBE_VEC_ID} AND cells.cell IN ({cells_in})
+        ORDER BY cosine DESC, emb.vec_id ASC LIMIT {TOP_K}
+    """
 
 _SQL_COS = (
     "list_dot_product(emb_a, emb_b) /"
@@ -222,7 +377,8 @@ ORACLES: Dict[str, str] = {
         FROM emb, probe WHERE vec_id != {PROBE_VEC_ID}
         ORDER BY cosine DESC, vec_id ASC LIMIT {TOP_K}
     """,
-    "embedding_near_dups": f"""
+    "embedding_near_dups": _near_dup_oracle(),
+    "embedding_near_dups_exact": f"""
         WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                ROUND(list_dot_product(a.e, b.e) /

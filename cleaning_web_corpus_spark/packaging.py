@@ -36,7 +36,17 @@ def build_pyfiles_zip(repo_dir: str, zip_path: str, force: bool = False) -> str:
     if not force and os.path.exists(zip_path):
         zip_mtime = os.path.getmtime(zip_path)
         if all(os.path.getmtime(s) <= zip_mtime for s in sources):
-            return zip_path
+            # mtime says fresh — but a deleted/renamed module leaves no
+            # mtime behind, so also require the zip's member list to
+            # match the current source set (a removed module lingering
+            # in the zip would shadow worker PYTHONPATH with dead code)
+            want = {os.path.relpath(s, repo_dir) for s in sources}
+            try:
+                with zipfile.ZipFile(zip_path) as z:
+                    if set(z.namelist()) == want:
+                        return zip_path
+            except zipfile.BadZipFile:
+                pass
     os.makedirs(os.path.dirname(zip_path), exist_ok=True)
     tmp = f"{zip_path}.{os.getpid()}.tmp"
     try:

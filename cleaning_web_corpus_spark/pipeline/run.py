@@ -45,6 +45,11 @@ class PipelineResult:
     kept_turns: DataFrame
     run_id: str
 
+    def unpersist(self) -> None:
+        """Release the lazy-path verdict cache (no-op for the
+        materialized path, whose turn_verdicts is a parquet read)."""
+        self.turn_verdicts.unpersist()
+
 
 def turn_verdicts_df(
     transcripts: DataFrame,
@@ -140,7 +145,13 @@ def run_pipeline(
     }
 
     if out_dir is None:
-        tv = turn_verdicts_df(transcripts, pcfg, emit_stats=emit_stats)
+        # persist the verdict stage: conv_verdicts and kept_turns both
+        # derive from it, and without a materialization boundary the
+        # kept-turns join would execute the dedup-window + model-UDF +
+        # scrub subtree TWICE (once per join side) — silently doubling
+        # the most expensive stage. The materialized path below gets the
+        # same single evaluation from its committed parquet.
+        tv = turn_verdicts_df(transcripts, pcfg, emit_stats=emit_stats).persist()
         cv = conv.conversation_verdicts(tv, pcfg.conversation)
         return PipelineResult(tv, cv, kept_turns_df(tv, cv, pcfg.scrub), run_id)
 

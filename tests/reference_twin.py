@@ -132,6 +132,63 @@ def twin_verdict(text: Optional[str], cfg) -> Tuple[bool, str]:
     return True, "passed"
 
 
+def twin_check_flags(text: Optional[str], cfg) -> Dict[str, bool]:
+    """Independent pass/fail per check (the ablation-study semantics:
+    every check evaluated on its own, lenient gates preserved), keyed by
+    the engine's check names. Restates the gate logic from scratch —
+    does NOT import filters.ablation — so a defect in either side
+    surfaces as a mismatch."""
+    t = (text or "").strip()
+    ws = _words(t) if t else []
+    n = len(ws)
+
+    flags: Dict[str, bool] = {}
+    flags["word_count"] = bool(t) and cfg.min_words <= n <= cfg.max_words
+    flags["avg_word_length"] = (
+        n > 0 and (sum(len(w) for w in ws) / n) >= cfg.min_avg_word_length
+    )
+
+    lang_ok = True
+    if n >= cfg.min_words_for_langid:
+        det = _LID.detect(t)
+        lang_ok = det is None or det == cfg.language
+    flags["language"] = lang_ok
+
+    gated = n >= cfg.min_words_for_repetition_check
+    if gated and len(t) >= 10:
+        rep = sum(len(m.group(0)) for m in re.finditer(r"(.)\1{2,}", t))
+        char_ratio = rep / len(t)
+    else:
+        char_ratio = 0.0
+    flags["char_rep"] = not gated or char_ratio <= cfg.max_char_repetition_ratio
+
+    wr = 0.0
+    if n >= 5:
+        content = [w for w in ws if w not in STOPS]
+        if len(content) >= 10:
+            counts: Dict[str, int] = {}
+            for w in content:
+                counts[w] = counts.get(w, 0) + 1
+            wr = sum(c - 1 for c in counts.values() if c > 1) / len(content)
+    flags["word_rep"] = not gated or wr <= cfg.max_word_repetition_ratio
+
+    size = cfg.ngram_size
+    mx = 0
+    if n >= 2 * size:
+        gc: Dict[tuple, int] = {}
+        for i in range(n - size + 1):
+            g = tuple(ws[i : i + size])
+            gc[g] = gc.get(g, 0) + 1
+        mx = max(gc.values())
+    flags["ngram_rep"] = not gated or mx <= cfg.max_ngram_repetition
+
+    ppl_ok = True
+    if cfg.enable_perplexity_filter and n >= cfg.min_words_for_perplexity:
+        ppl_ok = _PPL.perplexity(ws) <= cfg.max_perplexity
+    flags["perplexity"] = ppl_ok
+    return flags
+
+
 # --- scrub twin: the FIXTURES.md spec restated -----------------------------
 
 _SCRUB_STEPS = [

@@ -1,0 +1,82 @@
+"""Plan-shape regression tests for the end-to-end pipeline.
+
+These assert the *executed plan* properties the scale story depends on:
+the lazy path must evaluate the verdict UDF subtree exactly once (via
+the persist boundary), and the salted/dedup shuffle must actually
+spread a mega-conversation across partitions instead of stacking it on
+one straggler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.config import PipelineConfig
+from cleaning_web_corpus_spark.pipeline.run import run_pipeline, turn_verdicts_df
+from cleaning_web_corpus_spark.pipeline.transcripts import generate_transcripts
+
+
+def test_lazy_path_single_verdict_evaluation(spark):
+    """out_dir=None must not run the verdict subtree once per side of
+    the kept-turns join (VERDICT r01 'lazy-path double evaluation'):
+    the verdict stage sits behind an InMemoryRelation cache boundary,
+    and no Python UDF evaluates outside it."""
+    tr = generate_transcripts(spark, 40, seed=7)
+    res = run_pipeline(spark, tr)
+    try:
+        plan = res.kept_turns._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, "verdict stage is not cached on the lazy path"
+        # the main tree up to the first cached-relation expansion must be
+        # UDF-free; ArrowEvalPython may appear only inside the cached plan
+        head = plan.split("InMemoryRelation", 1)[0]
+        assert "ArrowEvalPython" not in head
+        # and the result is still correct end-to-end
+        assert res.kept_turns.count() > 0
+    finally:
+        res.unpersist()
+
+
+def test_mega_conversation_spreads_across_partitions(spark):
+    """Skew regression (SURVEY §4 X12): one conversation with 50k turns
+    plus 200 singleton conversations — after the verdict stage's dedup
+    shuffle on (conv_id, turn_idx), no partition may hold more than a
+    small multiple of the mean (a conv_id-keyed shuffle would put all
+    50k turns in ONE partition)."""
+    n_parts = 8
+    mega = spark.range(50_000).select(
+        F.lit("mega").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("please clean the carpet row "), F.col("id")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.current_timestamp().alias("ts"),
+    )
+    singles = spark.range(200).select(
+        F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.lit("wipe the counter with a damp cloth").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.current_timestamp().alias("ts"),
+    )
+    # AQE coalescing would merge these tiny test partitions and mask the
+    # layout under inspection; disable it for the measurement only
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        tv = turn_verdicts_df(
+            mega.unionByName(singles), PipelineConfig(), partitions=n_parts, emit_stats=False
+        )
+        sizes = [
+            r.n
+            for r in tv.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    total = sum(sizes)
+    assert total == 50_200
+    mean = total / len(sizes)
+    assert max(sizes) < 3 * mean, f"skewed partitions: {sorted(sizes)}"
+    assert len(sizes) >= n_parts // 2, f"too few partitions carried rows: {len(sizes)}"

@@ -1,0 +1,1 @@
+"""Repo tooling: packaging, plan audits, oracle-label generation."""

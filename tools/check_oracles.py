@@ -52,6 +52,8 @@ def value_hash(rows, colnames):
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2] if len(sys.argv) > 2 else ""
+    # twin-label oracles must be generated for the sf under check
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     import duckdb
 

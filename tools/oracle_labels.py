@@ -1,0 +1,128 @@
+"""Twin-label oracle tables for the model-backed queries.
+
+The driver's correctness gate compares each ``queries()`` entry against
+a DuckDB ``oracle_sql()`` twin. The model-backed chain (langid +
+perplexity inside the verdict UDF), the full scrub chain (lookaround
+regexes RE2 can't run), and the data-trained IVF quantizer have no
+*static* SQL twin — so their oracles are plain SELECTs over label
+parquet precomputed here by the pure-Python reference twin
+(tests/reference_twin.py): a from-scratch, per-document restatement of
+the chain that shares no code with the engine's filters/scrub modules.
+A defect in either side shows up as a driver hash mismatch.
+
+Labels are cached under ``oracles/<sf>/`` keyed by a fingerprint of the
+twin source + chain config + this generator, so editing any of them
+regenerates instead of silently checking against stale labels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import importlib.util
+import json
+import os
+from typing import List
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ORACLE_ROOT = os.path.join(_REPO, "oracles")
+_TWIN_PATH = os.path.join(_REPO, "tests", "reference_twin.py")
+
+
+def _load_twin():
+    spec = importlib.util.spec_from_file_location("cwc_reference_twin", _TWIN_PATH)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _fingerprint(cfg) -> str:
+    h = hashlib.md5()
+    for path in (_TWIN_PATH, os.path.abspath(__file__)):
+        with open(path, "rb") as f:
+            h.update(f.read())
+    h.update(json.dumps(cfg.model_dump(), sort_keys=True).encode())
+    from cleaning_web_corpus_spark.ops import ann
+
+    h.update(
+        json.dumps(
+            [ann.IVF_K, ann.IVF_NPROBE, ann.IVF_TRAIN_CAP, ann.IVF_ITERS, ann.PROBE_VEC_ID]
+        ).encode()
+    )
+    return h.hexdigest()
+
+
+def ensure_labels(sf_dir: str, cfg) -> dict:
+    """Generate (or reuse) label parquet for ``sf_dir``; returns a dict
+    with absolute parquet paths and the IVF probe-cell list."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(ORACLE_ROOT, os.path.basename(sf_dir.rstrip("/")))
+    meta_path = os.path.join(out_dir, "meta.json")
+    fp = _fingerprint(cfg)
+    if os.path.exists(meta_path):
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta.get("fingerprint") == fp:
+                return meta
+        except (json.JSONDecodeError, OSError):
+            pass
+
+    os.makedirs(out_dir, exist_ok=True)
+    twin = _load_twin()
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pylist()
+
+    verdicts, scrubs, flag_rows = [], [], []
+    for d in docs:
+        passed, reason = twin.twin_verdict(d["text"], cfg)
+        verdicts.append({"doc_id": d["doc_id"], "passed": passed, "reason": reason})
+        scrubs.append({"doc_id": d["doc_id"], "text_scrubbed": twin.twin_scrub(d["text"])})
+        flag_rows.append({"doc_id": d["doc_id"], **twin.twin_check_flags(d["text"], cfg)})
+
+    paths = {
+        "verdict": os.path.join(out_dir, "verdict_labels.parquet"),
+        "scrub": os.path.join(out_dir, "scrub_labels.parquet"),
+        "flags": os.path.join(out_dir, "ablation_flags.parquet"),
+        "ivf_cells": os.path.join(out_dir, "ivf_cells.parquet"),
+    }
+    pq.write_table(pa.Table.from_pylist(verdicts), paths["verdict"])
+    pq.write_table(pa.Table.from_pylist(scrubs), paths["scrub"])
+    pq.write_table(pa.Table.from_pylist(flag_rows), paths["flags"])
+
+    probe_cells = _ivf_labels(sf_dir, paths["ivf_cells"])
+
+    meta = {"fingerprint": fp, "probe_cells": probe_cells, **paths}
+    tmp = f"{meta_path}.{os.getpid()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, meta_path)
+    return meta
+
+
+def _ivf_labels(sf_dir: str, cells_path: str) -> List[int]:
+    """Whole-table IVF cell assignment computed independently in numpy
+    (single-process, no Spark) — the distributed Arrow-UDF assignment in
+    ops/ann.py must reproduce it exactly. Returns the probe's nprobe
+    cell ids (inlined into the oracle SQL as literals, the same way
+    ann_lsh_knn inlines its plane constants)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cleaning_web_corpus_spark.ops import ann
+
+    tbl = (
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        .select(["vec_id", "embedding"])
+        .sort_by("vec_id")
+    )
+    vec_ids = tbl.column("vec_id").to_numpy()
+    X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    C = ann.train_centroids_np(X[: ann.IVF_TRAIN_CAP])
+    cells = ann.assign_cells_np(X, C)
+    pq.write_table(
+        pa.table({"vec_id": vec_ids, "cell": cells.astype("int64")}), cells_path
+    )
+    probe = X[vec_ids == ann.PROBE_VEC_ID][0]
+    return ann.probe_cells_np(probe, C)
