@@ -36,8 +36,17 @@ def _load_twin():
 
 
 def _fingerprint(cfg) -> str:
+    from cleaning_web_corpus_spark.enrich import extract, vocab
+    from cleaning_web_corpus_spark.warehouse import enrich_queries
+
     h = hashlib.md5()
-    for path in (_TWIN_PATH, os.path.abspath(__file__)):
+    for path in (
+        _TWIN_PATH,
+        os.path.abspath(__file__),
+        extract.__file__,
+        vocab.__file__,
+        enrich_queries.__file__,
+    ):
         with open(path, "rb") as f:
             h.update(f.read())
     h.update(json.dumps(cfg.model_dump(), sort_keys=True).encode())
@@ -80,15 +89,48 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
         scrubs.append({"doc_id": d["doc_id"], "text_scrubbed": twin.twin_scrub(d["text"])})
         flag_rows.append({"doc_id": d["doc_id"], **twin.twin_check_flags(d["text"], cfg)})
 
+    # enrichment children: the scalar extractor run per document in
+    # plain Python (no Spark/Arrow/explode) over the same deterministic
+    # cleaning-text projection the Spark queries derive natively
+    from cleaning_web_corpus_spark.enrich.extract import enrich_one
+    from cleaning_web_corpus_spark.warehouse.enrich_queries import synth_cleaning_text
+
+    steps_rows, tools_rows = [], []
+    for d in docs:
+        text = synth_cleaning_text(d["doc_id"], d["lang"])
+        r = enrich_one(text)
+        base = {
+            "conv_id": str(d["doc_id"]),
+            "surface_type": r[0],
+            "dirt_type": r[2],
+        }
+        for s in r[7]:
+            steps_rows.append(
+                {
+                    **base,
+                    "step_order": s["order"],
+                    "step_text": s["step"],
+                    "confidence": s["confidence"],
+                }
+            )
+        for tl in r[6]:
+            tools_rows.append(
+                {**base, "tool_name": tl["name"], "confidence": tl["confidence"]}
+            )
+
     paths = {
         "verdict": os.path.join(out_dir, "verdict_labels.parquet"),
         "scrub": os.path.join(out_dir, "scrub_labels.parquet"),
         "flags": os.path.join(out_dir, "ablation_flags.parquet"),
+        "steps": os.path.join(out_dir, "steps_labels.parquet"),
+        "tools": os.path.join(out_dir, "tools_labels.parquet"),
         "ivf_cells": os.path.join(out_dir, "ivf_cells.parquet"),
     }
     pq.write_table(pa.Table.from_pylist(verdicts), paths["verdict"])
     pq.write_table(pa.Table.from_pylist(scrubs), paths["scrub"])
     pq.write_table(pa.Table.from_pylist(flag_rows), paths["flags"])
+    pq.write_table(pa.Table.from_pylist(steps_rows), paths["steps"])
+    pq.write_table(pa.Table.from_pylist(tools_rows), paths["tools"])
 
     probe_cells = _ivf_labels(sf_dir, paths["ivf_cells"])
 
