@@ -287,10 +287,17 @@ def main_scaling():
     import subprocess
 
     sf = _sf_of(SF_DIR)
-    results = {}
     env = dict(os.environ, SPARK_DRIVER_MEMORY=os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
-    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "2"))
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+    # per-round PAIRED ratios: an 8-core and a 32-core measurement taken
+    # back-to-back sample the same host-speed window, so their ratio is
+    # meaningful even when the host drifts between rounds. Mixing
+    # per-level bests ACROSS rounds (the old scheme) re-pairs numbers
+    # from different windows and can manufacture impossible ratios —
+    # the exact artifact interleaving exists to prevent.
+    round_rows = []  # (eff, tps8, tps32, pinned8, pinned32, n_turns)
     for _round in range(rounds):
+        level = {}
         for cores in (8, 32):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores)],
@@ -298,10 +305,18 @@ def main_scaling():
             )
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
             d = json.loads(line)
-            cur = (d["elapsed"], d["n_turns"], d["n_turns"] / d["elapsed"])
-            if cores not in results or cur[2] > results[cores][2]:
-                results[cores] = cur
-    eff = (results[32][2] / results[8][2]) / (32 / 8)
+            level[cores] = (
+                d["n_turns"] / d["elapsed"], d.get("pinned", False), d["n_turns"]
+            )
+        eff_r = (level[32][0] / level[8][0]) / (32 / 8)
+        round_rows.append(
+            (eff_r, level[8][0], level[32][0], level[8][1], level[32][1], level[8][2])
+        )
+    by_eff = sorted(round_rows)
+    med = by_eff[len(by_eff) // 2]  # median-efficiency round is the headline
+    eff = med[0]
+    any_unpinned = any(not (r[3] and r[4]) for r in round_rows)
+    results = {8: (med[5] / med[1], med[5], med[1]), 32: (med[5] / med[2], med[5], med[2])}
 
     # hardware controls: what does THIS box allow, independent of Spark?
     controls = {}
@@ -343,7 +358,26 @@ def main_scaling():
         "",
         f"**Engine scaling efficiency (8 -> 32 cores): {eff:.3f}**",
         "",
+        f"Efficiency is the MEDIAN of {len(round_rows)} per-round PAIRED ratios",
+        "(each round measures 8 then 32 back-to-back in the same host-speed",
+        "window; ratios are never formed across rounds):",
+        "",
+        "| round | turns/sec @8 | turns/sec @32 | efficiency | pinned |",
+        "| --- | --- | --- | --- | --- |",
+        *[
+            f"| {i + 1} | {r[1]:.0f} | {r[2]:.0f} | {r[0]:.3f} |"
+            f" {'yes' if (r[3] and r[4]) else 'NO'} |"
+            for i, r in enumerate(round_rows)
+        ],
+        "",
     ]
+    if any_unpinned:
+        lines += [
+            "**WARNING: at least one level ran UNPINNED** — its task threads",
+            "could spill onto extra host cores, corrupting the N-vs-4N",
+            "comparison; treat that round's ratio as unreliable.",
+            "",
+        ]
     if controls:
         wl = controls.get("workload_efficiency_8_to_32")
         alu = controls.get("alu_efficiency_8_to_32")
@@ -382,6 +416,8 @@ def main_scaling():
                     "local32_turns_per_sec": round(results[32][2], 1),
                     **{k: v for k, v in controls.items()},
                 },
+                "round_efficiencies": [round(r[0], 3) for r in round_rows],
+                "any_unpinned": any_unpinned,
                 "sf": sf,
             }
         )

@@ -1,12 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Image/audio/video ride through Spark as ``binary`` columns with a typed
-metadata struct; transforms run as ``mapInPandas`` over Arrow batches —
-the schema, partitioning, UDF signatures and batch shapes are real and
-tested, while the actual codec work is stubbed (no imaging/audio
-libraries in this container): decode raises ``NotImplementedError``
-unless the deterministic fake decoder is requested, exactly as flagged
-in the build contract.
+metadata struct; transforms run as ``mapInPandas`` over Arrow batches.
+The PNG/JPEG/GIF *header probe* is fully real (stdlib struct parsing of
+the payload bytes — dimensions come from the file, not trusted
+metadata); full pixel decode remains stubbed (no imaging/audio
+libraries in this container): it raises ``NotImplementedError`` unless
+the deterministic fake decoder is requested, exactly as flagged in the
+build contract.
 
 Reference analogues: the image side-channel and its filters
 (/root/reference/src/crawlers/pipelines.py:33-91 download/checksum,
@@ -18,7 +19,8 @@ implemented for real — they only need the struct, not the pixels.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+import struct
+from typing import Iterator, Optional, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -50,8 +52,39 @@ MIN_DIM = 224           # image_filters.py:66-102
 MAX_ASPECT = 3.0        # image_filters.py:104-150
 
 
+def _png_bytes(w: int, h: int, filler: bytes) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x06\x00\x00\x00"
+        + filler
+    )
+
+
+def _jpeg_bytes(w: int, h: int, filler: bytes) -> bytes:
+    # APP0 length 16 = 2 length bytes + "JFIF\0" + version/units/density/thumb
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 17)
+        + b"\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03" + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0 + filler
+
+
+def _gif_bytes(w: int, h: int, filler: bytes) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + filler
+
+
 def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (payload = seeded pseudo-bytes)."""
+    """Deterministic fake media table. png/jpg/gif payloads carry REAL
+    format headers encoding (width, height), so the header probe below
+    exercises genuine byte parsing; webp/bmp payloads stay opaque
+    pseudo-bytes to cover the unparseable-payload path."""
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         formats = ["jpg", "png", "webp", "gif", "bmp"]
@@ -62,16 +95,26 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
                 h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
                 w = 64 + (h[0] << 3)
                 ht = 64 + (h[1] << 2)
+                fmt = formats[h[2] % len(formats)]
+                filler = h * 8
+                if fmt in ("jpg", "jpeg"):
+                    payload = _jpeg_bytes(w, ht, filler)
+                elif fmt == "png":
+                    payload = _png_bytes(w, ht, filler)
+                elif fmt == "gif":
+                    payload = _gif_bytes(w, ht, filler)
+                else:
+                    payload = filler
                 rows.append(
                     (
                         i,
                         i % max(1, n // 4),
                         "image",
-                        formats[h[2] % len(formats)],
+                        fmt,
                         w,
                         ht,
-                        len(h) * 8,
-                        h * 8,
+                        len(payload),
+                        payload,
                     )
                 )
             yield pd.DataFrame(
@@ -104,6 +147,77 @@ def filter_aspect_ratio(df: DataFrame, max_ratio: float = MAX_ASPECT) -> DataFra
 
 def filter_format(df: DataFrame, allowed=ALLOWED_FORMATS) -> DataFrame:
     return df.filter(F.lower(F.col("format")).isin(*allowed))
+
+
+# --- payload header probe (REAL byte parsing, stdlib only) ------------------
+def parse_image_dims(payload: bytes) -> Tuple[Optional[str], Optional[int], Optional[int]]:
+    """(format, width, height) parsed from the payload's own bytes —
+    PNG IHDR, JPEG SOFn marker walk, GIF logical-screen descriptor.
+    Returns (None, None, None) for anything unparseable, which the
+    metadata filters then treat leniently (the reference's
+    unknown-dims-pass contract, image_filters.py:66-102)."""
+    if payload is None or len(payload) < 10:
+        return None, None, None
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return "png", w, h
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", w, h
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return "jpeg", w, h
+            (seg_len,) = struct.unpack(">H", b[i + 2 : i + 4])
+            if seg_len < 2:
+                break
+            i += 2 + seg_len
+        return "jpeg", None, None
+    return None, None, None
+
+
+PROBE_SCHEMA = "media_id long, fmt_probed string, width_probed int, height_probed int"
+
+
+def probe_media_dimensions(df: DataFrame) -> DataFrame:
+    """Header-derived (format, width, height) per payload — the
+    trust-nothing upgrade of F13-F15's inputs: dimensions come from the
+    bytes, not from caller-supplied metadata. mapInPandas over Arrow
+    batches; only (media_id, payload) are shipped to Python."""
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_image_dims(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fmt_probed": [p[0] for p in parsed],
+                    "width_probed": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "height_probed": pd.array([p[2] for p in parsed], dtype="Int32"),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(_probe, PROBE_SCHEMA)
+
+
+def with_probed_dims(df: DataFrame) -> DataFrame:
+    """Media table with width/height replaced by payload-derived values
+    where the header parses (metadata kept only as the fallback), so the
+    downstream F13-F15 filters judge the actual bytes."""
+    probed = probe_media_dimensions(df)
+    return (
+        df.join(probed, "media_id", "left")
+        .withColumn("width", F.coalesce("width_probed", "width"))
+        .withColumn("height", F.coalesce("height_probed", "height"))
+        .drop("width_probed", "height_probed", "fmt_probed")
+    )
 
 
 # --- payload transforms (real plumbing, stubbed codecs) ---------------------

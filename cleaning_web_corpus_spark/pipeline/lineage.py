@@ -37,8 +37,14 @@ def stage_metrics(
     stage: str,
     run_id: str,
     model_versions: Dict[str, str],
+    snapshot_id: str | None = None,
 ) -> DataFrame:
-    """Per-partition lineage rows for a verdict-stage DataFrame."""
+    """Per-partition lineage rows for a verdict-stage DataFrame.
+
+    ``snapshot_id`` names the committed output this lineage describes
+    (Iceberg snapshot id on a configured cluster, the parquet commit
+    marker's mtime locally — see sources/tables.py ``TableIO.snapshot_id``),
+    so a resumed run can point at exactly the snapshot it skipped to."""
     per_part = (
         verdicts.select(
             F.spark_partition_id().alias("partition_id"),
@@ -66,6 +72,7 @@ def stage_metrics(
         per_part.withColumn("run_id", F.lit(run_id))
         .withColumn("stage", F.lit(stage))
         .withColumn("model_versions", mv)
+        .withColumn("snapshot_id", F.lit(snapshot_id).cast("string"))
         .withColumn("committed_at", F.current_timestamp())
     )
 
@@ -76,10 +83,15 @@ def is_committed(path: str) -> bool:
     return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
-def commit_stage(df: DataFrame, path: str) -> None:
-    """Atomically materialize a stage output (Iceberg snapshot append on
-    a configured cluster; parquet + _SUCCESS marker locally)."""
-    df.write.mode("overwrite").parquet(path)
+def commit_stage(df: DataFrame, path: str) -> str | None:
+    """Atomically materialize a stage output through the TableIO seam
+    (Iceberg snapshot on a configured cluster; parquet + _SUCCESS
+    marker locally) and return the resulting snapshot id."""
+    from cleaning_web_corpus_spark.sources.tables import TableIO
+
+    io = TableIO.for_session(df.sparkSession)
+    io.overwrite(df, path)
+    return io.snapshot_id(path)
 
 
 def new_run_id() -> str:

@@ -162,12 +162,14 @@ def run_pipeline(
 
     if not (resume and lineage.is_committed(tv_path)):
         tv = turn_verdicts_df(transcripts, pcfg, emit_stats=emit_stats)
-        lineage.commit_stage(tv, tv_path)
+        snap = lineage.commit_stage(tv, tv_path)
         # lineage from the committed snapshot: a narrow re-scan (column
         # pruning keeps text out), NOT a second run of the verdict UDF
         committed = spark.read.parquet(tv_path)
         lineage.commit_stage(
-            lineage.stage_metrics(committed, "turn_verdicts", run_id, model_versions),
+            lineage.stage_metrics(
+                committed, "turn_verdicts", run_id, model_versions, snapshot_id=snap
+            ),
             os.path.join(metrics_root, "stage=turn_verdicts"),
         )
     tv = spark.read.parquet(tv_path)

@@ -141,3 +141,24 @@ class TableIO:
             except Exception:
                 return False
         return os.path.exists(os.path.join(ident, "_SUCCESS"))
+
+    def snapshot_id(self, ident: str) -> str | None:
+        """Identifier of the current committed snapshot, recorded into
+        the lineage rows so resume can name exactly what it resumed
+        from. Iceberg mode reads the table's snapshot log; parquet mode
+        degrades to the ``_SUCCESS`` marker's mtime (monotonic per
+        commit on one filesystem — enough to distinguish successive
+        stage commits, which is all the lineage rows need locally)."""
+        if self.is_iceberg:
+            try:
+                row = self.spark.sql(
+                    f"SELECT snapshot_id FROM {self._qualify(ident)}.snapshots"
+                    " ORDER BY committed_at DESC LIMIT 1"
+                ).collect()
+                return str(row[0].snapshot_id) if row else None
+            except Exception:
+                return None
+        marker = os.path.join(ident, "_SUCCESS")
+        if os.path.exists(marker):
+            return f"mtime-{os.path.getmtime(marker):.6f}"
+        return None

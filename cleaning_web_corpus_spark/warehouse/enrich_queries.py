@@ -147,9 +147,51 @@ def tools_usage_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+REQ_SURFACE = "carpets_floors"
+REQ_DIRT = "grease"
+PLAN_LIMIT = 10
+
+
+def workflow_plan_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Agent workflow-planner scoring (reference
+    /root/reference/src/agents/workflow_planner.py:307-674 +
+    search_similar_scenarios.py:72-81): for a requested (surface, dirt),
+    score every candidate procedure with the P13 similarity CASE
+    (1.0 exact / 0.5 same-dirt / 0.3 same-surface / 0.1), aggregate its
+    steps, and return the ranked plan candidates. The reference does
+    this in a Python loop of per-combo SQL round-trips; here it is one
+    groupBy + one TakeOrderedAndProject."""
+    steps = _enriched_children(spark, sf, "steps")
+    per_conv = steps.groupBy("conv_id", "surface_type", "dirt_type").agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.round(F.avg("child.confidence"), 4).alias("avg_step_confidence"),
+    )
+    similarity = (
+        F.when(
+            (F.col("surface_type") == REQ_SURFACE) & (F.col("dirt_type") == REQ_DIRT),
+            1.0,
+        )
+        .when(F.col("dirt_type") == REQ_DIRT, 0.5)
+        .when(F.col("surface_type") == REQ_SURFACE, 0.3)
+        .otherwise(0.1)
+    )
+    return (
+        per_conv.withColumn("similarity", similarity)
+        .select(
+            "conv_id", "surface_type", "dirt_type", "similarity",
+            "n_steps", "avg_step_confidence",
+        )
+        .orderBy(
+            F.desc("similarity"), F.desc("avg_step_confidence"), F.asc("conv_id")
+        )
+        .limit(PLAN_LIMIT)
+    )
+
+
 QUERIES = {
     "steps_search_page": steps_search_page,
     "tools_usage_agg": tools_usage_agg,
+    "workflow_plan_candidates": workflow_plan_candidates,
 }
 
 
@@ -170,4 +212,25 @@ def tools_oracle_sql(tools_labels: str) -> str:
         FROM read_parquet('{tools_labels}')
         WHERE dirt_type = '{TOOLS_DIRT}'
         GROUP BY tool_name
+    """
+
+
+def workflow_plan_oracle_sql(steps_labels: str) -> str:
+    return f"""
+        WITH per_conv AS (
+            SELECT conv_id, surface_type, dirt_type,
+                   COUNT(*) AS n_steps,
+                   ROUND(AVG(confidence), 4) AS avg_step_confidence
+            FROM read_parquet('{steps_labels}')
+            GROUP BY conv_id, surface_type, dirt_type
+        )
+        SELECT conv_id, surface_type, dirt_type,
+               (CASE WHEN surface_type = '{REQ_SURFACE}' AND dirt_type = '{REQ_DIRT}' THEN 1.0
+                     WHEN dirt_type = '{REQ_DIRT}' THEN 0.5
+                     WHEN surface_type = '{REQ_SURFACE}' THEN 0.3
+                     ELSE 0.1 END)::DOUBLE AS similarity,
+               n_steps, avg_step_confidence
+        FROM per_conv
+        ORDER BY similarity DESC, avg_step_confidence DESC, conv_id ASC
+        LIMIT {PLAN_LIMIT}
     """

@@ -5,11 +5,17 @@ import pytest
 from pyspark.sql import functions as F
 
 from cleaning_web_corpus_spark.ops.multimodal import (
+    _gif_bytes,
+    _jpeg_bytes,
+    _png_bytes,
     extract_features,
     filter_aspect_ratio,
     filter_format,
     filter_resolution,
+    parse_image_dims,
+    probe_media_dimensions,
     synthesize_media,
+    with_probed_dims,
 )
 
 
@@ -52,3 +58,47 @@ def test_featurizer_stub_contract(media):
     rows = feats.collect()
     assert len(rows) == media.count()
     assert all(r.feature_dim == 64 and len(r.feature_hash) == 16 for r in rows)
+
+
+def test_parse_image_dims_unit():
+    assert parse_image_dims(_png_bytes(640, 480, b"x" * 16)) == ("png", 640, 480)
+    assert parse_image_dims(_jpeg_bytes(1024, 768, b"x" * 16)) == ("jpeg", 1024, 768)
+    assert parse_image_dims(_gif_bytes(320, 200, b"x" * 16)) == ("gif", 320, 200)
+    # truncated / opaque payloads degrade to unknowns, never raise
+    assert parse_image_dims(b"\x89PNG\r\n\x1a\n1234") == (None, None, None)
+    assert parse_image_dims(b"\xff\xd8\xff\xe0\x00\x04xxxx") == ("jpeg", None, None)
+    assert parse_image_dims(b"notanimageatall!") == (None, None, None)
+    assert parse_image_dims(None) == (None, None, None)
+
+
+def test_header_probe_matches_metadata(media):
+    joined = probe_media_dimensions(media).join(
+        media.select("media_id", "format", "width", "height"), "media_id"
+    )
+    parseable = joined.filter(F.col("fmt_probed").isNotNull())
+    assert parseable.count() > 0
+    assert (
+        parseable.filter(
+            (F.col("width_probed") != F.col("width"))
+            | (F.col("height_probed") != F.col("height"))
+        ).count()
+        == 0
+    )
+    assert {r.format for r in parseable.select("format").distinct().collect()} == {
+        "jpg", "png", "gif"
+    }
+    # opaque formats stay unparsed (lenient downstream)
+    assert {r.format for r in joined.filter(F.col("fmt_probed").isNull())
+            .select("format").distinct().collect()} == {"webp", "bmp"}
+
+
+def test_probed_dims_override_tampered_metadata(media):
+    # lie in the metadata; the probe must restore truth from the bytes
+    tampered = media.withColumn("width", F.lit(1)).withColumn("height", F.lit(1))
+    fixed = with_probed_dims(tampered)
+    truth = {r.media_id: (r.width, r.height) for r in media.collect()}
+    for r in fixed.collect():
+        if r.format in ("jpg", "jpeg", "png", "gif"):
+            assert (r.width, r.height) == truth[r.media_id]
+        else:
+            assert (r.width, r.height) == (1, 1)  # unparseable -> metadata fallback
