@@ -139,9 +139,17 @@ def embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     a pair colliding in several bands is deduplicated after scoring
     (the cosine is a pure function of the two vectors, so duplicate
     candidate rows carry identical values)."""
-    sigs = _emb_double(spark, sf).withColumn("sigs", _band_sigs_udf()(F.col("emb")))
+    # precompute each vector's norm ONCE before the explode/join: the
+    # per-pair cosine then costs a single zip_with dot product instead
+    # of three array aggregates (the norms are the identical float
+    # expressions, so the rounded result is bit-equal to the oracle's)
+    sigs = (
+        _emb_double(spark, sf)
+        .withColumn("sigs", _band_sigs_udf()(F.col("emb")))
+        .withColumn("norm", F.sqrt(F.expr("aggregate(emb, 0D, (s, v) -> s + v * v)")))
+    )
     banded = sigs.select(
-        "vec_id", "emb", F.posexplode("sigs").alias("band", "sig")
+        "vec_id", "emb", "norm", F.posexplode("sigs").alias("band", "sig")
     )
     # bucket-size flood cap via a window count: ONE evaluation of the
     # signature UDF and one (band, sig) shuffle that the candidate join
@@ -152,12 +160,22 @@ def embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     capped = banded.withColumn("n_bucket", F.count(F.lit(1)).over(w)).filter(
         F.col("n_bucket") <= ND_MAX_BUCKET
     )
-    a = capped.select("band", "sig", F.col("vec_id").alias("vec_a"), F.col("emb").alias("ea"))
-    b = capped.select("band", "sig", F.col("vec_id").alias("vec_b"), F.col("emb").alias("eb"))
+    a = capped.select(
+        "band", "sig", F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("ea"), F.col("norm").alias("norm_a"),
+    )
+    b = capped.select(
+        "band", "sig", F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("eb"), F.col("norm").alias("norm_b"),
+    )
+    dot = F.expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (s, v) -> s + v)")
     return (
         a.join(b, ["band", "sig"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(_cosine("ea", "eb"), 6).alias("cosine"))
+        .select(
+            "vec_a", "vec_b",
+            F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6).alias("cosine"),
+        )
         .filter(F.col("cosine") >= NEAR_DUP_COS)
         .distinct()
     )

@@ -6,17 +6,27 @@ N to 4N EXECUTORS — i.e. 4x machines, each with its own DRAM. This
 sandbox has one machine, so the honest decomposition is:
 
   A. ALU control  — pure-register spin loop, 8 vs 32 pinned procs.
-     Measures raw core availability (expected ~0.9 with shared cache).
-  B. Workload control — the exact per-turn filter computation driven by
-     plain multiprocessing (no Spark, no JVM, no Arrow), 8 vs 32 pinned.
-     Measures the workload's own single-box memory-bandwidth ceiling.
-  C. Engine — the full Spark pipeline (bench.py --scaling).
+     Measures raw core availability (SMT siblings / frequency limits).
+  B. Batched workload control — the IDENTICAL per-turn computation the
+     engine's Arrow UDF runs (same batch_detector + evaluate_text code
+     path, same 10k batch granularity), driven by plain multiprocessing:
+     no Spark, no JVM, no Arrow transfer, no shuffle. Measures the real
+     computation's own single-box memory-bandwidth ceiling.
+  C. (legacy) per-row workload control — the same checks via the naive
+     per-row path. Less memory-intensive per core than B (no vectorized
+     numpy gathers), so it scales better on shared DRAM; kept for
+     comparison but B is the denominator that matches the engine.
 
-C / B = the engine's coordination overhead, which is what actually
-predicts multi-node scaling (each node adds its own memory bandwidth).
+Engine / B = the engine's coordination overhead, which is what
+predicts multi-node scaling (each node adds its own DRAM bandwidth).
 
-Usage: python tools/scaling_controls.py [corpus_dir]
-Prints one JSON line with all three efficiencies.
+These controls are invoked PER ROUND by ``bench.py --scaling`` so every
+ratio is formed inside one host-speed window — this box's effective
+core speed drifts >2x across ~10-minute windows, so a control measured
+in a different window than the engine is meaningless.
+
+Usage: python tools/scaling_controls.py [corpus_dir] [n_texts]
+Prints one JSON line with all efficiencies + throughputs.
 """
 
 from __future__ import annotations
@@ -29,6 +39,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+BATCH = 10_000  # matches spark.sql.execution.arrow.maxRecordsPerBatch
+
+
 def _burn(_):
     t0 = time.time()
     x = 0
@@ -37,9 +50,8 @@ def _burn(_):
     return x
 
 
-def _filter_work(chunk):
-    """Chunk arrives as the map argument (start-method-portable: a
-    module-global mutated pre-fork would be None under spawn/forkserver)."""
+def _filter_work_perrow(chunk):
+    """Naive per-row twin (start-method-portable: chunk as map arg)."""
     from cleaning_web_corpus_spark.config import QualityConfig
     from cleaning_web_corpus_spark.filters.chain import evaluate_text
     from cleaning_web_corpus_spark.models.langid import get_default_model
@@ -55,20 +67,44 @@ def _filter_work(chunk):
     return n
 
 
+def _filter_work_batched(chunk):
+    """The engine's actual batch body (filters/udf.py _evaluate): batch
+    language-ID + short-circuit chain with the detection pre-supplied,
+    stats off — byte-for-byte the computation a Spark task runs per
+    Arrow batch, minus Spark."""
+    from cleaning_web_corpus_spark.config import QualityConfig
+    from cleaning_web_corpus_spark.filters.chain import evaluate_text
+    from cleaning_web_corpus_spark.models.langid import make_batch_detector, make_detector
+    from cleaning_web_corpus_spark.models.perplexity import make_scorer
+
+    cfg = QualityConfig.for_transcripts()
+    detector = make_detector()
+    batch_detector = make_batch_detector()
+    scorer = make_scorer()
+    n = 0
+    for off in range(0, len(chunk), BATCH):
+        rows = chunk[off : off + BATCH]
+        dets = batch_detector([(t.strip() if t else "") for t in rows])
+        for i, t in enumerate(rows):
+            evaluate_text(t, cfg, detector, scorer, collect_stats=False, detected=dets[i])
+            n += 1
+    return n
+
+
 def _alu(nproc: int) -> float:
     os.sched_setaffinity(0, set(range(nproc)))
     with mp.Pool(nproc) as p:
         return sum(p.map(_burn, range(nproc))) / 2.0
 
 
-def _workload(nproc: int, texts) -> float:
+def _workload(nproc: int, texts, fn) -> float:
     os.sched_setaffinity(0, set(range(nproc)))
     k = len(texts) // nproc
     chunks = [texts[i * k : (i + 1) * k] for i in range(nproc)]
     with mp.Pool(nproc) as p:
-        p.map(_filter_work, chunks)  # warm: model build per proc
+        p.map(fn, chunks)  # warm: model build per proc
         t0 = time.time()
-        tot = sum(p.map(_filter_work, chunks))
+        tot = sum(p.map(fn, chunks))
         return tot / (time.time() - t0)
 
 
@@ -76,18 +112,25 @@ def main():
     import duckdb
 
     corpus = sys.argv[1] if len(sys.argv) > 1 else "/tmp/cwc_bench_corpus_sf0.1_320000"
+    n_texts = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
     texts = [
         r[0]
         for r in duckdb.connect()
-        .execute(f"select text from '{corpus}/*.parquet' limit 400000")
+        .execute(f"select text from '{corpus}/*.parquet' limit {n_texts}")
         .fetchall()
     ]
     alu8, alu32 = _alu(8), _alu(32)
-    w8, w32 = _workload(8, texts), _workload(32, texts)
+    b8 = _workload(8, texts, _filter_work_batched)
+    b32 = _workload(32, texts, _filter_work_batched)
+    w8 = _workload(8, texts, _filter_work_perrow)
+    w32 = _workload(32, texts, _filter_work_perrow)
     print(
         json.dumps(
             {
                 "alu_efficiency_8_to_32": round(alu32 / alu8 / 4, 3),
+                "batched_workload_efficiency_8_to_32": round(b32 / b8 / 4, 3),
+                "batched_workload_8c_turns_per_sec": round(b8),
+                "batched_workload_32c_turns_per_sec": round(b32),
                 "workload_efficiency_8_to_32": round(w32 / w8 / 4, 3),
                 "workload_8c_turns_per_sec": round(w8),
                 "workload_32c_turns_per_sec": round(w32),
