@@ -156,6 +156,76 @@ def ablation_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- F8: n-gram repetition, native explode+groupBy form ---------------------
+# reference semantics (text_filters.py:347-391): max 3-gram multiplicity,
+# 0 when fewer than 2*n words. The in-UDF form lives in filters/chain.py;
+# this is the warehouse-scale shape: explode -> two-level groupBy, all
+# map-side-combinable, no per-doc quadratic work.
+NGRAM_N = 3
+
+
+def ngram_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    # tokens materialized in their own projection: higher-order lambdas
+    # run interpreted and would re-run the regex per element otherwise
+    # (same pitfall ops/dedup.py _shingles documents)
+    toksed = docs.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)").alias("toks"),
+    )
+    grams = toksed.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"case when size(toks) < {2 * NGRAM_N} then array()"
+                f" else transform(sequence(1, size(toks) - {NGRAM_N - 1}),"
+                " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1])) end"
+            )
+        ).alias("gram"),
+    )
+    per_doc = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"))
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("mx"), F.lit(0)).cast("long").alias("max_ngram_rep")
+    )
+
+
+# --- F7: word repetition over content words, native form --------------------
+# reference semantics (text_filters.py:290-345): duplicate-occurrence
+# ratio over stop-word-excluded tokens; 0 when < 5 words or < 10 content
+# words. Same stop-word set as the UDF chain (single source of truth).
+def word_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from cleaning_web_corpus_spark.filters.chain import STOP_WORDS
+
+    docs = t(spark, sf, "documents")
+    base = docs.select("doc_id", _wc().alias("wc"))
+    content = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")).alias("w"),
+    ).filter(~F.col("w").isin(*sorted(STOP_WORDS)))
+    agg = (
+        content.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c") - 1).otherwise(0)).alias("dup"),
+            F.sum("c").alias("n_content"),
+        )
+    )
+    ratio = F.when(
+        (F.col("wc") < 5) | (F.coalesce(F.col("n_content"), F.lit(0)) < 10), F.lit(0.0)
+    ).otherwise(F.col("dup") / F.col("n_content"))
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_content"), F.lit(0)).cast("long").alias("n_content_words"),
+        F.round(ratio, 4).alias("word_rep_ratio"),
+    )
+
+
 # --- P8/P9: keyword-confidence scoring + arg-max category -------------------
 # reference formula: conf = min(1, count / (len(keywords)/2)), patterns.py:251-280;
 # arg-max with default, patterns.py:283-305. Keyword vocab adapted to the
@@ -288,6 +358,8 @@ def conversation_keep_drop(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ngram_repetition_stats": ngram_repetition_stats,
+    "word_repetition_stats": word_repetition_stats,
     "word_stats": word_stats,
     "conversation_keep_drop": conversation_keep_drop,
     "drop_reason_histogram": drop_reason_histogram,
@@ -314,7 +386,48 @@ _SQL_CAT_COUNT = {
     for cat, kws in CATEGORIES.items()
 }
 
+def _sql_stops() -> str:
+    from cleaning_web_corpus_spark.filters.chain import STOP_WORDS
+
+    return ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
+
+
 ORACLES: Dict[str, str] = {
+    "ngram_repetition_stats": f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+            FROM documents),
+        grams AS (
+            SELECT doc_id,
+                   unnest(CASE WHEN len(t) < {2 * NGRAM_N} THEN []::VARCHAR[]
+                          ELSE list_transform(range(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END) AS g
+            FROM toks),
+        mx AS (
+            SELECT doc_id, MAX(c) AS mx FROM (
+                SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g)
+            GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(mx.mx, 0)::BIGINT AS max_ngram_rep
+        FROM documents d LEFT JOIN mx ON d.doc_id = mx.doc_id
+    """,
+    "word_repetition_stats": f"""
+        WITH base AS (SELECT doc_id, {_SQL_WC} AS wc FROM documents),
+        content AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+            FROM documents),
+        agg AS (
+            SELECT doc_id,
+                   SUM(CASE WHEN c > 1 THEN c - 1 ELSE 0 END) AS dup,
+                   SUM(c) AS n_content
+            FROM (SELECT doc_id, w, COUNT(*) AS c FROM content
+                  WHERE w NOT IN ({_sql_stops()}) GROUP BY doc_id, w)
+            GROUP BY doc_id)
+        SELECT b.doc_id,
+               COALESCE(n_content, 0)::BIGINT AS n_content_words,
+               ROUND((CASE WHEN b.wc < 5 OR COALESCE(n_content, 0) < 10 THEN 0.0
+                      ELSE dup::DOUBLE / n_content END)::DOUBLE, 4) AS word_rep_ratio
+        FROM base b LEFT JOIN agg USING (doc_id)
+    """,
     "conversation_keep_drop": f"""
         WITH tv AS (
             SELECT source AS conv_id,

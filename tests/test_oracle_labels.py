@@ -1,0 +1,72 @@
+"""Twin-label oracle generation (tools/oracle_labels.py): caching,
+staleness, and content sanity. No Spark involved — the generator is a
+plain pyarrow/numpy pass, which is the point (independence from the
+engine under test)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from tools import oracle_labels
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def cfg():
+    import __spark_entry__ as entry
+
+    return entry._doc_cfg()
+
+
+@pytest.fixture()
+def out_root(tmp_path, monkeypatch):
+    monkeypatch.setattr(oracle_labels, "ORACLE_ROOT", str(tmp_path / "oracles"))
+    return tmp_path / "oracles"
+
+
+def test_generates_all_label_tables(cfg, out_root):
+    meta = oracle_labels.ensure_labels(SF, cfg)
+    for key in ("verdict", "scrub", "flags", "steps", "tools", "ivf_cells"):
+        assert os.path.exists(meta[key]), key
+    n_docs = pq.read_table(f"{SF}/documents.parquet").num_rows
+    verdict = pq.read_table(meta["verdict"])
+    assert verdict.num_rows == n_docs
+    assert set(verdict.column_names) == {"doc_id", "passed", "reason"}
+    flags = pq.read_table(meta["flags"])
+    assert flags.num_rows == n_docs and len(flags.column_names) == 8
+    cells = pq.read_table(meta["ivf_cells"])
+    n_vecs = pq.read_table(f"{SF}/embeddings.parquet").num_rows
+    assert cells.num_rows == n_vecs
+    assert len(meta["probe_cells"]) > 0
+    # labels are non-degenerate: multiple distinct failure/pass reasons
+    # (at sf0.001 the doc-scale chain can fail every document, so the
+    # both-outcomes check belongs to sf0.01 — the driver's oracle sf)
+    reasons = set(verdict.column("reason").to_pylist())
+    assert len(reasons) > 1
+
+
+def test_cache_hit_and_config_staleness(cfg, out_root):
+    meta1 = oracle_labels.ensure_labels(SF, cfg)
+    mtime = os.path.getmtime(meta1["verdict"])
+    meta2 = oracle_labels.ensure_labels(SF, cfg)  # cache hit: no rewrite
+    assert os.path.getmtime(meta2["verdict"]) == mtime
+
+    changed = cfg.model_copy(update={"min_words": cfg.min_words + 1})
+    meta3 = oracle_labels.ensure_labels(SF, changed)  # config change: regen
+    assert meta3["fingerprint"] != meta1["fingerprint"]
+    assert os.path.getmtime(meta3["verdict"]) > mtime
+
+
+def test_corrupt_meta_regenerates(cfg, out_root):
+    meta = oracle_labels.ensure_labels(SF, cfg)
+    meta_path = os.path.join(os.path.dirname(meta["verdict"]), "meta.json")
+    with open(meta_path, "w") as f:
+        f.write("{not json")
+    meta2 = oracle_labels.ensure_labels(SF, cfg)
+    with open(meta_path) as f:
+        assert json.load(f)["fingerprint"] == meta2["fingerprint"]
