@@ -1,0 +1,54 @@
+"""spark-submit entrypoint smoke (the --py-files deployment surface).
+
+Runs in a subprocess because the CLI owns its SparkSession lifecycle
+(build -> run -> stop) and must not tear down the shared test session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _cli(tmp_path, *args: str) -> str:
+    env = dict(
+        os.environ,
+        PYTHONPATH=REPO,
+        SPARK_GRAFT_CPUS="4",
+        SPARK_DRIVER_MEMORY="2g",
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "cleaning_web_corpus_spark.cli", *args],
+        capture_output=True, text=True, env=env, cwd=str(tmp_path), timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    return out.stdout
+
+
+def test_generate_then_run_then_resume(tmp_path):
+    corpus = tmp_path / "corpus"
+    outdir = tmp_path / "out"
+
+    gen = _cli(tmp_path, "generate", "--convs", "120", "--output", str(corpus))
+    n_written = json.loads([l for l in gen.splitlines() if l.startswith("{")][-1])["written"]
+    assert n_written > 120  # multi-turn conversations
+
+    run1 = _cli(tmp_path, "run", "--input", str(corpus), "--output", str(outdir))
+    stats = json.loads([l for l in run1.splitlines() if l.startswith("{")][-1])
+    assert os.path.exists(outdir / "kept_turns" / "_SUCCESS")
+    assert os.path.exists(outdir / "_metrics")
+
+    assert stats["turns"] > 0 and stats["conversations"] >= 120
+
+    marker = outdir / "turn_verdicts" / "_SUCCESS"
+    mtime = marker.stat().st_mtime
+    run2 = _cli(tmp_path, "run", "--input", str(corpus), "--output", str(outdir))
+    stats2 = json.loads([l for l in run2.splitlines() if l.startswith("{")][-1])
+    assert marker.stat().st_mtime == mtime, "resume must skip the committed verdict stage"
+    # resumed run reads the same committed stages -> identical counts
+    for key in ("conversations", "kept_conversations", "turns"):
+        assert stats2[key] == stats[key]
