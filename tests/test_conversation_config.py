@@ -31,3 +31,25 @@ def test_fraction_threshold_keeps_mixed_conversations(spark):
     # lenient keeps exactly those with failed fraction <= 0.5
     bad = lenient.filter(F.col("kept") & (F.col("failed_turn_fraction") > 0.5)).count()
     assert bad == 0
+
+
+def test_dedup_latest_ts_tie_broken_lexicographically(spark):
+    """The hash-agg dedup's tie-break contract: equal ts -> max over the
+    remaining columns (strictly deterministic, unlike a window whose
+    tie order is partition-arrival order)."""
+    from pyspark.sql import functions as F
+
+    from cleaning_web_corpus_spark.pipeline.conversation import dedup_latest
+
+    rows = [
+        ("c1", 0, "user", "old text", None, "2024-01-01 00:00:00"),
+        ("c1", 0, "user", "new text", None, "2024-01-02 00:00:00"),
+        ("c1", 0, "user", "tie a", None, "2024-01-02 00:00:00"),
+        ("c2", 0, "user", "only", None, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.conv_id, r.turn_idx): r.text for r in dedup_latest(df).collect()}
+    assert out == {("c1", 0): "tie a", ("c2", 0): "only"}
+    assert dedup_latest(df).columns == df.columns  # column order preserved
