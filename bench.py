@@ -312,12 +312,16 @@ def main_scaling():
                 [sys.executable,
                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "tools", "scaling_controls.py"), ctl_corpus],
-                capture_output=True, text=True, timeout=600, check=True,
+                # generous: 4 workload passes x 2 (warm+measured) over
+                # 400k texts + ALU spins, on a host that can slow >2x
+                capture_output=True, text=True, timeout=1200, check=True,
             )
             return json.loads(
                 [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
             )
-        except Exception:
+        except Exception as e:
+            print(f"WARNING: controls pass failed ({type(e).__name__}); "
+                  "this round has no engine/ctl denominator", file=sys.stderr)
             return {}
 
     round_rows = []  # dicts: eff, tps8, tps32, pinned, n_turns, controls

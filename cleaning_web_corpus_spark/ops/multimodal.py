@@ -171,6 +171,15 @@ def parse_image_dims(payload: bytes) -> Tuple[Optional[str], Optional[int], Opti
             if b[i] != 0xFF:
                 break
             marker = b[i + 1]
+            if marker == 0xFF:  # fill byte (spec-legal 0xFF padding)
+                i += 1
+                continue
+            # standalone markers carry no length word: TEM, RST0-7, SOI
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2
+                continue
+            if marker in (0xD9, 0xDA):  # EOI / SOS: entropy data follows
+                break
             # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC) carry dimensions
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 h, w = struct.unpack(">HH", b[i + 5 : i + 9])

@@ -84,12 +84,20 @@ def is_committed(path: str) -> bool:
 
 
 def commit_stage(df: DataFrame, path: str) -> str | None:
-    """Atomically materialize a stage output through the TableIO seam
-    (Iceberg snapshot on a configured cluster; parquet + _SUCCESS
-    marker locally) and return the resulting snapshot id."""
+    """Atomically materialize a stage output at a filesystem ``path``
+    (parquet + Spark's atomic ``_SUCCESS`` marker) and return its
+    commit id (the marker's mtime — see TableIO.snapshot_id).
+
+    Deliberately PATH-mode only: a directory path is not a catalog
+    identifier, so routing it through a configured Iceberg catalog
+    would try to parse the slashes as a multipart table name. Iceberg
+    deployments commit stages through ``TableIO`` with real table
+    identifiers instead (same atomic-snapshot contract; exercised in
+    tests/test_iceberg_integration.py), and the run orchestration reads
+    them back via ``TableIO.read``."""
     from cleaning_web_corpus_spark.sources.tables import TableIO
 
-    io = TableIO.for_session(df.sparkSession)
+    io = TableIO(df.sparkSession, catalog=None)
     io.overwrite(df, path)
     return io.snapshot_id(path)
 

@@ -80,7 +80,9 @@ def metrics_table_ddl(
             input_rows            BIGINT,
             output_rows           BIGINT,
             drop_reason_histogram MAP<STRING, BIGINT>,
-            model_versions        MAP<STRING, STRING>
+            model_versions        MAP<STRING, STRING>,
+            snapshot_id           STRING,
+            committed_at          TIMESTAMP
         )
         USING iceberg
         PARTITIONED BY (stage, run_id)

@@ -41,3 +41,29 @@ def test_ivf_deterministic(spark):
     a = _ids(ann_ivf_knn(spark, SF))
     b = _ids(ann_ivf_knn(spark, SF))
     assert a == b
+
+
+def test_banded_near_dups_subset_and_recall(spark):
+    """The banded operator's candidates must be a subset of the exact
+    pairs (same threshold, cosines identical), with usable recall at
+    the test scale — guards against a band/bit-slice bug that the
+    DuckDB oracle cannot catch (oracle and engine share the banding)."""
+    from cleaning_web_corpus_spark.ops.ann import (
+        embedding_near_dups,
+        embedding_near_dups_exact,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    banded = {
+        (r.vec_a, r.vec_b): r.cosine for r in embedding_near_dups(spark, sf).collect()
+    }
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in embedding_near_dups_exact(spark, sf).collect()
+    }
+    assert banded, "banded candidate set is empty at test scale"
+    assert set(banded) <= set(exact)
+    for pair, cos in banded.items():
+        assert cos == exact[pair]  # identical cosine computation
+    recall = len(banded) / len(exact)
+    assert recall >= 0.5, f"banded recall {recall:.2f} too low ({len(banded)}/{len(exact)})"

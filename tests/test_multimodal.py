@@ -102,3 +102,17 @@ def test_probed_dims_override_tampered_metadata(media):
             assert (r.width, r.height) == truth[r.media_id]
         else:
             assert (r.width, r.height) == (1, 1)  # unparseable -> metadata fallback
+
+
+def test_jpeg_fill_bytes_and_standalone_markers():
+    import struct
+
+    # fill byte before APP1, RST marker, then SOF0 — the walk must not
+    # desynchronize on length-less markers
+    app1 = b"\xff\xff" + b"\xff\xe1" + struct.pack(">H", 6) + b"Exif"
+    rst = b"\xff\xd0"
+    sof = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 99, 77) + b"\x03" + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    assert parse_image_dims(b"\xff\xd8" + app1 + rst + sof) == ("jpeg", 77, 99)
+    # SOS before any SOF: stop cleanly with unknown dims
+    sos = b"\xff\xda" + struct.pack(">H", 4) + b"\x01\x00"
+    assert parse_image_dims(b"\xff\xd8" + sos + b"\x12\x34" * 8) == ("jpeg", None, None)

@@ -35,8 +35,15 @@ def _load_twin():
     return mod
 
 
-def _fingerprint(cfg) -> str:
+def _fingerprint(sf_dir: str, cfg) -> str:
+    """Covers everything the labels are a function of: the twin + this
+    generator, the model implementations the twin calls
+    (langid/perplexity + their seed corpora), the shared extractor and
+    IVF code, the chain config, and the identity of the input parquet
+    (path + size + mtime — regenerated testdata invalidates the cache)."""
     from cleaning_web_corpus_spark.enrich import extract, vocab
+    from cleaning_web_corpus_spark.models import langid, perplexity, seed_corpora
+    from cleaning_web_corpus_spark.ops import ann
     from cleaning_web_corpus_spark.warehouse import enrich_queries
 
     h = hashlib.md5()
@@ -46,17 +53,18 @@ def _fingerprint(cfg) -> str:
         extract.__file__,
         vocab.__file__,
         enrich_queries.__file__,
+        langid.__file__,
+        perplexity.__file__,
+        seed_corpora.__file__,
+        ann.__file__,
     ):
         with open(path, "rb") as f:
             h.update(f.read())
     h.update(json.dumps(cfg.model_dump(), sort_keys=True).encode())
-    from cleaning_web_corpus_spark.ops import ann
-
-    h.update(
-        json.dumps(
-            [ann.IVF_K, ann.IVF_NPROBE, ann.IVF_TRAIN_CAP, ann.IVF_ITERS, ann.PROBE_VEC_ID]
-        ).encode()
-    )
+    for table in ("documents", "embeddings"):
+        p = os.path.join(sf_dir, f"{table}.parquet")
+        st = os.stat(p)
+        h.update(f"{os.path.abspath(p)}:{st.st_size}:{st.st_mtime}".encode())
     return h.hexdigest()
 
 
@@ -66,9 +74,26 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out_dir = os.path.join(ORACLE_ROOT, os.path.basename(sf_dir.rstrip("/")))
+    # key by full-path hash, not basename: two datasets both named
+    # "sf0.01" must not share a label cache
+    sf_key = (
+        os.path.basename(sf_dir.rstrip("/"))
+        + "-"
+        + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    )
+    out_dir = os.path.join(ORACLE_ROOT, sf_key)
+    fp = _fingerprint(sf_dir, cfg)
+    try:
+        os.makedirs(out_dir, exist_ok=True)
+    except OSError:
+        # read-only checkout: degrade to a per-user temp cache so the
+        # driver's oracle gate still runs (same lenient contract as
+        # __spark_entry__._ensure_shipped's zip build)
+        import tempfile
+
+        out_dir = os.path.join(tempfile.gettempdir(), "cwc_oracles", sf_key)
+        os.makedirs(out_dir, exist_ok=True)
     meta_path = os.path.join(out_dir, "meta.json")
-    fp = _fingerprint(cfg)
     if os.path.exists(meta_path):
         try:
             with open(meta_path) as f:
@@ -77,8 +102,6 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
                 return meta
         except (json.JSONDecodeError, OSError):
             pass
-
-    os.makedirs(out_dir, exist_ok=True)
     twin = _load_twin()
     docs = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pylist()
 
