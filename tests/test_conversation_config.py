@@ -34,7 +34,7 @@ def test_fraction_threshold_keeps_mixed_conversations(spark):
 
 
 def test_dedup_latest_ts_tie_broken_lexicographically(spark):
-    """The hash-agg dedup's tie-break contract: equal ts -> max over the
+    """The max-struct-agg dedup's tie-break contract: equal ts -> max over the
     remaining columns (strictly deterministic, unlike a window whose
     tie order is partition-arrival order)."""
     from pyspark.sql import functions as F
