@@ -1,0 +1,68 @@
+"""Property-based parity fuzzing: engine chain/scrub vs the reference
+twin on adversarial generated text.
+
+The example-based parity suite (tests/test_pipeline_parity.py) proves
+the generated corpus; this module hammers the two independent
+implementations with hypothesis-generated text — unicode letters,
+digit/punctuation runs, embedded PII shapes, pathological whitespace —
+so a divergence in any gate, threshold, reason format or regex
+(the F1 >= 0.99 / byte-identical-scrub invariants) surfaces without
+anyone having to anticipate the failing input. Pure-Python on both
+sides (the Spark UDF wraps the same evaluate_text; its Arrow plumbing
+is covered by the pipeline parity suite), so hundreds of examples cost
+milliseconds.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cleaning_web_corpus_spark.config import QualityConfig, ScrubConfig
+from cleaning_web_corpus_spark.filters.chain import evaluate_text
+from cleaning_web_corpus_spark.models.langid import make_detector
+from cleaning_web_corpus_spark.models.perplexity import make_scorer
+from cleaning_web_corpus_spark.scrub.pii import scrub_text
+from tests.reference_twin import twin_scrub, twin_verdict
+
+_DET = make_detector()
+_SCORER = make_scorer()
+
+# building blocks chosen to hit every chain gate and scrub rule
+_WORD = st.text(
+    st.characters(codec="utf-8", categories=("Ll", "Lu", "Nd")), min_size=1, max_size=12
+)
+_PII = st.sampled_from(
+    [
+        "bob@example.com", "x.y+z@sub.domain.org",
+        "123-45-6789", "999-99-9999",
+        "(555) 123-4567", "555-123-4567", "+1 555.123.4567",
+        "192.168.0.1", "10.0.0.255",
+        "damn", "IDIOT", "crap", "stupidly",  # last one must NOT match \b...(s|es|ed|ing)?\b
+    ]
+)
+_NOISE = st.sampled_from(["!!!", "...", "aaaa", "zzzzzz", "12345", "\t", "\n\n", "  ", "--"])
+_TOKEN = st.one_of(_WORD, _PII, _NOISE)
+_TEXT = st.lists(_TOKEN, min_size=0, max_size=120).map(" ".join)
+
+_CFGS = [
+    QualityConfig.for_transcripts(),
+    QualityConfig(min_words=20, max_words=80, min_words_for_repetition_check=30,
+                  min_words_for_perplexity=10, max_word_repetition_ratio=0.95,
+                  max_ngram_repetition=50),
+]
+
+
+@settings(max_examples=300, deadline=None)
+@given(text=_TEXT, cfg_i=st.integers(min_value=0, max_value=len(_CFGS) - 1))
+def test_verdict_parity_fuzz(text, cfg_i):
+    cfg = _CFGS[cfg_i]
+    v = evaluate_text(text, cfg, _DET, _SCORER, collect_stats=False)
+    t_passed, t_reason = twin_verdict(text, cfg)
+    assert (v.passed, v.reason) == (t_passed, t_reason), repr(text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(text=_TEXT)
+def test_scrub_parity_fuzz(text):
+    assert scrub_text(text, ScrubConfig()) == twin_scrub(text), repr(text)
