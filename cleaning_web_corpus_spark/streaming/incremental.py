@@ -37,14 +37,26 @@ def incremental_pipeline(
     out_dir: str,
     pcfg: Optional[PipelineConfig] = None,
     available_now: bool = True,
+    cross_batch_dedup: bool = False,
 ):
-    """Start the incremental job; returns the StreamingQuery."""
+    """Start the incremental job; returns the StreamingQuery.
+
+    ``cross_batch_dedup=True`` adds the built-in stateful
+    ``dropDuplicatesWithinWatermark`` on (conv_id, turn_idx): a
+    duplicate key arriving in a LATER micro-batch (within the watermark
+    delay) is dropped instead of re-emitted — keep-first semantics with
+    watermark-bounded state. Within a batch, latest-wins dedup still
+    applies (turn_verdicts_df); the batch compaction job remains the
+    authority for latest-wins across arbitrary gaps, so the default
+    keeps the streaming layer append-pure."""
     pcfg = pcfg or PipelineConfig()
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .parquet(input_path)
         .withWatermark("ts", "1 hour")
     )
+    if cross_batch_dedup:
+        stream = stream.dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
 
     sink_path = os.path.join(out_dir, "turn_verdicts_stream")
     checkpoint = os.path.join(out_dir, "_checkpoints", "turn_verdicts_stream")

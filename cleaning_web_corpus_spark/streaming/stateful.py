@@ -1,0 +1,120 @@
+"""Custom stateful streaming operator: cross-batch conversation scoring.
+
+The batch pipeline derives conversation keep/drop from a full-corpus
+aggregation (pipeline/conversation.py); incrementally, a conversation's
+turns arrive spread over many micro-batches. This operator keeps
+``(n_turns, n_failed)`` per ``conv_id`` in Spark's keyed state store
+via ``applyInPandasWithState`` — the build contract's
+custom-stateful-operator pattern — and emits the conversation's
+CURRENT verdict whenever new turns arrive. State survives micro-batch
+boundaries AND query restarts (checkpointed), which is exactly what the
+within-batch aggregation cannot do.
+
+Scale notes: state is one tiny struct per live conversation, keyed and
+partitioned by conv_id in the state store; at corpus scale you bound it
+with an event-time timeout (``GroupStateTimeout.EventTimeTimeout`` +
+the source watermark) so finished conversations age out — the test
+path uses ``NoTimeout`` because availableNow drains and stops.
+
+Reference analogue: none (the reference is strictly batch,
+SURVEY.md §2.9); this extends the engine beyond it.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Iterator, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cleaning_web_corpus_spark.config import ConversationConfig
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("n_turns", LongType(), False),
+        StructField("n_failed", LongType(), False),
+        StructField("kept", BooleanType(), False),
+    ]
+)
+STATE_SCHEMA = StructType(
+    [StructField("n_turns", LongType()), StructField("n_failed", LongType())]
+)
+
+# what the operator consumes: the verdict stream the incremental
+# pipeline materializes (streaming/incremental.py sink columns, narrow)
+VERDICT_STREAM_SCHEMA = "conv_id string, turn_idx int, passed boolean"
+
+
+def make_update_fn(max_failed_fraction: float):
+    """Build the per-key state-update function (closure over config)."""
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n_turns, n_failed = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n_turns += len(pdf)
+            n_failed += int((~pdf["passed"].astype(bool)).sum())
+        state.update((n_turns, n_failed))
+        kept = n_turns > 0 and (n_failed / n_turns) <= max_failed_fraction
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [n_turns],
+                "n_failed": [n_failed],
+                "kept": [kept],
+            }
+        )
+
+    return update
+
+
+def conversation_scores_stream(
+    spark: SparkSession,
+    verdicts_path: str,
+    out_dir: str,
+    cfg: Optional[ConversationConfig] = None,
+    available_now: bool = True,
+):
+    """Stream per-turn verdict rows -> running conversation verdicts.
+
+    Sink: ``foreachBatch`` parquet append in update mode — each
+    micro-batch appends the conversations whose state changed; the
+    latest row per conv_id is the current verdict (dedup-latest
+    downstream, same staging pattern as everything else).
+    """
+    cfg = cfg or ConversationConfig()
+    stream = spark.readStream.schema(VERDICT_STREAM_SCHEMA).parquet(verdicts_path)
+    scored = stream.groupBy("conv_id").applyInPandasWithState(
+        make_update_fn(cfg.max_failed_turn_fraction),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink_path = os.path.join(out_dir, "conv_scores_stream")
+    checkpoint = os.path.join(out_dir, "_checkpoints", "conv_scores_stream")
+
+    def _sink(batch_df, batch_id: int):
+        batch_df.write.mode("append").parquet(sink_path)
+
+    writer = (
+        scored.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -45,3 +45,69 @@ def test_incremental_matches_batch(spark, tmp_path):
         more.select("conv_id", "turn_idx").distinct().count()
     )
     assert n_after == n_before + n_more
+
+
+def test_stateful_conversation_scores_across_batches_and_restart(spark, tmp_path):
+    """applyInPandasWithState: per-conv (n_turns, n_failed) accumulates
+    across micro-batches AND across query restarts (checkpointed keyed
+    state) — what a within-batch aggregation cannot do."""
+    from cleaning_web_corpus_spark.config import ConversationConfig
+    from cleaning_web_corpus_spark.streaming.stateful import conversation_scores_stream
+
+    verdicts = str(tmp_path / "verdicts")
+    out = str(tmp_path / "scored")
+    cfg = ConversationConfig(max_failed_turn_fraction=0.4)
+
+    batch1 = spark.createDataFrame(
+        [("a", 0, True), ("a", 1, True), ("a", 2, False), ("b", 0, True)],
+        "conv_id string, turn_idx int, passed boolean",
+    )
+    batch1.coalesce(1).write.mode("append").parquet(verdicts)
+    q = conversation_scores_stream(spark, verdicts, out, cfg)
+    q.awaitTermination(120)
+
+    sink = os.path.join(out, "conv_scores_stream")
+    latest = {
+        r.conv_id: r
+        for r in spark.read.parquet(sink).orderBy("n_turns").collect()
+    }
+    assert (latest["a"].n_turns, latest["a"].n_failed, latest["a"].kept) == (3, 1, True)
+    assert (latest["b"].n_turns, latest["b"].n_failed, latest["b"].kept) == (1, 0, True)
+
+    # conv 'a' gets 2 more failing turns in a later batch, after a full
+    # query restart: state must resume from the checkpoint, not reset
+    batch2 = spark.createDataFrame(
+        [("a", 3, False), ("a", 4, False)],
+        "conv_id string, turn_idx int, passed boolean",
+    )
+    batch2.coalesce(1).write.mode("append").parquet(verdicts)
+    q2 = conversation_scores_stream(spark, verdicts, out, cfg)
+    q2.awaitTermination(120)
+
+    rows_a = [
+        r for r in spark.read.parquet(sink).collect() if r.conv_id == "a"
+    ]
+    current = max(rows_a, key=lambda r: r.n_turns)
+    assert (current.n_turns, current.n_failed) == (5, 3)
+    assert current.kept is False  # 3/5 > 0.4 -> flipped to dropped
+
+
+def test_cross_batch_dedup_drops_late_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a (conv_id, turn_idx) key arriving
+    again in a later micro-batch is dropped, not re-emitted."""
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    pcfg = PipelineConfig()
+
+    corpus = generate_transcripts(spark, 12, seed=11, mega_every=0, partitions=1)
+    corpus.write.mode("append").parquet(inp)
+    q = incremental_pipeline(spark, inp, out, pcfg, cross_batch_dedup=True)
+    q.awaitTermination(120)
+    sink = os.path.join(out, "turn_verdicts_stream")
+    n1 = spark.read.parquet(sink).count()
+
+    # replay the exact same rows as a new batch -> all duplicates
+    corpus.write.mode("append").parquet(inp)
+    q2 = incremental_pipeline(spark, inp, out, pcfg, cross_batch_dedup=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == n1
