@@ -43,12 +43,14 @@ def incremental_pipeline(
 
     ``cross_batch_dedup=True`` adds the built-in stateful
     ``dropDuplicatesWithinWatermark`` on (conv_id, turn_idx): a
-    duplicate key arriving in a LATER micro-batch (within the watermark
-    delay) is dropped instead of re-emitted — keep-first semantics with
-    watermark-bounded state. Within a batch, latest-wins dedup still
-    applies (turn_verdicts_df); the batch compaction job remains the
-    authority for latest-wins across arbitrary gaps, so the default
-    keeps the streaming layer append-pure."""
+    duplicate key arriving again within the watermark delay — in a
+    later micro-batch OR the same one — is dropped. NOTE this makes the
+    whole dedup KEEP-FIRST (the stateful operator runs before
+    turn_verdicts_df's latest-wins pass, which then sees only one row
+    per key), the standard streaming-dedup semantics; the default
+    (False) preserves within-batch latest-wins, and the batch
+    compaction job remains the authority for latest-wins across
+    arbitrary gaps either way."""
     pcfg = pcfg or PipelineConfig()
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)

@@ -51,8 +51,10 @@ STATE_SCHEMA = StructType(
 )
 
 # what the operator consumes: the verdict stream the incremental
-# pipeline materializes (streaming/incremental.py sink columns, narrow)
-VERDICT_STREAM_SCHEMA = "conv_id string, turn_idx int, passed boolean"
+# pipeline materializes (streaming/incremental.py sink columns, narrow).
+# ts rides along so the in-operator duplicate guard can bound its state
+# with the watermark.
+VERDICT_STREAM_SCHEMA = "conv_id string, turn_idx int, passed boolean, ts timestamp"
 
 
 def make_update_fn(max_failed_fraction: float):
@@ -66,7 +68,11 @@ def make_update_fn(max_failed_fraction: float):
         n_turns, n_failed = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n_turns += len(pdf)
-            n_failed += int((~pdf["passed"].astype(bool)).sum())
+            # count explicit False only: a NULL verdict is not a failure,
+            # matching the batch aggregation's when(~passed, 1).otherwise(0)
+            # (which yields 0 for NULL) — astype(bool) would map None to a
+            # counted failure and diverge from the batch path
+            n_failed += int((pdf["passed"] == False).sum())  # noqa: E712
         state.update((n_turns, n_failed))
         kept = n_turns > 0 and (n_failed / n_turns) <= max_failed_fraction
         yield pd.DataFrame(
@@ -90,13 +96,25 @@ def conversation_scores_stream(
 ):
     """Stream per-turn verdict rows -> running conversation verdicts.
 
+    A duplicate guard (built-in stateful dedup on (conv_id, turn_idx),
+    watermark-bounded) runs BEFORE the scorer so a re-delivered turn is
+    never double-counted into the state — without it, an at-least-once
+    upstream would inflate n_turns/n_failed and could flip verdicts
+    relative to the batch aggregation, which dedups first.
+
     Sink: ``foreachBatch`` parquet append in update mode — each
     micro-batch appends the conversations whose state changed; the
-    latest row per conv_id is the current verdict (dedup-latest
-    downstream, same staging pattern as everything else).
+    CURRENT verdict per conv_id is its max-``n_turns`` row (state is
+    monotone in n_turns) — select it with :func:`latest_conv_scores`.
     """
     cfg = cfg or ConversationConfig()
-    stream = spark.readStream.schema(VERDICT_STREAM_SCHEMA).parquet(verdicts_path)
+    stream = (
+        spark.readStream.schema(VERDICT_STREAM_SCHEMA)
+        .parquet(verdicts_path)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+        .drop("ts")
+    )
     scored = stream.groupBy("conv_id").applyInPandasWithState(
         make_update_fn(cfg.max_failed_turn_fraction),
         outputStructType=OUTPUT_SCHEMA,
@@ -118,3 +136,26 @@ def conversation_scores_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def latest_conv_scores(scores_df):
+    """Current verdict per conversation from the append-only score sink:
+    state is monotone in ``n_turns``, so the max-(n_turns, ...) row per
+    conv_id is the newest update (same max-struct pattern as
+    pipeline/conversation.dedup_latest, which keys on ``ts`` and
+    therefore does not apply to this ts-less sink)."""
+    from pyspark.sql import functions as F
+
+    packed = F.max(
+        F.struct(F.col("n_turns"), F.col("n_failed"), F.col("kept"))
+    ).alias("s")
+    return (
+        scores_df.groupBy("conv_id")
+        .agg(packed)
+        .select(
+            "conv_id",
+            F.col("s.n_turns").alias("n_turns"),
+            F.col("s.n_failed").alias("n_failed"),
+            F.col("s.kept").alias("kept"),
+        )
+    )

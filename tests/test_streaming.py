@@ -52,15 +52,24 @@ def test_stateful_conversation_scores_across_batches_and_restart(spark, tmp_path
     across micro-batches AND across query restarts (checkpointed keyed
     state) — what a within-batch aggregation cannot do."""
     from cleaning_web_corpus_spark.config import ConversationConfig
-    from cleaning_web_corpus_spark.streaming.stateful import conversation_scores_stream
+    from cleaning_web_corpus_spark.streaming.stateful import (
+        conversation_scores_stream,
+        latest_conv_scores,
+    )
 
     verdicts = str(tmp_path / "verdicts")
     out = str(tmp_path / "scored")
     cfg = ConversationConfig(max_failed_turn_fraction=0.4)
 
-    batch1 = spark.createDataFrame(
-        [("a", 0, True), ("a", 1, True), ("a", 2, False), ("b", 0, True)],
-        "conv_id string, turn_idx int, passed boolean",
+    def _vdf(rows):
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, passed boolean, ts string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    t0 = "2024-06-01 00:00:0"
+    batch1 = _vdf(
+        [("a", 0, True, t0 + "0"), ("a", 1, True, t0 + "1"),
+         ("a", 2, False, t0 + "2"), ("b", 0, True, t0 + "0")]
     )
     batch1.coalesce(1).write.mode("append").parquet(verdicts)
     q = conversation_scores_stream(spark, verdicts, out, cfg)
@@ -69,26 +78,28 @@ def test_stateful_conversation_scores_across_batches_and_restart(spark, tmp_path
     sink = os.path.join(out, "conv_scores_stream")
     latest = {
         r.conv_id: r
-        for r in spark.read.parquet(sink).orderBy("n_turns").collect()
+        for r in latest_conv_scores(spark.read.parquet(sink)).collect()
     }
     assert (latest["a"].n_turns, latest["a"].n_failed, latest["a"].kept) == (3, 1, True)
     assert (latest["b"].n_turns, latest["b"].n_failed, latest["b"].kept) == (1, 0, True)
 
     # conv 'a' gets 2 more failing turns in a later batch, after a full
     # query restart: state must resume from the checkpoint, not reset
-    batch2 = spark.createDataFrame(
-        [("a", 3, False), ("a", 4, False)],
-        "conv_id string, turn_idx int, passed boolean",
+    # includes a re-delivery of ("a", 2) — the in-operator duplicate
+    # guard must not double-count it
+    batch2 = _vdf(
+        [("a", 3, False, t0 + "3"), ("a", 4, False, t0 + "4"),
+         ("a", 2, False, t0 + "2")]
     )
     batch2.coalesce(1).write.mode("append").parquet(verdicts)
     q2 = conversation_scores_stream(spark, verdicts, out, cfg)
     q2.awaitTermination(120)
 
-    rows_a = [
-        r for r in spark.read.parquet(sink).collect() if r.conv_id == "a"
-    ]
-    current = max(rows_a, key=lambda r: r.n_turns)
-    assert (current.n_turns, current.n_failed) == (5, 3)
+    current = {
+        r.conv_id: r
+        for r in latest_conv_scores(spark.read.parquet(sink)).collect()
+    }["a"]
+    assert (current.n_turns, current.n_failed) == (5, 3)  # dup ("a", 2) not recounted
     assert current.kept is False  # 3/5 > 0.4 -> flipped to dropped
 
 

@@ -157,7 +157,16 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
 
     probe_cells = _ivf_labels(sf_dir, paths["ivf_cells"])
 
-    meta = {"fingerprint": fp, "probe_cells": probe_cells, **paths}
+    # the TWIN's check names (independent of the engine's CHECKS list):
+    # an engine-side check removal then mismatches the oracle's column
+    # set loudly instead of silently narrowing the gate
+    ablation_checks = [k for k in flag_rows[0] if k != "doc_id"]
+    meta = {
+        "fingerprint": fp,
+        "probe_cells": probe_cells,
+        "ablation_checks": ablation_checks,
+        **paths,
+    }
     tmp = f"{meta_path}.{os.getpid()}.tmp"
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1)
