@@ -229,6 +229,62 @@ def with_probed_dims(df: DataFrame) -> DataFrame:
     )
 
 
+# --- F17: text-image alignment filter (real scoring, stub encoder) ----------
+ALIGN_SCHEMA = "media_id long, clip_score double"
+MIN_ALIGNMENT = 0.2  # reference configs/default.yaml:58
+
+
+def _fake_embed(data: bytes, dim: int = 32):
+    """Deterministic digest-derived unit vector (the CI stand-in for a
+    CLIP encoder; real deploys ship torch via --archives and swap only
+    this function)."""
+    import numpy as np
+
+    raw = b""
+    seed = data
+    while len(raw) < dim:
+        seed = hashlib.sha256(seed).digest()
+        raw += seed
+    v = np.frombuffer(raw[:dim], dtype=np.uint8).astype(np.float64) - 127.5
+    return v / (np.linalg.norm(v) + 1e-12)
+
+
+def alignment_scores(df: DataFrame, text_col: str = "caption", fake: bool = False) -> DataFrame:
+    """Per-media cosine(text embedding, image embedding) via mapInPandas
+    (reference CLIP alignment, /root/reference/src/quality/alignment.py:29-269).
+
+    The reference's graceful-degradation contract is preserved: when no
+    encoder is available (``fake=False`` here — no torch in this
+    container), the score is NULL and the filter below passes leniently,
+    exactly as the reference passes documents when the CLIP model can't
+    load (text_processor.py:205-225)."""
+    import numpy as np
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                scores = [None] * len(pdf)  # encoder unavailable -> lenient NULL
+            else:
+                scores = [
+                    float(np.dot(_fake_embed(bytes(p)), _fake_embed((t or "").encode())))
+                    for p, t in zip(pdf["payload"], pdf[text_col])
+                ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "clip_score": scores})
+
+    return df.select("media_id", "payload", text_col).mapInPandas(_score, ALIGN_SCHEMA)
+
+
+def filter_alignment(
+    df: DataFrame, text_col: str = "caption", min_score: float = MIN_ALIGNMENT,
+    fake: bool = False,
+) -> DataFrame:
+    """Keep media whose alignment score clears the threshold; unknown
+    scores (no encoder) pass leniently, like the reference."""
+    scores = alignment_scores(df, text_col=text_col, fake=fake)
+    keep = F.col("clip_score").isNull() | (F.col("clip_score") >= min_score)
+    return df.join(scores.filter(keep).select("media_id"), "media_id", "left_semi")
+
+
 # --- payload transforms (real plumbing, stubbed codecs) ---------------------
 FEATURE_SCHEMA = "media_id long, feature_dim int, feature_hash string"
 

@@ -1,0 +1,102 @@
+"""HTML -> main-text extraction (SURVEY §2.1 S4) as a vectorized UDF.
+
+The reference extracts page text with trafilatura and SKIPS the
+document when extraction returns nothing
+(/root/reference/src/processors/text_processor.py:47-109). This is a
+from-scratch, stdlib-only main-content extractor with the same
+contract: boilerplate containers (script/style/nav/header/footer/aside,
+plus template/noscript/svg) are dropped, block-level text is joined
+with newlines, entities are decoded by html.parser, and an empty
+extraction yields NULL — the caller's filter(col.isNotNull()) is the
+reference's skip-if-empty.
+
+It is deliberately simpler than trafilatura (no language-aware
+boilerplate scoring); on a cluster where trafilatura IS shipped
+(--py-files wheel), swap the parser inside ``_extract_one`` — the
+Spark surface (Arrow batching, schema, skip contract) stays identical,
+the same pluggable-backend pattern as models/langid.py.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterator, List, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SKIP_TAGS = frozenset(
+    "script style nav header footer aside template noscript svg head".split()
+)
+_BLOCK_TAGS = frozenset(
+    "p div br li h1 h2 h3 h4 h5 h6 tr article section blockquote pre".split()
+)
+_VOID_TAGS = frozenset("br hr img input meta link".split())
+
+
+class _MainTextParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._skip_depth = 0
+        self._chunks: List[str] = []
+        self._block_break = False
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in _SKIP_TAGS and tag not in _VOID_TAGS:
+            self._skip_depth += 1
+        if tag in _BLOCK_TAGS:
+            self._block_break = True
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in _SKIP_TAGS and tag not in _VOID_TAGS and self._skip_depth:
+            self._skip_depth -= 1
+        if tag in _BLOCK_TAGS:
+            self._block_break = True
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth:
+            return
+        text = " ".join(data.split())
+        if not text:
+            return
+        if self._block_break or not self._chunks:
+            self._chunks.append(text)
+        else:
+            self._chunks[-1] += " " + text
+        self._block_break = False
+
+    def result(self) -> Optional[str]:
+        out = "\n".join(c for c in self._chunks if c)
+        return out or None
+
+
+def extract_main_text(html: Optional[str]) -> Optional[str]:
+    """Main text of one HTML document, or None when nothing extracts
+    (malformed input degrades to best-effort, never raises)."""
+    if not html or not html.strip():
+        return None
+    parser = _MainTextParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass  # html.parser is resilient; belt-and-braces for exotic input
+    return parser.result()
+
+
+def make_extract_udf():
+    def _batch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for col in it:
+            yield pd.Series([extract_main_text(h) for h in col], dtype=object)
+
+    return F.pandas_udf(_batch, "string")
+
+
+def extract_pages(pages: DataFrame, html_col: str = "raw_html") -> DataFrame:
+    """raw pages -> rows with ``main_text``, empty extractions dropped
+    (the reference's skip-if-empty at text_processor.py:56-60)."""
+    udf = make_extract_udf()
+    return pages.withColumn("main_text", udf(F.col(html_col))).filter(
+        F.col("main_text").isNotNull()
+    )

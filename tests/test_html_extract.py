@@ -1,0 +1,54 @@
+"""S4: HTML -> main-text extraction (stdlib parser, skip-if-empty)."""
+
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.sources.html_extract import (
+    extract_main_text,
+    extract_pages,
+)
+
+PAGE = """
+<html><head><title>t</title><script>var x = 1;</script>
+<style>body { color: red }</style></head>
+<body>
+<nav>Home | About | Contact</nav>
+<header>Site header</header>
+<article>
+  <h1>How to clean a carpet</h1>
+  <p>Apply the detergent &amp; blot the stain.</p>
+  <p>Rinse with   warm
+     water.</p>
+</article>
+<footer>&copy; 2024</footer>
+</body></html>
+"""
+
+
+def test_extracts_content_drops_boilerplate():
+    text = extract_main_text(PAGE)
+    assert "How to clean a carpet" in text
+    assert "Apply the detergent & blot the stain." in text  # entity decoded
+    assert "Rinse with warm water." in text  # whitespace squeezed
+    for boiler in ("var x", "color: red", "Home | About", "Site header", "2024"):
+        assert boiler not in text
+
+
+def test_empty_and_degenerate_inputs():
+    assert extract_main_text(None) is None
+    assert extract_main_text("") is None
+    assert extract_main_text("   ") is None
+    assert extract_main_text("<script>only(code)</script>") is None
+    # truncated tag: best-effort, never raises, real content survives
+    assert "ok" in extract_main_text("<p>ok</p><p")
+
+
+def test_extract_pages_skips_empty(spark):
+    pages = spark.createDataFrame(
+        [(1, PAGE), (2, "<script>no text</script>"), (3, "<p>kept</p>")],
+        "page_id long, raw_html string",
+    )
+    out = extract_pages(pages)
+    got = {r.page_id: r.main_text for r in out.collect()}
+    assert set(got) == {1, 3}
+    assert got[3] == "kept"
+    assert out.filter(F.col("main_text").isNull()).count() == 0

@@ -116,3 +116,21 @@ def test_jpeg_fill_bytes_and_standalone_markers():
     # SOS before any SOF: stop cleanly with unknown dims
     sos = b"\xff\xda" + struct.pack(">H", 4) + b"\x01\x00"
     assert parse_image_dims(b"\xff\xd8" + sos + b"\x12\x34" * 8) == ("jpeg", None, None)
+
+
+def test_alignment_filter_lenient_and_fake_paths(spark, media):
+    from cleaning_web_corpus_spark.ops.multimodal import (
+        alignment_scores,
+        filter_alignment,
+    )
+
+    cap = media.withColumn("caption", F.concat(F.lit("image number "), F.col("media_id")))
+    # no encoder: NULL scores, lenient pass-through (reference contract)
+    assert filter_alignment(cap, fake=False).count() == cap.count()
+    assert alignment_scores(cap, fake=False).filter(F.col("clip_score").isNotNull()).count() == 0
+    # fake encoder: deterministic real cosine scoring + thresholding
+    s1 = {r.media_id: r.clip_score for r in alignment_scores(cap, fake=True).collect()}
+    s2 = {r.media_id: r.clip_score for r in alignment_scores(cap, fake=True).collect()}
+    assert s1 == s2 and all(-1.0 <= v <= 1.0 for v in s1.values())
+    kept = filter_alignment(cap, min_score=0.0, fake=True)
+    assert 0 < kept.count() < cap.count()  # threshold actually separates
