@@ -1,0 +1,29 @@
+"""S9: distributed binary payload sink + manifest."""
+
+import hashlib
+import os
+
+from cleaning_web_corpus_spark.ops.multimodal import synthesize_media
+from cleaning_web_corpus_spark.sources.media_sink import write_media_files
+
+
+def test_files_written_with_correct_checksums(spark, tmp_path):
+    media = synthesize_media(spark, 30)
+    root = str(tmp_path / "images")
+    manifest = write_media_files(media, root).collect()
+    assert len(manifest) == 30
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    for m in manifest:
+        assert os.path.exists(m.path), m.path
+        with open(m.path, "rb") as f:
+            data = f.read()
+        assert data == payloads[m.media_id]
+        assert m.checksum == hashlib.md5(data).hexdigest()
+        assert m.byte_size == len(data)
+        assert m.path.startswith(os.path.join(root, str(m.doc_id)))
+
+    # idempotent re-run: same paths, no duplicate files
+    n_files = sum(len(fs) for _, _, fs in os.walk(root))
+    again = write_media_files(media, root).collect()
+    assert {m.path for m in again} == {m.path for m in manifest}
+    assert sum(len(fs) for _, _, fs in os.walk(root)) == n_files
