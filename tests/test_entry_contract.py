@@ -15,9 +15,11 @@ def test_entry_runs(spark):
 def test_oracle_keys_subset_of_queries():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    assert set(oracles) <= set(qs)
-    # the vast majority must be oracle-checked
-    assert len(oracles) >= 20
+    # EVERY query carries an oracle (since round 2: twin-label parquet
+    # covers the model-backed chains) — a new queries() entry without an
+    # oracle_sql() twin would silently become a weak rows-only check at
+    # the driver gate, so it fails here first
+    assert set(oracles) == set(qs)
 
 
 def test_every_query_runs(spark):
