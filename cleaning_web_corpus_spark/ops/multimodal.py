@@ -260,15 +260,21 @@ def alignment_scores(df: DataFrame, text_col: str = "caption", fake: bool = Fals
     load (text_processor.py:205-225)."""
     import numpy as np
 
+    if not fake:
+        # encoder unavailable: every score is NULL — express that as a
+        # plain projection, never shipping the binary payloads to Python
+        return df.select(
+            "media_id", F.lit(None).cast("double").alias("clip_score")
+        )
+
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                scores = [None] * len(pdf)  # encoder unavailable -> lenient NULL
-            else:
-                scores = [
-                    float(np.dot(_fake_embed(bytes(p)), _fake_embed((t or "").encode())))
-                    for p, t in zip(pdf["payload"], pdf[text_col])
-                ]
+            scores = [
+                None
+                if p is None
+                else float(np.dot(_fake_embed(bytes(p)), _fake_embed((t or "").encode())))
+                for p, t in zip(pdf["payload"], pdf[text_col])
+            ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "clip_score": scores})
 
     return df.select("media_id", "payload", text_col).mapInPandas(_score, ALIGN_SCHEMA)
@@ -280,6 +286,8 @@ def filter_alignment(
 ) -> DataFrame:
     """Keep media whose alignment score clears the threshold; unknown
     scores (no encoder) pass leniently, like the reference."""
+    if not fake:
+        return df  # no encoder -> every score is NULL -> everything passes
     scores = alignment_scores(df, text_col=text_col, fake=fake)
     keep = F.col("clip_score").isNull() | (F.col("clip_score") >= min_score)
     return df.join(scores.filter(keep).select("media_id"), "media_id", "left_semi")

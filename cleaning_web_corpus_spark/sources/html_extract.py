@@ -26,13 +26,16 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# NOTE no ``head`` here: HTML5 allows omitting </head> (and html.parser
+# does no implicit closing), so depth-skipping head would swallow whole
+# documents; its content-bearing children (title/script/style) are
+# skipped individually and the metadata tags are void anyway.
 _SKIP_TAGS = frozenset(
-    "script style nav header footer aside template noscript svg head".split()
+    "script style title nav header footer aside template noscript svg".split()
 )
 _BLOCK_TAGS = frozenset(
     "p div br li h1 h2 h3 h4 h5 h6 tr article section blockquote pre".split()
 )
-_VOID_TAGS = frozenset("br hr img input meta link".split())
 
 
 class _MainTextParser(HTMLParser):
@@ -43,13 +46,17 @@ class _MainTextParser(HTMLParser):
         self._block_break = False
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        if tag in _SKIP_TAGS and tag not in _VOID_TAGS:
+        if tag == "body":
+            # body cannot legally sit inside any skip container; an
+            # unclosed <nav>/<header> before it must not swallow the page
+            self._skip_depth = 0
+        if tag in _SKIP_TAGS:
             self._skip_depth += 1
         if tag in _BLOCK_TAGS:
             self._block_break = True
 
     def handle_endtag(self, tag: str) -> None:
-        if tag in _SKIP_TAGS and tag not in _VOID_TAGS and self._skip_depth:
+        if tag in _SKIP_TAGS and self._skip_depth:
             self._skip_depth -= 1
         if tag in _BLOCK_TAGS:
             self._block_break = True

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -40,7 +41,10 @@ def write_media_files(media: DataFrame, root: str) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload) if r.payload is not None else b""
                 name = hashlib.sha1(payload).hexdigest()[:16]
-                ext = (r.format or "bin").lower()
+                # format is free-form crawl metadata — sanitize before it
+                # becomes part of a filesystem path (no separators, no
+                # dots, bounded length; empty -> bin)
+                ext = re.sub(r"[^a-z0-9]", "", (r.format or "").lower())[:8] or "bin"
                 d = os.path.join(root, str(r.doc_id))
                 os.makedirs(d, exist_ok=True)
                 final = os.path.join(d, f"{name}.{ext}")

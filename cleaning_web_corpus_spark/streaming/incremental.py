@@ -60,8 +60,15 @@ def incremental_pipeline(
     if cross_batch_dedup:
         stream = stream.dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
 
-    sink_path = os.path.join(out_dir, "turn_verdicts_stream")
-    checkpoint = os.path.join(out_dir, "_checkpoints", "turn_verdicts_stream")
+    # the dedup flag changes the stateful-operator graph, and Spark
+    # rejects restarting a checkpoint whose state metadata doesn't match
+    # the new graph — key BOTH the checkpoint and the sink on the flag,
+    # so toggling it starts a fresh self-consistent query (own sink, own
+    # checkpoint) instead of crashing on restart or, worse, silently
+    # re-appending the full history into the other configuration's sink
+    name = "turn_verdicts_stream" + ("_dedup" if cross_batch_dedup else "")
+    sink_path = os.path.join(out_dir, name)
+    checkpoint = os.path.join(out_dir, "_checkpoints", name)
 
     def _process(batch_df, batch_id: int):
         tv = turn_verdicts_df(batch_df, pcfg, emit_stats=False)

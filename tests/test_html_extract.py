@@ -33,6 +33,16 @@ def test_extracts_content_drops_boilerplate():
         assert boiler not in text
 
 
+def test_html5_omitted_closing_tags():
+    # spec-legal omitted </head>: the title/script are skipped but the
+    # body content must survive (html.parser does no implicit closing)
+    html = "<html><head><meta charset=utf-8><title>t</title><body><p>Main content here</p>"
+    assert extract_main_text(html) == "Main content here"
+    # unclosed <nav> before body must not swallow the page either
+    html2 = "<html><body-missing><nav>menu<body><p>real text</p></html>"
+    assert "real text" in (extract_main_text(html2) or "")
+
+
 def test_empty_and_degenerate_inputs():
     assert extract_main_text(None) is None
     assert extract_main_text("") is None

@@ -114,7 +114,7 @@ def test_cross_batch_dedup_drops_late_duplicates(spark, tmp_path):
     corpus.write.mode("append").parquet(inp)
     q = incremental_pipeline(spark, inp, out, pcfg, cross_batch_dedup=True)
     q.awaitTermination(120)
-    sink = os.path.join(out, "turn_verdicts_stream")
+    sink = os.path.join(out, "turn_verdicts_stream_dedup")  # flag-keyed sink
     n1 = spark.read.parquet(sink).count()
 
     # replay the exact same rows as a new batch -> all duplicates
