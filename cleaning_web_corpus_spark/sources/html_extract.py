@@ -107,3 +107,41 @@ def extract_pages(pages: DataFrame, html_col: str = "raw_html") -> DataFrame:
     return pages.withColumn("main_text", udf(F.col(html_col))).filter(
         F.col("main_text").isNotNull()
     )
+
+
+# --- S4 as a driver-checkable query -----------------------------------------
+# documents -> deterministic synthetic pages (boilerplate + omitted
+# closers, the HTML5 shape real crawls produce) -> distributed extraction.
+# The oracle labels are produced by running extract_main_text per page in
+# plain Python (tools/oracle_labels.py), so the driver hash-checks the
+# Arrow-batched UDF against the single-process twin run.
+PAGE_TEMPLATE = (
+    "<html><head><meta charset=utf-8><title>doc %s</title>"
+    "<script>var doc = %s;</script>"
+    "<body><nav>Home | Docs | About</nav>"
+    "<h1>Document %s</h1><p>%s</p>"
+    "<footer>generated page</footer></body></html>"
+)
+
+
+def synth_page(doc_id: int, text: str) -> str:
+    """Pure-Python twin of the column expression in
+    :func:`html_extract_docs` — byte-identical by construction."""
+    return PAGE_TEMPLATE.replace("%s", "{}").format(doc_id, doc_id, doc_id, text)
+
+
+def html_extract_docs(spark, sf_dir: str) -> DataFrame:
+    pages = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.format_string(
+            PAGE_TEMPLATE, F.col("doc_id"), F.col("doc_id"), F.col("doc_id"), F.col("text")
+        ).alias("raw_html"),
+    )
+    return extract_pages(pages).select("doc_id", "main_text")
+
+
+def html_oracle_sql(labels_path: str) -> str:
+    return f"""
+        SELECT doc_id, main_text FROM read_parquet('{labels_path}')
+        WHERE main_text IS NOT NULL
+    """

@@ -44,6 +44,7 @@ def _fingerprint(sf_dir: str, cfg) -> str:
     from cleaning_web_corpus_spark.enrich import extract, vocab
     from cleaning_web_corpus_spark.models import langid, perplexity, seed_corpora
     from cleaning_web_corpus_spark.ops import ann
+    from cleaning_web_corpus_spark.sources import html_extract
     from cleaning_web_corpus_spark.warehouse import enrich_queries
 
     h = hashlib.md5()
@@ -53,6 +54,7 @@ def _fingerprint(sf_dir: str, cfg) -> str:
         extract.__file__,
         vocab.__file__,
         enrich_queries.__file__,
+        html_extract.__file__,
         langid.__file__,
         perplexity.__file__,
         seed_corpora.__file__,
@@ -118,6 +120,21 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
     from cleaning_web_corpus_spark.enrich.extract import enrich_one
     from cleaning_web_corpus_spark.warehouse.enrich_queries import synth_cleaning_text
 
+    # S4 twin labels: the single-process extractor over the same
+    # deterministic synthetic pages the Spark query derives natively
+    from cleaning_web_corpus_spark.sources.html_extract import (
+        extract_main_text,
+        synth_page,
+    )
+
+    html_rows = [
+        {
+            "doc_id": d["doc_id"],
+            "main_text": extract_main_text(synth_page(d["doc_id"], d["text"])),
+        }
+        for d in docs
+    ]
+
     steps_rows, tools_rows = [], []
     for d in docs:
         text = synth_cleaning_text(d["doc_id"], d["lang"])
@@ -147,6 +164,7 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
         "flags": os.path.join(out_dir, "ablation_flags.parquet"),
         "steps": os.path.join(out_dir, "steps_labels.parquet"),
         "tools": os.path.join(out_dir, "tools_labels.parquet"),
+        "html": os.path.join(out_dir, "html_labels.parquet"),
         "ivf_cells": os.path.join(out_dir, "ivf_cells.parquet"),
     }
     pq.write_table(pa.Table.from_pylist(verdicts), paths["verdict"])
@@ -154,6 +172,7 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
     pq.write_table(pa.Table.from_pylist(flag_rows), paths["flags"])
     pq.write_table(pa.Table.from_pylist(steps_rows), paths["steps"])
     pq.write_table(pa.Table.from_pylist(tools_rows), paths["tools"])
+    pq.write_table(pa.Table.from_pylist(html_rows), paths["html"])
 
     probe_cells = _ivf_labels(sf_dir, paths["ivf_cells"])
 
