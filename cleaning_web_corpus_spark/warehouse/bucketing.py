@@ -1,0 +1,51 @@
+"""Bucketed storage for shuffle-free co-located joins.
+
+At 100 TB the repeated cost in the warehouse layer is re-shuffling the
+same tables on the same keys for every join. Spark's bucketed tables
+(``bucketBy`` + ``sortBy`` at write time) persist the hash layout:
+a join between two tables bucketed on the join key with the same
+bucket count needs NO exchange on either side — the physical plan is a
+SortMergeJoin whose children read pre-bucketed files directly.
+
+This is the filesystem-table analogue of the Iceberg
+``bucket(N, conv_id)`` partition transform in sources/tables.py (the
+production layout); the Iceberg form additionally gets storage-partition
+joins. Reference analogue: ClickHouse's primary-key ordering
+(/root/reference/src/db/schema.py:42-48) serves the same
+avoid-re-sorting role for its MergeTree tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    keys: list[str],
+    buckets: int = 8,
+) -> None:
+    """Persist ``df`` as an external bucketed+sorted table. ``buckets``
+    must match across tables that will be joined (the co-location
+    contract); size it so bucket files land in the 100 MB-1 GB range at
+    the target scale."""
+    (
+        df.write.mode("overwrite")
+        .option("path", os.path.abspath(path))
+        .bucketBy(buckets, *keys)
+        .sortBy(*keys)
+        .saveAsTable(table)
+    )
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables; with matching bucket counts the
+    optimizer elides both exchanges (assert via .explain — no
+    Exchange above either scan)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

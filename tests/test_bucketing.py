@@ -1,0 +1,28 @@
+"""Bucketed tables: the join plan must be exchange-free on both sides."""
+
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.bucketing import colocated_join, write_bucketed
+
+
+def test_colocated_join_elides_both_exchanges(spark, tmp_path):
+    left = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("flag")
+    )
+    right = spark.range(2000).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3).alias("score")
+    )
+    try:
+        write_bucketed(left, "b_left", str(tmp_path / "l"), ["doc_id"], buckets=8)
+        write_bucketed(right, "b_right", str(tmp_path / "r"), ["doc_id"], buckets=8)
+
+        joined = colocated_join(spark, "b_left", "b_right", ["doc_id"])
+        assert joined.count() == 2000
+
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+        # the co-location payoff: NO shuffle exchange anywhere in the plan
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")
