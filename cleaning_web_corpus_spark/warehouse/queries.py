@@ -186,7 +186,28 @@ def top_customer_orders(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- P6: ISO-8601 timestamp parse -------------------------------------------
+# reference: fromisoformat with Z -> +00:00 normalization at
+# /root/reference/src/db/load_to_clickhouse.py:52-62 (fallback-to-now
+# dropped by design — nondeterminism; NULL for unparseable instead).
+# The ISO strings are derived natively from events.ts, round-tripped
+# through to_timestamp, and the epoch projection makes the value
+# timezone-representation-independent across engines.
+def timestamp_parse(spark: SparkSession, sf: str) -> DataFrame:
+    iso = F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss")
+    parsed = F.to_timestamp(iso, "yyyy-MM-dd'T'HH:mm:ss")
+    return t(spark, sf, "events").select(
+        "event_id",
+        iso.alias("iso_ts"),
+        F.unix_timestamp(parsed).cast("long").alias("parsed_epoch"),
+        # ANSI mode (Spark 4 default) makes to_timestamp THROW on bad
+        # input; try_to_timestamp is the lenient NULL-on-unparseable form
+        F.try_to_timestamp(F.lit("not a timestamp")).isNull().alias("bad_is_null"),
+    )
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "timestamp_parse": timestamp_parse,
     "stg_dedup_latest": stg_dedup_latest,
     "fact_order_rollup": fact_order_rollup,
     "coverage_cube": coverage_cube,
@@ -201,6 +222,14 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLES: Dict[str, str] = {
+    "timestamp_parse": """
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%dT%H:%M:%S') AS iso_ts,
+               epoch(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S'),
+                              '%Y-%m-%dT%H:%M:%S'))::BIGINT AS parsed_epoch,
+               (TRY_CAST('not a timestamp' AS TIMESTAMP) IS NULL) AS bad_is_null
+        FROM events
+    """,
     "stg_dedup_latest": """
         SELECT user_id, event_id, event_type, ROUND(value, 2) AS value
         FROM (
