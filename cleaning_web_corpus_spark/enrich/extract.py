@@ -308,7 +308,14 @@ def make_enrich_udf():
             rows = [enrich_one(t) for t in texts]
             yield pd.DataFrame(rows, columns=cols)
 
-    return F.pandas_udf(_batch, ENRICH_SCHEMA)
+    # The UDF is pure, but it is marked nondeterministic so Catalyst
+    # cannot duplicate the expression when a downstream filter on a
+    # struct field (e.g. surface_type = ...) is pushed below the
+    # projection — without this the full keyword-scan + step-extraction
+    # runs TWICE per document (two ArrowEvalPython nodes in the plan,
+    # observed in round 2's PLANS.md). Collapse-project still keeps one
+    # evaluation; filters stay above it.
+    return F.pandas_udf(_batch, ENRICH_SCHEMA).asNondeterministic()
 
 
 def enrich_turns(turns: DataFrame, text_col: str = "text_scrubbed") -> DataFrame:

@@ -128,7 +128,10 @@ def _band_sigs_udf():
             ).astype("int64")
             yield pd.Series(list(sigs))
 
-    return F.pandas_udf(_batch, "array<long>")
+    # pure, but marked nondeterministic so the Generate/Filter pushdown
+    # around posexplode cannot duplicate the UDF subtree (round-2 plan
+    # showed the isnotnull(sigs) pre-filter re-running it)
+    return F.pandas_udf(_batch, "array<long>").asNondeterministic()
 
 
 def embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
@@ -138,8 +141,19 @@ def embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     buckets (> ND_MAX_BUCKET) are dropped like ops/dedup.py's flood cap;
     a pair colliding in several bands is deduplicated after scoring
     (the cosine is a pure function of the two vectors, so duplicate
-    candidate rows carry identical values)."""
-    # precompute each vector's norm ONCE before the explode/join: the
+    candidate rows carry identical values).
+
+    Plan shape (round-3 fix for VERDICT r02 "What's wrong" #1): the
+    round-2 form was a capped SELF-JOIN on (band, sig), whose plan
+    evaluated the signature-UDF subtree on both join sides (4
+    ArrowEvalPython nodes). This is the ``simhash_near_dups`` shape
+    instead (ops/dedup.py:224-240): ``collect_list`` groups each
+    (band, sig) bucket into one row — ONE UDF pass, ONE shuffle — and
+    pair expansion + the zip_with dot product run natively inside the
+    bucket row. Size-1 buckets yield no pairs, so the
+    ``size(rs) BETWEEN 2 AND cap`` filter is contract-identical to the
+    oracle's ``n_bucket <= cap`` window cap."""
+    # precompute each vector's norm ONCE before the explode: the
     # per-pair cosine then costs a single zip_with dot product instead
     # of three array aggregates (the norms are the identical float
     # expressions, so the rounded result is bit-equal to the oracle's)
@@ -151,31 +165,24 @@ def embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     banded = sigs.select(
         "vec_id", "emb", "norm", F.posexplode("sigs").alias("band", "sig")
     )
-    # bucket-size flood cap via a window count: ONE evaluation of the
-    # signature UDF and one (band, sig) shuffle that the candidate join
-    # reuses — a groupBy+self-join form would re-run the UDF subtree
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("band", "sig")
-    capped = banded.withColumn("n_bucket", F.count(F.lit(1)).over(w)).filter(
-        F.col("n_bucket") <= ND_MAX_BUCKET
+    buckets = (
+        banded.groupBy("band", "sig")
+        .agg(F.collect_list(F.struct("vec_id", "emb", "norm")).alias("rs"))
+        .filter(F.size("rs").between(2, ND_MAX_BUCKET))
     )
-    a = capped.select(
-        "band", "sig", F.col("vec_id").alias("vec_a"),
-        F.col("emb").alias("ea"), F.col("norm").alias("norm_a"),
+    # id-filter BEFORE the cosine lambda so the dot product is paid on
+    # the kept half of the pair matrix only
+    pairs = F.expr(
+        "transform("
+        " filter(flatten(transform(rs, x -> transform(rs, y -> struct(x AS a, y AS b)))),"
+        "        p -> p.a.vec_id < p.b.vec_id),"
+        " p -> struct(p.a.vec_id AS vec_a, p.b.vec_id AS vec_b,"
+        "      round(aggregate(zip_with(p.a.emb, p.b.emb, (x, y) -> x * y),"
+        "      0D, (s, v) -> s + v) / (p.a.norm * p.b.norm), 6) AS cosine))"
     )
-    b = capped.select(
-        "band", "sig", F.col("vec_id").alias("vec_b"),
-        F.col("emb").alias("eb"), F.col("norm").alias("norm_b"),
-    )
-    dot = F.expr("aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D, (s, v) -> s + v)")
     return (
-        a.join(b, ["band", "sig"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a", "vec_b",
-            F.round(dot / (F.col("norm_a") * F.col("norm_b")), 6).alias("cosine"),
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.vec_a", "p.vec_b", "p.cosine")
         .filter(F.col("cosine") >= NEAR_DUP_COS)
         .distinct()
     )
@@ -195,18 +202,29 @@ def _bucket_udf():
             vals = (bits * (1 << np.arange(LSH_BITS))).sum(axis=1)
             yield pd.Series(vals.astype("int64"))
 
-    return F.pandas_udf(_batch, "long")
+    # pure; nondeterministic marker stops the bucket==probe_bucket
+    # filter pushdown from duplicating the hash over the full corpus
+    # (round-2 plan paid the UDF twice per side)
+    return F.pandas_udf(_batch, "long").asNondeterministic()
 
 
 def ann_lsh_knn(spark: SparkSession, sf: str) -> DataFrame:
-    """Top-k within the probe's LSH bucket (approximate; rows-only check)."""
+    """Top-k within the probe's LSH bucket (approximate; rows-only check).
+
+    The vec_id filters are applied BEFORE the bucket UDF so they reach
+    the parquet scan directly (the nondeterministic marker on the UDF
+    would otherwise block their pushdown): the probe side hashes exactly
+    one row, the corpus side hashes each vector exactly once."""
     bucket = _bucket_udf()
-    emb = _emb_double(spark, sf).withColumn("bucket", bucket(F.col("emb")))
-    probe = emb.filter(F.col("vec_id") == PROBE_VEC_ID).select(
-        F.col("emb").alias("probe_emb"), F.col("bucket").alias("probe_bucket")
+    base = _emb_double(spark, sf)
+    probe = (
+        base.filter(F.col("vec_id") == PROBE_VEC_ID)
+        .withColumn("bucket", bucket(F.col("emb")))
+        .select(F.col("emb").alias("probe_emb"), F.col("bucket").alias("probe_bucket"))
     )
     return (
-        emb.filter(F.col("vec_id") != PROBE_VEC_ID)
+        base.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .withColumn("bucket", bucket(F.col("emb")))
         .crossJoin(F.broadcast(probe))
         .filter(F.col("bucket") == F.col("probe_bucket"))
         .select("vec_id", "label", F.round(_cosine("emb", "probe_emb"), 6).alias("cosine"))
@@ -265,7 +283,9 @@ def _cell_udf(centroids: np.ndarray):
             cells = assign_cells_np(np.stack(col.to_numpy()), centroids)
             yield pd.Series(cells.astype("int64"))
 
-    return F.pandas_udf(_batch, "long")
+    # pure; see _bucket_udf — the cell IN (probe_cells) filter must not
+    # re-run the assignment below the projection
+    return F.pandas_udf(_batch, "long").asNondeterministic()
 
 
 def ann_ivf_knn(spark: SparkSession, sf: str) -> DataFrame:
