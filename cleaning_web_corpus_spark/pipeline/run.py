@@ -50,6 +50,14 @@ class PipelineResult:
         materialized path, whose turn_verdicts is a parquet read)."""
         self.turn_verdicts.unpersist()
 
+    # context-manager form so lazy-path callers can't leak the cache:
+    # ``with run_pipeline(spark, df) as res: ...``
+    def __enter__(self) -> "PipelineResult":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.unpersist()
+
 
 def turn_verdicts_df(
     transcripts: DataFrame,
@@ -136,7 +144,13 @@ def run_pipeline(
     emit_stats: bool = True,
 ) -> PipelineResult:
     """Run (or resume) the full pipeline; materializes to ``out_dir``
-    when given, otherwise returns lazy DataFrames."""
+    when given, otherwise returns lazy DataFrames.
+
+    .. note:: With ``out_dir=None`` the verdict stage is ``persist()``-ed
+       (see below) and stays cached for the session lifetime unless the
+       caller invokes :meth:`PipelineResult.unpersist` once done with
+       the result — repeated lazy runs without it accumulate cached
+       relations. The materialized path has no such obligation."""
     pcfg = pcfg or PipelineConfig()
     run_id = lineage.new_run_id()
     model_versions = {

@@ -31,6 +31,11 @@ def build_session(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # pin the session timezone: timestamp rendering (date_format /
+        # unix_timestamp in timestamp_parse) must not depend on the
+        # JVM-default zone of whichever host runs the job — the DuckDB
+        # oracle reads parquet timestamps as naive UTC
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -126,15 +126,24 @@ PAGE_TEMPLATE = (
 
 def synth_page(doc_id: int, text: str) -> str:
     """Pure-Python twin of the column expression in
-    :func:`html_extract_docs` — byte-identical by construction."""
-    return PAGE_TEMPLATE.replace("%s", "{}").format(doc_id, doc_id, doc_id, text)
+    :func:`html_extract_docs` — byte-identical by construction (both
+    sides coalesce NULL/None text to '')."""
+    return PAGE_TEMPLATE.replace("%s", "{}").format(
+        doc_id, doc_id, doc_id, text if text is not None else ""
+    )
 
 
 def html_extract_docs(spark, sf_dir: str) -> DataFrame:
+    # coalesce NULL text to '' BEFORE templating: Java format_string
+    # renders NULL as 'null' while the Python twin (synth_page) renders
+    # None as 'None' — a null text row would silently diverge from the
+    # oracle labels (the twin generator coalesces identically)
     pages = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id",
         F.format_string(
-            PAGE_TEMPLATE, F.col("doc_id"), F.col("doc_id"), F.col("doc_id"), F.col("text")
+            PAGE_TEMPLATE,
+            F.col("doc_id"), F.col("doc_id"), F.col("doc_id"),
+            F.coalesce(F.col("text"), F.lit("")),
         ).alias("raw_html"),
     )
     return extract_pages(pages).select("doc_id", "main_text")

@@ -31,7 +31,7 @@ MANIFEST_SCHEMA = (
 
 
 def write_media_files(media: DataFrame, root: str) -> DataFrame:
-    """Write each payload to ``root/{doc_id}/{sha1[:16]}.{format}`` and
+    """Write each payload to ``root/{doc_id}/{sha1}.{format}`` and
     return the manifest (lazy — materializes on first action, like any
     other DataFrame sink-with-result)."""
 
@@ -40,7 +40,11 @@ def write_media_files(media: DataFrame, root: str) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload) if r.payload is not None else b""
-                name = hashlib.sha1(payload).hexdigest()[:16]
+                # full sha1 hex, matching the reference's file_path
+                # scheme (crawlers/pipelines.py) — a truncated digest
+                # plus the exists-skip below would let two distinct
+                # payloads silently share one file
+                name = hashlib.sha1(payload).hexdigest()
                 # format is free-form crawl metadata — sanitize before it
                 # becomes part of a filesystem path (no separators, no
                 # dots, bounded length; empty -> bin)

@@ -167,12 +167,20 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
         "html": os.path.join(out_dir, "html_labels.parquet"),
         "ivf_cells": os.path.join(out_dir, "ivf_cells.parquet"),
     }
-    pq.write_table(pa.Table.from_pylist(verdicts), paths["verdict"])
-    pq.write_table(pa.Table.from_pylist(scrubs), paths["scrub"])
-    pq.write_table(pa.Table.from_pylist(flag_rows), paths["flags"])
-    pq.write_table(pa.Table.from_pylist(steps_rows), paths["steps"])
-    pq.write_table(pa.Table.from_pylist(tools_rows), paths["tools"])
-    pq.write_table(pa.Table.from_pylist(html_rows), paths["html"])
+    # tmp + os.replace for every label file, mirroring the meta.json
+    # commit below: a concurrent regeneration must never expose torn
+    # parquet to a reader that already validated the old fingerprint
+    def _commit(table, path):
+        tmp = f"{path}.{os.getpid()}.tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+
+    _commit(pa.Table.from_pylist(verdicts), paths["verdict"])
+    _commit(pa.Table.from_pylist(scrubs), paths["scrub"])
+    _commit(pa.Table.from_pylist(flag_rows), paths["flags"])
+    _commit(pa.Table.from_pylist(steps_rows), paths["steps"])
+    _commit(pa.Table.from_pylist(tools_rows), paths["tools"])
+    _commit(pa.Table.from_pylist(html_rows), paths["html"])
 
     probe_cells = _ivf_labels(sf_dir, paths["ivf_cells"])
 
@@ -214,8 +222,8 @@ def _ivf_labels(sf_dir: str, cells_path: str) -> List[int]:
     X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
     C = ann.train_centroids_np(X[: ann.IVF_TRAIN_CAP])
     cells = ann.assign_cells_np(X, C)
-    pq.write_table(
-        pa.table({"vec_id": vec_ids, "cell": cells.astype("int64")}), cells_path
-    )
+    tmp = f"{cells_path}.{os.getpid()}.tmp"
+    pq.write_table(pa.table({"vec_id": vec_ids, "cell": cells.astype("int64")}), tmp)
+    os.replace(tmp, cells_path)
     probe = X[vec_ids == ann.PROBE_VEC_ID][0]
     return ann.probe_cells_np(probe, C)
