@@ -217,3 +217,442 @@ def twin_scrub(text: Optional[str]) -> Optional[str]:
     for pat, token in _SCRUB_STEPS:
         text = pat.sub(token, text)
     return text
+
+
+# --- HTML main-text twin (S4) ----------------------------------------------
+# Independent restatement of the extraction CONTRACT (drop boilerplate
+# containers, break chunks at block tags, whitespace-squeeze, join with
+# newlines, empty -> None) — does NOT import sources/html_extract. The
+# stdlib HTMLParser is shared tokenizer infrastructure (like DuckDB's
+# md5 in the dedup oracles); the skip/block/join logic is restated as an
+# event-stream fold instead of the engine's stateful handler methods.
+
+import html.parser as _htmlparser
+
+_TWIN_SKIP = frozenset(
+    ["script", "style", "title", "nav", "header", "footer", "aside",
+     "template", "noscript", "svg"]
+)
+_TWIN_BLOCK = frozenset(
+    ["p", "div", "br", "li", "h1", "h2", "h3", "h4", "h5", "h6", "tr",
+     "article", "section", "blockquote", "pre"]
+)
+
+
+class _EventCollector(_htmlparser.HTMLParser):
+    """Flat (kind, value) event stream; all extraction logic lives in
+    the fold below, not in the parser subclass."""
+
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.events = []
+
+    def handle_starttag(self, tag, attrs):
+        self.events.append(("open", tag))
+
+    def handle_endtag(self, tag):
+        self.events.append(("close", tag))
+
+    def handle_data(self, data):
+        self.events.append(("data", data))
+
+
+def twin_extract_main_text(raw_html):
+    if raw_html is None or not raw_html.strip():
+        return None
+    collector = _EventCollector()
+    try:
+        collector.feed(raw_html)
+        collector.close()
+    except Exception:
+        pass
+    depth = 0  # nesting inside boilerplate containers
+    chunks = []
+    pending_break = False
+    for kind, value in collector.events:
+        if kind == "open":
+            if value == "body":
+                depth = 0  # body terminates any unclosed boilerplate
+            if value in _TWIN_SKIP:
+                depth += 1
+            if value in _TWIN_BLOCK:
+                pending_break = True
+        elif kind == "close":
+            if value in _TWIN_SKIP and depth > 0:
+                depth -= 1
+            if value in _TWIN_BLOCK:
+                pending_break = True
+        else:  # data
+            if depth > 0:
+                continue
+            squeezed = " ".join(value.split())
+            if not squeezed:
+                continue
+            if pending_break or not chunks:
+                chunks.append(squeezed)
+            else:
+                chunks[-1] = chunks[-1] + " " + squeezed
+            pending_break = False
+    joined = "\n".join(chunks)
+    return joined if joined else None
+
+
+# the deterministic page template the S4 query derives natively —
+# mirrored DATA constant (must match sources/html_extract.PAGE_TEMPLATE
+# byte-for-byte; a drift fails the driver hash gate loudly)
+_TWIN_PAGE_TEMPLATE = (
+    "<html><head><meta charset=utf-8><title>doc {0}</title>"
+    "<script>var doc = {1};</script>"
+    "<body><nav>Home | Docs | About</nav>"
+    "<h1>Document {2}</h1><p>{3}</p>"
+    "<footer>generated page</footer></body></html>"
+)
+
+
+def twin_synth_page(doc_id, text):
+    return _TWIN_PAGE_TEMPLATE.format(
+        doc_id, doc_id, doc_id, text if text is not None else ""
+    )
+
+
+# --- enrichment twin (P8-P11) ----------------------------------------------
+# Independent restatement of the rule-based extractor semantics
+# (keyword-confidence scoring, arg-max dims, threshold tools, 4-family
+# step extraction + confidence + overlap dedup) — does NOT import
+# enrich/extract or enrich/vocab. Keyword lists and pattern strings are
+# mirrored DATA (ultimately from the reference's patterns.py); hits are
+# counted with \b-bounded regex scans, the reference's own approach,
+# where the engine counts token-dict lookups — the equivalence of the
+# two counting strategies is exactly what the driver gate then checks.
+
+_T_SURFACE = {
+    "pillows_bedding": "pillow|pillows|bedding|bed|mattress|duvet|comforter|blanket|sheets|cushion|cushions|headboard",
+    "clothes": "shirt|shirts|clothes|clothing|fabric|garment|garments|laundry|sweater|jacket|pants|jeans|dress|blouse|suit",
+    "carpets_floors": "carpet|carpets|rug|rugs|floor|floors|flooring|mat|mats|hardwood|linoleum|vinyl",
+    "upholstery": "sofa|sofas|couch|couches|chair|chairs|upholstery|upholstered|furniture|armchair|recliner|ottoman|loveseat|sectional",
+    "hard_surfaces": "countertop|countertops|counter|counters|table|tables|desk|shelf|shelves|cabinet|cabinets|tile|tiles|granite|marble|quartz",
+    "appliances": "oven|ovens|refrigerator|fridge|dishwasher|microwave|stove|stovetop|range|appliance|appliances|washer|dryer|freezer",
+    "bathroom": "bathroom|shower|showers|bathtub|tub|sink|sinks|toilet|toilets|grout|mirror|faucet|faucets",
+    "outdoor": "patio|deck|decks|outdoor|decking|porch|balcony|driveway|sidewalk",
+}
+_T_DIRT = {
+    "dust": "dust|dusty|dusting",
+    "stain": "stain|stains|stained|staining|spill|spills|spilled|spot|spots|discoloration|mark|marks",
+    "odor": "odor|odour|odors|smell|smells|smelly|musty|stale",
+    "grease": "grease|greasy|oil|oily|fat|fatty",
+    "mold": "mold|mould|mildew|moldy|fungus|fungal",
+    "pet_hair": "fur|furry|dander|shedding|hair|hairs",
+    "water_stain": "limescale",
+    "ink": "ink|pen|marker",
+}
+_T_METHOD = {
+    "washing_machine": "washer",
+    "hand_wash": "handwashing|soak|soaking|soaked",
+    "vacuum": "vacuum|vacuuming|vacuumed|hoover|hoovering",
+    "spot_clean": "spot",
+    "steam_clean": "steam|steaming|steamed",
+    "dry_clean": "dry",
+    "wipe": "wipe|wiping|wiped",
+    "scrub": "scrub|scrubbing|scrubbed",
+}
+_T_TOOL = {
+    "vacuum": "vacuum|hoover",
+    "sponge": "sponge|sponges",
+    "brush": "brush|brushes|toothbrush",
+    "microfiber_cloth": "microfiber",
+    "steam_cleaner": "steamer",
+    "vinegar": "vinegar",
+    "baking_soda": "bicarbonate",
+    "detergent": "detergent|soap",
+    "bleach": "bleach",
+    "hydrogen_peroxide": "peroxide",
+    "ammonia": "ammonia",
+    "rubbing_alcohol": "alcohol|isopropyl",
+    "spray_bottle": "sprayer|spray",
+    "bucket": "bucket|pail",
+    "mop": "mop|mops",
+    "towel": "towel|towels|rag|rags|cloth",
+    "gloves": "gloves",
+}
+_T_PHRASES = {
+    "method": {
+        "washing_machine": ["washing machine", "machine wash", "wash cycle"],
+        "hand_wash": ["hand wash", "wash by hand"],
+        "steam_clean": ["steam clean", "steam cleaning"],
+        "spot_clean": ["spot clean", "spot treatment"],
+        "dry_clean": ["dry clean", "dry cleaning"],
+        "wipe": ["wipe down", "damp cloth"],
+    },
+    "tool": {
+        "baking_soda": ["baking soda"],
+        "spray_bottle": ["spray bottle"],
+        "steam_cleaner": ["steam cleaner", "steam mop"],
+        "microfiber_cloth": ["microfiber cloth"],
+        "hydrogen_peroxide": ["hydrogen peroxide"],
+        "rubbing_alcohol": ["rubbing alcohol"],
+        "towel": ["paper towel"],
+    },
+}
+_T_VERBS = (
+    "mix apply spray wipe scrub rinse dry let allow remove blot vacuum wash "
+    "soak dilute combine add pour dampen saturate cover place wait repeat "
+    "shake stir spread gently carefully thoroughly"
+).split()
+_T_INDICATORS = (
+    "step", "steps", "first", "second", "third", "then", "next", "finally",
+    "lastly", "after", "before", "once", "when", "while", "during",
+)
+_T_CLEANING_KW = (
+    "clean", "remove", "apply", "rinse", "dry", "wipe", "scrub", "blot",
+    "vacuum", "treat",
+)
+_T_INFO_KW = (
+    "health benefits", "benefits", "prolongs", "extends", "improves",
+    "helps", "can trap", "may contain", "is important", "is essential",
+    "provides", "offers", "description", "information", "about",
+)
+_T_FALLBACK_TOOLS = (
+    "towel", "sponge", "brush", "vacuum", "cloth", "spray bottle",
+    "vinegar", "baking soda", "soap", "detergent", "gloves",
+    "paper towel", "bucket", "mop", "scrub brush",
+)
+_T_INFO_PHRASES = (
+    "health benefits", "benefits of", "prolongs", "extends", "improves",
+    "is important", "is essential", "helps", "can trap", "may contain",
+    "provides", "offers", "description", "information about",
+    "this is", "these are", "it is", "they are", "carpets can",
+    "carpets help", "carpets provide", "carpets trap",
+)
+_T_DESCRIPTIVE = (
+    "benefit", "benefits", "important", "essential", "helpful",
+    "useful", "effective", "good", "better", "best",
+)
+_T_PRONOUNS = ("i ", "you ", "he ", "she ", "it ", "they ", "we ")
+
+_T_NUMBERED = re.compile(r"^(?:step\s+)?(\d+)[\.\):]\s+(.+)$", re.IGNORECASE | re.MULTILINE)
+_T_ORDINAL = re.compile(
+    r"^(?:first|second|third|fourth|fifth|sixth|seventh|eighth|ninth|tenth"
+    r"|then|next|finally|lastly)[,:]\s+(.+)$",
+    re.IGNORECASE | re.MULTILINE,
+)
+_T_BULLET = re.compile(r"^\s*[-•*]\s+(.+)$", re.MULTILINE)
+_T_IMPERATIVE = re.compile(
+    r"^(?:" + "|".join(_T_VERBS[:24]) + r")[\s,].+$", re.IGNORECASE | re.MULTILINE
+)
+_T_SENT_SPLIT = re.compile(r"[.!?]\s+")
+
+
+def _t_category_scores(low, groups, phrase_group=None):
+    scores = {}
+    for cat, pipe_joined in groups.items():
+        kws = pipe_joined.split("|")
+        hits = 0
+        for kw in kws:
+            hits += len(re.findall(r"\b" + re.escape(kw) + r"\b", low))
+        extra = (phrase_group or {}).get(cat, [])
+        for ph in extra:
+            hits += low.count(ph)
+        denom = max(1, (len(kws) + len(extra)) / 2)
+        scores[cat] = min(1.0, hits / denom) if hits else 0.0
+    return scores
+
+
+def _t_argmax(scores, default):
+    ranked = sorted(
+        ((c, v) for c, v in scores.items() if v > 0), key=lambda cv: (-cv[1], cv[0])
+    )
+    return ranked[0] if ranked else (default, 0.0)
+
+
+def _t_step_conf(text, numbered):
+    low = text.lower()
+    conf = 0.7 if numbered else 0.5
+    leads = any(low.startswith(v) for v in _T_VERBS)
+    if leads:
+        conf += 0.3
+    verb_hits = sum(v in low for v in _T_VERBS)
+    if verb_hits > 1:
+        conf += min(0.2, 0.05 * (verb_hits - 1))
+    clean_hits = sum(k in low for k in _T_CLEANING_KW)
+    if clean_hits:
+        conf += min(0.15, 0.05 * clean_hits)
+    info_hits = sum(k in low for k in _T_INFO_KW)
+    if info_hits:
+        conf -= min(0.4, 0.15 * info_hits)
+    if len(text) < 20:
+        conf -= 0.2
+    elif len(text) > 200:
+        conf -= 0.3
+    if not leads and verb_hits == 0:
+        conf -= 0.2
+    return max(0.0, min(1.0, conf))
+
+
+def _t_descriptive(low):
+    for ph in _T_INFO_PHRASES:
+        if low.startswith(ph) or (" " + ph + " ") in low:
+            return True
+    any_verb = any(v in low for v in _T_VERBS)
+    if not any_verb and sum(w in low for w in _T_DESCRIPTIVE) >= 2:
+        return True
+    if not any_verb and len(low.split()) > 50:
+        return True
+    return False
+
+
+def _t_sentence_steps(text, min_conf):
+    kept = []
+    for raw in _T_SENT_SPLIT.split(text):
+        raw = raw.strip()
+        if len(raw) < 20:
+            continue
+        low = raw.lower()
+        if _t_descriptive(low):
+            continue
+        conf, is_step = 0.2, False
+        if any(low.startswith(v) for v in _T_VERBS):
+            is_step = True
+            conf += 0.4
+        if any(ind in low for ind in _T_INDICATORS):
+            is_step = True
+            conf += 0.2
+        tool_hits = sum(t in low for t in _T_FALLBACK_TOOLS)
+        if tool_hits:
+            is_step = True
+            conf += min(0.2, 0.1 * tool_hits)
+        if is_step and not any(low.startswith(p) for p in _T_PRONOUNS):
+            conf += 0.1
+        verb_hits = sum(v in low for v in _T_VERBS)
+        if verb_hits:
+            is_step = True
+            conf += min(0.2, 0.1 * verb_hits)
+        if is_step and conf >= min_conf:
+            kept.append((raw, conf))
+        if len(kept) >= 10:
+            break
+    return kept
+
+
+def twin_enrich(text, min_step_conf=0.5):
+    """(surface, s_conf, dirt, d_conf, method, m_conf, tools, steps) —
+    same tuple shape as the engine's enrich_one, restated."""
+    low = (text or "").lower()
+    s_cat, s_conf = _t_argmax(_t_category_scores(low, _T_SURFACE), "other")
+    d_cat, d_conf = _t_argmax(_t_category_scores(low, _T_DIRT), "general")
+    m_cat, m_conf = _t_argmax(
+        _t_category_scores(low, _T_METHOD, _T_PHRASES["method"]), "other"
+    )
+    tool_scores = _t_category_scores(low, _T_TOOL, _T_PHRASES["tool"])
+    tools = [
+        {"name": c, "confidence": round(v, 3)}
+        for c, v in sorted(tool_scores.items(), key=lambda cv: (-cv[1], cv[0]))
+        if v >= 0.1
+    ]
+
+    candidates = []
+    src = text or ""
+    for m in _T_NUMBERED.finditer(src):
+        candidates.append((m.group(2).strip(), True))
+    for m in _T_ORDINAL.finditer(src):
+        candidates.append((m.group(1).strip(), False))
+    for m in _T_BULLET.finditer(src):
+        candidates.append((m.group(1).strip(), False))
+    for m in _T_IMPERATIVE.finditer(src):
+        candidates.append((m.group(0).strip(), False))
+    scored = [
+        (raw, _t_step_conf(raw, numbered))
+        for raw, numbered in candidates
+        if len(raw) > 10
+    ]
+    scored = [(raw, conf) for raw, conf in scored if conf >= min_step_conf]
+    if not scored:
+        scored = _t_sentence_steps(src, min_step_conf)
+
+    steps, seen = [], []
+    for raw, conf in scored:
+        wordset = set(raw.lower().split())
+        if any(
+            wordset and prev and len(wordset & prev) / max(len(wordset), len(prev)) > 0.8
+            for prev in seen
+        ):
+            continue
+        seen.append(wordset)
+        steps.append(
+            {"step": raw, "order": len(steps) + 1, "confidence": round(conf, 3)}
+        )
+    return (
+        s_cat, round(s_conf, 3), d_cat, round(d_conf, 3),
+        m_cat, round(m_conf, 3), tools, steps,
+    )
+
+
+# deterministic cleaning-instruction projection (mirrored DATA from
+# warehouse/enrich_queries.py — same template the Spark query derives
+# natively in codegen)
+_T_OBJ_BY_LANG = {"en": "carpet", "fr": "sofa", "de": "oven", "es": "tile", "zh": "mattress"}
+_T_SYN_DIRTS = ["stain", "grease", "mold"]
+_T_SYN_TOOLS = ["vinegar", "detergent", "sponge", "bleach"]
+_T_SYN_TEMPLATE = (
+    "1. Apply the {0} to the {1} to remove the {2}.\n"
+    "2. Scrub the {3} with a brush.\n"
+    "3. Rinse the {4} and vacuum until dry."
+)
+
+
+def twin_synth_cleaning_text(doc_id, lang):
+    tool = _T_SYN_TOOLS[doc_id % len(_T_SYN_TOOLS)]
+    obj = _T_OBJ_BY_LANG.get(lang, "carpet")
+    dirt = _T_SYN_DIRTS[doc_id % len(_T_SYN_DIRTS)]
+    return _T_SYN_TEMPLATE.format(tool, obj, dirt, obj, obj)
+
+
+# --- IVF twin (coarse quantizer) -------------------------------------------
+# Restated spherical k-means — does NOT import ops/ann. The numpy
+# OPERATION ORDER (row-normalize, X @ C.T argmax, member-sum then
+# normalize) is deliberately identical: float64 summation order affects
+# the last bits, and the contract is exact cell-id equality with the
+# engine's distributed Arrow-UDF assignment.
+
+TWIN_IVF_K = 16
+TWIN_IVF_NPROBE = 4
+TWIN_IVF_TRAIN_CAP = 2048
+TWIN_IVF_ITERS = 10
+TWIN_PROBE_VEC_ID = 0
+
+
+def _t_unit_rows(M):
+    import numpy as np
+
+    M = np.asarray(M, dtype=np.float64)
+    return M / (np.linalg.norm(M, axis=1, keepdims=True) + 1e-12)
+
+
+def twin_train_centroids(sample):
+    import numpy as np
+
+    X = _t_unit_rows(sample)
+    C = X[:TWIN_IVF_K].copy()
+    for _ in range(TWIN_IVF_ITERS):
+        nearest = np.argmax(X @ C.T, axis=1)
+        for k in range(TWIN_IVF_K):
+            members = X[nearest == k]
+            if len(members):
+                s = members.sum(axis=0)
+                norm = np.linalg.norm(s)
+                if norm > 0:
+                    C[k] = s / norm
+    return C
+
+
+def twin_assign_cells(X, centroids):
+    import numpy as np
+
+    return np.argmax(_t_unit_rows(X) @ centroids.T, axis=1)
+
+
+def twin_probe_cells(probe, centroids):
+    import numpy as np
+
+    p = np.asarray(probe, dtype=np.float64)
+    p = p / (np.linalg.norm(p) + 1e-12)
+    return [int(c) for c in np.argsort(-(centroids @ p))[:TWIN_IVF_NPROBE]]

@@ -38,27 +38,21 @@ def _load_twin():
 def _fingerprint(sf_dir: str, cfg) -> str:
     """Covers everything the labels are a function of: the twin + this
     generator, the model implementations the twin calls
-    (langid/perplexity + their seed corpora), the shared extractor and
-    IVF code, the chain config, and the identity of the input parquet
-    (path + size + mtime — regenerated testdata invalidates the cache)."""
-    from cleaning_web_corpus_spark.enrich import extract, vocab
-    from cleaning_web_corpus_spark.models import langid, perplexity, seed_corpora
-    from cleaning_web_corpus_spark.ops import ann
-    from cleaning_web_corpus_spark.sources import html_extract
-    from cleaning_web_corpus_spark.warehouse import enrich_queries
-
+    (langid/perplexity + their seed corpora — the one remaining shared
+    dependency, see reference_twin's module docstring), the chain
+    config, and the identity of the input parquet (path + size + mtime —
+    regenerated testdata invalidates the cache). Engine extractor/
+    ANN/vocab files are deliberately NOT imported or hashed: the twin
+    restates them, so an engine edit must surface as a driver-gate
+    mismatch against unchanged labels, not silently regenerate them."""
+    _models = os.path.join(_REPO, "cleaning_web_corpus_spark", "models")
     h = hashlib.md5()
     for path in (
         _TWIN_PATH,
         os.path.abspath(__file__),
-        extract.__file__,
-        vocab.__file__,
-        enrich_queries.__file__,
-        html_extract.__file__,
-        langid.__file__,
-        perplexity.__file__,
-        seed_corpora.__file__,
-        ann.__file__,
+        os.path.join(_models, "langid.py"),
+        os.path.join(_models, "perplexity.py"),
+        os.path.join(_models, "seed_corpora.py"),
     ):
         with open(path, "rb") as f:
             h.update(f.read())
@@ -114,31 +108,26 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
         scrubs.append({"doc_id": d["doc_id"], "text_scrubbed": twin.twin_scrub(d["text"])})
         flag_rows.append({"doc_id": d["doc_id"], **twin.twin_check_flags(d["text"], cfg)})
 
-    # enrichment children: the scalar extractor run per document in
-    # plain Python (no Spark/Arrow/explode) over the same deterministic
-    # cleaning-text projection the Spark queries derive natively
-    from cleaning_web_corpus_spark.enrich.extract import enrich_one
-    from cleaning_web_corpus_spark.warehouse.enrich_queries import synth_cleaning_text
-
-    # S4 twin labels: the single-process extractor over the same
-    # deterministic synthetic pages the Spark query derives natively
-    from cleaning_web_corpus_spark.sources.html_extract import (
-        extract_main_text,
-        synth_page,
-    )
-
+    # S4 twin labels: the twin's own single-process extractor over the
+    # same deterministic synthetic pages the Spark query derives
+    # natively — restated in tests/reference_twin.py, no engine imports
     html_rows = [
         {
             "doc_id": d["doc_id"],
-            "main_text": extract_main_text(synth_page(d["doc_id"], d["text"])),
+            "main_text": twin.twin_extract_main_text(
+                twin.twin_synth_page(d["doc_id"], d["text"])
+            ),
         }
         for d in docs
     ]
 
+    # enrichment children: the twin's restated scalar extractor run per
+    # document in plain Python (no Spark/Arrow/explode) over the same
+    # deterministic cleaning-text projection
     steps_rows, tools_rows = [], []
     for d in docs:
-        text = synth_cleaning_text(d["doc_id"], d["lang"])
-        r = enrich_one(text)
+        text = twin.twin_synth_cleaning_text(d["doc_id"], d["lang"])
+        r = twin.twin_enrich(text)
         base = {
             "conv_id": str(d["doc_id"]),
             "surface_type": r[0],
@@ -202,17 +191,17 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
 
 
 def _ivf_labels(sf_dir: str, cells_path: str) -> List[int]:
-    """Whole-table IVF cell assignment computed independently in numpy
-    (single-process, no Spark) — the distributed Arrow-UDF assignment in
-    ops/ann.py must reproduce it exactly. Returns the probe's nprobe
-    cell ids (inlined into the oracle SQL as literals, the same way
-    ann_lsh_knn inlines its plane constants)."""
+    """Whole-table IVF cell assignment computed by the twin's restated
+    k-means (tests/reference_twin.py, single-process, no Spark, no
+    engine imports) — the distributed Arrow-UDF assignment in ops/ann.py
+    must reproduce it exactly. Returns the probe's nprobe cell ids
+    (inlined into the oracle SQL as literals, the same way ann_lsh_knn
+    inlines its plane constants)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from cleaning_web_corpus_spark.ops import ann
-
+    twin = _load_twin()
     tbl = (
         pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
         .select(["vec_id", "embedding"])
@@ -220,10 +209,10 @@ def _ivf_labels(sf_dir: str, cells_path: str) -> List[int]:
     )
     vec_ids = tbl.column("vec_id").to_numpy()
     X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
-    C = ann.train_centroids_np(X[: ann.IVF_TRAIN_CAP])
-    cells = ann.assign_cells_np(X, C)
+    C = twin.twin_train_centroids(X[: twin.TWIN_IVF_TRAIN_CAP])
+    cells = twin.twin_assign_cells(X, C)
     tmp = f"{cells_path}.{os.getpid()}.tmp"
     pq.write_table(pa.table({"vec_id": vec_ids, "cell": cells.astype("int64")}), tmp)
     os.replace(tmp, cells_path)
-    probe = X[vec_ids == ann.PROBE_VEC_ID][0]
-    return ann.probe_cells_np(probe, C)
+    probe = X[vec_ids == twin.TWIN_PROBE_VEC_ID][0]
+    return twin.twin_probe_cells(probe, C)
