@@ -166,6 +166,9 @@ def run_pipeline_timed(spark, corpus_path: str):
 
 
 def time_queries(spark, sf_dir: str) -> dict:
+    """Times EVERY queries() entry (headline list first for stable
+    output ordering, then the rest alphabetically) — per VERDICT r02 #5
+    no entry ships unbenched."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -173,7 +176,8 @@ def time_queries(spark, sf_dir: str) -> dict:
     # for one-time JVM initialization
     spark.range(10).write.format("noop").mode("overwrite").save()
     out = {}
-    for name in BENCH_QUERIES:
+    names = BENCH_QUERIES + sorted(n for n in qs if n not in BENCH_QUERIES)
+    for name in names:
         best = None
         for _ in range(2):  # report steady-state (2nd run skips JIT compile)
             t0 = time.time()

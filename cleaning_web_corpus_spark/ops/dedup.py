@@ -162,19 +162,40 @@ def minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --- SimHash (engine-only; Arrow UDF) ---------------------------------------
-def _simhash64(tokens) -> int:
-    acc = [0] * 64
-    for tok in tokens:
-        # first 8 bytes of md5, big-endian == first 16 hex chars; md5 is
-        # the one digest every engine shares, which makes the oracle exact
-        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-        for j in range(64):
-            acc[j] += 1 if (h >> j) & 1 else -1
-    out = 0
-    for j in range(64):
-        if acc[j] > 0:
-            out |= 1 << j
-    return out - (1 << 64) if out >= (1 << 63) else out  # two's-complement long
+_BIT_IDX = None  # lazy np.arange(64), built once per worker
+
+
+def _token_votes(tok: str, memo: dict):
+    """±1 vote vector (64,) for one token; bit j of the first 8 md5
+    bytes (big-endian) is vote j — md5 is the one digest every engine
+    shares, which makes the DuckDB oracle exact. Memoized per worker:
+    natural-language token distributions are heavy-tailed, so most
+    occurrences hit the cache instead of re-hashing."""
+    import numpy as np
+
+    v = memo.get(tok)
+    if v is None:
+        d = hashlib.md5(tok.encode()).digest()[:8]
+        # reversed bytes + little bitorder => index j == (h >> j) & 1
+        bits = np.unpackbits(np.frombuffer(d[::-1], dtype=np.uint8), bitorder="little")
+        v = bits.astype(np.int64) * 2 - 1
+        if len(memo) < 1_000_000:  # bound worker memory on adversarial vocab
+            memo[tok] = v
+    return v
+
+
+def _simhash64(tokens, memo=None) -> int:
+    """Reference-shaped scalar form (used by tests); the batch UDF below
+    runs the same math with a shared memo + Counter multiplicity."""
+    import numpy as np
+    from collections import Counter
+
+    memo = {} if memo is None else memo
+    acc = np.zeros(64, dtype=np.int64)
+    for tok, cnt in Counter(tokens).items():
+        acc += cnt * _token_votes(tok, memo)
+    val = int.from_bytes(np.packbits(acc > 0, bitorder="little").tobytes(), "little")
+    return val - (1 << 64) if val >= (1 << 63) else val  # two's-complement long
 
 
 def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
@@ -183,8 +204,11 @@ def simhash_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     pat = _re.compile(TOKEN_RE)
 
     def _batch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        memo: dict = {}  # shared across every batch this worker sees
         for texts in it:
-            yield texts.map(lambda s: _simhash64(pat.findall((s or "").lower())))
+            yield texts.map(
+                lambda s: _simhash64(pat.findall((s or "").lower()), memo)
+            )
 
     udf = F.pandas_udf(_batch, "long")
     return t(spark, sf, "documents").select(

@@ -135,6 +135,32 @@ def kept_turns_df(
     )
 
 
+def _ensure_bucketed_table(
+    spark: SparkSession, table: str, path: str, keys: list, buckets: int
+) -> DataFrame:
+    """Register (if needed) the committed stage directory as an external
+    bucketed table and return it WITH bucket metadata — a plain
+    ``spark.read.parquet`` of the same files would forget the layout and
+    re-shuffle on every join. Survives session restarts: resume in a
+    fresh session re-derives the DDL from the parquet footer schema."""
+    if not spark.catalog.tableExists(table):
+        schema = spark.read.parquet(path).schema
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+        keys_sql = ", ".join(keys)
+        spark.sql(
+            f"CREATE TABLE `{table}` ({cols}) USING PARQUET "
+            f"CLUSTERED BY ({keys_sql}) SORTED BY ({keys_sql}) "
+            f"INTO {buckets} BUCKETS LOCATION '{os.path.abspath(path)}'"
+        )
+    return spark.table(table)
+
+
+def _stage_table_name(out_dir: str, stage: str) -> str:
+    import hashlib
+
+    return "cwc_" + hashlib.md5(os.path.abspath(out_dir).encode()).hexdigest()[:10] + "_" + stage
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -142,6 +168,7 @@ def run_pipeline(
     out_dir: Optional[str] = None,
     resume: bool = True,
     emit_stats: bool = True,
+    bucket_by_conv: int = 0,
 ) -> PipelineResult:
     """Run (or resume) the full pipeline; materializes to ``out_dir``
     when given, otherwise returns lazy DataFrames.
@@ -150,7 +177,16 @@ def run_pipeline(
        (see below) and stays cached for the session lifetime unless the
        caller invokes :meth:`PipelineResult.unpersist` once done with
        the result — repeated lazy runs without it accumulate cached
-       relations. The materialized path has no such obligation."""
+       relations. The materialized path has no such obligation.
+
+    ``bucket_by_conv=N`` (materialized mode only) commits the
+    turn_verdicts and conv_verdicts stages as N-bucket tables hashed on
+    ``conv_id`` (warehouse/bucketing layout; the parquet analogue of
+    Iceberg's ``bucket(N, conv_id)`` partition transform) so the
+    kept-turns join between them is EXCHANGE-FREE on both sides — at
+    100 TB that deletes the two largest shuffles of the final stage.
+    Downstream warehouse queries grouping/joining on conv_id reuse the
+    same layout via ``spark.table(...)``."""
     pcfg = pcfg or PipelineConfig()
     run_id = lineage.new_run_id()
     model_versions = {
@@ -174,24 +210,42 @@ def run_pipeline(
     cv_path = os.path.join(out_dir, "conv_verdicts")
     kept_path = os.path.join(out_dir, "kept_turns")
 
+    def _commit(df: DataFrame, path: str, stage: str) -> str | None:
+        if bucket_by_conv:
+            from cleaning_web_corpus_spark.sources.tables import TableIO
+            from cleaning_web_corpus_spark.warehouse.bucketing import write_bucketed
+
+            table = _stage_table_name(out_dir, stage)
+            spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+            write_bucketed(df, table, path, ["conv_id"], buckets=bucket_by_conv)
+            return TableIO(spark, catalog=None).snapshot_id(path)
+        return lineage.commit_stage(df, path)
+
+    def _read(path: str, stage: str) -> DataFrame:
+        if bucket_by_conv:
+            return _ensure_bucketed_table(
+                spark, _stage_table_name(out_dir, stage), path, ["conv_id"], bucket_by_conv
+            )
+        return spark.read.parquet(path)
+
     if not (resume and lineage.is_committed(tv_path)):
         tv = turn_verdicts_df(transcripts, pcfg, emit_stats=emit_stats)
-        snap = lineage.commit_stage(tv, tv_path)
+        snap = _commit(tv, tv_path, "turn_verdicts")
         # lineage from the committed snapshot: a narrow re-scan (column
         # pruning keeps text out), NOT a second run of the verdict UDF
-        committed = spark.read.parquet(tv_path)
+        committed = _read(tv_path, "turn_verdicts")
         lineage.commit_stage(
             lineage.stage_metrics(
                 committed, "turn_verdicts", run_id, model_versions, snapshot_id=snap
             ),
             os.path.join(metrics_root, "stage=turn_verdicts"),
         )
-    tv = spark.read.parquet(tv_path)
+    tv = _read(tv_path, "turn_verdicts")
 
     if not (resume and lineage.is_committed(cv_path)):
         cv = conv.conversation_verdicts(tv, pcfg.conversation)
-        lineage.commit_stage(cv, cv_path)
-    cv = spark.read.parquet(cv_path)
+        _commit(cv, cv_path, "conv_verdicts")
+    cv = _read(cv_path, "conv_verdicts")
 
     if not (resume and lineage.is_committed(kept_path)):
         lineage.commit_stage(kept_turns_df(tv, cv, pcfg.scrub), kept_path)

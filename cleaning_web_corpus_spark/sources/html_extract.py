@@ -97,7 +97,10 @@ def make_extract_udf():
         for col in it:
             yield pd.Series([extract_main_text(h) for h in col], dtype=object)
 
-    return F.pandas_udf(_batch, "string")
+    # pure; nondeterministic marker stops the isNotNull(main_text)
+    # skip-if-empty filter from being pushed below the projection and
+    # re-running the whole parse per document (see enrich/extract.py)
+    return F.pandas_udf(_batch, "string").asNondeterministic()
 
 
 def extract_pages(pages: DataFrame, html_col: str = "raw_html") -> DataFrame:

@@ -32,9 +32,15 @@ def write_bucketed(
     """Persist ``df`` as an external bucketed+sorted table. ``buckets``
     must match across tables that will be joined (the co-location
     contract); size it so bucket files land in the 100 MB-1 GB range at
-    the target scale."""
+    the target scale.
+
+    The pre-write ``repartition`` on the bucket keys uses the same
+    Murmur3 hash as ``bucketBy``, so each write task holds exactly one
+    bucket's rows — one file per bucket instead of (tasks x buckets)
+    small files."""
     (
-        df.write.mode("overwrite")
+        df.repartition(buckets, *[df[k] for k in keys])
+        .write.mode("overwrite")
         .option("path", os.path.abspath(path))
         .bucketBy(buckets, *keys)
         .sortBy(*keys)

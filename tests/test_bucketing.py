@@ -26,3 +26,56 @@ def test_colocated_join_elides_both_exchanges(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_left")
         spark.sql("DROP TABLE IF EXISTS b_right")
+
+
+def test_pipeline_bucketed_stages_join_exchange_free(spark, tmp_path):
+    """VERDICT r02 #7: the bucketed layout exercised by the REAL
+    pipeline, not in isolation — turn_verdicts and conv_verdicts commit
+    as conv_id-bucketed tables and the kept-turns join between the
+    committed stage outputs plans with NO shuffle exchange on either
+    side; results are identical to the plain-parquet pipeline."""
+    import os
+
+    from cleaning_web_corpus_spark.config import PipelineConfig
+    from cleaning_web_corpus_spark.pipeline import lineage
+    from cleaning_web_corpus_spark.pipeline.run import (
+        _stage_table_name,
+        kept_turns_df,
+        run_pipeline,
+    )
+    from cleaning_web_corpus_spark.pipeline.transcripts import generate_transcripts
+
+    out_b = str(tmp_path / "bucketed")
+    out_p = str(tmp_path / "plain")
+    corpus = generate_transcripts(spark, 60, seed=5, mega_every=0, partitions=4)
+    pcfg = PipelineConfig()
+    try:
+        res_b = run_pipeline(spark, corpus, pcfg, out_dir=out_b, bucket_by_conv=4)
+        res_p = run_pipeline(spark, corpus, pcfg, out_dir=out_p)
+
+        # stages committed with the same atomic markers as plain mode
+        assert lineage.is_committed(os.path.join(out_b, "turn_verdicts"))
+        assert lineage.is_committed(os.path.join(out_b, "conv_verdicts"))
+
+        # the kept-turns join over the committed bucketed stages:
+        # exchange-free on both sides
+        tv = spark.table(_stage_table_name(out_b, "turn_verdicts"))
+        cv = spark.table(_stage_table_name(out_b, "conv_verdicts"))
+        joined = kept_turns_df(tv, cv, pcfg.scrub)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+
+        # identical results to the plain pipeline
+        key = ["conv_id", "turn_idx", "text_scrubbed"]
+        rows_b = sorted(map(tuple, res_b.kept_turns.select(*key).collect()))
+        rows_p = sorted(map(tuple, res_p.kept_turns.select(*key).collect()))
+        assert rows_b == rows_p and len(rows_b) > 0
+
+        # resume skips committed bucketed stages (marker mtime unchanged)
+        marker = os.path.join(out_b, "turn_verdicts", "_SUCCESS")
+        mtime = os.path.getmtime(marker)
+        run_pipeline(spark, corpus, pcfg, out_dir=out_b, bucket_by_conv=4)
+        assert os.path.getmtime(marker) == mtime
+    finally:
+        for stage in ("turn_verdicts", "conv_verdicts"):
+            spark.sql(f"DROP TABLE IF EXISTS `{_stage_table_name(out_b, stage)}`")

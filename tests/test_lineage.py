@@ -52,3 +52,59 @@ def test_metrics_and_resume(spark, tmp_path):
     res2 = run_pipeline(spark, corpus, pcfg, out_dir=out, resume=True)
     assert os.path.getmtime(marker) == mtime
     assert res2.turn_verdicts.count() == n_turns
+
+
+def test_resume_rewrites_torn_stage(spark, tmp_path):
+    """Crash-mid-write contract (parquet-degraded twin of Iceberg's
+    atomic snapshot): a stage directory holding part files but no
+    _SUCCESS marker is NOT committed — a resumed run must rewrite it
+    from scratch, and the rewrite must purge torn leftovers (stale part
+    files, in-flight tmp files), not merge with them."""
+    out = str(tmp_path / "out")
+    corpus = generate_transcripts(spark, 40, seed=11, mega_every=0, partitions=4)
+    pcfg = PipelineConfig()
+    res = run_pipeline(spark, corpus, pcfg, out_dir=out)
+    n_turns = res.turn_verdicts.count()
+
+    # tear the stage: drop the commit marker, delete one part file,
+    # leave an in-flight tmp file behind
+    stage_dir = os.path.join(out, "turn_verdicts")
+    os.remove(os.path.join(stage_dir, "_SUCCESS"))
+    parts = sorted(p for p in os.listdir(stage_dir) if p.startswith("part-"))
+    os.remove(os.path.join(stage_dir, parts[0]))
+    junk = os.path.join(stage_dir, "part-99999-inflight.parquet.tmp")
+    with open(junk, "wb") as f:
+        f.write(b"torn bytes")
+
+    assert not lineage.is_committed(stage_dir)
+    res2 = run_pipeline(spark, corpus, pcfg, out_dir=out, resume=True)
+    assert lineage.is_committed(stage_dir)
+    assert res2.turn_verdicts.count() == n_turns
+    assert not os.path.exists(junk), "overwrite left a torn tmp file behind"
+    # lineage agrees with the rewritten stage, not the torn one
+    m = lineage.read_metrics(spark, out)
+    agg = m.filter(F.col("stage") == "turn_verdicts").agg(
+        F.sum("input_rows").alias("in_rows")
+    ).first()
+    assert agg.in_rows == n_turns
+
+
+def test_overwrite_commit_is_all_or_nothing(spark, tmp_path):
+    """Commit-race contract at _SUCCESS granularity: when a second
+    writer overwrites an already-committed stage path, the result must
+    be entirely the second writer's data (no file mixing across
+    commits) with a new snapshot id; mid-overwrite the stage must read
+    as uncommitted so resumers/readers cannot validate a half-state."""
+    path = str(tmp_path / "stage")
+    a = generate_transcripts(spark, 10, seed=1, mega_every=0, partitions=2)
+    b = generate_transcripts(spark, 25, seed=2, mega_every=0, partitions=2)
+    n_b = b.count()
+
+    snap_a = lineage.commit_stage(a, path)
+    assert lineage.is_committed(path)
+    snap_b = lineage.commit_stage(b, path)
+    assert snap_b is not None and snap_b != snap_a, "snapshot id must advance"
+    # all-or-nothing: exactly writer B's rows, B's conv ids only
+    got = spark.read.parquet(path)
+    assert got.count() == n_b
+    assert got.select("conv_id").distinct().count() == 25

@@ -88,3 +88,9 @@ def test_fixed_queries_still_return_rows(spark):
     hash; this is the fast local smoke that the shape is non-trivial)."""
     for name in ("embedding_near_dups", "steps_search_page", "tools_usage_agg"):
         assert _query(name)(spark, SF).count() > 0, name
+
+
+def test_html_extract_single_arrow_eval(spark):
+    df = _query("html_extract_docs")(spark, SF)
+    n = _arrow_eval_nodes(df)
+    assert n == 1, f"html_extract_docs: expected 1 ArrowEvalPython node, plan has {n}"
