@@ -147,9 +147,17 @@ def run_pipeline_timed(spark, corpus_path: str):
     from cleaning_web_corpus_spark.pipeline.run import kept_turns_df, turn_verdicts_df
 
     pcfg = PipelineConfig()
+    # shuffle-alignment experiment (VERDICT r02 #4): one conv_id
+    # repartition feeding dedup instead of the composite-key dedup
+    # exchange — same shuffle count either way (the conv-agg exchange
+    # survives the cache boundary; it moves only partial-agg rows), so
+    # this measures whether key choice alone shifts raw scaling
+    align = os.environ.get("SPARK_GRAFT_ALIGN", "0") == "1"
     t0 = time.time()
     transcripts = spark.read.parquet(corpus_path)
-    tv = turn_verdicts_df(transcripts, pcfg, emit_stats=False).persist()
+    tv = turn_verdicts_df(
+        transcripts, pcfg, emit_stats=False, align_conv=align
+    ).persist()
     cv = conversation_verdicts(tv, pcfg.conversation).persist()
     stats = cv.agg(
         F.sum("n_turns").alias("turns"),

@@ -66,6 +66,7 @@ def turn_verdicts_df(
     partitions: int = 0,
     emit_stats: bool = True,
     salt: bool = False,
+    align_conv: bool = False,
 ) -> DataFrame:
     """Dedup + per-turn verdict + scrub; the expensive, perfectly
     parallel stage.
@@ -77,15 +78,28 @@ def turn_verdicts_df(
     explicit salted repartition for inputs that skip dedup (e.g. an
     upstream source already deduplicated but badly clustered by
     conv_id).
+
+    ``align_conv=True`` (shuffle-alignment experiment, BENCH/SCALING.md)
+    instead repartitions ONCE on ``conv_id`` before dedup: hash
+    clustering by conv_id satisfies the groupBy(conv_id, turn_idx)
+    dedup, the conv-level aggregation AND the kept-turns join, so the
+    whole pipeline pays a single exchange. The trade is skew exposure —
+    a mega-conversation's turns stack on one partition for the UDF
+    stage — so it is an opt-in for low-skew corpora, not the default.
     """
     spark = transcripts.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism * 4
 
-    deduped = conv.dedup_latest(transcripts)
-    if salt:
-        spread = conv.salted_repartition(deduped, pcfg.conversation, partitions)
+    if align_conv:
+        spread = conv.dedup_latest(
+            transcripts.repartition(partitions, F.col("conv_id"))
+        )
     else:
-        spread = deduped
+        deduped = conv.dedup_latest(transcripts)
+        if salt:
+            spread = conv.salted_repartition(deduped, pcfg.conversation, partitions)
+        else:
+            spread = deduped
 
     verdict = make_verdict_udf(pcfg.quality, emit_stats=emit_stats)
     return (

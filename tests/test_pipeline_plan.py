@@ -80,3 +80,73 @@ def test_mega_conversation_spreads_across_partitions(spark):
     mean = total / len(sizes)
     assert max(sizes) < 3 * mean, f"skewed partitions: {sorted(sizes)}"
     assert len(sizes) >= n_parts // 2, f"too few partitions carried rows: {len(sizes)}"
+
+
+def test_mega_conversation_full_pipeline_soak(spark):
+    """Skew soak at the documented bound (VERDICT r02 #6, AQE skew
+    claim at pipeline/run.py kept_turns_df): one synthetic 10^6-turn
+    conversation through the FULL pipeline — verdict stage, conv-level
+    aggregation AND the kept-turns join-back — must not straggle vs a
+    perfectly balanced corpus of the same size, and the join-back
+    output must stay spread across partitions (the conv_id-keyed plan
+    would stack all 10^6 joined rows on one partition).
+    """
+    import time
+
+    n_mega = 1_000_000
+
+    def _corpus(conv_expr):
+        return spark.range(n_mega).select(
+            conv_expr.alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.concat(F.lit("please wipe the counter with a damp cloth row "), F.col("id")).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.current_timestamp().alias("ts"),
+        )
+
+    balanced = _corpus(F.concat(F.lit("c"), F.col("id")))  # 10^6 singleton convs
+    skewed = _corpus(F.lit("mega"))  # ONE 10^6-turn conversation
+
+    pcfg = PipelineConfig()
+
+    def _run(corpus):
+        t0 = time.time()
+        tv = turn_verdicts_df(corpus, pcfg, emit_stats=False).persist()
+        from cleaning_web_corpus_spark.pipeline.conversation import (
+            conversation_verdicts,
+        )
+        from cleaning_web_corpus_spark.pipeline.run import kept_turns_df
+
+        cv = conversation_verdicts(tv, pcfg.conversation)
+        kept = kept_turns_df(tv, cv, pcfg.scrub)
+        kept.write.format("noop").mode("overwrite").save()
+        elapsed = time.time() - t0
+        sizes = [
+            r.n
+            for r in kept.groupBy(F.spark_partition_id().alias("p"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        ]
+        n_kept = sum(sizes)
+        tv.unpersist()
+        return elapsed, n_kept, sizes
+
+    # warm pass so JIT/worker spin-up doesn't distort the comparison
+    _run(balanced.limit(50_000))
+    t_bal, kept_bal, _ = _run(balanced)
+    t_skew, kept_skew, sizes = _run(skewed)
+
+    # every turn passes in both corpora; the join-back keeps them all
+    assert kept_bal == n_mega and kept_skew == n_mega
+
+    # wall-clock soak bound: the mega conversation may not straggle the
+    # pipeline (2x allows host noise; a conv_id-stacked plan measures
+    # >4x at this size because one core does all the UDF work)
+    assert t_skew <= 2.0 * t_bal, f"mega-conv straggle: {t_skew:.1f}s vs {t_bal:.1f}s"
+
+    # join-back spread: the 10^6 joined rows of ONE conversation still
+    # land across partitions (composite-hash layout survives the join)
+    mean = sum(sizes) / len(sizes)
+    assert max(sizes) < 3 * mean, f"join-back skew: {sorted(sizes)[-5:]}"
+    assert len(sizes) >= 4, f"too few partitions carried joined rows: {len(sizes)}"
