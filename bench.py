@@ -339,22 +339,29 @@ def main_scaling():
     round_rows = []  # dicts: eff, tps8, tps32, pinned, n_turns, controls
     for _round in range(rounds):
         level = {}
+        aligned = {}
         for cores in (8, 32):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores)],
-                capture_output=True, text=True, env=env, check=True,
-            )
-            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-            d = json.loads(line)
-            level[cores] = (
-                d["n_turns"] / d["elapsed"], d.get("pinned", False), d["n_turns"]
-            )
+            for align in ("0", "1"):
+                wenv = dict(env, SPARK_GRAFT_ALIGN=align)
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores)],
+                    capture_output=True, text=True, env=wenv, check=True,
+                )
+                line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+                d = json.loads(line)
+                tgt = level if align == "0" else aligned
+                tgt[cores] = (
+                    d["n_turns"] / d["elapsed"], d.get("pinned", False), d["n_turns"]
+                )
         ctl = _run_controls()
         round_rows.append(
             {
                 "eff": (level[32][0] / level[8][0]) / (32 / 8),
                 "tps8": level[8][0],
                 "tps32": level[32][0],
+                "eff_aligned": (aligned[32][0] / aligned[8][0]) / (32 / 8),
+                "tps8_aligned": aligned[8][0],
+                "tps32_aligned": aligned[32][0],
                 "pinned": level[8][1] and level[32][1],
                 "n_turns": level[8][2],
                 "controls": ctl,
@@ -402,6 +409,19 @@ def main_scaling():
                 f" {bw if bw is not None else 'n/a'} |"
                 f" {round(r['eff'] / bw, 3) if bw else 'n/a'} |"
                 f" {'yes' if r['pinned'] else 'NO'} |")()
+            for i, r in enumerate(round_rows)
+        ],
+        "",
+        "## Shuffle-alignment experiment (align_conv: single salted conv_id",
+        "repartition satisfying the dedup clustering, no ENSURE exchange)",
+        "",
+        "Same rounds, same windows, byte-identical output labels:",
+        "",
+        "| round | aligned tps @8 | aligned tps @32 | aligned eff | default eff |",
+        "| --- | --- | --- | --- | --- |",
+        *[
+            f"| {i + 1} | {r['tps8_aligned']:.0f} | {r['tps32_aligned']:.0f} |"
+            f" {r['eff_aligned']:.3f} | {r['eff']:.3f} |"
             for i, r in enumerate(round_rows)
         ],
         "",
@@ -462,6 +482,12 @@ def main_scaling():
                     **{k: v for k, v in controls.items()},
                 },
                 "round_efficiencies": [round(r["eff"], 3) for r in round_rows],
+                "round_efficiencies_aligned": [
+                    round(r["eff_aligned"], 3) for r in round_rows
+                ],
+                "round_tps32_aligned": [
+                    round(r["tps32_aligned"], 1) for r in round_rows
+                ],
                 "round_engine_over_ctl": [
                     round(r["eff"] / c, 3)
                     for r in round_rows

@@ -27,7 +27,9 @@ from cleaning_web_corpus_spark.config import ConversationConfig
 TURN_KEY = ("conv_id", "turn_idx")
 
 
-def dedup_latest(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+def dedup_latest(
+    df: DataFrame, ts_col: str = "ts", extra_keys: tuple = ()
+) -> DataFrame:
     """Latest-record-wins per (conv_id, turn_idx).
 
     Same semantics as the reference's staging dedup pattern
@@ -47,16 +49,24 @@ def dedup_latest(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     (conv_id, turn_idx), so mega-conversations stay spread (X12).
     The window form itself remains exercised (and DuckDB-oracled) by
     warehouse/queries.py ``stg_dedup_latest``.
+
+    ``extra_keys`` adds redundant grouping columns that are pure
+    functions of the turn key (e.g. a salt derived from turn_idx):
+    grouping by a superset leaves the semantics identical while letting
+    an upstream ``repartition`` on (conv_id, salt) satisfy the
+    clustering requirement — the single-shuffle aligned layout of
+    run.turn_verdicts_df(align_conv=True).
     """
-    rest = [c for c in df.columns if c not in TURN_KEY and c != ts_col]
+    keys = (*TURN_KEY, *extra_keys)
+    rest = [c for c in df.columns if c not in keys and c != ts_col]
     packed = F.max(
         F.struct(F.col(ts_col), *[F.col(c) for c in rest])
     ).alias("_latest")
     return (
-        df.groupBy(*TURN_KEY)
+        df.groupBy(*keys)
         .agg(packed)
         .select(
-            *TURN_KEY,
+            *keys,
             F.col(f"_latest.{ts_col}").alias(ts_col),
             *[F.col(f"_latest.{c}").alias(c) for c in rest],
         )

@@ -80,20 +80,27 @@ def turn_verdicts_df(
     conv_id).
 
     ``align_conv=True`` (shuffle-alignment experiment, BENCH/SCALING.md)
-    instead repartitions ONCE on ``conv_id`` before dedup: hash
-    clustering by conv_id satisfies the groupBy(conv_id, turn_idx)
-    dedup, the conv-level aggregation AND the kept-turns join, so the
-    whole pipeline pays a single exchange. The trade is skew exposure —
-    a mega-conversation's turns stack on one partition for the UDF
-    stage — so it is an opt-in for low-skew corpora, not the default.
+    repartitions ONCE on ``(conv_id, salt(turn_idx))`` BEFORE dedup and
+    groups on a superset of those keys: the explicit repartition then
+    satisfies the dedup's clustering requirement, so the two-phase
+    partial+final aggregation of full-width row structs collapses into
+    a SINGLE aggregation pass — measurably faster at high parallelism
+    because the partial pass over ~unique keys was pure overhead. The
+    salt keeps a mega-conversation spread over ``salt_buckets``
+    partitions (bounded fan-out instead of the composite hash's full
+    spread — the skew trade vs the default path).
     """
     spark = transcripts.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism * 4
 
     if align_conv:
-        spread = conv.dedup_latest(
-            transcripts.repartition(partitions, F.col("conv_id"))
+        salt_col = F.pmod(
+            F.xxhash64(F.col("turn_idx")), F.lit(pcfg.conversation.salt_buckets)
         )
+        pre = transcripts.withColumn("_salt", salt_col).repartition(
+            partitions, F.col("conv_id"), F.col("_salt")
+        )
+        spread = conv.dedup_latest(pre, extra_keys=("_salt",)).drop("_salt")
     else:
         deduped = conv.dedup_latest(transcripts)
         if salt:
