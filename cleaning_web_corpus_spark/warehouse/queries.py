@@ -151,6 +151,56 @@ def events_hydration(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- beyond-reference: tumbling time-window rollup --------------------------
+# the batch twin of a Structured Streaming windowed aggregation: Spark's
+# window() aligns buckets to the epoch, identical to date_trunc for
+# whole-hour widths, so the DuckDB twin is exact
+def events_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "n_users", "value_sum",
+        )
+    )
+
+
+# --- beyond-reference: gap-based sessionization (lag + running sum) ---------
+# classic event-stream shape the reference lacks entirely (SURVEY §2.6:
+# no lag/lead anywhere); 30-min inactivity gap starts a new session.
+# Two windows over the SAME (user_id, ts) ordering -> one shuffle + one
+# sort serve both the lag and the running session counter.
+SESSION_GAP_S = 1800
+
+
+def user_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    starts = (gap.isNull() | (gap > SESSION_GAP_S)).cast("int")
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        t(spark, sf, "events")
+        .withColumn("_new", starts)
+        .withColumn("session_no", F.sum("_new").over(cum))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
 # --- A5: exact percentile stats ---------------------------------------------
 # reference: nearest-rank percentiles per metric (dataset_stats.py:142-157);
 # Spark exact `percentile` == DuckDB quantile_cont (linear interpolation)
@@ -219,6 +269,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "value_percentiles": value_percentiles,
     "top_customer_orders": top_customer_orders,
     "events_hydration": events_hydration,
+    "events_hourly_rollup": events_hourly_rollup,
+    "user_sessions": user_sessions,
 }
 
 ORACLES: Dict[str, str] = {
@@ -315,6 +367,32 @@ ORACLES: Dict[str, str] = {
     "events_hydration": """
         SELECT user_id, event_id, event_type, ROUND(value, 2) AS value
         FROM events WHERE user_id IN (3, 7, 11, 42)
+    """,
+    "events_hourly_rollup": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               ROUND(SUM(value), 2) AS value_sum
+        FROM events GROUP BY 1, 2
+    """,
+    "user_sessions": f"""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch(ts - LAG(ts) OVER w) IS NULL
+                          OR epoch(ts - LAG(ts) OVER w) > {SESSION_GAP_S}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+            FROM flagged
+        )
+        SELECT user_id, session_no, COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end
+        FROM numbered GROUP BY user_id, session_no
     """,
     "top_customer_orders": """
         SELECT c_mktsegment,
