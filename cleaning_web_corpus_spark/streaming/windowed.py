@@ -1,0 +1,89 @@
+"""Watermarked tumbling-window aggregation (Structured Streaming).
+
+The streaming twin of the batch ``events_hourly_rollup`` query
+(warehouse/queries.py): the SAME epoch-aligned ``window()`` grouping,
+run as a real stateful streaming aggregation rather than foreachBatch —
+append output mode emits a window exactly once, when the event-time
+watermark passes its end, and rows arriving later than that are
+DROPPED by the watermark (bounded state; the late-data contract a
+10^12-turn ingest needs). The reference has no streaming at all
+(SURVEY.md §2.9); this extends the engine the same way
+streaming/incremental.py and streaming/stateful.py do.
+
+Restartable: the sink and checkpoint live under ``out_dir``; a
+restarted query resumes from the checkpointed offsets + window state.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+EVENT_SCHEMA = (
+    StructType()
+    .add("event_id", "long")
+    .add("ts", "timestamp")
+    .add("event_type", "string")
+    .add("value", "double")
+)
+
+
+def windowed_rollup_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    window: str = "1 hour",
+    watermark: str = "30 minutes",
+    schema: Optional[StructType] = None,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Start the windowed-rollup query; returns the StreamingQuery.
+
+    ``max_files_per_trigger=1`` makes each input file its own
+    micro-batch so the watermark advances between files — the property
+    the late-data tests pin down; raise it in production."""
+    stream = (
+        spark.readStream.schema(schema or EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        stream.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")  # emit once, on window close
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "windowed_rollup"))
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoints", "windowed_rollup"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.schema(
+        StructType()
+        .add("window_start", "timestamp")
+        .add("window_end", "timestamp")
+        .add("event_type", "string")
+        .add("n_events", "long")
+        .add("value_sum", "double")
+    ).parquet(os.path.join(out_dir, "windowed_rollup"))

@@ -122,3 +122,57 @@ def test_cross_batch_dedup_drops_late_duplicates(spark, tmp_path):
     q2 = incremental_pipeline(spark, inp, out, pcfg, cross_batch_dedup=True)
     q2.awaitTermination(120)
     assert spark.read.parquet(sink).count() == n1
+
+
+def test_windowed_rollup_emits_on_close_and_drops_late(spark, tmp_path):
+    """Watermarked tumbling-window agg (streaming/windowed.py): append
+    mode emits a window exactly once when the watermark passes its end,
+    and a row arriving after its window closed is dropped — the
+    late-data contract, pinned by driving the watermark file-by-file
+    across three availableNow runs (which also exercises checkpoint
+    restart of the window state)."""
+    import datetime as dt
+
+    from cleaning_web_corpus_spark.streaming.windowed import (
+        read_rollup,
+        windowed_rollup_stream,
+    )
+
+    src = tmp_path / "events_in"
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    def _write(name, rows):
+        spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 1, 1, h, m), et, 1.5)
+                for i, (h, m, et) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, event_type string, value double",
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    def _drain():
+        q = windowed_rollup_stream(spark, f"{src}/*", out)
+        q.awaitTermination()
+
+    # batch 1: five rows in hour 0 -> watermark 23:50 prev-day-ish, no close
+    _write("f1", [(0, 5, "click"), (0, 15, "click"), (0, 40, "view"), (0, 50, "click"), (0, 55, "view")])
+    _drain()
+    # batch 2: hour 2 row -> watermark 01:30 >= 01:00 closes hour-0 windows
+    _write("f2", [(2, 0, "click")])
+    _drain()
+    emitted = read_rollup(spark, out)
+    got = {(r.window_start.hour, r.event_type): r.n_events for r in emitted.collect()}
+    assert got == {(0, "click"): 3, (0, "view"): 2}, got
+
+    # batch 3: a LATE hour-0 row (window already closed) must be dropped;
+    # the hour-4 row advances the watermark to 03:30, closing hour 2
+    _write("f3", [(0, 30, "click"), (4, 0, "view")])
+    _drain()
+    emitted = read_rollup(spark, out)
+    got = {(r.window_start.hour, r.event_type): r.n_events for r in emitted.collect()}
+    assert got == {
+        (0, "click"): 3,  # unchanged — late row dropped, not re-emitted
+        (0, "view"): 2,
+        (2, "click"): 1,
+    }, got
