@@ -229,6 +229,26 @@ def with_probed_dims(df: DataFrame) -> DataFrame:
     )
 
 
+# --- F13-F15 as one driver-checkable query ----------------------------------
+MEDIA_ORACLE_N = 400
+MEDIA_ORACLE_SEED = 7
+
+
+def media_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The image quality-filter composition (F13 resolution + F14 aspect
+    + F15 format) over PAYLOAD-PROBED dimensions, as an oracle-checkable
+    query: the deterministic media table is a pure function of
+    (seed, media_id), so the pure-Python twin (tests/reference_twin.py)
+    regenerates the same payload bytes, re-parses the headers with its
+    own independently-written parser, and re-applies the filter
+    contract — the driver hash-checks the distributed mapInPandas probe
+    + join + native filters against it. ``sf`` is unused (the table is
+    synthesized, not read)."""
+    media = synthesize_media(spark, MEDIA_ORACLE_N, seed=MEDIA_ORACLE_SEED)
+    kept = filter_format(filter_aspect_ratio(filter_resolution(with_probed_dims(media))))
+    return kept.select("media_id", "doc_id", "format", "width", "height", "byte_size")
+
+
 # --- F17: text-image alignment filter (real scoring, stub encoder) ----------
 ALIGN_SCHEMA = "media_id long, clip_score double"
 MIN_ALIGNMENT = 0.2  # reference configs/default.yaml:58

@@ -656,3 +656,127 @@ def twin_probe_cells(probe, centroids):
     p = np.asarray(probe, dtype=np.float64)
     p = p / (np.linalg.norm(p) + 1e-12)
     return [int(c) for c in np.argsort(-(centroids @ p))[:TWIN_IVF_NPROBE]]
+
+
+# --- media twin (F13-F15 + header probe) -----------------------------------
+# Independent restatement for the media_quality_filter oracle — does NOT
+# import ops/multimodal. The payload GENERATION is a mirrored data
+# recipe (sha256-derived dims/format, same header layouts — must match
+# byte-for-byte or the gate fails loudly); the header PARSER and the
+# filter contract are restated from scratch.
+
+import struct as _struct
+
+_TM_FORMATS = ["jpg", "png", "webp", "gif", "bmp"]
+TWIN_MEDIA_N = 400
+TWIN_MEDIA_SEED = 7
+_TM_MIN_DIM = 224
+_TM_MAX_ASPECT = 3.0
+_TM_ALLOWED = ("jpg", "jpeg", "png", "webp")
+
+
+def twin_media_rows(n, seed):
+    """(media_id, doc_id, format, width, height, byte_size, payload) —
+    the deterministic media table as plain tuples."""
+    import hashlib as _hl
+
+    rows = []
+    for i in range(n):
+        h = _hl.sha256(f"{seed}:{i}".encode()).digest()
+        w = 64 + (h[0] << 3)
+        ht = 64 + (h[1] << 2)
+        fmt = _TM_FORMATS[h[2] % len(_TM_FORMATS)]
+        filler = h * 8
+        if fmt in ("jpg", "jpeg"):
+            app0 = b"\xff\xe0" + _struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            sof0 = (
+                b"\xff\xc0" + _struct.pack(">H", 17) + b"\x08"
+                + _struct.pack(">HH", ht, w)
+                + b"\x03" + b"\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+            )
+            payload = b"\xff\xd8" + app0 + sof0 + filler
+        elif fmt == "png":
+            payload = (
+                b"\x89PNG\r\n\x1a\n" + _struct.pack(">I", 13) + b"IHDR"
+                + _struct.pack(">II", w, ht) + b"\x08\x06\x00\x00\x00" + filler
+            )
+        elif fmt == "gif":
+            payload = b"GIF89a" + _struct.pack("<HH", w, ht) + filler
+        else:
+            payload = filler
+        rows.append((i, i % max(1, n // 4), fmt, w, ht, len(payload), payload))
+    return rows
+
+
+def twin_parse_dims(payload):
+    """Restated header parser: (width, height) or (None, None). Written
+    independently of the engine's parse_image_dims (regex-free byte
+    inspection with its own JPEG segment loop)."""
+    if not payload or len(payload) < 10:
+        return None, None
+    data = bytes(payload)
+    if data.startswith(b"\x89PNG\r\n\x1a\n"):
+        if len(data) >= 24 and data[12:16] == b"IHDR":
+            return (
+                int.from_bytes(data[16:20], "big"),
+                int.from_bytes(data[20:24], "big"),
+            )
+        return None, None
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            int.from_bytes(data[6:8], "little"),
+            int.from_bytes(data[8:10], "little"),
+        )
+    if data.startswith(b"\xff\xd8"):
+        pos = 2
+        while pos + 9 < len(data):
+            if data[pos] != 0xFF:
+                return None, None
+            m = data[pos + 1]
+            if m == 0xFF:
+                pos += 1
+            elif m == 0x01 or 0xD0 <= m <= 0xD8:
+                pos += 2
+            elif m in (0xD9, 0xDA):
+                return None, None
+            elif 0xC0 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+                return (
+                    int.from_bytes(data[pos + 7 : pos + 9], "big"),
+                    int.from_bytes(data[pos + 5 : pos + 7], "big"),
+                )
+            else:
+                seg = int.from_bytes(data[pos + 2 : pos + 4], "big")
+                if seg < 2:
+                    return None, None
+                pos += 2 + seg
+        return None, None
+    return None, None
+
+
+def twin_media_kept(n, seed):
+    """Rows surviving F13+F14+F15 over probed dims (filter contract
+    restated: unknown dims pass resolution/aspect leniently; format is
+    judged on the metadata column)."""
+    kept = []
+    for media_id, doc_id, fmt, w, ht, size, payload in twin_media_rows(n, seed):
+        pw, ph = twin_parse_dims(payload)
+        ew = pw if pw is not None else w
+        eh = ph if ph is not None else ht
+        dims_known = ew is not None and eh is not None
+        if dims_known and (ew < _TM_MIN_DIM or eh < _TM_MIN_DIM):
+            continue
+        if dims_known and max(ew, eh) / min(ew, eh) > _TM_MAX_ASPECT:
+            continue
+        if fmt.lower() not in _TM_ALLOWED:
+            continue
+        kept.append(
+            {
+                "media_id": media_id,
+                "doc_id": doc_id,
+                "format": fmt,
+                "width": ew,
+                "height": eh,
+                "byte_size": size,
+            }
+        )
+    return kept

@@ -155,6 +155,7 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
         "tools": os.path.join(out_dir, "tools_labels.parquet"),
         "html": os.path.join(out_dir, "html_labels.parquet"),
         "ivf_cells": os.path.join(out_dir, "ivf_cells.parquet"),
+        "media": os.path.join(out_dir, "media_labels.parquet"),
     }
     # tmp + os.replace for every label file, mirroring the meta.json
     # commit below: a concurrent regeneration must never expose torn
@@ -164,12 +165,17 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
         pq.write_table(table, tmp)
         os.replace(tmp, path)
 
+    # F13-F15 media labels: twin-regenerated payloads, twin-parsed
+    # headers, twin-applied filter contract (no engine imports)
+    media_rows = twin.twin_media_kept(twin.TWIN_MEDIA_N, twin.TWIN_MEDIA_SEED)
+
     _commit(pa.Table.from_pylist(verdicts), paths["verdict"])
     _commit(pa.Table.from_pylist(scrubs), paths["scrub"])
     _commit(pa.Table.from_pylist(flag_rows), paths["flags"])
     _commit(pa.Table.from_pylist(steps_rows), paths["steps"])
     _commit(pa.Table.from_pylist(tools_rows), paths["tools"])
     _commit(pa.Table.from_pylist(html_rows), paths["html"])
+    _commit(pa.Table.from_pylist(media_rows), paths["media"])
 
     probe_cells = _ivf_labels(sf_dir, paths["ivf_cells"])
 
