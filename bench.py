@@ -147,12 +147,10 @@ def run_pipeline_timed(spark, corpus_path: str):
     from cleaning_web_corpus_spark.pipeline.run import kept_turns_df, turn_verdicts_df
 
     pcfg = PipelineConfig()
-    # shuffle-alignment experiment (VERDICT r02 #4): one conv_id
-    # repartition feeding dedup instead of the composite-key dedup
-    # exchange — same shuffle count either way (the conv-agg exchange
-    # survives the cache boundary; it moves only partial-agg rows), so
-    # this measures whether key choice alone shifts raw scaling
-    align = os.environ.get("SPARK_GRAFT_ALIGN", "0") == "1"
+    # aligned salted layout is the default since round 3 (SCALING.md
+    # A/B: +10-30% at 32 cores in 2/3 paired rounds, identical labels);
+    # SPARK_GRAFT_ALIGN=0 forces the round-2 composite-key baseline
+    align = os.environ.get("SPARK_GRAFT_ALIGN", "1") == "1"
     t0 = time.time()
     transcripts = spark.read.parquet(corpus_path)
     tv = turn_verdicts_df(

@@ -66,37 +66,36 @@ def turn_verdicts_df(
     partitions: int = 0,
     emit_stats: bool = True,
     salt: bool = False,
-    align_conv: bool = False,
+    align_conv: bool = True,
 ) -> DataFrame:
     """Dedup + per-turn verdict + scrub; the expensive, perfectly
     parallel stage.
 
-    Skew: the dedup window shuffles on the composite (conv_id, turn_idx)
-    hash, which already spreads a mega-conversation's turns evenly
-    across partitions — that shuffle IS the salted layout, so no second
-    repartition is paid on the default path. ``salt=True`` forces an
-    explicit salted repartition for inputs that skip dedup (e.g. an
-    upstream source already deduplicated but badly clustered by
-    conv_id).
+    Layout (default, ``align_conv=True`` — round-3 measurement,
+    BENCH/SCALING.md): ONE explicit repartition on
+    ``(conv_id, salt(turn_idx))`` feeds a dedup that groups on a
+    superset of those keys, so the repartition satisfies the dedup's
+    clustering requirement — no ENSURE_REQUIREMENTS exchange is
+    planned, and the partial+final aggregation of full-width row
+    structs fuses into one stage (the partial pass over ~unique keys
+    was pure overhead; +10-30% at 32 cores in 2 of 3 paired rounds,
+    never slower beyond noise). The salt modulus is
+    ``max(salt_buckets, partitions)``, so a mega-conversation spreads
+    across ALL partitions exactly like the composite hash — same skew
+    safety (X12), strictly less aggregation work.
 
-    ``align_conv=True`` (shuffle-alignment experiment, BENCH/SCALING.md)
-    repartitions ONCE on ``(conv_id, salt(turn_idx))`` BEFORE dedup and
-    groups on a superset of those keys: the explicit repartition then
-    satisfies the dedup's clustering requirement, so the two-phase
-    partial+final aggregation of full-width row structs collapses into
-    a SINGLE aggregation pass — measurably faster at high parallelism
-    because the partial pass over ~unique keys was pure overhead. The
-    salt keeps a mega-conversation spread over ``salt_buckets``
-    partitions (bounded fan-out instead of the composite hash's full
-    spread — the skew trade vs the default path).
+    ``align_conv=False`` keeps the round-2 composite-key layout (dedup
+    shuffles on ``(conv_id, turn_idx)`` via its own exchange) — the A/B
+    baseline for the scaling campaign. ``salt=True`` additionally
+    forces an explicit salted repartition on that path for inputs that
+    skip dedup but arrive badly clustered by conv_id.
     """
     spark = transcripts.sparkSession
     partitions = partitions or spark.sparkContext.defaultParallelism * 4
 
     if align_conv:
-        salt_col = F.pmod(
-            F.xxhash64(F.col("turn_idx")), F.lit(pcfg.conversation.salt_buckets)
-        )
+        modulus = max(pcfg.conversation.salt_buckets, partitions)
+        salt_col = F.pmod(F.xxhash64(F.col("turn_idx")), F.lit(modulus))
         pre = transcripts.withColumn("_salt", salt_col).repartition(
             partitions, F.col("conv_id"), F.col("_salt")
         )
