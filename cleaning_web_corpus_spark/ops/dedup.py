@@ -92,9 +92,32 @@ def exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- n-gram Jaccard near-dup ------------------------------------------------
 def ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate pairs via the CODEGEN shingle self-join, with a
+    broadcast anti-join flood cap (round 3).
+
+    Shape notes, all measured at sf0.1:
+    * the self-join stays — Spark reuses the identical shingle-keyed
+      exchange across both sides (one tokenize+explode pass feeds both),
+      and the streamed SMJ beats both alternatives tried: collect_list +
+      interpreted-lambda in-bucket pair expansion (12x slower — that
+      shape only wins for UDF-fed families like simhash/embedding where
+      a join would re-run the UDF per side) and a window-count cap
+      (re-sorts the full exploded set in each branch, ~6x slower);
+    * the flood cap is a broadcast LEFT ANTI join against the tiny set
+      of shingles shared by > MAX_BUCKET docs (reuses the same shingle
+      exchange for its aggregation; boilerplate floods are exact-dup
+      territory — same contract as the MinHash/SimHash caps).
+    """
     sh = _shingles(spark, sf)
+    flooded = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_bucket"))
+        .filter(F.col("n_bucket") > MAX_BUCKET)
+        .select("shingle")
+    )
+    capped = sh.join(F.broadcast(flooded), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
+    a, b = capped.alias("a"), capped.alias("b")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -329,9 +352,16 @@ ORACLES: Dict[str, str] = {
     "ngram_jaccard_pairs": f"""
         WITH {_SQL_SHINGLES},
         sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+        capped AS (
+            SELECT doc_id, shingle FROM (
+                SELECT doc_id, shingle,
+                       COUNT(*) OVER (PARTITION BY shingle) AS n_bucket
+                FROM shingles)
+            WHERE n_bucket <= {MAX_BUCKET}
+        ),
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-            FROM shingles a JOIN shingles b USING (shingle)
+            FROM capped a JOIN capped b USING (shingle)
             WHERE a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         )
