@@ -14,12 +14,25 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from cleaning_web_corpus_spark.config import ScrubConfig
-from cleaning_web_corpus_spark.scrub.pii import java_rules_for
+from cleaning_web_corpus_spark.scrub.pii import java_guarded_rules_for
 
 
 def scrub_col(col: Column, cfg: ScrubConfig) -> Column:
-    """Column expression applying the ordered scrub chain."""
+    """Column expression applying the ordered scrub chain.
+
+    Each PII rule sits behind a cheap NO-OP guard (a ``contains`` /
+    trivial ``rlike`` precondition its pattern provably requires —
+    scrub/pii.py _JAVA_GUARDS): the clean majority of turns pays one
+    simple scan instead of the full lookaround regex. Byte-identical to
+    the unguarded chain (and to the Python twin) by construction;
+    enforced by tests/test_scrub.py."""
     out = col
-    for java_regex, replacement in java_rules_for(cfg):
-        out = F.regexp_replace(out, java_regex, replacement)
+    for guard, java_regex, replacement in java_guarded_rules_for(cfg):
+        replaced = F.regexp_replace(out, java_regex, replacement)
+        if guard is None:
+            out = replaced
+        elif guard[0] == "contains":
+            out = F.when(out.contains(guard[1]), replaced).otherwise(out)
+        else:  # rlike
+            out = F.when(out.rlike(guard[1]), replaced).otherwise(out)
     return out
