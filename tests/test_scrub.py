@@ -74,3 +74,39 @@ def test_native_matches_python_on_random_unicode(spark, texts):
     rows = df.withColumn("s", scrub_col(F.col("text"), CFG)).orderBy("id").collect()
     for row, raw in zip(rows, texts):
         assert row.s == scrub_text(raw, CFG)
+
+
+def test_guarded_jvm_chain_matches_python_on_random_soup(spark):
+    """The no-op guards in scrub_col (contains '@' / has-digit rlike,
+    round 3) must be byte-transparent: one Spark pass over 400 random
+    token soups — guard-triggering PII shapes, near-misses (digits
+    without valid PII, '@' without a valid email), unicode, empties —
+    compared against the unguarded pure-Python chain."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from cleaning_web_corpus_spark.config import ScrubConfig
+    from cleaning_web_corpus_spark.scrub.native import scrub_col
+    from cleaning_web_corpus_spark.scrub.pii import scrub_text
+
+    rng = random.Random(20260817)
+    vocab = [
+        "wipe", "the", "counter", "naïve", "héllo", "damn", "stupidly",
+        "a@b", "@", "x@y.zz", "user.name+tag@example.co.uk", "1", "42",
+        "123-45-6789", "123-456-7890", "(555) 123-4567", "192.168.0.1",
+        "999.999.999.999", "1.2.3.4.5", "12345", "3-4", "crap", "crapes",
+        " ", "…", "", "shitposting", "hell", "hello",
+    ]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        for _ in range(400)
+    ]
+    cfg = ScrubConfig()
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    got = {
+        r.id: r.s
+        for r in df.withColumn("s", scrub_col(F.col("text"), cfg)).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == scrub_text(t, cfg), repr(t)
