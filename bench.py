@@ -410,12 +410,13 @@ def main_scaling():
             for i, r in enumerate(round_rows)
         ],
         "",
-        "## Shuffle-alignment experiment (align_conv: single salted conv_id",
-        "repartition satisfying the dedup clustering, no ENSURE exchange)",
+        "## Layout A/B (aligned = the PRODUCTION DEFAULT since round 3:",
+        "single salted conv_id repartition satisfying the dedup clustering,",
+        "no ENSURE exchange; composite = the round-2 baseline layout)",
         "",
         "Same rounds, same windows, byte-identical output labels:",
         "",
-        "| round | aligned tps @8 | aligned tps @32 | aligned eff | default eff |",
+        "| round | aligned tps @8 | aligned tps @32 | aligned eff | composite eff |",
         "| --- | --- | --- | --- | --- |",
         *[
             f"| {i + 1} | {r['tps8_aligned']:.0f} | {r['tps32_aligned']:.0f} |"
