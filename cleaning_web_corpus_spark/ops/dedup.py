@@ -1,7 +1,9 @@
-"""Deduplication operators for a training-data pipeline.
+"""Deduplication + decontamination operators for a training-data pipeline.
 
-Four families over the ``documents`` table (plus an embedding-cosine
-variant in ops/ann.py):
+Four near-dup families over the ``documents`` table (plus an
+embedding-cosine variant in ops/ann.py), the connected-components step
+that turns candidate pairs into per-component canonical docs, and
+benchmark decontamination via long-n-gram overlap:
 
 * exact        — hash-groupBy (one shuffle on the digest)
 * n-gram Jaccard — shingle explode + shingle-bucket self-join; the join
@@ -47,8 +49,21 @@ JACCARD_THRESHOLD = 0.2
 MAX_BUCKET = 1000
 
 
-def _shingles(spark: SparkSession, sf: str) -> DataFrame:
-    """Distinct 3-token shingles per document.
+def _shingle_arr(n: int):
+    """Column expr: distinct n-token shingle array over a `toks` column.
+
+    Guard: sequence(1, 0) in Spark generates a DESCENDING [1, 0] —
+    empty array must be explicit for texts with < n tokens."""
+    terms = ", ".join(f"toks[i{k - 1:+d}]" if k != 1 else "toks[i]" for k in range(n))
+    return F.expr(
+        f"case when size(toks) < {n} then array()"
+        f" else array_distinct(transform(sequence(1, size(toks) - {n - 1}),"
+        f" i -> concat_ws(' ', {terms}))) end"
+    )
+
+
+def _toks(spark: SparkSession, sf: str) -> DataFrame:
+    """documents -> (doc_id, toks array), repartitioned to parallelism.
 
     Two performance notes baked into the shape:
     * tokens are materialized in their OWN projection — higher-order
@@ -60,7 +75,7 @@ def _shingles(spark: SparkSession, sf: str) -> DataFrame:
       the expensive part, not the scan.
     """
     parallelism = spark.sparkContext.defaultParallelism
-    toksed = (
+    return (
         t(spark, sf, "documents")
         .repartition(parallelism)
         .select(
@@ -68,14 +83,11 @@ def _shingles(spark: SparkSession, sf: str) -> DataFrame:
             F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)").alias("toks"),
         )
     )
-    # guard: sequence(1, 0) in Spark generates a DESCENDING [1, 0] — empty
-    # array must be explicit for texts with < 3 tokens
-    shingle_arr = F.expr(
-        "case when size(toks) < 3 then array()"
-        " else array_distinct(transform(sequence(1, size(toks) - 2),"
-        " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))) end"
-    )
-    return toksed.select("doc_id", F.explode(shingle_arr).alias("shingle"))
+
+
+def _shingles(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct 3-token shingles per document (the near-dup families)."""
+    return _toks(spark, sf).select("doc_id", F.explode(_shingle_arr(3)).alias("shingle"))
 
 
 # --- exact dedup ------------------------------------------------------------
@@ -287,6 +299,112 @@ def simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- test-set decontamination ------------------------------------------------
+# Dolma/MassiveText-style: a training document is contaminated when it
+# shares long word n-grams with a held-out benchmark/eval set. The eval
+# set here is a deterministic slice of the corpus (doc_id % MOD == 0) so
+# the operator is self-contained and oracle-checkable; in production the
+# eval side is the benchmark suite — small by nature, hence broadcast.
+DECONTAM_N = 8  # 8-token shingles: long enough that chance overlap ~ 0
+DECONTAM_EVAL_MOD = 29
+DECONTAM_FLAG_FRAC = 0.05  # flag when >= 5% of a doc's shingles are eval shingles
+
+
+def decontamination_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Training docs sharing >= 1 distinct 8-gram with the eval slice.
+
+    Plan shape (the 100 TB path): ONE documents scan per side (filters
+    on doc_id push into both scans), the eval side collapses to a
+    distinct-shingle set that is broadcast (benchmark suites are tiny
+    vs the corpus), and the only shuffle is the final per-doc count.
+    n_shingles rides along from the pre-explode array size, so no
+    second aggregation over the exploded shingles is needed.
+    """
+    toksed = _toks(spark, sf)
+    arr = _shingle_arr(DECONTAM_N)
+    train = toksed.filter(
+        F.col("doc_id") % DECONTAM_EVAL_MOD != 0
+    ).select(
+        "doc_id",
+        F.size(arr).cast("long").alias("n_shingles"),  # long: match DuckDB len()
+        F.explode(arr).alias("shingle"),
+    )
+    eval_shingles = (
+        toksed.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0)
+        .select(F.explode(arr).alias("shingle"))
+        .distinct()
+    )
+    return (
+        train.join(F.broadcast(eval_shingles), "shingle")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+        .withColumn(
+            "contamination", F.round(F.col("n_contaminated") / F.col("n_shingles"), 4)
+        )
+        .withColumn("flagged", F.col("contamination") >= DECONTAM_FLAG_FRAC)
+        .select("doc_id", "n_shingles", "n_contaminated", "contamination", "flagged")
+    )
+
+
+# --- near-dup connected components -------------------------------------------
+COMPONENTS_MAX_ITERS = 20
+
+
+def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate graph: the
+    "pairs -> canonical doc" step that turns near-dup candidates into a
+    keep/drop decision (keep component_id, drop the rest).
+
+    Min-label propagation: every node starts labeled with its own id;
+    each round a node takes the min label over itself and its
+    neighbors; a fixpoint is a component labeling with the component's
+    min doc_id as its id. Rounds needed = graph diameter — near-dup
+    clusters come from shared LSH buckets so they are near-cliques
+    (diameter ~2-3); the loop is bounded at COMPONENTS_MAX_ITERS and
+    per-round driver traffic is ONE scalar (the changed-label count),
+    same bounded-driver contract as IVF training (ops/ann.py). Edges
+    are persisted once and reused each round; label lineage is
+    truncated by persisting each round and unpersisting the previous,
+    so the per-round cost at scale is one shuffle over the node set —
+    the textbook Spark CC shape (cf. GraphFrames' iterative algorithm).
+    """
+    edges = minhash_lsh_candidates(spark, sf).persist()
+    bidir = edges.union(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .union(edges.select("doc_b"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .persist()
+    )
+    for _ in range(COMPONENTS_MAX_ITERS):
+        prop = bidir.join(labels, bidir.doc_a == labels.node).select(
+            F.col("doc_b").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
+        ).persist()
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "node"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        (F.col("node") == F.col("label")).alias("is_canonical"),
+    )
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": exact_dedup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -294,6 +412,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_candidates": minhash_lsh_candidates,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_dups": simhash_near_dups,
+    "decontamination_report": decontamination_report,
+    "dedup_components": dedup_components,
 }
 
 _SQL_SHINGLES = f"""
@@ -306,6 +426,12 @@ _SQL_SHINGLES = f"""
               FROM documents)
     )
 """
+
+_SQL_DECONTAM_ARR = (
+    "list_distinct(["
+    + " || ' ' || ".join(f"tok[i+{k}]" if k else "tok[i]" for k in range(DECONTAM_N))
+    + f" FOR i IN range(1, GREATEST(len(tok) - {DECONTAM_N - 1}, 0) + 1)])"
+)
 
 _SQL_SIGS = ", ".join(
     f"MIN(md5('{i}:' || shingle)) AS sig{i}" for i in range(N_HASHES)
@@ -416,4 +542,47 @@ ORACLES: Dict[str, str] = {
               HAVING COUNT(*) <= {MAX_BUCKET}
           )
     """,
+    "decontamination_report": f"""
+        WITH base AS (
+            SELECT doc_id, {_SQL_DECONTAM_ARR} AS arr
+            FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tok
+                  FROM documents)
+        ),
+        train AS (
+            SELECT doc_id, len(arr) AS n_shingles, UNNEST(arr) AS shingle
+            FROM base WHERE doc_id % {DECONTAM_EVAL_MOD} <> 0
+        ),
+        ev AS (
+            SELECT DISTINCT shingle FROM (
+                SELECT UNNEST(arr) AS shingle
+                FROM base WHERE doc_id % {DECONTAM_EVAL_MOD} = 0)
+        )
+        SELECT t.doc_id, t.n_shingles, COUNT(*) AS n_contaminated,
+               ROUND(COUNT(*) / t.n_shingles, 4) AS contamination,
+               (ROUND(COUNT(*) / t.n_shingles, 4) >= {DECONTAM_FLAG_FRAC}) AS flagged
+        FROM train t JOIN ev USING (shingle)
+        GROUP BY t.doc_id, t.n_shingles
+    """,
+    "dedup_components": f"""
+        WITH RECURSIVE edges AS (
+            SELECT doc_a, doc_b FROM ({{LSH}})
+        ),
+        bidir AS (
+            SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges
+        ),
+        reach(src, node) AS (
+            SELECT a, a FROM bidir
+            UNION
+            SELECT r.src, b.b FROM reach r JOIN bidir b ON b.a = r.node
+        )
+        SELECT src AS doc_id, MIN(node) AS component_id,
+               (src = MIN(node)) AS is_canonical
+        FROM reach GROUP BY src
+    """,
 }
+# the components oracle walks the SAME candidate graph the Spark op
+# consumes: splice the full LSH-candidate oracle in as the edge source
+ORACLES["dedup_components"] = ORACLES["dedup_components"].replace(
+    "{LSH}", ORACLES["minhash_lsh_candidates"]
+)

@@ -1,0 +1,89 @@
+"""Unit tests for test-set decontamination + near-dup connected
+components (ops/dedup.py round-3 additions).
+
+Both ops also carry full driver-level DuckDB oracles
+(ORACLES["decontamination_report"], ORACLES["dedup_components"] — the
+latter is checked against a recursive-CTE transitive closure, which
+covers multi-hop transitivity); these tests pin the semantics on
+handcrafted corpora where the expected answer is known by eye.
+"""
+
+import pandas as pd
+import pytest
+
+from cleaning_web_corpus_spark.ops.dedup import (
+    DECONTAM_EVAL_MOD,
+    dedup_components,
+    decontamination_report,
+)
+
+
+def _write_docs(tmp_path, rows):
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet", index=False
+    )
+    return str(tmp_path)
+
+
+EVAL_ID = DECONTAM_EVAL_MOD  # % MOD == 0 -> lands in the eval slice
+PHRASE = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+
+
+def test_decontamination_flags_shared_8gram(spark, tmp_path):
+    sf = _write_docs(
+        tmp_path,
+        [
+            (EVAL_ID, f"{PHRASE} india juliett kilo"),
+            # train doc embedding the eval 8-gram mid-text
+            (1, f"zulu yankee {PHRASE} xray whiskey"),
+            # train doc with no 8-gram overlap (token-level overlap only)
+            (2, "alpha charlie echo golf india kilo mike oscar quebec sierra"),
+            # too short for any 8-gram
+            (3, "alpha bravo charlie"),
+        ],
+    )
+    out = decontamination_report(spark, sf).collect()
+    by_id = {r.doc_id: r for r in out}
+    assert set(by_id) == {1}
+    r = by_id[1]
+    # "zulu yankee <8-gram phrase> xray whiskey" = 12 tokens -> 5 shingles,
+    # exactly 1 of which (the phrase itself) is an eval shingle
+    assert r.n_shingles == 5
+    assert r.n_contaminated == 1
+    assert r.contamination == pytest.approx(0.2)
+    assert bool(r.flagged) is True
+
+
+def test_decontamination_eval_docs_never_reported(spark, tmp_path):
+    # two eval docs sharing everything with each other: no train rows
+    sf = _write_docs(
+        tmp_path,
+        [(0, f"{PHRASE} india"), (EVAL_ID, f"{PHRASE} india")],
+    )
+    assert decontamination_report(spark, sf).count() == 0
+
+
+def test_components_cliques_and_canonicals(spark, tmp_path):
+    # exact duplicates share every shingle -> identical MinHash bands ->
+    # LSH pairs form a clique per duplicate group
+    long_a = " ".join(f"tok{i} common word here" for i in range(12))
+    long_b = " ".join(f"other{i} unrelated text body" for i in range(12))
+    uniq = " ".join(f"solo{i} only once ever" for i in range(12))
+    sf = _write_docs(
+        tmp_path,
+        [(1, long_a), (2, long_a), (3, long_a), (10, long_b), (11, long_b), (20, uniq)],
+    )
+    rows = {r.doc_id: r for r in dedup_components(spark, sf).collect()}
+    assert set(rows) == {1, 2, 3, 10, 11}  # 20 has no edges -> not in graph
+    assert {rows[i].component_id for i in (1, 2, 3)} == {1}
+    assert {rows[i].component_id for i in (10, 11)} == {10}
+    # exactly one canonical per component, and it is the min id
+    assert sorted(i for i, r in rows.items() if r.is_canonical) == [1, 10]
+
+
+def test_components_deterministic_across_runs(spark, tmp_path):
+    long_a = " ".join(f"tok{i} common word here" for i in range(12))
+    sf = _write_docs(tmp_path, [(1, long_a), (2, long_a), (7, long_a)])
+    a = sorted(map(tuple, dedup_components(spark, sf).collect()))
+    b = sorted(map(tuple, dedup_components(spark, sf).collect()))
+    assert a == b == [(1, 1, True), (2, 1, False), (7, 1, False)]
