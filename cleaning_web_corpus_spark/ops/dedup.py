@@ -361,43 +361,67 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     min doc_id as its id. Rounds needed = graph diameter — near-dup
     clusters come from shared LSH buckets so they are near-cliques
     (diameter ~2-3); the loop is bounded at COMPONENTS_MAX_ITERS and
-    per-round driver traffic is ONE scalar (the changed-label count),
-    same bounded-driver contract as IVF training (ops/ann.py). Edges
+    per-round driver traffic is ONE scalar (the label sum — labels only
+    decrease, so an unchanged sum is the fixpoint), same
+    bounded-driver contract as IVF training (ops/ann.py). Edges
     are persisted once and reused each round; label lineage is
     truncated by persisting each round and unpersisting the previous,
     so the per-round cost at scale is one shuffle over the node set —
     the textbook Spark CC shape (cf. GraphFrames' iterative algorithm).
     """
     edges = minhash_lsh_candidates(spark, sf).persist()
-    bidir = edges.union(
-        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
-    labels = (
-        edges.select(F.col("doc_a").alias("node"))
-        .union(edges.select("doc_b"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+    # the candidate graph is tiny relative to the corpus (only docs in
+    # >= 1 near-dup pair); size the per-round label shuffles from the
+    # measured edge count instead of inheriting the corpus-scale
+    # parallelism — at test scale this collapses to 1 partition (the
+    # rounds would otherwise pay ~2 s of empty-task scheduling each),
+    # at 10^9 edges it grows back to the cluster width
+    n_edges = edges.count()
+    parts = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 500_000 + 1))
+    # cache the symmetric edge list at the derived width too — the loop
+    # re-reads it every round, and leaving it at the candidate query's
+    # partitioning would pay corpus-width task scheduling per round
+    bidir = (
+        edges.union(
+            edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+        .repartition(parts, "doc_a")
         .persist()
     )
+    # seed with min(self, neighbors) — exactly the first propagation
+    # round, folded into the node-derivation aggregate we pay anyway
+    # (bidir is hash-partitioned on doc_a, so this groupBy is
+    # exchange-free); saves one full loop round
+    labels = (
+        bidir.groupBy(F.col("doc_a").alias("node"))
+        .agg(F.min("doc_b").alias("mn"))
+        .select("node", F.least("node", "mn").alias("label"))
+        .persist()
+    )
+    prev_sum = None
     for _ in range(COMPONENTS_MAX_ITERS):
         prop = bidir.join(labels, bidir.doc_a == labels.node).select(
             F.col("doc_b").alias("node"), "label"
         )
+        # the explicit hash repartition on node satisfies the groupBy
+        # clustering (no second exchange) at the data-derived width
         new_labels = (
-            labels.union(prop).groupBy("node").agg(F.min("label").alias("label"))
+            labels.union(prop)
+            .repartition(parts, "node")
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
         ).persist()
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old"), "node"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
+        # convergence via the label sum: labels are monotonically
+        # non-increasing per node, so an unchanged sum IS the fixpoint —
+        # one scalar to the driver per round, no old-vs-new join
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
+    bidir.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("component_id"),

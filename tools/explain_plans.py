@@ -41,6 +41,13 @@ PLAN_QUERIES = [
     "user_sessions",
     "media_quality_filter",
     "scrub_documents",
+    # dedup_components is deliberately absent: it is an ITERATIVE op
+    # (bounded min-label propagation); its final plan is just an
+    # InMemoryTableScan of the converged labels, so the audit would
+    # inspect the cache, not the per-round join+agg shape. Its scale
+    # story is documented in the op docstring and the per-round edge
+    # reuse is tested in tests/test_decontam.py.
+    "decontamination_report",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
@@ -60,6 +67,19 @@ SLOW_QUERY_NOTES = """\
   expansion + bit_count filter. The absolute time at this sf is
   fixed-cost dominated (UDF worker spin-up + two shuffles over 5k
   docs); the per-row cost and the plan shape are the 100 TB story.
+- `decontamination_report` (~2.3 s): two pruned 2-column scans of
+  documents (doc_id-mod filters pushed), 8-gram shingle explode,
+  broadcast of the distinct eval-shingle set, ONE shuffle (the per-doc
+  hit count). The eval side is a benchmark suite in production —
+  broadcast is the 100 TB plan by construction.
+- `dedup_components` (~4 s): ITERATIVE min-label propagation (diameter
+  + 1 bounded rounds over the candidate graph, one scalar label-sum to
+  the driver per round). At this sf the time is per-round fixed cost —
+  the label/edge tables (853 nodes) are cached at a width derived from
+  the measured edge count, so each round is a handful of 1-partition
+  tasks; at 10^9 edges the same derivation widens the shuffles back to
+  cluster width. The candidate generation (minhash_lsh_candidates,
+  benched separately ~1 s) is re-paid inside this entry.
 """
 
 
