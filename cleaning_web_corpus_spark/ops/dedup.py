@@ -350,10 +350,14 @@ def decontamination_report(spark: SparkSession, sf: str) -> DataFrame:
 COMPONENTS_MAX_ITERS = 20
 
 
-def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
-    """Connected components over the MinHash-LSH candidate graph: the
-    "pairs -> canonical doc" step that turns near-dup candidates into a
-    keep/drop decision (keep component_id, drop the rest).
+def connected_components(
+    spark: SparkSession, pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Connected components over ANY candidate-pair DataFrame — the
+    "pairs -> canonical doc" step that turns near-dup candidates from
+    every family (MinHash-LSH, SimHash, n-gram Jaccard, embedding-LSH)
+    into a keep/drop decision (keep component_id, drop the rest).
+    Returns (doc_id, component_id, is_canonical).
 
     Min-label propagation: every node starts labeled with its own id;
     each round a node takes the min label over itself and its
@@ -369,7 +373,9 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     so the per-round cost at scale is one shuffle over the node set —
     the textbook Spark CC shape (cf. GraphFrames' iterative algorithm).
     """
-    edges = minhash_lsh_candidates(spark, sf).persist()
+    edges = pairs.select(
+        F.col(a_col).alias("doc_a"), F.col(b_col).alias("doc_b")
+    ).persist()
     # the candidate graph is tiny relative to the corpus (only docs in
     # >= 1 near-dup pair); size the per-round label shuffles from the
     # measured edge count instead of inheriting the corpus-scale
@@ -427,6 +433,15 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
         F.col("label").alias("component_id"),
         (F.col("node") == F.col("label")).alias("is_canonical"),
     )
+
+
+def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Query form: components over the MinHash-LSH candidate graph
+    (oracled against a recursive-CTE transitive closure of the SAME
+    graph). The other families plug into connected_components directly:
+    simhash_near_dups / ngram_jaccard_pairs / embedding near-dups all
+    emit (doc_a, doc_b)-shaped pair sets."""
+    return connected_components(spark, minhash_lsh_candidates(spark, sf))
 
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {

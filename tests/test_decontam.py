@@ -13,6 +13,7 @@ import pytest
 
 from cleaning_web_corpus_spark.ops.dedup import (
     DECONTAM_EVAL_MOD,
+    connected_components,
     dedup_components,
     decontamination_report,
 )
@@ -79,6 +80,28 @@ def test_components_cliques_and_canonicals(spark, tmp_path):
     assert {rows[i].component_id for i in (10, 11)} == {10}
     # exactly one canonical per component, and it is the min id
     assert sorted(i for i, r in rows.items() if r.is_canonical) == [1, 10]
+
+
+def test_connected_components_multi_hop_chain(spark):
+    # 1-2-3-4 is a path (diameter 3): labels must propagate across
+    # hops that share no direct edge — the multi-round case the
+    # clique corpora above never trigger
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a: long, doc_b: long"
+    )
+    comp = {
+        r.doc_id: r.component_id
+        for r in connected_components(spark, pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_custom_columns(spark):
+    pairs = spark.createDataFrame([(5, 6)], "left_id: long, right_id: long")
+    rows = sorted(
+        map(tuple, connected_components(spark, pairs, "left_id", "right_id").collect())
+    )
+    assert rows == [(5, 5, True), (6, 5, False)]
 
 
 def test_components_deterministic_across_runs(spark, tmp_path):
