@@ -1,0 +1,480 @@
+"""Corpus-level training-data operators.
+
+Four operator families a production pretraining pipeline needs on top
+of filtering and dedup, each expressed as native DataFrame transforms
+(zero Python UDFs — everything stays inside whole-stage codegen) with
+exact DuckDB oracles:
+
+* temperature-weighted stratified sampling — the data-mixing step
+  (GPT-3 / Gopher style): per-stratum keep rates derived from
+  ``p_s^alpha`` so rare strata are kept whole and dominant strata are
+  down-sampled toward the flattened mix.  The keep decision is a pure
+  function of ``md5(doc_id)`` (first 13 hex digits = 52 uniform bits,
+  exactly representable in a double), so the sample is deterministic,
+  engine-portable, and re-runnable per partition with no RNG state.
+* CCNet-style boilerplate-line removal — a line shared by >=
+  BOILER_MIN_DOCS distinct documents is boilerplate (nav bars, cookie
+  banners, repeated footers); documents are re-assembled from the
+  surviving lines in original order.  Production splits on '\\n'; the
+  driver corpus is single-line word salad, so the driver query derives
+  "lines" as fixed BOILER_W-token segments (documented test shim — the
+  core operates on any exploded (doc_id, pos, line) relation).
+* corpus DF/IDF statistics — document frequency + smoothed IDF of the
+  top vocabulary, the input to stop-list generation and tf-idf
+  quality scoring.
+* distributed Naive-Bayes language classifier — TRAIN and PREDICT in
+  one DAG: multinomial NB with Laplace smoothing over the token
+  counts of a deterministic train split (doc_id % NB_TEST_MOD != 0),
+  scored on the held-out split, reported as a confusion matrix.  This
+  is the from-scratch trainable analogue of the fastText supervised
+  classifier the reference shells out to (text_filters.py:72-96):
+  the "model" is a (lang, token) count table that Spark broadcasts to
+  every executor — the same ship-the-model-once pattern as the
+  pipeline's langid UDF, but with the training loop itself expressed
+  as aggregations.
+
+Scale notes (100 TB): the sampling-rate, class-stats and DF tables are
+tiny-by-construction aggregates (|strata|, |langs|, bounded vocab) and
+broadcast; every per-document path is one scan + one shuffle.  The
+boilerplate DF join shuffles on the line hash — at web scale that df
+table (lines seen in >= K docs) is exactly the CCNet hash table and
+stays orders of magnitude smaller than the corpus.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+# --- stratified sampling ------------------------------------------------------
+
+SAMPLE_ALPHA = 0.5  # mixing temperature: q_s ∝ p_s^alpha
+_TWO52 = float(1 << 52)
+
+
+def _u52(doc_id: F.Column) -> F.Column:
+    """52 uniform bits from md5(doc_id) as a non-negative long.
+
+    13 hex digits = 52 bits, chosen because 2^52 is exactly
+    representable in a double on both engines: the DuckDB twin
+    ('0x'||substr(md5(..),1,13))::BIGINT yields the identical integer.
+    """
+    return F.conv(
+        F.substring(F.md5(doc_id.cast("string")), 1, 13), 16, 10
+    ).cast("long")
+
+
+def _sample_rates(docs: DataFrame) -> DataFrame:
+    """(lang, n_docs, rate, threshold) — temperature-flattened rates.
+
+    rate_s = (q_s / p_s) / max_t (q_t / q_t's p) with q_s ∝ p_s^alpha,
+    i.e. the rarest stratum keeps everything and each larger stratum is
+    down-sampled toward the alpha-flattened mix.  All of this runs over
+    the |strata|-row aggregate, so the single-partition windows are
+    deliberate (5 rows), and the result joins back as a broadcast.
+    """
+    w_all = Window.partitionBy()
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        counts.withColumn("p", F.col("n_docs") / F.sum("n_docs").over(w_all))
+        .withColumn("q", F.pow("p", F.lit(SAMPLE_ALPHA)))
+        .withColumn("q", F.col("q") / F.sum("q").over(w_all))
+        .withColumn("ratio", F.col("q") / F.col("p"))
+        .withColumn("rate", F.col("ratio") / F.max("ratio").over(w_all))
+        .withColumn("threshold", F.floor(F.col("rate") * F.lit(_TWO52)))
+        .select("lang", "n_docs", "rate", "threshold")
+    )
+
+
+def stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Documents kept by the deterministic temperature-weighted sample."""
+    docs = t(spark, sf, "documents")
+    rates = _sample_rates(docs)
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(_u52(F.col("doc_id")) < F.col("threshold"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+def sample_mix_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum before/after counts + the applied keep rate."""
+    docs = t(spark, sf, "documents")
+    rates = _sample_rates(docs)
+    kept = (
+        docs.join(F.broadcast(rates.select("lang", "threshold")), "lang")
+        .filter(_u52(F.col("doc_id")) < F.col("threshold"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round("rate", 6).alias("rate"),
+        )
+    )
+
+
+# --- boilerplate-line removal -------------------------------------------------
+
+BOILER_W = 4  # driver-corpus line shim: 4-token segments (prod: split('\n'))
+BOILER_MIN_DOCS = 2  # prod: scaled to corpus size (CCNet uses doc-count bands)
+
+
+def _doc_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, i, line) — fixed-width token segments as 'lines'.
+
+    The driver corpus is single-line text, so lines are derived as
+    consecutive BOILER_W-token windows; a newline-delimited corpus
+    would use posexplode(split(text, '\\n')) and the rest of the
+    operator is unchanged.
+    """
+    parallelism = spark.sparkContext.defaultParallelism
+    toksed = (
+        t(spark, sf, "documents")
+        .repartition(parallelism)
+        .select(
+            "doc_id",
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)").alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+    )
+    return toksed.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), (F.ceil(F.size("toks") / F.lit(float(BOILER_W)))).cast("int") - 1
+            )
+        ).alias("i"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "i",
+        F.expr(f"array_join(slice(toks, i * {BOILER_W} + 1, {BOILER_W}), ' ')").alias(
+            "line"
+        ),
+    )
+
+
+def boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """Strip lines appearing in >= BOILER_MIN_DOCS distinct documents.
+
+    Plan: one documents scan -> segment explode; line document
+    frequency via one (line) shuffle; the boilerplate set joins back on
+    the same key (the agg's partitioning is reused — no extra
+    exchange); re-assembly is one (doc_id) shuffle with collect_list of
+    (i, line) structs, null-skipped for removed lines, sort_array for
+    original order.  No Python anywhere.
+    """
+    lines = _doc_lines(spark, sf)
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= BOILER_MIN_DOCS)
+        .select("line", F.lit(True).alias("is_boiler"))
+    )
+    marked = lines.join(boiler, "line", "left").withColumn(
+        "removed", F.coalesce("is_boiler", F.lit(False))
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("removed").cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    # collect_list skips nulls: removed lines vanish here
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("removed"), F.struct("i", "line"))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+        .select("doc_id", "n_lines", "n_removed", "text_clean")
+    )
+
+
+# --- corpus DF / IDF stats ----------------------------------------------------
+
+IDF_TOP_K = 50
+
+
+def idf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-K vocabulary by document frequency with smoothed IDF.
+
+    One scan, one distinct-(doc, token) shuffle, one token shuffle; the
+    corpus-size scalar joins in as a broadcast 1-row aggregate (no
+    driver round-trip).  Deterministic tiebreak (df DESC, token ASC).
+    """
+    docs = t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("token"),
+    ).distinct()
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            "df",
+            F.round(F.log(F.col("n_total") / F.col("df")), 6).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("token"))
+        .limit(IDF_TOP_K)
+    )
+
+
+# --- distributed Naive-Bayes language classifier ------------------------------
+
+NB_TEST_MOD = 5  # doc_id % 5 == 0 -> held-out test split
+
+
+def nb_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Train multinomial NB on the train split, score the test split.
+
+    The trained model is two broadcastable aggregates — per-(lang,
+    token) counts and per-lang totals/priors — so "training" is one
+    shuffle over the train tokens and inference is a broadcast join:
+    the exact shape a 100 TB run wants (model to every executor once,
+    corpus streamed through).  Scores are log priors + Laplace-smoothed
+    log likelihoods; ties broken by lang name for determinism.  Output
+    is the integer confusion matrix (no float columns reach the gate).
+    """
+    docs = t(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("token"),
+    ).groupBy("doc_id", "lang", "token").agg(F.count(F.lit(1)).alias("m"))
+
+    is_test = F.col("doc_id") % NB_TEST_MOD == 0
+    train, test = tok.filter(~is_test), tok.filter(is_test)
+
+    # model: per-(lang, token) counts, per-lang token totals + doc priors
+    counts = train.groupBy("lang", "token").agg(F.sum("m").alias("c"))
+    lang_docs = (
+        train.select("doc_id", "lang")
+        .distinct()
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    class_stats = (
+        counts.groupBy("lang")
+        .agg(F.sum("c").alias("tot"))
+        .join(lang_docs, "lang")
+        .withColumn("prior", F.log(F.col("nd") / F.sum("nd").over(Window.partitionBy())))
+    )
+    vocab = counts.select("token").distinct().agg(F.count(F.lit(1)).alias("v"))
+
+    # inference: every test token scored against every class
+    scored = (
+        test.withColumnRenamed("lang", "true_lang")
+        .crossJoin(F.broadcast(class_stats.select("lang", "tot", "prior")))
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(counts), ["lang", "token"], "left")
+        .withColumn(
+            "term",
+            F.col("m")
+            * F.log((F.coalesce("c", F.lit(0)) + 1) / (F.col("tot") + F.col("v"))),
+        )
+        .groupBy("doc_id", "true_lang", "lang", "prior")
+        .agg(F.sum("term").alias("ll"))
+        .withColumn("score", F.col("prior") + F.col("ll"))
+    )
+    pred = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("score").desc(), F.col("lang")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("lang").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stratified_sample": stratified_sample,
+    "sample_mix_report": sample_mix_report,
+    "boilerplate_removal": boilerplate_removal,
+    "idf_top_terms": idf_top_terms,
+    "nb_lang_confusion": nb_lang_confusion,
+}
+
+
+# --- DuckDB oracles -----------------------------------------------------------
+
+_SQL_U52 = "('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT"
+
+_SQL_RATES = f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+    ),
+    rates AS (
+        SELECT lang, n_docs,
+               (q / SUM(q) OVER ()) / p AS ratio, p, q
+        FROM (
+            SELECT lang, n_docs,
+                   n_docs / SUM(n_docs) OVER () AS p,
+                   pow(n_docs / SUM(n_docs) OVER (), {SAMPLE_ALPHA}) AS q
+            FROM counts
+        )
+    ),
+    final_rates AS (
+        SELECT lang, n_docs,
+               ratio / MAX(ratio) OVER () AS rate,
+               FLOOR((ratio / MAX(ratio) OVER ()) * {int(1 << 52)})::BIGINT
+                   AS threshold
+        FROM rates
+    )
+"""
+
+_SQL_LINES = f"""
+    WITH toksed AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM documents
+        WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) > 0
+    ),
+    seg AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(ceil(len(toks) / {float(BOILER_W)}) AS BIGINT)))
+                   AS i,
+               toks
+        FROM toksed
+    ),
+    lines AS (
+        SELECT doc_id, i,
+               array_to_string(
+                   list_slice(toks, i * {BOILER_W} + 1, i * {BOILER_W} + {BOILER_W}),
+                   ' ') AS line
+        FROM seg
+    ),
+    boiler AS (
+        SELECT line FROM lines GROUP BY line
+        HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+    ),
+    marked AS (
+        SELECT l.doc_id, l.i, l.line, (b.line IS NOT NULL) AS removed
+        FROM lines l LEFT JOIN boiler b ON l.line = b.line
+    )
+"""
+
+ORACLES: Dict[str, str] = {
+    "stratified_sample": f"""
+        {_SQL_RATES}
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d JOIN final_rates r ON d.lang = r.lang
+        WHERE {_SQL_U52} < r.threshold
+    """,
+    "sample_mix_report": f"""
+        {_SQL_RATES},
+        kept AS (
+            SELECT d.lang, COUNT(*)::BIGINT AS n_kept
+            FROM documents d JOIN final_rates r ON d.lang = r.lang
+            WHERE {_SQL_U52} < r.threshold
+            GROUP BY d.lang
+        )
+        SELECT r.lang, r.n_docs, COALESCE(k.n_kept, 0) AS n_kept,
+               round(r.rate, 6) AS rate
+        FROM final_rates r LEFT JOIN kept k ON r.lang = k.lang
+    """,
+    "boilerplate_removal": f"""
+        {_SQL_LINES}
+        SELECT doc_id,
+               COUNT(*)::BIGINT AS n_lines,
+               SUM(removed::INT)::BIGINT AS n_removed,
+               COALESCE(
+                   string_agg(line, ' ' ORDER BY i) FILTER (NOT removed), ''
+               ) AS text_clean
+        FROM marked
+        GROUP BY doc_id
+    """,
+    "idf_top_terms": f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id,
+                   unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS token
+            FROM documents
+        ),
+        n AS (SELECT COUNT(*)::BIGINT AS n_total FROM documents)
+        SELECT token, COUNT(*)::BIGINT AS df,
+               round(ln(n_total / COUNT(*)), 6) AS idf
+        FROM tok, n
+        GROUP BY token, n_total
+        ORDER BY df DESC, token
+        LIMIT {IDF_TOP_K}
+    """,
+    "nb_lang_confusion": f"""
+        WITH tok AS (
+            SELECT doc_id, lang, token, COUNT(*)::BIGINT AS m
+            FROM (
+                SELECT doc_id, lang,
+                       unnest(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+                           AS token
+                FROM documents
+            )
+            GROUP BY doc_id, lang, token
+        ),
+        train AS (SELECT * FROM tok WHERE doc_id % {NB_TEST_MOD} != 0),
+        test AS (SELECT * FROM tok WHERE doc_id % {NB_TEST_MOD} = 0),
+        counts AS (
+            SELECT lang, token, SUM(m)::BIGINT AS c FROM train GROUP BY lang, token
+        ),
+        lang_docs AS (
+            SELECT lang, COUNT(*)::BIGINT AS nd
+            FROM (SELECT DISTINCT doc_id, lang FROM train) GROUP BY lang
+        ),
+        class_stats AS (
+            SELECT t.lang, t.tot, ln(d.nd / (SUM(d.nd) OVER ())::DOUBLE) AS prior
+            FROM (SELECT lang, SUM(c)::BIGINT AS tot FROM counts GROUP BY lang) t
+            JOIN lang_docs d ON t.lang = d.lang
+        ),
+        vocab AS (SELECT COUNT(DISTINCT token)::BIGINT AS v FROM counts),
+        scored AS (
+            SELECT te.doc_id, te.lang AS true_lang, cs.lang,
+                   cs.prior + SUM(
+                       te.m * ln((COALESCE(c.c, 0) + 1)
+                                 / (cs.tot + vocab.v)::DOUBLE)
+                   ) AS score
+            FROM test te
+            CROSS JOIN class_stats cs
+            CROSS JOIN vocab
+            LEFT JOIN counts c ON c.lang = cs.lang AND c.token = te.token
+            GROUP BY te.doc_id, te.lang, cs.lang, cs.prior
+        ),
+        pred AS (
+            SELECT true_lang, lang AS pred_lang
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, lang
+                ) AS rn
+                FROM scored
+            )
+            WHERE rn = 1
+        )
+        SELECT true_lang, pred_lang, COUNT(*)::BIGINT AS n_docs
+        FROM pred GROUP BY true_lang, pred_lang
+    """,
+}

@@ -1,0 +1,160 @@
+"""Unit tests for the corpus-level training-data operators
+(ops/corpus.py): temperature-weighted stratified sampling,
+CCNet-style boilerplate-line removal, DF/IDF stats, and the
+distributed Naive-Bayes language classifier.
+
+All five ops also carry full driver-level DuckDB oracles
+(corpus.ORACLES); these tests pin the semantics on handcrafted
+corpora where the expected answer is known by eye — the driver
+corpus's lang/token correlation is too weak to assert classifier
+quality there.
+"""
+
+import pandas as pd
+import pytest
+
+from cleaning_web_corpus_spark.ops.corpus import (
+    BOILER_MIN_DOCS,
+    BOILER_W,
+    NB_TEST_MOD,
+    boilerplate_removal,
+    idf_top_terms,
+    nb_lang_confusion,
+    sample_mix_report,
+    stratified_sample,
+)
+
+
+def _write_docs(tmp_path, rows):
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+    return str(tmp_path)
+
+
+# --- stratified sampling ------------------------------------------------------
+
+
+def _skewed_corpus(tmp_path):
+    rows = []
+    for i in range(90):
+        rows.append((i * 10 + 1, f"common text {i}", "en", "src0", 10))
+    for i in range(10):
+        rows.append((i * 10 + 2, f"rare text {i}", "zz", "src1", 10))
+    return _write_docs(tmp_path, rows)
+
+
+def test_stratified_sample_keeps_rare_stratum_whole(spark, tmp_path):
+    sf = _skewed_corpus(tmp_path)
+    report = {
+        r["lang"]: r for r in sample_mix_report(spark, sf).collect()
+    }
+    # rarest stratum: rate exactly 1.0, nothing dropped
+    assert report["zz"]["rate"] == pytest.approx(1.0)
+    assert report["zz"]["n_kept"] == report["zz"]["n_docs"] == 10
+    # dominant stratum down-sampled toward the alpha=0.5 flattened mix:
+    # rate = (p_zz/p_en)^(1-alpha) = (0.1/0.9)^0.5 = 0.3333
+    assert report["en"]["rate"] == pytest.approx(1 / 3, abs=1e-6)
+    assert 0 < report["en"]["n_kept"] < report["en"]["n_docs"]
+
+
+def test_stratified_sample_is_deterministic(spark, tmp_path):
+    sf = _skewed_corpus(tmp_path)
+    kept1 = sorted(r["doc_id"] for r in stratified_sample(spark, sf).collect())
+    kept2 = sorted(r["doc_id"] for r in stratified_sample(spark, sf).collect())
+    assert kept1 == kept2 and len(kept1) > 0
+
+
+# --- boilerplate removal ------------------------------------------------------
+
+BANNER = "accept all cookies now"  # one BOILER_W-token segment
+assert len(BANNER.split()) == BOILER_W
+
+
+def test_boilerplate_removal_strips_shared_lines(spark, tmp_path):
+    # the banner occupies segment 0 of BOILER_MIN_DOCS docs; unique
+    # tails survive, and a banner-free doc is untouched
+    rows = [
+        (1, f"{BANNER} unique tail one here", "en", "s", 10),
+        (2, f"{BANNER} another unique tail there", "en", "s", 10),
+        (3, "completely unrelated text in this document", "en", "s", 10),
+    ]
+    assert len(rows) - 1 >= BOILER_MIN_DOCS
+    sf = _write_docs(tmp_path, rows)
+    out = {r["doc_id"]: r for r in boilerplate_removal(spark, sf).collect()}
+    assert out[1]["n_removed"] == 1
+    assert out[1]["text_clean"] == "unique tail one here"
+    assert out[2]["n_removed"] == 1
+    assert out[2]["text_clean"] == "another unique tail there"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["text_clean"] == "completely unrelated text in this document"
+
+
+def test_boilerplate_removal_preserves_order_and_counts(spark, tmp_path):
+    # two shared banners sandwiching unique middles: order must survive
+    mid1, mid2 = "first unique middle part", "second unique middle part"
+    other = "totally different closing words"
+    rows = [
+        (1, f"{BANNER} {mid1} {BANNER}", "en", "s", 10),
+        (2, f"{BANNER} {mid2} {BANNER}", "en", "s", 10),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    out = {r["doc_id"]: r for r in boilerplate_removal(spark, sf).collect()}
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 2
+    assert out[1]["text_clean"] == mid1
+    assert out[2]["text_clean"] == mid2
+    del other
+
+
+# --- IDF ----------------------------------------------------------------------
+
+
+def test_idf_top_terms_df_and_idf(spark, tmp_path):
+    rows = [
+        (1, "ubiquitous alpha", "en", "s", 10),
+        (2, "ubiquitous beta", "en", "s", 10),
+        (3, "ubiquitous ubiquitous gamma", "en", "s", 10),  # dup in-doc: df once
+    ]
+    sf = _write_docs(tmp_path, rows)
+    out = idf_top_terms(spark, sf).collect()
+    assert [r["token"] for r in out][0] == "ubiquitous"
+    byname = {r["token"]: r for r in out}
+    assert byname["ubiquitous"]["df"] == 3
+    assert byname["ubiquitous"]["idf"] == pytest.approx(0.0)
+    assert byname["alpha"]["df"] == 1
+    # df DESC, token ASC tiebreak
+    assert [r["token"] for r in out] == ["ubiquitous", "alpha", "beta", "gamma"]
+
+
+# --- Naive Bayes --------------------------------------------------------------
+
+
+def test_nb_classifier_separates_disjoint_vocab(spark, tmp_path):
+    # two languages with disjoint vocabularies; ids chosen so both
+    # langs appear in train (id % MOD != 0) and test (id % MOD == 0)
+    rows = []
+    for i in range(1, 21):
+        rows.append((i * NB_TEST_MOD + 1, "roter hund springt hoch", "de", "s", 10))
+        rows.append((i * NB_TEST_MOD + 2, "red dog jumps high", "en", "s", 10))
+    rows.append((NB_TEST_MOD * 100, "hund springt", "de", "s", 10))  # test row
+    rows.append((NB_TEST_MOD * 200, "dog jumps", "en", "s", 10))  # test row
+    sf = _write_docs(tmp_path, rows)
+    cells = {
+        (r["true_lang"], r["pred_lang"]): r["n_docs"]
+        for r in nb_lang_confusion(spark, sf).collect()
+    }
+    assert cells == {("de", "de"): 1, ("en", "en"): 1}
+
+
+def test_nb_confusion_covers_whole_test_split(spark, tmp_path):
+    # every held-out doc lands in exactly one confusion cell, even when
+    # its tokens were never seen in training (smoothing-only score)
+    rows = [
+        (NB_TEST_MOD, "wholly unseen vocabulary", "en", "s", 10),
+        (1, "seen words here", "en", "s", 10),
+        (2, "mots vus ici", "fr", "s", 10),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    out = nb_lang_confusion(spark, sf).collect()
+    assert sum(r["n_docs"] for r in out) == 1
+    assert out[0]["true_lang"] == "en"
