@@ -48,6 +48,10 @@ PLAN_QUERIES = [
     # story is documented in the op docstring and the per-round edge
     # reuse is tested in tests/test_decontam.py.
     "decontamination_report",
+    "stratified_sample",
+    "boilerplate_removal",
+    "idf_top_terms",
+    "nb_lang_confusion",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
