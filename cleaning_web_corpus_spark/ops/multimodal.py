@@ -219,14 +219,38 @@ def probe_media_dimensions(df: DataFrame) -> DataFrame:
 def with_probed_dims(df: DataFrame) -> DataFrame:
     """Media table with width/height replaced by payload-derived values
     where the header parses (metadata kept only as the fallback), so the
-    downstream F13-F15 filters judge the actual bytes."""
-    probed = probe_media_dimensions(df)
-    return (
-        df.join(probed, "media_id", "left")
-        .withColumn("width", F.coalesce("width_probed", "width"))
-        .withColumn("height", F.coalesce("height_probed", "height"))
-        .drop("width_probed", "height_probed", "fmt_probed")
-    )
+    downstream F13-F15 filters judge the actual bytes.
+
+    ONE pass-through mapInPandas: the probe rides along with the full
+    row.  The previous join formulation (probe_media_dimensions(df)
+    joined back onto df) evaluated the upstream subtree on BOTH join
+    sides — a mapInPandas relation exposes no reusable exchange — for
+    3 Python nodes plus a shuffle; this shape is a single Python node
+    and zero shuffles, and at 100 TB it never re-reads the media scan.
+    """
+    cols = [f.name for f in df.schema.fields]
+
+    def _probe_through(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_image_dims(p) for p in pdf["payload"]]
+            out = pdf.copy()
+            out["width"] = pd.array(
+                [
+                    p[1] if p[1] is not None else (int(w) if pd.notna(w) else None)
+                    for p, w in zip(parsed, pdf["width"])
+                ],
+                dtype="Int32",
+            )
+            out["height"] = pd.array(
+                [
+                    p[2] if p[2] is not None else (int(h) if pd.notna(h) else None)
+                    for p, h in zip(parsed, pdf["height"])
+                ],
+                dtype="Int32",
+            )
+            yield out[cols]
+
+    return df.mapInPandas(_probe_through, df.schema)
 
 
 # --- F13-F15 as one driver-checkable query ----------------------------------
