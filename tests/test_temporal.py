@@ -1,0 +1,118 @@
+"""As-of and range join: semantics vs an in-test brute force (tie and
+no-match edges included) and plan-shape assertions (no nested-loop /
+cartesian fallback — the whole point of the bucketed formulations)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.temporal import asof_join, range_join
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(sec):
+    return T0 + dt.timedelta(seconds=sec)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(100), "l-a"),   # matches r at 100 (tie -> inclusive)
+            (1, _ts(150), "l-b"),   # matches r at 100 (not 200)
+            (1, _ts(50), "l-c"),    # no right row at or before -> NULL
+            (2, _ts(500), "l-d"),   # key with no right rows at all
+            (1, _ts(250), "l-e"),   # matches r at 200
+        ],
+        "user_id long, ts timestamp, lval string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(100), "r-early"),
+            (1, _ts(200), "r-late"),
+            (3, _ts(10), "r-otherkey"),
+        ],
+        "user_id long, ts timestamp, rval string",
+    )
+    return left, right
+
+
+def test_asof_semantics_brute_force(tiny):
+    left, right = tiny
+    got = {
+        (r["user_id"], r["lval"]): r["rval_r"]
+        for r in asof_join(left, right, on=["user_id"]).collect()
+    }
+    # brute force over the same rows
+    lrows = [(u, t, v) for u, t, v in left.collect()]
+    rrows = [(u, t, v) for u, t, v in right.collect()]
+    for u, t, v in lrows:
+        cands = [(rt, rv) for ru, rt, rv in rrows if ru == u and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[(u, v)] == want, (u, v)
+    assert len(got) == len(lrows)  # left outer: every left row survives
+
+
+def test_asof_carries_right_ts(tiny):
+    left, right = tiny
+    row = {
+        r["lval"]: r for r in asof_join(left, right, on=["user_id"]).collect()
+    }
+    assert row["l-b"]["ts_r"] == _ts(100)
+    assert row["l-e"]["ts_r"] == _ts(200)
+    assert row["l-c"]["ts_r"] is None and row["l-c"]["rval_r"] is None
+
+
+def test_range_join_brute_force(spark):
+    # clustered + straddling-bucket-boundary timestamps
+    left = spark.createDataFrame(
+        [(1, _ts(s), f"p{s}") for s in (0, 90, 299, 300, 1000)]
+        + [(2, _ts(100), "pk2")],
+        "user_id long, ts timestamp, lval string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(s), f"e{s}") for s in (0, 100, 299, 301, 600, 5000)]
+        + [(2, _ts(401), "ek2")],
+        "user_id long, ts timestamp, rval string",
+    )
+    W = 300
+    got = {
+        (r["lval"], r["rval_r"])
+        for r in range_join(left, right, on=["user_id"], window_sec=W).collect()
+    }
+    want = set()
+    for lu, lt, lv in left.collect():
+        for ru, rt, rv in right.collect():
+            if lu == ru and lt <= rt <= lt + dt.timedelta(seconds=W):
+                want.add((lv, rv))
+    assert got == want
+    assert ("p90", "e301") in got       # straddles the bucket boundary
+    assert ("p0", "e0") in got          # zero delta inclusive
+    assert ("pk2", "ek2") not in got    # outside window on other key
+
+
+def test_plans_stay_equi_join(tiny, spark):
+    left, right = tiny
+    for df in (
+        asof_join(left, right, on=["user_id"]),
+        range_join(left, right, on=["user_id"], window_sec=300),
+    ):
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_single_shuffle(tiny):
+    """The merge form pays exactly one hash exchange (on the keys) for
+    the window — the property that makes it 100 TB-viable."""
+    left, right = tiny
+    df = asof_join(left, right, on=["user_id"])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    # every data exchange is the single hashpartitioning(user_id...)
+    n_ex = final.count("Exchange hashpartitioning")
+    assert n_ex == 1, final

@@ -52,6 +52,8 @@ PLAN_QUERIES = [
     "boilerplate_removal",
     "idf_top_terms",
     "nb_lang_confusion",
+    "events_asof_attribution",
+    "events_range_pairs",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
