@@ -40,7 +40,17 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 50k-row Arrow batches amortize the per-batch Python/pandas
+        # fixed cost of the verdict UDF: interleaved same-session A/B
+        # on the 3M-turn bench corpus had 50k beating the Spark-default
+        # 10k in 3/4 pairs (median -12% e2e). Batch memory is
+        # rows x avg text bytes — short transcript turns make 50k
+        # cheap (~15 MB/task); for multi-KB documents set
+        # SPARK_GRAFT_ARROW_BATCH=10000 to cap executor batch memory.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "50000"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
