@@ -116,3 +116,55 @@ def test_asof_single_shuffle(tiny):
     # every data exchange is the single hashpartitioning(user_id...)
     n_ex = final.count("Exchange hashpartitioning")
     assert n_ex == 1, final
+
+
+def test_randomized_equivalence_vs_brute_force(spark):
+    """Seeded randomized soak: clustered timestamps over few keys force
+    ties, boundary hits, and empty-key edges; both operators must match
+    the brute force exactly on every trial."""
+    import random
+
+    for seed in (7, 41, 1234):
+        rng = random.Random(seed)
+        W = 60
+        lrows = [
+            (rng.randrange(8), _ts(rng.randrange(0, 600)), f"l{i}")
+            for i in range(200)
+        ]
+        # right timestamps share the same coarse grid so exact ties occur
+        rrows = [
+            (rng.randrange(8), _ts(rng.randrange(0, 600)), f"r{i}")
+            for i in range(200)
+        ]
+        # as-of requires unique (key, ts) on the right: keep max tag
+        best = {}
+        for u, t, v in rrows:
+            if (u, t) not in best or v > best[(u, t)]:
+                best[(u, t)] = v
+        rrows_uniq = [(u, t, v) for (u, t), v in best.items()]
+
+        left = spark.createDataFrame(lrows, "user_id long, ts timestamp, lval string")
+        right = spark.createDataFrame(
+            rrows_uniq, "user_id long, ts timestamp, rval string"
+        )
+
+        got_asof = {
+            (r["user_id"], r["lval"]): r["rval_r"]
+            for r in asof_join(left, right, on=["user_id"]).collect()
+        }
+        for u, t, v in lrows:
+            cands = [(rt, rv) for ru, rt, rv in rrows_uniq if ru == u and rt <= t]
+            want = max(cands)[1] if cands else None
+            assert got_asof[(u, v)] == want, (seed, u, v)
+
+        got_range = {
+            (r["lval"], r["rval_r"])
+            for r in range_join(left, right, on=["user_id"], window_sec=W).collect()
+        }
+        want_range = {
+            (lv, rv)
+            for lu, lt, lv in lrows
+            for ru, rt, rv in rrows_uniq
+            if lu == ru and lt <= rt <= lt + dt.timedelta(seconds=W)
+        }
+        assert got_range == want_range, seed
