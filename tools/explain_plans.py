@@ -61,6 +61,11 @@ PLAN_QUERIES = [
 SLOW_QUERY_NOTES = """\
 ## Bench notes: entries > 2 s at sf0.1 (BENCH_r03)
 
+(Absolute times swing with the sandbox's drifting core speed — a late
+round-3 window ran untouched JVM queries a uniform 1.7-2.5x slower
+than the BENCH_r02 window, see BENCH/BASELINE.md. Each note explains
+the plan shape, which is window-invariant.)
+
 - `embedding_near_dups_exact` (~21 s): the O(n^2) all-pairs cross join,
   DOCUMENTED TEST-SCALE ONLY (ops/ann.py docstring) — it exists as the
   recall baseline the banded `embedding_near_dups` (~2 s, bucketed,
@@ -78,6 +83,20 @@ SLOW_QUERY_NOTES = """\
   broadcast of the distinct eval-shingle set, ONE shuffle (the per-doc
   hit count). The eval side is a benchmark suite in production —
   broadcast is the 100 TB plan by construction.
+- `boilerplate_removal` (~2-4.6 s by host window): one documents scan,
+  token-segment explode, line-hash document-frequency aggregate (the
+  CCNet hash table — one shuffle), join back, re-assemble surviving
+  lines with array sort+join. Two passes over the exploded lines is
+  the minimum for "df >= K then rebuild"; all JVM codegen.
+- `nb_lang_confusion` (~3.6 s): TRAIN + PREDICT in one entry — two
+  bounded eager training passes (vocab top-k, in-vocab counts) plus
+  the broadcast-model inference scan. The training collects are the
+  documented IVF-style bounded pattern; per-query time at this sf is
+  dominated by the three job launches, not data.
+- `sample_mix_report` (~2.3 s): two corpus scans by design — the
+  rate-table pass (1-column pruned aggregate, collected + inlined) and
+  the kept-count pass with the broadcast threshold join. The sibling
+  `stratified_sample` entry shows the single-scan production path.
 - `dedup_components` (~4 s): ITERATIVE min-label propagation (diameter
   + 1 bounded rounds over the candidate graph, one scalar label-sum to
   the driver per round). At this sf the time is per-round fixed cost —
