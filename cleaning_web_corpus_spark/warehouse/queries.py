@@ -171,6 +171,53 @@ def events_hourly_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- beyond-reference: cascading multi-resolution rollup --------------------
+# the hypertable / continuous-aggregate shape (TimescaleDB, Druid): the
+# 5-minute base grain aggregates the raw scan ONCE, then the hour and
+# day grains RE-AGGREGATE the base rows — raw is never re-scanned per
+# resolution.  Expressed as base-agg -> explode(grains) -> re-agg, so
+# the whole cascade is one scan + two shuffles regardless of how many
+# coarser grains stack on top (the second shuffle moves base-aggregate
+# rows, orders of magnitude fewer than raw at 100 TB).  Only
+# re-aggregable stats ride the cascade (count/sum/min/max); distinct
+# counts deliberately do NOT appear — they don't compose from finer
+# grains without a sketch (HLL), which has no exact oracle.
+ROLLUP_GRAINS = ["5min", "hour", "day"]
+
+
+def events_multires_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    base = (
+        t(spark, sf, "events")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),  # round only at the top grain
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+        )
+        .select(F.col("w.start").alias("w5"), "event_type",
+                "n_events", "value_sum", "value_min", "value_max")
+    )
+    fanned = base.select(
+        F.explode(F.array(*[F.lit(g) for g in ROLLUP_GRAINS])).alias("grain"),
+        "w5", "event_type", "n_events", "value_sum", "value_min", "value_max",
+    ).withColumn(
+        "window_start",
+        F.when(F.col("grain") == "5min", F.col("w5"))
+        .when(F.col("grain") == "hour", F.date_trunc("hour", F.col("w5")))
+        .otherwise(F.date_trunc("day", F.col("w5"))),
+    )
+    return (
+        fanned.groupBy("grain", "window_start", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("value_sum"), 2).alias("value_sum"),
+            F.round(F.min("value_min"), 2).alias("value_min"),
+            F.round(F.max("value_max"), 2).alias("value_max"),
+        )
+    )
+
+
 # --- beyond-reference: gap-based sessionization (lag + running sum) ---------
 # classic event-stream shape the reference lacks entirely (SURVEY §2.6:
 # no lag/lead anywhere); 30-min inactivity gap starts a new session.
@@ -270,6 +317,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_customer_orders": top_customer_orders,
     "events_hydration": events_hydration,
     "events_hourly_rollup": events_hourly_rollup,
+    "events_multires_rollup": events_multires_rollup,
     "user_sessions": user_sessions,
 }
 
@@ -374,6 +422,34 @@ ORACLES: Dict[str, str] = {
                COUNT(DISTINCT user_id) AS n_users,
                ROUND(SUM(value), 2) AS value_sum
         FROM events GROUP BY 1, 2
+    """,
+    "events_multires_rollup": """
+        WITH g5 AS (
+            SELECT '5min' AS grain,
+                   time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+                   event_type, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS value_sum,
+                   ROUND(MIN(value), 2) AS value_min,
+                   ROUND(MAX(value), 2) AS value_max
+            FROM events GROUP BY 2, 3
+        ),
+        gh AS (
+            SELECT 'hour' AS grain, date_trunc('hour', ts) AS window_start,
+                   event_type, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS value_sum,
+                   ROUND(MIN(value), 2) AS value_min,
+                   ROUND(MAX(value), 2) AS value_max
+            FROM events GROUP BY 2, 3
+        ),
+        gd AS (
+            SELECT 'day' AS grain, date_trunc('day', ts) AS window_start,
+                   event_type, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS value_sum,
+                   ROUND(MIN(value), 2) AS value_min,
+                   ROUND(MAX(value), 2) AS value_max
+            FROM events GROUP BY 2, 3
+        )
+        SELECT * FROM g5 UNION ALL SELECT * FROM gh UNION ALL SELECT * FROM gd
     """,
     "user_sessions": f"""
         WITH flagged AS (

@@ -68,3 +68,32 @@ def test_fct_two_level_aggregate(spark):
     assert total_turns == 3
     carpet = [r for r in rows if r.surface_type == "carpets_floors"]
     assert carpet and sum(r.total_step_count for r in carpet) >= 2
+
+
+def test_multires_rollup_single_scan_and_consistency(spark):
+    """The cascade must touch raw ONCE (hour/day re-aggregate the base
+    grain, not the scan) and each coarser grain must equal the direct
+    aggregation of the finer one."""
+    from collections import defaultdict
+
+    from cleaning_web_corpus_spark.warehouse.queries import events_multires_rollup
+
+    df = events_multires_rollup(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 1, final
+
+    by_grain = defaultdict(dict)
+    for r in rows:
+        by_grain[r["grain"]][(r["window_start"], r["event_type"])] = r
+    # day n_events/value_sum == re-agg of hour rows
+    want = defaultdict(lambda: [0, 0.0])
+    for (ws, et), r in by_grain["hour"].items():
+        k = (ws.replace(hour=0, minute=0, second=0, microsecond=0), et)
+        want[k][0] += r["n_events"]
+        want[k][1] += r["value_sum"]
+    assert set(want) == set(by_grain["day"])
+    for k, (n, s) in want.items():
+        assert by_grain["day"][k]["n_events"] == n
+        assert abs(by_grain["day"][k]["value_sum"] - s) < 0.05

@@ -54,6 +54,7 @@ PLAN_QUERIES = [
     "nb_lang_confusion",
     "events_asof_attribution",
     "events_range_pairs",
+    "events_multires_rollup",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
