@@ -1,0 +1,150 @@
+"""Transcript structural-validity checks.
+
+The north-rule input is a multi-turn transcript table
+``(conv_id, turn_idx, role, text, tool, ts)``.  Before any text-quality
+filtering, a production ingest validates the *structure* of each
+conversation — the checks a trainer cares about before tokenizing:
+
+* the conversation opens with a user turn,
+* roles alternate (no two consecutive turns from the same speaker),
+* tool annotations only appear on assistant turns,
+* timestamps never run backwards under the stable ``turn_idx`` order.
+
+The reference engine validates per-row fields only
+(/root/reference/src/db/load_to_clickhouse.py:139-175 drops rows with
+missing ids/short text); conversation-level structural validation is a
+transcripts-native extension in the same spirit as its validity
+predicates (F18).
+
+Plan shape (the 100 TB story): ONE hash exchange on ``conv_id`` + one
+sort feeds both ``lag`` windows, and the following ``groupBy(conv_id)``
+reuses that partitioning (partial agg fuses into the window stage's
+output, no second exchange).  Cost is one shuffle over the turns —
+identical to the sessionization query (``user_sessions``) and strictly
+cheaper than the verdict stage it would precede.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+# --- generic operator ---------------------------------------------------------
+
+
+def structure_report(turns: DataFrame) -> DataFrame:
+    """Per-conversation structural validity over a transcript DataFrame
+    with columns (conv_id, turn_idx, role, tool, ts).
+
+    Returns one row per conv_id: turn count, violation counters per
+    rule, and the composed ``structurally_valid`` verdict.  NULL-safe:
+    the first turn has no predecessor, so lag-based rules never count
+    it; a NULL tool is "no tool call".
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    flagged = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        F.lag("role").over(w).alias("_prev_role"),
+        F.lag("ts").over(w).alias("_prev_ts"),
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    agg = flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        (F.min_by("role", "turn_idx") == F.lit("user")).alias("starts_with_user"),
+        one_if(F.col("role") == F.col("_prev_role")).alias("alternation_violations"),
+        one_if(
+            F.col("tool").isNotNull() & (F.col("role") != F.lit("assistant"))
+        ).alias("tool_role_violations"),
+        one_if(F.col("ts") < F.col("_prev_ts")).alias("ts_regressions"),
+    )
+    return agg.withColumn(
+        "structurally_valid",
+        F.col("starts_with_user")
+        & (F.col("alternation_violations") == 0)
+        & (F.col("tool_role_violations") == 0)
+        & (F.col("ts_regressions") == 0),
+    )
+
+
+# --- driver query -------------------------------------------------------------
+# The testdata has no transcript table, so the driver query synthesizes
+# one deterministically from documents: conv_id = source, turn order =
+# doc_id.  doc_id strides by 20 within a conversation, so derivations
+# use moduli coprime to 20 (3, 7, 97) to vary within a conversation and
+# produce a realistic mix of valid and violating conversations.
+
+_EPOCH = 1735689600  # 2025-01-01T00:00:00Z
+
+
+def _synth_turns(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = F.col("doc_id")
+    return t(spark, sf, "documents").select(
+        F.col("source").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        F.when(d % 3 == 0, F.lit("user"))
+        .when(d % 3 == 1, F.lit("assistant"))
+        .otherwise(F.lit("system"))
+        .alias("role"),
+        F.when(d % 7 == 0, F.lit("search"))
+        .when(d % 7 == 3, F.lit("browser"))
+        .alias("tool"),
+        F.timestamp_seconds(F.lit(_EPOCH) + (d * 7 % 97) * 60).alias("ts"),
+    )
+
+
+def transcript_structure_report(spark: SparkSession, sf: str) -> DataFrame:
+    return structure_report(_synth_turns(spark, sf))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "transcript_structure_report": transcript_structure_report,
+}
+
+ORACLES: Dict[str, str] = {
+    "transcript_structure_report": f"""
+        WITH turns AS (
+            SELECT source AS conv_id,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS turn_idx,
+                   CASE WHEN doc_id % 3 = 0 THEN 'user'
+                        WHEN doc_id % 3 = 1 THEN 'assistant'
+                        ELSE 'system' END AS role,
+                   CASE WHEN doc_id % 7 = 0 THEN 'search'
+                        WHEN doc_id % 7 = 3 THEN 'browser' END AS tool,
+                   to_timestamp({_EPOCH} + (doc_id * 7 % 97) * 60)::TIMESTAMP AS ts
+            FROM documents
+        ),
+        flagged AS (
+            SELECT conv_id, turn_idx, role, tool, ts,
+                   lag(role) OVER w AS prev_role,
+                   lag(ts) OVER w AS prev_ts
+            FROM turns
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        ),
+        agg AS (
+            SELECT conv_id,
+                   COUNT(*)::BIGINT AS n_turns,
+                   (arg_min(role, turn_idx) = 'user') AS starts_with_user,
+                   SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END)::BIGINT
+                       AS alternation_violations,
+                   SUM(CASE WHEN tool IS NOT NULL AND role != 'assistant'
+                            THEN 1 ELSE 0 END)::BIGINT AS tool_role_violations,
+                   SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END)::BIGINT
+                       AS ts_regressions
+            FROM flagged GROUP BY conv_id
+        )
+        SELECT *,
+               (starts_with_user AND alternation_violations = 0
+                AND tool_role_violations = 0 AND ts_regressions = 0)
+                   AS structurally_valid
+        FROM agg
+    """,
+}

@@ -1,0 +1,107 @@
+"""Scrub-coverage audit: per-language PII/toxicity hit metrics.
+
+The pipeline's lineage rows count *drops*; this reports what the scrub
+stage actually redacted — the metrics table a privacy review asks for
+(how many documents contained an email / SSN / phone / IP / toxic
+term, and how many redactions were applied, per language).
+
+It deliberately measures the **output** of the production JVM scrub
+chain rather than re-matching the raw text: counting the replacement
+tokens in the scrubbed column is exact (each redaction inserts exactly
+one token), needs no lookaround regex (so the DuckDB oracle can verify
+it bit-for-bit against the independent twin labels), and audits the
+chain the pipeline really ran rather than a parallel reimplementation.
+If the raw corpus already contains a literal token string, both the
+engine and the oracle count it identically, so the gate is unaffected.
+
+Plan shape: one documents scan -> the fused whole-stage-codegen scrub
+projection (scrub/native.py) -> token counts as length arithmetic (all
+JVM) -> ONE hash aggregate on ``lang`` (~10^1 groups; partial agg does
+almost all the work map-side).  Adds zero Python and zero extra
+shuffles over the scrub stage itself — safe at 100 TB by construction.
+
+Reference analogue: the report sinks aggregate pipeline counters
+(/root/reference/src/processors/text_processor.py:265-268); per-rule
+scrub metrics extend that to the north rule's PII stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.config import ScrubConfig
+from cleaning_web_corpus_spark.scrub.native import scrub_col
+
+#: audit column stem -> ScrubConfig token attribute
+_AUDIT_RULES = [
+    ("email", "email_token"),
+    ("ssn", "ssn_token"),
+    ("phone", "phone_token"),
+    ("ip", "ip_token"),
+    ("toxic", "toxicity_token"),
+]
+
+
+def _token_count(col: Column, token: str) -> Column:
+    """Occurrences of the literal ``token`` in ``col`` via length
+    arithmetic (exact; stays in codegen, no regex escape worries)."""
+    diff = F.length(col) - F.length(F.replace(col, F.lit(token)))
+    return (diff / len(token)).cast("long")
+
+
+def pii_audit_report(
+    df: DataFrame, cfg: ScrubConfig | None = None, text_col: str = "text"
+) -> DataFrame:
+    """Per-``lang`` scrub metrics over a DataFrame with (lang, text)."""
+    cfg = cfg or ScrubConfig()
+    s = scrub_col(F.col(text_col), cfg)
+    counted = df.select(
+        "lang",
+        *[
+            _token_count(s, getattr(cfg, attr)).alias(f"_{stem}")
+            for stem, attr in _AUDIT_RULES
+        ],
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for stem, _attr in _AUDIT_RULES:
+        aggs.append(
+            F.sum(F.when(F.col(f"_{stem}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"docs_with_{stem}")
+        )
+        aggs.append(F.sum(f"_{stem}").cast("long").alias(f"{stem}_tokens"))
+    return counted.groupBy("lang").agg(*aggs)
+
+
+def pii_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pii_audit_report(docs)
+
+
+def audit_oracle_sql(scrub_labels_path: str, cfg: ScrubConfig | None = None) -> str:
+    """DuckDB twin: identical token arithmetic over the independent
+    twin-label scrub output (tools/oracle_labels.py), joined back to
+    documents for the language column."""
+    cfg = cfg or ScrubConfig()
+    cols = []
+    for stem, attr in _AUDIT_RULES:
+        token = getattr(cfg, attr)
+        cnt = (
+            f"(length(s) - length(replace(s, '{token}', ''))) // {len(token)}"
+        )
+        cols.append(
+            f"SUM(CASE WHEN {cnt} > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_{stem}"
+        )
+        cols.append(f"SUM({cnt})::BIGINT AS {stem}_tokens")
+    cols_sql = ",\n               ".join(cols)
+    return f"""
+        WITH s AS (
+            SELECT d.lang, l.text_scrubbed AS s
+            FROM read_parquet('{scrub_labels_path}') l
+            JOIN documents d USING (doc_id)
+        )
+        SELECT lang, COUNT(*)::BIGINT AS n_docs,
+               {cols_sql}
+        FROM s GROUP BY lang
+    """

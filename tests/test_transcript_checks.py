@@ -1,0 +1,122 @@
+"""Structural-validity checks (ops/transcript_checks.py) and the scrub
+audit report (scrub/audit.py) on hand-built inputs with known
+violations."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.config import ScrubConfig
+from cleaning_web_corpus_spark.ops.transcript_checks import structure_report
+from cleaning_web_corpus_spark.scrub.audit import pii_audit_report
+
+_T0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+
+
+def _turn(conv, idx, role, tool=None, offset_s=None):
+    # default timestamps are monotone in turn_idx
+    ts = _T0 + dt.timedelta(seconds=idx * 60 if offset_s is None else offset_s)
+    return (conv, idx, role, tool, ts)
+
+
+def test_structure_report_flags_each_rule(spark):
+    rows = [
+        # c_ok: valid 3-turn conversation with a tool call on an assistant turn
+        _turn("c_ok", 1, "user"),
+        _turn("c_ok", 2, "assistant", tool="search"),
+        _turn("c_ok", 3, "user"),
+        # c_alt: two consecutive user turns
+        _turn("c_alt", 1, "user"),
+        _turn("c_alt", 2, "user"),
+        _turn("c_alt", 3, "assistant"),
+        # c_start: opens with the assistant
+        _turn("c_start", 1, "assistant"),
+        _turn("c_start", 2, "user"),
+        # c_tool: tool annotation on a user turn
+        _turn("c_tool", 1, "user", tool="browser"),
+        _turn("c_tool", 2, "assistant"),
+        # c_ts: timestamp runs backwards between turns 2 and 3
+        _turn("c_ts", 1, "user", offset_s=0),
+        _turn("c_ts", 2, "assistant", offset_s=120),
+        _turn("c_ts", 3, "user", offset_s=60),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, ts timestamp"
+    )
+    out = {r["conv_id"]: r.asDict() for r in structure_report(turns).collect()}
+
+    assert out["c_ok"]["structurally_valid"]
+    assert out["c_ok"]["n_turns"] == 3
+    assert out["c_alt"]["alternation_violations"] == 1
+    assert not out["c_alt"]["structurally_valid"]
+    assert not out["c_start"]["starts_with_user"]
+    assert not out["c_start"]["structurally_valid"]
+    assert out["c_tool"]["tool_role_violations"] == 1
+    assert not out["c_tool"]["structurally_valid"]
+    assert out["c_ts"]["ts_regressions"] == 1
+    assert not out["c_ts"]["structurally_valid"]
+    # each conversation violates at most its own rule
+    for c in ("c_alt", "c_start", "c_tool", "c_ts"):
+        others = sum(
+            out[c][k]
+            for k in ("alternation_violations", "tool_role_violations", "ts_regressions")
+        )
+        assert others <= 1
+
+
+def test_structure_report_single_turn_is_valid_iff_user_opens(spark):
+    turns = spark.createDataFrame(
+        [_turn("solo_u", 1, "user"), _turn("solo_a", 1, "assistant")],
+        "conv_id string, turn_idx int, role string, tool string, ts timestamp",
+    )
+    out = {r["conv_id"]: r.asDict() for r in structure_report(turns).collect()}
+    assert out["solo_u"]["structurally_valid"]
+    assert not out["solo_a"]["structurally_valid"]
+    # lag rules never fire on the opening turn
+    assert out["solo_a"]["alternation_violations"] == 0
+    assert out["solo_a"]["ts_regressions"] == 0
+
+
+def test_pii_audit_counts_redactions_per_lang(spark):
+    docs = spark.createDataFrame(
+        [
+            ("en", "mail me at a@b.com or c@d.org, damn it"),
+            ("en", "ssn 123-45-6789 phone 555-123-4567"),
+            ("de", "server at 10.0.0.1"),
+            ("de", "clean text, nothing to redact"),
+        ],
+        "lang string, text string",
+    )
+    out = {r["lang"]: r.asDict() for r in pii_audit_report(docs).collect()}
+
+    en, de = out["en"], out["de"]
+    assert en["n_docs"] == 2 and de["n_docs"] == 2
+    assert en["docs_with_email"] == 1 and en["email_tokens"] == 2
+    assert en["docs_with_ssn"] == 1 and en["ssn_tokens"] == 1
+    assert en["docs_with_phone"] == 1 and en["phone_tokens"] == 1
+    assert en["docs_with_toxic"] == 1 and en["toxic_tokens"] == 1
+    assert en["docs_with_ip"] == 0
+    assert de["docs_with_ip"] == 1 and de["ip_tokens"] == 1
+    assert de["email_tokens"] == de["ssn_tokens"] == de["phone_tokens"] == 0
+    assert de["docs_with_toxic"] == 0
+
+
+def test_pii_audit_matches_scrubbed_output(spark):
+    """Token counts agree with counting tokens in the scrub output
+    directly (the audit is defined over the chain's real output)."""
+    from cleaning_web_corpus_spark.scrub.native import scrub_col
+
+    docs = spark.createDataFrame(
+        [("en", "a@b.com met 1.2.3.4; total crap, 987-65-4321")],
+        "lang string, text string",
+    )
+    cfg = ScrubConfig()
+    scrubbed = docs.select(scrub_col(F.col("text"), cfg).alias("s")).first()["s"]
+    row = pii_audit_report(docs, cfg).first()
+    for stem, token in [
+        ("email", cfg.email_token),
+        ("ssn", cfg.ssn_token),
+        ("ip", cfg.ip_token),
+        ("toxic", cfg.toxicity_token),
+    ]:
+        assert row[f"{stem}_tokens"] == scrubbed.count(token), (stem, scrubbed)
