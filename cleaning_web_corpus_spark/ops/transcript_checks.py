@@ -85,11 +85,14 @@ _EPOCH = 1735689600  # 2025-01-01T00:00:00Z
 
 
 def _synth_turns(spark: SparkSession, sf: str) -> DataFrame:
-    w = Window.partitionBy("source").orderBy("doc_id")
+    # alias source -> conv_id BEFORE the row_number window so both this
+    # window and structure_report's lag windows partition on the SAME
+    # attribute: one exchange serves the whole query (an alias between
+    # the two windows would defeat exchange reuse and re-shuffle)
     d = F.col("doc_id")
-    return t(spark, sf, "documents").select(
+    base = t(spark, sf, "documents").select(
         F.col("source").alias("conv_id"),
-        F.row_number().over(w).alias("turn_idx"),
+        d,
         F.when(d % 3 == 0, F.lit("user"))
         .when(d % 3 == 1, F.lit("assistant"))
         .otherwise(F.lit("system"))
@@ -98,6 +101,14 @@ def _synth_turns(spark: SparkSession, sf: str) -> DataFrame:
         .when(d % 7 == 3, F.lit("browser"))
         .alias("tool"),
         F.timestamp_seconds(F.lit(_EPOCH) + (d * 7 % 97) * 60).alias("ts"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("doc_id")
+    return base.select(
+        "conv_id",
+        F.row_number().over(w).alias("turn_idx"),
+        "role",
+        "tool",
+        "ts",
     )
 
 

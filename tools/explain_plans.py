@@ -55,6 +55,8 @@ PLAN_QUERIES = [
     "events_asof_attribution",
     "events_range_pairs",
     "events_multires_rollup",
+    "transcript_structure_report",
+    "pii_audit_report",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
