@@ -372,12 +372,67 @@ def nb_lang_confusion(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- CCNet-style head/middle/tail bucketing ------------------------------------
+# CCNet (Wenzek et al. 2020) partitions each language's corpus into
+# perplexity terciles — "head" (lowest perplexity) feeds pretraining,
+# "tail" is dropped or heavily down-weighted.  The machinery is two
+# passes: (1) per-language cutoffs at the 1/3 and 2/3 quantiles of the
+# score, (2) a broadcast join assigning each document its bucket.  At
+# 100 TB pass 1 is a partial+final aggregate over (lang) — one tiny
+# cutoff row per language — and pass 2 adds zero shuffles (broadcast).
+# Production would use percentile_approx for pass 1 (one fixed-size
+# sketch per language, same plan shape); the driver query keeps the
+# exact percentile so DuckDB's quantile_cont verifies the whole
+# assignment bit-for-bit.  The production score is the KenLM perplexity
+# (models/perplexity.py — model-backed, twin-labeled); the driver query
+# scores with a native continuous proxy (chars per token) so the
+# bucketing machinery itself carries a pure-SQL oracle.
+
+_Q1, _Q2 = 1 / 3, 2 / 3
+
+
+def ccnet_buckets(
+    docs: DataFrame, score_col: str = "score", lang_col: str = "lang"
+) -> DataFrame:
+    """Assign each row a head/middle/tail bucket by per-language score
+    terciles (lower score = better = head, matching CCNet's perplexity
+    orientation)."""
+    cuts = docs.groupBy(lang_col).agg(
+        F.percentile(score_col, F.lit(_Q1)).alias("_c1"),
+        F.percentile(score_col, F.lit(_Q2)).alias("_c2"),
+    )
+    bucket = (
+        F.when(F.col(score_col) <= F.col("_c1"), F.lit("head"))
+        .when(F.col(score_col) <= F.col("_c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        docs.join(F.broadcast(cuts), lang_col)
+        .withColumn("bucket", bucket)
+        .drop("_c1", "_c2")
+    )
+
+
+def ccnet_style_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    wc = F.expr(f"size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0))")
+    scored = t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars").cast("double") / (wc + F.lit(1)).cast("double")).alias(
+            "score"
+        ),
+    )
+    out = ccnet_buckets(scored)
+    return out.select("doc_id", "lang", F.round("score", 4).alias("score"), "bucket")
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": stratified_sample,
     "sample_mix_report": sample_mix_report,
     "boilerplate_removal": boilerplate_removal,
     "idf_top_terms": idf_top_terms,
     "nb_lang_confusion": nb_lang_confusion,
+    "ccnet_style_buckets": ccnet_style_buckets,
 }
 
 
@@ -547,5 +602,29 @@ ORACLES: Dict[str, str] = {
         )
         SELECT true_lang, pred_lang, COUNT(*)::BIGINT AS n_docs
         FROM pred GROUP BY true_lang, pred_lang
+    """,
+    # quantile_cont == Spark's exact `percentile` (linear interpolation
+    # at rank p*(n-1); parity already proven by value_percentiles); the
+    # quantile args are inlined as repr'd Python doubles so both
+    # engines interpolate from bit-identical p values.
+    "ccnet_style_buckets": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   n_chars::DOUBLE
+                       / (len(regexp_extract_all(lower(text), '{TOKEN_RE}')) + 1)
+                       AS score
+            FROM documents
+        ),
+        cuts AS (
+            SELECT lang,
+                   quantile_cont(score, {_Q1!r}) AS c1,
+                   quantile_cont(score, {_Q2!r}) AS c2
+            FROM scored GROUP BY lang
+        )
+        SELECT s.doc_id, s.lang, ROUND(s.score, 4) AS score,
+               CASE WHEN s.score <= c.c1 THEN 'head'
+                    WHEN s.score <= c.c2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM scored s JOIN cuts c USING (lang)
     """,
 }

@@ -158,3 +158,36 @@ def test_nb_confusion_covers_whole_test_split(spark, tmp_path):
     out = nb_lang_confusion(spark, sf).collect()
     assert sum(r["n_docs"] for r in out) == 1
     assert out[0]["true_lang"] == "en"
+
+
+# --- CCNet-style bucketing ------------------------------------------------------
+
+
+def test_ccnet_buckets_terciles_per_lang(spark):
+    from cleaning_web_corpus_spark.ops.corpus import ccnet_buckets
+
+    # 9 docs per lang with distinct scores -> exact 3/3/3 split; the
+    # 'de' scores are shifted so cutoffs are clearly per-language
+    rows = [(f"en{i}", "en", float(i)) for i in range(1, 10)]
+    rows += [(f"de{i}", "de", float(i + 100)) for i in range(1, 10)]
+    docs = spark.createDataFrame(rows, "doc_id string, lang string, score double")
+    out = ccnet_buckets(docs).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault((r["lang"], r["bucket"]), []).append(r["score"])
+    for lang, base in (("en", 0.0), ("de", 100.0)):
+        assert sorted(by_bucket[(lang, "head")]) == [base + 1, base + 2, base + 3]
+        assert sorted(by_bucket[(lang, "middle")]) == [base + 4, base + 5, base + 6]
+        assert sorted(by_bucket[(lang, "tail")]) == [base + 7, base + 8, base + 9]
+
+
+def test_ccnet_buckets_ties_share_a_bucket(spark):
+    from cleaning_web_corpus_spark.ops.corpus import ccnet_buckets
+
+    # all-equal scores: everything is <= both cutoffs -> all head (ties
+    # never straddle a bucket boundary)
+    docs = spark.createDataFrame(
+        [(f"d{i}", "en", 5.0) for i in range(6)],
+        "doc_id string, lang string, score double",
+    )
+    assert {r["bucket"] for r in ccnet_buckets(docs).collect()} == {"head"}
