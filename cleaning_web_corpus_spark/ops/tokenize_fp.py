@@ -1,0 +1,150 @@
+"""Tokenizer-aware counting and rolling-hash content fingerprints.
+
+Two training-data-pipeline operators (build contract: "token counting
+(whitespace + a BPE-ish regex), document fingerprinting (rolling
+hash)"), both pure whole-stage-codegen column expressions — no Python,
+no shuffle beyond the scan:
+
+* ``bpe_token_stats`` — per-document token counts under (a) whitespace
+  segmentation and (b) a GPT-2-style BPE pretokenizer regex
+  (contractions / letter runs / digit runs / punctuation runs /
+  whitespace runs).  The count under (b) approximates the BPE merge
+  count well enough for per-document length budgeting and
+  tokens-per-byte quality signals at corpus scale, without shipping a
+  vocab.  The canonical GPT-2 pattern's final ``\\s+(?!\\S)`` lookahead
+  is dropped (RE2, and hence the DuckDB oracle, has no lookahead);
+  whitespace runs are counted as single tokens, which only re-labels
+  how interior spaces are grouped — letter/digit/punct counts are
+  unchanged.
+* ``rolling_fingerprints`` — Karp-Rabin polynomial hashes over sliding
+  token windows (w = 5), the winnowing-style content fingerprint
+  (Schleimer et al. 2003): each token hashes to 52 md5 bits reduced
+  mod M, each window folds as ``h = (h_prev * B + t) mod M``.  The
+  per-document minimum window hash is the blocking/near-dup key (the
+  "min sample" of the window set — same selection rule as one MinHash
+  band); the first window hash is a prefix fingerprint.  Computing
+  every window via ``transform(sequence(...))`` costs O(n·w) with
+  w = 5 — the distributed form of the O(n) rolling update, kept
+  data-parallel per document and exactly reproducible in the DuckDB
+  twin.
+
+All arithmetic stays in BIGINT: tokens < M = 2^31 - 1, so the fold's
+intermediate ``h * B + t`` is < 2^52 — no overflow on either engine.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+# GPT-2-style pretokenizer, lookahead-free (see module docstring)
+BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+WS_RE = r"\S+"
+
+FP_W = 5  # fingerprint window: 5 tokens
+FP_M = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+FP_B = 1_000_003  # polynomial base
+
+
+def bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    ws = F.size(F.regexp_extract_all(F.col("text"), F.lit(WS_RE), 0)).cast("long")
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)).cast("long")
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(
+            F.length("text").cast("double") / F.nullif(bpe, F.lit(0)), 4
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+# the window fold, written out for w = 5 so Spark and DuckDB run the
+# byte-identical arithmetic (no reduce-initialization semantics to match)
+def _fold_sql(elem: Callable[[int], str]) -> str:
+    h = elem(0)
+    for k in range(1, FP_W):
+        h = f"(({h}) * {FP_B} + {elem(k)}) % {FP_M}"
+    return h
+
+
+def rolling_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    tok_hash = (
+        f"transform(regexp_extract_all(lower(text), '{TOKEN_RE}', 0),"
+        f" tk -> cast(conv(substr(md5(tk), 1, 13), 16, 10) as bigint) % {FP_M})"
+    )
+    fold = _fold_sql(lambda k: f"element_at(h, i + {k + 1})")
+    fps = (
+        f"CASE WHEN size(h) >= {FP_W} THEN"
+        f" transform(sequence(0, size(h) - {FP_W}), i -> {fold})"
+        f" ELSE array() END"
+    )
+    return (
+        t(spark, sf, "documents")
+        .select("doc_id", F.expr(tok_hash).alias("h"))
+        .select(
+            "doc_id",
+            F.greatest(F.size("h") - FP_W + 1, F.lit(0)).cast("long").alias(
+                "n_windows"
+            ),
+            F.expr(fps).alias("_fps"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            F.array_min("_fps").alias("min_fp"),
+            F.when(F.col("n_windows") > 0, F.expr("element_at(_fps, 1)")).alias(
+                "first_fp"
+            ),
+        )
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bpe_token_stats": bpe_token_stats,
+    "rolling_fingerprints": rolling_fingerprints,
+}
+
+_SQL_FOLD = _fold_sql(lambda k: f"h[i + {k + 1}]")
+
+ORACLES: Dict[str, str] = {
+    "bpe_token_stats": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{WS_RE}'))::BIGINT AS ws_tokens,
+               len(regexp_extract_all(text, '{BPE_RE.replace("'", "''")}'))::BIGINT
+                   AS bpe_tokens,
+               ROUND(length(text)::DOUBLE
+                     / nullif(len(regexp_extract_all(text,
+                              '{BPE_RE.replace("'", "''")}')), 0), 4)
+                   AS chars_per_bpe_token
+        FROM documents
+    """,
+    "rolling_fingerprints": f"""
+        WITH hs AS (
+            SELECT doc_id,
+                   list_transform(
+                       regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                       tk -> ('0x' || substr(md5(tk), 1, 13))::BIGINT % {FP_M}
+                   ) AS h
+            FROM documents
+        ),
+        fps AS (
+            SELECT doc_id, len(h) AS n,
+                   CASE WHEN len(h) >= {FP_W} THEN
+                       list_transform(range(0, len(h) - {FP_W} + 1),
+                                      i -> {_SQL_FOLD})
+                   ELSE []::BIGINT[] END AS f
+            FROM hs
+        )
+        SELECT doc_id,
+               greatest(n - {FP_W} + 1, 0)::BIGINT AS n_windows,
+               list_min(f) AS min_fp,
+               CASE WHEN len(f) > 0 THEN f[1] END AS first_fp
+        FROM fps
+    """,
+}

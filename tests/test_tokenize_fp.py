@@ -1,0 +1,114 @@
+"""Unit tests for tokenizer-aware counting and rolling-hash
+fingerprints (ops/tokenize_fp.py).
+
+Both ops carry full driver-level DuckDB oracles (tokenize_fp.ORACLES);
+these tests pin the semantics on handcrafted documents where the
+expected token counts and window hashes are known by construction.
+"""
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from cleaning_web_corpus_spark.ops.tokenize_fp import (
+    FP_B,
+    FP_M,
+    FP_W,
+    bpe_token_stats,
+    rolling_fingerprints,
+)
+
+
+def _write_docs(tmp_path, rows):
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        tmp_path / "documents.parquet", index=False
+    )
+    return str(tmp_path)
+
+
+# --- BPE-ish token counting ---------------------------------------------------
+
+
+def test_bpe_counts_contractions_and_runs(spark, tmp_path):
+    sf = _write_docs(
+        tmp_path,
+        [
+            # "don't stop!!" -> ws: 2 tokens.  BPE pretokenizer:
+            # "don" | "'t" | " stop" | "!!"  -> 4 tokens
+            (1, "don't stop!!"),
+            # digits split from letters: "abc" | "123" -> 2 (ws: 1)
+            (2, "abc123"),
+            (3, ""),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in bpe_token_stats(spark, sf).collect()}
+    assert rows[1]["ws_tokens"] == 2
+    assert rows[1]["bpe_tokens"] == 4
+    assert rows[2]["ws_tokens"] == 1
+    assert rows[2]["bpe_tokens"] == 2
+    assert rows[3]["ws_tokens"] == 0
+    assert rows[3]["bpe_tokens"] == 0
+    assert rows[3]["chars_per_bpe_token"] is None  # nullif(0) guard
+    assert rows[2]["chars_per_bpe_token"] == pytest.approx(3.0)
+
+
+def test_bpe_leading_space_folds_into_word(spark, tmp_path):
+    # GPT-2 pattern attaches ONE leading space to a word: "a b c"
+    # -> "a" | " b" | " c" = 3 tokens, not 5
+    sf = _write_docs(tmp_path, [(1, "a b c")])
+    row = bpe_token_stats(spark, sf).collect()[0]
+    assert row["bpe_tokens"] == 3
+
+
+# --- rolling fingerprints -----------------------------------------------------
+
+
+def _tok_hash(tok: str) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:13], 16) % FP_M
+
+
+def _window_hash(toks) -> int:
+    h = _tok_hash(toks[0])
+    for tk in toks[1:]:
+        h = (h * FP_B + _tok_hash(tk)) % FP_M
+    return h
+
+
+def test_fingerprint_matches_reference_arithmetic(spark, tmp_path):
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta"]
+    sf = _write_docs(tmp_path, [(1, " ".join(words))])
+    row = rolling_fingerprints(spark, sf).collect()[0]
+    wins = [
+        _window_hash(words[i : i + FP_W]) for i in range(len(words) - FP_W + 1)
+    ]
+    assert row["n_windows"] == len(wins) == 3
+    assert row["first_fp"] == wins[0]
+    assert row["min_fp"] == min(wins)
+
+
+def test_fingerprint_short_doc_has_no_windows(spark, tmp_path):
+    sf = _write_docs(tmp_path, [(1, "only four tokens here"), (2, "")])
+    rows = {r["doc_id"]: r for r in rolling_fingerprints(spark, sf).collect()}
+    for did in (1, 2):
+        assert rows[did]["n_windows"] == 0
+        assert rows[did]["min_fp"] is None
+        assert rows[did]["first_fp"] is None
+
+
+def test_fingerprint_casefold_and_shared_window(spark, tmp_path):
+    # identical 5-token window in two docs -> identical min_fp
+    # (the near-dup blocking property), case-insensitively
+    shared = "the quick brown fox jumps"
+    sf = _write_docs(
+        tmp_path, [(1, "THE QUICK BROWN FOX JUMPS"), (2, shared)]
+    )
+    rows = {r["doc_id"]: r for r in rolling_fingerprints(spark, sf).collect()}
+    assert rows[1]["min_fp"] == rows[2]["min_fp"] is not None
+
+
+def test_fingerprint_plan_is_udf_free(spark, tmp_path):
+    sf = _write_docs(tmp_path, [(1, "a b c d e f")])
+    for q in (rolling_fingerprints, bpe_token_stats):
+        plan = q(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
