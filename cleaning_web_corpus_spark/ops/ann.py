@@ -322,12 +322,93 @@ def ann_ivf_knn(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# SemDeDup within-cluster pruning threshold. Deliberately below the
+# corpus's max pairwise cosine (~0.51 at sf0.01) so the prune column is
+# exercised; the paper tunes eps per corpus to hit a target prune rate.
+SEMDEDUP_COS = 0.35
+SEMDEDUP_MAX_CLUSTER = 1000  # flood guard, same rationale as ND_MAX_BUCKET
+
+
+def semdedup_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = k-means-cluster the embeddings, then prune any
+    vector whose cosine to a SMALLER-ID member of the same cluster
+    clears the threshold (min-id survivor rule — deterministic, no
+    tie-break RNG).
+
+    Plan shape: the coarse quantizer is the IVF training path (one
+    bounded driver collect of the first IVF_TRAIN_CAP vectors —
+    identical centroids to ``ann_ivf_knn``, so the twin-label cell
+    table doubles as this operator's cluster oracle). Assignment is ONE
+    Arrow-UDF pass; ``collect_list`` groups each cluster into a single
+    row (one shuffle on cell, the ``simhash_near_dups`` shape — never a
+    self-join, so the UDF subtree cannot be duplicated); the O(c^2)
+    pairwise cosine runs natively inside the cluster row with norms
+    precomputed once per vector. Clusters above SEMDEDUP_MAX_CLUSTER
+    are dropped (cap mirrored in the oracle). At corpus scale K grows
+    with n (the paper uses ~0.1%% of n) so expected cluster size — and
+    the in-cluster quadratic — stays bounded; the cell id becomes a
+    partition column exactly like IVF.
+    """
+    emb = _emb_double(spark, sf)
+    sample = emb.orderBy("vec_id").limit(IVF_TRAIN_CAP).select("emb").collect()
+    centroids = train_centroids_np(np.array([r.emb for r in sample], dtype=np.float64))
+    cell = _cell_udf(centroids)
+    clusters = (
+        emb.withColumn("cell", cell(F.col("emb")))
+        .withColumn("norm", F.sqrt(F.expr("aggregate(emb, 0D, (s, v) -> s + v * v)")))
+        .groupBy("cell")
+        .agg(F.collect_list(F.struct("vec_id", "emb", "norm")).alias("ms"))
+        .filter(F.size("ms") <= SEMDEDUP_MAX_CLUSTER)
+    )
+    # round-then-compare matches the oracle bit-for-bit (the
+    # embedding_near_dups convention); the id predicate keeps the rule
+    # independent of collect_list's arrival order
+    verdicts = F.expr(
+        "transform(ms, m -> struct("
+        " m.vec_id AS vec_id,"
+        " exists(ms, o -> o.vec_id < m.vec_id AND"
+        "   round(aggregate(zip_with(o.emb, m.emb, (x, y) -> x * y),"
+        f"         0D, (s, v) -> s + v) / (o.norm * m.norm), 6) >= {SEMDEDUP_COS})"
+        " AS pruned))"
+    )
+    return (
+        clusters.select(
+            "cell",
+            F.size("ms").cast("long").alias("cluster_size"),
+            F.explode(verdicts).alias("v"),
+        ).select("v.vec_id", "cell", "cluster_size", "v.pruned")
+    )
+
+
+def semdedup_oracle_sql(cells_path: str) -> str:
+    """DuckDB twin of semdedup_prune: cluster ids come from the
+    twin-trained whole-table cell label parquet (tools/oracle_labels.py
+    — the SAME table ann_ivf_knn is checked against), the within-cluster
+    exists-smaller-id-neighbor rule is restated as a correlated EXISTS."""
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        j AS (SELECT c.vec_id, c.cell, e.emb,
+                     sqrt(list_dot_product(e.emb, e.emb)) AS nrm
+              FROM read_parquet('{cells_path}') c JOIN e USING (vec_id)),
+        sz AS (SELECT cell, COUNT(*)::BIGINT AS cluster_size FROM j GROUP BY cell)
+        SELECT j.vec_id, j.cell, sz.cluster_size,
+               EXISTS (SELECT 1 FROM j o WHERE o.cell = j.cell
+                       AND o.vec_id < j.vec_id
+                       AND ROUND(list_dot_product(o.emb, j.emb)
+                                 / (o.nrm * j.nrm), 6) >= {SEMDEDUP_COS}) AS pruned
+        FROM j JOIN sz USING (cell)
+        WHERE sz.cluster_size <= {SEMDEDUP_MAX_CLUSTER}
+    """
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn": embedding_knn,
     "embedding_near_dups": embedding_near_dups,
     "embedding_near_dups_exact": embedding_near_dups_exact,
     "ann_lsh_knn": ann_lsh_knn,
     "ann_ivf_knn": ann_ivf_knn,  # oracle built at oracle_sql() time (trained cells)
+    "semdedup_prune": semdedup_prune,  # oracle built at oracle_sql() time (trained cells)
 }
 
 

@@ -105,9 +105,79 @@ def rolling_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+PACK_BUDGET = 2048  # tokens per training shard
+
+
+def pack_training_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing for LM training (concat-and-chunk): documents
+    are concatenated in a deterministic global order ((source, doc_id))
+    and split at fixed PACK_BUDGET-token boundaries; each document
+    reports the shard span it lands in and whether it straddles a
+    boundary.
+
+    The global prefix sum is computed WITHOUT a single-partition
+    window — the distributed two-level form:
+
+    1. a running sum within each ``source`` partition (ONE shuffle,
+       window on (source, doc_id));
+    2. per-source grand totals (a K-row aggregate, K = #sources),
+       turned into source base offsets by a window over those K rows
+       (bounded driver-scale data, like IVF's training collect) and
+       broadcast back onto the scan.
+
+    At corpus scale step 1's partitions are the natural unit (sources /
+    domains / date buckets); a skewed mega-source sub-salts on doc_id
+    ranges with the same two-level offset trick applied one level down.
+    Token counts use the BPE-ish pretokenizer (``BPE_RE``) so shard
+    budgets approximate real tokenizer lengths.
+    """
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = docs.withColumn("run_end", F.sum("n_tokens").over(w_src))
+    w_off = (
+        Window.orderBy("source")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        docs.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .select(
+            "source",
+            F.coalesce(F.sum("tot").over(w_off), F.lit(0)).alias("src_offset"),
+        )
+    )
+    start = F.col("src_offset") + F.col("run_end") - F.col("n_tokens")
+    return (
+        within.join(F.broadcast(offsets), "source")
+        .select("doc_id", "source", "n_tokens", start.alias("start_off"))
+        .withColumn("start_shard", F.floor(F.col("start_off") / PACK_BUDGET).cast("long"))
+        .withColumn(
+            "end_shard",
+            F.floor(
+                (F.col("start_off") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+                / PACK_BUDGET
+            ).cast("long"),
+        )
+        .withColumn("spans_boundary", F.col("end_shard") > F.col("start_shard"))
+    )
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_token_stats": bpe_token_stats,
     "rolling_fingerprints": rolling_fingerprints,
+    "pack_training_shards": pack_training_shards,
 }
 
 _SQL_FOLD = _fold_sql(lambda k: f"h[i + {k + 1}]")
@@ -146,5 +216,36 @@ ORACLES: Dict[str, str] = {
                list_min(f) AS min_fp,
                CASE WHEN len(f) > 0 THEN f[1] END AS first_fp
         FROM fps
+    """,
+    "pack_training_shards": f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   len(regexp_extract_all(text,
+                       '{BPE_RE.replace("'", "''")}'))::BIGINT AS n_tokens
+            FROM documents
+        ),
+        r AS (
+            SELECT *, SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS run_end
+            FROM d
+        ),
+        o AS (
+            SELECT source,
+                   COALESCE(SUM(tot) OVER (ORDER BY source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS src_offset
+            FROM (SELECT source, SUM(n_tokens) AS tot FROM d GROUP BY source)
+        )
+        SELECT doc_id, r.source, n_tokens,
+               (src_offset + run_end - n_tokens) AS start_off,
+               ((src_offset + run_end - n_tokens) // {PACK_BUDGET})::BIGINT
+                   AS start_shard,
+               ((src_offset + run_end - n_tokens + greatest(n_tokens, 1) - 1)
+                   // {PACK_BUDGET})::BIGINT AS end_shard,
+               ((src_offset + run_end - n_tokens + greatest(n_tokens, 1) - 1)
+                   // {PACK_BUDGET})
+                 > ((src_offset + run_end - n_tokens) // {PACK_BUDGET})
+                   AS spans_boundary
+        FROM r JOIN o USING (source)
     """,
 }

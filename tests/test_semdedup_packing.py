@@ -1,0 +1,118 @@
+"""Unit tests for SemDeDup within-cluster pruning (ops/ann.py) and
+sequence packing (ops/tokenize_fp.py).
+
+Both ops carry full driver-level DuckDB oracles; these tests pin the
+semantics on handcrafted inputs where the expected answer is known by
+construction (one-hot embeddings -> exact cluster/cosine structure;
+counted-token documents -> exact shard arithmetic).
+"""
+
+import numpy as np
+import pandas as pd
+
+from cleaning_web_corpus_spark.ops.ann import EMBED_DIM, semdedup_prune
+from cleaning_web_corpus_spark.ops.tokenize_fp import (
+    PACK_BUDGET,
+    pack_training_shards,
+)
+
+
+# --- SemDeDup -----------------------------------------------------------------
+
+
+def _write_embeddings(tmp_path, vecs):
+    pd.DataFrame(
+        {
+            "vec_id": list(range(len(vecs))),
+            "embedding": [np.asarray(v, dtype="float32") for v in vecs],
+            "label": ["x"] * len(vecs),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+    return str(tmp_path)
+
+
+def _one_hot(i):
+    v = np.zeros(EMBED_DIM, dtype="float32")
+    v[i % EMBED_DIM] = 1.0
+    return v
+
+
+def test_semdedup_prunes_exact_duplicate_keeps_min_id(spark, tmp_path):
+    # 20 mutually-orthogonal one-hots except vec 17 == vec 5 (cos 1.0):
+    # they share a k-means cell, so the larger id is pruned
+    vecs = [_one_hot(i) for i in range(20)]
+    vecs[17] = vecs[5].copy()
+    sf = _write_embeddings(tmp_path, vecs)
+    rows = {r["vec_id"]: r for r in semdedup_prune(spark, sf).collect()}
+    assert len(rows) == 20
+    assert rows[17]["pruned"] is True
+    assert rows[5]["pruned"] is False  # min-id survivor
+    for vid, r in rows.items():
+        if vid not in (17,):
+            assert r["pruned"] is False, f"orthogonal vec {vid} wrongly pruned"
+    # the dup pair shares a cell; cluster_size counts both
+    assert rows[17]["cell"] == rows[5]["cell"]
+    assert rows[5]["cluster_size"] >= 2
+
+
+def test_semdedup_plan_has_one_python_node(spark, tmp_path):
+    sf = _write_embeddings(tmp_path, [_one_hot(i) for i in range(20)])
+    plan = semdedup_prune(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# --- sequence packing ---------------------------------------------------------
+
+
+def _doc(n):
+    return " ".join(["a"] * n)  # exactly n BPE tokens, no trailing ws run
+
+
+def _write_docs(tmp_path, rows):
+    pd.DataFrame(rows, columns=["doc_id", "source", "text"]).to_parquet(
+        tmp_path / "documents.parquet", index=False
+    )
+    return str(tmp_path)
+
+
+def test_packing_shard_arithmetic(spark, tmp_path):
+    assert PACK_BUDGET == 2048
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "s1", _doc(1500)),  # s1 offset 0: tokens [0, 1500)
+            (2, "s1", _doc(1000)),  # tokens [1500, 2500) -> spans 0/1
+            (3, "s2", _doc(100)),   # s2 offset 2500: tokens [2500, 2600)
+            (4, "s2", ""),          # empty doc at offset 2600
+        ],
+    )
+    rows = {r["doc_id"]: r for r in pack_training_shards(spark, sf).collect()}
+    assert rows[1]["start_off"] == 0
+    assert (rows[1]["start_shard"], rows[1]["end_shard"]) == (0, 0)
+    assert rows[1]["spans_boundary"] is False
+
+    assert rows[2]["start_off"] == 1500
+    assert (rows[2]["start_shard"], rows[2]["end_shard"]) == (0, 1)
+    assert rows[2]["spans_boundary"] is True
+
+    # s2 starts after ALL of s1 (global concatenation order)
+    assert rows[3]["start_off"] == 2500
+    assert (rows[3]["start_shard"], rows[3]["end_shard"]) == (1, 1)
+
+    assert rows[4]["n_tokens"] == 0
+    assert rows[4]["start_off"] == 2600
+    assert (rows[4]["start_shard"], rows[4]["end_shard"]) == (1, 1)
+    assert rows[4]["spans_boundary"] is False
+
+
+def test_packing_is_udf_free_and_broadcasts_offsets(spark, tmp_path):
+    sf = _write_docs(tmp_path, [(1, "s1", _doc(10)), (2, "s2", _doc(10))])
+    plan = (
+        pack_training_shards(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # offsets joined without a shuffle

@@ -57,6 +57,10 @@ PLAN_QUERIES = [
     "events_multires_rollup",
     "transcript_structure_report",
     "pii_audit_report",
+    "bpe_token_stats",
+    "rolling_fingerprints",
+    "pack_training_shards",
+    "semdedup_prune",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
