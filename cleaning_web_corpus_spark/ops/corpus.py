@@ -426,6 +426,38 @@ def ccnet_style_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("doc_id", "lang", F.round("score", 4).alias("score"), "bucket")
 
 
+# --- per-domain frequency cap ---------------------------------------------
+
+DOMAIN_CAP = 5  # max docs kept per (source, lang) stratum
+
+
+def domain_frequency_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain frequency cap (RefinedWeb / Dolma style): keep at
+    most DOMAIN_CAP documents per (source, lang) stratum, ranked by the
+    deterministic md5 draw (the same ``_u52`` the stratified sampler
+    uses) with doc_id as the total-order tie-break — so the cap is a
+    pure function of the row, re-runnable and engine-portable.
+
+    Survivors-only output is deliberate: the ``row_number() <= CAP``
+    filter lets Spark plan a **WindowGroupLimit (Partial)** below the
+    (source, lang) exchange, so each map task forwards at most CAP rows
+    per group it sees. A mega-domain ships O(tasks x CAP) rows through
+    the shuffle instead of its full row set, and the final per-group
+    sort runs over those survivors only — the engine-native form of the
+    salt-then-recap two-level top-K, with no hand salting. Plan-asserted
+    in tests/test_corpus_ops.py.
+    """
+    docs = t(spark, sf, "documents").select("doc_id", "source", "lang")
+    w = Window.partitionBy("source", "lang").orderBy(
+        _u52(F.col("doc_id")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DOMAIN_CAP)
+        .select("doc_id", "source", "lang", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": stratified_sample,
     "sample_mix_report": sample_mix_report,
@@ -433,6 +465,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idf_top_terms": idf_top_terms,
     "nb_lang_confusion": nb_lang_confusion,
     "ccnet_style_buckets": ccnet_style_buckets,
+    "domain_frequency_cap": domain_frequency_cap,
 }
 
 
@@ -626,5 +659,15 @@ ORACLES: Dict[str, str] = {
                     WHEN s.score <= c.c2 THEN 'middle'
                     ELSE 'tail' END AS bucket
         FROM scored s JOIN cuts c USING (lang)
+    """,
+    "domain_frequency_cap": f"""
+        SELECT doc_id, source, lang, rk FROM (
+            SELECT doc_id, source, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source, lang
+                       ORDER BY {_SQL_U52}, doc_id
+                   )::BIGINT AS rk
+            FROM documents
+        ) WHERE rk <= {DOMAIN_CAP}
     """,
 }

@@ -191,3 +191,47 @@ def test_ccnet_buckets_ties_share_a_bucket(spark):
         "doc_id string, lang string, score double",
     )
     assert {r["bucket"] for r in ccnet_buckets(docs).collect()} == {"head"}
+
+
+# --- per-domain frequency cap ---------------------------------------------
+
+
+def test_domain_cap_keeps_at_most_cap_per_stratum(spark, tmp_path):
+    from cleaning_web_corpus_spark.ops.corpus import (
+        DOMAIN_CAP,
+        domain_frequency_cap,
+    )
+
+    # mega-domain (20 docs) + tiny domain (2 docs), one lang each
+    rows = [(i, "t", "en", "mega.com", 1) for i in range(20)]
+    rows += [(100 + i, "t", "en", "tiny.com", 1) for i in range(2)]
+    sf = _write_docs(
+        tmp_path, [(d, t, l, s, n) for d, t, l, s, n in rows]
+    )
+    out = domain_frequency_cap(spark, sf).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["mega.com"]) == DOMAIN_CAP
+    assert len(by_src["tiny.com"]) == 2  # under-cap stratum kept whole
+    assert sorted(r["rk"] for r in by_src["mega.com"]) == list(
+        range(1, DOMAIN_CAP + 1)
+    )
+    # deterministic: identical survivor set on re-run
+    again = {r["doc_id"] for r in domain_frequency_cap(spark, sf).collect()}
+    assert again == {r["doc_id"] for r in out}
+
+
+def test_domain_cap_plan_is_partial_group_limit(spark, tmp_path):
+    from cleaning_web_corpus_spark.ops.corpus import domain_frequency_cap
+
+    sf = _write_docs(tmp_path, [(i, "t", "en", "s", 1) for i in range(10)])
+    plan = (
+        domain_frequency_cap(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # map-side partial top-K below the exchange + final above it
+    assert "WindowGroupLimit" in plan and "Partial" in plan and "Final" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -61,6 +61,7 @@ PLAN_QUERIES = [
     "rolling_fingerprints",
     "pack_training_shards",
     "semdedup_prune",
+    "domain_frequency_cap",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
