@@ -1,0 +1,215 @@
+"""Trainer-facing transcript export operators.
+
+After filtering/scrubbing, a training pipeline renders the surviving
+multi-turn transcripts into the literal text a tokenizer consumes, and
+enforces a per-conversation context budget.  Two operators:
+
+* **chat-template rendering** — assemble each conversation's ordered
+  turns into one ChatML-style training string
+  (``<|im_start|>{role}\\n{text}<|im_end|>`` per turn, newline-joined).
+  The reference ships conversations to its FastAPI layer one row at a
+  time (/root/reference/src/api/routes.py renders per-request); here the
+  rendering is a corpus-wide DataFrame transform.
+* **token-budget truncation** — keep the longest PREFIX of each
+  conversation whose cumulative token count fits the training context
+  window (prefix, not arbitrary subset: chat turns only make sense with
+  their history).  Reports per-conversation kept/total turn and token
+  counts plus the truncation flag.
+
+Plan shape (the 100 TB story): both queries pay exactly ONE hash
+exchange on ``conv_id``.
+
+* rendering: ``row_number`` needs (conv_id, doc_id) sort; the following
+  ``groupBy(conv_id)`` reuses the window stage's hash partitioning (no
+  second exchange) and assembles via ``collect_list`` of (turn_idx,
+  rendered) structs + ``array_sort`` — no re-sort of the whole
+  partition, only per-group arrays.
+* truncation: ``row_number`` and the running ``sum`` share one
+  WindowSpec (same partition + order ⇒ a single Window node on the same
+  exchange), and the final ``groupBy(conv_id)`` again reuses the
+  partitioning.
+
+Mega-conversation skew: both operators are genuinely per-conversation
+(the rendered string IS conversation-sized), so unlike the verdict
+stage there is no salting escape hatch — the documented mitigation is
+the budget itself: production renders AFTER truncation, so a 10^6-turn
+conversation contributes at most BUDGET tokens of render work.  Zero
+Python UDFs anywhere — every expression is whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+# Context budget for the driver corpus (prod: the model's context size
+# minus the packing overhead; see ops/tokenize_fp.pack_training_shards).
+TOKEN_BUDGET = 512
+
+
+def _chat_turns(spark: SparkSession, sf: str) -> DataFrame:
+    """(conv_id, turn_idx, role, text, n_tok) — deterministic transcript
+    synthesis from documents (same convention as ops/transcript_checks:
+    conv_id = source, turn order = doc_id), with alternating
+    user/assistant roles derived from the row_number so the first turn
+    is always 'user'."""
+    w = Window.partitionBy("conv_id").orderBy("doc_id")
+    base = t(spark, sf, "documents").select(
+        F.col("source").alias("conv_id"),
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))), F.lit(TOKEN_RE), 0
+            )
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    return base.select(
+        "conv_id",
+        F.row_number().over(w).alias("turn_idx"),
+        F.when(F.row_number().over(w) % 2 == 1, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        "text",
+        "n_tok",
+    )
+
+
+def render_chat(turns: DataFrame) -> DataFrame:
+    """ChatML-style per-conversation training text from a transcript
+    DataFrame with (conv_id, turn_idx, role, text).
+
+    One ``groupBy(conv_id)`` with ``collect_list`` of (turn_idx,
+    rendered) structs; ``array_sort`` orders by the leading struct field
+    so assembly is correct regardless of arrival order.
+    """
+    rendered = turns.select(
+        "conv_id",
+        F.struct(
+            "turn_idx",
+            F.concat(
+                F.lit("<|im_start|>"),
+                F.col("role"),
+                F.lit("\n"),
+                F.col("text"),
+                F.lit("<|im_end|>"),
+            ).alias("r"),
+        ).alias("tr"),
+    )
+    return (
+        rendered.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("tr")), lambda x: x["r"]),
+                "\n",
+            ).alias("chat_text"),
+        )
+        .withColumn("n_chars", F.length("chat_text").cast("long"))
+    )
+
+
+def truncate_to_budget(turns: DataFrame, budget: int = TOKEN_BUDGET) -> DataFrame:
+    """Per-conversation prefix-within-budget report over a transcript
+    DataFrame with (conv_id, turn_idx, n_tok).
+
+    A turn is kept iff the running token total through it (inclusive)
+    fits the budget — the deterministic greedy prefix.  ``truncated``
+    is exactly ``total_tokens > budget`` (the final running value IS the
+    total, so no second pass is needed).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    run = turns.select(
+        "conv_id",
+        "n_tok",
+        F.sum("n_tok")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_tok"),
+    )
+    kept = F.col("cum_tok") <= budget
+    return run.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("kept_turns"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum(F.when(kept, F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+        (F.sum("n_tok") > budget).alias("truncated"),
+    )
+
+
+# --- driver queries -----------------------------------------------------------
+
+
+def render_chat_text(spark: SparkSession, sf: str) -> DataFrame:
+    return render_chat(_chat_turns(spark, sf))
+
+
+def token_budget_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    return truncate_to_budget(_chat_turns(spark, sf))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "render_chat_text": render_chat_text,
+    "token_budget_prefix": token_budget_prefix,
+}
+
+_SQL_TURNS = f"""
+    turns AS (
+        SELECT source AS conv_id,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS turn_idx,
+               COALESCE(text, '') AS text,
+               length(regexp_extract_all(lower(COALESCE(text, '')),
+                                         '{TOKEN_RE}'))::BIGINT AS n_tok
+        FROM documents
+    ),
+    roled AS (
+        SELECT *, CASE WHEN turn_idx % 2 = 1 THEN 'user'
+                       ELSE 'assistant' END AS role
+        FROM turns
+    )
+"""
+
+ORACLES: Dict[str, str] = {
+    "render_chat_text": f"""
+        WITH {_SQL_TURNS}
+        SELECT conv_id,
+               COUNT(*)::BIGINT AS n_turns,
+               string_agg('<|im_start|>' || role || chr(10) || text
+                              || '<|im_end|>',
+                          chr(10) ORDER BY turn_idx) AS chat_text,
+               length(string_agg('<|im_start|>' || role || chr(10) || text
+                                     || '<|im_end|>',
+                                 chr(10) ORDER BY turn_idx))::BIGINT
+                   AS n_chars
+        FROM roled
+        GROUP BY conv_id
+    """,
+    "token_budget_prefix": f"""
+        WITH {_SQL_TURNS},
+        run AS (
+            SELECT conv_id, n_tok,
+                   SUM(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                    ROWS UNBOUNDED PRECEDING) AS cum_tok
+            FROM roled
+        )
+        SELECT conv_id,
+               COUNT(*)::BIGINT AS n_turns,
+               SUM(CASE WHEN cum_tok <= {TOKEN_BUDGET} THEN 1 ELSE 0 END)::BIGINT
+                   AS kept_turns,
+               SUM(n_tok)::BIGINT AS total_tokens,
+               SUM(CASE WHEN cum_tok <= {TOKEN_BUDGET} THEN n_tok ELSE 0 END)::BIGINT
+                   AS kept_tokens,
+               (SUM(n_tok) > {TOKEN_BUDGET}) AS truncated
+        FROM run
+        GROUP BY conv_id
+    """,
+}

@@ -1,0 +1,96 @@
+"""Trainer-export operators (ops/training_export.py) on hand-built
+transcripts with known rendering and budget outcomes, plus plan-shape
+assertions (single exchange, zero Python nodes)."""
+
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.training_export import (
+    TOKEN_BUDGET,
+    render_chat,
+    render_chat_text,
+    token_budget_prefix,
+    truncate_to_budget,
+)
+
+SF = "/root/testdata/sf0.001"
+
+_TURN_SCHEMA = "conv_id string, turn_idx int, role string, text string, n_tok long"
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(rows, _TURN_SCHEMA)
+
+
+def test_render_chat_orders_and_tags(spark):
+    # arrival order deliberately scrambled: assembly must sort by turn_idx
+    turns = _turns(
+        spark,
+        [
+            ("c1", 2, "assistant", "hi there", 2),
+            ("c1", 1, "user", "hello", 1),
+            ("c2", 1, "user", "solo", 1),
+        ],
+    )
+    out = {r["conv_id"]: r.asDict() for r in render_chat(turns).collect()}
+    assert out["c1"]["chat_text"] == (
+        "<|im_start|>user\nhello<|im_end|>\n"
+        "<|im_start|>assistant\nhi there<|im_end|>"
+    )
+    assert out["c1"]["n_turns"] == 2
+    assert out["c1"]["n_chars"] == len(out["c1"]["chat_text"])
+    assert out["c2"]["chat_text"] == "<|im_start|>user\nsolo<|im_end|>"
+
+
+def test_truncate_to_budget_prefix_semantics(spark):
+    # budget 10: c1 keeps turns 1-2 (4+5=9 <= 10; +6 would be 15),
+    # c2 fits whole, c3's FIRST turn already overflows -> nothing kept
+    turns = _turns(
+        spark,
+        [
+            ("c1", 1, "user", "", 4),
+            ("c1", 2, "assistant", "", 5),
+            ("c1", 3, "user", "", 6),
+            ("c2", 1, "user", "", 10),
+            ("c3", 1, "user", "", 11),
+        ],
+    )
+    out = {
+        r["conv_id"]: r.asDict()
+        for r in truncate_to_budget(turns, budget=10).collect()
+    }
+    assert out["c1"]["kept_turns"] == 2 and out["c1"]["kept_tokens"] == 9
+    assert out["c1"]["truncated"] and out["c1"]["total_tokens"] == 15
+    assert out["c2"]["kept_turns"] == 1 and not out["c2"]["truncated"]
+    assert out["c3"]["kept_turns"] == 0 and out["c3"]["kept_tokens"] == 0
+    assert out["c3"]["truncated"]
+
+
+def test_budget_prefix_never_skips_a_turn(spark):
+    # kept turns are always a prefix: a small turn AFTER the overflow
+    # point must not sneak in (cum, not fits-individually)
+    turns = _turns(
+        spark,
+        [("c", 1, "user", "", 8), ("c", 2, "assistant", "", 5), ("c", 3, "user", "", 1)],
+    )
+    row = truncate_to_budget(turns, budget=9).collect()[0]
+    assert row["kept_turns"] == 1 and row["kept_tokens"] == 8
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_driver_queries_single_exchange_no_python(spark):
+    for fn in (render_chat_text, token_budget_prefix):
+        plan = _plan(fn(spark, SF))
+        # one conv_id hash exchange total: the groupBy reuses the
+        # window stage's partitioning
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    # rendering totals line up with the raw corpus
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    out = render_chat_text(spark, SF)
+    agg = out.agg(F.sum("n_turns").alias("s")).collect()[0]
+    assert agg["s"] == n_docs
