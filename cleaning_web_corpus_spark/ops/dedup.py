@@ -196,6 +196,66 @@ def minhash_lsh_candidates(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def minhash_candidate_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Verification stage of the MinHash dedup pipeline: estimate the
+    Jaccard similarity of every LSH candidate pair as the fraction of
+    matching signature components, and flag pairs at >= 1/2 (the
+    classic two-stage LSH shape — banding recalls candidates, the full
+    signature agreement then rejects band-collision false positives
+    before the expensive component/canonicalization step).
+
+    Plan (100 TB story): the signature arrays ride INSIDE the band
+    buckets (collect_list of (doc_id, sigs) structs), so scoring is
+    in-bucket array math on the single band shuffle — joining pairs
+    back to the signature table would re-evaluate the shingle
+    aggregation subtree twice more and pay two extra shuffles. The
+    same pair surviving in multiple bands yields byte-identical rows,
+    so the final ``distinct`` dedups exactly. Zero Python; the whole
+    score is codegen ``zip_with`` + ``filter``.
+    """
+    sigs = minhash_signatures(spark, sf)
+    n_bands = N_HASHES // BAND_SIZE
+    band_arr = F.array(
+        *[
+            F.md5(F.concat(*[F.col(f"sig{j * BAND_SIZE + k}") for k in range(BAND_SIZE)]))
+            for j in range(n_bands)
+        ]
+    )
+    sig_arr = F.array(*[F.col(f"sig{i}") for i in range(N_HASHES)])
+    buckets = (
+        sigs.select(
+            F.struct(F.col("doc_id"), sig_arr.alias("sigs")).alias("ds"),
+            F.posexplode(band_arr).alias("band_idx", "band_hash"),
+        )
+        .groupBy("band_idx", "band_hash")
+        .agg(F.collect_list("ds").alias("rs"))
+        .filter(F.size("rs").between(2, MAX_BUCKET))
+    )
+    pairs = F.expr(
+        "filter(flatten(transform(rs, x -> transform(rs, y ->"
+        " struct(x.doc_id AS doc_a, y.doc_id AS doc_b,"
+        " x.sigs AS sa, y.sigs AS sb)))), p -> p.doc_a < p.doc_b)"
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(
+            "p.doc_a",
+            "p.doc_b",
+            F.expr("size(filter(zip_with(p.sa, p.sb, (x, y) -> x = y), b -> b))")
+            .cast("long")
+            .alias("n_matching"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_matching",
+            F.round(F.col("n_matching") / N_HASHES, 4).alias("est_jaccard"),
+            (F.col("n_matching") * 2 >= N_HASHES).alias("near_dup"),
+        )
+        .distinct()
+    )
+
+
 # --- SimHash (engine-only; Arrow UDF) ---------------------------------------
 _BIT_IDX = None  # lazy np.arange(64), built once per worker
 
@@ -449,6 +509,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "minhash_lsh_candidates": minhash_lsh_candidates,
+    "minhash_candidate_jaccard": minhash_candidate_jaccard,
     "simhash_fingerprints": simhash_fingerprints,
     "simhash_near_dups": simhash_near_dups,
     "decontamination_report": decontamination_report,
@@ -558,6 +619,38 @@ ORACLES: Dict[str, str] = {
               GROUP BY band_idx, band_hash
               HAVING COUNT(*) <= {MAX_BUCKET}
           )
+    """,
+    "minhash_candidate_jaccard": f"""
+        WITH {_SQL_SHINGLES},
+        sigs AS (SELECT doc_id, {_SQL_SIGS} FROM shingles GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, 0::BIGINT AS band_idx, md5(sig0 || sig1) AS band_hash FROM sigs
+            UNION ALL SELECT doc_id, 1, md5(sig2 || sig3) FROM sigs
+            UNION ALL SELECT doc_id, 2, md5(sig4 || sig5) FROM sigs
+            UNION ALL SELECT doc_id, 3, md5(sig6 || sig7) FROM sigs
+        ),
+        pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b USING (band_idx, band_hash)
+            WHERE a.doc_id < b.doc_id
+              AND (band_idx, band_hash) IN (
+                  SELECT (band_idx, band_hash) FROM bands
+                  GROUP BY band_idx, band_hash
+                  HAVING COUNT(*) <= {MAX_BUCKET}
+              )
+        ),
+        scored AS (
+            SELECT doc_a, doc_b,
+                   ({" + ".join(f"(sa.sig{i} = sb.sig{i})::INT" for i in range(N_HASHES))})::BIGINT
+                       AS n_matching
+            FROM pairs
+            JOIN sigs sa ON sa.doc_id = doc_a
+            JOIN sigs sb ON sb.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b, n_matching,
+               ROUND(n_matching / {N_HASHES}, 4) AS est_jaccard,
+               (n_matching * 2 >= {N_HASHES}) AS near_dup
+        FROM scored
     """,
     "simhash_fingerprints": f"""
         WITH {_SQL_SIMHASH_FP}

@@ -110,3 +110,44 @@ def test_components_deterministic_across_runs(spark, tmp_path):
     a = sorted(map(tuple, dedup_components(spark, sf).collect()))
     b = sorted(map(tuple, dedup_components(spark, sf).collect()))
     assert a == b == [(1, 1, True), (2, 1, False), (7, 1, False)]
+
+
+def test_minhash_candidate_jaccard_verification_stage(spark, tmp_path):
+    from cleaning_web_corpus_spark.ops.dedup import (
+        N_HASHES,
+        minhash_candidate_jaccard,
+        minhash_lsh_candidates,
+    )
+
+    dup = " ".join(f"tok{i} shared body text" for i in range(12))
+    near = dup + " trailing divergence suffix"
+    other = " ".join(f"unrelated{i} totally different corpus" for i in range(12))
+    sf = _write_docs(tmp_path, [(1, dup), (2, dup), (3, near), (9, other)])
+
+    scored = {
+        (r.doc_a, r.doc_b): r.asDict()
+        for r in minhash_candidate_jaccard(spark, sf).collect()
+    }
+    # identical docs: every signature component agrees
+    assert scored[(1, 2)]["n_matching"] == N_HASHES
+    assert scored[(1, 2)]["est_jaccard"] == 1.0 and scored[(1, 2)]["near_dup"]
+    # the unrelated doc never band-collides
+    assert all(9 not in pair for pair in scored)
+    # scored pairs == the LSH candidate set (verification adds columns,
+    # never pairs), and estimates are valid fractions
+    cands = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_candidates(spark, sf).collect()
+    }
+    assert set(scored) == cands
+    assert all(0 <= v["est_jaccard"] <= 1 for v in scored.values())
+
+    # plan shape: zero Python nodes, and the scoring rides the bucket
+    # shuffle — exactly ONE documents scan (no join back to signatures)
+    plan = (
+        minhash_candidate_jaccard(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    assert plan.count("Scan parquet") == 1, plan  # matches FileScan too
