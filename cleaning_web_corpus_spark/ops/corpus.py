@@ -218,6 +218,36 @@ def boilerplate_removal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def dedup_lines_within_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repeated-line removal: keep the FIRST occurrence
+    of each distinct line within a document (Gopher/Dolma-style
+    paragraph dedup — the within-doc complement of the cross-corpus
+    ``boilerplate_removal`` above; both consume the same exploded
+    (doc_id, i, line) relation).
+
+    Plan: one (doc_id, line) aggregate keeps min position + occurrence
+    count (map-side partial combine collapses repeats before the
+    shuffle, so a document that is one line repeated 10^6 times ships
+    ONE row), then one (doc_id) aggregate re-assembles the survivors in
+    original order.  Two narrow shuffles, zero Python.
+    """
+    lines = _doc_lines(spark, sf)
+    firsts = lines.groupBy("doc_id", "line").agg(
+        F.min("i").alias("i"), F.count(F.lit(1)).alias("n_occ")
+    )
+    return firsts.groupBy("doc_id").agg(
+        F.sum("n_occ").cast("long").alias("n_lines"),
+        (F.sum("n_occ") - F.count(F.lit(1))).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "line"))),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+
+
 # --- corpus DF / IDF stats ----------------------------------------------------
 
 IDF_TOP_K = 50
@@ -462,6 +492,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": stratified_sample,
     "sample_mix_report": sample_mix_report,
     "boilerplate_removal": boilerplate_removal,
+    "dedup_lines_within_docs": dedup_lines_within_docs,
     "idf_top_terms": idf_top_terms,
     "nb_lang_confusion": nb_lang_confusion,
     "ccnet_style_buckets": ccnet_style_buckets,
@@ -555,6 +586,18 @@ ORACLES: Dict[str, str] = {
                ) AS text_clean
         FROM marked
         GROUP BY doc_id
+    """,
+    "dedup_lines_within_docs": f"""
+        {_SQL_LINES},
+        firsts AS (
+            SELECT doc_id, line, MIN(i) AS i, COUNT(*)::BIGINT AS n_occ
+            FROM lines GROUP BY doc_id, line
+        )
+        SELECT doc_id,
+               SUM(n_occ)::BIGINT AS n_lines,
+               (SUM(n_occ) - COUNT(*))::BIGINT AS n_removed,
+               string_agg(line, ' ' ORDER BY i) AS text_clean
+        FROM firsts GROUP BY doc_id
     """,
     "idf_top_terms": f"""
         WITH tok AS (

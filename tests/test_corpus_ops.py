@@ -235,3 +235,30 @@ def test_domain_cap_plan_is_partial_group_limit(spark, tmp_path):
     # map-side partial top-K below the exchange + final above it
     assert "WindowGroupLimit" in plan and "Partial" in plan and "Final" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dedup_lines_within_docs_keeps_first_occurrence(spark, tmp_path):
+    from cleaning_web_corpus_spark.ops.corpus import dedup_lines_within_docs
+
+    # BOILER_W=4 segments: doc 1 = [a b c d][a b c d][e f g h]
+    # -> second [a b c d] removed; doc 2 has no repeats
+    sf = _write_docs(
+        tmp_path,
+        [
+            (1, "a b c d a b c d e f g h", "en", "s", 23),
+            (2, "p q r s t u v w", "en", "s", 15),
+        ],
+    )
+    out = {r.doc_id: r.asDict() for r in dedup_lines_within_docs(spark, sf).collect()}
+    assert out[1]["n_lines"] == 3 and out[1]["n_removed"] == 1
+    assert out[1]["text_clean"] == "a b c d e f g h"
+    assert out[2]["n_removed"] == 0
+    assert out[2]["text_clean"] == "p q r s t u v w"
+
+    # mega-doc sanity: one line repeated many times collapses to one
+    sf2 = _write_docs(
+        tmp_path, [(7, " ".join(["x y z w"] * 500), "en", "s", 4000)]
+    )
+    row = dedup_lines_within_docs(spark, sf2).collect()[0]
+    assert row["n_lines"] == 500 and row["n_removed"] == 499
+    assert row["text_clean"] == "x y z w"
