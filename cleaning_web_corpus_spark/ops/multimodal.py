@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -271,6 +272,228 @@ def media_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
     media = synthesize_media(spark, MEDIA_ORACLE_N, seed=MEDIA_ORACLE_SEED)
     kept = filter_format(filter_aspect_ratio(filter_resolution(with_probed_dims(media))))
     return kept.select("media_id", "doc_id", "format", "width", "height", "byte_size")
+
+
+# --- image resize plan + stub resample ---------------------------------------
+RESIZE_MAX_DIM = 256
+
+
+def resize_plan(df: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
+    """Aspect-preserving resize targets — pure codegen arithmetic over
+    (width, height), no Python: an image whose longest side exceeds
+    ``max_dim`` scales down to it (floor, min 1 px); smaller images pass
+    through (no upscaling — the CLIP-style preprocessors this feeds
+    never upsample)."""
+    g = F.greatest("width", "height")
+    scale_needed = g > max_dim
+    tw = F.greatest(
+        F.lit(1), F.floor(F.col("width") * max_dim / g).cast("int")
+    )
+    th = F.greatest(
+        F.lit(1), F.floor(F.col("height") * max_dim / g).cast("int")
+    )
+    return df.withColumns(
+        {
+            "target_w": F.when(scale_needed, tw).otherwise(F.col("width")),
+            "target_h": F.when(scale_needed, th).otherwise(F.col("height")),
+            "resized": scale_needed,
+        }
+    )
+
+
+def resize_images(
+    df: DataFrame, max_dim: int = RESIZE_MAX_DIM, fake: bool = False
+) -> DataFrame:
+    """Resize payloads to the ``resize_plan`` targets via mapInPandas.
+
+    Real plumbing, stubbed resampler (same contract as
+    ``extract_features``): with ``fake=True`` the output payload is a
+    REAL PNG container at the target dimensions whose pixel data is a
+    digest of the source bytes — so a header re-probe of the output
+    verifies the geometry end-to-end — and ``fake=False`` raises until
+    an imaging library ships to executors (only the resample line
+    changes then)."""
+    planned = resize_plan(df, max_dim)
+    schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("target_w", IntegerType(), True),
+            StructField("target_h", IntegerType(), True),
+            StructField("resized", BooleanType(), True),
+            StructField("payload", BinaryType(), True),
+        ]
+    )
+
+    def _resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "pixel resample requires an imaging library on executors; "
+                    "pass fake=True for the deterministic stub"
+                )
+            payloads = [
+                _png_bytes(int(w), int(h), hashlib.sha256(bytes(p)).digest() * 4)
+                if pd.notna(w) and pd.notna(h)
+                else None
+                for p, w, h in zip(pdf["payload"], pdf["target_w"], pdf["target_h"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "target_w": pdf["target_w"],
+                    "target_h": pdf["target_h"],
+                    "resized": pdf["resized"],
+                    "payload": payloads,
+                }
+            )
+
+    return planned.select(
+        "media_id", "target_w", "target_h", "resized", "payload"
+    ).mapInPandas(_resample, schema)
+
+
+def media_resize_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver query: resize targets for every image surviving the
+    quality-filter composition.  The geometry arithmetic runs JVM-side
+    over payload-PROBED dims, and the DuckDB oracle re-derives the same
+    targets in SQL from the independent twin-label dims — so the gate
+    checks probe + filters + arithmetic end-to-end."""
+    kept = media_quality_filter(spark, sf)
+    return resize_plan(kept).select(
+        "media_id", "width", "height", "target_w", "target_h", "resized"
+    )
+
+
+# --- video frame sampling (real container parse, stub frame decode) ----------
+VIDEO_MAGIC = b"FVID"
+FRAME_SAMPLE_K = 4
+VIDEO_ORACLE_N = 200
+VIDEO_ORACLE_SEED = 11
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("video_id", LongType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("byte_size", LongType(), True),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("video_id", LongType(), False),
+        StructField("n_frames", IntegerType(), True),
+        StructField("fps", IntegerType(), True),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("frame_ts_ms", LongType(), True),
+        StructField("frame_sha", StringType(), True),
+    ]
+)
+
+
+def synthesize_videos(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Deterministic fake video table.  The payload carries a REAL
+    little container header — magic + frame count (>I) + fps (>H) —
+    so downstream parsing exercises genuine byte inspection; the
+    "encoded stream" after the header is digest filler (no video codec
+    in this container, same honesty contract as the image payloads)."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+                n_frames = 8 + h[0] % 120
+                fps = 24 if h[1] % 2 == 0 else 30
+                payload = (
+                    VIDEO_MAGIC
+                    + struct.pack(">I", n_frames)
+                    + struct.pack(">H", fps)
+                    + h * 8
+                )
+                rows.append((i, i % max(1, n // 4), "video", len(payload), payload))
+            yield pd.DataFrame(
+                rows,
+                columns=["video_id", "doc_id", "media_type", "byte_size", "payload"],
+            )
+
+    return spark.range(n).repartition(8).mapInPandas(_gen, schema=VIDEO_SCHEMA)
+
+
+def parse_video_header(payload) -> Tuple[Optional[int], Optional[int]]:
+    """(n_frames, fps) from the container header, or (None, None) —
+    real parsing of the payload bytes, never trusted metadata."""
+    if payload is None:
+        return None, None
+    data = bytes(payload)
+    if len(data) < 10 or data[:4] != VIDEO_MAGIC:
+        return None, None
+    return (
+        int.from_bytes(data[4:8], "big"),
+        int.from_bytes(data[8:10], "big"),
+    )
+
+
+def uniform_frame_indices(n_frames: int, k: int) -> list:
+    """K frame indices uniformly spanning [0, n_frames): first and last
+    frames always included (floor(x + 0.5) rounding — portable across
+    engines, unlike banker's rounding)."""
+    if n_frames <= k:
+        return list(range(n_frames))
+    return sorted(
+        {int(i * (n_frames - 1) / (k - 1) + 0.5) for i in range(k)}
+    )
+
+
+def sample_video_frames(
+    df: DataFrame, k: int = FRAME_SAMPLE_K, fake: bool = False
+) -> DataFrame:
+    """One-to-many frame sampling via mapInPandas: each video row fans
+    out to <= k frame rows (uniform stride over the REAL parsed frame
+    count).  The frame decode is the stub step — ``fake=True`` derives
+    each frame's bytes as sha256(payload || frame_idx) and manifests
+    their digest; ``fake=False`` raises until a video codec ships to
+    executors.  Partitioning, Arrow batching, fan-out shape and schema
+    are the production article."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "frame decode requires a video codec on executors; "
+                    "pass fake=True for the deterministic stub"
+                )
+            out = {c: [] for c in
+                   ("video_id", "n_frames", "fps", "frame_idx", "frame_ts_ms", "frame_sha")}
+            for vid, payload in zip(pdf["video_id"], pdf["payload"]):
+                n_frames, fps = parse_video_header(payload)
+                if n_frames is None:
+                    continue
+                for idx in uniform_frame_indices(n_frames, k):
+                    frame = hashlib.sha256(
+                        bytes(payload) + idx.to_bytes(4, "big")
+                    )
+                    out["video_id"].append(int(vid))
+                    out["n_frames"].append(n_frames)
+                    out["fps"].append(fps)
+                    out["frame_idx"].append(idx)
+                    out["frame_ts_ms"].append(idx * 1000 // fps)
+                    out["frame_sha"].append(frame.hexdigest()[:16])
+            yield pd.DataFrame(out)
+
+    return df.select("video_id", "payload").mapInPandas(_sample, FRAME_SCHEMA)
+
+
+def video_frame_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver query: the sampled-frame manifest over the deterministic
+    video table — oracled against twin-label parquet (the twin restates
+    container synthesis, header parsing, stride selection, and the
+    frame digests in tests/reference_twin.py).  ``sf`` is unused (the
+    table is synthesized, not read)."""
+    videos = synthesize_videos(spark, VIDEO_ORACLE_N, seed=VIDEO_ORACLE_SEED)
+    return sample_video_frames(videos, fake=True)
 
 
 # --- F17: text-image alignment filter (real scoring, stub encoder) ----------

@@ -780,3 +780,52 @@ def twin_media_kept(n, seed):
             }
         )
     return kept
+
+
+# --- video frame-sampling twin (restates ops/multimodal.py video path) -------
+
+TWIN_VIDEO_N = 200
+TWIN_VIDEO_SEED = 11
+TWIN_FRAME_K = 4
+
+
+def twin_video_frames(n=TWIN_VIDEO_N, seed=TWIN_VIDEO_SEED, k=TWIN_FRAME_K):
+    """Restated container synthesis + header parse + uniform stride +
+    frame digests, written independently of the engine (struct.unpack
+    parse, math.floor stride; the engine uses int.from_bytes and
+    arithmetic rounding)."""
+    import hashlib as _hl
+    import math as _math
+
+    rows = []
+    for i in range(n):
+        h = _hl.sha256(f"{seed}:{i}".encode()).digest()
+        n_frames = 8 + h[0] % 120
+        fps = 24 if h[1] % 2 == 0 else 30
+        payload = b"FVID" + _struct.pack(">IH", n_frames, fps) + h * 8
+        # parse back from the bytes (not from the locals above): the twin
+        # checks the engine's PARSER, so it must go through its own
+        pn, pf = _struct.unpack(">IH", payload[4:10])
+        if n_frames <= k:
+            idxs = list(range(pn))
+        else:
+            seen = []
+            for j in range(k):
+                idx = _math.floor(j * (pn - 1) / (k - 1) + 0.5)
+                if idx not in seen:
+                    seen.append(idx)
+            idxs = sorted(seen)
+        for idx in idxs:
+            rows.append(
+                {
+                    "video_id": i,
+                    "n_frames": pn,
+                    "fps": pf,
+                    "frame_idx": idx,
+                    "frame_ts_ms": (idx * 1000) // pf,
+                    "frame_sha": _hl.sha256(
+                        payload + idx.to_bytes(4, "big")
+                    ).hexdigest()[:16],
+                }
+            )
+    return rows

@@ -134,3 +134,85 @@ def test_alignment_filter_lenient_and_fake_paths(spark, media):
     assert s1 == s2 and all(-1.0 <= v <= 1.0 for v in s1.values())
     kept = filter_alignment(cap, min_score=0.0, fake=True)
     assert 0 < kept.count() < cap.count()  # threshold actually separates
+
+
+def test_video_header_parse_and_stride():
+    import struct as _s
+
+    from cleaning_web_corpus_spark.ops.multimodal import (
+        VIDEO_MAGIC,
+        parse_video_header,
+        uniform_frame_indices,
+    )
+
+    payload = VIDEO_MAGIC + _s.pack(">IH", 91, 30) + b"\x00" * 64
+    assert parse_video_header(payload) == (91, 30)
+    # wrong magic / truncated / null: unknown, never a crash
+    assert parse_video_header(b"RIFF" + payload[4:]) == (None, None)
+    assert parse_video_header(payload[:8]) == (None, None)
+    assert parse_video_header(None) == (None, None)
+
+    # uniform stride: first and last frames always sampled
+    assert uniform_frame_indices(91, 4) == [0, 30, 60, 90]
+    assert uniform_frame_indices(2, 4) == [0, 1]   # short clip: all frames
+    assert uniform_frame_indices(5, 4) == [0, 1, 3, 4]
+
+
+def test_sample_video_frames_fanout_and_determinism(spark):
+    from cleaning_web_corpus_spark.ops.multimodal import (
+        FRAME_SAMPLE_K,
+        sample_video_frames,
+        synthesize_videos,
+    )
+
+    videos = synthesize_videos(spark, 20, seed=3)
+    frames = sample_video_frames(videos, fake=True).collect()
+    by_vid = {}
+    for r in frames:
+        by_vid.setdefault(r.video_id, []).append(r)
+    assert set(by_vid) == set(range(20))
+    for vid, rows in by_vid.items():
+        idxs = sorted(r.frame_idx for r in rows)
+        n = rows[0].n_frames
+        assert len(rows) <= FRAME_SAMPLE_K
+        assert idxs[0] == 0 and idxs[-1] == n - 1
+        for r in rows:
+            assert r.frame_ts_ms == r.frame_idx * 1000 // r.fps
+            assert len(r.frame_sha) == 16
+    # deterministic across runs
+    again = sorted(map(tuple, sample_video_frames(videos, fake=True).collect()))
+    assert again == sorted(map(tuple, frames))
+
+    # the honest-stub contract: real decode path raises until a codec ships
+    with pytest.raises(Exception):
+        sample_video_frames(videos, fake=False).collect()
+
+
+def test_resize_plan_and_stub_resample_geometry(spark, media):
+    from cleaning_web_corpus_spark.ops.multimodal import (
+        RESIZE_MAX_DIM,
+        parse_image_dims,
+        resize_images,
+        resize_plan,
+        with_probed_dims,
+    )
+
+    probed = with_probed_dims(media)
+    planned = resize_plan(probed).collect()
+    for r in planned:
+        if r.width is None:
+            continue
+        longest = max(r.width, r.height)
+        if longest > RESIZE_MAX_DIM:
+            assert r.resized and max(r.target_w, r.target_h) == RESIZE_MAX_DIM
+            # exact aspect-preserving floor arithmetic
+            assert r.target_w == max(1, r.width * RESIZE_MAX_DIM // longest)
+            assert r.target_h == max(1, r.height * RESIZE_MAX_DIM // longest)
+        else:
+            assert not r.resized and (r.target_w, r.target_h) == (r.width, r.height)
+
+    # stub resample emits a REAL PNG at target dims: re-probe verifies
+    out = resize_images(probed, fake=True).collect()
+    for r in out:
+        fmt, w, h = parse_image_dims(r.payload)
+        assert fmt == "png" and (w, h) == (r.target_w, r.target_h)

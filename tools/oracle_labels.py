@@ -156,6 +156,7 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
         "html": os.path.join(out_dir, "html_labels.parquet"),
         "ivf_cells": os.path.join(out_dir, "ivf_cells.parquet"),
         "media": os.path.join(out_dir, "media_labels.parquet"),
+        "video": os.path.join(out_dir, "video_frames_labels.parquet"),
     }
     # tmp + os.replace for every label file, mirroring the meta.json
     # commit below: a concurrent regeneration must never expose torn
@@ -169,6 +170,12 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
     # headers, twin-applied filter contract (no engine imports)
     media_rows = twin.twin_media_kept(twin.TWIN_MEDIA_N, twin.TWIN_MEDIA_SEED)
 
+    # video frame manifest: twin-restated container synthesis + header
+    # parse + uniform stride + frame digests (no engine imports)
+    video_rows = twin.twin_video_frames(
+        twin.TWIN_VIDEO_N, twin.TWIN_VIDEO_SEED, twin.TWIN_FRAME_K
+    )
+
     _commit(pa.Table.from_pylist(verdicts), paths["verdict"])
     _commit(pa.Table.from_pylist(scrubs), paths["scrub"])
     _commit(pa.Table.from_pylist(flag_rows), paths["flags"])
@@ -176,6 +183,7 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
     _commit(pa.Table.from_pylist(tools_rows), paths["tools"])
     _commit(pa.Table.from_pylist(html_rows), paths["html"])
     _commit(pa.Table.from_pylist(media_rows), paths["media"])
+    _commit(pa.Table.from_pylist(video_rows), paths["video"])
 
     probe_cells = _ivf_labels(sf_dir, paths["ivf_cells"])
 
