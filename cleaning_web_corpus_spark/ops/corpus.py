@@ -248,6 +248,95 @@ def dedup_lines_within_docs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- URL canonicalization + dedup ---------------------------------------------
+# Crawl frontiers and page stores dedup on the CANONICAL URL (RefinedWeb
+# §URL dedup; CC index convention): lowercase scheme+host, strip default
+# ports and fragments, drop tracking params, sort the surviving query
+# params, collapse duplicate slashes and the trailing slash. All pure
+# codegen regexp/array expressions — one scan + one shuffle on the
+# canonical key.
+
+_TRACKING_RE = r"^(utm_[^=]*|ref|fbclid|gclid)="
+
+
+def canonicalize_url(url):
+    """Canonical form of a URL column — pure column expressions."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]*)", 1))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport)
+    )
+    rawpath = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(rawpath, r"/{2,}", "/")
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"(.)/$", "$1")
+    )
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    keep = F.filter(
+        F.split(query, "&"),
+        lambda x: (x != "") & ~x.rlike(_TRACKING_RE),
+    )
+    qc = F.array_join(F.array_sort(keep), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qc != "", F.concat(F.lit("?"), qc)).otherwise(F.lit("")),
+    )
+
+
+def _synth_urls(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic messy-URL projection of documents: cased hosts,
+    default ports, doubled slashes, trailing slashes, tracking params in
+    shuffled order, fragments.  Moduli are chosen against the corpus's
+    stride-20 doc_ids so distinct raw URLs genuinely collide after
+    canonicalization (d%8 yields 2 path values per source, d%7 cycles
+    all 7 ids)."""
+    d = F.col("doc_id")
+    host = F.when(
+        d % 2 == 0,
+        F.concat(F.lit("WWW."), F.upper("source"), F.lit(".Example.COM")),
+    ).otherwise(F.concat(F.lit("www."), F.col("source"), F.lit(".example.com")))
+    port = F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit(""))
+    path = F.concat(
+        F.lit("/docs//"),
+        (d % 8).cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    q = F.when(
+        d % 2 == 0,
+        F.concat(F.lit("utm_source=mail&id="), (d % 7).cast("string"), F.lit("&b=2")),
+    ).otherwise(
+        F.concat(F.lit("b=2&id="), (d % 7).cast("string"), F.lit("&ref=tw"))
+    )
+    frag = F.when(d % 4 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("HTTPS://"), host, port, path, F.lit("?"), q, frag).alias(
+            "url"
+        ),
+    )
+
+
+def url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-URL dedup report: one row per canonical URL with the
+    number of raw variants that collapsed onto it and the min-doc_id
+    survivor — the crawl-store dedup decision."""
+    urls = _synth_urls(spark, sf)
+    return (
+        urls.select("doc_id", "url", canonicalize_url(F.col("url")).alias("curl"))
+        .groupBy(F.col("curl").alias("canonical_url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.count_distinct("url").alias("n_distinct_raw"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
 # --- corpus DF / IDF stats ----------------------------------------------------
 
 IDF_TOP_K = 50
@@ -493,6 +582,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_mix_report": sample_mix_report,
     "boilerplate_removal": boilerplate_removal,
     "dedup_lines_within_docs": dedup_lines_within_docs,
+    "url_canonical_dedup": url_canonical_dedup,
     "idf_top_terms": idf_top_terms,
     "nb_lang_confusion": nb_lang_confusion,
     "ccnet_style_buckets": ccnet_style_buckets,
@@ -598,6 +688,59 @@ ORACLES: Dict[str, str] = {
                (SUM(n_occ) - COUNT(*))::BIGINT AS n_removed,
                string_agg(line, ' ' ORDER BY i) AS text_clean
         FROM firsts GROUP BY doc_id
+    """,
+    "url_canonical_dedup": f"""
+        WITH raw AS (
+            SELECT doc_id,
+                   'HTTPS://'
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN 'WWW.' || upper(source) || '.Example.COM'
+                           ELSE 'www.' || source || '.example.com' END
+                   || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+                   || '/docs//' || (doc_id % 8)::VARCHAR
+                   || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+                   || '?'
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN 'utm_source=mail&id=' || (doc_id % 7)::VARCHAR || '&b=2'
+                           ELSE 'b=2&id=' || (doc_id % 7)::VARCHAR || '&ref=tw' END
+                   || CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END AS url
+            FROM documents
+        ),
+        parts AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+                   lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1)) AS hostport,
+                   regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS rawpath,
+                   regexp_extract(url, '\\?([^#]*)', 1) AS query
+            FROM raw
+        ),
+        canon AS (
+            SELECT doc_id, url,
+                   scheme || '://'
+                   || CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                           WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+                           ELSE hostport END
+                   || CASE WHEN regexp_replace(rawpath, '/{{2,}}', '/', 'g') = '' THEN '/'
+                           ELSE regexp_replace(
+                               regexp_replace(rawpath, '/{{2,}}', '/', 'g'),
+                               '(.)/$', '\\1') END
+                   || CASE WHEN array_to_string(list_sort(list_filter(
+                               string_split(query, '&'),
+                               x -> x <> '' AND NOT regexp_matches(
+                                   x, '{_TRACKING_RE}'))), '&') <> ''
+                           THEN '?' || array_to_string(list_sort(list_filter(
+                               string_split(query, '&'),
+                               x -> x <> '' AND NOT regexp_matches(
+                                   x, '{_TRACKING_RE}'))), '&')
+                           ELSE '' END AS curl
+            FROM parts
+        )
+        SELECT curl AS canonical_url,
+               COUNT(*)::BIGINT AS n_variants,
+               COUNT(DISTINCT url)::BIGINT AS n_distinct_raw,
+               MIN(doc_id) AS canonical_doc_id
+        FROM canon
+        GROUP BY curl
     """,
     "idf_top_terms": f"""
         WITH tok AS (

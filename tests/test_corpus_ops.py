@@ -262,3 +262,40 @@ def test_dedup_lines_within_docs_keeps_first_occurrence(spark, tmp_path):
     row = dedup_lines_within_docs(spark, sf2).collect()[0]
     assert row["n_lines"] == 500 and row["n_removed"] == 499
     assert row["text_clean"] == "x y z w"
+
+
+def test_canonicalize_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from cleaning_web_corpus_spark.ops.corpus import canonicalize_url
+
+    cases = [
+        # case + default port + fragment + tracking params + dup slashes
+        ("HTTPS://WWW.Ex.COM:443//a//b/?utm_source=x&z=1&a=2#top",
+         "https://www.ex.com/a/b?a=2&z=1"),
+        ("http://ex.com:80/", "http://ex.com/"),
+        ("http://ex.com:8080/x", "http://ex.com:8080/x"),  # non-default port kept
+        ("https://ex.com", "https://ex.com/"),             # empty path -> /
+        ("https://ex.com/p?ref=tw&fbclid=abc&gclid=1", "https://ex.com/p"),
+        ("https://ex.com/p?b=2&a=1", "https://ex.com/p?a=1&b=2"),  # sorted
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_canonical_dedup_collapses_variants(spark, tmp_path):
+    from cleaning_web_corpus_spark.ops.corpus import url_canonical_dedup
+
+    # 0 and 168 agree on every synthesis modulus except %5: their raw
+    # URLs differ only by the default :443 port, so canonicalization
+    # must merge them; 3 lands in its own group
+    sf = _write_docs(
+        tmp_path,
+        [(0, "t", "en", "s", 1), (168, "t", "en", "s", 1), (3, "t", "en", "s", 1)],
+    )
+    rows = {r.canonical_url: r.asDict() for r in url_canonical_dedup(spark, sf).collect()}
+    merged = [v for v in rows.values() if v["n_variants"] == 2]
+    assert len(merged) == 1 and merged[0]["canonical_doc_id"] == 0
+    assert merged[0]["n_distinct_raw"] == 2  # raw forms truly differed
+    assert len(rows) == 2
