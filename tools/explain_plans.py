@@ -62,6 +62,13 @@ PLAN_QUERIES = [
     "pack_training_shards",
     "semdedup_prune",
     "domain_frequency_cap",
+    "render_chat_text",
+    "token_budget_prefix",
+    "minhash_candidate_jaccard",
+    "dedup_lines_within_docs",
+    "url_canonical_dedup",
+    "media_resize_plan",
+    "video_frame_manifest",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
