@@ -145,6 +145,39 @@ def truncate_to_budget(turns: DataFrame, budget: int = TOKEN_BUDGET) -> DataFram
     )
 
 
+def render_training_corpus(kept_turns: DataFrame, budget: int = 0) -> DataFrame:
+    """Terminal export stage over the pipeline's output: render the
+    kept, scrubbed turns (``pipeline.run.PipelineResult.kept_turns`` —
+    conv_id, turn_idx, role, text_scrubbed, ...) into per-conversation
+    training text, optionally enforcing a token-budget prefix first
+    (production order: truncate, THEN render — a 10^6-turn conversation
+    contributes at most ``budget`` tokens of render work).
+
+    ``budget=0`` renders everything.  Plan: the budget window, the
+    prefix filter, and the render aggregation all share the one
+    conv_id exchange.
+    """
+    turns = kept_turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.col("text_scrubbed").alias("text"),
+    )
+    if budget > 0:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        n_tok = F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), 0)
+        ).cast("long")
+        turns = (
+            turns.withColumn("_cum", F.sum(n_tok).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ))
+            .filter(F.col("_cum") <= budget)
+            .drop("_cum")
+        )
+    return render_chat(turns)
+
+
 # --- driver queries -----------------------------------------------------------
 
 

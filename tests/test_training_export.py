@@ -94,3 +94,33 @@ def test_driver_queries_single_exchange_no_python(spark):
     out = render_chat_text(spark, SF)
     agg = out.agg(F.sum("n_turns").alias("s")).collect()[0]
     assert agg["s"] == n_docs
+
+
+def test_render_training_corpus_end_to_end(spark):
+    """Full trainer path: generate -> filter/scrub pipeline -> budget ->
+    render; scrubbed text (not raw) must appear in the export."""
+    from cleaning_web_corpus_spark.config import PipelineConfig
+    from cleaning_web_corpus_spark.ops.training_export import render_training_corpus
+    from cleaning_web_corpus_spark.pipeline import generate_transcripts, run_pipeline
+
+    corpus = generate_transcripts(spark, 120, seed=7)
+    with run_pipeline(spark, corpus, PipelineConfig()) as res:
+        kept = res.kept_turns
+        out = render_training_corpus(kept)
+        rows = out.collect()
+        assert rows, "pipeline kept nothing"
+        total_turns = kept.count()
+        assert sum(r.n_turns for r in rows) == total_turns
+        assert all(r.chat_text.startswith("<|im_start|>") for r in rows)
+        # scrub markers survive into the rendered text iff any turn had PII
+        joined = "\n".join(r.chat_text for r in rows)
+        raw_markers = kept.filter(
+            F.col("text_scrubbed").contains("<EMAIL>")
+        ).count()
+        assert (("<EMAIL>" in joined) == (raw_markers > 0))
+
+        # budgeted render keeps a prefix subset, never more turns
+        budgeted = {r.conv_id: r.n_turns for r in render_training_corpus(kept, budget=8).collect()}
+        full = {r.conv_id: r.n_turns for r in rows}
+        assert set(budgeted) <= set(full)
+        assert all(budgeted[c] <= full[c] for c in budgeted)
