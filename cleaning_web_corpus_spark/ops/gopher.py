@@ -1,0 +1,240 @@
+"""Gopher/C4-style heuristic document-quality rules.
+
+The north-star quality chain names four heuristic-rule families beyond
+the reference's own filters: document length, symbol/word ratios,
+repetition, and stop-word fraction.  Repetition and length live in
+``filters.chain`` (reference parity, /root/reference/src/processors/
+text_filters.py); this module adds the remaining Gopher rules (Rae et
+al. 2021, "Scaling Language Models", appendix A1.1) plus the C4
+bullet/ellipsis line heuristics (Raffel et al. 2020) as PURE CODEGEN
+column expressions — zero Python, one scan, whole-stage codegen
+end-to-end:
+
+* word count in [MIN_DOC_WORDS, MAX_DOC_WORDS]
+* mean word length in [MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN]
+* symbol-to-word ratio (``#``, ``...``, ``…``) <= MAX_SYMBOL_RATIO
+* fraction of lines starting with a bullet <= MAX_BULLET_LINE_FRAC
+* fraction of lines ending with an ellipsis <= MAX_ELLIPSIS_LINE_FRAC
+* fraction of words containing an alphabetic char >= MIN_ALPHA_WORD_FRAC
+* at least MIN_STOP_HITS distinct words from the 8-word Gopher stop set
+
+The rules are deliberately NOT folded into the reference-parity verdict
+chain (whose keep/drop labels are the F1>=0.99 contract); they compose
+AFTER it, the way production pipelines stack Gopher rules on top of a
+model-based filter.  ``add_gopher_columns`` works over any relation
+with a text column (documents table, pipeline ``kept_turns``).
+
+Scale notes (100 TB): every expression is per-row arithmetic over the
+scanned text — no shuffle, no UDF, no driver round-trip; the report
+aggregation is a standard partial+final count.  The line/word arrays
+are intermediate codegen values, never materialized columns.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+# Gopher A1.1 thresholds.
+MIN_DOC_WORDS, MAX_DOC_WORDS = 50, 100_000
+MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN = 3.0, 10.0
+MAX_SYMBOL_RATIO = 0.1
+MAX_BULLET_LINE_FRAC = 0.90
+MAX_ELLIPSIS_LINE_FRAC = 0.30
+MIN_ALPHA_WORD_FRAC = 0.80
+MIN_STOP_HITS = 2
+
+# The 8-word Gopher "must contain >= 2" stop set (A1.1) — distinct from
+# the reference's 25-word repetition-exclusion COMMON_WORDS list.
+GOPHER_STOP_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_SYMBOL_RE = r"(#|\.\.\.|…)"
+_BULLET_RE = r"^[-*•‣▪]"
+_ELLIPSIS_RE = r"(\.\.\.|…)$"
+
+# Ordered rule names: fail_reason reports the FIRST failing rule, so
+# the order is part of the output contract (mirrors the verdict chain's
+# ordered-reason style).
+RULE_ORDER = (
+    "word_count",
+    "mean_word_length",
+    "symbol_ratio",
+    "bullet_lines",
+    "ellipsis_lines",
+    "alpha_words",
+    "stop_words",
+)
+
+
+def add_gopher_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the Gopher metric + rule columns to any text relation.
+
+    Adds: n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+    ellipsis_line_frac, alpha_word_frac, n_stop_words (metrics, ratios
+    rounded to 4 places for engine-portable hashing), gopher_passed,
+    fail_reason.  All expressions are built from the same words/lines
+    subtrees, which codegen evaluates once per row (common-subexpression
+    elimination inside the generated code; no Python anywhere).
+    """
+    c = F.col(text_col)
+    words = F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+    lines = F.split(c, "\n")
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("long")
+    # denominators guarded for empty text; numerators are then 0 too,
+    # so the guarded ratio is exactly 0.0 in both engines
+    wd = F.greatest(n_words, F.lit(1).cast("long"))
+    total_word_chars = F.expr(
+        f"aggregate(regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0),"
+        " 0L, (a, x) -> a + length(x), a -> a)"
+    )
+    mean_wl = total_word_chars / wd
+    symbol_ratio = F.regexp_count(c, F.lit(_SYMBOL_RE)) / wd
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: F.ltrim(l).rlike(_BULLET_RE))) / n_lines
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(_ELLIPSIS_RE))) / n_lines
+    )
+    alpha_frac = F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / wd
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS]),
+        )
+    ).cast("long")
+
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", F.round(mean_wl, 4))
+        .withColumn("symbol_ratio", F.round(symbol_ratio, 4))
+        .withColumn("bullet_line_frac", F.round(bullet_frac, 4))
+        .withColumn("ellipsis_line_frac", F.round(ellipsis_frac, 4))
+        .withColumn("alpha_word_frac", F.round(alpha_frac, 4))
+        .withColumn("n_stop_words", n_stop)
+    )
+    ok = {
+        "word_count": F.col("n_words").between(MIN_DOC_WORDS, MAX_DOC_WORDS),
+        "mean_word_length": F.col("mean_word_len").between(
+            MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN
+        ),
+        "symbol_ratio": F.col("symbol_ratio") <= MAX_SYMBOL_RATIO,
+        "bullet_lines": F.col("bullet_line_frac") <= MAX_BULLET_LINE_FRAC,
+        "ellipsis_lines": F.col("ellipsis_line_frac") <= MAX_ELLIPSIS_LINE_FRAC,
+        "alpha_words": F.col("alpha_word_frac") >= MIN_ALPHA_WORD_FRAC,
+        "stop_words": F.col("n_stop_words") >= MIN_STOP_HITS,
+    }
+    passed = F.lit(True)
+    for name in RULE_ORDER:
+        passed = passed & ok[name]
+    reason = F.lit("passed")
+    for name in reversed(RULE_ORDER):
+        reason = F.when(~ok[name], F.lit(name)).otherwise(reason)
+    return out.withColumn("gopher_passed", passed).withColumn(
+        "fail_reason", reason
+    )
+
+
+def gopher_quality_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document Gopher/C4 rule metrics + verdict over ``documents``.
+
+    The driver corpus is single-line word salad (no newlines, bullets
+    or symbols — those rules trivially pass here and are exercised on
+    structured fixtures in tests/test_gopher.py); the stop-word,
+    alpha-fraction, length and mean-word-length rules are fully
+    non-degenerate on it.
+    """
+    return add_gopher_columns(t(spark, sf, "documents")).select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "n_stop_words",
+        "gopher_passed",
+        "fail_reason",
+    )
+
+
+def gopher_rule_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """(fail_reason, n_docs) rollup — the monitoring twin of the report."""
+    return (
+        gopher_quality_report(spark, sf)
+        .groupBy("fail_reason")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --- DuckDB oracles -----------------------------------------------------------
+
+_SQL_WORDS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
+_SQL_LINES = "string_split(text, chr(10))"
+_SQL_METRICS = f"""
+        SELECT doc_id, lang,
+               len({_SQL_WORDS})::BIGINT AS n_words,
+               ROUND(list_sum(list_transform({_SQL_WORDS}, w -> length(w)))
+                     / GREATEST(len({_SQL_WORDS}), 1), 4) AS mean_word_len,
+               ROUND(len(regexp_extract_all(text, '(#|\\.\\.\\.|…)'))
+                     / GREATEST(len({_SQL_WORDS}), 1)::DOUBLE, 4) AS symbol_ratio,
+               ROUND(len(list_filter({_SQL_LINES},
+                         l -> regexp_matches(ltrim(l), '^[-*•‣▪]')))
+                     / len({_SQL_LINES})::DOUBLE, 4) AS bullet_line_frac,
+               ROUND(len(list_filter({_SQL_LINES},
+                         l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))
+                     / len({_SQL_LINES})::DOUBLE, 4) AS ellipsis_line_frac,
+               ROUND(len(list_filter({_SQL_WORDS}, w -> regexp_matches(w, '[a-z]')))
+                     / GREATEST(len({_SQL_WORDS}), 1)::DOUBLE, 4) AS alpha_word_frac,
+               len(list_intersect(list_distinct({_SQL_WORDS}),
+                   {list(GOPHER_STOP_WORDS)!r}))::BIGINT AS n_stop_words
+        FROM documents
+"""
+_SQL_REPORT = f"""
+        WITH m AS ({_SQL_METRICS}),
+        v AS (
+            SELECT *,
+                   (n_words BETWEEN {MIN_DOC_WORDS} AND {MAX_DOC_WORDS}) AS ok_wc,
+                   (mean_word_len BETWEEN {MIN_MEAN_WORD_LEN!r} AND {MAX_MEAN_WORD_LEN!r}) AS ok_mwl,
+                   (symbol_ratio <= {MAX_SYMBOL_RATIO!r}) AS ok_sym,
+                   (bullet_line_frac <= {MAX_BULLET_LINE_FRAC!r}) AS ok_bul,
+                   (ellipsis_line_frac <= {MAX_ELLIPSIS_LINE_FRAC!r}) AS ok_ell,
+                   (alpha_word_frac >= {MIN_ALPHA_WORD_FRAC!r}) AS ok_alp,
+                   (n_stop_words >= {MIN_STOP_HITS}) AS ok_stp
+            FROM m
+        )
+        SELECT doc_id, lang, n_words, mean_word_len, symbol_ratio,
+               bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+               n_stop_words,
+               (ok_wc AND ok_mwl AND ok_sym AND ok_bul AND ok_ell
+                AND ok_alp AND ok_stp) AS gopher_passed,
+               CASE WHEN NOT ok_wc THEN 'word_count'
+                    WHEN NOT ok_mwl THEN 'mean_word_length'
+                    WHEN NOT ok_sym THEN 'symbol_ratio'
+                    WHEN NOT ok_bul THEN 'bullet_lines'
+                    WHEN NOT ok_ell THEN 'ellipsis_lines'
+                    WHEN NOT ok_alp THEN 'alpha_words'
+                    WHEN NOT ok_stp THEN 'stop_words'
+                    ELSE 'passed' END AS fail_reason
+        FROM v
+"""
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "gopher_quality_report": gopher_quality_report,
+    "gopher_rule_histogram": gopher_rule_histogram,
+}
+
+ORACLES: Dict[str, str] = {
+    "gopher_quality_report": _SQL_REPORT,
+    "gopher_rule_histogram": f"""
+        WITH r AS ({_SQL_REPORT})
+        SELECT fail_reason, COUNT(*)::BIGINT AS n_docs
+        FROM r GROUP BY fail_reason
+    """,
+}

@@ -1,0 +1,99 @@
+"""Gopher/C4 heuristic rule tests.
+
+The driver corpus is single-line word salad, so the bullet / ellipsis /
+symbol rules are exercised here on handcrafted multi-line fixtures; the
+driver oracle (`gopher_quality_report`) covers the engine-parity of the
+full expression tree.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.gopher import (
+    GOPHER_STOP_WORDS,
+    MIN_DOC_WORDS,
+    ORACLES,
+    add_gopher_columns,
+    gopher_quality_report,
+    gopher_rule_histogram,
+)
+
+SF = "/root/testdata/sf0.001"
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and runs to the river "
+    "of dreams that we have seen with our own eyes every single day "
+) * 3  # > 50 words, plenty of stop words, all alphabetic
+
+FIXTURES = [
+    # (doc_id, text, expected fail_reason)
+    (1, GOOD, "passed"),
+    (2, "short text", "word_count"),
+    (3, " ".join(["a"] * 60), "mean_word_length"),
+    (4, GOOD + " " + "#" * 1 + " #### ### ## # # # # # # # # # # # # #", "symbol_ratio"),
+    (5, "\n".join(["- " + GOOD] * 10), "bullet_lines"),
+    (6, "\n".join([GOOD + "..."] * 10), "ellipsis_lines"),
+    (7, GOOD + " " + " ".join(["123"] * 120), "alpha_words"),
+    (8, " ".join(["apple banana cherry"] * 30), "stop_words"),
+    (9, "", "word_count"),  # empty: guarded denominators, no NULLs
+]
+
+
+def test_rule_semantics_on_fixtures(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in FIXTURES], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in add_gopher_columns(df).collect()}
+    for doc_id, _, want in FIXTURES:
+        got = out[doc_id].fail_reason
+        assert got == want, f"doc {doc_id}: want {want}, got {got}"
+        assert out[doc_id].gopher_passed == (want == "passed")
+    # empty text: every metric defined (0.0 / 0), nothing NULL
+    empty = out[9]
+    assert empty.n_words == 0 and empty.symbol_ratio == 0.0
+    assert empty.alpha_word_frac == 0.0 and empty.n_stop_words == 0
+
+
+def test_stop_word_rule_counts_distinct(spark):
+    # 'the' repeated 60 times is ONE distinct stop hit -> fails
+    df = spark.createDataFrame(
+        [(1, " ".join(["the"] * MIN_DOC_WORDS + ["cat dog"] * 5))],
+        "doc_id long, text string",
+    )
+    row = add_gopher_columns(df).collect()[0]
+    assert row.n_stop_words == 1
+    assert row.fail_reason == "stop_words"
+    assert set(GOPHER_STOP_WORDS) >= {"the", "and"}
+
+
+def test_report_is_udf_free_single_scan(spark):
+    plan = gopher_quality_report(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
+    hist = gopher_rule_histogram(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in hist and "BatchEvalPython" not in hist
+
+
+@pytest.mark.parametrize("name", ["gopher_quality_report", "gopher_rule_histogram"])
+def test_oracle_parity(spark, name):
+    from cleaning_web_corpus_spark.ops import gopher
+
+    sdf = gopher.QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(
+        tuple(str(r[c]) for c in cols) for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    ocols = [d[0] for d in con.execute(ORACLES[name]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(ORACLES[name]).fetchall()
+    )
+    assert srows == orows
