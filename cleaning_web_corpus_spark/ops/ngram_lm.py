@@ -1,0 +1,201 @@
+"""Distributed n-gram language-model training + held-out scoring.
+
+The reference scores perplexity with a pre-trained KenLM binary
+(/root/reference/src/processors/text_filters.py:97-120 loads the model,
+scores one row at a time); CCNet (Wenzek et al. 2020) additionally
+TRAINS those per-language n-gram LMs from the corpus itself.  This
+module is that training step re-expressed as Spark aggregations — the
+model is a (lang, context, word) trigram count relation, never a
+driver-side object:
+
+1. TRAIN — one corpus pass: explode train-split trigrams, aggregate
+   ``tri_counts(lang, ctx, w3, c)``.  Context counts and the smoothing
+   vocabulary are RE-AGGREGATIONS of ``tri_counts`` (every trigram
+   token contributes exactly one context occurrence, so
+   ``c(ctx) = sum_w3 c(ctx, w3)``) — the same one-raw-scan cascade as
+   ``events_multires_rollup``; all three model branches hang off the
+   SAME trigram-count exchange, which Catalyst deduplicates via
+   ReusedExchange (plan-asserted: the corpus is scanned once for the
+   model, once for the test split).
+2. SCORE — add-one smoothing per language over the trigram relation:
+   ``logp(w3|ctx) = ln((c(tri)+1) / (c(ctx)+V_lang))`` where ``V_lang``
+   is the language's trigram-completion vocabulary (distinct w3 in
+   train — the smoothing-mass definition, self-consistent across both
+   engines).  Held-out docs (``doc_id % LM_TEST_MOD == 0``) aggregate
+   ``nll = -sum(m * logp) / sum(m)`` over their trigram multiplicities.
+
+Scale notes (100 TB): the trigram model is corpus-sized — it is NOT
+collected or broadcast (contrast the bounded NB vocab, ops/corpus.py);
+scoring shuffle-joins test trigrams against it on (lang, ctx, w3), the
+partition key both sides already carry from their aggregations.  Only
+the |langs|-row V table is broadcast.  Split is deterministic
+(doc_id mod — same convention as the NB classifier), so the job is
+re-runnable per partition with no RNG state.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+LM_TEST_MOD = 5  # doc_id % 5 == 0 -> held-out test split (matches NB)
+
+
+def _trigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, ctx, w3) — one row per trigram TOKEN.
+
+    Docs with fewer than 3 words contribute nothing (filtered BEFORE
+    the sequence() so its bounds stay non-decreasing).
+    """
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)").alias("w"),
+    ).filter(F.size("w") >= 3)
+    return base.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "explode(transform(sequence(1, size(w) - 2), i -> named_struct("
+            "'ctx', concat(element_at(w, i), ' ', element_at(w, i + 1)),"
+            "'w3', element_at(w, i + 2))))"
+        ).alias("g"),
+    ).select("doc_id", "lang", F.col("g.ctx").alias("ctx"), F.col("g.w3").alias("w3"))
+
+
+def _scored(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-held-out-doc (doc_id, lang, n_trigrams, nll-unrounded).
+
+    The model relation is consumed at three granularities — (lang, ctx,
+    w3) for trigram hits, (lang, ctx) for context mass, (lang) for the
+    smoothing vocabulary — and an unseen test trigram still needs the
+    coarser levels, so the three derivations cannot collapse into one
+    join.  A lazy DAG would therefore recompute the corpus-scale
+    trigram aggregation three times (per-branch column pruning makes
+    the subtrees non-identical, defeating ReusedExchange — measured:
+    4 corpus scans).  The model is persisted instead: computed ONCE,
+    re-read by all three branches (2 corpus scans total,
+    plan-asserted).  This mirrors what CCNet actually does — the
+    trained LM is materialized, not re-derived per use; in production
+    the persist becomes a table write + read-back so the model is also
+    a lineage/resume point.  The cache is reclaimed by Spark's
+    ContextCleaner once the result DataFrame is dropped.
+    """
+    tg = _trigrams(t(spark, sf, "documents"))
+    is_test = F.col("doc_id") % LM_TEST_MOD == 0
+
+    from pyspark import StorageLevel
+
+    tri_counts = (
+        tg.filter(~is_test)
+        .groupBy("lang", "ctx", "w3")
+        .agg(F.count(F.lit(1)).alias("c"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ctx_counts = tri_counts.groupBy("lang", "ctx").agg(F.sum("c").alias("cc"))
+    vstats = tri_counts.groupBy("lang").agg(
+        F.countDistinct("w3").alias("v")
+    )
+
+    test = (
+        tg.filter(is_test)
+        .groupBy("doc_id", "lang", "ctx", "w3")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    return (
+        test.join(tri_counts, ["lang", "ctx", "w3"], "left")
+        .join(ctx_counts, ["lang", "ctx"], "left")
+        .join(F.broadcast(vstats), "lang")
+        .withColumn(
+            "term",
+            F.col("m")
+            * F.log(
+                (F.coalesce("c", F.lit(0)) + 1)
+                / (F.coalesce("cc", F.lit(0)) + F.col("v"))
+            ),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("m").cast("long").alias("n_trigrams"),
+            (-F.sum("term") / F.sum("m")).alias("_nll"),
+        )
+    )
+
+
+def ngram_lm_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Held-out per-document trigram negative log-likelihood."""
+    return _scored(spark, sf).select(
+        "doc_id", "lang", "n_trigrams", F.round("_nll", 4).alias("nll")
+    )
+
+
+def ngram_lm_lang_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language model-quality rollup: held-out doc count, mean nll.
+
+    The monitoring twin — CCNet gates each language's corpus on this
+    number before bucketing.
+    """
+    return (
+        _scored(spark, sf)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("_nll"), 4).alias("mean_nll"),
+        )
+    )
+
+
+# --- DuckDB oracles -----------------------------------------------------------
+
+_SQL_SCORED = f"""
+        WITH tg AS (
+            SELECT doc_id, lang,
+                   unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w)-1)]) AS ctx,
+                   unnest([w[i+2] for i in range(1, len(w)-1)]) AS w3
+            FROM (SELECT doc_id, lang,
+                         regexp_extract_all(lower(text), '{TOKEN_RE}') AS w
+                  FROM documents)
+            WHERE len(w) >= 3
+        ),
+        tri AS (
+            SELECT lang, ctx, w3, COUNT(*) AS c FROM tg
+            WHERE doc_id % {LM_TEST_MOD} != 0 GROUP BY lang, ctx, w3
+        ),
+        ctxc AS (SELECT lang, ctx, SUM(c) AS cc FROM tri GROUP BY lang, ctx),
+        vst AS (SELECT lang, COUNT(DISTINCT w3) AS v FROM tri GROUP BY lang),
+        test AS (
+            SELECT doc_id, lang, ctx, w3, COUNT(*) AS m FROM tg
+            WHERE doc_id % {LM_TEST_MOD} = 0 GROUP BY doc_id, lang, ctx, w3
+        )
+        SELECT te.doc_id, te.lang,
+               SUM(m)::BIGINT AS n_trigrams,
+               -SUM(m * ln((COALESCE(tr.c, 0) + 1)
+                           / (COALESCE(cx.cc, 0) + v)::DOUBLE)) / SUM(m) AS _nll
+        FROM test te
+        LEFT JOIN tri tr ON tr.lang = te.lang AND tr.ctx = te.ctx AND tr.w3 = te.w3
+        LEFT JOIN ctxc cx ON cx.lang = te.lang AND cx.ctx = te.ctx
+        JOIN vst ON vst.lang = te.lang
+        GROUP BY te.doc_id, te.lang
+"""
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ngram_lm_scores": ngram_lm_scores,
+    "ngram_lm_lang_stats": ngram_lm_lang_stats,
+}
+
+ORACLES: Dict[str, str] = {
+    "ngram_lm_scores": f"""
+        WITH s AS ({_SQL_SCORED})
+        SELECT doc_id, lang, n_trigrams, ROUND(_nll, 4) AS nll FROM s
+    """,
+    "ngram_lm_lang_stats": f"""
+        WITH s AS ({_SQL_SCORED})
+        SELECT lang, COUNT(*)::BIGINT AS n_docs,
+               ROUND(AVG(_nll), 4) AS mean_nll
+        FROM s GROUP BY lang
+    """,
+}

@@ -1,0 +1,96 @@
+"""Distributed trigram-LM training + held-out scoring tests."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.ngram_lm import (
+    LM_TEST_MOD,
+    ORACLES,
+    QUERIES,
+    _trigrams,
+    ngram_lm_scores,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_trigram_extraction(spark):
+    df = spark.createDataFrame(
+        [(1, "en", "a b c d"), (2, "en", "x y"), (3, "en", "")],
+        "doc_id long, lang string, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.ctx, r.w3) for r in _trigrams(df).collect()
+    )
+    # < 3 words contributes nothing; 4 words -> 2 trigrams
+    assert rows == [(1, "a b", "c"), (1, "b c", "d")]
+
+
+def test_scoring_matches_hand_computation(spark):
+    # train: docs 1..4 (ids not divisible by LM_TEST_MOD); test: doc 5
+    train_text = "a b c"
+    df = spark.createDataFrame(
+        [(i, "en", train_text) for i in (1, 2, 3, 4)]
+        + [(LM_TEST_MOD, "en", "a b c a b d")],
+        "doc_id long, lang string, text string",
+    )
+    import cleaning_web_corpus_spark.ops.ngram_lm as m
+
+    orig_t = m.t
+    m.t = lambda spark, sf, name: df  # route the table loader to the fixture
+    try:
+        out = {r.doc_id: r for r in m.ngram_lm_scores(spark, SF).collect()}
+    finally:
+        m.t = orig_t
+    # model: c('a b','c') = 4; c('a b') = 4; V = |{c}| = 1
+    # test trigrams of 'a b c a b d': (a b, c) hit, (b c, a) miss,
+    # (c a, b) miss, (a b, d) miss-within-seen-ctx
+    p_hit = (4 + 1) / (4 + 1)          # ln 1 = 0
+    p_ctx_miss = (0 + 1) / (0 + 1)     # unseen ctx: (0+1)/(0+V) = 1
+    p_tri_miss = (0 + 1) / (4 + 1)     # seen ctx, unseen w3
+    nll = -(math.log(p_hit) + 2 * math.log(p_ctx_miss) + math.log(p_tri_miss)) / 4
+    row = out[LM_TEST_MOD]
+    assert row.n_trigrams == 4
+    assert row.nll == pytest.approx(round(nll, 4), abs=1e-4)
+
+
+def test_plan_two_scans_model_cached_no_python(spark):
+    df = ngram_lm_scores(spark, SF)
+    df.count()  # populate the model cache so the executed plan is final
+    import contextlib
+    from io import StringIO
+
+    buf = StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    nodes = [
+        line.split(maxsplit=2)[1]
+        for line in plan.splitlines()
+        if line.strip().startswith("(")
+    ]
+    assert nodes.count("Scan") == 2, nodes  # train (inside cache) + test
+    assert nodes.count("InMemoryTableScan") == 3  # tri/ctx/vocab branches
+    assert not any("Python" in n for n in nodes)
+
+
+@pytest.mark.parametrize("name", ["ngram_lm_scores", "ngram_lm_lang_stats"])
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ocols = [d[0] for d in con.execute(ORACLES[name]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(ORACLES[name]).fetchall()
+    )
+    assert srows == orows
+    assert len(srows) > 0
