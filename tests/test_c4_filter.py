@@ -1,0 +1,73 @@
+"""C4 line-filter tests: rule semantics on handcrafted pages, plan
+shape, and oracle parity of the synthetic-page driver queries."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.c4_filter import (
+    ORACLES,
+    QUERIES,
+    c4_clean_lines,
+    c4_clean_report,
+)
+
+SF = "/root/testdata/sf0.001"
+
+PAGES = [
+    # (id, page, expect_dropped, expected kept lines)
+    (
+        1,
+        "the quick brown fox runs.\nno terminal punct here\n"
+        'he said "stop right there!"\nshort.\n'
+        "please enable javascript now.\nwe use cookie banners here.",
+        False,
+        ["the quick brown fox runs.", 'he said "stop right there!"'],
+    ),
+    (2, "anything at all.\nlorem ipsum dolor sit amet.", True, []),
+    (3, "var f = function() { return 1; };", True, []),
+    (4, "", False, []),
+]
+
+
+def test_line_and_page_rules(spark):
+    df = spark.createDataFrame(
+        [(i, p) for i, p, _, _ in PAGES], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in c4_clean_lines(df).collect()}
+    for i, _, dropped, kept in PAGES:
+        assert out[i].page_dropped == dropped, i
+        if dropped:
+            assert out[i].clean_text is None and out[i].n_kept == 0
+        else:
+            got = out[i].clean_text.split("\n") if out[i].clean_text else []
+            assert got == kept, (i, got)
+            assert out[i].n_kept == len(kept)
+
+
+def test_report_single_scan_no_python(spark):
+    plan = (
+        c4_clean_report(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+@pytest.mark.parametrize("name", ["c4_clean_report", "c4_drop_stats"])
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ocols = [d[0] for d in con.execute(ORACLES[name]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(ORACLES[name]).fetchall()
+    )
+    assert srows == orows and len(srows) > 0
