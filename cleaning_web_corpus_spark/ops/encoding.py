@@ -1,0 +1,150 @@
+"""Encoding-anomaly detection (mojibake / decode-error triage).
+
+Web-scale ingestion pipelines gate documents on three decode-health
+signals before any quality model sees them (the ftfy / CCNet
+preprocessing step; the reference inherits clean UTF-8 from trafilatura
+and never re-checks — this is the missing guard):
+
+* U+FFFD replacement characters — the decoder already gave up;
+* classic UTF-8-read-as-Latin-1 mojibake bigrams (``Ã©``, ``â€™`` …);
+* C0 control characters other than tab/newline/carriage-return.
+
+All three are single ``regexp_count`` expressions — zero Python, one
+scan.  The driver corpus is pure ASCII, so the driver queries INJECT
+anomalies on deterministic doc_id residues (same synthesis move as the
+C4 pages, mirrored literally in the DuckDB oracle) — every detector
+fires on a known subset and the hash check covers injection + detection.
+
+Scale notes (100 TB): per-row counters only; the rollup is one tiny
+partial+final aggregate on (lang).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+# Detection patterns (literal-unicode regexes — identical semantics in
+# Java regex and RE2).
+_FFFD_RE = "�"
+_MOJIBAKE_RE = "(Ã[©¢¤°»¼±])|(â€[™œ¦“])"
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+# Injection residues for the synthetic driver corpus.
+_RES_FFFD, _RES_MOJI, _RES_CTRL = 11, 13, 17
+_FFFD_TOKEN = " bad�decode"
+_MOJI_TOKEN = " cafÃ© donâ€™t"
+_CTRL_TOKEN = " ctlchr"
+
+
+def with_encoding_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append n_fffd / n_mojibake / n_ctrl counters + encoding_clean."""
+    c = F.col(text_col)
+    return (
+        df.withColumn("n_fffd", F.regexp_count(c, F.lit(_FFFD_RE)).cast("long"))
+        .withColumn(
+            "n_mojibake", F.regexp_count(c, F.lit(_MOJIBAKE_RE)).cast("long")
+        )
+        .withColumn("n_ctrl", F.regexp_count(c, F.lit(_CTRL_RE)).cast("long"))
+        .withColumn(
+            "encoding_clean",
+            (F.col("n_fffd") + F.col("n_mojibake") + F.col("n_ctrl")) == 0,
+        )
+    )
+
+
+def _synthetic_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """documents with anomalies injected on deterministic residues."""
+    doc = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(doc % _RES_FFFD == 0, F.lit(_FFFD_TOKEN)).otherwise(F.lit("")),
+        F.when(doc % _RES_MOJI == 0, F.lit(_MOJI_TOKEN)).otherwise(F.lit("")),
+        F.when(doc % _RES_CTRL == 0, F.lit(_CTRL_TOKEN)).otherwise(F.lit("")),
+    )
+    return t(spark, sf, "documents").select(
+        "doc_id", "lang", injected.alias("text")
+    )
+
+
+def encoding_anomaly_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document decode-health counters over the injected corpus."""
+    return with_encoding_flags(_synthetic_docs(spark, sf)).select(
+        "doc_id", "lang", "n_fffd", "n_mojibake", "n_ctrl", "encoding_clean"
+    )
+
+
+def encoding_anomaly_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language rollup: docs affected per signal + clean rate."""
+    return (
+        encoding_anomaly_report(spark, sf)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_fffd") > 0).cast("long")).alias("docs_fffd"),
+            F.sum((F.col("n_mojibake") > 0).cast("long")).alias("docs_mojibake"),
+            F.sum((F.col("n_ctrl") > 0).cast("long")).alias("docs_ctrl"),
+            F.round(
+                F.sum(F.col("encoding_clean").cast("long"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("clean_rate"),
+        )
+    )
+
+
+# --- DuckDB oracles -----------------------------------------------------------
+
+# chr() keeps the control byte and U+FFFD out of this source file's SQL
+# literals; the mojibake token is written with its literal characters
+# (both engines read this module's UTF-8 bytes identically).
+_SQL_INJECTED = f"""
+            SELECT doc_id, lang,
+                   text
+                   || (CASE WHEN doc_id % {_RES_FFFD} = 0
+                            THEN ' bad' || chr(65533) || 'decode' ELSE '' END)
+                   || (CASE WHEN doc_id % {_RES_MOJI} = 0
+                            THEN ' cafÃ© donâ€™t' ELSE '' END)
+                   || (CASE WHEN doc_id % {_RES_CTRL} = 0
+                            THEN ' ctl' || chr(1) || 'chr' ELSE '' END)
+                   AS text
+            FROM documents
+"""
+_SQL_REPORT = f"""
+        WITH injected AS ({_SQL_INJECTED})
+        SELECT doc_id, lang,
+               len(regexp_extract_all(text, chr(65533)))::BIGINT AS n_fffd,
+               len(regexp_extract_all(text,
+                   '(Ã[©¢¤°»¼±])|(â€[™œ¦“])'))::BIGINT AS n_mojibake,
+               len(regexp_extract_all(text,
+                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))::BIGINT AS n_ctrl,
+               (len(regexp_extract_all(text, chr(65533)))
+                + len(regexp_extract_all(text,
+                      '(Ã[©¢¤°»¼±])|(â€[™œ¦“])'))
+                + len(regexp_extract_all(text,
+                      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))) = 0
+                   AS encoding_clean
+        FROM injected
+"""
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "encoding_anomaly_report": encoding_anomaly_report,
+    "encoding_anomaly_stats": encoding_anomaly_stats,
+}
+
+ORACLES: Dict[str, str] = {
+    "encoding_anomaly_report": _SQL_REPORT,
+    "encoding_anomaly_stats": f"""
+        WITH r AS ({_SQL_REPORT})
+        SELECT lang, COUNT(*)::BIGINT AS n_docs,
+               SUM((n_fffd > 0)::INT)::BIGINT AS docs_fffd,
+               SUM((n_mojibake > 0)::INT)::BIGINT AS docs_mojibake,
+               SUM((n_ctrl > 0)::INT)::BIGINT AS docs_ctrl,
+               ROUND(SUM(encoding_clean::INT) / COUNT(*)::DOUBLE, 4) AS clean_rate
+        FROM r GROUP BY lang
+    """,
+}

@@ -1,0 +1,66 @@
+"""Encoding-anomaly detector tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.encoding import (
+    ORACLES,
+    QUERIES,
+    with_encoding_flags,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_detector_semantics(spark):
+    rows = [
+        (1, "perfectly clean ascii text"),
+        (2, "decoder gave up � here � twice"),
+        (3, "cafÃ© and donâ€™t"),  # cafÃ© donâ€™t
+        (4, "bell\x07and null\x00chars"),
+        (5, "tabs\tand\nnewlines\rare fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in with_encoding_flags(df).collect()}
+    assert out[1].encoding_clean and out[5].encoding_clean
+    assert out[2].n_fffd == 2 and not out[2].encoding_clean
+    assert out[3].n_mojibake == 2 and not out[3].encoding_clean
+    assert out[4].n_ctrl == 2 and not out[4].encoding_clean
+
+
+def test_report_single_scan_no_python(spark):
+    plan = (
+        QUERIES["encoding_anomaly_report"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+@pytest.mark.parametrize(
+    "name", ["encoding_anomaly_report", "encoding_anomaly_stats"]
+)
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ocols = [d[0] for d in con.execute(ORACLES[name]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(ORACLES[name]).fetchall()
+    )
+    assert srows == orows and len(srows) > 0
+    # every detector fires somewhere (injection is non-degenerate)
+    if name == "encoding_anomaly_report":
+        import collections
+
+        idx = {c: i for i, c in enumerate(cols)}
+        for col in ("n_fffd", "n_mojibake", "n_ctrl"):
+            assert any(int(r[idx[col]]) > 0 for r in srows), col
