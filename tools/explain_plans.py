@@ -69,6 +69,10 @@ PLAN_QUERIES = [
     "url_canonical_dedup",
     "media_resize_plan",
     "video_frame_manifest",
+    "gopher_quality_report",
+    "ngram_lm_scores",
+    "c4_clean_report",
+    "encoding_anomaly_report",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
