@@ -1,0 +1,177 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
+
+Selects raw-corpus documents that look like a target domain by scoring
+each document under a hashed-n-gram bag-of-words importance weight:
+
+    log w(x) = sum over features f of  [ log p_target(f) - log p_raw(f) ]
+
+Features are word bigrams hashed into ``DSIR_K`` buckets; the two
+distributions are add-one-smoothed bucket frequencies estimated from a
+deterministic target slice (``doc_id % DSIR_TARGET_MOD == 0`` — the
+same synthetic-split move as ``ops/ngram_lm``'s held-out scoring) and
+from the remaining raw documents.
+
+Execution shape (the eager train-then-inline pattern of the NB
+classifier and the IVF quantizer, ops/corpus.py / ops/ann.py):
+
+* TRAIN pass: one scan explodes hashed bigram buckets and aggregates
+  per-bucket (target, raw) counts — the result is <= DSIR_K rows, a
+  bounded driver collect exactly like IVF's training sample.  Bucket
+  log-ratios are quantized to MICRO units (1e-6) as BIGINTs on the
+  driver.
+* SCORE pass: one scan of the raw split, a BROADCAST join onto the
+  <= DSIR_K-row quantized model, and a per-document integer SUM.
+  Integer micro-units make the per-document sum exactly associative —
+  the gate hash cannot drift with Spark's aggregation order (the
+  float-sum trap the NB classifier avoids by staying integer-only).
+  Quantization uses floor(x * 1e6 + 0.5) in BOTH engines, sidestepping
+  the Python-banker's vs SQL half-away-from-zero rounding mismatch.
+
+At 100 TB: the model is K rows however big the corpus is; both passes
+are single-shuffle aggregations with map-side combine; nothing joins
+anything corpus-sized.
+
+Reference scope: the reference has no data-selection stage — this op
+is part of the build contract's training-data extensions (quality
+scoring family).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+DSIR_K = 512  # hashed feature buckets (10^4+ at corpus scale)
+DSIR_TARGET_MOD = 10  # doc_id % MOD == 0 -> target-domain slice
+_MICRO = 1_000_000
+
+
+def _feats(df: DataFrame) -> DataFrame:
+    """(doc_id, is_t, b) — one row per hashed-bigram occurrence.
+    Documents with < 2 tokens carry no bigram and are out of scope
+    (mirrored by ``len(w) >= 2`` in the oracle)."""
+    toks = df.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)").alias("w"),
+    ).filter(F.size("w") >= 2)
+    buckets = F.expr(
+        "transform(sequence(1, size(w) - 1), i -> cast(conv(substr("
+        "md5(concat(element_at(w, i), ' ', element_at(w, i + 1))), 1, 13),"
+        f" 16, 10) as bigint) % {DSIR_K})"
+    )
+    return toks.select(
+        "doc_id",
+        (F.col("doc_id") % DSIR_TARGET_MOD == 0).alias("is_t"),
+        F.explode(buckets).alias("b"),
+    )
+
+
+def dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-raw-document importance weight in integer micro-log units."""
+    feats = _feats(t(spark, sf, "documents"))
+    counts = (
+        feats.groupBy("b")
+        .agg(
+            F.sum(F.col("is_t").cast("long")).alias("ct"),
+            F.sum((~F.col("is_t")).cast("long")).alias("cr"),
+        )
+        .collect()
+    )
+    tt = sum(r["ct"] for r in counts)
+    tr = sum(r["cr"] for r in counts)
+    model_rows = [
+        (
+            r["b"],
+            int(
+                math.floor(
+                    (
+                        math.log((r["ct"] + 1) / (tt + DSIR_K))
+                        - math.log((r["cr"] + 1) / (tr + DSIR_K))
+                    )
+                    * _MICRO
+                    + 0.5
+                )
+            ),
+        )
+        for r in counts
+    ]
+    model = spark.createDataFrame(model_rows, "b bigint, lrm bigint")
+    return (
+        feats.filter(~F.col("is_t"))
+        .join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("lrm").alias("logw_micro"),
+        )
+    )
+
+
+def dsir_selection_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus rollup: how much of the raw split DSIR would select
+    (positive weight = more target-like than raw-like)."""
+    r = dsir_importance_weights(spark, sf)
+    return r.agg(
+        F.count(F.lit(1)).alias("n_docs_scored"),
+        F.sum((F.col("logw_micro") > 0).cast("long")).alias("n_selected"),
+        F.sum("n_feats").alias("n_feats"),
+        F.round(
+            F.sum("logw_micro") / F.count(F.lit(1)).cast("double") / _MICRO, 4
+        ).alias("avg_logw"),
+    )
+
+
+# --- DuckDB oracles -----------------------------------------------------------
+
+_SQL_WEIGHTS = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS w
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, doc_id % {DSIR_TARGET_MOD} = 0 AS is_t,
+               ('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 13))::BIGINT
+                   % {DSIR_K} AS b
+        FROM toks, UNNEST(range(1, len(w))) AS u(i)
+        WHERE len(w) >= 2
+    ),
+    counts AS (
+        SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS ct,
+               SUM(CASE WHEN NOT is_t THEN 1 ELSE 0 END)::BIGINT AS cr
+        FROM feats GROUP BY b
+    ),
+    tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM counts),
+    model AS (
+        SELECT b, CAST(FLOOR((ln((ct + 1) / (tt + {DSIR_K})::DOUBLE)
+                            - ln((cr + 1) / (tr + {DSIR_K})::DOUBLE))
+                            * {_MICRO} + 0.5) AS BIGINT) AS lrm
+        FROM counts, tot
+    )
+    SELECT doc_id, COUNT(*)::BIGINT AS n_feats, SUM(lrm)::BIGINT AS logw_micro
+    FROM feats JOIN model USING (b)
+    WHERE NOT is_t GROUP BY doc_id
+"""
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dsir_importance_weights": dsir_importance_weights,
+    "dsir_selection_stats": dsir_selection_stats,
+}
+
+ORACLES: Dict[str, str] = {
+    "dsir_importance_weights": _SQL_WEIGHTS,
+    "dsir_selection_stats": f"""
+        WITH r AS ({_SQL_WEIGHTS})
+        SELECT COUNT(*)::BIGINT AS n_docs_scored,
+               SUM((logw_micro > 0)::INT)::BIGINT AS n_selected,
+               SUM(n_feats)::BIGINT AS n_feats,
+               ROUND(SUM(logw_micro) / COUNT(*)::DOUBLE / {_MICRO}, 4)
+                   AS avg_logw
+        FROM r
+    """,
+}

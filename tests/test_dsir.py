@@ -1,0 +1,79 @@
+"""DSIR importance-weight tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.dsir import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def fixture_sf(spark, tmp_path_factory):
+    """A tiny documents table where the target slice (doc_id % 10 == 0)
+    speaks a distinctive vocabulary, written as <dir>/documents.parquet
+    so the queries run over it unchanged."""
+    d = tmp_path_factory.mktemp("dsir_sf")
+    tgt = "alpha beta gamma delta " * 6
+    raw_like_tgt = "alpha beta gamma delta " * 5
+    raw_unlike = "zebra yak xylo walrus vole " * 5
+    rows = (
+        [(i * 10, tgt) for i in range(4)]  # targets: 0,10,20,30
+        + [(1, raw_like_tgt), (2, raw_like_tgt)]
+        + [(3, raw_unlike), (4, raw_unlike)]
+    )
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+def test_target_like_docs_score_higher(spark, fixture_sf):
+    out = {
+        r.doc_id: r.logw_micro
+        for r in QUERIES["dsir_importance_weights"](spark, fixture_sf).collect()
+    }
+    # only the raw split is scored
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1] == out[2] and out[3] == out[4]
+    assert out[1] > 0 > out[3]
+
+
+def test_stats_counts_selected(spark, fixture_sf):
+    row = QUERIES["dsir_selection_stats"](spark, fixture_sf).collect()[0]
+    assert row.n_docs_scored == 4 and row.n_selected == 2
+
+
+def test_score_plan_broadcast_no_python(spark):
+    plan = (
+        QUERIES["dsir_importance_weights"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # K-row model ships to executors
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    cur = con.execute(ORACLES[name])
+    ocols = [d[0] for d in cur.description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols) for row in cur.fetchall()
+    )
+    assert srows == orows and len(srows) > 0
+    if name == "dsir_importance_weights":
+        idx = {c: i for i, c in enumerate(cols)}
+        vals = [int(r[idx["logw_micro"]]) for r in srows]
+        # weights spread both ways — the split is non-degenerate
+        assert max(vals) > 0 > min(vals)

@@ -1,0 +1,88 @@
+"""Cross-document duplicated-substring span tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.substr_dup import (
+    ORACLES,
+    QUERIES,
+    SUB_W,
+    substring_dup_spans,
+)
+
+SF = "/root/testdata/sf0.001"
+
+_SHARED = "the quick brown fox jumps over the lazy sleeping dog tonight"  # 11 tokens
+_INTERNAL = "purple monkey dishwasher sings jazz under neon moonlight rain"  # 9 tokens
+
+
+def _salad(seed: str, n: int) -> str:
+    return " ".join(f"{seed}{i}" for i in range(n))
+
+
+def test_span_semantics(spark):
+    rows = [
+        # docs 1+2 share an 11-token phrase (4 windows at w=8), padded
+        # with per-doc unique salad so boundary windows are unique
+        (1, _salad("a", 10) + " " + _SHARED + " " + _salad("b", 10)),
+        (2, _salad("c", 10) + " " + _SHARED + " " + _salad("d", 10)),
+        # doc 3 repeats a phrase only WITHIN itself -> not cross-doc
+        (3, _INTERNAL + " " + _salad("e", 5) + " " + _INTERNAL),
+        # doc 4: too short for any window
+        (4, "tiny doc"),
+        # doc 5: unique text, no duplication
+        (5, _salad("f", 40)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in substring_dup_spans(df).collect()}
+
+    assert out[1].n_dup_windows == 11 - SUB_W + 1 == out[2].n_dup_windows
+    assert out[1].n_spans == 1 and out[1].max_span_windows == 4
+    # within-doc repetition needs >= 2 DISTINCT docs
+    assert out[3].n_dup_windows == 0
+    assert out[4].n_windows == 0 and out[4].dup_fraction is None
+    assert out[5].n_dup_windows == 0 and out[5].dup_fraction == 0.0
+
+
+def test_flood_cap(spark):
+    # the same window in 4 docs; cap at 3 bucket rows drops it
+    rows = [(i, _SHARED + " " + _salad(f"s{i}", 10)) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = substring_dup_spans(df, max_bucket=3).collect()
+    assert all(r.n_dup_windows == 0 for r in capped)
+    uncapped = substring_dup_spans(df).collect()
+    assert all(r.n_dup_windows > 0 for r in uncapped)
+
+
+def test_plan_no_python_two_scans(spark):
+    plan = (
+        QUERIES["substring_dup_report"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("Scan parquet") == 2  # stats branch + explode branch
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    cur = con.execute(ORACLES[name])
+    ocols = [d[0] for d in cur.description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols) for row in cur.fetchall()
+    )
+    assert srows == orows and len(srows) > 0
+    # the corpus's planted near-dup twins make the report non-degenerate
+    if name == "substring_dup_report":
+        idx = {c: i for i, c in enumerate(cols)}
+        assert any(int(r[idx["n_dup_windows"]]) > 0 for r in srows)
+        assert any(int(r[idx["max_span_windows"]]) >= 10 for r in srows)

@@ -73,6 +73,8 @@ PLAN_QUERIES = [
     "ngram_lm_scores",
     "c4_clean_report",
     "encoding_anomaly_report",
+    "substring_dup_report",
+    "dsir_importance_weights",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
@@ -124,6 +126,17 @@ the plan shape, which is window-invariant.)
   tasks; at 10^9 edges the same derivation widens the shuffles back to
   cluster width. The candidate generation (minhash_lsh_candidates,
   benched separately ~1 s) is re-paid inside this entry.
+- `substring_dup_report` (~2.6 s): the distributed ExactSubstr
+  blocking pass — every 8-token window hash of every document is
+  exploded (O(total tokens) rows), shuffled once on the window hash
+  for the collect_list bucket grouping, once on doc_id for the span
+  merge; plus the second (stats) scan. The explode volume is the
+  irreducible cost of suffix-array-free substring dedup; zero Python.
+  A plain posexplode here ran 60x slower: Catalyst infers a
+  size(wins) > 0 filter below the projections and inlines the
+  tokenize+md5+fold subtree per fold term — posexplode_outer plus a
+  cheap filter on the generated column kills the inference
+  (ops/substr_dup.py docstring).
 """
 
 
