@@ -137,6 +137,12 @@ the plan shape, which is window-invariant.)
   tokenize+md5+fold subtree per fold term — posexplode_outer plus a
   cheap filter on the generated column kills the inference
   (ops/substr_dup.py docstring).
+- `dsir_importance_weights` (~2.6 s): TRAIN + SCORE in one entry — the
+  bounded K-row bucket-count collect (one corpus-scan aggregate) plus
+  the broadcast-model scoring scan. Two corpus scans and three job
+  launches at this sf; the model is 512 rows whatever the corpus size,
+  so at 100 TB both passes are single-shuffle map-side-combine
+  aggregations (the NB/IVF eager-training pattern, ops/dsir.py).
 """
 
 
