@@ -504,6 +504,69 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     return connected_components(spark, minhash_lsh_candidates(spark, sf))
 
 
+def _verified_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Components over the VERIFIED near-dup graph: LSH candidates that
+    also pass the full signature-agreement check (``near_dup``) — the
+    production edge set (banding alone admits band-collision false
+    positives that would over-merge components)."""
+    verified = minhash_candidate_jaccard(spark, sf).filter(F.col("near_dup"))
+    return connected_components(spark, verified)
+
+
+def fuzzy_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end fuzzy dedup over the WHOLE corpus: every document
+    gets its verified-near-dup component id (its own id when it has no
+    near-dup) and a keep/drop decision under the min-id survivor rule —
+    the relation a trainer joins on to materialize the deduped corpus.
+
+    Composition: shingle -> MinHash signatures -> banded LSH candidates
+    -> in-bucket signature verification -> connected components ->
+    left join back to documents. The join-back side is only the docs
+    that appear in >= 1 verified pair (tiny vs the corpus), so at scale
+    it broadcasts; everything corpus-sized is touched exactly once.
+    """
+    comp = _verified_components(spark, sf)
+    docs = t(spark, sf, "documents").select("doc_id")
+    return docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component_id", F.col("doc_id")).alias("component_id"),
+        F.coalesce("is_canonical", F.lit(True)).alias("keep"),
+    )
+
+
+# component-keyed split hashing: 100 buckets, 90/5/5
+SPLIT_BUCKETS = 100
+SPLIT_TRAIN_LT = 90  # bucket < 90 -> train
+SPLIT_VAL_LT = 95  # bucket < 95 -> val, else test
+
+
+def component_safe_splits(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is hashed from
+    the verified-near-dup COMPONENT id, not the document id, so two
+    near-duplicate documents can never straddle splits (the eval-set
+    contamination mode that survives document-keyed hashing — cf. the
+    decontamination operator, which catches only eval N-GRAMS, not
+    near-duplicate train/eval twins).
+
+    Singleton documents hash their own id (== their component id), so
+    the assignment stays deterministic and uniform; the md5-derived
+    bucket is the same portable draw as ``stratified_sample``.
+    """
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(component_id as string)), 1, 13), 16, 10)"
+        f" as bigint) % {SPLIT_BUCKETS}"
+    )
+    return fuzzy_dedup_survivors(spark, sf).select(
+        "doc_id",
+        "component_id",
+        bucket.alias("bucket"),
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": exact_dedup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -514,6 +577,8 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dups": simhash_near_dups,
     "decontamination_report": decontamination_report,
     "dedup_components": dedup_components,
+    "fuzzy_dedup_survivors": fuzzy_dedup_survivors,
+    "component_safe_splits": component_safe_splits,
 }
 
 _SQL_SHINGLES = f"""
@@ -718,3 +783,49 @@ ORACLES: Dict[str, str] = {
 ORACLES["dedup_components"] = ORACLES["dedup_components"].replace(
     "{LSH}", ORACLES["minhash_lsh_candidates"]
 )
+
+# survivors / splits: transitive closure over the VERIFIED edge set
+# (the full minhash_candidate_jaccard oracle spliced in, filtered to
+# near_dup), left-joined onto the whole corpus
+_SQL_SURVIVORS_BODY = """
+        cand AS ({CAND}),
+        edges AS (SELECT doc_a, doc_b FROM cand WHERE near_dup),
+        bidir AS (
+            SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges
+        ),
+        reach(src, node) AS (
+            SELECT a, a FROM bidir
+            UNION
+            SELECT r.src, b.b FROM reach r JOIN bidir b ON b.a = r.node
+        ),
+        comp AS (
+            SELECT src AS doc_id, MIN(node) AS component_id
+            FROM reach GROUP BY src
+        ),
+        surv AS (
+            SELECT d.doc_id,
+                   COALESCE(c.component_id, d.doc_id) AS component_id,
+                   COALESCE(d.doc_id = c.component_id, TRUE) AS keep
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+        )
+""".replace("{CAND}", ORACLES["minhash_candidate_jaccard"])
+
+ORACLES["fuzzy_dedup_survivors"] = f"""
+    WITH RECURSIVE {_SQL_SURVIVORS_BODY}
+    SELECT doc_id, component_id, keep FROM surv
+"""
+
+ORACLES["component_safe_splits"] = f"""
+    WITH RECURSIVE {_SQL_SURVIVORS_BODY}
+    SELECT doc_id, component_id, bucket,
+           CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+                WHEN bucket < {SPLIT_VAL_LT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, component_id,
+               ('0x' || substr(md5(component_id::VARCHAR), 1, 13))::BIGINT
+                   % {SPLIT_BUCKETS} AS bucket
+        FROM surv
+    )
+"""

@@ -151,3 +151,48 @@ def test_minhash_candidate_jaccard_verification_stage(spark, tmp_path):
     )
     assert "EvalPython" not in plan
     assert plan.count("Scan parquet") == 1, plan  # matches FileScan too
+
+
+def test_fuzzy_dedup_survivors_full_corpus(spark):
+    """Every document appears exactly once; keep == min-id survivor
+    rule; singletons are their own component and always kept."""
+    from cleaning_web_corpus_spark.ops.dedup import (
+        fuzzy_dedup_survivors,
+        minhash_candidate_jaccard,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = fuzzy_dedup_survivors(spark, sf).collect()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert all(r.keep == (r.doc_id == r.component_id) for r in rows)
+    # one survivor per component
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, []).append(r)
+    assert all(sum(m.keep for m in ms) == 1 for ms in by_comp.values())
+    # verified near-dups were actually merged (corpus plants twins)
+    verified = (
+        minhash_candidate_jaccard(spark, sf).filter(F.col("near_dup")).collect()
+    )
+    assert verified, "fixture corpus should contain verified near-dups"
+    comp_of = {r.doc_id: r.component_id for r in rows}
+    assert all(comp_of[p.doc_a] == comp_of[p.doc_b] for p in verified)
+
+
+def test_component_safe_splits_no_leakage(spark):
+    """No verified near-dup pair straddles train/val/test."""
+    from cleaning_web_corpus_spark.ops.dedup import (
+        component_safe_splits,
+        minhash_candidate_jaccard,
+    )
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    splits = {r.doc_id: r.split for r in component_safe_splits(spark, sf).collect()}
+    assert set(splits.values()) == {"train", "val", "test"}
+    pairs = (
+        minhash_candidate_jaccard(spark, sf).filter(F.col("near_dup")).collect()
+    )
+    assert all(splits[p.doc_a] == splits[p.doc_b] for p in pairs)
