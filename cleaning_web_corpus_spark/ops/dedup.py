@@ -31,7 +31,7 @@ import hashlib
 from typing import Callable, Dict, Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
@@ -567,6 +567,96 @@ def component_safe_splits(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+INC_NEW_MOD = 7  # doc_id % 7 == 0 -> the "new batch" slice
+
+
+def incremental_dedup_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup: score a NEW batch of documents against the
+    historical corpus (the daily-crawl-vs-index production shape) —
+    per new document, its best verified near-dup in the index and an
+    is_dup decision; never new-vs-new or index-vs-index pairs.
+
+    The query form derives both sides from one ``documents`` scan with
+    a deterministic residue split (``doc_id % INC_NEW_MOD == 0`` is the
+    batch — the synthetic-split move of ngram_lm/DSIR/decontam). In
+    production the index side is the PERSISTED band/signature table the
+    warehouse already stores (minhash_signatures is a committed stage),
+    so the per-batch cost is: signatures for the batch, one shuffle on
+    the band key against the index table, in-bucket scoring — nothing
+    corpus-sized is recomputed.
+
+    Plan shape: ONE signature evaluation for both sides — new and index
+    rows ride the SAME band bucket grouping (collect_list of
+    (doc_id, is_new, sigs) structs) and pairs are expanded in-bucket as
+    new x index only, so there is no asymmetric self-join to
+    re-evaluate the shingle subtree (the VERDICT r02 trap), and the
+    flood cap bounds any degenerate band bucket exactly as in
+    ``minhash_candidate_jaccard``.
+    """
+    sigs = minhash_signatures(spark, sf)
+    n_bands = N_HASHES // BAND_SIZE
+    band_arr = F.array(
+        *[
+            F.md5(F.concat(*[F.col(f"sig{j * BAND_SIZE + k}") for k in range(BAND_SIZE)]))
+            for j in range(n_bands)
+        ]
+    )
+    sig_arr = F.array(*[F.col(f"sig{i}") for i in range(N_HASHES)])
+    buckets = (
+        sigs.select(
+            "doc_id",
+            (F.col("doc_id") % INC_NEW_MOD == 0).alias("is_new"),
+            sig_arr.alias("sigs"),
+            F.posexplode(band_arr).alias("band_idx", "band_hash"),
+        )
+        .groupBy("band_idx", "band_hash")
+        .agg(
+            F.collect_list(F.struct("doc_id", "is_new", "sigs")).alias("rs")
+        )
+        .filter(F.size("rs").between(2, MAX_BUCKET))
+    )
+    pairs = F.expr(
+        "filter(flatten(transform(rs, x -> transform(rs, y ->"
+        " struct(x.doc_id AS doc_id, x.is_new AS a_new,"
+        " y.doc_id AS idx_doc, y.is_new AS b_new,"
+        " x.sigs AS sa, y.sigs AS sb)))),"
+        " p -> p.a_new AND NOT p.b_new)"
+    )
+    scored = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(
+            "p.doc_id",
+            "p.idx_doc",
+            F.expr("size(filter(zip_with(p.sa, p.sb, (x, y) -> x = y), b -> b))")
+            .cast("long")
+            .alias("n_matching"),
+        )
+        .distinct()
+        .withColumn("est_jaccard", F.round(F.col("n_matching") / N_HASHES, 4))
+    )
+    w = Window.partitionBy("doc_id")
+    best = (
+        scored.withColumn("n_candidates", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                w.orderBy(F.desc("est_jaccard"), F.asc("idx_doc"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_candidates", F.col("idx_doc").alias("matched_doc"),
+                "est_jaccard")
+    )
+    new_docs = sigs.filter(F.col("doc_id") % INC_NEW_MOD == 0).select("doc_id")
+    return new_docs.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_candidates", F.lit(0)).cast("long").alias("n_candidates"),
+        "matched_doc",
+        "est_jaccard",
+        F.coalesce(F.col("est_jaccard") * 2 >= 1, F.lit(False)).alias("is_dup"),
+    )
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "exact_dedup": exact_dedup,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -579,6 +669,7 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_components": dedup_components,
     "fuzzy_dedup_survivors": fuzzy_dedup_survivors,
     "component_safe_splits": component_safe_splits,
+    "incremental_dedup_report": incremental_dedup_report,
 }
 
 _SQL_SHINGLES = f"""
@@ -783,6 +874,60 @@ ORACLES: Dict[str, str] = {
 ORACLES["dedup_components"] = ORACLES["dedup_components"].replace(
     "{LSH}", ORACLES["minhash_lsh_candidates"]
 )
+
+ORACLES["incremental_dedup_report"] = f"""
+    WITH {_SQL_SHINGLES},
+    sigs AS (SELECT doc_id, {_SQL_SIGS} FROM shingles GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, doc_id % {INC_NEW_MOD} = 0 AS is_new,
+               0::BIGINT AS band_idx, md5(sig0 || sig1) AS band_hash FROM sigs
+        UNION ALL SELECT doc_id, doc_id % {INC_NEW_MOD} = 0, 1, md5(sig2 || sig3) FROM sigs
+        UNION ALL SELECT doc_id, doc_id % {INC_NEW_MOD} = 0, 2, md5(sig4 || sig5) FROM sigs
+        UNION ALL SELECT doc_id, doc_id % {INC_NEW_MOD} = 0, 3, md5(sig6 || sig7) FROM sigs
+    ),
+    ok_buckets AS (
+        SELECT band_idx, band_hash FROM bands
+        GROUP BY band_idx, band_hash
+        HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS idx_doc
+        FROM bands a
+        JOIN bands b USING (band_idx, band_hash)
+        JOIN ok_buckets USING (band_idx, band_hash)
+        WHERE a.is_new AND NOT b.is_new
+    ),
+    scored AS (
+        SELECT c.doc_id, c.idx_doc,
+               (CASE WHEN sa.sig0 = sb.sig0 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig1 = sb.sig1 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig2 = sb.sig2 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig3 = sb.sig3 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig4 = sb.sig4 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig5 = sb.sig5 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig6 = sb.sig6 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig7 = sb.sig7 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_matching
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.doc_id
+        JOIN sigs sb ON sb.doc_id = c.idx_doc
+    ),
+    best AS (
+        SELECT doc_id, idx_doc, n_matching,
+               ROUND(n_matching / {N_HASHES}.0, 4) AS est_jaccard,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_candidates,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY n_matching DESC, idx_doc ASC) AS rn
+        FROM scored
+    )
+    SELECT s.doc_id,
+           COALESCE(b.n_candidates, 0)::BIGINT AS n_candidates,
+           b.idx_doc AS matched_doc,
+           b.est_jaccard,
+           COALESCE(b.est_jaccard * 2 >= 1, FALSE) AS is_dup
+    FROM (SELECT doc_id FROM sigs WHERE doc_id % {INC_NEW_MOD} = 0) s
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
 
 # survivors / splits: transitive closure over the VERIFIED edge set
 # (the full minhash_candidate_jaccard oracle spliced in, filtered to

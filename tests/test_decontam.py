@@ -196,3 +196,39 @@ def test_component_safe_splits_no_leakage(spark):
         minhash_candidate_jaccard(spark, sf).filter(F.col("near_dup")).collect()
     )
     assert all(splits[p.doc_a] == splits[p.doc_b] for p in pairs)
+
+
+def test_incremental_dedup_report(spark):
+    """New-batch-vs-index scoring: only new docs reported, matches only
+    into the index split, the verified threshold drives is_dup, and the
+    plan expands pairs in-bucket (no asymmetric self-join re-evaluating
+    the shingle subtree)."""
+    from cleaning_web_corpus_spark.ops.dedup import (
+        INC_NEW_MOD,
+        N_HASHES,
+        incremental_dedup_report,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = incremental_dedup_report(spark, sf).collect()
+    assert rows and all(r.doc_id % INC_NEW_MOD == 0 for r in rows)
+    for r in rows:
+        if r.matched_doc is not None:
+            assert r.matched_doc % INC_NEW_MOD != 0  # index split only
+            assert r.is_dup == (r.est_jaccard * 2 >= 1)
+            assert 0 <= r.est_jaccard <= 1 and r.n_candidates >= 1
+        else:
+            assert r.n_candidates == 0 and not r.is_dup
+    # planted twins straddle the residue split -> non-degenerate
+    assert any(r.is_dup for r in rows)
+
+    plan = (
+        incremental_dedup_report(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    # buckets branch + the new-docs base: exactly two scans, no third
+    # subtree from a join of exploded band relations
+    assert plan.count("Scan parquet") == 2, plan
