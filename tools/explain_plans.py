@@ -75,6 +75,7 @@ PLAN_QUERIES = [
     "encoding_anomaly_report",
     "substring_dup_report",
     "dsir_importance_weights",
+    "incremental_dedup_report",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
