@@ -144,6 +144,13 @@ the plan shape, which is window-invariant.)
   launches at this sf; the model is 512 rows whatever the corpus size,
   so at 100 TB both passes are single-shuffle map-side-combine
   aggregations (the NB/IVF eager-training pattern, ops/dsir.py).
+- `fuzzy_dedup_survivors` / `component_safe_splits` (~2.4-2.8 s):
+  END-TO-END compositions — each entry re-pays MinHash candidate
+  generation + in-bucket verification + the bounded connected-
+  components rounds + the corpus join-back (splits adds one md5
+  projection on top). In production these read the PERSISTED
+  candidate/component stages; benched here as self-contained queries
+  for the oracle gate, like `dedup_components` above.
 """
 
 
