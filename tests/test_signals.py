@@ -1,0 +1,72 @@
+"""Unified quality-signals table tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.signals import (
+    ORACLES,
+    QUERIES,
+    SIGNAL_COLUMNS,
+    add_signal_columns,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_signal_families_agree_with_sources(spark):
+    """The unified builder emits the same values the per-family builders
+    emit on the same relation."""
+    from pyspark.sql import functions as F
+
+    from cleaning_web_corpus_spark.ops.encoding import with_encoding_flags
+    from cleaning_web_corpus_spark.ops.gopher import add_gopher_columns
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog and then sleeps "
+            "with all of them for hours during that afternoon nap time"),
+        (2, "decoder gave up Ã© here"),
+        (3, "menu"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uni = {r.doc_id: r for r in add_signal_columns(df).collect()}
+    gop = {r.doc_id: r for r in add_gopher_columns(df).collect()}
+    enc = {r.doc_id: r for r in with_encoding_flags(df).collect()}
+    for i in (1, 2, 3):
+        assert uni[i].n_words == gop[i].n_words
+        assert uni[i].gopher_passed == gop[i].gopher_passed
+        assert uni[i].fail_reason == gop[i].fail_reason
+        assert uni[i].n_mojibake == enc[i].n_mojibake
+        assert uni[i].encoding_clean == enc[i].encoding_clean
+    assert uni[1].quality_score >= 0.6 and uni[3].quality_score == 0.2
+
+
+def test_table_single_scan_no_python(spark):
+    df = QUERIES["quality_signals_table"](spark, SF)
+    assert df.columns == SIGNAL_COLUMNS
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    cur = con.execute(ORACLES[name])
+    ocols = [d[0] for d in cur.description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols) for row in cur.fetchall()
+    )
+    assert srows == orows and len(srows) > 0
+    if name == "quality_signals_table":
+        idx = {c: i for i, c in enumerate(cols)}
+        # every signal family fires somewhere (injection + corpus mix)
+        assert any(r[idx["encoding_clean"]] == "False" for r in srows)
+        assert any(r[idx["gopher_passed"]] == "False" for r in srows)
+        assert len({r[idx["quality_score"]] for r in srows}) >= 2
