@@ -76,6 +76,7 @@ PLAN_QUERIES = [
     "substring_dup_report",
     "dsir_importance_weights",
     "incremental_dedup_report",
+    "quality_signals_table",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
