@@ -112,3 +112,52 @@ def test_fingerprint_plan_is_udf_free(spark, tmp_path):
     for q in (rolling_fingerprints, bpe_token_stats):
         plan = q(spark, sf)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_token_regex_unicode_parity_spark_vs_duckdb(spark):
+    """The three token regexes behind the signal/token ops (BPE_RE with
+    \\p{L}/\\p{N}, WS_RE, TOKEN_RE) count identically in Java regex and
+    DuckDB RE2 across mixed-script unicode — the dialect boundary the
+    ASCII-ish driver corpus never exercises."""
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+    from cleaning_web_corpus_spark.ops.tokenize_fp import BPE_RE, WS_RE
+
+    random.seed(7)
+    pools = [
+        "abc def!", "héllo wörld", "日本語 テスト", "мир труд", "a1b2 c3",
+        "…—「」", "🙂🚀 ok", "ا ب ج", "tab\tnl\n", "ß ss", "é combining",
+        "ⅣⅤ roman", "½¾ frac",
+    ]
+    texts = [
+        "".join(random.choice(pools) for _ in range(random.randint(1, 5)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    s = {
+        r.id: (r.bpe, r.ws, r.tok)
+        for r in df.select(
+            "id",
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0))).alias("bpe"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(WS_RE), F.lit(0))).alias("ws"),
+            F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))).alias("tok"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    bpe_sql = BPE_RE.replace("'", "''")
+    o = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            f"""SELECT id, len(regexp_extract_all(text, '{bpe_sql}')),
+                       len(regexp_extract_all(text, '\\S+')),
+                       len(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+                FROM t"""
+        ).fetchall()
+    }
+    assert s == o
