@@ -35,9 +35,11 @@ from pyspark.sql import functions as F
 
 from cleaning_web_corpus_spark.ops import gopher as _g
 from cleaning_web_corpus_spark.ops.encoding import (
+    _CTRL_RE,
     _CTRL_TOKEN,
     _FFFD_TOKEN,
     _MOJI_TOKEN,
+    _MOJIBAKE_RE,
     _RES_CTRL,
     _RES_FFFD,
     _RES_MOJI,
@@ -128,8 +130,13 @@ _SQL_INJECTED_ALL = f"""
         FROM documents
 """
 
-# the gopher oracle verbatim, retargeted at the injected relation
+# the gopher oracle verbatim, retargeted at the injected relation;
+# the asserts turn a gopher-side refactor that breaks the string
+# surgery into a loud import error instead of a silent oracle that
+# scans non-injected text (hash mismatch far from its cause)
 _SQL_GOPHER_INJ = _g._SQL_REPORT.replace("FROM documents", "FROM injected")
+assert _SQL_GOPHER_INJ != _g._SQL_REPORT, "gopher oracle no longer FROM documents"
+assert "FROM documents" not in _SQL_GOPHER_INJ, "gopher oracle gained a second scan"
 
 _SQL_TABLE = f"""
     WITH injected AS ({_SQL_INJECTED_ALL}),
@@ -138,9 +145,9 @@ _SQL_TABLE = f"""
         SELECT doc_id, source, n_chars,
                len(regexp_extract_all(text, chr(65533)))::BIGINT AS n_fffd,
                len(regexp_extract_all(text,
-                   '(Ã[©¢¤°»¼±])|(â€[™œ¦“])'))::BIGINT AS n_mojibake,
+                   '{_MOJIBAKE_RE}'))::BIGINT AS n_mojibake,
                len(regexp_extract_all(text,
-                   '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]'))::BIGINT AS n_ctrl,
+                   '{_CTRL_RE}'))::BIGINT AS n_ctrl,
                len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens,
                len(regexp_extract_all(text, '{_BPE_SQL}'))::BIGINT AS bpe_tokens
         FROM injected

@@ -23,14 +23,18 @@ Plan shape (audited in tests/test_substr_dup.py):
   (a self-join on wh would re-evaluate the scan+regex+md5 subtree on
   both sides — the duplicate-subtree trap from VERDICT r02).
 * Flood cap: a degenerate window shared by everything (boilerplate at
-  corpus scale) is dropped when its bucket exceeds ``MAX_BUCKET``
-  rows, mirrored exactly in the DuckDB oracle — same contract as
-  ``ops/dedup.py``.
+  corpus scale) is pruned BEFORE materialization — a count aggregate
+  (map-side combine, constant memory) finds hashes over ``MAX_BUCKET``
+  occurrences and a broadcast anti-join drops them ahead of the
+  collect_list, so no reduce task ever holds a hot bucket (the
+  hot-shingle anti-join pattern of ``ngram_jaccard``, ops/dedup.py);
+  mirrored exactly in the DuckDB oracle.
 * Span merge is the classic gaps-and-islands window: ``pos -
   row_number()`` per document, then two aggregations that share the
   one ``doc_id`` exchange.
-* Per-document window totals come from a second (pure codegen) scan —
-  2 scans total, zero Python, like ``ngram_lm``.
+* 3 pure-codegen scans total (hot-hash count, pruned explode,
+  per-document window totals), zero Python — the count pass is the
+  price of OOM-safety on hot buckets.
 
 At 100 TB: the explode is O(total tokens) rows shuffled once on wh
 (the blocking pass every suffix-array-free dedup pays), once on
@@ -53,29 +57,22 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
-from cleaning_web_corpus_spark.ops.tokenize_fp import FP_B, FP_M
+from cleaning_web_corpus_spark.ops.tokenize_fp import (
+    FP_M,
+    _fold_sql,
+    token_hash_sql,
+)
 from cleaning_web_corpus_spark.warehouse.queries import t
 
 SUB_W = 8  # window width in tokens (Lee et al. use 50 at CC scale)
 MAX_BUCKET = 1000  # flood cap: drop window hashes shared this widely
 
 
-def _fold_sql(elem: Callable[[int], str], w: int) -> str:
-    """Karp-Rabin fold written out so both engines run byte-identical
-    BIGINT arithmetic (tokens < FP_M = 2^31-1 keeps h*B+t < 2^52)."""
-    h = elem(0)
-    for k in range(1, w):
-        h = f"(({h}) * {FP_B} + {elem(k)}) % {FP_M}"
-    return h
-
-
 def _with_windows(df: DataFrame, id_col: str, text_col: str, w: int) -> DataFrame:
     """(_id, wins) — window hashes via a two-step select so the
-    token-hash array is named once, not inlined per fold term."""
-    tok_hash = (
-        f"transform(regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0),"
-        f" tk -> cast(conv(substr(md5(tk), 1, 13), 16, 10) as bigint) % {FP_M})"
-    )
+    token-hash array is named once, not inlined per fold term.
+    Fold + token hash are tokenize_fp's, parameterized at w."""
+    tok_hash = token_hash_sql(text_col)
     fold = _fold_sql(lambda k: f"element_at(h, i + {k + 1})", w)
     fexpr = (
         f"CASE WHEN size(h) >= {w} THEN"
@@ -114,13 +111,26 @@ def substring_dup_spans(
     pairs = windowed.select(
         "_id", F.posexplode_outer("wins").alias("pos", "wh")
     ).filter(F.col("wh").isNotNull())
-    # bucket grouping: ONE wh shuffle, no join back, flood-capped
-    dup = (
+    # flood cap BEFORE materialization: a count aggregate (map-side
+    # combine, never holds a bucket in memory) finds the hot window
+    # hashes — few by construction — and a broadcast anti-join drops
+    # them before collect_list ever sees the bucket (a post-collect
+    # size() filter would first materialize a boilerplate hash's
+    # millions of positions in one reduce task; same pattern as
+    # ngram_jaccard's hot-shingle anti-join, ops/dedup.py)
+    hot = (
         pairs.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") > max_bucket)
+        .select("wh")
+    )
+    # bucket grouping: ONE wh shuffle on the pruned pairs, no join back
+    dup = (
+        pairs.join(F.broadcast(hot), "wh", "left_anti")
+        .groupBy("wh")
         .agg(F.collect_list(F.struct("_id", "pos")).alias("rs"))
         .filter(
-            (F.size(F.array_distinct(F.expr("transform(rs, r -> r._id)"))) >= 2)
-            & (F.size("rs") <= max_bucket)
+            F.size(F.array_distinct(F.expr("transform(rs, r -> r._id)"))) >= 2
         )
         .select(F.explode("rs").alias("r"))
         .select(F.col("r._id").alias("_id"), F.col("r.pos").alias("pos"))

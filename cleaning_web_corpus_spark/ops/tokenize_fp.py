@@ -64,20 +64,28 @@ def bpe_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# the window fold, written out for w = 5 so Spark and DuckDB run the
-# byte-identical arithmetic (no reduce-initialization semantics to match)
-def _fold_sql(elem: Callable[[int], str]) -> str:
+# the window fold, written out so Spark and DuckDB run the
+# byte-identical arithmetic (no reduce-initialization semantics to
+# match); parameterized over the window width for reuse by the
+# substring-dup op (ops/substr_dup.py, w = 8)
+def _fold_sql(elem: Callable[[int], str], w: int = FP_W) -> str:
     h = elem(0)
-    for k in range(1, FP_W):
+    for k in range(1, w):
         h = f"(({h}) * {FP_B} + {elem(k)}) % {FP_M}"
     return h
 
 
-def rolling_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
-    tok_hash = (
-        f"transform(regexp_extract_all(lower(text), '{TOKEN_RE}', 0),"
+def token_hash_sql(text_col: str = "text") -> str:
+    """The md5-derived per-token hash array, identical in both engines
+    (Spark form; the DuckDB twin swaps conv() for the '0x' cast)."""
+    return (
+        f"transform(regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0),"
         f" tk -> cast(conv(substr(md5(tk), 1, 13), 16, 10) as bigint) % {FP_M})"
     )
+
+
+def rolling_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    tok_hash = token_hash_sql()
     fold = _fold_sql(lambda k: f"element_at(h, i + {k + 1})")
     fps = (
         f"CASE WHEN size(h) >= {FP_W} THEN"

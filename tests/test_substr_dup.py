@@ -64,7 +64,8 @@ def test_plan_no_python_two_scans(spark):
         .toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    assert plan.count("Scan parquet") == 2  # stats branch + explode branch
+    # hot-hash count + pruned explode + stats branch
+    assert plan.count("Scan parquet") == 3
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
