@@ -132,8 +132,10 @@ the plan shape, which is window-invariant.)
   blocking pass — every 8-token window hash of every document is
   exploded (O(total tokens) rows), shuffled once on the window hash
   for the collect_list bucket grouping, once on doc_id for the span
-  merge; plus the second (stats) scan. The explode volume is the
-  irreducible cost of suffix-array-free substring dedup; zero Python.
+  merge; plus the hot-hash count pass (the constant-memory flood-cap
+  pre-prune) and the stats scan — 3 scans total. The explode volume is
+  the irreducible cost of suffix-array-free substring dedup; zero
+  Python.
   A plain posexplode here ran 60x slower: Catalyst infers a
   size(wins) > 0 filter below the projections and inlines the
   tokenize+md5+fold subtree per fold term — posexplode_outer plus a
