@@ -1,0 +1,266 @@
+"""Conversation-level near-duplicate detection.
+
+The pipeline's dedup stage (W1/W2) is exact-key latest-wins; the
+document-grain near-dup family (ops/dedup.py) works on single texts.
+The north rule's payload is multi-turn TRANSCRIPTS, where the
+production duplication mode is a whole conversation re-ingested in a
+slightly different form — re-logged with extra/missing turns, exported
+twice from overlapping windows. Catching that requires near-dup
+detection at CONVERSATION grain: render each conversation's ordered
+turns to one text, then run the MinHash/LSH/verification stack over
+the rendered texts.
+
+``minhash_text_pairs`` is the generic operator — the full
+candidate+verification pipeline of ``minhash_candidate_jaccard``
+(one shingle aggregation, signature arrays riding inside the band
+buckets, in-bucket scoring, flood cap) over ANY (id, text) relation
+with ids of any orderable type. The render is the same
+collect_list+array_sort shape as chat-template rendering
+(ops/training_export.py) — ONE conv_id exchange.
+
+The driver query synthesizes conversations from ``documents``
+(conv = source, turn order = doc_id — the transcript_checks
+convention) and, for every multi-turn conversation, also emits a
+TRUNCATED TWIN missing its final turn — the deterministic stand-in
+for the re-ingested-at-a-different-length production phenomenon
+(same move as the encoding/C4 residue injections: both engines build
+the twins from the same parquet bytes, so the oracle checks the
+synthesis AND the detection). Every (full, head) twin pair shares
+~80% of its shingles and must surface as a verified near-dup.
+
+At 100 TB: rendering is one conv_id shuffle over the turns (narrow
+output: one row per conversation), and everything after is the
+already-bucketed document-grain machinery at 1/n_turns the row count.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.dedup import (
+    BAND_SIZE,
+    MAX_BUCKET,
+    N_HASHES,
+    _shingle_arr,
+    _SQL_SIGS,
+)
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+
+def minhash_text_pairs(
+    df: DataFrame, id_col: str = "conv_id", text_col: str = "text"
+) -> DataFrame:
+    """Verified MinHash near-dup pairs over any (id, text) relation.
+
+    Returns (``<id_col>_a``, ``<id_col>_b``, n_matching, est_jaccard,
+    near_dup). Same plan shape as ``minhash_candidate_jaccard``:
+    shingle -> per-id signature aggregation -> band bucket grouping
+    with the signature arrays riding in-bucket -> native pair
+    expansion + zip_with scoring; zero Python, flood-capped."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)").alias(
+            "toks"
+        ),
+    )
+    sh = toks.select("_id", F.explode(_shingle_arr(3)).alias("shingle"))
+    sigs = sh.groupBy("_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    n_bands = N_HASHES // BAND_SIZE
+    band_arr = F.array(
+        *[
+            F.md5(F.concat(*[F.col(f"sig{j * BAND_SIZE + k}") for k in range(BAND_SIZE)]))
+            for j in range(n_bands)
+        ]
+    )
+    sig_arr = F.array(*[F.col(f"sig{i}") for i in range(N_HASHES)])
+    buckets = (
+        sigs.select(
+            "_id", sig_arr.alias("sigs"),
+            F.posexplode(band_arr).alias("band_idx", "band_hash"),
+        )
+        .groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(F.struct("_id", "sigs")).alias("rs"))
+        .filter(F.size("rs").between(2, MAX_BUCKET))
+    )
+    pairs = F.expr(
+        "filter(flatten(transform(rs, x -> transform(rs, y ->"
+        " struct(x._id AS id_a, y._id AS id_b,"
+        " x.sigs AS sa, y.sigs AS sb)))), p -> p.id_a < p.id_b)"
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.id_a").alias(f"{id_col}_a"),
+            F.col("p.id_b").alias(f"{id_col}_b"),
+            F.expr("size(filter(zip_with(p.sa, p.sb, (x, y) -> x = y), b -> b))")
+            .cast("long")
+            .alias("n_matching"),
+        )
+        .distinct()
+        .withColumn("est_jaccard", F.round(F.col("n_matching") / N_HASHES, 4))
+        .withColumn("near_dup", F.col("n_matching") * 2 >= N_HASHES)
+    )
+
+
+def _conv_texts(spark: SparkSession, sf: str) -> DataFrame:
+    """Rendered conversations + their truncated twins (see module doc)."""
+    d = t(spark, sf, "documents").select("source", "doc_id", "text")
+    mx = F.max("doc_id").over(Window.partitionBy("source"))
+    with_mx = d.withColumn("_mx", mx)
+
+    def rendered(turns: DataFrame, tag: str) -> DataFrame:
+        return (
+            turns.groupBy("source")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("doc_id", "text"))).alias("ts")
+            )
+            .select(
+                F.concat(F.col("source"), F.lit(tag)).alias("conv_id"),
+                F.expr("concat_ws(' ', transform(ts, r -> r.text))").alias("text"),
+            )
+        )
+
+    full = rendered(d, "#full")
+    head = rendered(with_mx.filter(F.col("doc_id") != F.col("_mx")), "#head")
+    return full.unionByName(head)
+
+
+def conversation_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    return minhash_text_pairs(_conv_texts(spark, sf))
+
+
+def conversation_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Rollup: verified conversation-level dup rate + twin recall (the
+    fraction of synthesized (full, head) twin pairs the detector
+    recovered as near-dups — a self-measuring recall gauge)."""
+    pairs = conversation_near_dups(spark, sf)
+    is_twin = (
+        F.split(F.col("conv_id_a"), "#").getItem(0)
+        == F.split(F.col("conv_id_b"), "#").getItem(0)
+    )
+    found = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("near_dup").cast("long")).alias("n_near_dup"),
+        F.sum((F.col("near_dup") & is_twin).cast("long")).alias("n_twins_found"),
+    )
+    # denominator: sources with >= 2 docs (only those emit a twin)
+    twins = (
+        t(spark, sf, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum((F.col("n") >= 2).cast("long")).alias("n_twins_possible"))
+    )
+    return found.crossJoin(twins).select(
+        "n_pairs",
+        "n_near_dup",
+        "n_twins_found",
+        "n_twins_possible",
+        F.round(F.col("n_twins_found") / F.col("n_twins_possible"), 4).alias(
+            "twin_recall"
+        ),
+    )
+
+
+# --- DuckDB oracles -----------------------------------------------------------
+
+_SQL_CONVS = """
+        convs AS (
+            SELECT source || '#full' AS conv_id,
+                   string_agg(text, ' ' ORDER BY doc_id) AS text
+            FROM documents GROUP BY source
+            UNION ALL
+            SELECT source || '#head',
+                   string_agg(text, ' ' ORDER BY doc_id)
+            FROM (
+                SELECT source, doc_id, text,
+                       MAX(doc_id) OVER (PARTITION BY source) AS mx
+                FROM documents
+            ) WHERE doc_id <> mx GROUP BY source
+        )
+"""
+
+_SQL_PAIRS = f"""
+    WITH {_SQL_CONVS},
+    shingles AS (
+        SELECT conv_id, UNNEST(list_distinct([
+            tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+            FOR i IN range(1, GREATEST(len(tok) - 2, 0) + 1)
+        ])) AS shingle
+        FROM (SELECT conv_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tok
+              FROM convs)
+    ),
+    sigs AS (SELECT conv_id, {_SQL_SIGS} FROM shingles GROUP BY conv_id),
+    bands AS (
+        SELECT conv_id, 0::BIGINT AS band_idx, md5(sig0 || sig1) AS band_hash FROM sigs
+        UNION ALL SELECT conv_id, 1, md5(sig2 || sig3) FROM sigs
+        UNION ALL SELECT conv_id, 2, md5(sig4 || sig5) FROM sigs
+        UNION ALL SELECT conv_id, 3, md5(sig6 || sig7) FROM sigs
+    ),
+    ok_buckets AS (
+        SELECT band_idx, band_hash FROM bands
+        GROUP BY band_idx, band_hash
+        HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}
+    ),
+    cand AS (
+        SELECT DISTINCT a.conv_id AS conv_id_a, b.conv_id AS conv_id_b
+        FROM bands a
+        JOIN bands b USING (band_idx, band_hash)
+        JOIN ok_buckets USING (band_idx, band_hash)
+        WHERE a.conv_id < b.conv_id
+    ),
+    scored AS (
+        SELECT c.conv_id_a, c.conv_id_b,
+               (CASE WHEN sa.sig0 = sb.sig0 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig1 = sb.sig1 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig2 = sb.sig2 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig3 = sb.sig3 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig4 = sb.sig4 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig5 = sb.sig5 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig6 = sb.sig6 THEN 1 ELSE 0 END
+              + CASE WHEN sa.sig7 = sb.sig7 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_matching
+        FROM cand c
+        JOIN sigs sa ON sa.conv_id = c.conv_id_a
+        JOIN sigs sb ON sb.conv_id = c.conv_id_b
+    )
+    SELECT conv_id_a, conv_id_b, n_matching,
+           ROUND(n_matching / {N_HASHES}.0, 4) AS est_jaccard,
+           n_matching * 2 >= {N_HASHES} AS near_dup
+    FROM scored
+"""
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "conversation_near_dups": conversation_near_dups,
+    "conversation_dedup_stats": conversation_dedup_stats,
+}
+
+ORACLES: Dict[str, str] = {
+    "conversation_near_dups": _SQL_PAIRS,
+    "conversation_dedup_stats": f"""
+        WITH p AS ({_SQL_PAIRS}),
+        found AS (
+            SELECT COUNT(*)::BIGINT AS n_pairs,
+                   SUM(near_dup::INT)::BIGINT AS n_near_dup,
+                   SUM((near_dup AND split_part(conv_id_a, '#', 1)
+                        = split_part(conv_id_b, '#', 1))::INT)::BIGINT
+                       AS n_twins_found
+            FROM p
+        ),
+        tw AS (
+            SELECT SUM((n >= 2)::INT)::BIGINT AS n_twins_possible
+            FROM (SELECT COUNT(*) AS n FROM documents GROUP BY source)
+        )
+        SELECT n_pairs, n_near_dup, n_twins_found, n_twins_possible,
+               ROUND(n_twins_found / n_twins_possible::DOUBLE, 4) AS twin_recall
+        FROM found, tw
+    """,
+}

@@ -1,0 +1,67 @@
+"""Conversation-level near-dup tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.conv_dedup import (
+    ORACLES,
+    QUERIES,
+    minhash_text_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+_BASE = ("hello how can i help you today " * 4).strip()
+
+
+def test_generic_pairs_semantics(spark):
+    rows = [
+        ("c1", _BASE + " please clean the kitchen counter now"),
+        ("c2", _BASE + " please clean the kitchen counter"),  # near-dup of c1
+        ("c3", "entirely different words about spark shuffles and parquet "
+               "row groups living in another vocabulary space altogether"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, text string")
+    out = {(r.conv_id_a, r.conv_id_b): r for r in minhash_text_pairs(df).collect()}
+    assert ("c1", "c2") in out and out[("c1", "c2")].near_dup
+    assert not any("c3" in k for k in out)
+    r = out[("c1", "c2")]
+    assert r.est_jaccard == r.n_matching / 8
+
+
+def test_pairs_plan_single_scan_no_python(spark):
+    plan = (
+        QUERIES["conversation_near_dups"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+
+
+def test_twin_recall_is_total(spark):
+    """Every synthesized (full, head) twin must be recovered — the
+    truncated twin shares ~(n-1)/n of its shingles with the full
+    conversation, far above the verification threshold."""
+    row = QUERIES["conversation_dedup_stats"](spark, SF).collect()[0]
+    assert row.n_twins_possible > 0
+    assert row.twin_recall == 1.0
+    assert row.n_near_dup >= row.n_twins_found
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    cur = con.execute(ORACLES[name])
+    ocols = [d[0] for d in cur.description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols) for row in cur.fetchall()
+    )
+    assert srows == orows and len(srows) > 0
