@@ -77,6 +77,7 @@ PLAN_QUERIES = [
     "dsir_importance_weights",
     "incremental_dedup_report",
     "quality_signals_table",
+    "conversation_near_dups",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
