@@ -1,0 +1,275 @@
+"""Bloom-filter membership pre-filter for incremental exact dedup.
+
+The production problem (daily-crawl-vs-index, same shape as
+``ops/dedup.incremental_dedup_report`` but for EXACT dedup): decide,
+for every document in a new batch, whether its content digest already
+exists in a multi-billion-key historical index — without joining the
+batch against the full index table. The standard answer is a Bloom
+filter built over the index digests: K deterministic bit positions per
+key, a candidate iff all K positions are set, then an exact-digest join
+restricted to the (tiny) candidate set. Spark itself uses this exact
+trick for runtime row-level join pruning
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``) and exposes a
+driver-side builder (``DataFrameStatFunctions.bloomFilter``); this
+operator keeps the whole thing declarative instead so the bit set is a
+*relation* and never has to fit on the driver.
+
+Representation choice — bit set as a relation, not a bitmap:
+``idx_bits`` is the DISTINCT set-position relation. For an index of n
+keys it has at most K*n rows of one BIGINT each, it shards naturally by
+position range (a plain shuffle), and membership is an equi-join — the
+sharded-bitmap equivalent with no driver materialization. When m/8
+bytes fits executor memory a broadcast of the aggregated bitmap is the
+cheaper physical strategy (what Spark's native bloom join does); at
+10^10+ index keys the filter itself is tens of GB and the join form
+here is the one that still works. In production ``idx_bits`` is a
+PERSISTED artifact rebuilt per index epoch — the per-batch cost is K
+rows per new document against it, nothing index-sized is recomputed.
+
+Sizing is derived from the data, not hard-coded: m = the smallest
+power of two >= BITS_PER_KEY * |index|, so the fill ratio (and hence
+the false-positive rate ~ fill^K) stays constant as the corpus grows.
+The report quantifies the filter honestly: per-document candidate /
+true-dup / false-positive flags, and a one-row stats query with the
+measured fill ratio and the predicted FP rate next to the observed
+false-positive count.
+
+All hashing is md5-derived and engine-portable (the same 13-hex-digit
+= 52-bit trick as ``ops/corpus._u52``), so the DuckDB oracle reproduces
+every bit position exactly.
+
+Reference parity: the reference dedupes via content hash at insert time
+(UNIQUE-key semantics in its warehouse load,
+/root/reference/src/db/load_to_clickhouse.py) — correct on one box,
+but a non-starter at 100 TB where the index no longer fits one node;
+this operator is the distributed restatement of that contract.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+BLOOM_K = 4  # hash functions per key
+BLOOM_BITS_PER_KEY = 8  # m = next_pow2(8 * |index|) -> fill ~0.34, fp ~1.4%
+BLOOM_NEW_MOD = 7  # doc_id % 7 == 0 is the "new batch" slice (same
+# residue convention as incremental_dedup_report)
+
+
+def _keyed(docs: DataFrame, new_mod: int) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("dg"),
+        (F.col("doc_id") % new_mod == 0).alias("is_new"),
+    )
+
+
+def _bloom_hits(
+    docs: DataFrame,
+    k: int = BLOOM_K,
+    bits_per_key: int = BLOOM_BITS_PER_KEY,
+    new_mod: int = BLOOM_NEW_MOD,
+) -> DataFrame:
+    """Per NEW document: (doc_id, dg, m_bits, nhit, is_true_dup).
+
+    nhit counts how many of the document's k positions are set in the
+    index bit set; candidate iff nhit == k. Plan: one 1-row count
+    aggregate broadcast (the filter sizing), one explode to k rows per
+    doc, one equi-join on the position, one groupBy doc, one digest
+    semi-join for the exact verdict — every step shuffles on a short
+    key and nothing collects to the driver.
+    """
+    keyed = _keyed(docs, new_mod)
+    m = (
+        keyed.filter(~F.col("is_new"))
+        .agg(
+            F.pow(F.lit(2.0), F.ceil(F.log2(F.count(F.lit(1)) * bits_per_key)))
+            .cast("long")
+            .alias("m_bits")
+        )
+    )
+    with_m = keyed.crossJoin(F.broadcast(m))
+    # position i = low 52 bits of md5("i:" || digest) mod m — portable:
+    # the DuckDB twin is ('0x' || substr(md5(...), 1, 13))::BIGINT % m.
+    pos_arr = F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("dg"))), 1, 13),
+                16,
+                10,
+            ).cast("long")
+            % F.col("m_bits")
+            for i in range(k)
+        ]
+    )
+    pos = with_m.select("doc_id", "dg", "is_new", "m_bits", F.explode(pos_arr).alias("pos"))
+    idx_bits = pos.filter(~F.col("is_new")).select("pos").distinct()
+    idx_dg = keyed.filter(~F.col("is_new")).select("dg").distinct().withColumn("dup", F.lit(True))
+    hits = (
+        pos.filter(F.col("is_new"))
+        .join(idx_bits.withColumn("hit", F.lit(1)), "pos", "left")
+        .groupBy("doc_id", "dg", "m_bits")
+        .agg(F.count("hit").alias("nhit"))
+    )
+    return hits.join(idx_dg, "dg", "left").select(
+        "doc_id",
+        "dg",
+        "m_bits",
+        "nhit",
+        F.coalesce("dup", F.lit(False)).alias("is_true_dup"),
+        (F.col("nhit") == k).alias("is_candidate"),
+    )
+
+
+def bloom_report(
+    docs: DataFrame,
+    k: int = BLOOM_K,
+    bits_per_key: int = BLOOM_BITS_PER_KEY,
+    new_mod: int = BLOOM_NEW_MOD,
+) -> DataFrame:
+    """Per-new-document Bloom verdict over any (doc_id, text) relation."""
+    return _bloom_hits(docs, k, bits_per_key, new_mod).select(
+        "doc_id",
+        "is_candidate",
+        "is_true_dup",
+        (F.col("is_candidate") & ~F.col("is_true_dup")).alias("is_false_positive"),
+    )
+
+
+def bloom_stats(
+    docs: DataFrame,
+    k: int = BLOOM_K,
+    bits_per_key: int = BLOOM_BITS_PER_KEY,
+    new_mod: int = BLOOM_NEW_MOD,
+) -> DataFrame:
+    """One-row filter quality report: counts, fill ratio, predicted FP.
+
+    predicted_fp_rate is the textbook fill^k, computed as explicit
+    IEEE multiplications of the single division (r*r)*(r*r) so the
+    DuckDB twin lands on the identical double.
+    """
+    hits = _bloom_hits(docs, k, bits_per_key, new_mod)
+    keyed = _keyed(docs, new_mod)
+    # recompute the (tiny) bit-set cardinality the same way _bloom_hits
+    # derives it; both 1-row aggregates broadcast into the final select
+    m = (
+        keyed.filter(~F.col("is_new"))
+        .agg(
+            F.pow(F.lit(2.0), F.ceil(F.log2(F.count(F.lit(1)) * bits_per_key)))
+            .cast("long")
+            .alias("m_bits_b")
+        )
+    )
+    pos_arr = F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("dg"))), 1, 13),
+                16,
+                10,
+            ).cast("long")
+            % F.col("m_bits_b")
+            for i in range(k)
+        ]
+    )
+    n_set = (
+        keyed.filter(~F.col("is_new"))
+        .crossJoin(F.broadcast(m))
+        .select(F.explode(pos_arr).alias("pos"))
+        .agg(F.countDistinct("pos").cast("long").alias("n_bits_set"))
+    )
+    r = F.col("n_bits_set").cast("double") / F.col("m_bits")
+    return (
+        hits.groupBy("m_bits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_new"),
+            F.sum(F.col("is_candidate").cast("long")).cast("long").alias("n_candidates"),
+            F.sum(F.col("is_true_dup").cast("long")).cast("long").alias("n_true_dups"),
+            F.sum((F.col("is_candidate") & ~F.col("is_true_dup")).cast("long"))
+            .cast("long")
+            .alias("n_false_positives"),
+        )
+        .crossJoin(F.broadcast(n_set))
+        .select(
+            "n_new",
+            "n_candidates",
+            "n_true_dups",
+            "n_false_positives",
+            "m_bits",
+            "n_bits_set",
+            F.round(r, 4).alias("fill_ratio"),
+            F.round((r * r) * (r * r), 4).alias("predicted_fp_rate"),
+        )
+    )
+
+
+def bloom_dedup_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate query: Bloom verdict for the new-batch slice of documents."""
+    return bloom_report(t(spark, sf, "documents"))
+
+
+def bloom_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Gate query: one-row Bloom filter quality summary."""
+    return bloom_stats(t(spark, sf, "documents"))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bloom_dedup_candidates": bloom_dedup_candidates,
+    "bloom_dedup_stats": bloom_dedup_stats,
+}
+
+_SQL_COMMON = f"""
+WITH docs AS (
+    SELECT doc_id, md5(text) AS dg, (doc_id % {BLOOM_NEW_MOD} = 0) AS is_new
+    FROM documents
+),
+mparam AS (
+    SELECT CAST(POWER(2, CEIL(LOG2({BLOOM_BITS_PER_KEY} * COUNT(*)))) AS BIGINT) AS m_bits
+    FROM docs WHERE NOT is_new
+),
+pos AS (
+    SELECT doc_id, dg, is_new,
+           (('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || dg), 1, 13))::BIGINT) % m_bits AS pos
+    FROM docs, mparam,
+         (SELECT UNNEST([{", ".join(str(i) for i in range(BLOOM_K))}]) AS k)
+),
+idx_bits AS (SELECT DISTINCT pos FROM pos WHERE NOT is_new),
+idx_dg AS (SELECT DISTINCT dg FROM docs WHERE NOT is_new),
+hits AS (
+    SELECT p.doc_id, p.dg, COUNT(ib.pos) AS nhit
+    FROM pos p LEFT JOIN idx_bits ib USING (pos)
+    WHERE p.is_new GROUP BY 1, 2
+)
+"""
+
+ORACLES: Dict[str, str] = {
+    "bloom_dedup_candidates": _SQL_COMMON
+    + f"""
+SELECT doc_id,
+       (nhit = {BLOOM_K}) AS is_candidate,
+       (dg IN (SELECT dg FROM idx_dg)) AS is_true_dup,
+       ((nhit = {BLOOM_K}) AND dg NOT IN (SELECT dg FROM idx_dg)) AS is_false_positive
+FROM hits
+""",
+    "bloom_dedup_stats": _SQL_COMMON
+    + f"""
+, bits AS (SELECT COUNT(*) AS n_set FROM idx_bits)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_new,
+       CAST(SUM(CASE WHEN nhit = {BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN dg IN (SELECT dg FROM idx_dg) THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_dups,
+       CAST(SUM(CASE WHEN nhit = {BLOOM_K} AND dg NOT IN (SELECT dg FROM idx_dg)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+       m_bits,
+       CAST(n_set AS BIGINT) AS n_bits_set,
+       ROUND(CAST(n_set AS DOUBLE) / m_bits, 4) AS fill_ratio,
+       ROUND(((CAST(n_set AS DOUBLE) / m_bits) * (CAST(n_set AS DOUBLE) / m_bits))
+             * ((CAST(n_set AS DOUBLE) / m_bits) * (CAST(n_set AS DOUBLE) / m_bits)), 4)
+           AS predicted_fp_rate
+FROM hits, mparam, bits
+GROUP BY m_bits, n_set
+""",
+}

@@ -1,0 +1,72 @@
+"""Bloom-filter membership pre-filter tests (ops/bloom.py)."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.bloom import (
+    BLOOM_K,
+    bloom_report,
+    bloom_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_no_false_negatives_and_fp_flagging(spark):
+    """A true duplicate (same text on both sides of the split) MUST be
+    a candidate — Bloom filters never false-negative — and the
+    false-positive flag is exactly candidate AND NOT true-dup."""
+    rows = [(0, "the shared duplicated payload text"), (7, "only in batch xyz")] + [
+        (i, f"index only document number {i} with its own words") for i in range(1, 7)
+    ] + [(8, "the shared duplicated payload text")]  # index twin of doc 0
+    out = {r.doc_id: r for r in bloom_report(_docs(spark, rows)).collect()}
+    assert set(out) == {0, 7}  # the % 7 == 0 batch slice
+    assert out[0].is_true_dup and out[0].is_candidate
+    assert not out[0].is_false_positive
+    for r in out.values():
+        assert r.is_false_positive == (r.is_candidate and not r.is_true_dup)
+
+
+def test_saturated_filter_flags_everything(spark):
+    """bits_per_key=1 under-sizes the filter; with fill -> 1 every
+    batch document becomes a candidate (the failure mode the stats
+    query exists to surface) while true-dup stays exact."""
+    rows = [(i, f"document body {i} " * 3) for i in range(60)]
+    rep = bloom_report(_docs(spark, rows), bits_per_key=1).collect()
+    assert sum(r.is_candidate for r in rep) > len(rep) / 2
+    assert not any(r.is_true_dup for r in rep)
+    st = bloom_stats(_docs(spark, rows), bits_per_key=1).collect()[0]
+    assert st.n_candidates == sum(r.is_candidate for r in rep)
+    assert st.n_candidates == st.n_false_positives  # every hit is an FP here
+    assert st.n_true_dups == 0
+    assert st.fill_ratio > 0.8 and st.predicted_fp_rate > 0.4
+
+
+def test_stats_consistent_with_report(spark):
+    docs = _docs(
+        spark,
+        [(i, f"synthetic corpus doc {i} with number {i * 37 % 11}") for i in range(90)],
+    )
+    rep = bloom_report(docs).collect()
+    st = bloom_stats(docs).collect()[0]
+    assert st.n_new == len(rep)
+    assert st.n_candidates == sum(r.is_candidate for r in rep)
+    assert st.n_false_positives == sum(r.is_false_positive for r in rep)
+    # m is the next power of two >= 8 * |index| and the bit set fits it
+    n_index = 90 - len(rep)
+    assert st.m_bits >= 8 * n_index and st.m_bits & (st.m_bits - 1) == 0
+    assert 0 < st.n_bits_set <= min(BLOOM_K * n_index, st.m_bits)
+    assert abs(st.fill_ratio - st.n_bits_set / st.m_bits) < 1e-3
+
+
+def test_gate_queries_run_and_no_python(spark):
+    from cleaning_web_corpus_spark.ops.bloom import QUERIES
+
+    for name in ("bloom_dedup_candidates", "bloom_dedup_stats"):
+        q = QUERIES[name](spark, SF)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, name
+        assert q.count() >= 1

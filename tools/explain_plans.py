@@ -78,6 +78,8 @@ PLAN_QUERIES = [
     "incremental_dedup_report",
     "quality_signals_table",
     "conversation_near_dups",
+    "bloom_dedup_candidates",
+    "bloom_dedup_stats",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
