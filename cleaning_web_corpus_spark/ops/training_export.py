@@ -145,6 +145,89 @@ def truncate_to_budget(turns: DataFrame, budget: int = TOKEN_BUDGET) -> DataFram
     )
 
 
+CTX_WINDOW = 8  # turns per context window
+CTX_STRIDE = 4  # window start stride; overlap = CTX_WINDOW - CTX_STRIDE
+
+
+def context_windows(
+    turns: DataFrame,
+    window: int = CTX_WINDOW,
+    stride: int = CTX_STRIDE,
+    budget: int = TOKEN_BUDGET,
+) -> DataFrame:
+    """Overlapping context windows over a transcript relation with
+    (conv_id, turn_idx, n_tok) — the long-conversation training-example
+    generator: window w covers turns [w*stride+1, w*stride+window], so
+    EVERY turn lands in at least one example (unlike
+    ``truncate_to_budget``, which keeps only the greedy prefix) and
+    consecutive windows share ``window - stride`` turns of context.
+    The trailing window is clamped so no window starts past the data.
+
+    Output per (conv_id, window_id): first/last turn, turn count, token
+    total, and ``fits_budget`` (the window-level quality flag; a False
+    here means single turns so large the turn-grain chunker can't hit
+    the token budget — route those to ``pack_training_shards``-style
+    token-grain splitting).
+
+    Plan shape: the turn relation is projected down to three narrow
+    columns BEFORE the membership explode (×~window/stride rows), so
+    the explode never copies text; one window max over conv_id (shares
+    the turn-synthesis exchange when the input is already
+    conv-partitioned) and one (conv_id, window_id) aggregation. Cost is
+    turns × overlap factor on int columns — the 100 TB shape.
+    """
+    w_conv = Window.partitionBy("conv_id")
+    t_, n_ = F.col("turn_idx"), F.col("n")
+    sized = turns.select("conv_id", "turn_idx", "n_tok").withColumn(
+        "n", F.max("turn_idx").over(w_conv)
+    )
+    # integer bounds: all numerators are positive in their branches, so
+    # double-division + cast(long) truncation == floor on both engines
+    last_w = F.when(n_ <= window, F.lit(0)).otherwise(
+        ((n_ - window + stride - 1) / stride).cast("long")
+    )
+    lo = F.when(t_ <= window, F.lit(0)).otherwise(
+        ((t_ - window + stride - 1) / stride).cast("long")
+    )
+    hi = F.least(((t_ - 1) / stride).cast("long"), last_w)
+    member = sized.select(
+        "conv_id",
+        "turn_idx",
+        "n_tok",
+        F.explode(F.sequence(lo, hi)).alias("window_id"),
+    )
+    return member.groupBy("conv_id", "window_id").agg(
+        F.min("turn_idx").cast("long").alias("first_turn"),
+        F.max("turn_idx").cast("long").alias("last_turn"),
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("n_tok").cast("long").alias("window_tokens"),
+        (F.sum("n_tok") <= budget).alias("fits_budget"),
+    )
+
+
+def context_window_stats(
+    turns: DataFrame,
+    window: int = CTX_WINDOW,
+    stride: int = CTX_STRIDE,
+    budget: int = TOKEN_BUDGET,
+) -> DataFrame:
+    """Per-conversation chunking report over ``context_windows``:
+    window count, oversize count, mean memberships per turn (~
+    window/stride for long conversations) and mean window tokens."""
+    win = context_windows(turns, window, stride, budget)
+    return win.groupBy("conv_id").agg(
+        F.max("last_turn").cast("long").alias("n_turns"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+        F.sum((~F.col("fits_budget")).cast("long")).cast("long").alias("n_oversize"),
+        F.round(F.sum("n_turns").cast("double") / F.max("last_turn"), 4).alias(
+            "memberships_per_turn"
+        ),
+        F.round(F.sum("window_tokens").cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_window_tokens"
+        ),
+    )
+
+
 def render_training_corpus(kept_turns: DataFrame, budget: int = 0) -> DataFrame:
     """Terminal export stage over the pipeline's output: render the
     kept, scrubbed turns (``pipeline.run.PipelineResult.kept_turns`` —
@@ -189,9 +272,19 @@ def token_budget_prefix(spark: SparkSession, sf: str) -> DataFrame:
     return truncate_to_budget(_chat_turns(spark, sf))
 
 
+def conversation_windows(spark: SparkSession, sf: str) -> DataFrame:
+    return context_windows(_chat_turns(spark, sf))
+
+
+def conversation_window_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return context_window_stats(_chat_turns(spark, sf))
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "render_chat_text": render_chat_text,
     "token_budget_prefix": token_budget_prefix,
+    "conversation_windows": conversation_windows,
+    "conversation_window_stats": conversation_window_stats,
 }
 
 _SQL_TURNS = f"""
@@ -246,3 +339,51 @@ ORACLES: Dict[str, str] = {
         GROUP BY conv_id
     """,
 }
+
+_SQL_WINDOWS = f"""
+    sized AS (
+        SELECT conv_id, turn_idx, n_tok,
+               MAX(turn_idx) OVER (PARTITION BY conv_id) AS n
+        FROM turns
+    ),
+    member AS (
+        SELECT conv_id, turn_idx, n_tok,
+               UNNEST(range(
+                   CASE WHEN turn_idx <= {CTX_WINDOW} THEN 0
+                        ELSE (turn_idx - {CTX_WINDOW} + {CTX_STRIDE - 1})
+                             // {CTX_STRIDE} END,
+                   LEAST((turn_idx - 1) // {CTX_STRIDE},
+                         CASE WHEN n <= {CTX_WINDOW} THEN 0
+                              ELSE (n - {CTX_WINDOW} + {CTX_STRIDE - 1})
+                                   // {CTX_STRIDE} END) + 1
+               )) AS window_id
+        FROM sized
+    ),
+    win AS (
+        SELECT conv_id, window_id::BIGINT AS window_id,
+               MIN(turn_idx)::BIGINT AS first_turn,
+               MAX(turn_idx)::BIGINT AS last_turn,
+               COUNT(*)::BIGINT AS n_turns,
+               SUM(n_tok)::BIGINT AS window_tokens,
+               (SUM(n_tok) <= {TOKEN_BUDGET}) AS fits_budget
+        FROM member GROUP BY 1, 2
+    )
+"""
+
+ORACLES["conversation_windows"] = f"""
+    WITH {_SQL_TURNS},
+    {_SQL_WINDOWS}
+    SELECT * FROM win
+"""
+
+ORACLES["conversation_window_stats"] = f"""
+    WITH {_SQL_TURNS},
+    {_SQL_WINDOWS}
+    SELECT conv_id,
+           MAX(last_turn)::BIGINT AS n_turns,
+           COUNT(*)::BIGINT AS n_windows,
+           SUM(CASE WHEN NOT fits_budget THEN 1 ELSE 0 END)::BIGINT AS n_oversize,
+           ROUND(SUM(n_turns)::DOUBLE / MAX(last_turn), 4) AS memberships_per_turn,
+           ROUND(SUM(window_tokens)::DOUBLE / COUNT(*), 4) AS avg_window_tokens
+    FROM win GROUP BY conv_id
+"""

@@ -6,6 +6,8 @@ from pyspark.sql import functions as F
 
 from cleaning_web_corpus_spark.ops.training_export import (
     TOKEN_BUDGET,
+    context_window_stats,
+    context_windows,
     render_chat,
     render_chat_text,
     token_budget_prefix,
@@ -124,3 +126,54 @@ def test_render_training_corpus_end_to_end(spark):
         full = {r.conv_id: r.n_turns for r in rows}
         assert set(budgeted) <= set(full)
         assert all(budgeted[c] <= full[c] for c in budgeted)
+
+
+def _n_tok_turns(spark, conv_id, toks):
+    rows = [(conv_id, i + 1, "user" if i % 2 == 0 else "assistant",
+             f"t{i}", t) for i, t in enumerate(toks)]
+    return _turns(spark, rows)
+
+
+def test_context_windows_cover_and_overlap(spark):
+    """13 turns, W=8/S=4 -> windows 1-8, 5-12, 9-13: every turn covered,
+    consecutive windows share W-S turns, trailing window clamped."""
+    df = _n_tok_turns(spark, "c", [10] * 13)
+    win = {r.window_id: r for r in context_windows(df).collect()}
+    assert sorted(win) == [0, 1, 2]
+    assert (win[0].first_turn, win[0].last_turn) == (1, 8)
+    assert (win[1].first_turn, win[1].last_turn) == (5, 12)
+    assert (win[2].first_turn, win[2].last_turn) == (9, 13)
+    assert win[2].n_turns == 5 and win[2].window_tokens == 50
+    # overlap: turns 5-8 are in windows 0 and 1
+    assert win[0].last_turn - win[1].first_turn + 1 == 4
+
+
+def test_context_windows_short_conv_single_window(spark):
+    df = _n_tok_turns(spark, "s", [5, 5, 5])
+    rows = context_windows(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.window_id, r.first_turn, r.last_turn, r.n_turns) == (0, 1, 3, 3)
+
+
+def test_context_windows_budget_flag_and_stats(spark):
+    # one giant turn blows the budget of every window containing it
+    toks = [10] * 8 + [TOKEN_BUDGET + 1] + [10] * 4
+    df = _n_tok_turns(spark, "b", toks)
+    win = context_windows(df).collect()
+    oversize = [r for r in win if not r.fits_budget]
+    assert oversize and all(r.first_turn <= 9 <= r.last_turn for r in oversize)
+    st = context_window_stats(df).collect()[0]
+    assert st.n_turns == 13 and st.n_windows == len(win)
+    assert st.n_oversize == len(oversize)
+    assert abs(st.memberships_per_turn - sum(r.n_turns for r in win) / 13) < 1e-3
+
+
+def test_context_window_gate_queries_no_python(spark):
+    from cleaning_web_corpus_spark.ops.training_export import QUERIES
+
+    for name in ("conversation_windows", "conversation_window_stats"):
+        q = QUERIES[name](spark, SF)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan, name
+        assert q.count() > 0

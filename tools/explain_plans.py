@@ -80,6 +80,7 @@ PLAN_QUERIES = [
     "conversation_near_dups",
     "bloom_dedup_candidates",
     "bloom_dedup_stats",
+    "conversation_windows",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
