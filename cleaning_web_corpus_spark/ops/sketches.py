@@ -1,0 +1,240 @@
+"""Probabilistic sketch operators: Count-Min heavy hitters + HyperLogLog.
+
+At 100 TB the two questions every corpus dashboard asks — "what are the
+heaviest tokens?" and "how many distinct tokens per language?" — cannot
+be answered with exact groupBys alone: the (token, count) relation IS
+web-scale vocabulary (billions of rows) and exact distinct counting
+shuffles it all.  The standard answers are sketches, and both are
+expressible as pure DataFrame aggregations with **deterministic
+md5-derived hashes**, which makes them exactly reproducible in the
+DuckDB oracle — the sketch content itself is gate-hash-verified, not
+just its final numbers:
+
+* **Count-Min sketch** (Cormode & Muthukrishnan 2005): CMS_D hash rows
+  x CMS_W buckets; every token occurrence increments one bucket per
+  row, the estimate is the min over rows, and est >= true always (the
+  one-sided error guarantee a dedup-threshold consumer relies on).
+  The sketch relation is CMS_D*CMS_W rows however big the corpus —
+  it broadcasts; candidate scoring is a broadcast join.  CMS_W is 16
+  at driver scale ON PURPOSE (vocab ~150 forces real collisions so
+  the overestimate column is non-degenerate under the gate); a 100 TB
+  deployment uses 2^20+ buckets — the plan does not change.
+* **HyperLogLog** (Flajolet et al. 2007): 52 uniform bits from the
+  md5 prefix; low HLL_IDX_BITS select one of HLL_M registers, the
+  register keeps max(rho) of the remaining 46 bits where rho is the
+  leftmost-1 position (computed INTEGER-ONLY as 47 - length(bin(h)) —
+  no float log in the register path, identical in Spark and DuckDB).
+  The harmonic sum is carried as an exactly-associative BIGINT
+  (sum of 1 << (47 - rho): every term a power of two, so the gate
+  hash cannot drift with aggregation order — the dsir micro-unit
+  move), and only the final scalar estimate touches doubles.  The
+  small-range linear-counting correction (est <= 2.5m with empty
+  registers -> m*ln(m/V)) is applied exactly as published.
+
+Both driver queries carry a ``true_*`` column computed exactly — the
+test-scale validation channel (and the gate's cross-check that the
+sketch answers the question it claims to); a production run drops it.
+
+Reference scope: the reference has no sketch layer (its corpus fits
+ClickHouse exact aggregation); this module is part of the build
+contract's at-scale extensions.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+CMS_D = 4  # hash rows
+CMS_W = 16  # buckets per row (2^20+ at corpus scale; 16 forces collisions here)
+CMS_TOPK = 40
+HLL_M = 64  # registers (2^HLL_IDX_BITS)
+HLL_IDX_BITS = 6
+_POW47 = 1 << 47  # scale factor: rho's dyadic terms as exact BIGINTs
+# alpha_64 * m^2 * 2^47 pre-multiplied to ONE literal so both engines
+# parse the identical double (no multiply-order ulp drift)
+_HLL_NUM = repr(0.709 * HLL_M * HLL_M * float(_POW47))
+
+
+def _toks(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "lang",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+        ).alias("tok"),
+    )
+
+
+def _cms_bucket() -> F.Column:
+    return F.expr(
+        "cast(conv(substr(md5(concat(cast(i as string), ':', tok)), 1, 13),"
+        f" 16, 10) as bigint) % {CMS_W}"
+    )
+
+
+def cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-K tokens by Count-Min estimate, with the exact count and the
+    (always >= 0) overestimate alongside."""
+    toks = _toks(spark, sf).select("tok")
+    rows = F.explode(F.sequence(F.lit(0), F.lit(CMS_D - 1))).alias("i")
+    occ = toks.select("tok", rows).select("tok", "i", _cms_bucket().alias("bucket"))
+    sketch = occ.groupBy("i", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    cand = toks.distinct().select("tok", rows).select(
+        "tok", "i", _cms_bucket().alias("bucket")
+    )
+    est = (
+        cand.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_count"))
+    return (
+        est.join(truth, "tok")
+        .select(
+            "tok",
+            "est_count",
+            "true_count",
+            (F.col("est_count") - F.col("true_count")).alias("overestimate"),
+        )
+        .orderBy(F.desc("est_count"), F.asc("tok"))
+        .limit(CMS_TOPK)
+    )
+
+
+def hll_distinct_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language HLL distinct-token estimate vs the exact count."""
+    toks = _toks(spark, sf)
+    h = toks.distinct().select(
+        "lang",
+        F.expr(
+            "cast(conv(substr(md5(tok), 1, 13), 16, 10) as bigint)"
+        ).alias("hv"),
+    )
+    regs = (
+        h.select(
+            "lang",
+            (F.col("hv") % HLL_M).alias("idx"),
+            F.expr(
+                f"case when hv div {HLL_M} = 0 then 47 "
+                f"else 47 - length(bin(hv div {HLL_M})) end"
+            ).alias("rho"),
+        )
+        .groupBy("lang", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    agg = regs.groupBy("lang").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 47 - rho)")).alias("s_hit"),
+        F.count(F.lit(1)).alias("n_regs_hit"),
+    )
+    truth = toks.groupBy("lang").agg(
+        F.countDistinct("tok").alias("true_distinct")
+    )
+    n_zero = (F.lit(HLL_M) - F.col("n_regs_hit")).cast("long")
+    s_total = (F.col("s_hit") + n_zero * F.lit(_POW47)).cast("long")
+    raw_est = F.expr(f"{_HLL_NUM} / cast(s_total as double)")
+    corrected = F.when(
+        (raw_est <= 2.5 * HLL_M) & (F.col("n_zero_regs") > 0),
+        F.lit(float(HLL_M))
+        * F.log(F.lit(float(HLL_M)) / F.col("n_zero_regs").cast("double")),
+    ).otherwise(raw_est)
+    return (
+        agg.select(
+            "lang",
+            s_total.alias("s_total"),
+            n_zero.alias("n_zero_regs"),
+        )
+        .withColumn("raw_est", F.round(raw_est, 4))
+        .withColumn("est_distinct", F.round(corrected, 4))
+        .join(truth, "lang")
+    )
+
+
+# --- DuckDB oracles -----------------------------------------------------------
+
+_SQL_TOKS = f"""
+    SELECT lang, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+    FROM documents
+"""
+
+_SQL_CMS = f"""
+    WITH toks AS ({_SQL_TOKS}),
+    occ AS (
+        SELECT tok, i,
+               ('0x' || substr(md5(i::VARCHAR || ':' || tok), 1, 13))::BIGINT
+                   % {CMS_W} AS bucket
+        FROM toks, UNNEST(range({CMS_D})) AS u(i)
+    ),
+    sketch AS (
+        SELECT i, bucket, COUNT(*)::BIGINT AS cnt FROM occ GROUP BY i, bucket
+    ),
+    cand AS (
+        SELECT DISTINCT tok, i,
+               ('0x' || substr(md5(i::VARCHAR || ':' || tok), 1, 13))::BIGINT
+                   % {CMS_W} AS bucket
+        FROM toks, UNNEST(range({CMS_D})) AS u(i)
+    ),
+    est AS (
+        SELECT c.tok, MIN(s.cnt)::BIGINT AS est_count
+        FROM cand c JOIN sketch s USING (i, bucket) GROUP BY c.tok
+    ),
+    truth AS (SELECT tok, COUNT(*)::BIGINT AS true_count FROM toks GROUP BY tok)
+    SELECT e.tok, e.est_count, t.true_count,
+           (e.est_count - t.true_count)::BIGINT AS overestimate
+    FROM est e JOIN truth t USING (tok)
+    ORDER BY e.est_count DESC, e.tok ASC LIMIT {CMS_TOPK}
+"""
+
+_SQL_HLL = f"""
+    WITH toks AS ({_SQL_TOKS}),
+    regs AS (
+        SELECT lang, hv % {HLL_M} AS idx,
+               MAX(CASE WHEN hv // {HLL_M} = 0 THEN 47
+                        ELSE 47 - length(bin(hv // {HLL_M})) END) AS rho
+        FROM (SELECT DISTINCT lang,
+                     ('0x' || substr(md5(tok), 1, 13))::BIGINT AS hv
+              FROM toks)
+        GROUP BY lang, hv % {HLL_M}
+    ),
+    agg AS (
+        SELECT lang,
+               SUM(1::BIGINT << (47 - rho))::BIGINT AS s_hit,
+               COUNT(*)::BIGINT AS n_regs_hit
+        FROM regs GROUP BY lang
+    ),
+    truth AS (
+        SELECT lang, COUNT(DISTINCT tok)::BIGINT AS true_distinct
+        FROM toks GROUP BY lang
+    ),
+    fin AS (
+        SELECT a.lang,
+               (a.s_hit + ({HLL_M} - a.n_regs_hit)::BIGINT * {_POW47})::BIGINT
+                   AS s_total,
+               ({HLL_M} - a.n_regs_hit)::BIGINT AS n_zero_regs
+        FROM agg a
+    )
+    SELECT f.lang, f.s_total, f.n_zero_regs,
+           ROUND({_HLL_NUM} / f.s_total::DOUBLE, 4) AS raw_est,
+           ROUND(CASE WHEN {_HLL_NUM} / f.s_total::DOUBLE <= 2.5 * {HLL_M}
+                       AND f.n_zero_regs > 0
+                      THEN {float(HLL_M)!r} * ln({float(HLL_M)!r}
+                           / f.n_zero_regs::DOUBLE)
+                      ELSE {_HLL_NUM} / f.s_total::DOUBLE END, 4)
+               AS est_distinct,
+           t.true_distinct
+    FROM fin f JOIN truth t USING (lang)
+"""
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cms_heavy_hitters": cms_heavy_hitters,
+    "hll_distinct_tokens": hll_distinct_tokens,
+}
+
+ORACLES: Dict[str, str] = {
+    "cms_heavy_hitters": _SQL_CMS,
+    "hll_distinct_tokens": _SQL_HLL,
+}

@@ -1,0 +1,68 @@
+"""Count-Min / HyperLogLog sketch operator tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.sketches import (
+    CMS_W,
+    HLL_M,
+    ORACLES,
+    QUERIES,
+    cms_heavy_hitters,
+    hll_distinct_tokens,
+)
+
+SF = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_cms_one_sided_error_and_collisions(spark):
+    rows = cms_heavy_hitters(spark, SF01).collect()
+    assert len(rows) > CMS_W  # vocab exceeds buckets -> collisions possible
+    assert all(r.overestimate >= 0 for r in rows)  # CMS guarantee
+    assert all(r.est_count >= r.true_count for r in rows)
+    # the driver-scale W=16 is chosen to make collisions REAL
+    assert any(r.overestimate > 0 for r in rows)
+    # min-over-rows still ranks the true heaviest token first
+    by_est = max(rows, key=lambda r: (r.est_count, r.tok))
+    by_true = max(rows, key=lambda r: (r.true_count, r.tok))
+    assert by_est.true_count >= 0.8 * by_true.true_count
+
+
+def test_hll_estimate_quality(spark):
+    rows = hll_distinct_tokens(spark, SF01).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.s_total > 0 and 0 <= r.n_zero_regs <= HLL_M
+        # corrected estimate within 35% at this cardinality (m=64,
+        # linear-counting regime — typical error is far smaller)
+        assert abs(r.est_distinct - r.true_distinct) / r.true_distinct < 0.35
+
+
+def test_cms_plan_broadcasts_sketch(spark):
+    plan = (
+        cms_heavy_hitters(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # sketch side broadcast, never shuffled
+
+
+@pytest.mark.parametrize("name", ["cms_heavy_hitters", "hll_distinct_tokens"])
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ocols = [d[0] for d in con.execute(ORACLES[name]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(ORACLES[name]).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

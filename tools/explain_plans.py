@@ -81,6 +81,9 @@ PLAN_QUERIES = [
     "bloom_dedup_candidates",
     "bloom_dedup_stats",
     "conversation_windows",
+    "secrets_audit_report",
+    "cms_heavy_hitters",
+    "hll_distinct_tokens",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
