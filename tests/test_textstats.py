@@ -1,0 +1,94 @@
+"""Readability + character-entropy operator tests."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.textstats import (
+    ORACLES,
+    QUERIES,
+    char_entropy_report,
+    with_readability,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_readability_known_values(spark):
+    # "The cat sat on the mat." -> 6 words, 1 sentence, 6 syllables
+    df = spark.createDataFrame(
+        [(1, "The cat sat on the mat."), (2, "Incomprehensibility notwithstanding, quintessential obfuscation perseveres!")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in with_readability(df).collect()}
+    r1 = out[1]
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (6, 1, 6)
+    assert r1.fre == round(206.835 - 1.015 * 6.0 - 84.6 * 1.0, 4)
+    assert r1.grade_band == "elementary"
+    # polysyllabic monster sentence lands in a higher band
+    assert out[2].fkgl > out[1].fkgl
+    assert out[2].grade_band in ("high", "college")
+
+
+def test_entropy_known_values(spark):
+    # "aaaa" -> 0 bits; "abab" -> 1 bit; "abcd" -> 2 bits
+    df = spark.createDataFrame(
+        [(1, "en", "aaaa"), (2, "en", "abab"), (3, "en", "abcd")],
+        "doc_id long, lang string, text string",
+    )
+    from pyspark.sql import functions as F
+
+    # drive the same shape as char_entropy_report over a local relation
+    chars = df.select(
+        "doc_id", "lang",
+        F.explode(F.expr("regexp_extract_all(text, '[\\\\s\\\\S]', 0)")).alias("ch"),
+    )
+    cc = chars.groupBy("doc_id", "lang", "ch").agg(F.count(F.lit(1)).alias("c"))
+    agg = cc.groupBy("doc_id", "lang").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.expr("cast(floor(c * ln(cast(c as double)) * 1000000 + 0.5) as bigint)")).alias("s_micro"),
+    )
+    ent = {
+        r.doc_id: (math.log(r.n) - (r.s_micro / 1e6) / r.n) / math.log(2)
+        for r in agg.collect()
+    }
+    assert abs(ent[1] - 0.0) < 1e-4
+    assert abs(ent[2] - 1.0) < 1e-4
+    assert abs(ent[3] - 2.0) < 1e-4
+
+
+def test_entropy_plan_no_python(spark):
+    plan = (
+        char_entropy_report(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # map-side combine: partial aggregate before the (doc_id, ch) exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+@pytest.mark.parametrize(
+    "name", ["readability_scores", "char_entropy_report", "char_entropy_stats"]
+)
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ocols = [d[0] for d in con.execute(ORACLES[name]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(ORACLES[name]).fetchall()
+    )
+    assert srows == orows and len(srows) > 0
+    if name == "readability_scores":
+        idx = {c: i for i, c in enumerate(cols)}
+        bands = {r[idx["grade_band"]] for r in srows}
+        assert len(bands) >= 2  # non-degenerate banding

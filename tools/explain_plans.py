@@ -84,6 +84,8 @@ PLAN_QUERIES = [
     "secrets_audit_report",
     "cms_heavy_hitters",
     "hll_distinct_tokens",
+    "readability_scores",
+    "char_entropy_report",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
