@@ -1,0 +1,268 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016).
+
+Trains byte-pair-encoding merges FROM the corpus with the training
+loop expressed as Spark aggregations — the classic word-level
+algorithm: (1) one corpus scan aggregates the (word, count) frequency
+table; (2) each of BPE_K iterations counts weighted adjacent symbol
+pairs over that table, picks the argmax (count desc, then lexicographic
+— fully deterministic), and rewrites every word's symbol sequence by
+merging that pair.  Only the 1-row argmax is ever collected (the
+bounded-collect pattern of the IVF trainer, ops/ann.py); the frequency
+table itself — vocabulary-sized, millions of rows at web scale, never
+corpus-sized — stays distributed and persisted across iterations.
+
+Symbol sequences ride as delimiter-wrapped strings (``|w||i||n|``), so
+"merge pair (l, r) everywhere, left-to-right non-overlapping" is ONE
+literal ``replace(sym, '|l||r|', '|lr|')`` — identical semantics in
+Spark and DuckDB, and the per-symbol delimiters make overlapping runs
+merge exactly like the published greedy pass (``aaaa`` -> ``aa aa``,
+``aaa`` -> ``aa a``; tests pin both).  Pair counting counts ALL
+adjacent pairs including overlaps, as published.
+
+The oracle is STATIC SQL — no twin labels: BPE_K is a fixed constant,
+so the whole data-dependent loop unrolls into BPE_K chained CTE stages
+whose argmax feeds the next stage's rewrite through scalar subqueries.
+DuckDB re-learns the merges from scratch and the gate hash compares
+the two engines' entire training trajectories.
+
+Scale notes (100 TB): the corpus scan is one shuffle; each iteration
+is a vocab-bounded aggregation (pair rows ~ vocab x avg word length)
+with map-side combine.  Production K is 32k-64k with periodic
+checkpointing of the rewritten table; the plan per iteration is
+unchanged.  Segmentation of unseen text reuses the learned merges as
+BPE_K stacked replaces — pure codegen, no UDF.
+
+Reference scope: the reference tokenizes with ``\\b\\w+\\b`` only;
+tokenizer *training* is part of the build contract's training-data
+extensions (the ``bpe_token_stats`` regex op covers the inference-side
+counting).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+BPE_K = 8  # merges to learn (32k-64k at production scale)
+
+_SYMS = "split(trim(BOTH '|' FROM sym), '\\\\|\\\\|')"
+
+
+def _vocab_syms(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, cnt, sym) — frequency table with delimited char symbols."""
+    return (
+        df.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{TOKEN_RE}', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "sym",
+            F.expr(
+                "concat('|', array_join(regexp_extract_all(word, '.', 0), '||'), '|')"
+            ),
+        )
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    return (
+        words.select("cnt", F.expr(_SYMS).alias("s"))
+        .filter(F.expr("size(s) >= 2"))
+        .select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(s) - 2),"
+                    " i -> struct(s[i] as l, s[i+1] as r))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.l").alias("left_sym"), F.col("p.r").alias("right_sym"))
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def _merge_expr(l: str, r: str) -> str:
+    # symbols are TOKEN_RE substrings ([a-z0-9]+ slices) — no escaping
+    return f"replace(sym, '|{l}||{r}|', '|{l}{r}|')"
+
+
+def train_bpe(
+    df: DataFrame, text_col: str = "text", k: int = BPE_K
+) -> List[Tuple[int, str, str, int]]:
+    """Learn k merges; returns [(rank, left_sym, right_sym, pair_count)].
+    Each iteration collects exactly one row (the argmax pair)."""
+    words = _vocab_syms(df, text_col).persist()
+    try:
+        merges: List[Tuple[int, str, str, int]] = []
+        for rank in range(1, k + 1):
+            top = (
+                _pair_counts(words)
+                .orderBy(
+                    F.desc("pair_count"), F.asc("left_sym"), F.asc("right_sym")
+                )
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break  # every word fully merged (tiny vocab)
+            row = top[0]
+            merges.append(
+                (rank, row.left_sym, row.right_sym, int(row.pair_count))
+            )
+            words = words.withColumn(
+                "sym", F.expr(_merge_expr(row.left_sym, row.right_sym))
+            )
+        return merges
+    finally:
+        # drop the iteration cache; callers rebuild lineage from scratch
+        words.unpersist()
+
+
+def apply_merges_sql(col: str, merges: List[Tuple[int, str, str, int]]) -> str:
+    """SQL expression segmenting a delimited-symbol column under the
+    learned merges — pure codegen, no UDF; use with ``F.expr``."""
+    return _stacked_sql(col, merges)
+
+
+def _stacked_sql(col: str, merges: List[Tuple[int, str, str, int]]) -> str:
+    expr = col
+    for _rank, l, r, _c in merges:
+        expr = f"replace({expr}, '|{l}||{r}|', '|{l}{r}|')"
+    return expr
+
+
+def bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """The learned merge table — both engines train from scratch."""
+    merges = train_bpe(t(spark, sf, "documents"))
+    return spark.createDataFrame(
+        merges, "rank bigint, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+def _segments(spark: SparkSession, sf: str) -> DataFrame:
+    merges = train_bpe(t(spark, sf, "documents"))
+    seg = _vocab_syms(t(spark, sf, "documents")).withColumn(
+        "sym", F.expr(_stacked_sql("sym", merges))
+    )
+    return seg.select(
+        "word",
+        "cnt",
+        F.expr(f"size({_SYMS})").cast("long").alias("n_tokens"),
+        F.expr("replace(trim(BOTH '|' FROM sym), '||', ' ')").alias("segmented"),
+    )
+
+
+def bpe_vocab_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Every vocabulary word segmented under the learned merges."""
+    return _segments(spark, sf)
+
+
+def bpe_compression_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level tokenizer quality: tokens per word / per char."""
+    s = _segments(spark, sf)
+    return s.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("cnt").alias("n_word_occurrences"),
+        F.sum(F.col("cnt") * F.col("n_tokens")).alias("total_tokens"),
+        F.sum(F.col("cnt") * F.length("word")).alias("total_chars"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("n_tokens"))
+            / F.sum(F.col("cnt") * F.length("word")).cast("double"),
+            4,
+        ).alias("tokens_per_char"),
+    )
+
+
+# --- DuckDB oracles (static SQL: the loop unrolled into K CTE stages) ---------
+
+
+def _stage_sql(i: int) -> str:
+    return f"""
+    p{i} AS MATERIALIZED (
+        SELECT s[i] AS l, s[i+1] AS r, SUM(cnt)::BIGINT AS c
+        FROM (SELECT cnt, string_split(trim(sym, '|'), '||') AS s FROM w{i}),
+             UNNEST(range(1, len(s))) AS u(i)
+        GROUP BY s[i], s[i+1]
+    ),
+    m{i} AS MATERIALIZED (
+        SELECT {i + 1}::BIGINT AS rank, l AS left_sym, r AS right_sym,
+               c AS pair_count
+        FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1
+    ),
+    w{i + 1} AS MATERIALIZED (
+        SELECT word, cnt,
+               replace(sym,
+                   '|' || (SELECT left_sym FROM m{i}) || '||'
+                       || (SELECT right_sym FROM m{i}) || '|',
+                   '|' || (SELECT left_sym FROM m{i})
+                       || (SELECT right_sym FROM m{i}) || '|') AS sym
+        FROM w{i}
+    )"""
+
+
+_SQL_BASE = f"""
+    vocab AS MATERIALIZED (
+        SELECT tok AS word, COUNT(*)::BIGINT AS cnt
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+                  AS tok FROM documents)
+        GROUP BY tok
+    ),
+    w0 AS MATERIALIZED (
+        SELECT word, cnt,
+               '|' || list_aggregate(regexp_extract_all(word, '.'),
+                                     'string_agg', '||') || '|' AS sym
+        FROM vocab
+    ),{','.join(_stage_sql(i) for i in range(BPE_K))}
+"""
+
+_SQL_MERGES = (
+    "WITH "
+    + _SQL_BASE
+    + " SELECT * FROM ("
+    + " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(BPE_K))
+    + ")"
+)
+
+_SQL_SEGMENTS = (
+    "WITH "
+    + _SQL_BASE
+    + f""" SELECT word, cnt,
+           len(string_split(trim(sym, '|'), '||'))::BIGINT AS n_tokens,
+           replace(trim(sym, '|'), '||', ' ') AS segmented
+    FROM w{BPE_K}"""
+)
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bpe_merges": bpe_merges,
+    "bpe_vocab_segments": bpe_vocab_segments,
+    "bpe_compression_stats": bpe_compression_stats,
+}
+
+ORACLES: Dict[str, str] = {
+    "bpe_merges": _SQL_MERGES,
+    "bpe_vocab_segments": _SQL_SEGMENTS,
+    "bpe_compression_stats": "WITH "
+    + _SQL_BASE
+    + f""", s AS (
+        SELECT word, cnt,
+               len(string_split(trim(sym, '|'), '||'))::BIGINT AS n_tokens
+        FROM w{BPE_K}
+    )
+        SELECT COUNT(*)::BIGINT AS n_vocab,
+               SUM(cnt)::BIGINT AS n_word_occurrences,
+               SUM(cnt * n_tokens)::BIGINT AS total_tokens,
+               SUM(cnt * length(word))::BIGINT AS total_chars,
+               ROUND(SUM(cnt * n_tokens)
+                     / SUM(cnt * length(word))::DOUBLE, 4) AS tokens_per_char
+        FROM s
+    """,
+}

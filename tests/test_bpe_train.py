@@ -1,0 +1,90 @@
+"""Distributed BPE training tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.bpe_train import (
+    ORACLES,
+    QUERIES,
+    _stacked_sql,
+    _vocab_syms,
+    apply_merges_sql,
+    train_bpe,
+)
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_learns_known_merges(spark):
+    # "low" x4 + "lower" x2 + "newest" x6 -> classic toy: first merges
+    # come from the most frequent adjacent pairs weighted by word count
+    rows = [(1, "low low low low lower lower newest newest newest "
+                "newest newest newest")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(df, k=3)
+    assert len(merges) == 3
+    assert merges[0][0] == 1 and merges[0][3] >= merges[1][3] >= merges[2][3]
+    # (w,e) rides both "lower" (2x) and "newest" (6x) -> count 8, the
+    # unique max; everything else is 6 or less
+    assert merges[0][1:3] == ("w", "e") and merges[0][3] == 8
+
+
+def test_overlap_semantics_match_published_greedy(spark):
+    # merging (a,a): "aaaa" -> [aa, aa]; "aaa" -> [aa, a]
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaa")], "doc_id long, text string"
+    )
+    seg = _vocab_syms(df).withColumn(
+        "sym", F.expr(_stacked_sql("sym", [(1, "a", "a", 0)]))
+    ).select("word", F.expr("replace(trim(BOTH '|' FROM sym), '||', ' ')").alias("s"))
+    out = {r.word: r.s for r in seg.collect()}
+    assert out["aaaa"] == "aa aa"
+    assert out["aaa"] == "aa a"
+
+
+def test_apply_merges_sql_roundtrip(spark):
+    df = spark.createDataFrame([(1, "window window win")], "doc_id long, text string")
+    merges = train_bpe(df, k=2)
+    seg = _vocab_syms(df).withColumn("sym", F.expr(apply_merges_sql("sym", merges)))
+    n = seg.select(F.expr("size(split(trim(BOTH '|' FROM sym), '\\\\|\\\\|'))").alias("n")).collect()
+    # two merges strictly reduce symbol counts somewhere
+    assert min(r.n for r in n) < len("window")
+
+
+def test_pair_counting_no_python(spark):
+    from cleaning_web_corpus_spark.ops.bpe_train import _pair_counts
+
+    plan = (
+        _pair_counts(_vocab_syms(spark.read.parquet(f"{SF}/documents.parquet")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["bpe_merges", "bpe_vocab_segments", "bpe_compression_stats"]
+)
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ocols = [d[0] for d in con.execute(ORACLES[name]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(ORACLES[name]).fetchall()
+    )
+    assert srows == orows and len(srows) > 0
+    if name == "bpe_vocab_segments":
+        idx = {c: i for i, c in enumerate(cols)}
+        # at least one word actually got a merge applied
+        assert any(
+            int(r[idx["n_tokens"]]) < len(r[idx["word"]]) for r in srows
+        )

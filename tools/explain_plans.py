@@ -86,6 +86,11 @@ PLAN_QUERIES = [
     "hll_distinct_tokens",
     "readability_scores",
     "char_entropy_report",
+    # bpe_merges is the ITERATIVE trainer (its result is a driver-built
+    # 8-row relation, like dedup_components' converged labels); the
+    # auditable plan is the segmentation pass below, which stacks the
+    # learned merges as pure codegen replaces over the vocab aggregate.
+    "bpe_vocab_segments",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
