@@ -1,0 +1,148 @@
+"""Corpus-law statistics: Zipf rank-frequency fit.
+
+Corpus health dashboards fit the token rank-frequency curve to
+``ln(count) = a + s*ln(rank)`` — natural language sits near s = -1
+(Zipf's law); a slope far from -1 flags synthetic, templated or
+truncated text, and a collapsing R^2 flags mixed registers.  This op
+computes the least-squares fit DISTRIBUTED and exactly
+gate-reproducibly:
+
+* ranks come from one vocabulary aggregation + a total-order
+  row_number (count desc, token asc — deterministic ties);
+* per-term ``ln(rank)`` / ``ln(count)`` are micro-quantized to BIGINT
+  *first* (the dsir/entropy move: logs of SMALL integers, where the
+  two engines' libm agree), and every sufficient statistic
+  (sum x, sum y, sum x^2, sum y^2, sum x*y) is then an exactly
+  associative INTEGER sum of INTEGER products — aggregation order
+  cannot drift the hash, and only the final slope/intercept/R^2
+  division touches doubles (identical IEEE ops on identical BIGINTs).
+
+The driver corpus is uniform word salad, so the fitted slope is near 0
+with low R^2 — the test pins a crafted Zipfian relation to slope -1.
+
+Scale notes (100 TB): one corpus scan + one vocab shuffle; the ranked
+relation is vocabulary-sized.  The single-partition window for
+row_number over the full vocabulary is the textbook bottleneck — at
+real vocab sizes replace it with a two-pass rank (count-histogram
+prefix sums); the quantized-sufficient-statistics contract is
+unchanged.  The BIGINT micro products bound the corpus at ~10^5 vocab
+terms before sum overflow; production promotes the sums to DECIMAL(38).
+
+Reference scope: no corpus-law stage in the reference — training-data
+monitoring extension (same family as ops/sketches).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+_MICRO = 1_000_000
+
+
+def zipf_sufficient_stats(freq: DataFrame) -> DataFrame:
+    """(n, sx, sy, sxx, syy, sxy) over micro-quantized log rank/count.
+    ``freq`` is any (tok, cnt) relation."""
+    ranked = freq.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), F.asc("tok")))
+        .cast("long"),
+    )
+    q = ranked.select(
+        F.expr(
+            f"cast(floor(ln(cast(rnk as double)) * {_MICRO} + 0.5) as bigint)"
+        ).alias("x"),
+        F.expr(
+            f"cast(floor(ln(cast(cnt as double)) * {_MICRO} + 0.5) as bigint)"
+        ).alias("y"),
+    )
+    return q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+
+
+def zipf_fit_report(spark: SparkSession, sf: str) -> DataFrame:
+    freq = (
+        t(spark, sf, "documents")
+        .select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    s = zipf_sufficient_stats(freq)
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den.cast("double")
+    return s.select(
+        F.col("n").alias("n_vocab"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n").cast("double")
+            / F.lit(float(_MICRO)),
+            4,
+        ).alias("intercept_ln"),
+        F.round(
+            (num.cast("double") * num.cast("double"))
+            / (den.cast("double") * deny.cast("double")),
+            4,
+        ).alias("r_squared"),
+    )
+
+
+# --- DuckDB oracle -------------------------------------------------------------
+
+_SQL_ZIPF = f"""
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+        FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*)::BIGINT AS cnt FROM toks GROUP BY tok),
+    ranked AS (
+        SELECT cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC)::BIGINT AS rnk
+        FROM freq
+    ),
+    q AS (
+        SELECT CAST(FLOOR(ln(rnk::DOUBLE) * {_MICRO} + 0.5) AS BIGINT) AS x,
+               CAST(FLOOR(ln(cnt::DOUBLE) * {_MICRO} + 0.5) AS BIGINT) AS y
+        FROM ranked
+    ),
+    s AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+               SUM(y)::BIGINT AS sy, SUM(x*x)::BIGINT AS sxx,
+               SUM(y*y)::BIGINT AS syy, SUM(x*y)::BIGINT AS sxy
+        FROM q
+    )
+    SELECT n AS n_vocab,
+           ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx)::DOUBLE, 4) AS zipf_slope,
+           ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx)::DOUBLE * sx)
+                 / n::DOUBLE / {_MICRO}.0, 4) AS intercept_ln,
+           ROUND(((n*sxy - sx*sy)::DOUBLE * (n*sxy - sx*sy)::DOUBLE)
+                 / ((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE), 4)
+               AS r_squared
+    FROM s
+"""
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "zipf_fit_report": zipf_fit_report,
+}
+
+ORACLES: Dict[str, str] = {
+    "zipf_fit_report": _SQL_ZIPF,
+}

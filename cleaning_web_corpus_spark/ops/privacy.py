@@ -1,0 +1,111 @@
+"""K-anonymity audit over release metadata (Sweeney 2002).
+
+Scrubbing PII out of the TEXT (scrub/pii.py, ops/secrets.py) is not
+enough when the release also carries metadata: a document whose
+quasi-identifier combination — here (lang, source, length bucket) — is
+shared by fewer than K rows is re-identifiable by joining the release
+against any side table with the same attributes.  A privacy review of
+a training-data release therefore audits: for every quasi-identifier
+equivalence class, how many rows share it, and which classes fall
+below K.
+
+Two queries, both pure aggregations:
+
+* ``k_anonymity_report`` — one row per equivalence class:
+  the class key, its size, and ``k_anonymous`` (size >= K_ANON).
+* ``k_anonymity_stats`` — the release decision number: classes and
+  ROWS below K (the rows a release would generalize further, suppress,
+  or re-bucket), plus the min class size = the release's actual k.
+
+The length bucket quantizes ``n_chars`` to _BUCKET-char steps — the
+generalization knob: widening it is exactly the k-anonymity
+"generalization" remedy and directly shrinks the at-risk count.
+
+Scale notes (100 TB): one pruned scan (3 narrow columns — text is
+never read; parquet column pruning does the work), one partial+final
+aggregate on the class key, and a tiny rollup.  No joins, no Python.
+
+Reference scope: the reference scrubs text only — release-metadata
+privacy is part of the build contract's transcript extensions (same
+family as the scrub/secrets redaction stages).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+K_ANON = 5
+_BUCKET = 100  # n_chars generalization width
+
+
+def k_anonymity_classes(
+    df: DataFrame, qi_cols: list, k: int = K_ANON
+) -> DataFrame:
+    """Equivalence-class sizes for any relation + quasi-identifier set."""
+    return df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).alias("class_size")
+    ).withColumn("k_anonymous", F.col("class_size") >= k)
+
+
+def _classes(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").select(
+        "lang",
+        "source",
+        ((F.col("n_chars") / _BUCKET).cast("long") * _BUCKET).alias(
+            "len_bucket"
+        ),
+    )
+    return k_anonymity_classes(docs, ["lang", "source", "len_bucket"])
+
+
+def k_anonymity_report(spark: SparkSession, sf: str) -> DataFrame:
+    return _classes(spark, sf)
+
+
+def k_anonymity_stats(spark: SparkSession, sf: str) -> DataFrame:
+    c = _classes(spark, sf)
+    return c.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum((~F.col("k_anonymous")).cast("long")).alias("n_risky_classes"),
+        F.sum(
+            F.when(~F.col("k_anonymous"), F.col("class_size")).otherwise(0)
+        ).alias("n_rows_at_risk"),
+        F.sum("class_size").alias("n_rows"),
+        F.min("class_size").alias("release_k"),
+    )
+
+
+# --- DuckDB oracles -------------------------------------------------------------
+
+_SQL_CLASSES = f"""
+    SELECT lang, source,
+           (n_chars // {_BUCKET}) * {_BUCKET} AS len_bucket,
+           COUNT(*)::BIGINT AS class_size,
+           COUNT(*) >= {K_ANON} AS k_anonymous
+    FROM documents
+    GROUP BY lang, source, (n_chars // {_BUCKET}) * {_BUCKET}
+"""
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "k_anonymity_report": k_anonymity_report,
+    "k_anonymity_stats": k_anonymity_stats,
+}
+
+ORACLES: Dict[str, str] = {
+    "k_anonymity_report": _SQL_CLASSES,
+    "k_anonymity_stats": f"""
+        WITH c AS ({_SQL_CLASSES})
+        SELECT COUNT(*)::BIGINT AS n_classes,
+               SUM((NOT k_anonymous)::INT)::BIGINT AS n_risky_classes,
+               SUM(CASE WHEN NOT k_anonymous THEN class_size ELSE 0 END)
+                   ::BIGINT AS n_rows_at_risk,
+               SUM(class_size)::BIGINT AS n_rows,
+               MIN(class_size)::BIGINT AS release_k
+        FROM c
+    """,
+}

@@ -1,0 +1,84 @@
+"""Zipf-fit + k-anonymity operator tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.corpus_stats import (
+    ORACLES as ZIPF_ORACLES,
+    QUERIES as ZIPF_QUERIES,
+    zipf_sufficient_stats,
+)
+from cleaning_web_corpus_spark.ops.privacy import (
+    K_ANON,
+    ORACLES as PRIV_ORACLES,
+    QUERIES as PRIV_QUERIES,
+    k_anonymity_classes,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_zipf_recovers_slope_minus_one(spark):
+    # perfect Zipf: cnt = C / rank -> slope -1, R^2 = 1
+    rows = [(f"t{i:03d}", 10080 // i) for i in range(1, 60)]
+    freq = spark.createDataFrame(rows, "tok string, cnt long")
+    s = zipf_sufficient_stats(freq).collect()[0]
+    num = s.n * s.sxy - s.sx * s.sy
+    den = s.n * s.sxx - s.sx * s.sx
+    deny = s.n * s.syy - s.sy * s.sy
+    slope = num / den
+    r2 = (num * num) / (den * deny)
+    assert abs(slope + 1.0) < 0.02  # integer division of 10080//i ~ exact Zipf
+    assert r2 > 0.999
+
+
+def test_k_anonymity_semantics(spark):
+    df = spark.createDataFrame(
+        [("en", "a")] * 6 + [("en", "b")] * 2 + [("de", "a")],
+        "lang string, source string",
+    )
+    out = {
+        (r.lang, r.source): (r.class_size, r.k_anonymous)
+        for r in k_anonymity_classes(df, ["lang", "source"]).collect()
+    }
+    assert out[("en", "a")] == (6, True)
+    assert out[("en", "b")] == (2, False)
+    assert out[("de", "a")] == (1, False)
+    assert K_ANON == 5
+
+
+def test_privacy_plan_prunes_text(spark):
+    plan = (
+        PRIV_QUERIES["k_anonymity_report"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # parquet column pruning: the text column must never be read
+    assert "text" not in plan.split("ReadSchema")[1][:200]
+    assert "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name,queries,oracles",
+    [
+        ("zipf_fit_report", ZIPF_QUERIES, ZIPF_ORACLES),
+        ("k_anonymity_report", PRIV_QUERIES, PRIV_ORACLES),
+        ("k_anonymity_stats", PRIV_QUERIES, PRIV_ORACLES),
+    ],
+)
+def test_oracle_parity(spark, name, queries, oracles):
+    sdf = queries[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ocols = [d[0] for d in con.execute(oracles[name]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(oracles[name]).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -91,6 +91,8 @@ PLAN_QUERIES = [
     # auditable plan is the segmentation pass below, which stacks the
     # learned merges as pure codegen replaces over the vocab aggregate.
     "bpe_vocab_segments",
+    "zipf_fit_report",
+    "k_anonymity_report",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
