@@ -75,12 +75,17 @@ class ScrubConfig(BaseModel):
     scrub_phone: bool = True
     scrub_ip: bool = True
     scrub_toxicity: bool = True
+    # machine-secret redaction (ops/secrets.py families) appended after
+    # the PII rules; OFF by default — the reference-parity contract
+    # (byte-equal scrubbed text) covers the five rules above only
+    scrub_secrets: bool = False
 
     email_token: str = "<EMAIL>"
     ssn_token: str = "<SSN>"
     phone_token: str = "<PHONE>"
     ip_token: str = "<IP>"
     toxicity_token: str = "<TOXIC>"
+    secret_token: str = "<SECRET>"
 
 
 class ConversationConfig(BaseModel):

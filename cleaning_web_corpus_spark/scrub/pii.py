@@ -78,11 +78,34 @@ _COMPILED = {
 }
 
 
+# Cheap no-op guards for the opt-in machine-secret families
+# (ops/secrets.py SECRET_PATTERNS, applied AFTER the PII rules): every
+# listed pattern provably requires its guard literal. passwd/hex carry
+# no guard cheaper than their own scan.
+_SECRET_GUARDS = {
+    "privkey": ("contains", "-----BEGIN"),
+    "aws": ("contains", "AKIA"),
+    "ghp": ("contains", "gh"),
+    "bearer": ("contains", "Bearer"),
+    "passwd": None,
+    "hex": None,
+}
+
+
+def _secret_patterns():
+    from cleaning_web_corpus_spark.ops.secrets import SECRET_PATTERNS
+
+    return SECRET_PATTERNS
+
+
 def rules_for(cfg: ScrubConfig) -> List[Tuple[re.Pattern, str]]:
     out = []
     for flag, _pat, token_field in _RULES:
         if getattr(cfg, flag):
             out.append((_COMPILED[flag], getattr(cfg, token_field)))
+    if cfg.scrub_secrets:
+        for _fam, pat in _secret_patterns():
+            out.append((re.compile(pat), cfg.secret_token))
     return out
 
 
@@ -114,6 +137,9 @@ def java_rules_for(cfg: ScrubConfig) -> List[Tuple[str, str]]:
     for flag, _pat, token_field in _RULES:
         if getattr(cfg, flag):
             out.append((java_pat[flag], getattr(cfg, token_field)))
+    if cfg.scrub_secrets:
+        for _fam, pat in _secret_patterns():
+            out.append((pat, cfg.secret_token))
     return out
 
 
@@ -132,4 +158,7 @@ def java_guarded_rules_for(cfg: ScrubConfig):
     for flag, _pat, token_field in _RULES:
         if getattr(cfg, flag):
             out.append((_JAVA_GUARDS[flag], java_pat[flag], getattr(cfg, token_field)))
+    if cfg.scrub_secrets:
+        for fam, pat in _secret_patterns():
+            out.append((_SECRET_GUARDS[fam], pat, cfg.secret_token))
     return out
