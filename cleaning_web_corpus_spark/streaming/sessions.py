@@ -1,0 +1,96 @@
+"""Watermarked session-window sessionization (Structured Streaming).
+
+The streaming twin of the batch ``user_sessions`` query
+(warehouse/queries.py — lag + running-sum gaps-and-islands, 30-min
+inactivity gap): Spark's native ``session_window`` keeps one growing
+state entry per open (user, session); each arriving event extends its
+session's end by the gap, overlapping sessions MERGE across
+micro-batches, and append mode emits a session exactly once — when the
+event-time watermark passes its (final) end.  Events later than the
+watermark are dropped, which is what bounds state at 10^12-turn scale:
+open-session state is O(active users), not O(events).
+
+The reference has no streaming at all (SURVEY.md §2.9); this extends
+the engine the same way streaming/{incremental,stateful,windowed}.py
+do.  Restartable: checkpoint + sink live under ``out_dir``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from cleaning_web_corpus_spark.streaming.windowed import EVENT_SCHEMA
+
+SESSION_GAP = "30 minutes"  # mirrors warehouse.queries.SESSION_GAP_S
+
+
+def sessionized_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    gap: str = SESSION_GAP,
+    watermark: str = "30 minutes",
+    schema: Optional[StructType] = None,
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+):
+    """Start the session-window query; returns the StreamingQuery.
+
+    Schema defaults to the events shape plus ``user_id`` (the windowed
+    module's EVENT_SCHEMA carries event_id/ts/event_type/value; the
+    test fixture adds user_id — pass a schema for other relations)."""
+    # StructType.add mutates in place — never extend the shared
+    # EVENT_SCHEMA; rebuild the default from its fields
+    sch = schema or StructType(list(EVENT_SCHEMA.fields)).add(
+        "user_id", "long"
+    )
+    stream = (
+        spark.readStream.schema(sch)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_path)
+        .withWatermark("ts", watermark)
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+    writer = (
+        agg.writeStream.outputMode("append")  # emit once, on session close
+        .format("parquet")
+        .option("path", os.path.join(out_dir, "sessions"))
+        .option(
+            "checkpointLocation",
+            os.path.join(out_dir, "_checkpoints", "sessions"),
+        )
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_sessions(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.schema(
+        StructType()
+        .add("user_id", "long")
+        .add("session_start", "timestamp")
+        .add("session_end", "timestamp")
+        .add("n_events", "long")
+        .add("value_sum", "double")
+    ).parquet(os.path.join(out_dir, "sessions"))

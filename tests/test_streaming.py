@@ -176,3 +176,58 @@ def test_windowed_rollup_emits_on_close_and_drops_late(spark, tmp_path):
         (0, "view"): 2,
         (2, "click"): 1,
     }, got
+
+
+def test_session_window_merges_and_closes(spark, tmp_path):
+    """Watermarked session_window sessionization (streaming/sessions.py):
+    events within the 30-min gap MERGE into one growing session across
+    micro-batches; a session is emitted exactly once when the watermark
+    passes its final end; a later event for the same user after the gap
+    opens a NEW session; restart between files exercises checkpointed
+    session state."""
+    import datetime as dt
+
+    from cleaning_web_corpus_spark.streaming.sessions import (
+        read_sessions,
+        sessionized_stream,
+    )
+
+    src = tmp_path / "sess_in"
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+
+    def _write(name, rows):
+        spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 1, 1, h, m), "click", 1.0, uid)
+                for i, (h, m, uid) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, event_type string, value double,"
+            " user_id long",
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    def _drain():
+        q = sessionized_stream(spark, f"{src}/*", out)
+        q.awaitTermination()
+
+    # batch 1: user 1 events at 00:00 and 00:20 (one session, gap 30m);
+    # user 2 at 00:00. Nothing closes yet.
+    _write("f1", [(0, 0, 1), (0, 20, 1), (0, 0, 2)])
+    _drain()
+    # batch 2: user 1 at 00:40 EXTENDS the same session (< 30m after
+    # 00:20); watermark moves to 00:10 — still nothing closed
+    _write("f2", [(0, 40, 1)])
+    _drain()
+    # batch 3: both users at 03:00 -> watermark 02:30 passes every
+    # earlier session end (user1 ends 01:10, user2 ends 00:30): closed
+    # sessions emit; the 03:00 events are new OPEN sessions (not emitted)
+    _write("f3", [(3, 0, 1), (3, 0, 2)])
+    _drain()
+    got = {
+        (r.user_id, r.session_start.strftime("%H:%M"), r.session_end.strftime("%H:%M")): r.n_events
+        for r in read_sessions(spark, out).collect()
+    }
+    assert got == {
+        (1, "00:00", "01:10"): 3,  # 00:00+00:20+00:40 merged, end 00:40+30m
+        (2, "00:00", "00:30"): 1,
+    }, got
