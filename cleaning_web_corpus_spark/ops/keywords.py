@@ -1,0 +1,119 @@
+"""Per-document tf-idf keyword extraction.
+
+The tagging/retrieval primitive over a cleaned corpus: for every
+document, the top DOC_KEYWORDS_K terms by tf-idf — term frequency from
+one (doc, token) aggregation, document frequency from the same
+relation, smoothed IDF of ``ln(n_docs/df)`` micro-quantized to BIGINT
+(logs of small integers — the dsir/entropy/zipf stability class), so
+the per-term score ``tf * idf_micro`` is an exact integer and the
+per-document ranking (score desc, token asc) is totally ordered and
+gate-reproducible.
+
+Execution shape: one corpus scan -> one (doc_id, token) aggregation;
+document frequencies re-aggregate that relation (no second scan); the
+vocabulary-sized idf table broadcasts back onto the tf relation; the
+per-document top-K is a row_number window that Spark executes as
+WindowGroupLimit (partial top-K before the doc_id exchange — the same
+map-side-limit shape as top_parts_per_flag/domain_frequency_cap).
+
+Scale notes (100 TB): nothing joins anything corpus-sized except the
+broadcast; the window's partial limit means each map task forwards at
+most K rows per document it holds.
+
+Reference scope: the reference's enrichment extracts keywords from a
+fixed vocabulary (enrich/vocab.py twin); corpus-derived tf-idf
+keywords are a training-data extension (same family as idf_top_terms,
+which this op composes per-document).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+DOC_KEYWORDS_K = 3
+_MICRO = 1_000_000
+
+
+def doc_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token",
+            F.expr(
+                f"cast(floor(ln(n_total / cast(df as double)) * {_MICRO}"
+                " + 0.5) as bigint)"
+            ).alias("idf_micro"),
+        )
+    )
+    scored = tf.join(F.broadcast(idf), "token").withColumn(
+        "score_micro", F.col("tf") * F.col("idf_micro")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= DOC_KEYWORDS_K)
+        .select("doc_id", "rank", "token", "tf", "score_micro")
+    )
+
+
+# --- DuckDB oracle -------------------------------------------------------------
+
+_SQL_KEYWORDS = f"""
+    WITH tf AS (
+        SELECT doc_id, tok AS token, COUNT(*)::BIGINT AS tf
+        FROM (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+                         AS tok
+              FROM documents)
+        GROUP BY doc_id, tok
+    ),
+    n AS (SELECT COUNT(*)::BIGINT AS n_total FROM documents),
+    idf AS (
+        SELECT token,
+               CAST(FLOOR(ln((SELECT n_total FROM n) / df::DOUBLE) * {_MICRO}
+                          + 0.5) AS BIGINT) AS idf_micro
+        FROM (SELECT token, COUNT(*)::BIGINT AS df FROM tf GROUP BY token)
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf,
+               tf.tf * idf.idf_micro AS score_micro,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * idf.idf_micro DESC, tf.token ASC
+               )::BIGINT AS rank
+        FROM tf JOIN idf USING (token)
+    )
+    SELECT doc_id, rank, token, tf, score_micro
+    FROM scored WHERE rank <= {DOC_KEYWORDS_K}
+"""
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "doc_keywords": doc_keywords,
+}
+
+ORACLES: Dict[str, str] = {
+    "doc_keywords": _SQL_KEYWORDS,
+}

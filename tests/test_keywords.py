@@ -1,0 +1,60 @@
+"""Per-document tf-idf keyword tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.keywords import (
+    DOC_KEYWORDS_K,
+    ORACLES,
+    QUERIES,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rare_term_outranks_common(spark, tmp_path):
+    # "zebra" appears once in one doc; "the" is everywhere -> idf("the")
+    # is ln(1)=0, so the ubiquitous term can never be a keyword
+    rows = [
+        (1, "the zebra zebra the runs"),
+        (2, "the lion the sleeps the"),
+        (3, "the the the hunts fox"),
+    ]
+    path = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(path)
+    out = QUERIES["doc_keywords"](spark, str(tmp_path)).collect()
+    top = {r.doc_id: r.token for r in out if r.rank == 1}
+    # doc 1: tf(zebra)=2 beats every tf-1 rival; docs 2/3: score ties
+    # between the two rare terms break token-asc (lion < sleeps, fox < hunts)
+    assert top == {1: "zebra", 2: "lion", 3: "fox"}
+    assert all(r.token != "the" or r.score_micro == 0 for r in out)
+    assert all(r.rank <= DOC_KEYWORDS_K for r in out)
+
+
+def test_window_uses_group_limit(spark):
+    plan = (
+        QUERIES["doc_keywords"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan  # partial top-K before the exchange
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # idf table broadcast
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["doc_keywords"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ocols = [d[0] for d in con.execute(ORACLES["doc_keywords"]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(ORACLES["doc_keywords"]).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -93,6 +93,7 @@ PLAN_QUERIES = [
     "bpe_vocab_segments",
     "zipf_fit_report",
     "k_anonymity_report",
+    "doc_keywords",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
