@@ -1,0 +1,150 @@
+"""Ingest-volume anomaly detection (z-score over hourly event counts).
+
+The ops-side guard every ingestion pipeline runs: per event type,
+flag hours whose event count sits more than Z_SIGMA standard
+deviations from that type's mean hourly volume — crawler loops,
+replayed batches and outage backfills all show up here before they
+poison the corpus.
+
+The flag is INTEGER-EXACT — no float ever decides it: with per-hour
+count c and the per-type sufficient statistics (n hours, S1 = sum c,
+S2 = sum c^2),
+
+    |z| > Z  <=>  (c*n - S1)^2  >  Z^2 * (n*S2 - S1^2)
+
+both sides integers, so the gate verdict cannot drift by a ulp.  The
+human-facing ``z`` column is reproducible too: it divides exact
+integers through one IEEE-correctly-rounded sqrt — bit-identical in
+Spark and DuckDB (no transcendental involved).
+
+The synthetic events table is volume-uniform, so the driver queries
+INJECT a deterministic spike (the ops/encoding synthesis move):
+SPIKE_N literal SPIKE_TYPE rows land on one fixed hour in BOTH
+engines — scale-independent, so the detector provably recovers that
+hour at every sf.
+
+Stats are over OBSERVED hours (an hour with zero events contributes no
+row — flagging silent hours is the dual problem and needs a calendar
+spine; documented out of scope here).
+
+Scale notes (100 TB): one pruned 2-column scan, one (type, hour)
+partial+final aggregate (the heavy reduction), then a per-type
+broadcast of the 5-row stats relation.  The BIGINT squares bound c*n
+at ~3*10^9 before overflow; production promotes to DECIMAL(38).
+
+Reference scope: no ingest monitoring in the reference — pipeline
+observability extension (same family as ops/encoding, ops/signals).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+Z_SIGMA = 3
+SPIKE_TYPE = "error"
+SPIKE_HOUR = "2024-01-15 12:00:00"
+SPIKE_N = 30  # injected burst rows — >> any natural hourly count, any sf
+
+
+def _events_with_spike(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    )
+    spike = spark.range(SPIKE_N).select(
+        F.lit(SPIKE_TYPE).alias("event_type"),
+        F.to_timestamp(F.lit(SPIKE_HOUR)).alias("hour_ts"),
+    )
+    return ev.unionByName(spike)
+
+
+def hourly_anomalies(counts: DataFrame, z: int = Z_SIGMA) -> DataFrame:
+    """Flag anomalies in any (event_type, hour_ts, c) relation."""
+    stats = counts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    j = counts.join(F.broadcast(stats), "event_type")
+    dev = F.col("c") * F.col("n") - F.col("s1")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return j.select(
+        "event_type",
+        "hour_ts",
+        F.col("c").alias("n_events"),
+        F.round(dev / F.sqrt(var_n2.cast("double")), 4).alias("z"),
+        (dev * dev > F.lit(z * z) * var_n2).alias("anomalous"),
+    )
+
+
+def ingest_anomaly_report(spark: SparkSession, sf: str) -> DataFrame:
+    counts = (
+        _events_with_spike(spark, sf)
+        .groupBy("event_type", "hour_ts")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return hourly_anomalies(counts)
+
+
+def ingest_anomaly_stats(spark: SparkSession, sf: str) -> DataFrame:
+    r = ingest_anomaly_report(spark, sf)
+    return r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_events").alias("n_events"),
+        F.sum(F.col("anomalous").cast("long")).alias("n_anomalous_hours"),
+        F.max(
+            F.when(F.col("anomalous"), F.col("hour_ts"))
+        ).alias("latest_anomalous_hour"),
+    )
+
+
+# --- DuckDB oracles -------------------------------------------------------------
+
+_SQL_COUNTS = f"""
+        SELECT event_type, hour_ts, COUNT(*)::BIGINT AS c
+        FROM (
+            SELECT event_type, date_trunc('hour', ts) AS hour_ts FROM events
+            UNION ALL
+            SELECT '{SPIKE_TYPE}' AS event_type,
+                   TIMESTAMP '{SPIKE_HOUR}' AS hour_ts
+            FROM range({SPIKE_N})
+        )
+        GROUP BY event_type, hour_ts
+"""
+
+_SQL_REPORT = f"""
+    WITH counts AS ({_SQL_COUNTS}),
+    stats AS (
+        SELECT event_type, COUNT(*)::BIGINT AS n, SUM(c)::BIGINT AS s1,
+               SUM(c * c)::BIGINT AS s2
+        FROM counts GROUP BY event_type
+    )
+    SELECT c.event_type, c.hour_ts, c.c AS n_events,
+           ROUND((c.c * s.n - s.s1)
+                 / sqrt((s.n * s.s2 - s.s1 * s.s1)::DOUBLE), 4) AS z,
+           (c.c * s.n - s.s1) * (c.c * s.n - s.s1)
+               > {Z_SIGMA * Z_SIGMA} * (s.n * s.s2 - s.s1 * s.s1) AS anomalous
+    FROM counts c JOIN stats s USING (event_type)
+"""
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ingest_anomaly_report": ingest_anomaly_report,
+    "ingest_anomaly_stats": ingest_anomaly_stats,
+}
+
+ORACLES: Dict[str, str] = {
+    "ingest_anomaly_report": _SQL_REPORT,
+    "ingest_anomaly_stats": f"""
+        WITH r AS ({_SQL_REPORT})
+        SELECT event_type, COUNT(*)::BIGINT AS n_hours,
+               SUM(n_events)::BIGINT AS n_events,
+               SUM(anomalous::INT)::BIGINT AS n_anomalous_hours,
+               MAX(CASE WHEN anomalous THEN hour_ts END)
+                   AS latest_anomalous_hour
+        FROM r GROUP BY event_type
+    """,
+}

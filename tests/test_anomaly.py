@@ -1,0 +1,76 @@
+"""Ingest-volume anomaly detection tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.anomaly import (
+    ORACLES,
+    QUERIES,
+    SPIKE_HOUR,
+    SPIKE_TYPE,
+    hourly_anomalies,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_integer_exact_flag_matches_z(spark):
+    # 20 calm hours at 10 events + one 60-event burst: z_burst >> 3,
+    # calm hours well under
+    rows = [("click", dt.datetime(2024, 1, 1, h), 10) for h in range(20)]
+    rows.append(("click", dt.datetime(2024, 1, 2, 0), 60))
+    counts = spark.createDataFrame(
+        rows, "event_type string, hour_ts timestamp, c long"
+    )
+    out = {r.hour_ts: r for r in hourly_anomalies(counts).collect()}
+    burst = out[dt.datetime(2024, 1, 2, 0)]
+    assert burst.anomalous and burst.z > 4
+    calm = out[dt.datetime(2024, 1, 1, 0)]
+    assert not calm.anomalous and abs(calm.z) < 1
+    # the integer flag agrees with the float z everywhere
+    for r in out.values():
+        assert r.anomalous == (abs(r.z) > 3), r
+
+
+def test_injected_spike_recovered(spark):
+    rep = QUERIES["ingest_anomaly_report"](spark, SF)
+    spike = rep.filter(
+        (rep.event_type == SPIKE_TYPE)
+        & (rep.hour_ts == dt.datetime.fromisoformat(SPIKE_HOUR))
+    ).collect()
+    assert len(spike) == 1 and spike[0].anomalous and spike[0].z > 3
+
+
+def test_plan_prunes_and_broadcasts(spark):
+    plan = (
+        QUERIES["ingest_anomaly_report"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # 5-row stats side broadcast
+    # only ts + event_type read from parquet
+    assert "value" not in plan.split("ReadSchema")[1][:200]
+
+
+@pytest.mark.parametrize(
+    "name", ["ingest_anomaly_report", "ingest_anomaly_stats"]
+)
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    ocols = [d[0] for d in con.execute(ORACLES[name]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(ORACLES[name]).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -94,6 +94,7 @@ PLAN_QUERIES = [
     "zipf_fit_report",
     "k_anonymity_report",
     "doc_keywords",
+    "ingest_anomaly_report",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
