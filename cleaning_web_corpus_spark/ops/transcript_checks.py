@@ -116,9 +116,82 @@ def transcript_structure_report(spark: SparkSession, sf: str) -> DataFrame:
     return structure_report(_synth_turns(spark, sf))
 
 
+# --- conversation template fingerprints ----------------------------------------
+
+# deterministic rerun twins: conversations whose id ends in one of these
+# digits are re-emitted under '#rerun', so the template detector has
+# known >=2-member classes to find at every sf (mirrored in the oracle)
+_RERUN_LAST = ("0", "3", "6", "9")
+
+_FP_EXPR = (
+    "md5(concat_ws('>', transform(array_sort(collect_list("
+    "struct(turn_idx as i, concat(role, ':', coalesce(tool, '-')) as s)"
+    ")), r -> r.s)))"
+)
+
+
+def template_fingerprints(turns: DataFrame) -> DataFrame:
+    """(conv_id, template_fp, n_turns) — md5 of the ordered role:tool
+    sequence.  Two conversations share a fingerprint iff their whole
+    interaction SHAPE matches — the scripted-agent-loop detector
+    (identical tool-call choreography re-run under different ids),
+    orthogonal to text near-dup (ops/conv_dedup) which compares words."""
+    return turns.groupBy("conv_id").agg(
+        F.expr(_FP_EXPR).alias("template_fp"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+
+
+def conversation_template_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Template classes over the synth turns + rerun twins: class size,
+    turn count, an example conversation, and the templated flag."""
+    turns = _synth_turns(spark, sf)
+    rerun = turns.filter(
+        F.expr(f"substr(conv_id, -1) in {_RERUN_LAST!r}")
+    ).withColumn("conv_id", F.concat(F.col("conv_id"), F.lit("#rerun")))
+    fp = template_fingerprints(turns.unionByName(rerun))
+    return fp.groupBy("template_fp").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.max("n_turns").alias("n_turns"),
+        F.min("conv_id").alias("example_conv"),
+        (F.count(F.lit(1)) >= 2).alias("templated"),
+    )
+
+
+def tool_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Markov transition counts over consecutive tool states per
+    conversation ('<start>' row-in, '<none>' for tool-less turns) — the
+    agent-behavior analytics table (which tool follows which)."""
+    turns = _synth_turns(spark, sf)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    steps = turns.select(
+        F.coalesce(F.lag(F.coalesce("tool", F.lit("<none>"))).over(w),
+                   F.lit("<start>")).alias("from_tool"),
+        F.coalesce("tool", F.lit("<none>")).alias("to_tool"),
+    )
+    return steps.groupBy("from_tool", "to_tool").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcript_structure_report": transcript_structure_report,
+    "conversation_template_report": conversation_template_report,
+    "tool_transition_matrix": tool_transition_matrix,
 }
+
+_SQL_TURNS = f"""
+        WITH turns AS (
+            SELECT source AS conv_id,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS turn_idx,
+                   CASE WHEN doc_id % 3 = 0 THEN 'user'
+                        WHEN doc_id % 3 = 1 THEN 'assistant'
+                        ELSE 'system' END AS role,
+                   CASE WHEN doc_id % 7 = 0 THEN 'search'
+                        WHEN doc_id % 7 = 3 THEN 'browser' END AS tool,
+                   to_timestamp({_EPOCH} + (doc_id * 7 % 97) * 60)::TIMESTAMP AS ts
+            FROM documents
+        )"""
 
 ORACLES: Dict[str, str] = {
     "transcript_structure_report": f"""
@@ -157,5 +230,38 @@ ORACLES: Dict[str, str] = {
                 AND tool_role_violations = 0 AND ts_regressions = 0)
                    AS structurally_valid
         FROM agg
+    """,
+    "conversation_template_report": f"""
+{_SQL_TURNS},
+        twinned AS (
+            SELECT conv_id, turn_idx, role, tool FROM turns
+            UNION ALL
+            SELECT conv_id || '#rerun', turn_idx, role, tool FROM turns
+            WHERE substr(conv_id, -1, 1) IN ('0', '3', '6', '9')
+        ),
+        fp AS (
+            SELECT conv_id,
+                   md5(string_agg(role || ':' || coalesce(tool, '-'), '>'
+                                  ORDER BY turn_idx)) AS template_fp,
+                   COUNT(*)::BIGINT AS n_turns
+            FROM twinned GROUP BY conv_id
+        )
+        SELECT template_fp, COUNT(*)::BIGINT AS n_convs,
+               MAX(n_turns)::BIGINT AS n_turns,
+               MIN(conv_id) AS example_conv,
+               COUNT(*) >= 2 AS templated
+        FROM fp GROUP BY template_fp
+    """,
+    "tool_transition_matrix": f"""
+{_SQL_TURNS},
+        steps AS (
+            SELECT coalesce(lag(coalesce(tool, '<none>'))
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx),
+                   '<start>') AS from_tool,
+                   coalesce(tool, '<none>') AS to_tool
+            FROM turns
+        )
+        SELECT from_tool, to_tool, COUNT(*)::BIGINT AS n_transitions
+        FROM steps GROUP BY from_tool, to_tool
     """,
 }

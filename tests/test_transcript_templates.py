@@ -1,0 +1,69 @@
+"""Conversation template fingerprints + tool-transition matrix tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.transcript_checks import (
+    ORACLES,
+    QUERIES,
+    template_fingerprints,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_fingerprint_is_shape_only(spark):
+    # same role:tool choreography, different words/ids -> same template;
+    # swapping one role -> different template
+    rows = [
+        ("a", 1, "user", None), ("a", 2, "assistant", "search"),
+        ("b", 1, "user", None), ("b", 2, "assistant", "search"),
+        ("c", 1, "user", None), ("c", 2, "user", "search"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, role string, tool string"
+    )
+    fp = {r.conv_id: r.template_fp for r in template_fingerprints(turns).collect()}
+    assert fp["a"] == fp["b"] != fp["c"]
+
+
+def test_rerun_twins_are_detected(spark):
+    rep = QUERIES["conversation_template_report"](spark, SF)
+    rows = rep.collect()
+    dup = [r for r in rows if r.templated]
+    assert dup, "rerun twins must produce templated classes"
+    assert all(r.n_convs >= 2 for r in dup)
+    assert any(r.example_conv.endswith(("0", "3", "6", "9")) for r in dup)
+
+
+def test_transition_matrix_semantics(spark):
+    m = {
+        (r.from_tool, r.to_tool): r.n_transitions
+        for r in QUERIES["tool_transition_matrix"](spark, SF).collect()
+    }
+    n_starts = sum(v for (f, _t), v in m.items() if f == "<start>")
+    total = sum(m.values())
+    # every conversation contributes exactly one <start> edge, and the
+    # number of edges equals the number of turns
+    assert n_starts > 0 and total > n_starts
+    assert ("search", "<none>") in m or ("browser", "<none>") in m
+
+
+@pytest.mark.parametrize(
+    "name", ["conversation_template_report", "tool_transition_matrix"]
+)
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    ocols = [d[0] for d in con.execute(ORACLES[name]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(ORACLES[name]).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

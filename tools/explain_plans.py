@@ -95,6 +95,8 @@ PLAN_QUERIES = [
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
+    "conversation_template_report",
+    "tool_transition_matrix",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
