@@ -280,11 +280,97 @@ def conversation_window_stats(spark: SparkSession, sf: str) -> DataFrame:
     return context_window_stats(_chat_turns(spark, sf))
 
 
+
+
+def sft_loss_spans(turns: DataFrame) -> DataFrame:
+    """Loss-mask spans for SFT: the 0-based [start, end) character span
+    of every ASSISTANT turn's content inside the rendered chat text —
+    the mask a trainer applies so loss flows only through assistant
+    tokens.  SELF-VERIFYING: each span is substring-checked against the
+    conversation's actual render inside the same query (``span_ok``),
+    so the gate hash covers offset arithmetic end-to-end, not just the
+    formula.
+
+    Offsets are pure integer arithmetic over per-turn rendered lengths
+    (prefix '<|im_start|>' + role + newline, suffix '<|im_end|>', one
+    joiner newline between turns), accumulated with one running-sum
+    window on the same conv_id exchange the render aggregation uses.
+    """
+    rlen = (
+        F.lit(12) + F.length("role") + F.lit(1) + F.length("text") + F.lit(10)
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.coalesce(F.sum(rlen + 1).over(w), F.lit(0)).alias("turn_start"),
+    )
+    spans = offs.filter(F.col("role") == "assistant").select(
+        "conv_id",
+        "turn_idx",
+        (
+            F.col("turn_start") + 12 + F.length("role") + 1
+        ).cast("long").alias("span_start"),
+        (
+            F.col("turn_start") + 12 + F.length("role") + 1 + F.length("text")
+        ).cast("long").alias("span_end"),
+        "text",
+    )
+    render = render_chat(turns).select("conv_id", "chat_text")
+    return spans.join(render, "conv_id").select(
+        "conv_id",
+        "turn_idx",
+        "span_start",
+        "span_end",
+        (
+            F.expr(
+                "substring(chat_text, span_start + 1,"
+                " span_end - span_start)"
+            )
+            == F.col("text")
+        ).alias("span_ok"),
+    )
+
+
+def sft_loss_span_report(spark: SparkSession, sf: str) -> DataFrame:
+    return sft_loss_spans(_chat_turns(spark, sf))
+
+
+def sft_loss_span_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Release numbers: how much of the rendered corpus carries loss."""
+    spans = sft_loss_span_report(spark, sf)
+    chars = render_chat(_chat_turns(spark, sf)).agg(
+        F.sum("n_chars").alias("total_chars")
+    )
+    return (
+        spans.agg(
+            F.count(F.lit(1)).alias("n_assistant_turns"),
+            F.sum(F.col("span_end") - F.col("span_start")).alias("loss_chars"),
+            F.min(F.col("span_ok").cast("int")).cast("boolean").alias(
+                "all_spans_ok"
+            ),
+        )
+        .crossJoin(F.broadcast(chars))
+        .withColumn(
+            "loss_frac",
+            F.round(F.col("loss_chars") / F.col("total_chars").cast("double"), 4),
+        )
+    )
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "render_chat_text": render_chat_text,
     "token_budget_prefix": token_budget_prefix,
     "conversation_windows": conversation_windows,
     "conversation_window_stats": conversation_window_stats,
+    "sft_loss_span_report": sft_loss_span_report,
+    "sft_loss_span_stats": sft_loss_span_stats,
 }
 
 _SQL_TURNS = f"""
@@ -386,4 +472,62 @@ ORACLES["conversation_window_stats"] = f"""
            ROUND(SUM(n_turns)::DOUBLE / MAX(last_turn), 4) AS memberships_per_turn,
            ROUND(SUM(window_tokens)::DOUBLE / COUNT(*), 4) AS avg_window_tokens
     FROM win GROUP BY conv_id
+"""
+
+
+_SQL_SPANS = f"""
+    WITH {_SQL_TURNS},
+    offs AS (
+        SELECT conv_id, turn_idx, role, text,
+               COALESCE(SUM(12 + length(role) + 1 + length(text) + 10 + 1)
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0)::BIGINT AS turn_start
+        FROM roled
+    ),
+    render AS (
+        SELECT conv_id,
+               string_agg('<|im_start|>' || role || chr(10) || text
+                          || '<|im_end|>', chr(10) ORDER BY turn_idx)
+                   AS chat_text
+        FROM roled GROUP BY conv_id
+    ),
+    spans AS (
+        SELECT conv_id, turn_idx,
+               (turn_start + 12 + length(role) + 1)::BIGINT AS span_start,
+               (turn_start + 12 + length(role) + 1 + length(text))::BIGINT
+                   AS span_end,
+               text
+        FROM offs WHERE role = 'assistant'
+    )
+    SELECT s.conv_id, s.turn_idx, s.span_start, s.span_end,
+           substring(r.chat_text, s.span_start + 1,
+                     s.span_end - s.span_start) = s.text AS span_ok
+    FROM spans s JOIN render r USING (conv_id)
+"""
+
+ORACLES["sft_loss_span_report"] = _SQL_SPANS
+ORACLES["sft_loss_span_stats"] = f"""
+    WITH spans AS ({_SQL_SPANS}),
+    chars AS (
+        SELECT SUM(length(chat_text))::BIGINT AS total_chars
+        FROM (SELECT string_agg('<|im_start|>' || role || chr(10) || text
+                                || '<|im_end|>', chr(10) ORDER BY turn_idx)
+                         AS chat_text
+              FROM (SELECT source AS conv_id,
+                           ROW_NUMBER() OVER (PARTITION BY source
+                                              ORDER BY doc_id) AS turn_idx,
+                           COALESCE(text, '') AS text
+                    FROM documents) t0,
+                   LATERAL (SELECT CASE WHEN t0.turn_idx % 2 = 1 THEN 'user'
+                                        ELSE 'assistant' END AS role) r0
+              GROUP BY conv_id)
+    )
+    SELECT COUNT(*)::BIGINT AS n_assistant_turns,
+           SUM(span_end - span_start)::BIGINT AS loss_chars,
+           MIN(span_ok::INT)::BOOLEAN AS all_spans_ok,
+           (SELECT total_chars FROM chars) AS total_chars,
+           ROUND(SUM(span_end - span_start)
+                 / (SELECT total_chars FROM chars)::DOUBLE, 4) AS loss_frac
+    FROM spans
 """

@@ -177,3 +177,55 @@ def test_context_window_gate_queries_no_python(spark):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan, name
         assert q.count() > 0
+
+
+def test_sft_loss_spans_exact_and_verified(spark):
+    from cleaning_web_corpus_spark.ops.training_export import (
+        render_chat,
+        sft_loss_spans,
+    )
+
+    turns = spark.createDataFrame(
+        [
+            ("c1", 1, "user", "hi", 1),
+            ("c1", 2, "assistant", "hello there", 2),
+            ("c1", 3, "user", "bye", 1),
+            ("c1", 4, "assistant", "later", 1),
+        ],
+        "conv_id string, turn_idx long, role string, text string, n_tok long",
+    )
+    out = {r.turn_idx: r for r in sft_loss_spans(turns).collect()}
+    assert set(out) == {2, 4}
+    assert all(r.span_ok for r in out.values())
+    # hand-check the first assistant span against the actual render
+    chat = render_chat(turns).collect()[0].chat_text
+    r2 = out[2]
+    assert chat[r2.span_start : r2.span_end] == "hello there"
+    r4 = out[4]
+    assert chat[r4.span_start : r4.span_end] == "later"
+
+
+def test_sft_loss_span_oracle_parity(spark):
+    import duckdb
+
+    from cleaning_web_corpus_spark.ops.training_export import ORACLES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("sft_loss_span_report", "sft_loss_span_stats"):
+        sdf = QUERIES[name](spark, sf)
+        cols = sorted(sdf.columns)
+        srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+        )
+        ocols = [d[0] for d in con.execute(ORACLES[name]).description]
+        assert sorted(ocols) == cols
+        orows = sorted(
+            tuple(str(row[ocols.index(c)]) for c in cols)
+            for row in con.execute(ORACLES[name]).fetchall()
+        )
+        assert srows == orows and len(srows) > 0
+        if name == "sft_loss_span_report":
+            ok_idx = cols.index("span_ok")
+            assert all(r[ok_idx] == "True" for r in srows)

@@ -97,6 +97,7 @@ PLAN_QUERIES = [
     "ingest_anomaly_report",
     "conversation_template_report",
     "tool_transition_matrix",
+    "sft_loss_span_report",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
