@@ -1,0 +1,387 @@
+"""Agent-behavior quality operators over multi-turn transcripts.
+
+Four transcripts-native checks a trainer runs on agent traces before
+they become SFT/DPO data, extending the reference's per-document
+quality rules (/root/reference/src/processors/text_processor.py — its
+filters see one text blob at a time) to the *conversation* grain the
+north rule's input table carries:
+
+* ``agent_loop_report`` — stuck-agent detection: the longest run of
+  consecutive tool calls with an identical (tool, arguments)
+  signature per conversation.  An agent re-issuing the same call is
+  the classic runaway-loop failure; those conversations are dropped
+  or truncated before training.
+* ``tool_args_validity`` — per-tool audit of whether tool-call
+  argument payloads parse as JSON (real parse: ``try_parse_json`` on
+  the JVM side, ``json_valid`` in the DuckDB oracle).  Malformed
+  arguments mark turns the executor could never have run.
+* ``preference_pairs`` — DPO-style pair construction: per
+  conversation, the highest- and lowest-scoring assistant turns
+  (word-count score, deterministic ``doc_id`` tie-break) with a
+  minimum score gap, the chosen/rejected export shape.
+* ``conversation_lang_mix`` — language-consistency report: per
+  conversation, how many distinct languages its turns carry, the
+  dominant language and its share, and the Shannon entropy of the
+  language distribution (code-switched conversations get flagged).
+
+Plan shapes (the 100 TB story): every query here pays exactly ONE
+hash exchange.  The loop report and preference pairs window on
+``conv_id`` and every downstream groupBy reuses that partitioning
+(``conv_id`` is a subset of each later grouping key, so Catalyst
+plans no second exchange).  The lang-mix query repartitions on
+``conv_id`` once so both aggregation levels run exchange-free on top.
+The validity audit is a scan + one partial+final aggregate on the
+tiny tool-name key space (its only other exchange is the synthetic
+``turn_idx`` row_number — a real transcript table already carries
+turn_idx, so at production scale the audit is one shuffle total).
+No Python anywhere — the JSON parse, the run-length islands, and the
+entropy are all whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.ops.transcript_checks import _SQL_TURNS, _synth_turns
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+# --- generic operators --------------------------------------------------------
+
+
+def loop_report(calls: DataFrame) -> DataFrame:
+    """Per-conversation run-length report over tool-call signatures.
+
+    ``calls`` needs (conv_id, turn_idx, call_sig).  Gaps-and-islands:
+    a running sum over the signature-change flag numbers the runs,
+    then two conv_id-clustered aggregations (no extra exchange) yield
+    the longest run, the number of loop runs (length >= 3), and the
+    ``looping`` verdict (longest run >= 4).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # two window layers (lag flag, then running sum) — same
+    # partitioning + ordering, so they fuse into one Window exec over
+    # one exchange + one sort
+    flagged = calls.select(
+        "conv_id",
+        "turn_idx",
+        "call_sig",
+        F.when(
+            F.lag("call_sig").over(w).isNull()
+            | (F.col("call_sig") != F.lag("call_sig").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    run = flagged.select(
+        "conv_id",
+        "call_sig",
+        F.sum("new_run")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("run_id"),
+    )
+    runs = run.groupBy("conv_id", "run_id").agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.max("call_sig").alias("call_sig"),
+    )
+    return runs.groupBy("conv_id").agg(
+        F.sum("run_len").cast("long").alias("n_tool_calls"),
+        F.countDistinct("call_sig").cast("long").alias("n_distinct_sigs"),
+        F.max("run_len").cast("long").alias("max_run"),
+        F.sum(F.when(F.col("run_len") >= 3, 1).otherwise(0))
+        .cast("long")
+        .alias("n_loop_runs"),
+        (F.max("run_len") >= 4).alias("looping"),
+    )
+
+
+def preference_pairs_from(
+    assistant: DataFrame, min_gap: int = 5
+) -> DataFrame:
+    """Chosen/rejected pair per conversation from scored assistant
+    turns (conv_id, doc_id, score).  One window (score asc, doc_id asc
+    tie-break) gives both extremes; the groupBy reuses the window's
+    conv_id partitioning, so the whole export is one exchange.
+    """
+    w = Window.partitionBy("conv_id").orderBy("score", "doc_id")
+    ranked = assistant.select(
+        "conv_id",
+        "doc_id",
+        "score",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy("conv_id").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("cnt"),
+    )
+    pick = lambda cond, col: F.max(F.when(cond, F.col(col)))
+    pairs = ranked.groupBy("conv_id").agg(
+        pick(F.col("rn") == F.col("cnt"), "doc_id").alias("chosen_doc"),
+        pick(F.col("rn") == F.col("cnt"), "score").alias("chosen_score"),
+        pick(F.col("rn") == 1, "doc_id").alias("rejected_doc"),
+        pick(F.col("rn") == 1, "score").alias("rejected_score"),
+        F.max("cnt").cast("long").alias("n_candidates"),
+    )
+    return pairs.withColumn(
+        "score_gap", (F.col("chosen_score") - F.col("rejected_score")).cast("long")
+    ).filter((F.col("n_candidates") >= 2) & (F.col("score_gap") >= min_gap))
+
+
+# --- driver queries -----------------------------------------------------------
+# Tool-call turns come from the shared synthetic transcript
+# (transcript_checks._synth_turns).  The call SIGNATURE is re-derived
+# from the call ordinal so every conversation contains genuine runs:
+# calls advance through "phases" of width 2..5 (keyed off the conv_id's
+# last digit), and all calls inside a phase share one (tool, args)
+# signature — the synthetic stuck-agent.  Conversations with phase
+# width >= 4 are the planted ``looping`` positives.
+
+
+def _synth_calls(spark: SparkSession, sf: str) -> DataFrame:
+    calls = _synth_turns(spark, sf).filter(F.col("tool").isNotNull())
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # `div` (integer division), not `/`: Spark's double-division +
+    # truncating cast and DuckDB's rounding double->int cast disagree;
+    # int div is exact in both (DuckDB spells it //)
+    phased = calls.select(
+        "conv_id",
+        "turn_idx",
+        F.row_number().over(w).alias("call_idx"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.expr("(call_idx - 1) div (2 + ascii(substr(conv_id, -1)) % 4)")
+        .cast("long")
+        .alias("phase"),
+    )
+    return phased.select(
+        "conv_id",
+        "turn_idx",
+        F.expr(
+            "concat(case when phase % 2 = 0 then 'search' else 'browser' end,"
+            " ':{\"q\":\"p', cast(phase as string), '\"}')"
+        ).alias("call_sig"),
+    )
+
+
+def agent_loop_report(spark: SparkSession, sf: str) -> DataFrame:
+    return loop_report(_synth_calls(spark, sf))
+
+
+# Argument payloads: 3 well-formed JSON shapes and 2 malformed ones
+# (truncated object, non-JSON key=value), cycled by turn_idx so every
+# tool sees both classes.  All five literals parse identically under
+# Spark's variant parser and DuckDB's yyjson — clear-cut cases only.
+
+
+def _synth_args(spark: SparkSession, sf: str) -> DataFrame:
+    calls = _synth_turns(spark, sf).filter(F.col("tool").isNotNull())
+    return calls.select(
+        "conv_id",
+        "tool",
+        F.expr(
+            "case turn_idx % 5"
+            " when 0 then concat('{\"q\":\"p', cast(turn_idx as string), '\"}')"
+            " when 1 then concat('{\"q\":\"p', cast(turn_idx as string),"
+            "                    '\",\"k\":', cast(turn_idx % 7 as string), '}')"
+            " when 2 then concat('{\"q\":\"p', cast(turn_idx as string))"
+            " when 3 then '{}'"
+            " else concat('q=p', cast(turn_idx as string)) end"
+        ).alias("args"),
+    )
+
+
+def tool_args_validity(spark: SparkSession, sf: str) -> DataFrame:
+    audited = _synth_args(spark, sf).withColumn(
+        "ok", F.expr("try_parse_json(args) is not null")
+    )
+    return audited.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+        F.sum(F.col("ok").cast("int")).cast("long").alias("n_valid"),
+        F.sum((~F.col("ok")).cast("int")).cast("long").alias("n_invalid"),
+        F.round(F.avg((~F.col("ok")).cast("double")), 4).alias("invalid_rate"),
+        F.min(F.when(~F.col("ok"), F.col("args"))).alias("example_invalid"),
+    )
+
+
+def preference_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # assistant turns under the shared synth role rule (doc_id % 3 = 1),
+    # scored by the chain's word count
+    assistant = t(spark, sf, "documents").filter(F.col("doc_id") % 3 == 1).select(
+        F.col("source").alias("conv_id"),
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0))
+        .cast("long")
+        .alias("score"),
+    )
+    return preference_pairs_from(assistant, min_gap=5)
+
+
+def conversation_lang_mix(spark: SparkSession, sf: str) -> DataFrame:
+    # repartition on conv_id BEFORE the (conv_id, lang) aggregate: that
+    # clustering satisfies both grouping levels, so the whole query
+    # runs on the one exchange
+    per_lang = (
+        t(spark, sf, "documents")
+        .select(F.col("source").alias("conv_id"), "lang")
+        .repartition("conv_id")
+        .groupBy("conv_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # the conv total comes from an unordered window over the same
+    # conv_id clustering (no sort, no exchange), so the entropy terms
+    # are plain per-row arithmetic before the final aggregate
+    share = F.col("n") / F.col("tot")
+    with_tot = per_lang.withColumn(
+        "tot", F.sum("n").over(Window.partitionBy("conv_id"))
+    )
+    return with_tot.groupBy("conv_id").agg(
+        F.max("tot").cast("long").alias("n_turns"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.max_by("lang", F.struct("n", "lang")).alias("dominant_lang"),
+        F.round(F.max("n") / F.max("tot"), 4).alias("dominant_share"),
+        # + 0.0 folds the single-language -0.0 back to 0.0 (the oracle
+        # hash stringifies floats, and "-0" != "0")
+        (F.round(-F.sum(share * F.log2(share)), 4) + F.lit(0.0)).alias(
+            "lang_entropy"
+        ),
+        (F.count(F.lit(1)) > 1).alias("mixed"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "agent_loop_report": agent_loop_report,
+    "tool_args_validity": tool_args_validity,
+    "preference_pairs": preference_pairs,
+    "conversation_lang_mix": conversation_lang_mix,
+}
+
+_SQL_CALLS = f"""
+{_SQL_TURNS},
+        calls AS (
+            SELECT conv_id, turn_idx,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS call_idx
+            FROM turns WHERE tool IS NOT NULL
+        ),
+        sigs AS (
+            SELECT conv_id, turn_idx,
+                   ((call_idx - 1) // (2 + ascii(substr(conv_id, -1, 1)) % 4))::BIGINT
+                       AS phase
+            FROM calls
+        ),
+        sigged AS (
+            SELECT conv_id, turn_idx,
+                   (CASE WHEN phase % 2 = 0 THEN 'search' ELSE 'browser' END
+                    || ':{{"q":"p' || phase || '"}}') AS call_sig
+            FROM sigs
+        )"""
+
+ORACLES: Dict[str, str] = {
+    "agent_loop_report": f"""
+{_SQL_CALLS},
+        flagged AS (
+            SELECT conv_id, turn_idx, call_sig,
+                   CASE WHEN lag(call_sig) OVER w IS NULL
+                             OR call_sig != lag(call_sig) OVER w
+                        THEN 1 ELSE 0 END AS new_run
+            FROM sigged
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        ),
+        numbered AS (
+            SELECT conv_id, call_sig,
+                   SUM(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                      ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM flagged
+        ),
+        runs AS (
+            SELECT conv_id, run_id, COUNT(*) AS run_len, MAX(call_sig) AS call_sig
+            FROM numbered GROUP BY conv_id, run_id
+        )
+        SELECT conv_id,
+               SUM(run_len)::BIGINT AS n_tool_calls,
+               COUNT(DISTINCT call_sig)::BIGINT AS n_distinct_sigs,
+               MAX(run_len)::BIGINT AS max_run,
+               SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_loop_runs,
+               MAX(run_len) >= 4 AS looping
+        FROM runs GROUP BY conv_id
+    """,
+    "tool_args_validity": f"""
+{_SQL_TURNS},
+        audited AS (
+            SELECT tool,
+                   CASE turn_idx % 5
+                        WHEN 0 THEN '{{"q":"p' || turn_idx || '"}}'
+                        WHEN 1 THEN '{{"q":"p' || turn_idx || '","k":'
+                                    || turn_idx % 7 || '}}'
+                        WHEN 2 THEN '{{"q":"p' || turn_idx
+                        WHEN 3 THEN '{{}}'
+                        ELSE 'q=p' || turn_idx END AS args
+            FROM turns WHERE tool IS NOT NULL
+        ),
+        checked AS (SELECT tool, args, json_valid(args) AS ok FROM audited)
+        SELECT tool,
+               COUNT(*)::BIGINT AS n_calls,
+               SUM(ok::INT)::BIGINT AS n_valid,
+               SUM((NOT ok)::INT)::BIGINT AS n_invalid,
+               ROUND(AVG((NOT ok)::INT::DOUBLE), 4) AS invalid_rate,
+               MIN(CASE WHEN NOT ok THEN args END) AS example_invalid
+        FROM checked GROUP BY tool
+    """,
+    "preference_pairs": f"""
+        WITH assistant AS (
+            SELECT source AS conv_id, doc_id,
+                   len(regexp_extract_all(lower(text), '{TOKEN_RE}'))::BIGINT AS score
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        ranked AS (
+            SELECT conv_id, doc_id, score,
+                   ROW_NUMBER() OVER (PARTITION BY conv_id
+                                      ORDER BY score, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY conv_id) AS cnt
+            FROM assistant
+        ),
+        pairs AS (
+            SELECT conv_id,
+                   MAX(CASE WHEN rn = cnt THEN doc_id END) AS chosen_doc,
+                   MAX(CASE WHEN rn = cnt THEN score END) AS chosen_score,
+                   MAX(CASE WHEN rn = 1 THEN doc_id END) AS rejected_doc,
+                   MAX(CASE WHEN rn = 1 THEN score END) AS rejected_score,
+                   MAX(cnt)::BIGINT AS n_candidates
+            FROM ranked GROUP BY conv_id
+        )
+        SELECT *, (chosen_score - rejected_score)::BIGINT AS score_gap
+        FROM pairs
+        WHERE n_candidates >= 2 AND chosen_score - rejected_score >= 5
+    """,
+    "conversation_lang_mix": """
+        WITH per_lang AS (
+            SELECT source AS conv_id, lang, COUNT(*) AS n
+            FROM documents GROUP BY source, lang
+        ),
+        tot AS (
+            SELECT conv_id, SUM(n) AS n_turns FROM per_lang GROUP BY conv_id
+        ),
+        ranked AS (
+            SELECT p.conv_id, p.lang, p.n, t.n_turns,
+                   ROW_NUMBER() OVER (PARTITION BY p.conv_id
+                                      ORDER BY p.n DESC, p.lang DESC) AS rn
+            FROM per_lang p JOIN tot t USING (conv_id)
+        )
+        SELECT conv_id,
+               MAX(n_turns)::BIGINT AS n_turns,
+               COUNT(*)::BIGINT AS n_langs,
+               MAX(CASE WHEN rn = 1 THEN lang END) AS dominant_lang,
+               ROUND(MAX(n)::DOUBLE / MAX(n_turns), 4) AS dominant_share,
+               ROUND(-SUM((n::DOUBLE / n_turns) * log2(n::DOUBLE / n_turns)), 4)
+                   + 0.0 AS lang_entropy,
+               COUNT(*) > 1 AS mixed
+        FROM ranked GROUP BY conv_id
+    """,
+}

@@ -1,0 +1,140 @@
+"""Agent-behavior operators (ops/agent_behavior.py) on hand-built
+inputs with known loops, malformed payloads, and score extremes."""
+
+from cleaning_web_corpus_spark.ops.agent_behavior import (
+    conversation_lang_mix,
+    loop_report,
+    preference_pairs_from,
+    tool_args_validity,
+)
+
+_CALL_SCHEMA = "conv_id string, turn_idx int, call_sig string"
+
+
+def test_loop_report_run_lengths(spark):
+    rows = [
+        # c_loop: 4-long run of the same signature -> looping
+        ("c_loop", 1, "search:a"),
+        ("c_loop", 2, "search:a"),
+        ("c_loop", 3, "search:a"),
+        ("c_loop", 4, "search:a"),
+        ("c_loop", 5, "browser:b"),
+        # c_ok: alternating signatures, no run > 1
+        ("c_ok", 1, "search:a"),
+        ("c_ok", 2, "browser:b"),
+        ("c_ok", 3, "search:a"),
+        # c_three: exactly one loop run of 3 (counted, but not looping)
+        ("c_three", 1, "search:a"),
+        ("c_three", 2, "search:a"),
+        ("c_three", 3, "search:a"),
+        ("c_three", 4, "search:b"),
+    ]
+    calls = spark.createDataFrame(rows, _CALL_SCHEMA)
+    out = {r["conv_id"]: r.asDict() for r in loop_report(calls).collect()}
+
+    assert out["c_loop"]["max_run"] == 4
+    assert out["c_loop"]["looping"]
+    assert out["c_loop"]["n_loop_runs"] == 1
+    assert out["c_loop"]["n_tool_calls"] == 5
+    assert out["c_loop"]["n_distinct_sigs"] == 2
+
+    assert out["c_ok"]["max_run"] == 1
+    assert not out["c_ok"]["looping"]
+    assert out["c_ok"]["n_loop_runs"] == 0
+    # the repeated-but-not-consecutive signature is NOT a run
+    assert out["c_ok"]["n_distinct_sigs"] == 2
+
+    assert out["c_three"]["max_run"] == 3
+    assert out["c_three"]["n_loop_runs"] == 1
+    assert not out["c_three"]["looping"]
+
+
+def test_loop_report_same_sig_across_convs_is_independent(spark):
+    # identical signatures in different conversations never join runs
+    rows = [("a", 1, "s:x"), ("a", 2, "s:x"), ("b", 1, "s:x"), ("b", 2, "s:y")]
+    out = {
+        r["conv_id"]: r.asDict()
+        for r in loop_report(spark.createDataFrame(rows, _CALL_SCHEMA)).collect()
+    }
+    assert out["a"]["max_run"] == 2
+    assert out["b"]["max_run"] == 1
+
+
+def test_preference_pairs_extremes_and_gap(spark):
+    rows = [
+        # picked: clear extremes, gap 10
+        ("picked", 1, 5),
+        ("picked", 2, 15),
+        ("picked", 3, 9),
+        # narrow: gap below the threshold -> excluded
+        ("narrow", 4, 8),
+        ("narrow", 5, 10),
+        # solo: single candidate -> excluded
+        ("solo", 6, 50),
+        # tied: equal scores everywhere -> gap 0, excluded
+        ("tied", 7, 9),
+        ("tied", 8, 9),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, doc_id long, score long")
+    out = {r["conv_id"]: r.asDict() for r in preference_pairs_from(df, min_gap=5).collect()}
+
+    assert set(out) == {"picked"}
+    assert out["picked"]["chosen_doc"] == 2
+    assert out["picked"]["rejected_doc"] == 1
+    assert out["picked"]["score_gap"] == 10
+    assert out["picked"]["n_candidates"] == 3
+
+
+def test_preference_pairs_tie_break_is_deterministic(spark):
+    # two docs tie for max score: the larger doc_id wins (score, doc_id order)
+    rows = [("c", 1, 10), ("c", 2, 10), ("c", 3, 1)]
+    df = spark.createDataFrame(rows, "conv_id string, doc_id long, score long")
+    [row] = preference_pairs_from(df, min_gap=5).collect()
+    assert row["chosen_doc"] == 2
+    assert row["rejected_doc"] == 3
+
+
+def test_tool_args_validity_classes(spark, tmp_path):
+    # drive the full query over a tiny synthetic sf dir
+    docs = spark.createDataFrame(
+        [(i, "w " * 30, "en", f"src{i % 3}", 60) for i in range(60)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = tool_args_validity(spark, str(tmp_path)).collect()
+    assert {r["tool"] for r in out} <= {"search", "browser"}
+    for r in out:
+        assert r["n_calls"] == r["n_valid"] + r["n_invalid"]
+        if r["n_invalid"]:
+            ex = r["example_invalid"]
+            # the planted malformed shapes: truncated object / key=value
+            assert ex.startswith('{"q":"p') and not ex.endswith("}") or ex.startswith("q=p")
+
+
+def test_conversation_lang_mix_entropy_and_dominant(spark, tmp_path):
+    rows = (
+        # mono: 4 en -> entropy 0.0 (not -0.0), not mixed
+        [(i, "t", "en", "mono", 1) for i in range(4)]
+        # even: 2 en + 2 fr -> entropy 1.0
+        + [(10 + i, "t", "en", "even", 1) for i in range(2)]
+        + [(12 + i, "t", "fr", "even", 1) for i in range(2)]
+        # skew: 3 en + 1 de -> dominant en 0.75
+        + [(20 + i, "t", "en", "skew", 1) for i in range(3)]
+        + [(23, "t", "de", "skew", 1)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["conv_id"]: r.asDict()
+        for r in conversation_lang_mix(spark, str(tmp_path)).collect()
+    }
+    assert not out["mono"]["mixed"]
+    assert out["mono"]["lang_entropy"] == 0.0
+    assert str(out["mono"]["lang_entropy"]) == "0.0"  # -0.0 would hash-diverge
+    assert out["even"]["mixed"]
+    assert out["even"]["lang_entropy"] == 1.0
+    assert out["skew"]["dominant_lang"] == "en"
+    assert out["skew"]["dominant_share"] == 0.75
+    assert out["skew"]["n_langs"] == 2

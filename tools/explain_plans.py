@@ -98,6 +98,10 @@ PLAN_QUERIES = [
     "conversation_template_report",
     "tool_transition_matrix",
     "sft_loss_span_report",
+    "agent_loop_report",
+    "tool_args_validity",
+    "preference_pairs",
+    "conversation_lang_mix",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
