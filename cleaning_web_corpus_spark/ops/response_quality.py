@@ -1,0 +1,333 @@
+"""Assistant-response quality gates for SFT/agent-transcript corpora.
+
+Four failure modes a trainer filters out of assistant turns before
+fine-tuning, none of which the reference's per-document chain covers
+(/root/reference/src/processors/text_processor.py scores one text blob
+— it never sees roles or conversation structure):
+
+* ``refusal_report`` / ``refusal_stats`` — refusal and AI-disclaimer
+  boilerplate ("i'm sorry, but i cannot…", "as an ai language
+  model…"): distilled-from-assistant corpora are systematically
+  polluted with these; they teach the model to refuse.
+* ``truncation_report`` / ``truncation_stats`` — responses cut off
+  mid-generation (no terminal punctuation, trailing ellipsis): the
+  context-window artifact; training on them teaches truncation.
+* ``canned_response_report`` — byte-identical (after whitespace
+  normalization) assistant responses reused across conversations:
+  template/canned answers that exact-dedup at document grain misses
+  because the surrounding conversations differ.
+* ``context_leak_report`` — the conversation's system prompt quoted
+  verbatim inside an assistant turn: instruction leakage; models
+  trained on it regurgitate their system prompts.
+
+All detectors are single regexp/contains expressions in the
+Java-regex/RE2 common subset — zero Python, one documents scan each.
+The driver corpus is refusal-free word salad, so the driver queries
+INJECT each failure mode on deterministic ``doc_id`` residues
+(mirrored literally in the DuckDB oracle — the encoding/secrets
+injection move): every detector fires on a known subset and the gate
+hash covers injection + detection.
+
+Scale notes (100 TB): refusal/truncation are per-row flags + one tiny
+(conv) aggregate; the canned-response check is ONE shuffle of md5
+digests (map-side combine collapses each canned class to one row per
+partition); the leak check joins assistant turns to their
+conversation's one system turn on ``conv_id`` and the rollup reuses
+that join's partitioning — one exchange chain, no Python.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+# Detection patterns over lower(text) — literal alternations only, so
+# Java regex and RE2 agree byte-for-byte.
+REFUSAL_RE = "(i cannot|i can't|i am unable to|i'm sorry, but)"
+DISCLAIMER_RE = "(as an ai|as a language model)"
+
+# Injection residues / tokens for the synthetic driver corpus.
+_RES_REFUSE, _RES_DISCLAIM = 11, 13
+_REFUSE_TOKEN = "I'm sorry, but I cannot help with that. "
+_DISCLAIM_TOKEN = "As an AI language model, I don't have personal opinions. "
+_RES_CUT, _RES_ELLIPSIS = 7, 7  # same modulus, different residues (2 / 5)
+_RES_CANNED = 17
+_CANNED_TOKEN = (
+    "Thank you for reaching out. Is there anything else I can help with?"
+)
+_RES_LEAK = 19
+_SNIPPET_LEN = 24  # leading chars of the system prompt checked for leakage
+
+
+def with_refusal_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append is_refusal / is_disclaimer flags (case-insensitive)."""
+    low = F.lower(F.col(text_col))
+    return df.withColumn(
+        "is_refusal", low.rlike(REFUSAL_RE)
+    ).withColumn("is_disclaimer", low.rlike(DISCLAIMER_RE))
+
+
+def with_truncation_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append ends_ellipsis / no_terminal_punct / truncated flags."""
+    tail = F.rtrim(F.col(text_col))
+    ellipsis = tail.rlike(r"\.\.\.$")
+    no_term = ~tail.rlike("[.!?]$")
+    return (
+        df.withColumn("ends_ellipsis", ellipsis)
+        .withColumn("no_terminal_punct", no_term)
+        .withColumn("truncated", ellipsis | no_term)
+    )
+
+
+# --- driver queries -----------------------------------------------------------
+# Assistant turns under the shared synth role rule (doc_id % 3 = 1,
+# transcript_checks._synth_turns); conv_id = source.
+
+
+def _assistant(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id", F.col("source").alias("conv_id"), "text")
+    )
+
+
+def refusal_report(spark: SparkSession, sf: str) -> DataFrame:
+    doc = F.col("doc_id")
+    injected = F.concat(
+        F.when(doc % _RES_REFUSE == 4, F.lit(_REFUSE_TOKEN)).otherwise(F.lit("")),
+        F.when(doc % _RES_DISCLAIM == 6, F.lit(_DISCLAIM_TOKEN)).otherwise(
+            F.lit("")
+        ),
+        F.col("text"),
+    )
+    return with_refusal_flags(
+        _assistant(spark, sf).select("doc_id", "conv_id", injected.alias("text"))
+    ).select("doc_id", "conv_id", "is_refusal", "is_disclaimer")
+
+
+def refusal_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        refusal_report(spark, sf)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assistant"),
+            F.sum(F.col("is_refusal").cast("int")).cast("long").alias("n_refusals"),
+            F.sum(F.col("is_disclaimer").cast("int"))
+            .cast("long")
+            .alias("n_disclaimers"),
+            F.round(F.avg(F.col("is_refusal").cast("double")), 4).alias(
+                "refusal_rate"
+            ),
+            F.max("is_refusal").alias("any_refusal"),
+        )
+    )
+
+
+def truncation_report(spark: SparkSession, sf: str) -> DataFrame:
+    doc = F.col("doc_id")
+    page = (
+        F.when(doc % _RES_CUT == 2, F.substring("text", 1, 40))
+        .when(doc % _RES_ELLIPSIS == 5, F.concat("text", F.lit(" ...")))
+        .otherwise(F.concat("text", F.lit(".")))
+    )
+    return with_truncation_flags(
+        _assistant(spark, sf).select("doc_id", "conv_id", page.alias("text"))
+    ).select("doc_id", "conv_id", "ends_ellipsis", "no_terminal_punct", "truncated")
+
+
+def truncation_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        truncation_report(spark, sf)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assistant"),
+            F.sum(F.col("truncated").cast("int")).cast("long").alias("n_truncated"),
+            F.sum(F.col("ends_ellipsis").cast("int"))
+            .cast("long")
+            .alias("n_ellipsis"),
+            F.round(F.avg(F.col("truncated").cast("double")), 4).alias(
+                "truncation_rate"
+            ),
+        )
+    )
+
+
+def canned_response_report(spark: SparkSession, sf: str) -> DataFrame:
+    doc = F.col("doc_id")
+    swapped = F.when(doc % _RES_CANNED == 3, F.lit(_CANNED_TOKEN)).otherwise(
+        F.col("text")
+    )
+    norm = F.lower(F.trim(F.regexp_replace(swapped, r"\s+", " ")))
+    per_resp = _assistant(spark, sf).select(
+        "doc_id", "conv_id", F.md5(norm).alias("resp_md5")
+    )
+    groups = per_resp.groupBy("resp_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_uses"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.min("doc_id").alias("example_doc"),
+    )
+    return groups.filter(F.col("n_uses") >= 2).withColumn(
+        "cross_conv", F.col("n_convs") >= 2
+    )
+
+
+def context_leak_report(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    # the conversation's system prompt: first system turn by doc_id
+    system = (
+        docs.filter(F.col("doc_id") % 3 == 2)
+        .groupBy(F.col("source").alias("conv_id"))
+        .agg(F.min_by("text", "doc_id").alias("sys_text"))
+        .select("conv_id", F.substring("sys_text", 1, _SNIPPET_LEN).alias("snippet"))
+    )
+    joined = _assistant(spark, sf).join(system, "conv_id")
+    leaked = F.when(
+        F.col("doc_id") % _RES_LEAK == 7,
+        F.concat("text", F.lit(" "), F.col("snippet")),
+    ).otherwise(F.col("text"))
+    flagged = joined.select(
+        "conv_id",
+        "doc_id",
+        F.contains(leaked, F.col("snippet")).alias("leaks"),
+    )
+    return flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assistant"),
+        F.sum(F.col("leaks").cast("int")).cast("long").alias("n_leaks"),
+        F.max("leaks").alias("any_leak"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "refusal_report": refusal_report,
+    "refusal_stats": refusal_stats,
+    "truncation_report": truncation_report,
+    "truncation_stats": truncation_stats,
+    "canned_response_report": canned_response_report,
+    "context_leak_report": context_leak_report,
+}
+
+# --- DuckDB oracles -----------------------------------------------------------
+
+
+def _q(s: str) -> str:
+    """Escape a string for a single-quoted SQL literal."""
+    return s.replace("'", "''")
+
+
+_SQL_ASSISTANT = """
+        WITH assistant AS (
+            SELECT doc_id, source AS conv_id, text
+            FROM documents WHERE doc_id % 3 = 1
+        )"""
+
+_SQL_REFUSAL_FLAGGED = f"""
+{_SQL_ASSISTANT},
+        injected AS (
+            SELECT doc_id, conv_id,
+                   (CASE WHEN doc_id % {_RES_REFUSE} = 4
+                         THEN '{_q(_REFUSE_TOKEN)}' ELSE '' END)
+                   || (CASE WHEN doc_id % {_RES_DISCLAIM} = 6
+                            THEN '{_q(_DISCLAIM_TOKEN)}' ELSE '' END)
+                   || text AS text
+            FROM assistant
+        ),
+        flagged AS (
+            SELECT doc_id, conv_id,
+                   regexp_matches(lower(text), '{_q(REFUSAL_RE)}') AS is_refusal,
+                   regexp_matches(lower(text), '{_q(DISCLAIMER_RE)}') AS is_disclaimer
+            FROM injected
+        )"""
+
+_SQL_TRUNC_FLAGGED = f"""
+{_SQL_ASSISTANT},
+        paged AS (
+            SELECT doc_id, conv_id,
+                   CASE WHEN doc_id % {_RES_CUT} = 2 THEN substr(text, 1, 40)
+                        WHEN doc_id % {_RES_ELLIPSIS} = 5 THEN text || ' ...'
+                        ELSE text || '.' END AS text
+            FROM assistant
+        ),
+        flagged AS (
+            SELECT doc_id, conv_id,
+                   regexp_matches(rtrim(text), '\\.\\.\\.$') AS ends_ellipsis,
+                   NOT regexp_matches(rtrim(text), '[.!?]$') AS no_terminal_punct
+            FROM paged
+        )"""
+
+ORACLES: Dict[str, str] = {
+    "refusal_report": f"""
+{_SQL_REFUSAL_FLAGGED}
+        SELECT doc_id, conv_id, is_refusal, is_disclaimer FROM flagged
+    """,
+    "refusal_stats": f"""
+{_SQL_REFUSAL_FLAGGED}
+        SELECT conv_id,
+               COUNT(*)::BIGINT AS n_assistant,
+               SUM(is_refusal::INT)::BIGINT AS n_refusals,
+               SUM(is_disclaimer::INT)::BIGINT AS n_disclaimers,
+               ROUND(AVG(is_refusal::INT::DOUBLE), 4) AS refusal_rate,
+               bool_or(is_refusal) AS any_refusal
+        FROM flagged GROUP BY conv_id
+    """,
+    "truncation_report": f"""
+{_SQL_TRUNC_FLAGGED}
+        SELECT doc_id, conv_id, ends_ellipsis, no_terminal_punct,
+               (ends_ellipsis OR no_terminal_punct) AS truncated
+        FROM flagged
+    """,
+    "truncation_stats": f"""
+{_SQL_TRUNC_FLAGGED}
+        SELECT conv_id,
+               COUNT(*)::BIGINT AS n_assistant,
+               SUM((ends_ellipsis OR no_terminal_punct)::INT)::BIGINT AS n_truncated,
+               SUM(ends_ellipsis::INT)::BIGINT AS n_ellipsis,
+               ROUND(AVG((ends_ellipsis OR no_terminal_punct)::INT::DOUBLE), 4)
+                   AS truncation_rate
+        FROM flagged GROUP BY conv_id
+    """,
+    "canned_response_report": f"""
+{_SQL_ASSISTANT},
+        normed AS (
+            SELECT doc_id, conv_id,
+                   md5(lower(trim(regexp_replace(
+                       CASE WHEN doc_id % {_RES_CANNED} = 3
+                            THEN '{_q(_CANNED_TOKEN)}' ELSE text END,
+                       '\\s+', ' ', 'g')))) AS resp_md5
+            FROM assistant
+        ),
+        groups AS (
+            SELECT resp_md5,
+                   COUNT(*)::BIGINT AS n_uses,
+                   COUNT(DISTINCT conv_id)::BIGINT AS n_convs,
+                   MIN(doc_id) AS example_doc
+            FROM normed GROUP BY resp_md5
+        )
+        SELECT *, n_convs >= 2 AS cross_conv FROM groups WHERE n_uses >= 2
+    """,
+    "context_leak_report": f"""
+{_SQL_ASSISTANT},
+        system AS (
+            SELECT source AS conv_id,
+                   substr(arg_min(text, doc_id), 1, {_SNIPPET_LEN}) AS snippet
+            FROM documents WHERE doc_id % 3 = 2
+            GROUP BY source
+        ),
+        flagged AS (
+            SELECT a.conv_id, a.doc_id,
+                   contains(CASE WHEN a.doc_id % {_RES_LEAK} = 7
+                                 THEN a.text || ' ' || s.snippet
+                                 ELSE a.text END, s.snippet) AS leaks
+            FROM assistant a JOIN system s ON a.conv_id = s.conv_id
+        )
+        SELECT conv_id,
+               COUNT(*)::BIGINT AS n_assistant,
+               SUM(leaks::INT)::BIGINT AS n_leaks,
+               bool_or(leaks) AS any_leak
+        FROM flagged GROUP BY conv_id
+    """,
+}

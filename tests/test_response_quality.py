@@ -1,0 +1,94 @@
+"""Response-quality gates (ops/response_quality.py): detector flags on
+hand-built texts, and the injected driver scenarios end-to-end over a
+tiny synthetic sf dir."""
+
+from cleaning_web_corpus_spark.ops.response_quality import (
+    canned_response_report,
+    context_leak_report,
+    refusal_report,
+    with_refusal_flags,
+    with_truncation_flags,
+)
+
+
+def test_refusal_flags_on_handbuilt_texts(spark):
+    rows = [
+        (1, "I'm sorry, but I cannot help with that."),
+        (2, "As an AI language model, I don't have opinions."),
+        (3, "Sure! Here is the recipe you asked for."),
+        (4, "I CANNOT and will not do this."),  # case-insensitive
+        (5, "the scanner cannot detect it"),  # 'cannot' without the I-prefix
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in with_refusal_flags(df).collect()}
+    assert out[1]["is_refusal"] and not out[1]["is_disclaimer"]
+    assert out[2]["is_disclaimer"] and not out[2]["is_refusal"]
+    assert not out[3]["is_refusal"] and not out[3]["is_disclaimer"]
+    assert out[4]["is_refusal"]
+    assert not out[5]["is_refusal"]
+
+
+def test_truncation_flags_on_handbuilt_texts(spark):
+    rows = [
+        (1, "A complete sentence."),
+        (2, "Ends with a question?"),
+        (3, "Trails off ..."),
+        (4, "cut off mid wor"),
+        (5, "trailing whitespace after period.   "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in with_truncation_flags(df).collect()}
+    assert not out[1]["truncated"]
+    assert not out[2]["truncated"]
+    assert out[3]["ends_ellipsis"] and out[3]["truncated"]
+    # an ellipsis still ends in '.', so only the ellipsis rule fires
+    assert not out[3]["no_terminal_punct"]
+    assert out[4]["no_terminal_punct"] and out[4]["truncated"]
+    assert not out[5]["truncated"]  # rtrim before the terminal check
+
+
+def _write_docs(spark, tmp_path, n=120):
+    docs = spark.createDataFrame(
+        [
+            # unique LEADING token: the leak snippet is the system text's
+            # first 24 chars, so a shared prefix would match every turn
+            (i, f"token{i} alpha beta gamma delta epsilon", "en", f"src{i % 4}", 40)
+            for i in range(n)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_injected_refusals_are_recovered(spark, tmp_path):
+    sf = _write_docs(spark, tmp_path)
+    out = refusal_report(spark, sf).collect()
+    refusals = {r["doc_id"] for r in out if r["is_refusal"]}
+    # exactly the planted residue (doc_id % 11 == 4 among assistant turns)
+    assert refusals == {d for d in range(120) if d % 3 == 1 and d % 11 == 4}
+    assert refusals  # non-degenerate
+
+
+def test_canned_detection_spans_conversations(spark, tmp_path):
+    sf = _write_docs(spark, tmp_path)
+    out = canned_response_report(spark, sf).collect()
+    # every non-injected text is unique (token{i}), so the single group
+    # is the planted canned response, reused across conversations
+    assert len(out) == 1
+    [g] = out
+    planted = [d for d in range(120) if d % 3 == 1 and d % 17 == 3]
+    assert g["n_uses"] == len(planted)
+    assert g["example_doc"] == min(planted)
+    assert g["cross_conv"]
+
+
+def test_context_leak_rollup(spark, tmp_path):
+    sf = _write_docs(spark, tmp_path)
+    out = {r["conv_id"]: r.asDict() for r in context_leak_report(spark, sf).collect()}
+    planted = {d for d in range(120) if d % 3 == 1 and d % 19 == 7}
+    assert sum(r["n_leaks"] for r in out.values()) == len(planted)
+    for conv, r in out.items():
+        expect = {d for d in planted if f"src{d % 4}" == conv}
+        assert r["n_leaks"] == len(expect)
+        assert r["any_leak"] == bool(expect)

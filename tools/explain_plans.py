@@ -102,6 +102,10 @@ PLAN_QUERIES = [
     "tool_args_validity",
     "preference_pairs",
     "conversation_lang_mix",
+    "refusal_report",
+    "truncation_stats",
+    "canned_response_report",
+    "context_leak_report",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
