@@ -256,8 +256,60 @@ def conversation_lang_mix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def self_repetition_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Assistant self-repetition: the text-grain sibling of the tool
+    loop — an agent re-emitting the SAME response on consecutive
+    assistant turns ("let me try that again" loops).  Reuses the
+    generic ``loop_report`` islands operator with the call signature =
+    md5 of the whitespace-normalized response text.
+
+    Driver scenario: every conversation's assistant turns 3..(2+k)
+    (k = 2..4 keyed off the conv_id's last digit) are replaced by one
+    constant retry message in BOTH engines, so each conversation
+    carries a planted repeat run of known length.
+    """
+    assistant = (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select(F.col("source").alias("conv_id"), "doc_id", "text")
+    )
+    w = Window.partitionBy("conv_id").orderBy("doc_id")
+    injected = assistant.select(
+        "conv_id",
+        F.col("doc_id").alias("turn_idx"),
+        F.row_number().over(w).alias("a_idx"),
+        "text",
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.when(
+            (F.col("a_idx") >= 3)
+            & (F.col("a_idx") < 3 + (2 + F.expr("ascii(substr(conv_id, -1))") % 3)),
+            F.lit("Let me try that again."),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sigged = injected.select(
+        "conv_id",
+        "turn_idx",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias(
+            "call_sig"
+        ),
+    )
+    return loop_report(sigged).select(
+        "conv_id",
+        F.col("n_tool_calls").alias("n_assistant"),
+        F.col("n_distinct_sigs").alias("n_distinct_responses"),
+        F.col("max_run").alias("max_repeat_run"),
+        F.col("n_loop_runs").alias("n_repeat_runs"),
+        F.col("looping").alias("self_repeating"),
+    )
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "agent_loop_report": agent_loop_report,
+    "self_repetition_report": self_repetition_report,
     "tool_args_validity": tool_args_validity,
     "preference_pairs": preference_pairs,
     "conversation_lang_mix": conversation_lang_mix,
@@ -284,6 +336,48 @@ _SQL_CALLS = f"""
         )"""
 
 ORACLES: Dict[str, str] = {
+    "self_repetition_report": r"""
+        WITH assistant AS (
+            SELECT source AS conv_id, doc_id AS turn_idx,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS a_idx,
+                   text
+            FROM documents WHERE doc_id % 3 = 1
+        ),
+        sigged AS (
+            SELECT conv_id, turn_idx,
+                   md5(lower(trim(regexp_replace(
+                       CASE WHEN a_idx >= 3
+                                 AND a_idx < 3 + (2 + ascii(substr(conv_id, -1, 1)) % 3)
+                            THEN 'Let me try that again.' ELSE text END,
+                       '\s+', ' ', 'g')))) AS call_sig
+            FROM assistant
+        ),
+        flagged AS (
+            SELECT conv_id, turn_idx, call_sig,
+                   CASE WHEN lag(call_sig) OVER w IS NULL
+                             OR call_sig != lag(call_sig) OVER w
+                        THEN 1 ELSE 0 END AS new_run
+            FROM sigged
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        ),
+        numbered AS (
+            SELECT conv_id, call_sig,
+                   SUM(new_run) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                      ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM flagged
+        ),
+        runs AS (
+            SELECT conv_id, run_id, COUNT(*) AS run_len, MAX(call_sig) AS call_sig
+            FROM numbered GROUP BY conv_id, run_id
+        )
+        SELECT conv_id,
+               SUM(run_len)::BIGINT AS n_assistant,
+               COUNT(DISTINCT call_sig)::BIGINT AS n_distinct_responses,
+               MAX(run_len)::BIGINT AS max_repeat_run,
+               SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_repeat_runs,
+               MAX(run_len) >= 4 AS self_repeating
+        FROM runs GROUP BY conv_id
+    """,
     "agent_loop_report": f"""
 {_SQL_CALLS},
         flagged AS (

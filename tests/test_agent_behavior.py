@@ -138,3 +138,19 @@ def test_conversation_lang_mix_entropy_and_dominant(spark, tmp_path):
     assert out["skew"]["dominant_lang"] == "en"
     assert out["skew"]["dominant_share"] == 0.75
     assert out["skew"]["n_langs"] == 2
+
+
+def test_self_repetition_reuses_planted_runs(spark, tmp_path):
+    from cleaning_web_corpus_spark.ops.agent_behavior import self_repetition_report
+
+    docs = spark.createDataFrame(
+        # conv src1 ends in '1' -> run width 2 + (49 % 3) = 3 (a_idx 3..5)
+        [(i, f"unique reply {i}", "en", "src1", 20) for i in range(1, 40, 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    [row] = self_repetition_report(spark, str(tmp_path)).collect()
+    assert row["max_repeat_run"] == 3
+    assert row["n_repeat_runs"] == 1
+    assert not row["self_repeating"]  # run of 3 is counted but below the bar
+    assert row["n_distinct_responses"] == row["n_assistant"] - 2

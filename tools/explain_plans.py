@@ -99,6 +99,7 @@ PLAN_QUERIES = [
     "tool_transition_matrix",
     "sft_loss_span_report",
     "agent_loop_report",
+    "self_repetition_report",
     "tool_args_validity",
     "preference_pairs",
     "conversation_lang_mix",
