@@ -1,0 +1,183 @@
+"""Dataset-card summary and role-balance analytics.
+
+``dataset_card`` produces the one-row "datasheet" a training-data
+release ships with (Gebru et al., Datasheets for Datasets): corpus
+counts, whitespace-token volume, language distribution entropy, and
+the exact-duplicate rate — the numbers a consumer reads before any
+per-document signal.  The reference's coverage reports aggregate one
+dimension at a time (/root/reference/src/db/coverage_analysis.py);
+the card is their release-grain composition.
+
+``role_token_share`` is the transcripts-native balance check: per
+conversation, how the token volume splits across user / assistant /
+system turns.  SFT corpora with assistant-token share near 0 (nothing
+to learn from) or near 1 (no grounding context) are degenerate for
+training; the flag marks both tails.
+
+Plan shapes (100 TB): the card is two pruned scans — a per-language
+aggregate (5-ish rows) and a global aggregate whose distinct-digest
+count is the only wide state — cross-joined at one row each.  The
+role share is ONE scan + one ``conv_id`` aggregate with map-side
+combine (pivot via sum(when), no second shuffle).  Zero Python.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+# degenerate-balance tails for role_token_share
+_SHARE_LO, _SHARE_HI = 0.1, 0.9
+
+
+def _wc(col):
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(TOKEN_RE), 0)).cast(
+        "long"
+    )
+
+
+def dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        _wc(F.col("text")).alias("n_tokens"),
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+    total = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_convs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("mean_doc_tokens"),
+        F.countDistinct("text_md5").cast("long").alias("n_distinct_texts"),
+    ).withColumn(
+        "dup_rate",
+        F.round(
+            (F.col("n_docs") - F.col("n_distinct_texts")) / F.col("n_docs"), 4
+        ),
+    )
+    # language entropy over the per-language distribution (tiny agg)
+    share = F.col("n") / F.col("tot")
+    lang_dist = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("tot", F.sum("n").over(Window.partitionBy()))
+    )
+    lang = lang_dist.agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        (F.round(-F.sum(share * F.log2(share)), 4) + F.lit(0.0)).alias(
+            "lang_entropy"
+        ),
+    )
+    return total.crossJoin(lang).select(
+        "n_docs",
+        "n_convs",
+        "n_langs",
+        "total_tokens",
+        "mean_doc_tokens",
+        "n_distinct_texts",
+        "dup_rate",
+        "lang_entropy",
+    )
+
+
+def role_token_share(spark: SparkSession, sf: str) -> DataFrame:
+    # roles under the shared synth rule (doc_id % 3: user/assistant/system)
+    doc = F.col("doc_id")
+    turns = t(spark, sf, "documents").select(
+        F.col("source").alias("conv_id"),
+        F.when(doc % 3 == 0, F.lit("user"))
+        .when(doc % 3 == 1, F.lit("assistant"))
+        .otherwise(F.lit("system"))
+        .alias("role"),
+        _wc(F.col("text")).alias("n_tokens"),
+    )
+    tok_of = lambda r: F.sum(
+        F.when(F.col("role") == r, F.col("n_tokens")).otherwise(F.lit(0))
+    ).cast("long")
+    agg = turns.groupBy("conv_id").agg(
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        tok_of("user").alias("user_tokens"),
+        tok_of("assistant").alias("assistant_tokens"),
+        tok_of("system").alias("system_tokens"),
+    )
+    share = F.round(F.col("assistant_tokens") / F.col("total_tokens"), 4)
+    return agg.withColumn("assistant_share", share).withColumn(
+        "degenerate",
+        (F.col("assistant_share") < _SHARE_LO)
+        | (F.col("assistant_share") > _SHARE_HI),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dataset_card": dataset_card,
+    "role_token_share": role_token_share,
+}
+
+_SQL_WC = f"len(regexp_extract_all(lower(text), '{TOKEN_RE}'))::BIGINT"
+
+ORACLES: Dict[str, str] = {
+    "dataset_card": f"""
+        WITH docs AS (
+            SELECT doc_id, source, lang,
+                   {_SQL_WC} AS n_tokens,
+                   md5(text) AS text_md5
+            FROM documents
+        ),
+        total AS (
+            SELECT COUNT(*)::BIGINT AS n_docs,
+                   COUNT(DISTINCT source)::BIGINT AS n_convs,
+                   SUM(n_tokens)::BIGINT AS total_tokens,
+                   ROUND(AVG(n_tokens), 4) AS mean_doc_tokens,
+                   COUNT(DISTINCT text_md5)::BIGINT AS n_distinct_texts
+            FROM docs
+        ),
+        lang_dist AS (
+            SELECT lang, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS tot
+            FROM docs GROUP BY lang
+        ),
+        lang AS (
+            SELECT COUNT(*)::BIGINT AS n_langs,
+                   ROUND(-SUM((n::DOUBLE / tot) * log2(n::DOUBLE / tot)), 4)
+                       + 0.0 AS lang_entropy
+            FROM lang_dist
+        )
+        SELECT n_docs, n_convs, n_langs, total_tokens, mean_doc_tokens,
+               n_distinct_texts,
+               ROUND((n_docs - n_distinct_texts)::DOUBLE / n_docs, 4) AS dup_rate,
+               lang_entropy
+        FROM total, lang
+    """,
+    "role_token_share": f"""
+        WITH turns AS (
+            SELECT source AS conv_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'user'
+                        WHEN doc_id % 3 = 1 THEN 'assistant'
+                        ELSE 'system' END AS role,
+                   {_SQL_WC} AS n_tokens
+            FROM documents
+        ),
+        agg AS (
+            SELECT conv_id,
+                   SUM(n_tokens)::BIGINT AS total_tokens,
+                   SUM(CASE WHEN role = 'user' THEN n_tokens ELSE 0 END)::BIGINT
+                       AS user_tokens,
+                   SUM(CASE WHEN role = 'assistant' THEN n_tokens ELSE 0 END)::BIGINT
+                       AS assistant_tokens,
+                   SUM(CASE WHEN role = 'system' THEN n_tokens ELSE 0 END)::BIGINT
+                       AS system_tokens
+            FROM turns GROUP BY conv_id
+        )
+        SELECT *,
+               ROUND(assistant_tokens::DOUBLE / total_tokens, 4) AS assistant_share,
+               (ROUND(assistant_tokens::DOUBLE / total_tokens, 4) < {_SHARE_LO}
+                OR ROUND(assistant_tokens::DOUBLE / total_tokens, 4) > {_SHARE_HI})
+                   AS degenerate
+        FROM agg
+    """,
+}

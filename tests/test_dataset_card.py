@@ -1,0 +1,62 @@
+"""Dataset-card and role-balance ops (ops/dataset_card.py) on a
+hand-built corpus with known counts, duplicates, and token splits."""
+
+from cleaning_web_corpus_spark.ops.dataset_card import (
+    dataset_card,
+    role_token_share,
+)
+
+
+def _write(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_dataset_card_counts_and_dup_rate(spark, tmp_path):
+    rows = [
+        # 4 docs, 2 convs, one exact duplicate pair, 2 langs (3 en / 1 fr)
+        (0, "alpha beta gamma", "en", "c1", 10),
+        (1, "alpha beta gamma", "en", "c1", 10),  # duplicate of doc 0
+        (2, "delta epsilon", "en", "c2", 10),
+        (3, "zeta eta theta iota", "fr", "c2", 10),
+    ]
+    sf = _write(spark, tmp_path, rows)
+    [card] = dataset_card(spark, sf).collect()
+    assert card["n_docs"] == 4
+    assert card["n_convs"] == 2
+    assert card["n_langs"] == 2
+    assert card["n_distinct_texts"] == 3
+    assert card["dup_rate"] == 0.25
+    assert card["total_tokens"] == 3 + 3 + 2 + 4
+    # H(3/4, 1/4) = 0.8113
+    assert abs(card["lang_entropy"] - 0.8113) < 1e-9
+
+
+def test_dataset_card_single_lang_entropy_is_plus_zero(spark, tmp_path):
+    sf = _write(spark, tmp_path, [(0, "a b", "en", "c", 3), (1, "c d", "en", "c", 3)])
+    [card] = dataset_card(spark, sf).collect()
+    assert str(card["lang_entropy"]) == "0.0"
+
+
+def test_role_token_share_split_and_degenerate_flag(spark, tmp_path):
+    rows = [
+        # conv c1: user 2 tokens (doc 0), assistant 6 (doc 1), system 2 (doc 2)
+        (0, "u u", "en", "c1", 5),
+        (1, "a a a a a a", "en", "c1", 5),
+        (2, "s s", "en", "c1", 5),
+        # conv c2: assistant-only -> share 1.0 -> degenerate
+        (4, "a a a", "en", "c2", 5),
+        # conv c3: no assistant tokens -> share 0.0 -> degenerate
+        (3, "u", "en", "c3", 5),
+    ]
+    sf = _write(spark, tmp_path, rows)
+    out = {r["conv_id"]: r.asDict() for r in role_token_share(spark, sf).collect()}
+    assert out["c1"]["assistant_tokens"] == 6
+    assert out["c1"]["user_tokens"] == 2
+    assert out["c1"]["system_tokens"] == 2
+    assert out["c1"]["assistant_share"] == 0.6
+    assert not out["c1"]["degenerate"]
+    assert out["c2"]["assistant_share"] == 1.0 and out["c2"]["degenerate"]
+    assert out["c3"]["assistant_share"] == 0.0 and out["c3"]["degenerate"]

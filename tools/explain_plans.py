@@ -107,6 +107,8 @@ PLAN_QUERIES = [
     "truncation_stats",
     "canned_response_report",
     "context_leak_report",
+    "dataset_card",
+    "role_token_share",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
