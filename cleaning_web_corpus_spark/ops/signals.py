@@ -9,15 +9,20 @@ scan of ``documents`` with zero Python:
 
 * Gopher metrics + rule verdict (``ops/gopher.add_gopher_columns``)
 * decode-health counters (``ops/encoding.with_encoding_flags``)
+* SFT-side response flags (``ops/response_quality``): refusal /
+  AI-disclaimer boilerplate and mid-generation truncation
 * whitespace / BPE-ish token counts (``ops/tokenize_fp`` regexes)
 * the reference's coarse quality score (CASE over word count and mean
   word length — same thresholds as ``quality_scores``)
 
 The driver query computes all signals over the SAME residue-injected
-corpus as ``encoding_anomaly_report`` (every encoding detector fires
-somewhere, so the oracle hash is non-degenerate), and the oracle
-splices the gopher report SQL verbatim — one source of truth per
-signal family on both engines.
+corpus as ``encoding_anomaly_report``, extended with the
+response_quality refusal/disclaimer prefixes and a terminal '.' on
+doc_id % 5 < 3 (every detector — encoding, refusal, truncation —
+fires somewhere AND stays false somewhere, so the oracle hash is
+non-degenerate in both directions), and the oracle splices the gopher
+report SQL verbatim — one source of truth per signal family on both
+engines.
 
 At 100 TB this is the cheapest table in the pipeline: per-row codegen
 expressions only, no shuffle past the scan, and the output is exactly
@@ -46,6 +51,16 @@ from cleaning_web_corpus_spark.ops.encoding import (
     with_encoding_flags,
 )
 from cleaning_web_corpus_spark.ops.gopher import add_gopher_columns
+from cleaning_web_corpus_spark.ops.response_quality import (
+    DISCLAIMER_RE,
+    REFUSAL_RE,
+    _DISCLAIM_TOKEN,
+    _REFUSE_TOKEN,
+    _RES_DISCLAIM,
+    _RES_REFUSE,
+    with_refusal_flags,
+    with_truncation_flags,
+)
 from cleaning_web_corpus_spark.ops.tokenize_fp import BPE_RE, WS_RE
 from cleaning_web_corpus_spark.warehouse.queries import t
 
@@ -55,13 +70,20 @@ SIGNAL_COLUMNS = [
     "ellipsis_line_frac", "alpha_word_frac", "n_stop_words",
     "gopher_passed", "fail_reason",
     "n_fffd", "n_mojibake", "n_ctrl", "encoding_clean",
+    "is_refusal", "is_disclaimer", "truncated",
     "ws_tokens", "bpe_tokens", "quality_score",
 ]
 
 
 def add_signal_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Append every signal family to any (id, text) relation."""
-    out = with_encoding_flags(add_gopher_columns(df, text_col), text_col)
+    out = with_truncation_flags(
+        with_refusal_flags(
+            with_encoding_flags(add_gopher_columns(df, text_col), text_col),
+            text_col,
+        ),
+        text_col,
+    )
     c = F.col(text_col)
     quality = (
         F.when((F.col("n_words") >= 60) & (F.col("mean_word_len") >= 4.0), 1.0)
@@ -84,13 +106,23 @@ def add_signal_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _injected_docs(spark: SparkSession, sf: str) -> DataFrame:
-    """documents (ALL columns) with the encoding-residue injection."""
+    """documents (ALL columns) with the encoding + SFT-flag injections.
+
+    Prefixes plant refusal/disclaimer boilerplate on the
+    response_quality residues; the trailing '.' on doc_id % 5 < 3
+    splits the corpus into terminated and truncated texts so every
+    flag column is non-degenerate under the gate hash."""
     doc = F.col("doc_id")
     injected = F.concat(
+        F.when(doc % _RES_REFUSE == 4, F.lit(_REFUSE_TOKEN)).otherwise(F.lit("")),
+        F.when(doc % _RES_DISCLAIM == 6, F.lit(_DISCLAIM_TOKEN)).otherwise(
+            F.lit("")
+        ),
         F.col("text"),
         F.when(doc % _RES_FFFD == 0, F.lit(_FFFD_TOKEN)).otherwise(F.lit("")),
         F.when(doc % _RES_MOJI == 0, F.lit(_MOJI_TOKEN)).otherwise(F.lit("")),
         F.when(doc % _RES_CTRL == 0, F.lit(_CTRL_TOKEN)).otherwise(F.lit("")),
+        F.when(doc % 5 < 3, F.lit(".")).otherwise(F.lit("")),
     )
     return t(spark, sf, "documents").select(
         "doc_id", "lang", "source", "n_chars", injected.alias("text")
@@ -108,6 +140,8 @@ def quality_signals_summary(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("gopher_passed").cast("long")).alias("n_gopher_pass"),
         F.sum(F.col("encoding_clean").cast("long")).alias("n_encoding_clean"),
+        F.sum(F.col("is_refusal").cast("long")).alias("n_refusals"),
+        F.sum(F.col("truncated").cast("long")).alias("n_truncated"),
         F.round(F.avg("quality_score"), 4).alias("avg_quality"),
         F.sum("bpe_tokens").alias("total_bpe_tokens"),
     )
@@ -116,16 +150,26 @@ def quality_signals_summary(spark: SparkSession, sf: str) -> DataFrame:
 # --- DuckDB oracles -----------------------------------------------------------
 
 _BPE_SQL = BPE_RE.replace("'", "''")
+_RQ_REFUSAL_SQL = REFUSAL_RE.replace("'", "''")
+_RQ_DISCLAIM_SQL = DISCLAIMER_RE.replace("'", "''")
+
+_REFUSE_SQL = _REFUSE_TOKEN.replace("'", "''")
+_DISCLAIM_SQL = _DISCLAIM_TOKEN.replace("'", "''")
 
 _SQL_INJECTED_ALL = f"""
         SELECT doc_id, lang, source, n_chars,
-               text
+               (CASE WHEN doc_id % {_RES_REFUSE} = 4
+                     THEN '{_REFUSE_SQL}' ELSE '' END)
+               || (CASE WHEN doc_id % {_RES_DISCLAIM} = 6
+                        THEN '{_DISCLAIM_SQL}' ELSE '' END)
+               || text
                || (CASE WHEN doc_id % {_RES_FFFD} = 0
                         THEN ' bad' || chr(65533) || 'decode' ELSE '' END)
                || (CASE WHEN doc_id % {_RES_MOJI} = 0
                         THEN ' cafÃ© donâ€™t' ELSE '' END)
                || (CASE WHEN doc_id % {_RES_CTRL} = 0
                         THEN ' ctl' || chr(1) || 'chr' ELSE '' END)
+               || (CASE WHEN doc_id % 5 < 3 THEN '.' ELSE '' END)
                AS text
         FROM documents
 """
@@ -148,6 +192,10 @@ _SQL_TABLE = f"""
                    '{_MOJIBAKE_RE}'))::BIGINT AS n_mojibake,
                len(regexp_extract_all(text,
                    '{_CTRL_RE}'))::BIGINT AS n_ctrl,
+               regexp_matches(lower(text), '{_RQ_REFUSAL_SQL}') AS is_refusal,
+               regexp_matches(lower(text), '{_RQ_DISCLAIM_SQL}') AS is_disclaimer,
+               (regexp_matches(rtrim(text), '\\.\\.\\.$')
+                OR NOT regexp_matches(rtrim(text), '[.!?]$')) AS truncated,
                len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens,
                len(regexp_extract_all(text, '{_BPE_SQL}'))::BIGINT AS bpe_tokens
         FROM injected
@@ -158,6 +206,7 @@ _SQL_TABLE = f"""
            g.gopher_passed, g.fail_reason,
            s.n_fffd, s.n_mojibake, s.n_ctrl,
            (s.n_fffd + s.n_mojibake + s.n_ctrl) = 0 AS encoding_clean,
+           s.is_refusal, s.is_disclaimer, s.truncated,
            s.ws_tokens, s.bpe_tokens,
            (CASE WHEN g.n_words >= 60 AND g.mean_word_len >= 4.0 THEN 1.0
                  WHEN g.n_words >= 40 AND g.mean_word_len >= 3.9 THEN 0.8
@@ -179,6 +228,8 @@ ORACLES: Dict[str, str] = {
         SELECT lang, source, COUNT(*)::BIGINT AS n_docs,
                SUM(gopher_passed::INT)::BIGINT AS n_gopher_pass,
                SUM(encoding_clean::INT)::BIGINT AS n_encoding_clean,
+               SUM(is_refusal::INT)::BIGINT AS n_refusals,
+               SUM(truncated::INT)::BIGINT AS n_truncated,
                ROUND(AVG(quality_score), 4) AS avg_quality,
                SUM(bpe_tokens)::BIGINT AS total_bpe_tokens
         FROM r GROUP BY lang, source

@@ -70,3 +70,6 @@ def test_oracle_parity(spark, name):
         assert any(r[idx["encoding_clean"]] == "False" for r in srows)
         assert any(r[idx["gopher_passed"]] == "False" for r in srows)
         assert len({r[idx["quality_score"]] for r in srows}) >= 2
+        # the SFT-side flags fire somewhere AND stay false somewhere
+        for flag in ("is_refusal", "is_disclaimer", "truncated"):
+            assert {r[idx[flag]] for r in srows} == {"True", "False"}
