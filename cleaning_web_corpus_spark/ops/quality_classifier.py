@@ -1,0 +1,298 @@
+"""Quality-classifier distillation — the DCLM/FineWeb-Edu move.
+
+Modern pretraining pipelines (DCLM, Li et al. 2024; FineWeb-Edu,
+Penedo et al. 2024) distill an expensive quality oracle (LLM judgments
+there; the deterministic heuristic tier here) into a CHEAP linear
+bag-of-features classifier (fastText in both papers), then score the
+whole corpus with the distilled model.  This module is that loop as
+Spark aggregations:
+
+* WEAK LABEL — the coarse heuristic quality tier the corpus already
+  computes (``ops/signals`` quality score >= 0.8, i.e. word count >= 40
+  and mean word length >= 3.9): a pure codegen expression, evaluated in
+  the same scan that extracts features.  ~73/27 positive/negative on
+  the driver corpus at every sf, in both splits.
+* TRAIN — multinomial Naive Bayes over ``QC_K`` hashed word-bigram
+  buckets (the exact md5 bucket expression of ``ops/dsir``) on the
+  train split (``doc_id % QC_TEST_MOD != 0``): two bounded passes — a
+  <= K-row per-bucket (positive, negative) occurrence count and a
+  2-row doc prior — collected like the IVF/NB/DSIR trainers.  Bucket
+  log-odds ``ln((c1+1)/(t1+K)) - ln((c0+1)/(t0+K))``, the
+  unseen-bucket floor, and the smoothed prior bias are quantized to
+  BIGINT micro-units (``floor(x*1e6 + 0.5)`` in BOTH engines) on the
+  driver, so the per-document score is an exactly-associative integer
+  sum — aggregation order cannot drift the gate hash.
+* SCORE — one scan of the held-out split, a BROADCAST join onto the
+  <= K-row model, one integer aggregate with map-side combine;
+  ``predicted = score_micro > 0``.
+* EVALUATE — the report a pipeline operator actually reads before
+  trusting the distilled filter: a fixed threshold sweep (kept count,
+  TP/FP/FN/TN, precision/recall/F1 per threshold) over the held-out
+  scores, all ratios derived from exact integers.
+
+At 100 TB: the model is K rows however big the corpus is, labels are
+per-row codegen, nothing corpus-sized is joined or collected; the
+sweep fans the per-doc score relation out over |THRESHOLDS| literal
+rows and aggregates partial+final.
+
+Reference scope: the reference has no model-based quality filter —
+this op belongs to the build contract's training-data extensions
+(quality-scoring family), sibling of ``ops/dsir``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+QC_K = 512  # hashed bigram buckets (10^4+ at corpus scale)
+QC_TEST_MOD = 5  # doc_id % 5 == 0 -> held-out split (NB/LM convention)
+QC_MIN_WORDS = 40  # weak label: the signals-module quality >= 0.8 tier
+QC_MIN_MWL = 3.9
+_MICRO = 1_000_000
+# log-odds decision thresholds swept by the evaluation report, in
+# whole log units (micro-scaled at use).  Spread chosen so the driver
+# corpus populates several distinct keep rates; at corpus scale the
+# operator of a real pipeline re-runs the sweep around the elbow.
+QC_THRESHOLDS = (-50, -20, -5, 0, 5, 20, 50)
+
+
+def _qfloor(x: float) -> int:
+    """floor(x * 1e6 + 0.5) — the cross-engine micro quantizer."""
+    return int(math.floor(x * _MICRO + 0.5))
+
+
+def _scoped(docs: DataFrame) -> DataFrame:
+    """(doc_id, is_test, label, w) — docs with >= 2 tokens.
+
+    The label and the feature bigrams are both derived from the SAME
+    token array ``w``, so the scan computes the regex extraction once
+    per row (codegen CSE); documents with < 2 tokens carry no bigram
+    and are out of scope, mirrored by ``len(w) >= 2`` in the oracle.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)").alias("w"),
+    ).filter(F.size("w") >= 2)
+    mwl = F.expr("aggregate(w, 0L, (a, x) -> a + length(x))") / F.greatest(
+        F.size("w").cast("long"), F.lit(1).cast("long")
+    )
+    return toks.select(
+        "doc_id",
+        (F.col("doc_id") % QC_TEST_MOD == 0).alias("is_test"),
+        ((F.size("w") >= QC_MIN_WORDS) & (mwl >= QC_MIN_MWL)).alias("label"),
+        "w",
+    )
+
+
+def _feats(scoped: DataFrame) -> DataFrame:
+    """One row per hashed-bigram occurrence (doc_id, is_test, label, b)."""
+    buckets = F.expr(
+        "transform(sequence(1, size(w) - 1), i -> cast(conv(substr("
+        "md5(concat(element_at(w, i), ' ', element_at(w, i + 1))), 1, 13),"
+        f" 16, 10) as bigint) % {QC_K})"
+    )
+    return scoped.select(
+        "doc_id", "is_test", "label", F.explode(buckets).alias("b")
+    )
+
+
+def quality_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Held-out per-document classifier score vs the weak label.
+
+    Columns: doc_id, label (the heuristic tier), n_feats, score_micro
+    (BIGINT log-odds in micro units, prior included), predicted.
+    """
+    scoped = _scoped(t(spark, sf, "documents"))
+    feats = _feats(scoped)
+
+    # TRAIN pass 1: <= K-row per-bucket class counts (bounded collect)
+    counts = (
+        feats.filter(~F.col("is_test"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("label").cast("long")).alias("c1"),
+            F.sum((~F.col("label")).cast("long")).alias("c0"),
+        )
+        .collect()
+    )
+    # TRAIN pass 2: 2-row doc priors
+    priors = {
+        r["label"]: r["n"]
+        for r in scoped.filter(~F.col("is_test"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    t1 = sum(r["c1"] for r in counts)
+    t0 = sum(r["c0"] for r in counts)
+    n1, n0 = priors.get(True, 0), priors.get(False, 0)
+    model_rows = [
+        (
+            r["b"],
+            _qfloor(
+                math.log((r["c1"] + 1) / (t1 + QC_K))
+                - math.log((r["c0"] + 1) / (t0 + QC_K))
+            ),
+        )
+        for r in counts
+    ]
+    oov = _qfloor(math.log(1 / (t1 + QC_K)) - math.log(1 / (t0 + QC_K)))
+    bias = _qfloor(math.log((n1 + 1) / (n0 + 1)))
+    model = spark.createDataFrame(model_rows, "b bigint, wm bigint")
+
+    # SCORE: one held-out scan, broadcast model, integer sum
+    return (
+        feats.filter(F.col("is_test"))
+        .join(F.broadcast(model), "b", "left")
+        .groupBy("doc_id", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            (F.sum(F.coalesce("wm", F.lit(oov))) + F.lit(bias)).alias(
+                "score_micro"
+            ),
+        )
+        .withColumn("predicted", F.col("score_micro") > 0)
+    )
+
+
+def quality_classifier_pr(spark: SparkSession, sf: str) -> DataFrame:
+    """Threshold sweep over the held-out scores: per tau_micro, the
+    keep rate and the precision/recall/F1 of the distilled filter
+    against the weak label — every ratio a division of exact integers.
+    """
+    scores = quality_classifier_scores(spark, sf)
+    th = spark.createDataFrame(
+        [(tau * _MICRO,) for tau in QC_THRESHOLDS], "tau_micro bigint"
+    )
+    keep = F.col("score_micro") > F.col("tau_micro")
+    agg = (
+        scores.crossJoin(F.broadcast(th))
+        .groupBy("tau_micro")
+        .agg(
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.sum((keep & F.col("label")).cast("long")).alias("tp"),
+            F.sum((keep & ~F.col("label")).cast("long")).alias("fp"),
+            F.sum((~keep & F.col("label")).cast("long")).alias("fn"),
+            F.sum((~keep & ~F.col("label")).cast("long")).alias("tn"),
+        )
+    )
+    return agg.select(
+        "tau_micro",
+        "n_kept",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("n_kept") > 0, F.round(F.col("tp") / F.col("n_kept"), 4)
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 4),
+        ).alias("recall"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.round(
+                2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+                4,
+            ),
+        ).alias("f1"),
+    )
+
+
+# --- DuckDB oracles -----------------------------------------------------------
+
+_SQL_SCORES = f"""
+    WITH scoped AS (
+        SELECT doc_id, doc_id % {QC_TEST_MOD} = 0 AS is_test,
+               (len(w) >= {QC_MIN_WORDS}
+                AND list_sum(list_transform(w, x -> length(x)))
+                    / GREATEST(len(w), 1) >= {QC_MIN_MWL!r}) AS label,
+               w
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS w
+              FROM documents)
+        WHERE len(w) >= 2
+    ),
+    feats AS (
+        SELECT doc_id, is_test, label,
+               ('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 13))::BIGINT
+                   % {QC_K} AS b
+        FROM scoped, UNNEST(range(1, len(w))) AS u(i)
+    ),
+    counts AS (
+        SELECT b, SUM(label::INT)::BIGINT AS c1,
+               SUM((NOT label)::INT)::BIGINT AS c0
+        FROM feats WHERE NOT is_test GROUP BY b
+    ),
+    tot AS (SELECT SUM(c1)::BIGINT AS t1, SUM(c0)::BIGINT AS t0 FROM counts),
+    pri AS (
+        SELECT SUM(label::INT)::BIGINT AS n1,
+               SUM((NOT label)::INT)::BIGINT AS n0
+        FROM scoped WHERE NOT is_test
+    ),
+    model AS (
+        SELECT b, CAST(FLOOR((ln((c1 + 1) / (t1 + {QC_K})::DOUBLE)
+                            - ln((c0 + 1) / (t0 + {QC_K})::DOUBLE))
+                            * {_MICRO} + 0.5) AS BIGINT) AS wm
+        FROM counts, tot
+    ),
+    consts AS (
+        SELECT CAST(FLOOR((ln(1 / (t1 + {QC_K})::DOUBLE)
+                         - ln(1 / (t0 + {QC_K})::DOUBLE))
+                         * {_MICRO} + 0.5) AS BIGINT) AS oov,
+               CAST(FLOOR(ln((n1 + 1) / (n0 + 1)::DOUBLE)
+                         * {_MICRO} + 0.5) AS BIGINT) AS bias
+        FROM tot, pri
+    )
+    SELECT doc_id, label, COUNT(*)::BIGINT AS n_feats,
+           SUM(COALESCE(wm, (SELECT oov FROM consts)))::BIGINT
+               + (SELECT bias FROM consts) AS score_micro
+    FROM feats LEFT JOIN model USING (b)
+    WHERE is_test GROUP BY doc_id, label
+"""
+
+_TH_VALUES = ", ".join(f"({tau * _MICRO})" for tau in QC_THRESHOLDS)
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "quality_classifier_scores": quality_classifier_scores,
+    "quality_classifier_pr": quality_classifier_pr,
+}
+
+ORACLES: Dict[str, str] = {
+    "quality_classifier_scores": f"""
+        WITH s AS ({_SQL_SCORES})
+        SELECT doc_id, label, n_feats, score_micro,
+               score_micro > 0 AS predicted
+        FROM s
+    """,
+    "quality_classifier_pr": f"""
+        WITH s AS ({_SQL_SCORES}),
+        th AS (SELECT * FROM (VALUES {_TH_VALUES}) v(tau_micro)),
+        agg AS (
+            SELECT tau_micro,
+                   SUM((score_micro > tau_micro)::INT)::BIGINT AS n_kept,
+                   SUM((score_micro > tau_micro AND label)::INT)::BIGINT AS tp,
+                   SUM((score_micro > tau_micro AND NOT label)::INT)::BIGINT AS fp,
+                   SUM((score_micro <= tau_micro AND label)::INT)::BIGINT AS fn,
+                   SUM((score_micro <= tau_micro AND NOT label)::INT)::BIGINT AS tn
+            FROM s CROSS JOIN th GROUP BY tau_micro
+        )
+        SELECT tau_micro::BIGINT AS tau_micro, n_kept, tp, fp, fn, tn,
+               CASE WHEN n_kept > 0
+                    THEN ROUND(tp / n_kept::DOUBLE, 4) END AS precision,
+               CASE WHEN tp + fn > 0
+                    THEN ROUND(tp / (tp + fn)::DOUBLE, 4) END AS recall,
+               CASE WHEN 2 * tp + fp + fn > 0
+                    THEN ROUND(2 * tp / (2 * tp + fp + fn)::DOUBLE, 4)
+                    END AS f1
+        FROM agg
+    """,
+}

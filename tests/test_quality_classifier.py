@@ -1,0 +1,91 @@
+"""Quality-classifier distillation tests (DCLM/FineWeb-Edu loop)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.quality_classifier import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+GOOD = ("wonderful excellent magnificent insightful " * 12).strip()  # 48 toks
+BAD = "ab cd ab cd ab cd"  # 6 tokens, mwl 2 -> weak label False
+
+
+@pytest.fixture(scope="module")
+def fixture_sf(spark, tmp_path_factory):
+    """Separable corpus: 'good' docs (pass the weak heuristic) share one
+    vocabulary, 'bad' docs another, in BOTH splits (test = doc_id%5==0),
+    so a working distilled classifier must predict the held-out labels."""
+    d = tmp_path_factory.mktemp("qc_sf")
+    rows = (
+        [(i, GOOD) for i in (0, 5, 1, 2, 6, 7)]  # test: 0,5  train: rest
+        + [(i, BAD) for i in (10, 15, 3, 4, 8, 9)]  # test: 10,15
+    )
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+def test_distilled_model_recovers_labels(spark, fixture_sf):
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["quality_classifier_scores"](spark, fixture_sf).collect()
+    }
+    # only the held-out split is scored
+    assert set(rows) == {0, 5, 10, 15}
+    assert rows[0].label and rows[5].label
+    assert not rows[10].label and not rows[15].label
+    # vocabularies are disjoint -> the distilled model must separate them
+    for i in rows:
+        assert rows[i].predicted == rows[i].label, i
+    assert rows[0].score_micro > 0 > rows[10].score_micro
+
+
+def test_pr_sweep_is_consistent(spark, fixture_sf):
+    rows = sorted(
+        QUERIES["quality_classifier_pr"](spark, fixture_sf).collect(),
+        key=lambda r: r.tau_micro,
+    )
+    n_test = 4
+    for r in rows:
+        assert r.tp + r.fp == r.n_kept
+        assert r.tp + r.fp + r.fn + r.tn == n_test
+        assert r.tp + r.fn == 2  # positives in the held-out split
+    # keep count is monotone non-increasing in the threshold
+    kept = [r.n_kept for r in rows]
+    assert kept == sorted(kept, reverse=True)
+
+
+def test_score_plan_broadcast_no_python(spark):
+    plan = (
+        QUERIES["quality_classifier_scores"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # <= K-row model ships broadcast
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    cur = con.execute(ORACLES[name])
+    ocols = [d[0] for d in cur.description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols) for row in cur.fetchall()
+    )
+    assert srows == orows and len(srows) > 0
+    if name == "quality_classifier_scores":
+        idx = {c: i for i, c in enumerate(cols)}
+        preds = {r[idx["predicted"]] for r in srows}
+        assert preds == {"True", "False"}  # split is non-degenerate

@@ -75,6 +75,8 @@ PLAN_QUERIES = [
     "encoding_anomaly_report",
     "substring_dup_report",
     "dsir_importance_weights",
+    "quality_classifier_scores",
+    "quality_classifier_pr",
     "incremental_dedup_report",
     "quality_signals_table",
     "conversation_near_dups",
