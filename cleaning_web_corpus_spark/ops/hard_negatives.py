@@ -1,0 +1,218 @@
+"""Hard-negative mining for contrastive-embedding training data.
+
+Text-embedding training (DPR, Karpukhin et al. 2020; E5, Wang et al.
+2022; GTE/BGE recipes) needs, for every anchor, the most-similar
+vectors that carry a DIFFERENT label — "hard" negatives the model
+can't separate yet.  Mining them naively is an all-pairs cosine scan;
+the scale path reuses this repo's banded random-hyperplane LSH
+(``ops/ann.embedding_near_dups``): candidates exist only where a band
+bucket collides, so the work is sum-of-bucket² instead of n².
+
+* ``hard_negative_mining`` — per anchor, the top ``HN_K`` cross-label
+  candidates by cosine (ties broken by negative vec_id), EXCLUDING
+  candidates at or above the near-dup threshold ``NEAR_DUP_COS``: a
+  different-label pair that similar is more likely a labeling error
+  than a useful negative (the standard false-negative guard — E5
+  filters by a margin below the positive score for the same reason).
+* ``hard_negative_stats`` — the (anchor_label × negative_label)
+  mining matrix: which class pairs are confusable, how hard the mined
+  negatives are.  This is the report read before shipping the tuples.
+
+Plan shape: ONE signature-UDF pass (the ``asNondeterministic`` Arrow
+UDF shared with embedding_near_dups), one (band, sig) shuffle into
+``collect_list`` buckets, native in-bucket pair expansion, then one
+window on anchor for the top-k.  Nothing corpus-sized is collected;
+the flood cap (``ND_MAX_BUCKET``) bounds every bucket.  At 100 TB you
+raise ``ND_BAND_BITS`` so buckets stay ~k·fanout, exactly as the
+near-dup operator documents.
+
+The DuckDB oracle inlines the same plane constants and reproduces
+bucketing, cap, pair set, rounding, and ranking bit-for-bit — rounding
+to 6 decimals happens BEFORE ranking in both engines so rank
+comparisons can't diverge on float noise.
+
+Reference scope: the reference has no embedding stage at all; this op
+belongs to the build contract's similarity-search extensions, sibling
+of ``ops/ann``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.ann import (
+    ND_BAND_BITS,
+    ND_BANDS,
+    ND_MAX_BUCKET,
+    NEAR_DUP_COS,
+    _band_sigs_udf,
+    _emb_double,
+    _nd_planes,
+    _sql_band_sig,
+)
+
+HN_K = 3  # negatives mined per anchor
+
+
+def _cross_label_candidates(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct cross-label candidate pairs with rounded cosine.
+
+    Same bucket machinery as embedding_near_dups (one UDF pass, one
+    (band, sig) shuffle, native pair expansion), but pairs are kept
+    when labels DIFFER and the label travels with the vector through
+    the bucket struct, so no join back to the corpus is needed.
+    """
+    sigs = (
+        _emb_double(spark, sf)
+        .withColumn("sigs", _band_sigs_udf()(F.col("emb")))
+        .withColumn(
+            "norm", F.sqrt(F.expr("aggregate(emb, 0D, (s, v) -> s + v * v)"))
+        )
+    )
+    banded = sigs.select(
+        "vec_id", "emb", "norm", "label",
+        F.posexplode("sigs").alias("band", "sig"),
+    )
+    buckets = (
+        banded.groupBy("band", "sig")
+        .agg(
+            F.collect_list(F.struct("vec_id", "emb", "norm", "label")).alias("rs")
+        )
+        .filter(F.size("rs").between(2, ND_MAX_BUCKET))
+    )
+    pairs = F.expr(
+        "transform("
+        " filter(flatten(transform(rs, x -> transform(rs, y -> struct(x AS a, y AS b)))),"
+        "        p -> p.a.vec_id < p.b.vec_id AND p.a.label != p.b.label),"
+        " p -> struct(p.a.vec_id AS vec_a, p.a.label AS label_a,"
+        "      p.b.vec_id AS vec_b, p.b.label AS label_b,"
+        "      round(aggregate(zip_with(p.a.emb, p.b.emb, (x, y) -> x * y),"
+        "      0D, (s, v) -> s + v) / (p.a.norm * p.b.norm), 6) AS cosine))"
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.vec_a", "p.label_a", "p.vec_b", "p.label_b", "p.cosine")
+        .distinct()  # a pair colliding in several bands carries identical values
+    )
+
+
+def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-HN_K cross-label negatives per anchor vector.
+
+    Columns: anchor, anchor_label, negative, negative_label, cosine,
+    rank.  Candidates at cosine >= NEAR_DUP_COS are excluded as
+    suspected label errors rather than negatives.
+    """
+    cand = _cross_label_candidates(spark, sf)
+    sym = cand.select(
+        F.col("vec_a").alias("anchor"),
+        F.col("label_a").alias("anchor_label"),
+        F.col("vec_b").alias("negative"),
+        F.col("label_b").alias("negative_label"),
+        "cosine",
+    ).unionAll(
+        cand.select(
+            F.col("vec_b").alias("anchor"),
+            F.col("label_b").alias("anchor_label"),
+            F.col("vec_a").alias("negative"),
+            F.col("label_a").alias("negative_label"),
+            "cosine",
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy(
+        F.desc("cosine"), F.asc("negative")
+    )
+    return (
+        sym.filter(F.col("cosine") < NEAR_DUP_COS)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= HN_K)
+    )
+
+
+def hard_negative_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The (anchor_label, negative_label) mining matrix over the mined
+    top-k tuples: pair volume, distinct anchors, and how hard the
+    negatives are (mean / max cosine)."""
+    mined = hard_negative_mining(spark, sf)
+    return mined.groupBy("anchor_label", "negative_label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tuples"),
+        F.countDistinct("anchor").cast("long").alias("n_anchors"),
+        F.round(F.avg("cosine"), 4).alias("avg_cosine"),
+        F.round(F.max("cosine"), 6).alias("max_cosine"),
+    )
+
+
+# --- DuckDB oracles -----------------------------------------------------------
+
+
+def _sql_candidates() -> str:
+    """Twin of _cross_label_candidates: same inlined planes, same cap."""
+    planes = _nd_planes()
+    branches = []
+    for band in range(ND_BANDS):
+        rows = planes[band * ND_BAND_BITS : (band + 1) * ND_BAND_BITS]
+        branches.append(
+            f"SELECT vec_id, {band} AS band, {_sql_band_sig('e', rows)} AS sig FROM emb"
+        )
+    bands_sql = "\n            UNION ALL ".join(branches)
+    return f"""
+        emb AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+        bands AS ({bands_sql}),
+        capped AS (
+            SELECT vec_id, band, sig FROM (
+                SELECT vec_id, band, sig,
+                       COUNT(*) OVER (PARTITION BY band, sig) AS n_bucket
+                FROM bands)
+            WHERE n_bucket <= {ND_MAX_BUCKET}),
+        pair_ids AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
+            WHERE a.vec_id < b.vec_id),
+        cand AS (
+            SELECT vec_a, ea.label AS label_a, vec_b, eb.label AS label_b,
+                   ROUND(list_dot_product(ea.e, eb.e) /
+                         (sqrt(list_dot_product(ea.e, ea.e)) *
+                          sqrt(list_dot_product(eb.e, eb.e))), 6) AS cosine
+            FROM pair_ids
+            JOIN emb ea ON ea.vec_id = pair_ids.vec_a
+            JOIN emb eb ON eb.vec_id = pair_ids.vec_b
+            WHERE ea.label != eb.label),
+        sym AS (
+            SELECT vec_a AS anchor, label_a AS anchor_label,
+                   vec_b AS negative, label_b AS negative_label, cosine
+            FROM cand
+            UNION ALL
+            SELECT vec_b, label_b, vec_a, label_a, cosine FROM cand),
+        mined AS (
+            SELECT anchor, anchor_label, negative, negative_label, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY anchor
+                                      ORDER BY cosine DESC, negative ASC)
+                       ::BIGINT AS rank
+            FROM sym WHERE cosine < {NEAR_DUP_COS})
+    """
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "hard_negative_mining": hard_negative_mining,
+    "hard_negative_stats": hard_negative_stats,
+}
+
+ORACLES: Dict[str, str] = {
+    "hard_negative_mining": f"""
+        WITH {_sql_candidates()}
+        SELECT * FROM mined WHERE rank <= {HN_K}
+    """,
+    "hard_negative_stats": f"""
+        WITH {_sql_candidates()}
+        SELECT anchor_label, negative_label,
+               COUNT(*)::BIGINT AS n_tuples,
+               COUNT(DISTINCT anchor)::BIGINT AS n_anchors,
+               ROUND(AVG(cosine), 4) AS avg_cosine,
+               ROUND(MAX(cosine), 6) AS max_cosine
+        FROM mined WHERE rank <= {HN_K}
+        GROUP BY anchor_label, negative_label
+    """,
+}

@@ -1,0 +1,207 @@
+"""Length-bias audit for preference (DPO/RLHF) pair exports.
+
+Reward models and DPO policies are notorious for learning LENGTH as a
+proxy for quality (Singhal et al. 2023, "A Long Way to Go"; Park et
+al. 2024, length-regularized DPO): if the chosen response is longer
+than the rejected one in most pairs, the trained model inflates
+verbosity.  Every serious preference-data release therefore ships a
+length audit next to the pairs.  This module is that audit as two
+Spark queries over the same pair construction as
+``ops/agent_behavior.preference_pairs``:
+
+* the pair SCORE here is a deterministic pseudo-score
+  ``((doc_id % 9973) * 31 + 7) % 997`` — decorrelated from length by
+  construction, exact BIGINT arithmetic in both engines — so the
+  audit itself is non-degenerate (the agent_behavior pairs score by
+  word count, which would make "chosen is longer" a tautology);
+* ``preference_length_bias`` buckets pairs by the chosen-vs-rejected
+  character relation (longer / equal / shorter) and reports counts,
+  mean absolute char gap and mean score gap per bucket;
+* ``preference_length_win_rate`` is the headline row an auditor
+  reads: pair count, longer-chosen count, the win rate of the longer
+  response, and the mean signed char gap — an unbiased pair source
+  sits near 0.5 / 0.
+
+Plan shape (audited in BENCH/PLANS.md): one documents scan with a
+pruned (doc_id, source, text) schema, one window + reusing-the-same-
+partitioning groupBy per conversation (a single exchange on conv_id),
+then a <= 3-row (or 1-row) final aggregate — partial + final, no
+second shuffle.  At 100 TB the per-conversation stage is the whole
+cost and it is one hash exchange; nothing corpus-sized is collected.
+
+Reference scope: the reference pipeline has no preference-pair stage
+(its corpus is single-document web text); this op belongs to the
+build contract's training-data extensions, sibling of
+``agent_behavior.preference_pairs``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+# deterministic pseudo-score, decorrelated from text length; all
+# intermediates stay far below 2^63 in BOTH engines (no overflow-rule
+# divergence: DuckDB raises on BIGINT overflow, Spark wraps)
+_SCORE_SQL = "((doc_id % 9973) * 31 + 7) % 997"
+_MIN_GAP = 5
+
+
+def _pairs_with_lengths(spark: SparkSession, sf: str) -> DataFrame:
+    """One preference pair per conversation, with char lengths.
+
+    Same window shape as ``preference_pairs_from`` (score asc, doc_id
+    asc tie-break; extremes picked by one groupBy that reuses the
+    window's conv_id partitioning) but carrying length(text) through,
+    so chosen/rejected lengths cost no join back to the corpus.
+    """
+    assistant = (
+        t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select(
+            F.col("source").alias("conv_id"),
+            "doc_id",
+            F.expr(_SCORE_SQL).cast("long").alias("score"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy("score", "doc_id")
+    ranked = assistant.select(
+        "conv_id",
+        "doc_id",
+        "score",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(
+            Window.partitionBy("conv_id").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("cnt"),
+    )
+    pick = lambda cond, col: F.max(F.when(cond, F.col(col)))
+    pairs = ranked.groupBy("conv_id").agg(
+        pick(F.col("rn") == F.col("cnt"), "score").alias("chosen_score"),
+        pick(F.col("rn") == F.col("cnt"), "n_chars").alias("chosen_len"),
+        pick(F.col("rn") == 1, "score").alias("rejected_score"),
+        pick(F.col("rn") == 1, "n_chars").alias("rejected_len"),
+        F.max("cnt").cast("long").alias("n_candidates"),
+    )
+    return pairs.filter(
+        (F.col("n_candidates") >= 2)
+        & (F.col("chosen_score") - F.col("rejected_score") >= _MIN_GAP)
+    ).withColumn("char_gap", F.col("chosen_len") - F.col("rejected_len"))
+
+
+def preference_length_bias(spark: SparkSession, sf: str) -> DataFrame:
+    """Per length-relation bucket: how the pair export skews.
+
+    Columns: relation ('chosen_longer'|'equal'|'chosen_shorter'),
+    n_pairs, avg_abs_char_gap, avg_score_gap, share (of all pairs).
+    """
+    pairs = _pairs_with_lengths(spark, sf)
+    relation = (
+        F.when(F.col("char_gap") > 0, "chosen_longer")
+        .when(F.col("char_gap") < 0, "chosen_shorter")
+        .otherwise("equal")
+    )
+    bucketed = pairs.groupBy(relation.alias("relation")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg(F.abs("char_gap")), 4).alias("avg_abs_char_gap"),
+        F.round(
+            F.avg(F.col("chosen_score") - F.col("rejected_score")), 4
+        ).alias("avg_score_gap"),
+    )
+    total = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return bucketed.withColumn(
+        "share",
+        F.round(F.col("n_pairs") / F.sum("n_pairs").over(total), 4),
+    )
+
+
+def preference_length_win_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """The headline audit row: near 0.5 win rate / ~0 mean signed gap
+    means the pair source does not teach the policy to be verbose."""
+    pairs = _pairs_with_lengths(spark, sf)
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((F.col("char_gap") > 0).cast("long")).alias("n_chosen_longer"),
+        F.sum((F.col("char_gap") < 0).cast("long")).alias("n_chosen_shorter"),
+        F.round(
+            F.avg((F.col("char_gap") > 0).cast("double")), 4
+        ).alias("longer_win_rate"),
+        F.round(F.avg("char_gap"), 4).alias("avg_signed_char_gap"),
+        F.round(F.avg(F.abs("char_gap")), 4).alias("avg_abs_char_gap"),
+    )
+
+
+# --- DuckDB oracles -----------------------------------------------------------
+
+_SQL_PAIRS = f"""
+    WITH assistant AS (
+        SELECT source AS conv_id, doc_id,
+               {_SCORE_SQL}::BIGINT AS score,
+               length(text)::BIGINT AS n_chars
+        FROM documents WHERE doc_id % 3 = 1
+    ),
+    ranked AS (
+        SELECT conv_id, doc_id, score, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY score, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY conv_id) AS cnt
+        FROM assistant
+    ),
+    pairs AS (
+        SELECT conv_id,
+               MAX(CASE WHEN rn = cnt THEN score END) AS chosen_score,
+               MAX(CASE WHEN rn = cnt THEN n_chars END) AS chosen_len,
+               MAX(CASE WHEN rn = 1 THEN score END) AS rejected_score,
+               MAX(CASE WHEN rn = 1 THEN n_chars END) AS rejected_len,
+               MAX(cnt)::BIGINT AS n_candidates
+        FROM ranked GROUP BY conv_id
+    )
+    SELECT *, (chosen_len - rejected_len)::BIGINT AS char_gap
+    FROM pairs
+    WHERE n_candidates >= 2 AND chosen_score - rejected_score >= {_MIN_GAP}
+"""
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "preference_length_bias": preference_length_bias,
+    "preference_length_win_rate": preference_length_win_rate,
+}
+
+ORACLES: Dict[str, str] = {
+    "preference_length_bias": f"""
+        WITH p AS ({_SQL_PAIRS}),
+        bucketed AS (
+            SELECT CASE WHEN char_gap > 0 THEN 'chosen_longer'
+                        WHEN char_gap < 0 THEN 'chosen_shorter'
+                        ELSE 'equal' END AS relation,
+                   COUNT(*)::BIGINT AS n_pairs,
+                   ROUND(AVG(ABS(char_gap)::DOUBLE), 4) AS avg_abs_char_gap,
+                   ROUND(AVG((chosen_score - rejected_score)::DOUBLE), 4)
+                       AS avg_score_gap
+            FROM p GROUP BY 1
+        )
+        SELECT relation, n_pairs, avg_abs_char_gap, avg_score_gap,
+               ROUND(n_pairs::DOUBLE / SUM(n_pairs) OVER (), 4) AS share
+        FROM bucketed
+    """,
+    "preference_length_win_rate": f"""
+        WITH p AS ({_SQL_PAIRS})
+        SELECT COUNT(*)::BIGINT AS n_pairs,
+               SUM((char_gap > 0)::INT)::BIGINT AS n_chosen_longer,
+               SUM((char_gap < 0)::INT)::BIGINT AS n_chosen_shorter,
+               ROUND(AVG((char_gap > 0)::INT::DOUBLE), 4) AS longer_win_rate,
+               ROUND(AVG(char_gap::DOUBLE), 4) AS avg_signed_char_gap,
+               ROUND(AVG(ABS(char_gap)::DOUBLE), 4) AS avg_abs_char_gap
+        FROM p
+    """,
+}

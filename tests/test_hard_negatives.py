@@ -1,0 +1,81 @@
+"""Hard-negative mining tests (contrastive training-data prep)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from cleaning_web_corpus_spark.ops.ann import EMBED_DIM, NEAR_DUP_COS
+from cleaning_web_corpus_spark.ops.hard_negatives import HN_K, ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def guard_sf(spark, tmp_path_factory):
+    """Two cross-label vectors that are near-identical (cosine ~1):
+    they collide in every LSH band, but the false-negative guard must
+    refuse to mine them as negatives."""
+    d = tmp_path_factory.mktemp("hn_guard")
+    u = np.ones(EMBED_DIM, dtype=np.float32)
+    v = u.copy()
+    v[0] += 0.01  # cosine ~0.99998 — far above NEAR_DUP_COS
+    rows = [(0, [float(x) for x in u], 0), (1, [float(x) for x in v], 1)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return str(d)
+
+
+def test_near_dup_guard_excludes_label_errors(spark, guard_sf):
+    assert QUERIES["hard_negative_mining"](spark, guard_sf).count() == 0
+
+
+def test_mining_invariants(spark):
+    rows = QUERIES["hard_negative_mining"](spark, SF).collect()
+    assert rows, "driver corpus must mine a non-trivial set"
+    by_anchor = {}
+    for r in rows:
+        assert r.anchor_label != r.negative_label
+        assert r.cosine < NEAR_DUP_COS
+        by_anchor.setdefault(r.anchor, []).append(r)
+    for anchor, tuples in by_anchor.items():
+        ranks = sorted(t.rank for t in tuples)
+        assert ranks == list(range(1, len(tuples) + 1))  # contiguous from 1
+        assert len(tuples) <= HN_K
+        ordered = sorted(tuples, key=lambda t: t.rank)
+        cosines = [t.cosine for t in ordered]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_single_udf_evaluation(spark):
+    """The signature UDF runs ONCE: the symmetrized union reuses the
+    same distinct candidate relation, so the plan must not duplicate
+    the Arrow subtree (the round-2 embedding_near_dups defect)."""
+    df = QUERIES["hard_negative_mining"](spark, SF)
+    df.collect()  # finalize AQE
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # AQE plan strings contain Final AND Initial copies — halve counts
+    n_udf = len(re.findall(r"ArrowEvalPython", plan)) // 2
+    assert n_udf <= 1, plan[:3000]
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    cur = con.execute(ORACLES[name])
+    ocols = [d[0] for d in cur.description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols) for row in cur.fetchall()
+    )
+    assert srows == orows and len(srows) > 0

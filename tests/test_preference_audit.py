@@ -1,0 +1,83 @@
+"""Length-bias audit tests for the preference-pair export."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.preference_audit import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def fixture_sf(spark, tmp_path_factory):
+    """Two conversations with planted lengths.  Pseudo-scores
+    (((doc_id % 9973) * 31 + 7) % 997): doc 1 -> 38, 4 -> 131,
+    7 -> 224, 10 -> 317.  Conv A: chosen doc 4 is LONGER than rejected
+    doc 1 (gap +60 chars); conv B: chosen doc 10 is SHORTER than
+    rejected doc 7 (gap -40)."""
+    d = tmp_path_factory.mktemp("pref_sf")
+    rows = [
+        (1, "x" * 40, "A"),
+        (4, "y" * 100, "A"),
+        (7, "x" * 90, "B"),
+        (10, "y" * 50, "B"),
+        (2, "ignored non-assistant", "A"),  # doc_id % 3 != 1
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+def test_planted_relations(spark, fixture_sf):
+    rows = {
+        r.relation: r
+        for r in QUERIES["preference_length_bias"](spark, fixture_sf).collect()
+    }
+    assert set(rows) == {"chosen_longer", "chosen_shorter"}
+    assert rows["chosen_longer"].n_pairs == 1
+    assert rows["chosen_longer"].avg_abs_char_gap == 60.0
+    assert rows["chosen_shorter"].avg_abs_char_gap == 40.0
+    assert rows["chosen_longer"].share == 0.5
+
+
+def test_planted_win_rate(spark, fixture_sf):
+    row = QUERIES["preference_length_win_rate"](spark, fixture_sf).collect()[0]
+    assert row.n_pairs == 2
+    assert row.n_chosen_longer == 1 and row.n_chosen_shorter == 1
+    assert row.longer_win_rate == 0.5
+    assert row.avg_signed_char_gap == 10.0  # (+60 - 40) / 2
+    assert row.avg_abs_char_gap == 50.0
+
+
+def test_single_conv_shuffle(spark):
+    """The per-conversation stage is one exchange: the window's conv_id
+    hash partitioning is reused by the groupBy (no second corpus-sized
+    shuffle before the tiny final aggregate)."""
+    df = QUERIES["preference_length_bias"](spark, SF)
+    df.collect()  # finalize AQE so the executed plan is the real one
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    # AQE plan strings contain Final AND Initial copies — halve counts
+    n_hash = len(re.findall(r"Exchange hashpartitioning\(conv_id", plan)) // 2
+    assert n_hash == 1, plan[:2000]
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    cur = con.execute(ORACLES[name])
+    ocols = [d[0] for d in cur.description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols) for row in cur.fetchall()
+    )
+    assert srows == orows and len(srows) > 0

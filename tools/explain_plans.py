@@ -77,6 +77,10 @@ PLAN_QUERIES = [
     "dsir_importance_weights",
     "quality_classifier_scores",
     "quality_classifier_pr",
+    "preference_length_bias",
+    "preference_length_win_rate",
+    "hard_negative_mining",
+    "tokenizer_fertility",
     "incremental_dedup_report",
     "quality_signals_table",
     "conversation_near_dups",
