@@ -1,0 +1,166 @@
+"""Tokenizer fertility by language — multilingual tokenizer QA.
+
+Multilingual model reports (XLM-R, Conneau et al. 2020; BLOOM, Scao
+et al. 2022; tokenizer-fairness audits like Petrov et al. 2023)
+publish FERTILITY — subword tokens emitted per word — per language:
+a tokenizer trained on skewed data segments under-represented
+languages into many more pieces, inflating their compute cost and
+degrading quality.  This module computes that audit for the BPE
+tokenizer this repo trains from the corpus (``ops/bpe_train``):
+
+* ``tokenizer_fertility`` — per ``lang``: distinct words, word
+  occurrences, total subword tokens and chars, tokens-per-word
+  (fertility) and chars-per-token.
+* ``fertility_word_outliers`` — per ``lang``, the top
+  ``FERT_TOP_K`` worst-segmented frequent words (by token count,
+  then frequency) — the concrete vocabulary gaps an operator fixes
+  by re-balancing the training mix.
+
+Plan shape: the (lang, word) frequency table aggregates with
+map-side combine BEFORE anything joins (so the join input is
+|langs x vocab|, never corpus-sized), the segmentation is the learned
+merges stacked as pure codegen ``replace``s over the vocab relation
+(no UDF), and the word-keyed equi-join co-partitions both
+vocab-bounded sides.  Training cost is shared with ``bpe_merges``
+(one bounded 1-row collect per merge).  At 100 TB the corpus-sized
+work is exactly one scan + one map-side-combined aggregate.
+
+The DuckDB oracle re-trains the same merges via the unrolled static
+CTE stages of ``ops/bpe_train`` (the gate hash covers the whole
+training trajectory) and reproduces the per-language rollup exactly —
+integer sums only, ratios rounded at the edge.
+
+Reference scope: the reference tokenizes with ``\\b\\w+\\b`` and has
+no tokenizer training; this op belongs to the build contract's
+text-analysis extensions, sibling of ``ops/bpe_train``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.bpe_train import (
+    _SQL_BASE,
+    _SYMS,
+    _stacked_sql,
+    _vocab_syms,
+    BPE_K,
+    train_bpe,
+)
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+FERT_TOP_K = 5  # worst-segmented words reported per language
+
+
+def _lang_word_counts(docs: DataFrame) -> DataFrame:
+    """(lang, word, cnt) — aggregated before any join so the relation
+    is vocab-bounded, with map-side combine on the corpus scan."""
+    return (
+        docs.select(
+            "lang",
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            ).alias("word"),
+        )
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def _word_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """(word, n_tokens) under the learned merges — pure codegen."""
+    docs = t(spark, sf, "documents")
+    merges = train_bpe(docs)
+    seg = _vocab_syms(docs).withColumn("sym", F.expr(_stacked_sql("sym", merges)))
+    return seg.select("word", F.expr(f"size({_SYMS})").cast("long").alias("n_tokens"))
+
+
+def tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language fertility rollup of the corpus-trained tokenizer."""
+    docs = t(spark, sf, "documents")
+    joined = _lang_word_counts(docs).join(_word_tokens(spark, sf), "word")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+        F.sum("cnt").cast("long").alias("n_word_occurrences"),
+        F.sum(F.col("cnt") * F.col("n_tokens")).cast("long").alias("total_tokens"),
+        F.sum(F.col("cnt") * F.length("word")).cast("long").alias("total_chars"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("n_tokens")) / F.sum("cnt").cast("double"), 4
+        ).alias("tokens_per_word"),
+        F.round(
+            F.sum(F.col("cnt") * F.length("word"))
+            / F.sum(F.col("cnt") * F.col("n_tokens")).cast("double"),
+            4,
+        ).alias("chars_per_token"),
+    )
+
+
+def fertility_word_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per language, the FERT_TOP_K frequent words the tokenizer
+    segments worst (token count desc, frequency desc, word asc)."""
+    docs = t(spark, sf, "documents")
+    joined = _lang_word_counts(docs).join(_word_tokens(spark, sf), "word")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("n_tokens"), F.desc("cnt"), F.asc("word")
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= FERT_TOP_K)
+        .select("lang", "rank", "word", "cnt", "n_tokens")
+    )
+
+
+# --- DuckDB oracles (training unrolled via ops/bpe_train's static CTEs) -------
+
+_SQL_COMMON = f"""
+    {_SQL_BASE},
+    seg AS (
+        SELECT word,
+               len(string_split(trim(sym, '|'), '||'))::BIGINT AS n_tokens
+        FROM w{BPE_K}
+    ),
+    lw AS (
+        SELECT lang, tok AS word, COUNT(*)::BIGINT AS cnt
+        FROM (SELECT lang,
+                     unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok
+              FROM documents)
+        GROUP BY lang, tok
+    ),
+    j AS (SELECT lang, word, cnt, n_tokens FROM lw JOIN seg USING (word))
+"""
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tokenizer_fertility": tokenizer_fertility,
+    "fertility_word_outliers": fertility_word_outliers,
+}
+
+ORACLES: Dict[str, str] = {
+    "tokenizer_fertility": f"""
+        WITH {_SQL_COMMON}
+        SELECT lang,
+               COUNT(*)::BIGINT AS n_distinct_words,
+               SUM(cnt)::BIGINT AS n_word_occurrences,
+               SUM(cnt * n_tokens)::BIGINT AS total_tokens,
+               SUM(cnt * length(word))::BIGINT AS total_chars,
+               ROUND(SUM(cnt * n_tokens)::DOUBLE / SUM(cnt), 4)
+                   AS tokens_per_word,
+               ROUND(SUM(cnt * length(word))::DOUBLE / SUM(cnt * n_tokens), 4)
+                   AS chars_per_token
+        FROM j GROUP BY lang
+    """,
+    "fertility_word_outliers": f"""
+        WITH {_SQL_COMMON},
+        ranked AS (
+            SELECT lang, word, cnt, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n_tokens DESC, cnt DESC,
+                                               word ASC)::BIGINT AS rank
+            FROM j)
+        SELECT lang, rank, word, cnt, n_tokens
+        FROM ranked WHERE rank <= {FERT_TOP_K}
+    """,
+}

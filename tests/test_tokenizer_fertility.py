@@ -1,0 +1,64 @@
+"""Per-language tokenizer-fertility audit tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.tokenizer_fertility import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def fixture_sf(spark, tmp_path_factory):
+    """Deterministic skew: lang 'en' is only the word 'aaaa' x5 — the
+    first two merges (a+a, aa+aa) collapse it to ONE token.  Lang 'zz'
+    is one unique 12-char word: the remaining 6 of BPE_K=8 merges chain
+    greedily (bc, bcd, ...) leaving SIX tokens — fertility 6.0 vs 1.0."""
+    d = tmp_path_factory.mktemp("fert_sf")
+    rows = [(i, "aaaa", "en") for i in range(5)] + [(9, "bcdefghijklm", "zz")]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+def test_planted_fertility_skew(spark, fixture_sf):
+    rows = {r.lang: r for r in QUERIES["tokenizer_fertility"](spark, fixture_sf).collect()}
+    assert set(rows) == {"en", "zz"}
+    assert rows["en"].tokens_per_word == 1.0
+    assert rows["en"].n_word_occurrences == 5
+    assert rows["zz"].tokens_per_word == 6.0
+    assert rows["zz"].total_chars == 12
+
+
+def test_planted_outlier(spark, fixture_sf):
+    rows = QUERIES["fertility_word_outliers"](spark, fixture_sf).collect()
+    top_zz = [r for r in rows if r.lang == "zz" and r.rank == 1][0]
+    assert top_zz.word == "bcdefghijklm" and top_zz.n_tokens == 6
+
+
+def test_no_python_in_plan(spark):
+    """Segmentation is stacked codegen replaces; the per-lang rollup
+    joins two vocab-bounded relations — no UDF anywhere."""
+    df = QUERIES["tokenizer_fertility"](spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    cur = con.execute(ORACLES[name])
+    ocols = [d[0] for d in cur.description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols) for row in cur.fetchall()
+    )
+    assert srows == orows and len(srows) > 0
