@@ -58,12 +58,20 @@ HN_K = 3  # negatives mined per anchor
 
 
 def _cross_label_candidates(spark: SparkSession, sf: str) -> DataFrame:
-    """Distinct cross-label candidate pairs with rounded cosine.
+    """Distinct ORDERED cross-label candidate pairs with rounded cosine.
 
     Same bucket machinery as embedding_near_dups (one UDF pass, one
     (band, sig) shuffle, native pair expansion), but pairs are kept
     when labels DIFFER and the label travels with the vector through
     the bucket struct, so no join back to the corpus is needed.
+
+    Both directions (anchor, negative) and (negative, anchor) are
+    emitted HERE, from the ordered in-bucket pair matrix, instead of
+    symmetrizing later with a self-union: a union would reference this
+    subtree twice and duplicate the signature-UDF pipeline in the plan
+    (the round-2 embedding_near_dups defect in a new costume — runtime
+    exchange reuse usually saves it, but the single-evaluation plan
+    should not depend on that).
     """
     sigs = (
         _emb_double(spark, sf)
@@ -86,15 +94,17 @@ def _cross_label_candidates(spark: SparkSession, sf: str) -> DataFrame:
     pairs = F.expr(
         "transform("
         " filter(flatten(transform(rs, x -> transform(rs, y -> struct(x AS a, y AS b)))),"
-        "        p -> p.a.vec_id < p.b.vec_id AND p.a.label != p.b.label),"
-        " p -> struct(p.a.vec_id AS vec_a, p.a.label AS label_a,"
-        "      p.b.vec_id AS vec_b, p.b.label AS label_b,"
+        "        p -> p.a.vec_id != p.b.vec_id AND p.a.label != p.b.label),"
+        " p -> struct(p.a.vec_id AS anchor, p.a.label AS anchor_label,"
+        "      p.b.vec_id AS negative, p.b.label AS negative_label,"
         "      round(aggregate(zip_with(p.a.emb, p.b.emb, (x, y) -> x * y),"
         "      0D, (s, v) -> s + v) / (p.a.norm * p.b.norm), 6) AS cosine))"
     )
     return (
         buckets.select(F.explode(pairs).alias("p"))
-        .select("p.vec_a", "p.label_a", "p.vec_b", "p.label_b", "p.cosine")
+        .select(
+            "p.anchor", "p.anchor_label", "p.negative", "p.negative_label", "p.cosine"
+        )
         .distinct()  # a pair colliding in several bands carries identical values
     )
 
@@ -107,26 +117,11 @@ def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
     suspected label errors rather than negatives.
     """
     cand = _cross_label_candidates(spark, sf)
-    sym = cand.select(
-        F.col("vec_a").alias("anchor"),
-        F.col("label_a").alias("anchor_label"),
-        F.col("vec_b").alias("negative"),
-        F.col("label_b").alias("negative_label"),
-        "cosine",
-    ).unionAll(
-        cand.select(
-            F.col("vec_b").alias("anchor"),
-            F.col("label_b").alias("anchor_label"),
-            F.col("vec_a").alias("negative"),
-            F.col("label_a").alias("negative_label"),
-            "cosine",
-        )
-    )
     w = Window.partitionBy("anchor").orderBy(
         F.desc("cosine"), F.asc("negative")
     )
     return (
-        sym.filter(F.col("cosine") < NEAR_DUP_COS)
+        cand.filter(F.col("cosine") < NEAR_DUP_COS)
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= HN_K)
     )
@@ -170,9 +165,10 @@ def _sql_candidates() -> str:
         pair_ids AS (
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
-            WHERE a.vec_id < b.vec_id),
-        cand AS (
-            SELECT vec_a, ea.label AS label_a, vec_b, eb.label AS label_b,
+            WHERE a.vec_id != b.vec_id),
+        sym AS (
+            SELECT vec_a AS anchor, ea.label AS anchor_label,
+                   vec_b AS negative, eb.label AS negative_label,
                    ROUND(list_dot_product(ea.e, eb.e) /
                          (sqrt(list_dot_product(ea.e, ea.e)) *
                           sqrt(list_dot_product(eb.e, eb.e))), 6) AS cosine
@@ -180,12 +176,6 @@ def _sql_candidates() -> str:
             JOIN emb ea ON ea.vec_id = pair_ids.vec_a
             JOIN emb eb ON eb.vec_id = pair_ids.vec_b
             WHERE ea.label != eb.label),
-        sym AS (
-            SELECT vec_a AS anchor, label_a AS anchor_label,
-                   vec_b AS negative, label_b AS negative_label, cosine
-            FROM cand
-            UNION ALL
-            SELECT vec_b, label_b, vec_a, label_a, cosine FROM cand),
         mined AS (
             SELECT anchor, anchor_label, negative, negative_label, cosine,
                    ROW_NUMBER() OVER (PARTITION BY anchor

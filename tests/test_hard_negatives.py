@@ -50,17 +50,20 @@ def test_mining_invariants(spark):
 
 
 def test_single_udf_evaluation(spark):
-    """The signature UDF runs ONCE: the symmetrized union reuses the
-    same distinct candidate relation, so the plan must not duplicate
-    the Arrow subtree (the round-2 embedding_near_dups defect)."""
-    df = QUERIES["hard_negative_mining"](spark, SF)
-    df.collect()  # finalize AQE
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    """The signature UDF runs ONCE: both pair directions are emitted
+    from the ordered in-bucket pair matrix instead of a self-union, so
+    the plan must contain exactly one Arrow subtree (the round-2
+    embedding_near_dups defect shape)."""
+    import io
     import re
+    from contextlib import redirect_stdout
 
-    # AQE plan strings contain Final AND Initial copies — halve counts
-    n_udf = len(re.findall(r"ArrowEvalPython", plan)) // 2
-    assert n_udf <= 1, plan[:3000]
+    df = QUERIES["hard_negative_mining"](spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    nodes = re.findall(r"^\(\d+\) (\w+)", buf.getvalue(), re.M)
+    assert sum(1 for n in nodes if n == "ArrowEvalPython") == 1
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
