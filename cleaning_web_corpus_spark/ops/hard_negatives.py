@@ -65,13 +65,23 @@ def _cross_label_candidates(spark: SparkSession, sf: str) -> DataFrame:
     when labels DIFFER and the label travels with the vector through
     the bucket struct, so no join back to the corpus is needed.
 
-    Both directions (anchor, negative) and (negative, anchor) are
-    emitted HERE, from the ordered in-bucket pair matrix, instead of
-    symmetrizing later with a self-union: a union would reference this
-    subtree twice and duplicate the signature-UDF pipeline in the plan
-    (the round-2 embedding_near_dups defect in a new costume — runtime
-    exchange reuse usually saves it, but the single-evaluation plan
-    should not depend on that).
+    The in-bucket pair matrix is PRUNED to each anchor's top-HN_K
+    before anything leaves the bucket row: the global top-K per anchor
+    is a subset of the union of per-bucket top-Ks (any candidate at
+    global rank r <= K ranks <= r in every bucket that contains the
+    pair), so the prune is contract-preserving while collapsing the
+    exploded candidate volume from O(bucket²) to O(bucket·K) — the
+    distinct + window downstream then touch K rows per (anchor, band)
+    instead of the whole pair matrix.  The false-negative guard
+    (cosine < NEAR_DUP_COS) applies before the in-bucket ranking, same
+    as the global contract.  The per-anchor sort comparator orders
+    exactly like the global window (cosine desc, negative asc), and
+    cosines are rounded to 6 decimals BEFORE it so the two rankings
+    cannot diverge on float noise.
+
+    No self-union anywhere: a union would reference this subtree twice
+    and duplicate the signature-UDF pipeline in the plan (the round-2
+    embedding_near_dups defect in a new costume).
     """
     sigs = (
         _emb_double(spark, sf)
@@ -91,19 +101,27 @@ def _cross_label_candidates(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.size("rs").between(2, ND_MAX_BUCKET))
     )
-    pairs = F.expr(
-        "transform("
-        " filter(flatten(transform(rs, x -> transform(rs, y -> struct(x AS a, y AS b)))),"
-        "        p -> p.a.vec_id != p.b.vec_id AND p.a.label != p.b.label),"
-        " p -> struct(p.a.vec_id AS anchor, p.a.label AS anchor_label,"
-        "      p.b.vec_id AS negative, p.b.label AS negative_label,"
-        "      round(aggregate(zip_with(p.a.emb, p.b.emb, (x, y) -> x * y),"
-        "      0D, (s, v) -> s + v) / (p.a.norm * p.b.norm), 6) AS cosine))"
+    per_anchor_topk = F.expr(
+        "flatten(transform(rs, x ->"
+        " slice(array_sort("
+        "  filter("
+        "   transform("
+        "    filter(rs, y -> y.vec_id != x.vec_id AND y.label != x.label),"
+        "    y -> struct(x.vec_id AS anchor, x.label AS anchor_label,"
+        "         y.vec_id AS negative, y.label AS negative_label,"
+        "         round(aggregate(zip_with(x.emb, y.emb, (u, v) -> u * v),"
+        "         0D, (s, v) -> s + v) / (x.norm * y.norm), 6) AS cosine)),"
+        f"  c -> c.cosine < {NEAR_DUP_COS!r}),"
+        "  (l, r) -> case when l.cosine > r.cosine then -1"
+        "                 when l.cosine < r.cosine then 1"
+        "                 when l.negative < r.negative then -1"
+        "                 when l.negative > r.negative then 1 else 0 end),"
+        f" 1, {HN_K})))"
     )
     return (
-        buckets.select(F.explode(pairs).alias("p"))
+        buckets.select(F.explode(per_anchor_topk).alias("q"))
         .select(
-            "p.anchor", "p.anchor_label", "p.negative", "p.negative_label", "p.cosine"
+            "q.anchor", "q.anchor_label", "q.negative", "q.negative_label", "q.cosine"
         )
         .distinct()  # a pair colliding in several bands carries identical values
     )

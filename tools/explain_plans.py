@@ -133,6 +133,18 @@ the plan shape, which is window-invariant.)
   single UDF pass) is measured against in tests/test_ann.py and as the
   simplest oracle twin. Never a production operator; benched honestly
   rather than hidden.
+- `hard_negative_mining` (~5 s) / `hard_negative_stats` (~4.6 s, it
+  re-pays the mining like every *_stats twin): one signature-UDF pass,
+  one (band, sig) shuffle, then the per-anchor top-HN_K prune INSIDE
+  the bucket array expression — the exploded candidate volume is
+  O(bucket x HN_K), not the O(bucket^2) pair matrix, so the distinct +
+  window downstream are small. What remains is the in-bucket ordered
+  cosine arithmetic itself (~11M zip_with folds at sf0.1 with 4-bit
+  bands): inherent to LSH mining and kept as the same sequential fold
+  the DuckDB twin computes, because a BLAS-vectorized matmul could
+  diverge at the 6-dp rounding boundary and break the gate hash. At
+  corpus scale ND_BAND_BITS rises so buckets stay ~HN_K x fanout and
+  the per-bucket matrix stays bounded.
 - `simhash_near_dups` (~1.8-2.3 s): one Arrow UDF pass (memoized
   per-token md5 votes, ~9x faster than round 2), one (chunk_idx,
   chunk_val) shuffle of collect_list buckets, native in-bucket pair
