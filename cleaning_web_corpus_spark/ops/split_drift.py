@@ -1,0 +1,220 @@
+"""Exact two-sample KS drift test between training splits.
+
+The silent failure mode of split construction is DISTRIBUTION drift:
+a val split that is longer / cleaner / newer than train (sorted-file
+splits, per-source partitioning bugs, an upstream re-crawl landing
+only in val) invalidates every eval number even when the split is
+leakage-free.  The standard pre-training QA check is a two-sample
+Kolmogorov-Smirnov test between the splits over a cheap per-document
+feature — here document length.
+
+Everything that decides the verdict is INTEGER-exact:
+
+* The KS statistic is ``D = max_x |F_train(x) - F_val(x)|``; with
+  cumulative counts ``c1, c2`` and split sizes ``n1, n2`` the
+  numerator ``max |c1*n2 - c2*n1|`` is a BIGINT — no float ever
+  enters the max.
+* The drift verdict compares against the alpha=0.05 two-sample
+  critical value ``c*sqrt((n1+n2)/(n1*n2))`` with ``c = 1.358``;
+  squaring both sides gives ``ks_num^2 * 10^6 > 1844164 * (n1+n2) *
+  n1 * n2`` (1358^2 = 1844164 exactly), evaluated in DECIMAL(38,0)
+  on Spark and HUGEINT in the DuckDB twin — both exact int128-class
+  arithmetic, so the boolean cannot diverge across engines.
+* The human-facing ``ks`` column divides the two exact integers once
+  (IEEE-correctly-rounded on both engines) and rounds to 6dp.
+
+Two schemes make BOTH verdict branches non-degenerate under the gate
+hash (the deterministic-injection move of anomaly.py / secrets.py):
+
+* ``hashed`` — the genuine md5-bucket 90/10 split (the portable draw
+  of ``stratified_sample`` / ``component_safe_splits``): same
+  distribution on both sides, so ``drift`` must come back False.
+* ``shifted`` — the regression twin: val rows re-scored with a 20%
+  integer length inflation (``v + v div 5``), simulating the
+  val-from-a-different-source bug the detector exists to catch, so
+  ``drift`` must come back True.
+
+Scale notes (100 TB): ONE pruned documents scan (doc_id + n_chars —
+text is never read), the scheme fan-out is an in-scan 2-element
+explode, one partial+final aggregate on (scheme, value), and the ECDF
+windows run over the AGGREGATED value-domain relation (bounded by
+the number of distinct lengths, not the corpus), partitioned by
+scheme.  No joins, no Python.
+
+Reference scope: the reference has no split tooling — this is part
+of the build contract's training-data extensions (same family as
+component_safe_splits / decontamination).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+SPLIT_BUCKETS = 100
+TRAIN_LT = 90  # bucket < 90 -> train, else val
+KS_C2_MICRO = 1_844_164  # 1358^2: alpha=0.05 critical constant, micro-units
+
+
+def _scheme_values(spark: SparkSession, sf: str) -> DataFrame:
+    """(scheme, split, value) rows — one scan, 2-way in-scan explode."""
+    bucket = F.expr(
+        "cast(conv(substr(md5(cast(doc_id as string)), 1, 13), 16, 10)"
+        f" as bigint) % {SPLIT_BUCKETS}"
+    )
+    docs = t(spark, sf, "documents").select(
+        F.col("n_chars").cast("long").alias("v"),
+        F.when(bucket < TRAIN_LT, F.lit("train")).otherwise(F.lit("val")).alias(
+            "split"
+        ),
+    )
+    shifted = F.when(
+        F.col("split") == "val", F.col("v") + F.expr("v div 5")
+    ).otherwise(F.col("v"))
+    return docs.select(
+        "split",
+        F.explode(
+            F.array(
+                F.struct(F.lit("hashed").alias("scheme"), F.col("v").alias("value")),
+                F.struct(F.lit("shifted").alias("scheme"), shifted.alias("value")),
+            )
+        ).alias("sv"),
+    ).select("split", "sv.scheme", "sv.value")
+
+
+def _ecdf_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    rows = _scheme_values(spark, sf)
+    counts = rows.groupBy("scheme", "value").agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("c1"),
+        F.sum((F.col("split") == "val").cast("long")).alias("c2"),
+    )
+    w_cum = (
+        Window.partitionBy("scheme")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("scheme")
+    return counts.select(
+        "scheme",
+        "value",
+        F.sum("c1").over(w_cum).alias("cum_train"),
+        F.sum("c2").over(w_cum).alias("cum_val"),
+        F.sum("c1").over(w_all).alias("n_train"),
+        F.sum("c2").over(w_all).alias("n_val"),
+    ).withColumn(
+        "gap_num",
+        F.abs(
+            F.col("cum_train") * F.col("n_val") - F.col("cum_val") * F.col("n_train")
+        ),
+    )
+
+
+def split_drift_ecdf(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-value ECDF diagnostic: where exactly the splits diverge."""
+    return _ecdf_gaps(spark, sf).select(
+        "scheme", "value", "cum_train", "cum_val", "gap_num"
+    )
+
+
+def split_drift_report(spark: SparkSession, sf: str) -> DataFrame:
+    """One row per scheme: exact KS numerator, rounded statistic, the
+    argmax location, and the integer-exact alpha=0.05 verdict."""
+    gaps = _ecdf_gaps(spark, sf)
+    w_rank = Window.partitionBy("scheme").orderBy(
+        F.col("gap_num").desc(), F.col("value").asc()
+    )
+    dec = "decimal(38,0)"
+    return (
+        gaps.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "scheme",
+            "n_train",
+            "n_val",
+            F.col("gap_num").alias("ks_num"),
+            F.col("value").alias("ks_at_value"),
+            F.round(
+                F.col("gap_num") / (F.col("n_train") * F.col("n_val")), 6
+            ).alias("ks"),
+            (
+                F.col("gap_num").cast(dec) * F.col("gap_num").cast(dec) * F.lit(
+                    1_000_000
+                ).cast(dec)
+                > F.lit(KS_C2_MICRO).cast(dec)
+                * (F.col("n_train") + F.col("n_val")).cast(dec)
+                * F.col("n_train").cast(dec)
+                * F.col("n_val").cast(dec)
+            ).alias("drift"),
+        )
+    )
+
+
+# --- DuckDB oracles -------------------------------------------------------------
+
+_SQL_GAPS = f"""
+    WITH base AS (
+        SELECT n_chars::BIGINT AS v,
+               CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT
+                         % {SPLIT_BUCKETS} < {TRAIN_LT}
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents
+    ),
+    rows_ AS (
+        SELECT s.scheme, base.split,
+               CASE WHEN s.scheme = 'shifted' AND base.split = 'val'
+                    THEN v + v // 5 ELSE v END AS value
+        FROM base CROSS JOIN (VALUES ('hashed'), ('shifted')) s(scheme)
+    ),
+    counts AS (
+        SELECT scheme, value,
+               SUM((split = 'train')::INT)::BIGINT AS c1,
+               SUM((split = 'val')::INT)::BIGINT AS c2
+        FROM rows_ GROUP BY scheme, value
+    ),
+    ecdf AS (
+        SELECT scheme, value,
+               SUM(c1) OVER (PARTITION BY scheme ORDER BY value
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_train,
+               SUM(c2) OVER (PARTITION BY scheme ORDER BY value
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_val,
+               SUM(c1) OVER (PARTITION BY scheme)::BIGINT AS n_train,
+               SUM(c2) OVER (PARTITION BY scheme)::BIGINT AS n_val
+        FROM counts
+    ),
+    gaps AS (
+        SELECT *, abs(cum_train * n_val - cum_val * n_train)::BIGINT AS gap_num
+        FROM ecdf
+    )
+"""
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "split_drift_ecdf": split_drift_ecdf,
+    "split_drift_report": split_drift_report,
+}
+
+ORACLES: Dict[str, str] = {
+    "split_drift_ecdf": _SQL_GAPS
+    + """
+    SELECT scheme, value, cum_train, cum_val, gap_num FROM gaps
+    """,
+    "split_drift_report": _SQL_GAPS
+    + f"""
+    , ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY scheme
+                                     ORDER BY gap_num DESC, value ASC) AS rn
+        FROM gaps
+    )
+    SELECT scheme, n_train, n_val,
+           gap_num AS ks_num,
+           value AS ks_at_value,
+           ROUND(gap_num::DOUBLE / (n_train * n_val), 6) AS ks,
+           (gap_num::HUGEINT * gap_num * 1000000
+            > {KS_C2_MICRO}::HUGEINT * (n_train + n_val) * n_train * n_val)
+               AS drift
+    FROM ranked WHERE rn = 1
+    """,
+}

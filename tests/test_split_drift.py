@@ -1,0 +1,71 @@
+"""Exact two-sample KS split-drift operator tests."""
+
+from __future__ import annotations
+
+import math
+
+from cleaning_web_corpus_spark.ops.split_drift import (
+    KS_C2_MICRO,
+    QUERIES,
+    split_drift_report,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_both_verdict_branches_fire(spark):
+    rows = {r.scheme: r for r in split_drift_report(spark, SF).collect()}
+    assert set(rows) == {"hashed", "shifted"}
+    # genuine md5 split: same distribution -> no drift at alpha=0.05
+    assert rows["hashed"].drift is False
+    # 20% val length inflation: the detector must catch it
+    assert rows["shifted"].drift is True
+    for r in rows.values():
+        assert 0.0 <= r.ks <= 1.0
+        assert r.n_train > 0 and r.n_val > 0
+
+
+def test_ks_matches_brute_force(spark):
+    """Recompute D from the raw per-split samples driver-side."""
+    from cleaning_web_corpus_spark.ops.split_drift import _scheme_values
+
+    sample = [
+        (r.split, r.value)
+        for r in _scheme_values(spark, SF).filter("scheme = 'hashed'").collect()
+    ]
+    train = sorted(v for s, v in sample if s == "train")
+    val = sorted(v for s, v in sample if s == "val")
+    n1, n2 = len(train), len(val)
+    xs = sorted(set(train) | set(val))
+    import bisect
+
+    best = 0
+    for x in xs:
+        c1 = bisect.bisect_right(train, x)
+        c2 = bisect.bisect_right(val, x)
+        best = max(best, abs(c1 * n2 - c2 * n1))
+    row = {r.scheme: r for r in split_drift_report(spark, SF).collect()}["hashed"]
+    assert row.ks_num == best
+    assert row.n_train == n1 and row.n_val == n2
+    assert row.ks == round(best / (n1 * n2), 6)
+    # the integer verdict agrees with the float form of the criterion
+    crit = math.sqrt(KS_C2_MICRO / 1e6) * math.sqrt((n1 + n2) / (n1 * n2))
+    assert row.drift == (best / (n1 * n2) > crit)
+
+
+def test_plan_no_python_one_scan(spark):
+    import io
+    from contextlib import redirect_stdout
+
+    df = QUERIES["split_drift_report"](spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    # only n_chars + doc_id leave the scan: text is never read
+    schema_line = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert schema_line and "text" not in schema_line[0]

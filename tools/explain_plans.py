@@ -115,6 +115,7 @@ PLAN_QUERIES = [
     "context_leak_report",
     "dataset_card",
     "role_token_share",
+    "split_drift_report",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
