@@ -1,0 +1,183 @@
+"""UT1-style domain-blocklist filtering (registrable-suffix match).
+
+Web-corpus pipelines drop documents whose HOST falls under a blocked
+domain (RefinedWeb §2.2 and C4 both filter against the UT1 blocklist;
+CC-index tooling uses the same semantics): host ``h`` matches entry
+``e`` iff ``h == e`` or ``h`` ends with ``"." + e`` — a LABEL-aligned
+suffix, never a raw string suffix (``www.src3.example.com`` must NOT
+match the entry ``rc3.example.com``; that trap entry is in the list
+below so the boundary semantics sit under the gate hash).
+
+Scale shape: the production blocklist is millions of entries — far
+too big for a LIKE/endswith non-equi join, and far smaller than the
+corpus.  The standard trick: explode each host into its label-aligned
+suffixes (bounded by the label count, ~5 rows/doc) and EQUI-join that
+against the blocklist; the blocklist side broadcasts.  When several
+entries match one host, the MOST SPECIFIC (longest) entry wins, ties
+broken lexicographically-last — implemented as a plain ``max`` over a
+length-prefixed key so the policy is associative (map-side combine,
+no window over the corpus).
+
+Hosts come from the same deterministic messy-URL projection as
+``url_canonical_dedup`` (cased hosts, default ports): the Spark side
+EXTRACTS the host from the raw URL (the production parse path) while
+the oracle twin constructs the lowered host directly, so the
+extraction itself is gate-checked.  Blocklist entries are chosen to
+fire every semantic branch: a subdomain suffix match, an exact-host
+match, an overlapping more-specific entry (policy test), a deeper
+never-matching subdomain, and the dot-boundary trap.
+
+Queries (both oracle-exact):
+
+* ``domain_blocklist_verdicts`` — per doc: host, blocked,
+  matched_entry, category.
+* ``domain_blocklist_stats`` — docs + distinct hosts per category
+  (including the 'clean' remainder).
+
+Reference scope: the reference filters on document text only — URL
+policy filtering is part of the build contract's web-pipeline
+extensions (same family as url_canonical_dedup, corpus.py:262).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.corpus import _synth_urls
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+# (entry, category) — see docstring for why each entry is in the list
+BLOCKLIST = [
+    ("src3.example.com", "adult"),  # subdomain suffix match
+    ("www.src3.example.com", "phishing"),  # overlap: more specific, must win
+    ("src5.example.com", "adult"),  # second member of a category
+    ("www.src7.example.com", "malware"),  # exact-host match
+    ("ads.src3.example.com", "ads"),  # sibling subdomain: never matches
+    ("rc3.example.com", "typosquat"),  # dot-boundary trap: never matches
+]
+
+
+def _hosts(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, host) — canonical lowered host parsed from the raw URL."""
+    url = F.col("url")
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]*)", 1))
+    return _synth_urls(spark, sf).select(
+        "doc_id", F.regexp_replace(hostport, r":443$", "").alias("host")
+    )
+
+
+def blocklist_verdicts(hosts: DataFrame, blocklist: DataFrame) -> DataFrame:
+    """Generic form: (id..., host) relation x (entry, category) blocklist."""
+    labels = F.split(F.col("host"), r"\.")
+    suffixes = F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(F.slice(labels, i, F.size(labels)), "."),
+    )
+    suff = hosts.select(
+        "doc_id", "host", F.explode(suffixes).alias("suffix")
+    )
+    joined = suff.join(
+        F.broadcast(blocklist), suff["suffix"] == blocklist["entry"], "left"
+    )
+    # longest-entry-wins policy as an associative max over a
+    # length-prefixed key (no window over the corpus)
+    mk = F.when(
+        F.col("entry").isNotNull(),
+        F.concat(
+            F.lpad(F.length("entry").cast("string"), 3, "0"),
+            F.lit("|"),
+            F.col("entry"),
+            F.lit("|"),
+            F.col("category"),
+        ),
+    )
+    per_doc = joined.groupBy("doc_id").agg(
+        F.max("host").alias("host"), F.max(mk).alias("mk")
+    )
+    return per_doc.select(
+        "doc_id",
+        "host",
+        F.col("mk").isNotNull().alias("blocked"),
+        F.split("mk", r"\|")[1].alias("matched_entry"),
+        F.split("mk", r"\|")[2].alias("category"),
+    )
+
+
+def _blk(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(BLOCKLIST, "entry string, category string")
+
+
+def domain_blocklist_verdicts(spark: SparkSession, sf: str) -> DataFrame:
+    return blocklist_verdicts(_hosts(spark, sf), _blk(spark))
+
+
+def domain_blocklist_stats(spark: SparkSession, sf: str) -> DataFrame:
+    v = domain_blocklist_verdicts(spark, sf)
+    return v.groupBy(
+        F.coalesce("category", F.lit("clean")).alias("category")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("host").alias("n_hosts"),
+    )
+
+
+# --- DuckDB oracles -------------------------------------------------------------
+
+_SQL_VALUES = ", ".join(f"('{e}', '{c}')" for e, c in BLOCKLIST)
+
+_SQL_VERDICTS = f"""
+    WITH hosts AS (
+        SELECT doc_id, 'www.' || source || '.example.com' AS host
+        FROM documents
+    ),
+    lab AS (
+        SELECT doc_id, host, string_split(host, '.') AS labels FROM hosts
+    ),
+    idx AS (
+        SELECT doc_id, host, labels,
+               unnest(generate_series(1, len(labels))) AS i
+        FROM lab
+    ),
+    suff AS (
+        SELECT doc_id, host,
+               array_to_string(list_slice(labels, i, len(labels)), '.')
+                   AS suffix
+        FROM idx
+    ),
+    blk(entry, category) AS (VALUES {_SQL_VALUES}),
+    joined AS (
+        SELECT s.doc_id, s.host,
+               CASE WHEN b.entry IS NOT NULL
+                    THEN lpad(length(b.entry)::VARCHAR, 3, '0')
+                         || '|' || b.entry || '|' || b.category END AS mk
+        FROM suff s LEFT JOIN blk b ON s.suffix = b.entry
+    ),
+    per_doc AS (
+        SELECT doc_id, max(host) AS host, max(mk) AS mk
+        FROM joined GROUP BY doc_id
+    )
+    SELECT doc_id, host,
+           mk IS NOT NULL AS blocked,
+           string_split(mk, '|')[2] AS matched_entry,
+           string_split(mk, '|')[3] AS category
+    FROM per_doc
+"""
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "domain_blocklist_verdicts": domain_blocklist_verdicts,
+    "domain_blocklist_stats": domain_blocklist_stats,
+}
+
+ORACLES: Dict[str, str] = {
+    "domain_blocklist_verdicts": _SQL_VERDICTS,
+    "domain_blocklist_stats": f"""
+        WITH verdicts AS ({_SQL_VERDICTS})
+        SELECT COALESCE(category, 'clean') AS category,
+               COUNT(*)::BIGINT AS n_docs,
+               COUNT(DISTINCT host)::BIGINT AS n_hosts
+        FROM verdicts GROUP BY COALESCE(category, 'clean')
+    """,
+}

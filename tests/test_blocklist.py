@@ -1,0 +1,64 @@
+"""Domain-blocklist suffix-match operator tests."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.blocklist import (
+    QUERIES,
+    blocklist_verdicts,
+    domain_blocklist_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_suffix_semantics_and_policy(spark):
+    hosts = spark.createDataFrame(
+        [
+            (1, "www.src3.example.com"),  # overlap: phishing (len 20) wins
+            (2, "deep.www.src3.example.com"),  # both entries match by suffix
+            (3, "www.src7.example.com"),  # exact-host match
+            (4, "src7.example.com"),  # entry is www-qualified: no match
+            (5, "www.xsrc3.example.com"),  # raw endswith, not label-aligned
+            (6, "www.src9.example.com"),  # clean
+        ],
+        "doc_id long, host string",
+    )
+    blk = spark.createDataFrame(
+        [
+            ("src3.example.com", "adult"),
+            ("www.src3.example.com", "phishing"),
+            ("www.src7.example.com", "malware"),
+            ("rc3.example.com", "typosquat"),
+        ],
+        "entry string, category string",
+    )
+    out = {r.doc_id: r for r in blocklist_verdicts(hosts, blk).collect()}
+    assert out[1].blocked and out[1].category == "phishing"
+    assert out[2].blocked and out[2].category == "phishing"
+    assert out[3].blocked and out[3].category == "malware"
+    assert not out[4].blocked and out[4].matched_entry is None
+    assert not out[5].blocked  # 'rc3.example.com' is NOT a label suffix
+    assert not out[6].blocked
+
+
+def test_driver_stats_branches(spark):
+    rows = {r.category: r for r in domain_blocklist_stats(spark, SF).collect()}
+    # every semantic branch fires on the driver corpus
+    assert {"clean", "adult", "phishing", "malware"} <= set(rows)
+    # never-match traps stay silent
+    assert "ads" not in rows and "typosquat" not in rows
+    # src3 is phishing (more specific entry wins), so adult == src5 only
+    assert rows["adult"].n_hosts == 1
+    assert rows["clean"].n_docs > rows["malware"].n_docs
+
+
+def test_plan_broadcasts_blocklist(spark):
+    plan = (
+        QUERIES["domain_blocklist_verdicts"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

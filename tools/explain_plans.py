@@ -116,6 +116,7 @@ PLAN_QUERIES = [
     "dataset_card",
     "role_token_share",
     "split_drift_report",
+    "domain_blocklist_verdicts",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
