@@ -1,0 +1,192 @@
+"""Embedding-column health audit (NaN / zero / clipped vectors).
+
+Before any ANN, semdedup, or hard-negative stage runs over an
+embedding column, production pipelines gate on vector HEALTH: encoder
+crashes emit NaN components, truncated batches emit all-zero rows,
+and fp16 export clips saturated components to the format boundary —
+all three poison cosine math downstream (NaN propagates through every
+dot product; zero vectors make cosine undefined; clipped tails skew
+norms).  This is the embedding-side sibling of the text pipeline's
+encoding_anomaly gate.
+
+Per-vector metrics are exact under the gate hash:
+
+* components quantize to BIGINT micro-units ``floor(x*1e6 + 0.5)``
+  (the established associative-integer move), so the squared norm is
+  an exact integer sum — no float accumulation order anywhere.
+* NaN components are counted separately and quantize to 0 (ANSI-safe:
+  casting NaN would throw), so a NaN row still reports a norm over
+  its finite components.
+* ``norm`` divides one exact integer through one IEEE sqrt, rounded
+  to 6dp; group-level spread uses the exact integer ``sum(norm2)``
+  (rms), never a float sum of norms.
+
+Anomalies are INJECTED on deterministic vec_id residues in both
+engines (the anomaly.py / secrets.py move) so every status branch
+provably fires under the oracle hash: %97 -> NaN component,
+%89 -> zero vector, %83 -> clip to +/-CLIP.  Status priority:
+nonfinite > zero > clipped > ok.
+
+Scale notes (100 TB): one pruned scan of embeddings, all per-vector
+math inside array-lambda codegen (no Python, no shuffle for the
+report; the stats rollup is one partial+final aggregate on a
+4-value key).
+
+Reference scope: the reference has no embedding tooling — part of the
+build contract's similarity-search extensions (ops/ann.py family).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+CLIP = 0.05  # injected fp-export clip boundary
+CLIP_MICRO = 50_000  # CLIP in micro-units
+
+
+def _injected(spark: SparkSession, sf: str) -> DataFrame:
+    """Embeddings with the deterministic anomaly residues applied."""
+    v = F.col("vec_id")
+    emb = (
+        F.when(
+            v % 97 == 0,
+            F.expr("transform(embedding, (x, i) -> "
+                   "CASE WHEN i = 0 THEN double('NaN') "
+                   "ELSE cast(x as double) END)"),
+        )
+        .when(v % 89 == 0, F.expr("transform(embedding, x -> 0.0d)"))
+        .when(
+            v % 83 == 0,
+            F.expr(
+                f"transform(embedding, x -> greatest(-{CLIP}d, "
+                f"least({CLIP}d, cast(x as double))))"
+            ),
+        )
+        .otherwise(F.expr("transform(embedding, x -> cast(x as double))"))
+    )
+    return t(spark, sf, "embeddings").select("vec_id", "label", emb.alias("emb"))
+
+
+def embedding_health_report(spark: SparkSession, sf: str) -> DataFrame:
+    e = _injected(spark, sf)
+    q = (
+        "transform(emb, x -> CASE WHEN isnan(x) THEN cast(0 as bigint) "
+        "ELSE cast(floor(x * 1000000 + 0.5) as bigint) END)"
+    )
+    out = e.select(
+        "vec_id",
+        "label",
+        F.size("emb").alias("n_dims"),
+        F.expr(
+            "aggregate(emb, cast(0 as bigint), "
+            "(acc, x) -> acc + CASE WHEN isnan(x) THEN 1 ELSE 0 END)"
+        ).alias("n_nan"),
+        F.expr(
+            f"aggregate({q}, cast(0 as bigint), (acc, x) -> acc + x * x)"
+        ).alias("norm2_micro"),
+        F.expr(
+            f"aggregate({q}, cast(0 as bigint), (acc, x) -> acc + "
+            f"CASE WHEN abs(x) = {CLIP_MICRO} THEN 1 ELSE 0 END)"
+        ).alias("n_at_clip"),
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        "n_dims",
+        "n_nan",
+        (F.col("norm2_micro") == 0).alias("zero_vector"),
+        "n_at_clip",
+        F.round(F.sqrt(F.col("norm2_micro")) / 1e6, 6).alias("norm"),
+        F.when(F.col("n_nan") > 0, F.lit("nonfinite"))
+        .when(F.col("norm2_micro") == 0, F.lit("zero"))
+        .when(F.col("n_at_clip") > 0, F.lit("clipped"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+    )
+
+
+def embedding_health_stats(spark: SparkSession, sf: str) -> DataFrame:
+    r = embedding_health_report(spark, sf)
+    return (
+        r.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("n_nan").alias("n_nan_components"),
+            F.sum("n_at_clip").alias("n_clipped_components"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )
+
+
+# --- DuckDB oracles -------------------------------------------------------------
+
+_SQL_REPORT = f"""
+    WITH injected AS (
+        SELECT vec_id, label,
+               CASE
+                 WHEN vec_id % 97 = 0 THEN
+                   list_transform(list_zip(embedding,
+                       generate_series(1, len(embedding))),
+                     p -> CASE WHEN p[2] = 1 THEN 'NaN'::DOUBLE
+                          ELSE p[1]::DOUBLE END)
+                 WHEN vec_id % 89 = 0 THEN
+                   list_transform(embedding, x -> 0.0::DOUBLE)
+                 WHEN vec_id % 83 = 0 THEN
+                   list_transform(embedding,
+                     x -> greatest(-{CLIP}, least({CLIP}, x::DOUBLE)))
+                 ELSE list_transform(embedding, x -> x::DOUBLE)
+               END AS emb
+        FROM embeddings
+    ),
+    quant AS (
+        SELECT vec_id, label, len(emb)::INT AS n_dims,
+               list_sum(list_transform(emb,
+                   x -> CASE WHEN isnan(x) THEN 1 ELSE 0 END))::BIGINT AS n_nan,
+               list_transform(emb,
+                   x -> CASE WHEN isnan(x) THEN 0::BIGINT
+                        ELSE floor(x * 1000000 + 0.5)::BIGINT END) AS q
+        FROM injected
+    ),
+    metrics AS (
+        SELECT vec_id, label, n_dims, n_nan,
+               list_sum(list_transform(q, x -> x * x))::BIGINT AS norm2_micro,
+               list_sum(list_transform(q,
+                   x -> CASE WHEN abs(x) = {CLIP_MICRO} THEN 1
+                        ELSE 0 END))::BIGINT AS n_at_clip
+        FROM quant
+    )
+    SELECT vec_id, label, n_dims, n_nan,
+           norm2_micro = 0 AS zero_vector,
+           n_at_clip,
+           ROUND(sqrt(norm2_micro) / 1e6, 6) AS norm,
+           CASE WHEN n_nan > 0 THEN 'nonfinite'
+                WHEN norm2_micro = 0 THEN 'zero'
+                WHEN n_at_clip > 0 THEN 'clipped'
+                ELSE 'ok' END AS status
+    FROM metrics
+"""
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embedding_health_report": embedding_health_report,
+    "embedding_health_stats": embedding_health_stats,
+}
+
+ORACLES: Dict[str, str] = {
+    "embedding_health_report": _SQL_REPORT,
+    "embedding_health_stats": f"""
+        WITH report AS ({_SQL_REPORT})
+        SELECT status,
+               COUNT(*)::BIGINT AS n_vecs,
+               SUM(n_nan)::BIGINT AS n_nan_components,
+               SUM(n_at_clip)::BIGINT AS n_clipped_components,
+               ROUND(MIN(norm), 6) AS min_norm,
+               ROUND(MAX(norm), 6) AS max_norm
+        FROM report GROUP BY status
+    """,
+}

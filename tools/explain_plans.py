@@ -117,6 +117,7 @@ PLAN_QUERIES = [
     "role_token_share",
     "split_drift_report",
     "domain_blocklist_verdicts",
+    "embedding_health_report",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
