@@ -1,0 +1,178 @@
+"""Prompt-side SFT dedup: one response per unique user prompt.
+
+Instruction-tuning corpora collected from real traffic (ShareGPT,
+LMSYS, support logs) are full of RE-ASKED QUESTIONS: the same user
+prompt appearing in many conversations.  Exact-dedup at document or
+conversation grain misses them (the conversations differ — only the
+PROMPT repeats), yet they matter twice over:
+
+* same prompt + same response  -> a pure duplicate; keep one
+  (over-weighted examples bias SFT loss toward popular prompts);
+* same prompt + DIFFERENT responses -> not a dup at all but a
+  preference-pair mining opportunity (the DPO export's natural
+  input).
+
+This operator groups conversations by the normalized digest of their
+FIRST user turn and, within each group, by the digest of the ordered
+assistant-response sequence, emitting the keep-one-per-prompt decision
+and the response-diversity signal.  It is the prompt-side sibling of
+``canned_response_report`` (which groups by ASSISTANT text across
+conversations).
+
+Deterministic retry twins make every branch non-degenerate under the
+gate hash (the rerun-twin move of conversation_template_report):
+conversations whose id ends in 0/6 re-emit as ``#retry`` with the
+SAME response (exact-dup branch); ids ending in 3/9 re-emit with a
+salted response digest (variant branch).
+
+Exactness notes: prompt normalization is lower + whitespace squeeze
+before md5 (DuckDB regexp_replace carries the 'g' flag); the response
+digest orders assistant turns by doc_id via the array_sort-of-structs
+move (_FP_EXPR, transcript_checks.py:125) on Spark and
+``string_agg(... ORDER BY doc_id)`` in the twin — same byte sequence
+by construction since doc_id is unique.
+
+Scale notes (100 TB): one documents scan, one conv_id aggregate
+(partial md5/collect combine), the twin fan-out operates on the
+per-conversation relation (narrow, post-aggregate), then one
+prompt-digest aggregate whose key space is the distinct-prompt count.
+No Python, no joins.
+
+Reference scope: the reference dedups documents only — prompt-grain
+dedup is part of the build contract's transcript extensions.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+_EXACT_LAST = ("0", "6")  # retry twins with identical response
+_VARIANT_LAST = ("3", "9")  # retry twins with a different response
+
+
+def _conv_prompts(spark: SparkSession, sf: str) -> DataFrame:
+    """(conv_id, prompt_digest, response_digest) per conversation."""
+    docs = t(spark, sf, "documents").select(
+        F.col("source").alias("conv_id"), "doc_id", "text"
+    )
+    norm = "regexp_replace(lower(trim(text)), '\\\\s+', ' ')"
+    return docs.groupBy("conv_id").agg(
+        F.expr(
+            f"md5(min_by({norm}, doc_id) FILTER (WHERE doc_id % 3 = 0))"
+        ).alias("prompt_digest"),
+        F.expr(
+            "md5(concat_ws('|', transform(array_sort(collect_list("
+            "struct(doc_id as i, text as s)) FILTER (WHERE doc_id % 3 = 1)), "
+            "r -> r.s)))"
+        ).alias("response_digest"),
+    )
+
+
+def _with_twins(conv: DataFrame) -> DataFrame:
+    # twin fan-out INSIDE the row (explode of a 1-2 element array), never
+    # a self-union: a union would duplicate the whole scan+conv-aggregate
+    # subtree in the plan (the hard_negatives.py lesson)
+    last = F.expr("substr(conv_id, -1)")
+    orig = F.struct("conv_id", "prompt_digest", "response_digest")
+    twin = F.struct(
+        F.concat("conv_id", F.lit("#retry")).alias("conv_id"),
+        F.col("prompt_digest"),
+        F.when(
+            last.isin(*_VARIANT_LAST),
+            F.md5(F.concat("response_digest", F.lit("variant"))),
+        )
+        .otherwise(F.col("response_digest"))
+        .alias("response_digest"),
+    )
+    fan = F.when(
+        last.isin(*(_EXACT_LAST + _VARIANT_LAST)), F.array(orig, twin)
+    ).otherwise(F.array(orig))
+    return conv.select(F.explode(fan).alias("r")).select(
+        "r.conv_id", "r.prompt_digest", "r.response_digest"
+    )
+
+
+def prompt_dedup_report(spark: SparkSession, sf: str) -> DataFrame:
+    c = _with_twins(_conv_prompts(spark, sf))
+    return c.groupBy("prompt_digest").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.count_distinct("response_digest").alias("n_distinct_responses"),
+        F.min("conv_id").alias("kept_conv"),
+        (F.count(F.lit(1)) >= 2).alias("is_dup_group"),
+        (F.count_distinct("response_digest") >= 2).alias("response_variants"),
+    )
+
+
+def prompt_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    r = prompt_dedup_report(spark, sf)
+    return r.agg(
+        F.count(F.lit(1)).alias("n_prompts"),
+        F.sum("n_convs").alias("n_convs"),
+        F.sum(F.col("is_dup_group").cast("long")).alias("n_dup_groups"),
+        F.sum(F.col("response_variants").cast("long")).alias(
+            "n_variant_groups"
+        ),
+        (F.sum("n_convs") - F.count(F.lit(1))).alias("n_dropped_prompt_level"),
+        F.sum(F.col("n_convs") - F.col("n_distinct_responses")).alias(
+            "n_dropped_exact"
+        ),
+    )
+
+
+# --- DuckDB oracles -------------------------------------------------------------
+
+_SQL_GROUPS = f"""
+    WITH conv AS (
+        SELECT source AS conv_id,
+               md5(min_by(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          doc_id) FILTER (WHERE doc_id % 3 = 0))
+                   AS prompt_digest,
+               md5(string_agg(text, '|' ORDER BY doc_id)
+                   FILTER (WHERE doc_id % 3 = 1)) AS response_digest
+        FROM documents GROUP BY source
+    ),
+    twinned AS (
+        SELECT conv_id, prompt_digest, response_digest FROM conv
+        UNION ALL
+        SELECT conv_id || '#retry', prompt_digest, response_digest
+        FROM conv WHERE substr(conv_id, -1) IN {_EXACT_LAST!r}
+        UNION ALL
+        SELECT conv_id || '#retry', prompt_digest,
+               md5(response_digest || 'variant')
+        FROM conv WHERE substr(conv_id, -1) IN {_VARIANT_LAST!r}
+    ),
+    groups AS (
+        SELECT prompt_digest,
+               COUNT(*)::BIGINT AS n_convs,
+               COUNT(DISTINCT response_digest)::BIGINT
+                   AS n_distinct_responses,
+               MIN(conv_id) AS kept_conv,
+               COUNT(*) >= 2 AS is_dup_group,
+               COUNT(DISTINCT response_digest) >= 2 AS response_variants
+        FROM twinned GROUP BY prompt_digest
+    )
+"""
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "prompt_dedup_report": prompt_dedup_report,
+    "prompt_dedup_stats": prompt_dedup_stats,
+}
+
+ORACLES: Dict[str, str] = {
+    "prompt_dedup_report": _SQL_GROUPS + "SELECT * FROM groups",
+    "prompt_dedup_stats": _SQL_GROUPS
+    + """
+    SELECT COUNT(*)::BIGINT AS n_prompts,
+           SUM(n_convs)::BIGINT AS n_convs,
+           SUM(is_dup_group::INT)::BIGINT AS n_dup_groups,
+           SUM(response_variants::INT)::BIGINT AS n_variant_groups,
+           (SUM(n_convs) - COUNT(*))::BIGINT AS n_dropped_prompt_level,
+           SUM(n_convs - n_distinct_responses)::BIGINT AS n_dropped_exact
+    FROM groups
+    """,
+}

@@ -1,0 +1,51 @@
+"""Prompt-side SFT dedup operator tests."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.prompt_dedup import (
+    QUERIES,
+    prompt_dedup_report,
+    prompt_dedup_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_both_dup_branches_fire(spark):
+    rows = prompt_dedup_report(spark, SF).collect()
+    dup = [r for r in rows if r.is_dup_group]
+    exact = [r for r in dup if not r.response_variants]
+    variant = [r for r in dup if r.response_variants]
+    singles = [r for r in rows if not r.is_dup_group]
+    # src*0/6 -> exact twins, src*3/9 -> variant twins, rest untouched
+    assert exact and variant and singles
+    for r in exact:
+        assert r.n_convs == 2 and r.n_distinct_responses == 1
+    for r in variant:
+        assert r.n_convs == 2 and r.n_distinct_responses == 2
+    # keep rule: the original conversation id sorts before its #retry
+    for r in dup:
+        assert not r.kept_conv.endswith("#retry")
+
+
+def test_stats_invariants(spark):
+    s = prompt_dedup_stats(spark, SF).collect()[0]
+    assert s.n_convs == s.n_prompts + s.n_dropped_prompt_level
+    assert s.n_dropped_exact <= s.n_dropped_prompt_level
+    assert s.n_dup_groups == s.n_variant_groups * 2  # 0,6 vs 3,9 symmetric
+    assert s.n_variant_groups > 0
+
+
+def test_plan_one_scan_no_python(spark):
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QUERIES["prompt_dedup_report"](spark, SF).explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # one conv aggregate feeds original + both twin branches: the scan
+    # (and its conv_id exchange) must be planned once, then reused
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1

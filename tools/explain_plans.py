@@ -118,6 +118,7 @@ PLAN_QUERIES = [
     "split_drift_report",
     "domain_blocklist_verdicts",
     "embedding_health_report",
+    "prompt_dedup_report",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
