@@ -1,0 +1,44 @@
+"""Per-source token KL divergence operator tests."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.source_divergence import (
+    _TEMPLATE_SRC,
+    QUERIES,
+    source_divergence_stats,
+    source_token_divergence,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_templated_source_detected(spark):
+    rows = {r.source: r for r in source_token_divergence(spark, SF).collect()}
+    assert rows[_TEMPLATE_SRC].templated is True
+    others = [r for s, r in rows.items() if s != _TEMPLATE_SRC]
+    assert others and all(not r.templated for r in others)
+    # KL is non-negative and the template dominates by an order of magnitude
+    assert all(r.kl_nats >= 0 for r in rows.values())
+    assert rows[_TEMPLATE_SRC].kl_nats > 10 * max(r.kl_nats for r in others)
+
+
+def test_stats_rollup(spark):
+    s = source_divergence_stats(spark, SF).collect()[0]
+    assert s.n_sources == 20
+    assert s.n_templated == 1
+    assert s.example_templated == _TEMPLATE_SRC
+
+
+def test_plan_one_scan_no_python(spark):
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QUERIES["source_token_divergence"](spark, SF).explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # corpus totals re-aggregate the (source, bucket) relation: the
+    # documents scan must appear exactly once
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1

@@ -119,6 +119,7 @@ PLAN_QUERIES = [
     "domain_blocklist_verdicts",
     "embedding_health_report",
     "prompt_dedup_report",
+    "source_token_divergence",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
