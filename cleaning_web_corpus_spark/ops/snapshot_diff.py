@@ -1,0 +1,168 @@
+"""Two-snapshot churn diff (crawl-to-crawl delta report).
+
+Recrawl pipelines decide how much work a new snapshot really brings:
+which pages are ADDED (new URLs), REMOVED (dead links), CHANGED
+(content digest moved), or UNCHANGED (skip re-processing — the bulk).
+CommonCrawl-style dedup across monthly snapshots starts from exactly
+this relation; so does incremental enrichment (only `added|changed`
+re-enter the pipeline — the batch complement of the streaming path).
+
+Snapshot A is the documents table; snapshot B is a DETERMINISTIC
+perturbation applied identically in both engines (the injection
+move): doc_id %11 -> removed in B, %13 -> text changed in B,
+%17 -> additionally re-emitted under a NEW key (doc_id + 10^9, a new
+URL).  Removal wins over change when residues overlap.
+
+The diff itself never joins: one scan emits (key, side, digest) rows
+via an in-row explode (each document contributes its A row, its B row
+unless removed, and its added-twin row when %17), and ONE aggregate
+per key derives the status from the conditional digests — the
+same-relation full-outer-join shape collapsed into a groupBy, so the
+plan is one scan + one exchange instead of two scans + a join (the
+prompt_dedup twin-fan-out lesson applied to a join).
+
+Exactness: statuses derive from md5 digests and boolean presence —
+no floats anywhere except the churn rate, which divides two exact
+BIGINTs once and rounds to 6dp.
+
+Scale notes (100 TB): in production the two snapshots are separate
+tables and this becomes one full-outer join on the canonical key —
+co-partitioned/bucketed by that key it is shuffle-light; the status
+logic is unchanged.  Here both sides derive from one scan by
+construction.  Map-side combine collapses each key's <=3 rows before
+the shuffle.
+
+Reference scope: the reference processes single snapshots only —
+build contract extension (family: url_canonical_dedup,
+incremental_dedup_report).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+_ADD_KEY = 1_000_000_000  # new-URL key offset for added twins
+
+
+def _sided(spark: SparkSession, sf: str) -> DataFrame:
+    """(key, source, side, digest) rows for both snapshots, one scan."""
+    return t(spark, sf, "documents").selectExpr(
+        "explode(concat("
+        # snapshot A: every document
+        "  array(struct(doc_id as key, source, 'a' as side,"
+        "               md5(text) as digest)),"
+        # snapshot B: removed unless %11; text changed when %13
+        "  CASE WHEN doc_id % 11 = 0 THEN array()"
+        "       WHEN doc_id % 13 = 0 THEN array(struct(doc_id as key, source,"
+        "            'b' as side, md5(concat(text, ' updated')) as digest))"
+        "       ELSE array(struct(doc_id as key, source, 'b' as side,"
+        "            md5(text) as digest)) END,"
+        # added twins: new keys appearing only in B
+        f" CASE WHEN doc_id % 17 = 0 THEN array(struct(doc_id + {_ADD_KEY}"
+        "            as key, source, 'b' as side,"
+        "            md5(concat(text, ' new')) as digest))"
+        "       ELSE array() END"
+        ")) AS r"
+    ).select("r.key", "r.source", "r.side", "r.digest")
+
+
+def snapshot_churn_report(spark: SparkSession, sf: str) -> DataFrame:
+    s = _sided(spark, sf)
+    per_key = s.groupBy("key").agg(
+        F.max("source").alias("source"),
+        F.max(F.when(F.col("side") == "a", F.col("digest"))).alias("digest_a"),
+        F.max(F.when(F.col("side") == "b", F.col("digest"))).alias("digest_b"),
+    )
+    return per_key.select(
+        "key",
+        "source",
+        F.when(F.col("digest_a").isNull(), F.lit("added"))
+        .when(F.col("digest_b").isNull(), F.lit("removed"))
+        .when(F.col("digest_a") != F.col("digest_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def snapshot_churn_stats(spark: SparkSession, sf: str) -> DataFrame:
+    r = snapshot_churn_report(spark, sf)
+    cnt = lambda st: F.sum((F.col("status") == st).cast("long")).alias(  # noqa: E731
+        "n_" + st
+    )
+    per_src = r.groupBy("source").agg(
+        cnt("added"), cnt("removed"), cnt("changed"), cnt("unchanged")
+    )
+    return per_src.select(
+        "source",
+        "n_added",
+        "n_removed",
+        "n_changed",
+        "n_unchanged",
+        F.round(
+            (F.col("n_added") + F.col("n_removed") + F.col("n_changed"))
+            / (
+                F.col("n_removed") + F.col("n_changed") + F.col("n_unchanged")
+            ),
+            6,
+        ).alias("churn_rate"),
+    )
+
+
+# --- DuckDB oracles -------------------------------------------------------------
+
+_SQL_REPORT = f"""
+    WITH sided AS (
+        SELECT doc_id AS key, source, 'a' AS side, md5(text) AS digest
+        FROM documents
+        UNION ALL
+        SELECT doc_id, source, 'b',
+               CASE WHEN doc_id % 13 = 0 THEN md5(text || ' updated')
+                    ELSE md5(text) END
+        FROM documents WHERE doc_id % 11 <> 0
+        UNION ALL
+        SELECT doc_id + {_ADD_KEY}, source, 'b', md5(text || ' new')
+        FROM documents WHERE doc_id % 17 = 0
+    ),
+    per_key AS (
+        SELECT key, MAX(source) AS source,
+               MAX(CASE WHEN side = 'a' THEN digest END) AS digest_a,
+               MAX(CASE WHEN side = 'b' THEN digest END) AS digest_b
+        FROM sided GROUP BY key
+    )
+    SELECT key, source,
+           CASE WHEN digest_a IS NULL THEN 'added'
+                WHEN digest_b IS NULL THEN 'removed'
+                WHEN digest_a <> digest_b THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM per_key
+"""
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "snapshot_churn_report": snapshot_churn_report,
+    "snapshot_churn_stats": snapshot_churn_stats,
+}
+
+ORACLES: Dict[str, str] = {
+    "snapshot_churn_report": _SQL_REPORT,
+    "snapshot_churn_stats": f"""
+        WITH report AS ({_SQL_REPORT})
+        SELECT source,
+               SUM((status = 'added')::INT)::BIGINT AS n_added,
+               SUM((status = 'removed')::INT)::BIGINT AS n_removed,
+               SUM((status = 'changed')::INT)::BIGINT AS n_changed,
+               SUM((status = 'unchanged')::INT)::BIGINT AS n_unchanged,
+               ROUND((SUM((status = 'added')::INT)
+                      + SUM((status = 'removed')::INT)
+                      + SUM((status = 'changed')::INT))
+                     / (SUM((status = 'removed')::INT)
+                        + SUM((status = 'changed')::INT)
+                        + SUM((status = 'unchanged')::INT))::DOUBLE, 6)
+                   AS churn_rate
+        FROM report GROUP BY source
+    """,
+}

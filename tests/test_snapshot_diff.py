@@ -1,0 +1,56 @@
+"""Two-snapshot churn-diff operator tests."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.snapshot_diff import (
+    _ADD_KEY,
+    QUERIES,
+    snapshot_churn_report,
+    snapshot_churn_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_status_semantics(spark):
+    rows = {r.key: r.status for r in snapshot_churn_report(spark, SF).collect()}
+    for key, status in rows.items():
+        if key >= _ADD_KEY:
+            assert status == "added"
+            base = key - _ADD_KEY
+            assert base % 17 == 0 and base in rows  # twin of a real doc
+        elif key % 11 == 0:
+            assert status == "removed"  # removal wins over change
+        elif key % 13 == 0:
+            assert status == "changed"
+        else:
+            assert status == "unchanged"
+
+
+def test_stats_reconcile_with_report(spark):
+    from collections import Counter
+
+    by_status = Counter(
+        r.status for r in snapshot_churn_report(spark, SF).collect()
+    )
+    s = snapshot_churn_stats(spark, SF).collect()
+    assert sum(r.n_added for r in s) == by_status["added"]
+    assert sum(r.n_removed for r in s) == by_status["removed"]
+    assert sum(r.n_changed for r in s) == by_status["changed"]
+    assert sum(r.n_unchanged for r in s) == by_status["unchanged"]
+    for r in s:
+        assert 0.0 <= r.churn_rate  # added can push it past 1 in theory
+
+
+def test_plan_one_scan_no_join(spark):
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QUERIES["snapshot_churn_report"](spark, SF).explain("formatted")
+    plan = buf.getvalue()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 1
+    assert "Join" not in plan  # the diff is a groupBy, not a self-join

@@ -120,6 +120,7 @@ PLAN_QUERIES = [
     "embedding_health_report",
     "prompt_dedup_report",
     "source_token_divergence",
+    "snapshot_churn_report",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
