@@ -146,3 +146,186 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: Dict[str, str] = {
     "zipf_fit_report": _SQL_ZIPF,
 }
+
+
+# --- Heaps' law: vocabulary growth ---------------------------------------------
+# The companion corpus law (Heaps 1978): V(n) = K * n^beta, beta ~
+# 0.4-0.8 for natural text.  A SATURATING vocabulary (V flat while n
+# grows) is the synthetic/templated-corpus tell that complements the
+# Zipf slope: bounded generators exhaust their vocab, natural text
+# never does.  Distributed shape: "reading order" is a deterministic
+# md5 bucket of doc_id into HEAPS_B prefixes (a fixed random order is
+# exactly what Heaps' law wants — no global sort, no max(doc_id) pass);
+# scan 1 aggregates per-bucket token volume WITHOUT exploding (size(w)
+# only), scan 2 explodes tokens and keeps each token's FIRST reading-
+# order bucket (min, associative).  Both cumulative sums run over the
+# HEAPS_B-row relation — bounded, never corpus-sized.  The ln-ln fit
+# reuses the micro-quantized integer sufficient-statistics contract of
+# the Zipf fit above; the saturation verdict is a pure integer compare
+# ((v_last - v_mid) * 20 < v_last: <5% vocab growth over the second
+# half of the corpus).
+
+HEAPS_B = 32
+
+_BUCKET_EXPR = (
+    "cast(conv(substr(md5(cast(doc_id as string)), 1, 13), 16, 10) as bigint)"
+    f" % {HEAPS_B}"
+)
+
+
+def heaps_growth_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """(bucket, n_tokens_cum, vocab_cum) — the V(n) curve at HEAPS_B points."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)").alias("w"),
+    )
+    btoks = (
+        docs.select(F.expr(_BUCKET_EXPR).alias("bucket"), F.size("w").alias("nw"))
+        .groupBy("bucket")
+        .agg(F.sum("nw").cast("long").alias("n_toks"))
+    )
+    firsts = (
+        docs.select(F.expr(_BUCKET_EXPR).alias("bucket"), F.explode("w").alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("bucket").alias("first_bucket"))
+        .groupBy("first_bucket")
+        .agg(F.count(F.lit(1)).alias("new_vocab"))
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = btoks.join(
+        firsts, btoks["bucket"] == firsts["first_bucket"], "left"
+    ).select(
+        "bucket",
+        "n_toks",
+        F.coalesce("new_vocab", F.lit(0)).cast("long").alias("new_vocab"),
+    )
+    return joined.select(
+        "bucket",
+        F.sum("n_toks").over(w_cum).alias("n_tokens_cum"),
+        F.sum("new_vocab").over(w_cum).alias("vocab_cum"),
+    )
+
+
+def heaps_fit_report(spark: SparkSession, sf: str) -> DataFrame:
+    curve = heaps_growth_curve(spark, sf)
+    q = curve.select(
+        "bucket",
+        "vocab_cum",
+        F.expr(
+            f"cast(floor(ln(cast(n_tokens_cum as double)) * {_MICRO} + 0.5)"
+            " as bigint)"
+        ).alias("x"),
+        F.expr(
+            f"cast(floor(ln(cast(vocab_cum as double)) * {_MICRO} + 0.5)"
+            " as bigint)"
+        ).alias("y"),
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.max("vocab_cum").alias("v_last"),
+        F.max(
+            F.when(F.col("bucket") == HEAPS_B // 2 - 1, F.col("vocab_cum"))
+        ).alias("v_mid"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den.cast("double")
+    # deny == 0 IS the saturated-corpus case (vocab flat -> zero y
+    # variance); r_squared is undefined there, so emit NULL instead of
+    # tripping ANSI DIVIDE_BY_ZERO.  DuckDB twin mirrors with NULLIF.
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.col("v_last").alias("vocab_size"),
+        F.round(slope, 4).alias("heaps_beta"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n").cast("double")
+            / F.lit(float(_MICRO)),
+            4,
+        ).alias("k_ln"),
+        F.round(
+            F.when(
+                deny != 0,
+                (num.cast("double") * num.cast("double"))
+                / (den.cast("double") * deny.cast("double")),
+            ),
+            4,
+        ).alias("r_squared"),
+        ((F.col("v_last") - F.col("v_mid")) * 20 < F.col("v_last")).alias(
+            "saturated"
+        ),
+    )
+
+
+_SQL_HEAPS_CURVE = f"""
+    WITH docs AS (
+        SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT
+                   % {HEAPS_B} AS bucket,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') AS w
+        FROM documents
+    ),
+    btoks AS (
+        SELECT bucket, SUM(len(w))::BIGINT AS n_toks FROM docs GROUP BY bucket
+    ),
+    firsts AS (
+        SELECT MIN(bucket) AS first_bucket, tok
+        FROM (SELECT bucket, unnest(w) AS tok FROM docs) GROUP BY tok
+    ),
+    nv AS (
+        SELECT first_bucket, COUNT(*)::BIGINT AS new_vocab
+        FROM firsts GROUP BY first_bucket
+    ),
+    joined AS (
+        SELECT b.bucket, b.n_toks, COALESCE(nv.new_vocab, 0)::BIGINT AS new_vocab
+        FROM btoks b LEFT JOIN nv ON b.bucket = nv.first_bucket
+    )
+    SELECT bucket,
+           SUM(n_toks) OVER (ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS n_tokens_cum,
+           SUM(new_vocab) OVER (ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS vocab_cum
+    FROM joined
+"""
+
+QUERIES["heaps_growth_curve"] = heaps_growth_curve
+QUERIES["heaps_fit_report"] = heaps_fit_report
+
+ORACLES["heaps_growth_curve"] = _SQL_HEAPS_CURVE
+ORACLES["heaps_fit_report"] = f"""
+    WITH curve AS ({_SQL_HEAPS_CURVE}),
+    q AS (
+        SELECT bucket, vocab_cum,
+               CAST(FLOOR(ln(n_tokens_cum::DOUBLE) * {_MICRO} + 0.5)
+                    AS BIGINT) AS x,
+               CAST(FLOOR(ln(vocab_cum::DOUBLE) * {_MICRO} + 0.5)
+                    AS BIGINT) AS y
+        FROM curve
+    ),
+    s AS (
+        SELECT COUNT(*)::BIGINT AS n, SUM(x)::BIGINT AS sx,
+               SUM(y)::BIGINT AS sy, SUM(x*x)::BIGINT AS sxx,
+               SUM(y*y)::BIGINT AS syy, SUM(x*y)::BIGINT AS sxy,
+               MAX(vocab_cum)::BIGINT AS v_last,
+               MAX(CASE WHEN bucket = {HEAPS_B // 2 - 1}
+                        THEN vocab_cum END)::BIGINT AS v_mid
+        FROM q
+    )
+    SELECT n AS n_points,
+           v_last AS vocab_size,
+           ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx)::DOUBLE, 4) AS heaps_beta,
+           ROUND((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx)::DOUBLE * sx)
+                 / n::DOUBLE / {_MICRO}.0, 4) AS k_ln,
+           ROUND(((n*sxy - sx*sy)::DOUBLE * (n*sxy - sx*sy)::DOUBLE)
+                 / NULLIF((n*sxx - sx*sx)::DOUBLE
+                          * (n*syy - sy*sy)::DOUBLE, 0.0), 4)
+               AS r_squared,
+           (v_last - v_mid) * 20 < v_last AS saturated
+    FROM s
+"""

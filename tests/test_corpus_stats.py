@@ -6,8 +6,11 @@ import duckdb
 import pytest
 
 from cleaning_web_corpus_spark.ops.corpus_stats import (
+    HEAPS_B,
     ORACLES as ZIPF_ORACLES,
     QUERIES as ZIPF_QUERIES,
+    heaps_fit_report,
+    heaps_growth_curve,
     zipf_sufficient_stats,
 )
 from cleaning_web_corpus_spark.ops.privacy import (
@@ -32,6 +35,52 @@ def test_zipf_recovers_slope_minus_one(spark):
     r2 = (num * num) / (den * deny)
     assert abs(slope + 1.0) < 0.02  # integer division of 10080//i ~ exact Zipf
     assert r2 > 0.999
+
+
+def _write_docs(spark, tmp_path, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_heaps_growing_vocab_not_saturated(spark, tmp_path):
+    # each doc introduces mostly-new words: vocab keeps growing, so the
+    # curve must NOT be flagged saturated and beta must be positive
+    texts = [
+        " ".join(f"w{d}x{j}" for j in range(20)) + " the and of"
+        for d in range(256)
+    ]
+    sf = _write_docs(spark, tmp_path, texts)
+    r = heaps_fit_report(spark, sf).collect()[0]
+    assert r.n_points == HEAPS_B
+    assert not r.saturated
+    assert 0.5 < r.heaps_beta <= 1.1  # near-linear growth by construction
+    assert r.r_squared is not None and r.r_squared > 0.98
+
+
+def test_heaps_saturated_vocab_flags(spark, tmp_path):
+    # bounded 10-word generator: vocab exhausts immediately
+    texts = [" ".join(f"t{j % 10}" for j in range(30)) for _ in range(256)]
+    sf = _write_docs(spark, tmp_path, texts)
+    r = heaps_fit_report(spark, sf).collect()[0]
+    assert r.saturated
+    assert r.vocab_size == 10
+    assert r.r_squared is None  # zero vocab variance: fit undefined, not 1/0
+
+
+def test_heaps_curve_monotone(spark, tmp_path):
+    texts = [" ".join(f"w{d}x{j}" for j in range(5)) for d in range(64)]
+    sf = _write_docs(spark, tmp_path, texts)
+    rows = heaps_growth_curve(spark, sf).orderBy("bucket").collect()
+    # empty md5 buckets are simply absent (nothing to contribute); the
+    # present ones must be strictly ordered with monotone cumsums
+    assert all(0 <= r.bucket < HEAPS_B for r in rows)
+    assert [r.bucket for r in rows] == sorted({r.bucket for r in rows})
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_tokens_cum >= a.n_tokens_cum
+        assert b.vocab_cum >= a.vocab_cum
 
 
 def test_k_anonymity_semantics(spark):
@@ -65,6 +114,8 @@ def test_privacy_plan_prunes_text(spark):
     "name,queries,oracles",
     [
         ("zipf_fit_report", ZIPF_QUERIES, ZIPF_ORACLES),
+        ("heaps_growth_curve", ZIPF_QUERIES, ZIPF_ORACLES),
+        ("heaps_fit_report", ZIPF_QUERIES, ZIPF_ORACLES),
         ("k_anonymity_report", PRIV_QUERIES, PRIV_ORACLES),
         ("k_anonymity_stats", PRIV_QUERIES, PRIV_ORACLES),
     ],

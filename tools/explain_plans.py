@@ -98,6 +98,7 @@ PLAN_QUERIES = [
     # learned merges as pure codegen replaces over the vocab aggregate.
     "bpe_vocab_segments",
     "zipf_fit_report",
+    "heaps_fit_report",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
