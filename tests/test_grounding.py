@@ -1,0 +1,95 @@
+"""Grounding / attribution audit tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.grounding import (
+    ORACLES,
+    QUERIES,
+    grounding_report_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _report(spark, ev_rows, ans_rows):
+    ev = spark.createDataFrame(ev_rows, "conv_id string, text string")
+    ans = spark.createDataFrame(
+        ans_rows, "conv_id string, doc_id long, text string"
+    )
+    return {
+        r.doc_id: r for r in grounding_report_over(ev, ans).collect()
+    }
+
+
+def test_grounding_semantics(spark):
+    ev = [
+        ("c1", "the paris office opened in march two thousand and twelve ok"),
+        ("c2", "completely different evidence text about databases here now"),
+    ]
+    ans = [
+        # extractive quote of c1's evidence -> grounded
+        (
+            "c1",
+            1,
+            "the paris office opened in march two thousand and twelve",
+        ),
+        # fluent fabrication, zero overlap -> not grounded
+        ("c1", 2, "our berlin branch closed last year after a long decline"),
+        # too short to grade: < 5 tokens
+        ("c1", 3, "yes absolutely certainly"),
+        # answer in a conv with evidence from ANOTHER conv only -> the
+        # gram join is conversation-scoped, cross-conv overlap must NOT
+        # count
+        (
+            "c3",
+            4,
+            "the paris office opened in march two thousand and twelve",
+        ),
+    ]
+    out = _report(spark, ev, ans)
+    assert out[1].grounded and out[1].support_frac == 1.0
+    assert not out[2].grounded and out[2].n_supported == 0
+    assert out[3].n_grams == 0 and out[3].support_frac is None
+    assert not out[3].grounded
+    assert not out[4].grounded and out[4].n_supported == 0
+
+
+def test_grounding_half_threshold_integer_exact(spark):
+    # 6 grams, 3 supported: 2*3 >= 6 -> grounded at exactly 0.5
+    ev = [("c1", "a b c d e f g")]  # grams of the first 7 tokens
+    ans = [("c1", 1, "a b c d e f g x y z")]
+    # answer grams: abcde bcdef cdefg defgx efgxy fgxyz -> 3 of 6 supported
+    out = _report(spark, ev, ans)
+    assert out[1].n_grams == 6 and out[1].n_supported == 3
+    assert out[1].grounded and out[1].support_frac == 0.5
+
+
+def test_grounding_plan_no_python(spark):
+    plan = (
+        QUERIES["grounding_report"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["grounding_report", "grounding_stats"])
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    ocols = [d[0] for d in con.execute(ORACLES[name]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(ORACLES[name]).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -99,6 +99,7 @@ PLAN_QUERIES = [
     "bpe_vocab_segments",
     "zipf_fit_report",
     "heaps_fit_report",
+    "grounding_report",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
