@@ -1,0 +1,262 @@
+"""Fenced code-block extraction + code-quality gates for SFT corpora.
+
+Assistant turns in instruction/agent corpora are full of markdown
+fenced code blocks, and The-Stack/StarCoder-style data work showed the
+blocks themselves need gating before training: auto-generated or
+minified payloads (near-zero alphanumeric fraction), data blobs with
+kilobyte-long single lines, and — the markdown-specific killer —
+UNCLOSED fences, which corrupt every chat-template render downstream.
+This op extracts every fenced block from assistant turns and scores it
+with the classic per-block gates, all as codegen regexp/array
+expressions (zero Python):
+
+* ``lang`` — the info-string language tag ('unknown' when absent),
+* ``n_lines`` / ``max_line_len`` — long-line gate at >400 chars
+  (The Stack's line-length family),
+* ``alpha_frac`` — alphanumeric fraction; ``low_alpha`` decided
+  INTEGER-ONLY (``10*alpha < 3*len``) so no float touches a verdict,
+* ``keep`` — the composed block verdict,
+* ``fence_integrity_stats`` — documents with an ODD number of fence
+  markers (the unclosed-fence render-breaker; such blocks never even
+  extract, so this doc-grain check is what catches them).
+
+Plan shape (100 TB): one documents scan, blocks ride a single
+``posexplode`` of ``regexp_extract_all`` (per-row work, no shuffle),
+per-lang stats are one partial+final aggregate over the narrow block
+metrics.  The regexes live in the Java-regex/RE2 common subset
+(``(?s)`` + lazy quantifier) so the DuckDB twin runs the SAME patterns.
+
+Driver non-degeneracy: the corpus is fence-free word salad, so
+deterministic ``doc_id`` residues inject (mirrored literally in the
+oracle): a clean python block, a long-line JSON blob, a zero-alpha
+minified block, and an unclosed fence — every gate provably fires
+under the hash at every sf.
+
+Reference scope: no markdown/code stage in the reference (documents
+are opaque text blobs) — transcripts-native extension in the
+ops/response_quality family.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+BLOCK_RE = "(?s)```.*?```"  # lazy cross-line fence pair (Java + RE2)
+LANG_RE = "^```([a-zA-Z0-9_+#-]*)"
+MAX_LINE = 400
+
+# --- injected driver fixtures (word-salad corpus has no fences) -----------------
+_RES = 13  # doc_id % 13 residues: 2 clean, 6 long-line, 9 low-alpha, 11 unclosed
+_PY_BLOCK = "```python\ndef add(a, b):\n    return a + b\n\nprint(add(2, 3))\n```"
+_LONG_BLOCK = "```json\n{" + '"k": 1, ' * 60 + "}\n```"  # 480+ char line
+_MINIFIED_BLOCK = "```\n" + "+=*;(){}[]<>|&^%$#@!~" * 12 + "\n```"
+_UNCLOSED = "```python\nwhile True:\n    pass"
+
+
+def _q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+# --- generic operator ---------------------------------------------------------
+
+
+def code_blocks_over(df: DataFrame) -> DataFrame:
+    """Explode fenced blocks of a (doc_id, text) relation into per-block
+    quality rows."""
+    blocks = df.select(
+        "doc_id",
+        F.posexplode(F.expr(f"regexp_extract_all(text, '{BLOCK_RE}', 0)")).alias(
+            "block_idx", "block"
+        ),
+    )
+    body = F.regexp_replace(
+        F.regexp_replace(F.col("block"), r"(?s)^```[^\n]*\n?", ""),
+        r"\n?```$",
+        "",
+    )
+    lang_tag = F.regexp_extract("block", LANG_RE, 1)
+    scored = blocks.select(
+        "doc_id",
+        F.col("block_idx").cast("long").alias("block_idx"),
+        F.when(lang_tag == "", F.lit("unknown")).otherwise(lang_tag).alias("lang"),
+        body.alias("body"),
+    ).select(
+        "doc_id",
+        "block_idx",
+        "lang",
+        F.size(F.split("body", "\n", -1)).cast("long").alias("n_lines"),
+        F.coalesce(
+            F.array_max(
+                F.transform(F.split("body", "\n", -1), lambda x: F.length(x))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("max_line_len"),
+        F.length("body").cast("long").alias("n_chars"),
+        F.length(F.regexp_replace("body", "[^a-zA-Z0-9]", ""))
+        .cast("long")
+        .alias("n_alpha"),
+    )
+    low_alpha = (F.col("n_alpha") * 10 < F.col("n_chars") * 3) & (
+        F.col("n_chars") > 0
+    )
+    long_line = F.col("max_line_len") > MAX_LINE
+    return scored.select(
+        "doc_id",
+        "block_idx",
+        "lang",
+        "n_lines",
+        "max_line_len",
+        F.round(
+            F.when(
+                F.col("n_chars") > 0,
+                F.col("n_alpha").cast("double") / F.col("n_chars").cast("double"),
+            ),
+            6,
+        ).alias("alpha_frac"),
+        long_line.alias("long_line"),
+        low_alpha.alias("low_alpha"),
+        (~long_line & ~low_alpha).alias("keep"),
+    )
+
+
+# --- driver queries ------------------------------------------------------------
+
+
+def _assistant_injected(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    docs = t(spark, sf, "documents").filter(d % 3 == 1)
+    inject = (
+        F.when(d % _RES == 2, F.lit("\n" + _PY_BLOCK))
+        .when(d % _RES == 6, F.lit("\n" + _LONG_BLOCK))
+        .when(d % _RES == 9, F.lit("\n" + _MINIFIED_BLOCK))
+        .when(d % _RES == 11, F.lit("\n" + _UNCLOSED))
+        .otherwise(F.lit(""))
+    )
+    return docs.select("doc_id", F.concat("text", inject).alias("text"))
+
+
+def code_block_report(spark: SparkSession, sf: str) -> DataFrame:
+    return code_blocks_over(_assistant_injected(spark, sf))
+
+
+def code_block_stats(spark: SparkSession, sf: str) -> DataFrame:
+    r = code_block_report(spark, sf)
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        one_if(F.col("long_line")).alias("n_long_line"),
+        one_if(F.col("low_alpha")).alias("n_low_alpha"),
+        one_if(F.col("keep")).alias("n_keep"),
+    )
+
+
+def fence_integrity_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = _assistant_injected(spark, sf)
+    fences = F.expr("size(regexp_extract_all(text, '```', 0))")
+    flagged = docs.select(
+        "doc_id",
+        (fences > 0).alias("has_fence"),
+        (fences % 2 == 1).alias("unclosed"),
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        one_if(F.col("has_fence")).alias("n_with_fences"),
+        one_if(F.col("unclosed")).alias("n_unclosed"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "code_block_report": code_block_report,
+    "code_block_stats": code_block_stats,
+    "fence_integrity_stats": fence_integrity_stats,
+}
+
+# --- DuckDB oracles -----------------------------------------------------------
+
+_SQL_INJECTED = f"""
+        SELECT doc_id,
+               text || CASE
+                   WHEN doc_id % {_RES} = 2 THEN chr(10) || '{_q(_PY_BLOCK)}'
+                   WHEN doc_id % {_RES} = 6 THEN chr(10) || '{_q(_LONG_BLOCK)}'
+                   WHEN doc_id % {_RES} = 9
+                       THEN chr(10) || '{_q(_MINIFIED_BLOCK)}'
+                   WHEN doc_id % {_RES} = 11 THEN chr(10) || '{_q(_UNCLOSED)}'
+                   ELSE '' END AS text
+        FROM documents WHERE doc_id % 3 = 1"""
+
+_SQL_REPORT = f"""
+    WITH injected AS ({_SQL_INJECTED}),
+    exploded AS (
+        SELECT doc_id, i AS block_idx, bs[i + 1] AS block
+        FROM (SELECT doc_id,
+                     regexp_extract_all(text, '{BLOCK_RE}') AS bs
+              FROM injected),
+             UNNEST(range(0, len(bs))) AS u(i)
+    ),
+    parsed AS (
+        SELECT doc_id, block_idx,
+               CASE WHEN regexp_extract(block, '{LANG_RE}', 1) = ''
+                    THEN 'unknown'
+                    ELSE regexp_extract(block, '{LANG_RE}', 1) END AS lang,
+               regexp_replace(
+                   regexp_replace(block, '(?s)^```[^\n]*\n?', ''),
+                   '\n?```$', '') AS body
+        FROM exploded
+    ),
+    scored AS (
+        SELECT doc_id, block_idx, lang,
+               len(string_split(body, chr(10)))::BIGINT AS n_lines,
+               COALESCE(list_max(list_transform(
+                   string_split(body, chr(10)), x -> length(x))),
+                   0)::BIGINT AS max_line_len,
+               length(body)::BIGINT AS n_chars,
+               length(regexp_replace(body, '[^a-zA-Z0-9]', '', 'g'))::BIGINT
+                   AS n_alpha
+        FROM parsed
+    )
+    SELECT doc_id, block_idx, lang, n_lines, max_line_len,
+           ROUND(CASE WHEN n_chars > 0
+                      THEN n_alpha::DOUBLE / n_chars::DOUBLE END, 6)
+               AS alpha_frac,
+           max_line_len > {MAX_LINE} AS long_line,
+           (n_alpha * 10 < n_chars * 3 AND n_chars > 0) AS low_alpha,
+           (NOT max_line_len > {MAX_LINE}
+            AND NOT (n_alpha * 10 < n_chars * 3 AND n_chars > 0)) AS keep
+    FROM scored
+"""
+
+ORACLES: Dict[str, str] = {
+    "code_block_report": _SQL_REPORT,
+    "code_block_stats": f"""
+    WITH r AS ({_SQL_REPORT})
+    SELECT lang,
+           COUNT(*)::BIGINT AS n_blocks,
+           COUNT(DISTINCT doc_id)::BIGINT AS n_docs,
+           SUM(long_line::INT)::BIGINT AS n_long_line,
+           SUM(low_alpha::INT)::BIGINT AS n_low_alpha,
+           SUM(keep::INT)::BIGINT AS n_keep
+    FROM r GROUP BY lang
+    """,
+    "fence_integrity_stats": f"""
+    WITH injected AS ({_SQL_INJECTED}),
+    flagged AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '```')) > 0 AS has_fence,
+               len(regexp_extract_all(text, '```')) % 2 = 1 AS unclosed
+        FROM injected
+    )
+    SELECT COUNT(*)::BIGINT AS n_docs,
+           SUM(has_fence::INT)::BIGINT AS n_with_fences,
+           SUM(unclosed::INT)::BIGINT AS n_unclosed
+    FROM flagged
+    """,
+}

@@ -1,0 +1,95 @@
+"""Fenced code-block extraction + gate tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.code_blocks import (
+    MAX_LINE,
+    ORACLES,
+    QUERIES,
+    code_blocks_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _blocks(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return sorted(
+        code_blocks_over(df).collect(), key=lambda r: (r.doc_id, r.block_idx)
+    )
+
+
+def test_extraction_and_lang(spark):
+    out = _blocks(
+        spark,
+        [
+            "intro ```python\nx = 1\n``` middle ```\nraw\n``` end",
+            "no blocks here",
+            "unclosed ```python\nx = 1",  # never extracts
+        ],
+    )
+    assert [(r.doc_id, r.block_idx, r.lang) for r in out] == [
+        (0, 0, "python"),
+        (0, 1, "unknown"),
+    ]
+    assert all(r.keep for r in out)
+
+
+def test_long_line_boundary(spark):
+    ok = "```\n" + "a" * MAX_LINE + "\n```"
+    bad = "```\n" + "a" * (MAX_LINE + 1) + "\n```"
+    out = _blocks(spark, [ok, bad])
+    assert not out[0].long_line and out[0].keep
+    assert out[1].long_line and not out[1].keep
+    assert out[1].max_line_len == MAX_LINE + 1
+
+
+def test_low_alpha_boundary(spark):
+    # exactly 30% alpha (3 of 10 chars) -> NOT low (strict <)
+    at = "```\nabc!!!!!!!\n```"  # 3 alpha / 10 chars
+    under = "```\nab!!!!!!!!\n```"  # 2 alpha / 10 chars
+    out = _blocks(spark, [at, under])
+    assert not out[0].low_alpha and out[0].keep
+    assert out[1].low_alpha and not out[1].keep
+
+
+def test_multiline_metrics(spark):
+    out = _blocks(spark, ["```python\ndef f():\n    return 12\n```"])
+    r = out[0]
+    assert r.n_lines == 2 and r.max_line_len == 13
+    assert r.alpha_frac is not None and 0.3 < r.alpha_frac < 1.0
+
+
+def test_plan_no_python(spark):
+    plan = (
+        QUERIES["code_block_report"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["code_block_report", "code_block_stats", "fence_integrity_stats"]
+)
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    ocols = [d[0] for d in con.execute(ORACLES[name]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(ORACLES[name]).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

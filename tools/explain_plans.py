@@ -100,6 +100,7 @@ PLAN_QUERIES = [
     "zipf_fit_report",
     "heaps_fit_report",
     "grounding_report",
+    "code_block_report",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
