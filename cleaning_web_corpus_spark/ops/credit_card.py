@@ -1,0 +1,196 @@
+"""Luhn-validated credit-card (PAN) detection for PII auditing.
+
+The scrub chain's regex family (email/phone/SSN/IP,
+``scrub/pii.py``) deliberately stays checksum-free — regex-only PAN
+detection is the classic false-positive generator (any 16-digit id,
+order number or timestamp hits).  Production PII scrubs gate card
+candidates through the Luhn mod-10 checksum, which rejects ~90% of
+random digit runs; this op is that audit stage, fully codegen:
+
+* candidates: runs of 13-19 digits with optional single space/dash
+  separators (the PAN formatting family), extracted with ONE
+  ``regexp_extract_all`` in the Java/RE2 common subset;
+* normalization strips separators; the Luhn sum is a pure integer
+  ``aggregate`` over character positions (double every second digit
+  from the right, fold >9 to d-9) — the verdict is ``sum % 10 == 0``,
+  INTEGER-ONLY, no float anywhere;
+* ``credit_card_audit`` — per candidate: masked form (first 6 + last
+  4, the PCI-safe display), digit length, ``luhn_valid``;
+* ``credit_card_stats`` — corpus rollup: docs with candidates vs docs
+  with VALIDATED cards, candidate-level precision of the raw regex.
+
+Plan shape (100 TB): one documents scan, per-row regex + posexplode +
+integer fold — embarrassingly parallel, no shuffle before the tiny
+rollup.  A positive row routes the document to the scrub chain; the
+masked column means raw PANs never leave the stage.
+
+Driver non-degeneracy: the word-salad corpus has no PANs, so doc_id
+residues inject (mirrored literally in the oracle): a Luhn-VALID bare
+PAN, a Luhn-valid SEPARATED PAN (formatting path), and a Luhn-INVALID
+16-digit run (the false positive the checksum must reject) — both
+verdict branches and the normalizer provably fire under the gate hash.
+
+Reference scope: extends the reference's regex-scrub family
+(/root/reference/src/processors/text_processor.py PII rules) with the
+checksum gate it lacks; detection-only (the scrub rewrite stays in
+scrub/pii.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+PAN_RE = "[0-9](?:[ -]?[0-9]){12,18}"
+
+# Luhn fold over the NORMALIZED digit string `d`, 1-based position i
+# counted from the RIGHT — identical text in Spark SQL and DuckDB on
+# purpose (both expose substr/length/cast and integer CASE arithmetic).
+_DIGIT = "cast(substr(d, length(d) - i + 1, 1) as int)"
+_LUHN_TERM = (
+    f"case when i % 2 = 0 then"
+    f" case when 2 * {_DIGIT} > 9 then 2 * {_DIGIT} - 9 else 2 * {_DIGIT} end"
+    f" else {_DIGIT} end"
+)
+
+# Injected fixtures (standard test PANs, never real accounts).
+_RES = 29  # doc_id % 29: 3 valid bare, 8 valid separated, 12 invalid
+_VALID_BARE = "4111111111111111"
+_VALID_SEP = "5500 0000 0000 0004"
+_INVALID = "4111111111111112"
+
+
+# --- generic operator ---------------------------------------------------------
+
+
+def credit_card_audit_over(df: DataFrame) -> DataFrame:
+    """Per-candidate Luhn audit over a (doc_id, text) relation."""
+    cands = df.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(f"regexp_extract_all(text, '{PAN_RE}', 0)")
+        ).alias("cand_idx", "raw"),
+    )
+    normed = cands.select(
+        "doc_id",
+        F.col("cand_idx").cast("long").alias("cand_idx"),
+        F.regexp_replace("raw", "[ -]", "").alias("d"),
+    )
+    luhn_sum = F.expr(
+        f"aggregate(sequence(1, length(d)), 0, (acc, i) -> acc + ({_LUHN_TERM}))"
+    )
+    return normed.select(
+        "doc_id",
+        "cand_idx",
+        F.concat(
+            F.substring("d", 1, 6),
+            F.lit("..."),
+            F.substring("d", -4, 4),
+        ).alias("masked"),
+        F.length("d").cast("long").alias("n_digits"),
+        (luhn_sum % 10 == 0).alias("luhn_valid"),
+    )
+
+
+# --- driver queries ------------------------------------------------------------
+
+
+def _injected(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    inject = (
+        F.when(d % _RES == 3, F.lit(" card " + _VALID_BARE))
+        .when(d % _RES == 8, F.lit(" card " + _VALID_SEP))
+        .when(d % _RES == 12, F.lit(" ref " + _INVALID))
+        .otherwise(F.lit(""))
+    )
+    return t(spark, sf, "documents").select(
+        "doc_id", F.concat("text", inject).alias("text")
+    )
+
+
+def credit_card_audit(spark: SparkSession, sf: str) -> DataFrame:
+    return credit_card_audit_over(_injected(spark, sf))
+
+
+def credit_card_stats(spark: SparkSession, sf: str) -> DataFrame:
+    r = credit_card_audit(spark, sf)
+    per_doc = r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cands"),
+        F.sum(F.when(F.col("luhn_valid"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_valid"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("docs_with_candidates"),
+        F.sum(F.when(F.col("n_valid") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_cards"),
+        F.sum("n_cands").cast("long").alias("n_candidates"),
+        F.sum("n_valid").cast("long").alias("n_luhn_valid"),
+        F.round(
+            F.sum("n_valid").cast("double")
+            / F.when(F.sum("n_cands") > 0, F.sum("n_cands")).cast("double"),
+            6,
+        ).alias("regex_precision"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "credit_card_audit": credit_card_audit,
+    "credit_card_stats": credit_card_stats,
+}
+
+# --- DuckDB oracles -----------------------------------------------------------
+
+_SQL_AUDIT = f"""
+    WITH injected AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % {_RES} = 3
+                            THEN ' card {_VALID_BARE}'
+                            WHEN doc_id % {_RES} = 8
+                            THEN ' card {_VALID_SEP}'
+                            WHEN doc_id % {_RES} = 12
+                            THEN ' ref {_INVALID}'
+                            ELSE '' END AS text
+        FROM documents
+    ),
+    cands AS (
+        SELECT doc_id, i AS cand_idx,
+               regexp_replace(cs[i + 1], '[ -]', '', 'g') AS d
+        FROM (SELECT doc_id,
+                     regexp_extract_all(text, '{PAN_RE}') AS cs
+              FROM injected),
+             UNNEST(range(0, len(cs))) AS u(i)
+    )
+    SELECT doc_id, cand_idx,
+           substr(d, 1, 6) || '...' || substr(d, length(d) - 3, 4) AS masked,
+           length(d)::BIGINT AS n_digits,
+           list_sum(list_transform(range(1, length(d) + 1),
+                                   i -> ({_LUHN_TERM})))::BIGINT % 10 = 0
+               AS luhn_valid
+    FROM cands
+"""
+
+ORACLES: Dict[str, str] = {
+    "credit_card_audit": _SQL_AUDIT,
+    "credit_card_stats": f"""
+    WITH r AS ({_SQL_AUDIT}),
+    per_doc AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n_cands,
+               SUM(luhn_valid::INT)::BIGINT AS n_valid
+        FROM r GROUP BY doc_id
+    )
+    SELECT COUNT(*)::BIGINT AS docs_with_candidates,
+           SUM(CASE WHEN n_valid > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS docs_with_cards,
+           SUM(n_cands)::BIGINT AS n_candidates,
+           SUM(n_valid)::BIGINT AS n_luhn_valid,
+           ROUND(SUM(n_valid)::DOUBLE
+                 / NULLIF(SUM(n_cands), 0)::DOUBLE, 6) AS regex_precision
+    FROM per_doc
+    """,
+}

@@ -1,0 +1,76 @@
+"""Luhn credit-card audit tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.credit_card import (
+    ORACLES,
+    QUERIES,
+    credit_card_audit_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _audit(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return sorted(
+        credit_card_audit_over(df).collect(),
+        key=lambda r: (r.doc_id, r.cand_idx),
+    )
+
+
+def test_luhn_semantics(spark):
+    out = _audit(
+        spark,
+        [
+            "pay with 4111111111111111 now",  # valid visa test PAN
+            "card 5500-0000-0000-0004 ok",  # valid, dash-separated
+            "order 4111111111111112 ref",  # fails the checksum
+            "short 123456789012 run",  # 12 digits: below PAN length
+            "no numbers at all",
+        ],
+    )
+    by_doc = {r.doc_id: r for r in out}
+    assert set(by_doc) == {0, 1, 2}  # docs 3, 4 produce no candidates
+    assert by_doc[0].luhn_valid and by_doc[0].masked == "411111...1111"
+    assert by_doc[1].luhn_valid and by_doc[1].n_digits == 16
+    assert by_doc[1].masked == "550000...0004"  # separators stripped
+    assert not by_doc[2].luhn_valid
+
+
+def test_amex_15_digit(spark):
+    out = _audit(spark, ["amex 378282246310005 accepted"])
+    assert out[0].n_digits == 15 and out[0].luhn_valid
+
+
+def test_plan_no_python(spark):
+    plan = (
+        QUERIES["credit_card_audit"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["credit_card_audit", "credit_card_stats"])
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    ocols = [d[0] for d in con.execute(ORACLES[name]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(ORACLES[name]).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -101,6 +101,7 @@ PLAN_QUERIES = [
     "heaps_fit_report",
     "grounding_report",
     "code_block_report",
+    "credit_card_audit",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
