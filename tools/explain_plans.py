@@ -102,6 +102,7 @@ PLAN_QUERIES = [
     "grounding_report",
     "code_block_report",
     "credit_card_audit",
+    "stratified_quota_sample",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
