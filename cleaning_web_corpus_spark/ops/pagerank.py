@@ -1,0 +1,209 @@
+"""Host-level PageRank: link-graph source-quality scoring.
+
+Web-corpus pipelines rank HOSTS, not documents, for crawl seeding and
+spam triage (Common-Crawl publishes exactly this host-level ranking);
+a host's PageRank is a standard prior in quality-filter ensembles.
+This op is weighted PageRank as DataFrame iterations, exactly
+gate-reproducible:
+
+* the corpus-sized work is ONE aggregation: documents -> weighted host
+  edge list ``(src, dst, w)`` (at web scale: 10^11 link rows -> 10^8
+  weighted edges); everything after runs on the aggregated graph;
+* power iteration with damping 0.85 runs as K=5 chained join+agg
+  rounds over the weighted edges — no ``collect``, no driver loop
+  state, the connected-components shape with a FIXED trip count;
+* every score is a BIGINT in micro-units: per-edge contribution is
+  ``(score * w) div out_total`` (integer div), the damped update is
+  ``150000 + (in_sum * 17) div 20`` — no float exists anywhere, so
+  aggregation order cannot drift the gate hash and the DuckDB twin
+  (the 5 rounds unrolled into chained CTEs, the bpe_train move)
+  reproduces every intermediate bit;
+* integer-div mass loss and dangling-host drop are therefore exact,
+  DOCUMENTED semantics, not float noise.
+
+Driver graph synthesis (no links table in the testdata): src = the
+document's source; dst = the source whose alphabetical index is
+``(doc_id^2 + 5) mod K`` — squares mod K land only on quadratic
+residues, so the deterministic web has genuine hubs and orphans and
+the ranking is non-degenerate (pinned by test), mirrored literally in the oracle.  The index table and the
+1-row host count are broadcast; the dst pick is an equi-join, never a
+non-equi NLJ.
+
+Reference scope: no graph stage in the reference — web-corpus
+extension in the ops/blocklist (URL policy) family.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+PR_ITERS = 5
+_TELEPORT = 150_000  # 0.15 in micro-units
+_INIT = 1_000_000
+
+
+# --- generic operator ---------------------------------------------------------
+
+
+def pagerank_over(edges: DataFrame, n_iters: int = PR_ITERS) -> DataFrame:
+    """Weighted integer-quantized PageRank over an (src, dst, w) edge
+    relation; returns (host, score_micro, out_total)."""
+    hosts = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").cast("long").alias("out_total"))
+    ew = edges.join(out_w, "src")
+    scores = hosts.select(
+        "host", F.lit(_INIT).cast("long").alias("score_micro")
+    )
+    for _ in range(n_iters):
+        contrib = ew.join(
+            scores, ew["src"] == scores["host"]
+        ).select(
+            F.col("dst").alias("host"),
+            F.expr("(score_micro * w) div out_total").alias("c"),
+        )
+        in_sum = contrib.groupBy("host").agg(
+            F.sum("c").cast("long").alias("in_sum")
+        )
+        scores = hosts.join(in_sum, "host", "left").select(
+            "host",
+            (
+                F.lit(_TELEPORT)
+                + F.expr("(coalesce(in_sum, cast(0 as long)) * 17) div 20")
+            )
+            .cast("long")
+            .alias("score_micro"),
+        )
+    return scores.join(out_w, scores["host"] == out_w["src"], "left").select(
+        "host",
+        "score_micro",
+        F.coalesce("out_total", F.lit(0)).cast("long").alias("out_total"),
+    )
+
+
+# --- driver queries ------------------------------------------------------------
+
+
+def _edges(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").select("doc_id", "source")
+    idx = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.row_number().over(Window.orderBy("source")) - 1)
+            .cast("long")
+            .alias("i"),
+        )
+    )
+    n_row = idx.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_src"))
+    with_dst = (
+        docs.crossJoin(F.broadcast(n_row))
+        .withColumn("dst_i", F.expr("(doc_id * doc_id + 5) % n_src"))
+        .join(
+            F.broadcast(idx.select(F.col("source").alias("dst"), "i")),
+            F.col("dst_i") == F.col("i"),
+        )
+    )
+    return with_dst.groupBy(F.col("source").alias("src"), "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+
+
+def host_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    return pagerank_over(_edges(spark, sf))
+
+
+def host_pagerank_stats(spark: SparkSession, sf: str) -> DataFrame:
+    r = host_pagerank(spark, sf)
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum("score_micro").cast("long").alias("total_mass_micro"),
+        F.min("score_micro").cast("long").alias("min_score"),
+        F.max("score_micro").cast("long").alias("max_score"),
+        F.count_distinct("score_micro").cast("long").alias("n_distinct_scores"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "host_pagerank": host_pagerank,
+    "host_pagerank_stats": host_pagerank_stats,
+}
+
+# --- DuckDB oracles (5 rounds unrolled into chained CTEs) -----------------------
+
+
+def _round_sql(i: int) -> str:
+    return f"""
+    c{i} AS MATERIALIZED (
+        SELECT e.dst AS host,
+               SUM((s.score_micro * e.w) // e.out_total)::BIGINT AS in_sum
+        FROM ew e JOIN s{i} s ON e.src = s.host
+        GROUP BY e.dst
+    ),
+    s{i + 1} AS MATERIALIZED (
+        SELECT h.host,
+               ({_TELEPORT} + (COALESCE(c.in_sum, 0) * 17) // 20)::BIGINT
+                   AS score_micro
+        FROM hosts h LEFT JOIN c{i} c USING (host)
+    )"""
+
+
+_SQL_BASE = f"""
+    WITH idx AS MATERIALIZED (
+        SELECT source,
+               (ROW_NUMBER() OVER (ORDER BY source) - 1)::BIGINT AS i
+        FROM (SELECT DISTINCT source FROM documents)
+    ),
+    edges AS MATERIALIZED (
+        SELECT d.source AS src, x.source AS dst, COUNT(*)::BIGINT AS w
+        FROM documents d
+        JOIN idx x
+          ON (d.doc_id * d.doc_id + 5) % (SELECT COUNT(*) FROM idx) = x.i
+        GROUP BY d.source, x.source
+    ),
+    out_w AS MATERIALIZED (
+        SELECT src, SUM(w)::BIGINT AS out_total FROM edges GROUP BY src
+    ),
+    ew AS MATERIALIZED (
+        SELECT e.src, e.dst, e.w, o.out_total
+        FROM edges e JOIN out_w o USING (src)
+    ),
+    hosts AS MATERIALIZED (
+        SELECT src AS host FROM edges
+        UNION SELECT dst AS host FROM edges
+    ),
+    s0 AS MATERIALIZED (
+        SELECT host, {_INIT}::BIGINT AS score_micro FROM hosts
+    ),{",".join(_round_sql(i) for i in range(PR_ITERS))}
+"""
+
+_SQL_FINAL = f"""
+{_SQL_BASE}
+    SELECT h.host, s.score_micro,
+           COALESCE(o.out_total, 0)::BIGINT AS out_total
+    FROM hosts h
+    JOIN s{PR_ITERS} s USING (host)
+    LEFT JOIN out_w o ON h.host = o.src
+"""
+
+ORACLES: Dict[str, str] = {
+    "host_pagerank": _SQL_FINAL,
+    "host_pagerank_stats": f"""
+    WITH r AS ({_SQL_FINAL})
+    SELECT COUNT(*)::BIGINT AS n_hosts,
+           SUM(score_micro)::BIGINT AS total_mass_micro,
+           MIN(score_micro)::BIGINT AS min_score,
+           MAX(score_micro)::BIGINT AS max_score,
+           COUNT(DISTINCT score_micro)::BIGINT AS n_distinct_scores
+    FROM r
+    """,
+}

@@ -1,0 +1,77 @@
+"""Integer-quantized PageRank tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.pagerank import (
+    _INIT,
+    _TELEPORT,
+    ORACLES,
+    QUERIES,
+    pagerank_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pr(spark, edges, n_iters=5):
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    return {r.host: r for r in pagerank_over(df, n_iters).collect()}
+
+
+def test_hub_outranks_spokes(spark):
+    # a, b, c all point at hub; hub points back at a only
+    edges = [("a", "hub", 1), ("b", "hub", 1), ("c", "hub", 1), ("hub", "a", 1)]
+    out = _pr(spark, edges)
+    assert out["hub"].score_micro > out["a"].score_micro
+    assert out["a"].score_micro > out["b"].score_micro  # gets hub's mass
+    assert out["b"].score_micro == out["c"].score_micro  # symmetric spokes
+    # b and c have no in-edges: pure teleport after the first round
+    assert out["b"].score_micro == _TELEPORT
+    assert out["hub"].out_total == 1 and out["b"].out_total == 1
+
+
+def test_mass_conservation_bound(spark):
+    # closed 3-cycle: no dangling mass; only integer-div loss, which is
+    # bounded by (edges + nodes) micro per iteration
+    edges = [("a", "b", 3), ("b", "c", 2), ("c", "a", 5)]
+    out = _pr(spark, edges)
+    total = sum(r.score_micro for r in out.values())
+    assert 3 * _INIT - 100 <= total <= 3 * _INIT
+
+
+def test_weighted_split(spark):
+    # a splits 3:1 between b and c after one iteration
+    edges = [("a", "b", 3), ("a", "c", 1)]
+    out = _pr(spark, edges, n_iters=1)
+    exp_b = _TELEPORT + (_INIT * 3 // 4) * 17 // 20
+    exp_c = _TELEPORT + (_INIT * 1 // 4) * 17 // 20
+    assert out["b"].score_micro == exp_b
+    assert out["c"].score_micro == exp_c
+    assert out["a"].score_micro == _TELEPORT
+
+
+def test_driver_ranking_non_degenerate(spark):
+    stats = QUERIES["host_pagerank_stats"](spark, SF).collect()[0]
+    assert stats.n_distinct_scores >= 2
+    assert stats.min_score >= _TELEPORT
+
+
+@pytest.mark.parametrize("name", ["host_pagerank", "host_pagerank_stats"])
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    ocols = [d[0] for d in con.execute(ORACLES[name]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(ORACLES[name]).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -103,6 +103,7 @@ PLAN_QUERIES = [
     "code_block_report",
     "credit_card_audit",
     "stratified_quota_sample",
+    "host_pagerank",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
