@@ -1,0 +1,154 @@
+"""BM25 lexical relevance search over the corpus.
+
+The warehouse has equality/paging search (J2) and embedding ANN
+(ops/ann); the missing retrieval mode is the one production corpus
+tooling reaches for first — LEXICAL relevance ranking (inspect "what
+does the corpus say about X", mine seed documents, build weak labels).
+This op scores Okapi BM25 (k1 = 1.2, b = 0.75) with every step exact
+under the cross-engine gate:
+
+* term statistics (one token-pair aggregation: tf totals, document
+  frequency) and corpus constants (N docs, S total tokens) are
+  integer aggregates;
+* idf quantizes as ``q(ln(2N+2)) - q(ln(2*df+1))`` — logs of SMALL
+  INTEGERS (where both engines' libm agree, the zipf/heaps contract)
+  micro-quantized BEFORE the subtraction;
+* the per-term score is cleared of ALL division except one final
+  integer div: with avgdl = S/N, BM25's
+  ``tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` multiplied through
+  becomes ``idf_micro * 22*tf*S div (10*tf*S + 3*S + 9*dl*N)`` —
+  pure BIGINT rational arithmetic, no float ever (BIGINT headroom to
+  ~10^9-token corpora; production promotes the products to
+  DECIMAL(38));
+* top-20 via ``ORDER BY score desc, doc_id LIMIT 20`` — Spark executes
+  TakeOrderedAndProject (per-partition partial top-k, no global sort).
+
+The query is data-derived and deterministic: the corpus's 3 most
+frequent tokens (count desc, token asc) — guaranteed hits at every sf,
+no injected text needed.  The 3-row query-term relation and the 1-row
+corpus constants are broadcast; scoring is one documents scan.
+
+Reference scope: the reference's search surface is SQL equality
+paging (/root/reference/src/db/queries.py) — relevance ranking is a
+training-data extension in the warehouse/queries family.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+N_QUERY_TERMS = 3
+TOP_K = 20
+_MICRO = 1_000_000
+
+
+def bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    toks = F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+    docs = t(spark, sf, "documents").select(
+        "doc_id", toks.alias("toks")
+    ).select("doc_id", "toks", F.size("toks").cast("long").alias("dl"))
+
+    pairs = docs.select("doc_id", F.explode("toks").alias("tok"))
+    tstats = pairs.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.count_distinct("doc_id").cast("long").alias("df"),
+    )
+    qterms = tstats.orderBy(F.desc("cnt"), F.asc("tok")).limit(N_QUERY_TERMS)
+    corpus = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("s_tokens"),
+    )
+
+    scored = (
+        docs.crossJoin(F.broadcast(qterms))
+        .crossJoin(F.broadcast(corpus))
+        .withColumn(
+            "idf_micro",
+            F.expr(
+                f"cast(floor(ln(cast(2 * n_docs + 2 as double)) * {_MICRO}"
+                " + 0.5) as bigint)"
+                f" - cast(floor(ln(cast(2 * df + 1 as double)) * {_MICRO}"
+                " + 0.5) as bigint)"
+            ),
+        )
+        .withColumn(
+            "tf", F.expr("cast(size(filter(toks, x -> x = tok)) as bigint)")
+        )
+        .filter(F.col("tf") > 0)
+        .withColumn(
+            "term_score",
+            F.expr(
+                "(idf_micro * 22 * tf * s_tokens)"
+                " div (10 * tf * s_tokens + 3 * s_tokens + 9 * dl * n_docs)"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "dl")
+        .agg(
+            F.sum("term_score").cast("long").alias("score_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bm25_search": bm25_search,
+}
+
+ORACLES: Dict[str, str] = {
+    "bm25_search": f"""
+    WITH docs AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks,
+               len(regexp_extract_all(lower(text), '{TOKEN_RE}'))::BIGINT AS dl
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, UNNEST(toks) AS tok FROM docs
+    ),
+    tstats AS (
+        SELECT tok, COUNT(*)::BIGINT AS cnt,
+               COUNT(DISTINCT doc_id)::BIGINT AS df
+        FROM pairs GROUP BY tok
+    ),
+    qterms AS (
+        SELECT tok, df FROM tstats
+        ORDER BY cnt DESC, tok ASC LIMIT {N_QUERY_TERMS}
+    ),
+    corpus AS (
+        SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS s_tokens
+        FROM docs
+    ),
+    scored AS (
+        SELECT d.doc_id, d.dl,
+               (CAST(FLOOR(ln((2 * c.n_docs + 2)::DOUBLE) * {_MICRO} + 0.5)
+                     AS BIGINT)
+                - CAST(FLOOR(ln((2 * q.df + 1)::DOUBLE) * {_MICRO} + 0.5)
+                       AS BIGINT)) AS idf_micro,
+               len(list_filter(d.toks, x -> x = q.tok))::BIGINT AS tf,
+               c.n_docs, c.s_tokens
+        FROM docs d, qterms q, corpus c
+    ),
+    terms AS (
+        SELECT doc_id, dl,
+               (idf_micro * 22 * tf * s_tokens)
+                   // (10 * tf * s_tokens + 3 * s_tokens + 9 * dl * n_docs)
+                   AS term_score
+        FROM scored WHERE tf > 0
+    )
+    SELECT doc_id, dl,
+           SUM(term_score)::BIGINT AS score_micro,
+           COUNT(*)::BIGINT AS n_terms_hit
+    FROM terms GROUP BY doc_id, dl
+    ORDER BY score_micro DESC, doc_id ASC LIMIT {TOP_K}
+    """,
+}

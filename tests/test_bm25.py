@@ -1,0 +1,76 @@
+"""BM25 search tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.bm25 import ORACLES, QUERIES, bm25_search
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sf(spark, tmp_path, texts):
+    rows = [(i, t) for i, t in enumerate(texts)]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_bm25_ranking_properties(spark, tmp_path):
+    # 'alpha' (7) 'beta' (5) 'gamma' (3) are the 3 most frequent
+    # tokens; every filler is unique so none can enter the query, and
+    # all documents have the same length.
+    texts = (
+        [f"alpha beta gamma u{d}a u{d}b u{d}c" for d in range(3)]  # 3 terms
+        + [f"alpha beta u{d}a u{d}b u{d}c u{d}d" for d in range(3, 5)]
+        + [f"alpha u{d}a u{d}b u{d}c u{d}d u{d}e" for d in range(5, 7)]
+        + [f"u{d}a u{d}b u{d}c u{d}d u{d}e u{d}f" for d in range(7, 10)]
+    )
+    sf = _sf(spark, tmp_path, texts)
+    rows = bm25_search(spark, sf).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    # docs without any query term never appear
+    assert all(d <= 6 for d in by_doc)
+    # more matched terms -> strictly higher score (lengths comparable)
+    assert by_doc[0].score_micro > by_doc[3].score_micro
+    assert by_doc[3].score_micro > by_doc[5].score_micro
+    assert by_doc[0].n_terms_hit == 3 and by_doc[5].n_terms_hit == 1
+
+
+def test_bm25_length_normalization(spark, tmp_path):
+    # same tf=1 of the top term, longer doc scores lower
+    texts = [
+        "zzz short doc",
+        "zzz p1 p2 p3 p4 p5 p6 p7",  # unique padding: can't enter the query
+        # make zzz the clear top token
+        "zzz", "zzz", "zzz",
+    ]
+    sf = _sf(spark, tmp_path, texts)
+    rows = {r.doc_id: r for r in bm25_search(spark, sf).collect()}
+    assert rows[0].score_micro > rows[1].score_micro
+
+
+def test_bm25_plan_no_python_and_topk(spark):
+    df = QUERIES["bm25_search"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan  # never a global sort
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["bm25_search"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    ocols = [d[0] for d in con.execute(ORACLES["bm25_search"]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(ORACLES["bm25_search"]).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -104,6 +104,7 @@ PLAN_QUERIES = [
     "credit_card_audit",
     "stratified_quota_sample",
     "host_pagerank",
+    "bm25_search",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
