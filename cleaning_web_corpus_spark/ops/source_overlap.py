@@ -1,0 +1,90 @@
+"""Cross-source near-duplicate overlap matrix.
+
+Dataset-card staple: which ingest sources MIRROR each other?  Web
+corpora overlap massively (C4 ⊂ CC, news wires syndicated across
+domains); per-pair mirror mass decides which source to drop wholesale
+vs dedup row-by-row, and a source overlapping everything is usually a
+scraper of scrapers.  This op aggregates the VERIFIED MinHash
+near-dup pairs (`minhash_candidate_jaccard`, est-Jaccard >= 1/2) into
+an unordered source x source matrix:
+
+* ``source_x <= source_y`` via least/greatest — each unordered pair
+  counted once no matter which side the docs landed on;
+* ``n_pairs`` plus the exact integer sum of matching-signature counts
+  (``sum_matching`` — the gate-stable stand-in for mean est-Jaccard);
+* ``cross_source`` — the triage flag (diagonal = within-source dup
+  mass, off-diagonal = mirroring).
+
+Plan shape (100 TB): the pair relation is candidate-sized (bounded by
+the LSH bucket cap), and the two source lookups are doc_id equi-joins
+against the PRUNED 2-column documents projection — the heavy text
+column never rides any shuffle.  The final matrix is K^2-bounded.
+
+Oracle: splices the minhash verification oracle as a CTE (the
+fuzzy_dedup_survivors move), so DuckDB re-derives the verified pairs
+from scratch and the hash covers the whole composition.
+
+Reference scope: extends the dedup family (F16) with the per-source
+rollup the reference's single-table stats can't produce.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.dedup import (
+    ORACLES as _DEDUP_ORACLES,
+    minhash_candidate_jaccard,
+)
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+
+def source_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    pairs = minhash_candidate_jaccard(spark, sf).filter(F.col("near_dup"))
+    docs = t(spark, sf, "documents").select("doc_id", "source")
+    joined = pairs.join(
+        docs.select(
+            F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a")
+        ),
+        "doc_a",
+    ).join(
+        docs.select(
+            F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b")
+        ),
+        "doc_b",
+    )
+    sx = F.least("source_a", "source_b")
+    sy = F.greatest("source_a", "source_b")
+    return (
+        joined.groupBy(sx.alias("source_x"), sy.alias("source_y"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum("n_matching").cast("long").alias("sum_matching"),
+        )
+        .withColumn("cross_source", F.col("source_x") != F.col("source_y"))
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "source_overlap_matrix": source_overlap_matrix,
+}
+
+ORACLES: Dict[str, str] = {
+    "source_overlap_matrix": f"""
+    WITH verified AS ({_DEDUP_ORACLES["minhash_candidate_jaccard"]})
+    SELECT least(da.source, db.source) AS source_x,
+           greatest(da.source, db.source) AS source_y,
+           COUNT(*)::BIGINT AS n_pairs,
+           SUM(v.n_matching)::BIGINT AS sum_matching,
+           least(da.source, db.source) != greatest(da.source, db.source)
+               AS cross_source
+    FROM verified v
+    JOIN documents da ON v.doc_a = da.doc_id
+    JOIN documents db ON v.doc_b = db.doc_id
+    WHERE v.near_dup
+    GROUP BY least(da.source, db.source), greatest(da.source, db.source)
+    """,
+}

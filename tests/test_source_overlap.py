@@ -1,0 +1,49 @@
+"""Cross-source near-dup overlap matrix tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.source_overlap import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_matrix_is_unordered_and_counts_positive(spark):
+    rows = QUERIES["source_overlap_matrix"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.source_x <= r.source_y  # unordered pair normalization
+        assert r.n_pairs > 0 and r.sum_matching >= r.n_pairs * 4
+        assert r.cross_source == (r.source_x != r.source_y)
+
+
+def test_text_never_rides_the_joins(spark):
+    plan = (
+        QUERIES["source_overlap_matrix"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the two source-lookup scans must prune to (doc_id, source)
+    segs = plan.split("ReadSchema")[1:]
+    assert sum("text" not in s[:200] for s in segs) >= 2
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["source_overlap_matrix"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["source_overlap_matrix"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -105,6 +105,7 @@ PLAN_QUERIES = [
     "stratified_quota_sample",
     "host_pagerank",
     "bm25_search",
+    "source_overlap_matrix",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
