@@ -1,0 +1,163 @@
+"""Shuffle-key skew diagnostics: the pre-flight check for keyed stages.
+
+Every keyed stage in the pipeline (conv_id aggregate, join-back,
+bucketed write) dies on hot keys before it dies on volume; the
+production workflow is to PROFILE the key distribution first and pick
+a salt factor from it (the `pipeline/run.py` salted-repartition knob).
+This op computes exact order statistics of rows-per-key WITHOUT ever
+sorting a key-sized relation:
+
+* pass 1: rows-per-key (the normal keyed aggregate);
+* pass 2: the COUNT-OF-COUNTS histogram ``(rows_per_key, n_keys)`` —
+  bounded by the number of DISTINCT key sizes (heavy-tailed corpora
+  have few), which is the zipf-note two-pass-rank move: median and
+  p99 become cumulative-sum lookups over the tiny histogram, never a
+  single-partition window over all keys;
+* median = nearest-rank ``(n+1) div 2``, p99 = nearest-rank
+  ``ceil(99n/100) = (99n + 99) div 100`` — INTEGER positions, so both
+  engines select the identical element (no interpolating percentile,
+  which Spark and DuckDB do differently);
+* ``hot_key`` via ``max(struct(cnt, key))`` — deterministic
+  lexicographic tie-break;
+* ``recommended_salt = ceil(max_key_rows / TARGET)`` — the number the
+  pipeline's salting knob actually wants.
+
+Driver non-degeneracy: source sizes in the testdata are uniform, so
+the driver query plants a hot key (every even doc_id re-labeled
+'hotspot', mirrored in the oracle) — the salt recommendation provably
+exceeds 1 and the skew ratio is real at every sf.
+
+Reference scope: no profiling stage in the reference — ops extension
+backing the north rule's explicit skew handling.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+TARGET_ROWS_PER_TASK = 64  # driver-scale constant; production: ~1e6
+
+
+def key_skew_over(df: DataFrame, key_col: str) -> DataFrame:
+    """One-row skew profile of rows-per-`key_col` in `df`."""
+    kc = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    hist = kc.groupBy("cnt").agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "cnt", "freq", F.sum("freq").over(w).cast("long").alias("cum")
+    )
+    totals = kc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.max("cnt").cast("long").alias("max_key_rows"),
+        F.max(F.struct("cnt", "k")).alias("_hot"),
+    ).select(
+        "n_keys", "total_rows", "max_key_rows", F.col("_hot.k").alias("hot_key")
+    )
+    ranked = cum.crossJoin(F.broadcast(totals)).select(
+        "*",
+        F.expr("(n_keys + 1) div 2").alias("_mpos"),
+        F.expr("(99 * n_keys + 99) div 100").alias("_ppos"),
+    )
+    med = ranked.filter(F.col("cum") >= F.col("_mpos")).agg(
+        F.min("cnt").cast("long").alias("median_key_rows")
+    )
+    p99 = ranked.filter(F.col("cum") >= F.col("_ppos")).agg(
+        F.min("cnt").cast("long").alias("p99_key_rows")
+    )
+    return (
+        totals.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(p99))
+        .select(
+            "n_keys",
+            "total_rows",
+            "max_key_rows",
+            "median_key_rows",
+            "p99_key_rows",
+            F.round(
+                F.col("max_key_rows").cast("double")
+                / F.col("median_key_rows").cast("double"),
+                4,
+            ).alias("skew_ratio"),
+            "hot_key",
+            F.expr(
+                f"(max_key_rows + {TARGET_ROWS_PER_TASK - 1})"
+                f" div {TARGET_ROWS_PER_TASK}"
+            )
+            .cast("long")
+            .alias("recommended_salt"),
+        )
+    )
+
+
+# --- driver query ---------------------------------------------------------------
+
+
+def _with_hotspot(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").select("doc_id", "source")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("hotspot"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+    )
+
+
+def key_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    return key_skew_over(_with_hotspot(spark, sf), "source")
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "key_skew_report": key_skew_report,
+}
+
+ORACLES: Dict[str, str] = {
+    "key_skew_report": f"""
+    WITH relabeled AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'hotspot' ELSE source END
+                   AS source
+        FROM documents
+    ),
+    kc AS (
+        SELECT source AS k, COUNT(*)::BIGINT AS cnt
+        FROM relabeled GROUP BY source
+    ),
+    hist AS (
+        SELECT cnt, COUNT(*)::BIGINT AS freq FROM kc GROUP BY cnt
+    ),
+    cum AS (
+        SELECT cnt, freq,
+               SUM(freq) OVER (ORDER BY cnt
+                               ROWS UNBOUNDED PRECEDING)::BIGINT AS c
+        FROM hist
+    ),
+    totals AS (
+        SELECT COUNT(*)::BIGINT AS n_keys,
+               SUM(cnt)::BIGINT AS total_rows,
+               MAX(cnt)::BIGINT AS max_key_rows,
+               (SELECT k FROM kc ORDER BY cnt DESC, k DESC LIMIT 1)
+                   AS hot_key
+        FROM kc
+    )
+    SELECT t.n_keys, t.total_rows, t.max_key_rows,
+           (SELECT MIN(cnt) FROM cum, totals
+            WHERE c >= (n_keys + 1) // 2)::BIGINT AS median_key_rows,
+           (SELECT MIN(cnt) FROM cum, totals
+            WHERE c >= (99 * n_keys + 99) // 100)::BIGINT AS p99_key_rows,
+           ROUND(t.max_key_rows::DOUBLE
+                 / (SELECT MIN(cnt) FROM cum, totals
+                    WHERE c >= (n_keys + 1) // 2)::DOUBLE, 4) AS skew_ratio,
+           t.hot_key,
+           ((t.max_key_rows + {TARGET_ROWS_PER_TASK - 1})
+                // {TARGET_ROWS_PER_TASK})::BIGINT AS recommended_salt
+    FROM totals t
+    """,
+}

@@ -1,0 +1,64 @@
+"""Key-skew diagnostics tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.key_skew import (
+    TARGET_ROWS_PER_TASK,
+    ORACLES,
+    QUERIES,
+    key_skew_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_skew_profile_semantics(spark):
+    # keys: a=1 row, b=2, c=3, d=4, hot=200
+    rows = []
+    for k, n in [("a", 1), ("b", 2), ("c", 3), ("d", 4), ("hot", 200)]:
+        rows += [(k,)] * n
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_over(df, "k").collect()[0]
+    assert r.n_keys == 5 and r.total_rows == 210
+    assert r.max_key_rows == 200 and r.hot_key == "hot"
+    # nearest-rank median of (1,2,3,4,200): position (5+1) div 2 = 3 -> 3
+    assert r.median_key_rows == 3
+    # p99 position ceil(4.95) = 5 -> 200
+    assert r.p99_key_rows == 200
+    assert abs(r.skew_ratio - 200 / 3) < 1e-3
+    assert r.recommended_salt == (200 + TARGET_ROWS_PER_TASK - 1) // (
+        TARGET_ROWS_PER_TASK
+    )
+
+
+def test_uniform_keys_no_salt(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("c",)] * 4, "k string")
+    r = key_skew_over(df, "k").collect()[0]
+    assert r.skew_ratio == 1.0 and r.recommended_salt == 1
+    assert r.median_key_rows == r.max_key_rows == 4
+
+
+def test_driver_hotspot_fires(spark):
+    r = QUERIES["key_skew_report"](spark, SF).collect()[0]
+    assert r.hot_key == "hotspot"
+    assert r.recommended_salt >= 1 and r.skew_ratio > 1.0
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["key_skew_report"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["key_skew_report"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -106,6 +106,7 @@ PLAN_QUERIES = [
     "host_pagerank",
     "bm25_search",
     "source_overlap_matrix",
+    "key_skew_report",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
