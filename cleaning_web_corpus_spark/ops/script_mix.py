@@ -1,0 +1,196 @@
+"""Unicode script-mix profiling: the code-switching / SEO-spam signal.
+
+Script composition is the cheapest high-precision web-corpus signal
+the langid model can't give: SEO spam interleaves scripts to stuff
+keywords, scraped pages embed navigation in a second script, and
+genuine code-switched text needs routing to multilingual handling
+rather than a single-language perplexity gate (FineWeb's pipeline
+applies script checks before langid for exactly this reason).  Per
+document, count characters in the major script classes and flag:
+
+* ``latin / cyrillic / cjk / greek / digit`` char counts — each is
+  ``length(x) - length(regexp_replace(x, class, ''))``, a codegen
+  char-class count with the class ranges written as LITERAL unicode
+  endpoints so Java regex and RE2 parse the identical pattern;
+* ``dominant_script`` — arg-max with a fixed class order tie-break
+  (the P9 move);
+* ``mixed`` decided INTEGER-ONLY: a script is "major" when
+  ``10*cnt >= letters_total``; mixed = at least two major scripts.
+
+Plan shape (100 TB): per-row expressions only, one scan, the rollup is
+one partial+final aggregate; zero Python (plan-asserted).
+
+Driver non-degeneracy: the corpus is ASCII word salad, so doc_id
+residues become cyrillic / CJK documents or get mixed-script text
+appended (mirrored literally in the oracle) — every class counter and the mixed flag
+provably fire under the gate hash.
+
+Reference scope: sibling of the language filter (F5) and encoding
+gate; the reference has no script stage (its langid consumes the blob
+whole).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+# literal-endpoint char classes: identical bytes reach Java and RE2
+_CLASSES = {
+    "latin": "[A-Za-z]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "cjk": "[一-鿿]",
+    "greek": "[Ͱ-Ͽ]",
+    "digit": "[0-9]",
+}
+_LETTER_CLASSES = ("latin", "cyrillic", "cjk", "greek")
+
+_RES = 31  # doc_id % 31: 4 cyrillic, 9 cjk, 14 mixed latin+cyrillic
+_CYR = " съешь же ещё этих мягких французских булок да выпей чаю"
+_CJK = " 天地玄黄宇宙洪荒日月盈昃辰宿列张寒来暑往秋收冬藏"
+_MIXED = (
+    " market рынок data данные quality качество scale масштаб"
+    " фильтры дубликаты разметка обучение корпус токены модель"
+    " очистка перплексия энтропия выборка баланс источник шум"
+)
+
+
+def _cnt(col, cls: str):
+    return (
+        F.length(col) - F.length(F.regexp_replace(col, _CLASSES[cls], ""))
+    ).cast("long")
+
+
+def script_mix_over(df: DataFrame) -> DataFrame:
+    """Per-doc script profile over a (doc_id, text) relation."""
+    c = {k: _cnt(F.col("text"), k) for k in _CLASSES}
+    letters = sum(c[k] for k in _LETTER_CLASSES)
+    counted = df.select(
+        "doc_id",
+        *[c[k].alias(f"n_{k}") for k in _CLASSES],
+        letters.alias("n_letters"),
+    )
+    # arg-max with fixed class-order tie-break: latin wins ties first
+    dom = F.lit("none")
+    best = F.lit(0).cast("long")
+    for k in _LETTER_CLASSES:  # later classes need STRICTLY more
+        dom = F.when(F.col(f"n_{k}") > best, F.lit(k)).otherwise(dom)
+        best = F.when(F.col(f"n_{k}") > best, F.col(f"n_{k}")).otherwise(best)
+    majors = sum(
+        F.when(
+            (F.col(f"n_{k}") * 10 >= F.col("n_letters"))
+            & (F.col(f"n_{k}") > 0),
+            1,
+        ).otherwise(0)
+        for k in _LETTER_CLASSES
+    )
+    return counted.select(
+        "doc_id",
+        *[f"n_{k}" for k in _CLASSES],
+        "n_letters",
+        dom.alias("dominant_script"),
+        majors.cast("long").alias("n_major_scripts"),
+        (majors >= 2).alias("mixed"),
+    )
+
+
+# --- driver queries ------------------------------------------------------------
+
+
+def _injected(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(d % _RES == 4, F.lit(_CYR))
+        .when(d % _RES == 9, F.lit(_CJK))
+        .when(d % _RES == 14, F.concat("text", F.lit(_MIXED)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def script_mix_report(spark: SparkSession, sf: str) -> DataFrame:
+    return script_mix_over(_injected(spark, sf))
+
+
+def script_mix_stats(spark: SparkSession, sf: str) -> DataFrame:
+    r = script_mix_report(spark, sf)
+    return r.groupBy("dominant_script").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("mixed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mixed"),
+        F.sum("n_letters").cast("long").alias("total_letters"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "script_mix_report": script_mix_report,
+    "script_mix_stats": script_mix_stats,
+}
+
+# --- DuckDB oracles -----------------------------------------------------------
+
+_SQL_CNT = {
+    k: f"(length(text) - length(regexp_replace(text, '{v}', '', 'g')))::BIGINT"
+    for k, v in _CLASSES.items()
+}
+
+# first class (latin, cyrillic, cjk, greek order) attaining the max —
+# exactly the Spark strictly-greater fold
+_SQL_DOM = """
+    CASE
+        WHEN greatest(n_latin, n_cyrillic, n_cjk, n_greek) = 0 THEN 'none'
+        WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+             AND n_latin >= n_greek THEN 'latin'
+        WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_greek THEN 'cyrillic'
+        WHEN n_cjk >= n_greek THEN 'cjk'
+        ELSE 'greek' END
+"""
+
+_SQL_REPORT = f"""
+    WITH injected AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_RES} = 4 THEN '{_CYR}'
+                    WHEN doc_id % {_RES} = 9 THEN '{_CJK}'
+                    WHEN doc_id % {_RES} = 14 THEN text || '{_MIXED}'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    counted AS (
+        SELECT doc_id,
+               {", ".join(f"{_SQL_CNT[k]} AS n_{k}" for k in _CLASSES)},
+               ({" + ".join(_SQL_CNT[k] for k in _LETTER_CLASSES)})::BIGINT
+                   AS n_letters
+        FROM injected
+    ),
+    flagged AS (
+        SELECT *,
+               ({" + ".join(
+                   f"CASE WHEN n_{k} * 10 >= n_letters AND n_{k} > 0"
+                   " THEN 1 ELSE 0 END"
+                   for k in _LETTER_CLASSES)})::BIGINT AS n_major_scripts
+        FROM counted
+    )
+    SELECT doc_id, {", ".join(f"n_{k}" for k in _CLASSES)}, n_letters,
+           {_SQL_DOM} AS dominant_script,
+           n_major_scripts,
+           n_major_scripts >= 2 AS mixed
+    FROM flagged
+"""
+
+ORACLES: Dict[str, str] = {
+    "script_mix_report": _SQL_REPORT,
+    "script_mix_stats": f"""
+    WITH r AS ({_SQL_REPORT})
+    SELECT dominant_script,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(mixed::INT)::BIGINT AS n_mixed,
+           SUM(n_letters)::BIGINT AS total_letters
+    FROM r GROUP BY dominant_script
+    """,
+}

@@ -1,0 +1,83 @@
+"""Script-mix profiling tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.script_mix import (
+    ORACLES,
+    QUERIES,
+    script_mix_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _profile(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {r.doc_id: r for r in script_mix_over(df).collect()}
+
+
+def test_script_counting_and_dominance(spark):
+    out = _profile(
+        spark,
+        [
+            "plain english text 123",
+            "чисто русский текст",
+            "中文文本内容",
+            "ελληνικό κείμενο",
+            "mix языков fifty на fifty",
+            "42 17 99",  # digits only: no letters at all
+        ],
+    )
+    assert out[0].dominant_script == "latin" and out[0].n_digit == 3
+    assert out[1].dominant_script == "cyrillic" and out[1].n_latin == 0
+    assert out[2].dominant_script == "cjk" and out[2].n_cjk == 6
+    assert out[3].dominant_script == "greek"
+    assert out[4].mixed and out[4].n_major_scripts == 2
+    assert out[5].dominant_script == "none" and out[5].n_letters == 0
+    assert not out[0].mixed and not out[1].mixed
+
+
+def test_major_threshold_integer_exact(spark):
+    # 9 latin + 1 cyrillic letter: 10*1 >= 10 -> cyrillic IS major
+    # 19 latin + 1 cyrillic: 10*1 < 20 -> not major
+    out = _profile(spark, ["abcdefghi ж", "abcdefghijklmnopqrs ж"])
+    assert out[0].mixed and out[0].n_major_scripts == 2
+    assert not out[1].mixed and out[1].n_major_scripts == 1
+
+
+def test_latin_wins_ties(spark):
+    out = _profile(spark, ["ab жы"])  # 2 latin, 2 cyrillic
+    assert out[0].dominant_script == "latin" and out[0].mixed
+
+
+def test_plan_no_python(spark):
+    plan = (
+        QUERIES["script_mix_report"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["script_mix_report", "script_mix_stats"])
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    ocols = [d[0] for d in con.execute(ORACLES[name]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(ORACLES[name]).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

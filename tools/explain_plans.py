@@ -107,6 +107,7 @@ PLAN_QUERIES = [
     "bm25_search",
     "source_overlap_matrix",
     "key_skew_report",
+    "script_mix_report",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
