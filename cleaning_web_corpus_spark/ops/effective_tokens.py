@@ -1,0 +1,104 @@
+"""Effective dataset size after fuzzy dedup, per source.
+
+THE dataset-card headline number: raw token counts overstate a
+source's contribution by exactly its duplicate mass, and mixture
+weights / epoch budgets computed from raw sizes silently over-sample
+mirrored sources.  This op joins the fuzzy-dedup survivor relation
+(`fuzzy_dedup_survivors` — verified MinHash components, min-id
+survivor rule) against per-document token counts and rolls up per
+source:
+
+* ``n_docs`` / ``n_kept`` and ``tokens_total`` / ``tokens_kept`` —
+  exact integer aggregates;
+* ``dup_token_frac`` — the fraction of a source's tokens that are
+  duplicate mass (rounded once, after the exact division of exact
+  BIGINTs).
+
+Plan shape (100 TB): the survivor relation is (doc_id, keep) — 9
+bytes/row; joining it to the pruned (doc_id, source, token-count)
+projection is one doc_id equi-join where the TEXT column dies at the
+scan (token counts are computed inside the scan projection, only the
+count rides the join), then one partial+final per-source aggregate.
+
+Oracle: splices the recursive-CTE survivor oracle (DuckDB re-derives
+the components from scratch), so the gate hash covers dedup AND the
+token accounting.
+
+Reference scope: dataset-card extension of the dedup family (F16) —
+the reference reports row counts only (load_to_clickhouse.py stats).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.dedup import (
+    _SQL_SURVIVORS_BODY,
+    fuzzy_dedup_survivors,
+)
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+
+def effective_tokens_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    surv = fuzzy_dedup_survivors(spark, sf).select("doc_id", "keep")
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        "source",
+        F.expr(f"size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0))")
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    joined = docs.join(surv, "doc_id")
+    agg = joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+    )
+    return agg.withColumn(
+        "dup_token_frac",
+        F.round(
+            (F.col("tokens_total") - F.col("tokens_kept")).cast("double")
+            / F.when(F.col("tokens_total") > 0, F.col("tokens_total")).cast(
+                "double"
+            ),
+            6,
+        ),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "effective_tokens_by_source": effective_tokens_by_source,
+}
+
+ORACLES: Dict[str, str] = {
+    "effective_tokens_by_source": f"""
+    WITH RECURSIVE {_SQL_SURVIVORS_BODY},
+    counted AS (
+        SELECT d.doc_id, d.source,
+               len(regexp_extract_all(lower(d.text), '{TOKEN_RE}'))::BIGINT
+                   AS n_tokens,
+               s.keep
+        FROM documents d JOIN surv s ON d.doc_id = s.doc_id
+    ),
+    agg AS (
+        SELECT source,
+               COUNT(*)::BIGINT AS n_docs,
+               SUM(keep::INT)::BIGINT AS n_kept,
+               SUM(n_tokens)::BIGINT AS tokens_total,
+               SUM(CASE WHEN keep THEN n_tokens ELSE 0 END)::BIGINT
+                   AS tokens_kept
+        FROM counted GROUP BY source
+    )
+    SELECT source, n_docs, n_kept, tokens_total, tokens_kept,
+           ROUND((tokens_total - tokens_kept)::DOUBLE
+                 / NULLIF(tokens_total, 0)::DOUBLE, 6) AS dup_token_frac
+    FROM agg
+    """,
+}

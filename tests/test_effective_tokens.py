@@ -1,0 +1,41 @@
+"""Effective-tokens-after-dedup tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.effective_tokens import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_accounting_invariants(spark):
+    rows = QUERIES["effective_tokens_by_source"](spark, SF).collect()
+    assert len(rows) > 0
+    total_kept = sum(r.tokens_kept for r in rows)
+    total_all = sum(r.tokens_total for r in rows)
+    assert 0 < total_kept <= total_all
+    # the corpus plants near-dup twins, so SOME source must lose tokens
+    assert any(r.dup_token_frac > 0 for r in rows)
+    for r in rows:
+        assert r.n_kept <= r.n_docs
+        assert r.tokens_kept <= r.tokens_total
+        assert 0.0 <= r.dup_token_frac <= 1.0
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["effective_tokens_by_source"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["effective_tokens_by_source"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

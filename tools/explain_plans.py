@@ -108,6 +108,7 @@ PLAN_QUERIES = [
     "source_overlap_matrix",
     "key_skew_report",
     "script_mix_report",
+    "effective_tokens_by_source",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
