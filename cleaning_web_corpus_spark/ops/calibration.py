@@ -1,0 +1,103 @@
+"""Reliability-diagram calibration bins for the quality classifier.
+
+The PR sweep (`quality_classifier_pr`) answers "which threshold";
+calibration answers the question mixture builders ask next — "can the
+SCORE be trusted as a probability?"  DCLM-style pipelines use
+classifier scores as sampling WEIGHTS, and a miscalibrated score
+silently tilts the mixture.  This op is the classic reliability
+diagram over the held-out scores:
+
+* fixed log-odds bins of width 2.0 (2,000,000 micro-units): scores are
+  clamped to [-6, +14) and SHIFTED POSITIVE before the integer
+  division — with both operands non-negative, truncating (Spark
+  ``div``) and flooring division agree, so the cross-engine
+  negative-division trap is structurally impossible;
+* per bin: doc count, weak-label positive count, ``pos_rate`` (one
+  rounded division of exact integers) and the exact
+  ``sum_score_micro`` — a calibrated classifier shows ``pos_rate``
+  rising with ``bin_lo``.
+
+Plan shape: the scores relation is the classifier's held-out slice
+(bounded); binning is per-row arithmetic + one aggregate.
+
+Reference scope: extends the quality-classifier distillation family
+(DCLM/FineWeb-Edu); no calibration stage exists in the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.quality_classifier import (
+    ORACLES as _QC_ORACLES,
+    quality_classifier_scores,
+)
+
+BIN_MICRO = 2_000_000  # 2.0 log-odds per bin
+SHIFT_MICRO = 6_000_000  # clamp floor: scores below -6.0 join bin 0
+CLAMP_HI = 13_999_999  # scores above join the top bin (bin_lo = 12M)
+
+
+def calibration_bins_over(scores: DataFrame) -> DataFrame:
+    """(bin_lo, n_docs, n_label_pos, pos_rate, sum_score_micro) over a
+    (label, score_micro) relation."""
+    binned = scores.select(
+        "label",
+        "score_micro",
+        F.expr(
+            f"cast((cast((greatest(-{SHIFT_MICRO}, least({CLAMP_HI},"
+            f" score_micro)) + {SHIFT_MICRO}) as bigint) div {BIN_MICRO})"
+            f" * {BIN_MICRO} - {SHIFT_MICRO} as bigint)"
+        ).alias("bin_lo"),
+    )
+    agg = binned.groupBy("bin_lo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("label"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_label_pos"),
+        F.sum("score_micro").cast("long").alias("sum_score_micro"),
+    )
+    return agg.withColumn(
+        "pos_rate",
+        F.round(
+            F.col("n_label_pos").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ),
+    )
+
+
+def quality_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
+    return calibration_bins_over(
+        quality_classifier_scores(spark, sf).select("label", "score_micro")
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "quality_calibration_bins": quality_calibration_bins,
+}
+
+ORACLES: Dict[str, str] = {
+    "quality_calibration_bins": f"""
+    WITH scores AS ({_QC_ORACLES["quality_classifier_scores"]}),
+    binned AS (
+        SELECT label, score_micro,
+               (((GREATEST(-{SHIFT_MICRO}, LEAST({CLAMP_HI}, score_micro))
+                  + {SHIFT_MICRO}) // {BIN_MICRO}) * {BIN_MICRO}
+                - {SHIFT_MICRO})::BIGINT AS bin_lo
+        FROM scores
+    ),
+    agg AS (
+        SELECT bin_lo,
+               COUNT(*)::BIGINT AS n_docs,
+               SUM(label::INT)::BIGINT AS n_label_pos,
+               SUM(score_micro)::BIGINT AS sum_score_micro
+        FROM binned GROUP BY bin_lo
+    )
+    SELECT bin_lo, n_docs, n_label_pos, sum_score_micro,
+           ROUND(n_label_pos::DOUBLE / n_docs::DOUBLE, 6) AS pos_rate
+    FROM agg
+    """,
+}

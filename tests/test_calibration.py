@@ -1,0 +1,72 @@
+"""Calibration-bin tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.calibration import (
+    BIN_MICRO,
+    CLAMP_HI,
+    SHIFT_MICRO,
+    ORACLES,
+    QUERIES,
+    calibration_bins_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _bins(spark, rows):
+    df = spark.createDataFrame(rows, "label boolean, score_micro long")
+    return {r.bin_lo: r for r in calibration_bins_over(df).collect()}
+
+
+def test_binning_and_clamps(spark):
+    out = _bins(
+        spark,
+        [
+            (True, 0),  # bin [0, 2M)
+            (False, 1_999_999),  # same bin
+            (True, 2_000_000),  # next bin edge
+            (False, -6_000_001),  # below clamp -> lowest bin
+            (True, 99_000_000),  # above clamp -> top bin
+            (True, -1),  # negative but > -2M: bin [-2M, 0)
+        ],
+    )
+    assert out[0].n_docs == 2 and out[0].n_label_pos == 1
+    assert out[0].pos_rate == 0.5
+    assert out[2_000_000].n_docs == 1
+    assert out[-SHIFT_MICRO].n_docs == 1  # clamped low
+    assert out[12_000_000].n_docs == 1  # clamped high (top bin)
+    assert out[-BIN_MICRO].n_docs == 1  # the negative-division trap bin
+    # sum_score_micro keeps the UNclamped exact score
+    assert out[12_000_000].sum_score_micro == 99_000_000
+
+
+def test_driver_bins_cover_and_calibrate(spark):
+    rows = sorted(
+        QUERIES["quality_calibration_bins"](spark, SF).collect(),
+        key=lambda r: r.bin_lo,
+    )
+    assert len(rows) >= 3
+    assert all(-SHIFT_MICRO <= r.bin_lo <= CLAMP_HI for r in rows)
+    # top bin should be purer than bottom bin for a working classifier
+    assert rows[-1].pos_rate > rows[0].pos_rate
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["quality_calibration_bins"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["quality_calibration_bins"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -109,6 +109,7 @@ PLAN_QUERIES = [
     "key_skew_report",
     "script_mix_report",
     "effective_tokens_by_source",
+    "quality_calibration_bins",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
