@@ -1,0 +1,102 @@
+"""Labeler agreement: Cohen's kappa between weak label and classifier.
+
+Every distillation pipeline has two labelers — the heuristic weak
+label it trained FROM and the classifier it trained — and the number
+that says whether the distillation is real is chance-corrected
+agreement, not raw accuracy (a 90%-positive corpus gives 82% accuracy
+to a labeler that flips coins at the base rate).  Cohen's kappa over
+the held-out slice:
+
+* confusion counts (a=TT, b=TF, c=FT, d=FF) are one integer aggregate;
+* kappa is computed WITHOUT intermediate probabilities:
+  ``kappa = (N*(a+d) - E) / (N*N - E)`` where
+  ``E = (a+b)*(a+c) + (c+d)*(b+d)`` — the po/pe form multiplied
+  through by N², so the ONLY division is the final one over exact
+  BIGINTs (rounded once);
+* raw ``agreement_rate`` rides alongside for the base-rate contrast.
+
+Plan shape: the scores relation is the bounded held-out slice; one
+aggregate, one row out.
+
+Reference scope: extends the quality-classifier family; the reference
+has no model-evaluation stage.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.quality_classifier import (
+    ORACLES as _QC_ORACLES,
+    quality_classifier_scores,
+)
+
+
+def kappa_over(pairs: DataFrame) -> DataFrame:
+    """One-row kappa report over a (label boolean, predicted boolean)
+    relation."""
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    lab, pred = F.col("label"), F.col("predicted")
+    conf = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        cnt(lab & pred).alias("tt"),
+        cnt(lab & ~pred).alias("tf"),
+        cnt(~lab & pred).alias("ft"),
+        cnt(~lab & ~pred).alias("ff"),
+    )
+    e = (F.col("tt") + F.col("tf")) * (F.col("tt") + F.col("ft")) + (
+        F.col("ft") + F.col("ff")
+    ) * (F.col("tf") + F.col("ff"))
+    agree = F.col("tt") + F.col("ff")
+    return conf.select(
+        "n",
+        "tt",
+        "tf",
+        "ft",
+        "ff",
+        F.round(agree.cast("double") / F.col("n").cast("double"), 6).alias(
+            "agreement_rate"
+        ),
+        F.round(
+            (F.col("n") * agree - e).cast("double")
+            / F.when(F.col("n") * F.col("n") - e != 0, F.col("n") * F.col("n") - e)
+            .cast("double"),
+            6,
+        ).alias("kappa"),
+    )
+
+
+def labeler_agreement_report(spark: SparkSession, sf: str) -> DataFrame:
+    return kappa_over(
+        quality_classifier_scores(spark, sf).select("label", "predicted")
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "labeler_agreement_report": labeler_agreement_report,
+}
+
+ORACLES: Dict[str, str] = {
+    "labeler_agreement_report": f"""
+    WITH scores AS ({_QC_ORACLES["quality_classifier_scores"]}),
+    conf AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               SUM((label AND predicted)::INT)::BIGINT AS tt,
+               SUM((label AND NOT predicted)::INT)::BIGINT AS tf,
+               SUM((NOT label AND predicted)::INT)::BIGINT AS ft,
+               SUM((NOT label AND NOT predicted)::INT)::BIGINT AS ff
+        FROM scores
+    )
+    SELECT n, tt, tf, ft, ff,
+           ROUND((tt + ff)::DOUBLE / n::DOUBLE, 6) AS agreement_rate,
+           ROUND((n * (tt + ff)
+                  - ((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff)))::DOUBLE
+                 / NULLIF(n * n
+                  - ((tt + tf) * (tt + ft) + (ft + ff) * (tf + ff)),
+                          0)::DOUBLE, 6) AS kappa
+    FROM conf
+    """,
+}

@@ -1,0 +1,71 @@
+"""Cohen's kappa agreement tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.agreement import (
+    ORACLES,
+    QUERIES,
+    kappa_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _kappa(spark, rows):
+    df = spark.createDataFrame(rows, "label boolean, predicted boolean")
+    return kappa_over(df).collect()[0]
+
+
+def test_perfect_agreement(spark):
+    r = _kappa(spark, [(True, True)] * 6 + [(False, False)] * 4)
+    assert r.kappa == 1.0 and r.agreement_rate == 1.0
+    assert (r.tt, r.tf, r.ft, r.ff) == (6, 0, 0, 4)
+
+
+def test_chance_level_agreement(spark):
+    # independent labelers at 50/50: kappa ~ 0 despite 50% agreement
+    rows = [(True, True), (True, False), (False, True), (False, False)] * 5
+    r = _kappa(spark, rows)
+    assert r.kappa == 0.0 and r.agreement_rate == 0.5
+
+
+def test_base_rate_correction(spark):
+    # high accuracy purely from base rate: 18 TT, 1 TF, 1 FT, 0 FF
+    # agreement 90% but kappa is NEGATIVE (worse than chance on the
+    # rare class)
+    rows = [(True, True)] * 18 + [(True, False), (False, True)]
+    r = _kappa(spark, rows)
+    assert r.agreement_rate == 0.9
+    assert r.kappa < 0
+
+
+def test_driver_distillation_beats_chance(spark):
+    # tiny-sf training data gives a weak but above-chance classifier;
+    # at sf0.01 the distillation is solidly above chance
+    r = QUERIES["labeler_agreement_report"](spark, SF).collect()[0]
+    assert r.kappa > 0
+    assert r.tt + r.tf + r.ft + r.ff == r.n
+    r2 = QUERIES["labeler_agreement_report"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()[0]
+    assert r2.kappa > 0.2
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["labeler_agreement_report"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["labeler_agreement_report"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0
