@@ -1,0 +1,127 @@
+"""Signal-redundancy audit: Pearson correlation between quality signals.
+
+Quality-filter ensembles accrete signals (gopher counters, token
+counts, composite scores) and nobody deletes one; the audit that earns
+deletions is the pairwise correlation matrix — two signals at |r| ~ 1
+are one signal computed twice (here ``n_words`` vs ``ws_tokens`` is
+the planted near-duplicate pair the test pins).  Exact under the
+cross-engine gate:
+
+* every signal is quantized to BIGINT centi-units FIRST
+  (``floor(x*100 + 0.5)`` — the signals table's doubles are already
+  gate-hash-identical, so their quantization is too), and every
+  sufficient statistic (sum, sum of squares, all pairwise product
+  sums) is an exactly-associative INTEGER sum collected in ONE
+  aggregate over ONE scan;
+* the correlation divides through IEEE doubles only at the very end:
+  ``(n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2))`` with
+  each sqrt over an exact integer (sqrt is correctly rounded per IEEE
+  in both engines), rounded once;
+* the 10 matrix rows are emitted by ``stack()`` over the single
+  aggregate row — one evaluation, no union fan-out (DuckDB mirrors
+  with UNION ALL over a MATERIALIZED CTE).
+
+Centi-unit products bound the corpus at ~10^9 documents before BIGINT
+sum overflow; production promotes the sums to DECIMAL(38).
+
+Reference scope: extends the signals family; the reference computes
+signals but never audits them.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.signals import (
+    ORACLES as _SIG_ORACLES,
+    quality_signals_table,
+)
+
+SIG_COLS = ("n_words", "mean_word_len", "ws_tokens", "bpe_tokens",
+            "quality_score")
+
+
+def _pairs(cols: Sequence[str]):
+    return [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+
+
+def corr_matrix_over(df: DataFrame, cols: Sequence[str] = SIG_COLS) -> DataFrame:
+    """(sig_x, sig_y, n, corr) over any relation with numeric `cols`."""
+    q = df.select(
+        *[
+            F.expr(f"cast(floor(cast({c} as double) * 100 + 0.5) as bigint)")
+            .alias(c)
+            for c in cols
+        ]
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).cast("long").alias(f"s_{c}"))
+        aggs.append(
+            F.sum(F.col(c) * F.col(c)).cast("long").alias(f"ss_{c}")
+        )
+    for a, b in _pairs(cols):
+        aggs.append(
+            F.sum(F.col(a) * F.col(b)).cast("long").alias(f"sp_{a}__{b}")
+        )
+    s = q.agg(*aggs)
+    tuples = []
+    for a, b in _pairs(cols):
+        corr = (
+            f"round(cast(n * sp_{a}__{b} - s_{a} * s_{b} as double)"
+            f" / nullif(sqrt(cast(n * ss_{a} - s_{a} * s_{a} as double))"
+            f" * sqrt(cast(n * ss_{b} - s_{b} * s_{b} as double)), 0.0), 6)"
+        )
+        tuples.append(f"'{a}', '{b}', n, {corr}")
+    n_pairs = len(tuples)
+    return s.select(
+        F.expr(
+            f"stack({n_pairs}, {', '.join(tuples)})"
+            " as (sig_x, sig_y, n, corr)"
+        )
+    )
+
+
+def signal_correlation_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    return corr_matrix_over(quality_signals_table(spark, sf), SIG_COLS)
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "signal_correlation_matrix": signal_correlation_matrix,
+}
+
+# --- DuckDB oracle -------------------------------------------------------------
+
+_Q = {c: f"CAST(FLOOR(CAST({c} AS DOUBLE) * 100 + 0.5) AS BIGINT)"
+      for c in SIG_COLS}
+
+_AGG_TERMS = ["COUNT(*)::BIGINT AS n"]
+for _c in SIG_COLS:
+    _AGG_TERMS.append(f"SUM({_Q[_c]})::BIGINT AS s_{_c}")
+    _AGG_TERMS.append(f"SUM({_Q[_c]} * {_Q[_c]})::BIGINT AS ss_{_c}")
+for _a, _b in _pairs(SIG_COLS):
+    _AGG_TERMS.append(f"SUM({_Q[_a]} * {_Q[_b]})::BIGINT AS sp_{_a}__{_b}")
+
+_SELECTS = []
+for _a, _b in _pairs(SIG_COLS):
+    _SELECTS.append(
+        f"""SELECT '{_a}' AS sig_x, '{_b}' AS sig_y, n,
+           ROUND((n * sp_{_a}__{_b} - s_{_a} * s_{_b})::DOUBLE
+                 / NULLIF(sqrt((n * ss_{_a} - s_{_a} * s_{_a})::DOUBLE)
+                          * sqrt((n * ss_{_b} - s_{_b} * s_{_b})::DOUBLE),
+                          0.0), 6) AS corr
+        FROM s"""
+    )
+
+ORACLES: Dict[str, str] = {
+    "signal_correlation_matrix": f"""
+    WITH sig AS MATERIALIZED ({_SIG_ORACLES["quality_signals_table"]}),
+    s AS MATERIALIZED (
+        SELECT {", ".join(_AGG_TERMS)} FROM sig
+    )
+    {" UNION ALL ".join(_SELECTS)}
+    """,
+}

@@ -1,0 +1,69 @@
+"""Signal-correlation audit tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.signal_corr import (
+    ORACLES,
+    QUERIES,
+    corr_matrix_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_corr_semantics(spark):
+    rows = [(float(i), float(2 * i + 3), float(-i), 7.0) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "a double, b double, c double, k double")
+    out = {
+        (r.sig_x, r.sig_y): r.corr
+        for r in corr_matrix_over(df, ("a", "b", "c", "k")).collect()
+    }
+    assert out[("a", "b")] == 1.0  # exact linear
+    assert out[("a", "c")] == -1.0  # exact anti-linear
+    assert out[("a", "k")] is None  # constant column: zero variance
+
+
+def test_driver_matrix_flags_redundancy(spark):
+    out = {
+        (r.sig_x, r.sig_y): r.corr
+        for r in QUERIES["signal_correlation_matrix"](spark, SF).collect()
+    }
+    assert len(out) == 10
+    # n_words and whitespace-token count are near-duplicates by
+    # construction — the audit's reason to exist
+    assert out[("n_words", "ws_tokens")] > 0.99
+    # composite quality score must correlate positively with length
+    assert out[("n_words", "quality_score")] > 0.3
+
+
+def test_single_aggregate_plan(spark):
+    plan = (
+        QUERIES["signal_correlation_matrix"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    # one scan feeds one aggregate; the 10 rows come from stack(), not
+    # a 10-way union re-scanning the corpus
+    assert plan.count("Scan parquet") == 1
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["signal_correlation_matrix"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["signal_correlation_matrix"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

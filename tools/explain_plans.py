@@ -110,6 +110,7 @@ PLAN_QUERIES = [
     "script_mix_report",
     "effective_tokens_by_source",
     "quality_calibration_bins",
+    "signal_correlation_matrix",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
