@@ -1,0 +1,155 @@
+"""Per-role PII / toxicity density over transcripts.
+
+The scrub chain rewrites PII wherever it appears; the GOVERNANCE
+question is per-role: users paste their own emails and SSNs into
+prompts, assistants echo them back, system prompts should contain
+none — and the retention/consent story differs per role, so the audit
+that drives policy is the role-level density table, not the corpus
+total.  Per role over the synthetic transcript mapping:
+
+* email / SSN-shaped / toxicity match counts via the scrub family's
+  detectors re-expressed in the Java-regex/RE2 COMMON SUBSET (the
+  production SSN/phone rules use lookarounds RE2 lacks, so this audit
+  uses the boundary-free shapes and documents the looser edge — the
+  scrub chain itself, `scrub/pii.py`, keeps the strict forms);
+* per-role turn counts, turns-with-each-kind, total match counts, and
+  ``pii_turn_rate`` (one rounded division of exact integers).
+
+Plan shape: one scan, per-row regexp counts, one partial+final
+aggregate over 3 role rows.
+
+Driver non-degeneracy: each role gets a DIFFERENT planted density
+(emails on user turns, SSNs on assistant turns, toxicity on system
+turns, on distinct doc_id residues, mirrored literally in the oracle)
+so the table is provably non-uniform under the gate hash.
+
+Reference scope: role-grain extension of the reference's PII rules
+(/root/reference/src/processors/text_processor.py) — the reference
+never sees roles.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.scrub.pii import EMAIL_PATTERN, TOXICITY_PATTERN
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+# RE2-safe (lookaround-free) audit shapes
+SSN_AUDIT_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+_RES_EMAIL, _RES_SSN, _RES_TOX = 17, 19, 23
+_EMAIL_TOKEN = " contact me at jane.doe@example.com please"
+_SSN_TOKEN = " my ssn is 123-45-6789 thanks"
+_TOX_TOKEN = " damn this stupid thing"
+
+
+def role_pii_over(turns: DataFrame) -> DataFrame:
+    """Per-role density over a (role, text) relation."""
+    # Spark SQL literals process backslash escapes ('\b' -> backspace);
+    # DuckDB's standard-SQL literals do not — double them here only.
+    cnt = lambda pat: F.expr(
+        "cast(size(regexp_extract_all(lower(text), "
+        f"'{pat.replace(chr(92), chr(92) * 2)}', 0)) as bigint)"
+    )
+    flagged = turns.select(
+        "role",
+        cnt(EMAIL_PATTERN.lower()).alias("n_email"),
+        cnt(SSN_AUDIT_RE).alias("n_ssn"),
+        cnt(TOXICITY_PATTERN).alias("n_tox"),
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    agg = flagged.groupBy("role").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        one_if(F.col("n_email") > 0).alias("turns_with_email"),
+        F.sum("n_email").cast("long").alias("total_emails"),
+        one_if(F.col("n_ssn") > 0).alias("turns_with_ssn"),
+        one_if(F.col("n_tox") > 0).alias("turns_with_toxicity"),
+    )
+    return agg.withColumn(
+        "pii_turn_rate",
+        F.round(
+            (F.col("turns_with_email") + F.col("turns_with_ssn")).cast(
+                "double"
+            )
+            / F.col("n_turns").cast("double"),
+            6,
+        ),
+    )
+
+
+def _turns_injected(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    role = (
+        F.when(d % 3 == 0, F.lit("user"))
+        .when(d % 3 == 1, F.lit("assistant"))
+        .otherwise(F.lit("system"))
+    )
+    inject = (
+        F.when((d % 3 == 0) & (d % _RES_EMAIL == 2), F.lit(_EMAIL_TOKEN))
+        .when((d % 3 == 1) & (d % _RES_SSN == 6), F.lit(_SSN_TOKEN))
+        .when((d % 3 == 2) & (d % _RES_TOX == 7), F.lit(_TOX_TOKEN))
+        .otherwise(F.lit(""))
+    )
+    return t(spark, sf, "documents").select(
+        role.alias("role"), F.concat("text", inject).alias("text")
+    )
+
+
+def role_pii_report(spark: SparkSession, sf: str) -> DataFrame:
+    return role_pii_over(_turns_injected(spark, sf))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "role_pii_report": role_pii_report,
+}
+
+# EMAIL_PATTERN is applied over lower(text), so its lowercase form is
+# what both engines must run; escape nothing (no quotes inside).
+_EMAIL_LOWER = EMAIL_PATTERN.lower()
+
+ORACLES: Dict[str, str] = {
+    "role_pii_report": f"""
+    WITH turns AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'user'
+                    WHEN doc_id % 3 = 1 THEN 'assistant'
+                    ELSE 'system' END AS role,
+               text || CASE
+                   WHEN doc_id % 3 = 0 AND doc_id % {_RES_EMAIL} = 2
+                       THEN '{_EMAIL_TOKEN}'
+                   WHEN doc_id % 3 = 1 AND doc_id % {_RES_SSN} = 6
+                       THEN '{_SSN_TOKEN}'
+                   WHEN doc_id % 3 = 2 AND doc_id % {_RES_TOX} = 7
+                       THEN '{_TOX_TOKEN}'
+                   ELSE '' END AS text
+        FROM documents
+    ),
+    flagged AS (
+        SELECT role,
+               len(regexp_extract_all(lower(text), '{_EMAIL_LOWER}'))::BIGINT
+                   AS n_email,
+               len(regexp_extract_all(lower(text), '{SSN_AUDIT_RE}'))::BIGINT
+                   AS n_ssn,
+               len(regexp_extract_all(lower(text), '{TOXICITY_PATTERN}'))::BIGINT
+                   AS n_tox
+        FROM turns
+    ),
+    agg AS (
+        SELECT role,
+               COUNT(*)::BIGINT AS n_turns,
+               SUM((n_email > 0)::INT)::BIGINT AS turns_with_email,
+               SUM(n_email)::BIGINT AS total_emails,
+               SUM((n_ssn > 0)::INT)::BIGINT AS turns_with_ssn,
+               SUM((n_tox > 0)::INT)::BIGINT AS turns_with_toxicity
+        FROM flagged GROUP BY role
+    )
+    SELECT role, n_turns, turns_with_email, total_emails, turns_with_ssn,
+           turns_with_toxicity,
+           ROUND((turns_with_email + turns_with_ssn)::DOUBLE
+                 / n_turns::DOUBLE, 6) AS pii_turn_rate
+    FROM agg
+    """,
+}

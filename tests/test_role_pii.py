@@ -1,0 +1,69 @@
+"""Per-role PII density tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.role_pii import (
+    ORACLES,
+    QUERIES,
+    role_pii_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_role_density_semantics(spark):
+    rows = [
+        ("user", "reach me at a.b@example.org or c@d.io thanks"),
+        ("user", "nothing sensitive here"),
+        ("assistant", "your ssn 987-65-4321 is on file"),
+        ("assistant", "this damn thing is stupid"),  # toxicity, not PII
+        ("system", "be helpful"),
+    ]
+    df = spark.createDataFrame(rows, "role string, text string")
+    out = {r.role: r for r in role_pii_over(df).collect()}
+    assert out["user"].total_emails == 2
+    assert out["user"].turns_with_email == 1
+    assert out["user"].pii_turn_rate == 0.5
+    assert out["assistant"].turns_with_ssn == 1
+    assert out["assistant"].turns_with_toxicity == 1
+    assert out["assistant"].pii_turn_rate == 0.5  # toxicity is not PII
+    assert out["system"].pii_turn_rate == 0.0
+
+
+def test_driver_roles_differ(spark):
+    out = {r.role: r for r in QUERIES["role_pii_report"](spark, SF).collect()}
+    assert set(out) == {"user", "assistant", "system"}
+    assert out["user"].turns_with_email > 0 and out["user"].turns_with_ssn == 0
+    assert out["assistant"].turns_with_ssn > 0
+    assert out["system"].turns_with_toxicity > 0
+    assert out["system"].pii_turn_rate == 0.0
+
+
+def test_plan_no_python(spark):
+    plan = (
+        QUERIES["role_pii_report"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["role_pii_report"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["role_pii_report"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

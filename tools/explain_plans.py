@@ -111,6 +111,7 @@ PLAN_QUERIES = [
     "effective_tokens_by_source",
     "quality_calibration_bins",
     "signal_correlation_matrix",
+    "role_pii_report",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
