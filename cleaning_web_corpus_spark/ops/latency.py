@@ -1,0 +1,158 @@
+"""Response-latency profile of agent transcripts.
+
+Trace timestamps carry a signal nothing text-grain sees: REAL
+assistant turns take wall-clock time that varies with the work, while
+synthetic / replayed / template-generated traces show constant or
+zero latencies — and per-tool latency is the ops number that says
+which tool is slow.  Per assistant turn, against the MOST RECENT
+preceding user turn (system/tool turns may sit between — a running
+last-non-null window, not a fragile adjacency lag):
+
+* ``latency_s`` = epoch-second difference (both engines cast the
+  TIMESTAMP to epoch seconds — integer, exact);
+* rollup per assistant tool ('none' for tool-free responses):
+  pair count, min/max/sum latency, one rounded mean division, plus
+  ``n_distinct_latencies`` — the constant-latency tell (1 distinct
+  value over many pairs = synthetic trace).
+
+Plan shape (100 TB): ONE conv_id hash exchange + sort feeds the lag
+window, and the per-tool aggregate is a narrow partial+final over the
+pair rows; no Python (plan-asserted).
+
+Driver synthesis: conv_id = source, order = doc_id, roles by
+doc_id % 3, tool by doc_id % 7, ts = epoch + doc_id + (doc_id^2 mod 13)
+seconds (quadratic jitter < the intra-conv stride, so timestamps stay
+monotone while latencies genuinely vary) — mirrored literally in the oracle.
+
+Reference scope: transcripts-native ops extension; the reference
+parses timestamps per-row (P6) but never relates adjacent turns.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+_EPOCH = 1735689600  # 2025-01-01T00:00:00Z
+
+
+def latency_report_over(turns: DataFrame) -> DataFrame:
+    """Per-tool latency rollup over (conv_id, turn_idx, role, tool, ts).
+
+    Latency = assistant turn's ts minus the MOST RECENT preceding user
+    turn's ts (system/tool turns may sit between them), via a running
+    last-non-null window — one conv exchange serves it."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pairs = turns.select(
+        "conv_id",
+        "role",
+        "tool",
+        F.col("ts").cast("long").alias("ts_s"),
+        F.last(
+            F.when(F.col("role") == "user", F.col("ts").cast("long")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("_last_user_ts"),
+    ).filter(
+        (F.col("role") == "assistant") & F.col("_last_user_ts").isNotNull()
+    )
+    scored = pairs.select(
+        F.coalesce("tool", F.lit("none")).alias("tool"),
+        (F.col("ts_s") - F.col("_last_user_ts")).cast("long").alias("latency_s"),
+    )
+    return (
+        scored.groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_responses"),
+            F.min("latency_s").cast("long").alias("min_latency_s"),
+            F.max("latency_s").cast("long").alias("max_latency_s"),
+            F.sum("latency_s").cast("long").alias("sum_latency_s"),
+            F.count_distinct("latency_s").cast("long").alias(
+                "n_distinct_latencies"
+            ),
+        )
+        .withColumn(
+            "mean_latency_s",
+            F.round(
+                F.col("sum_latency_s").cast("double")
+                / F.col("n_responses").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+def _synth_turns(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    base = t(spark, sf, "documents").select(
+        F.col("source").alias("conv_id"),
+        "doc_id",
+        F.when(d % 3 == 0, F.lit("user"))
+        .when(d % 3 == 1, F.lit("assistant"))
+        .otherwise(F.lit("system"))
+        .alias("role"),
+        F.when(d % 7 == 0, F.lit("search"))
+        .when(d % 7 == 3, F.lit("browser"))
+        .alias("tool"),
+        F.timestamp_seconds(F.lit(_EPOCH) + d + (d * d) % 13).alias("ts"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("doc_id")
+    return base.select(
+        "conv_id", F.row_number().over(w).alias("turn_idx"), "role", "tool", "ts"
+    )
+
+
+def response_latency_report(spark: SparkSession, sf: str) -> DataFrame:
+    return latency_report_over(_synth_turns(spark, sf))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "response_latency_report": response_latency_report,
+}
+
+ORACLES: Dict[str, str] = {
+    "response_latency_report": f"""
+    WITH turns AS (
+        SELECT source AS conv_id, doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'user'
+                    WHEN doc_id % 3 = 1 THEN 'assistant'
+                    ELSE 'system' END AS role,
+               CASE WHEN doc_id % 7 = 0 THEN 'search'
+                    WHEN doc_id % 7 = 3 THEN 'browser' END AS tool,
+               {_EPOCH} + doc_id + (doc_id * doc_id) % 13 AS ts_s
+        FROM documents
+    ),
+    pairs AS (
+        SELECT conv_id, role, tool, ts_s,
+               LAST_VALUE(CASE WHEN role = 'user' THEN ts_s END IGNORE NULLS)
+                   OVER (PARTITION BY conv_id ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_user_ts
+        FROM turns
+    ),
+    scored AS (
+        SELECT COALESCE(tool, 'none') AS tool,
+               (ts_s - last_user_ts)::BIGINT AS latency_s
+        FROM pairs
+        WHERE role = 'assistant' AND last_user_ts IS NOT NULL
+    )
+    SELECT tool,
+           COUNT(*)::BIGINT AS n_responses,
+           MIN(latency_s)::BIGINT AS min_latency_s,
+           MAX(latency_s)::BIGINT AS max_latency_s,
+           SUM(latency_s)::BIGINT AS sum_latency_s,
+           COUNT(DISTINCT latency_s)::BIGINT AS n_distinct_latencies,
+           ROUND(SUM(latency_s)::DOUBLE / COUNT(*)::DOUBLE, 6)
+               AS mean_latency_s
+    FROM scored GROUP BY tool
+    """,
+}

@@ -1,0 +1,81 @@
+"""Response-latency profile tests."""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.latency import (
+    ORACLES,
+    QUERIES,
+    latency_report_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ts(s):
+    return datetime.datetime(2025, 1, 1, 0, 0, s)
+
+
+def test_latency_semantics(spark):
+    rows = [
+        # conv c1: user@0 -> system@5 -> assistant@12 (latency 12, not 7)
+        ("c1", 1, "user", None, _ts(0)),
+        ("c1", 2, "system", None, _ts(5)),
+        ("c1", 3, "assistant", "search", _ts(12)),
+        # second exchange in c1: user@20 -> assistant@23
+        ("c1", 4, "user", None, _ts(20)),
+        ("c1", 5, "assistant", None, _ts(23)),
+        # conv c2: assistant with NO preceding user is skipped
+        ("c2", 1, "assistant", None, _ts(9)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, ts timestamp"
+    )
+    out = {r.tool: r for r in latency_report_over(df).collect()}
+    assert out["search"].n_responses == 1
+    assert out["search"].min_latency_s == 12  # anchored to the USER turn
+    assert out["none"].n_responses == 1 and out["none"].min_latency_s == 3
+    assert sum(r.n_responses for r in out.values()) == 2  # c2 skipped
+
+
+def test_constant_latency_tell(spark):
+    rows = []
+    for c in range(4):
+        rows += [
+            (f"c{c}", 1, "user", None, _ts(0)),
+            (f"c{c}", 2, "assistant", None, _ts(30)),  # always exactly 30
+        ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, tool string, ts timestamp"
+    )
+    r = latency_report_over(df).collect()[0]
+    assert r.n_responses == 4 and r.n_distinct_latencies == 1  # synthetic!
+    assert r.mean_latency_s == 30.0
+
+
+def test_driver_latencies_vary(spark):
+    rows = QUERIES["response_latency_report"](spark, SF).collect()
+    assert {r.tool for r in rows} <= {"search", "browser", "none"}
+    assert all(r.min_latency_s > 0 for r in rows)  # monotone synth ts
+    assert any(r.n_distinct_latencies > 1 for r in rows)  # not synthetic
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["response_latency_report"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["response_latency_report"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -112,6 +112,7 @@ PLAN_QUERIES = [
     "quality_calibration_bins",
     "signal_correlation_matrix",
     "role_pii_report",
+    "response_latency_report",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
