@@ -1,0 +1,136 @@
+"""Language-metadata audit: declared ``lang`` vs observed script.
+
+Ingest metadata lies: crawler language tags come from HTTP headers,
+URL patterns or upstream guesses, and a corpus whose ``lang`` column
+disagrees with the bytes underneath silently poisons per-language
+mixture weights and langid training labels.  The cheapest contradiction
+detector needs no model: a document declared ``zh`` whose characters
+are latin CANNOT be Chinese.  Per document:
+
+* observed script = the script_mix dominant-script fold over the RAW
+  text (no injection — this op audits the data as-is);
+* expected script from the declared lang via the fixed map
+  (en/fr/de/es -> latin, zh -> cjk, ru -> cyrillic, el -> greek);
+* ``metadata_mismatch`` when both are known and disagree — on the
+  synthetic testdata every ``zh``-declared document is latin word
+  salad, so the audit fires at every sf BY CONSTRUCTION of the
+  driver's own metadata (the point of the op: the labels lie).
+
+Rollup per declared lang: doc count, mismatch count, one rounded
+mismatch-rate division of exact integers.
+
+Plan shape: one scan (text + lang in the same pruned projection),
+per-row regexp counts, one partial+final aggregate; zero Python
+(plan-asserted).
+
+Reference scope: metadata-QA extension of the language filter (F5);
+the reference trusts its metadata unconditionally.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.script_mix import (
+    _CLASSES,
+    _LETTER_CLASSES,
+    _SQL_CNT,
+    _SQL_DOM,
+    _cnt,
+)
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+LANG_SCRIPT = {
+    "en": "latin",
+    "fr": "latin",
+    "de": "latin",
+    "es": "latin",
+    "zh": "cjk",
+    "ru": "cyrillic",
+    "el": "greek",
+}
+
+
+def lang_metadata_audit(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").select("doc_id", "lang", "text")
+    c = {k: _cnt(F.col("text"), k) for k in _LETTER_CLASSES}
+    counted = docs.select(
+        "lang", *[c[k].alias(f"n_{k}") for k in _LETTER_CLASSES]
+    )
+    dom = F.lit("none")
+    best = F.lit(0).cast("long")
+    for k in _LETTER_CLASSES:
+        dom = F.when(F.col(f"n_{k}") > best, F.lit(k)).otherwise(dom)
+        best = F.when(F.col(f"n_{k}") > best, F.col(f"n_{k}")).otherwise(best)
+    expected = F.lit(None).cast("string")
+    for lang, script in LANG_SCRIPT.items():
+        expected = F.when(F.col("lang") == lang, F.lit(script)).otherwise(
+            expected
+        )
+    flagged = counted.select(
+        "lang",
+        expected.alias("expected_script"),
+        dom.alias("observed_script"),
+    ).select(
+        "lang",
+        "expected_script",
+        "observed_script",
+        (
+            F.col("expected_script").isNotNull()
+            & (F.col("observed_script") != "none")
+            & (F.col("expected_script") != F.col("observed_script"))
+        ).alias("mismatch"),
+    )
+    agg = flagged.groupBy("lang", "expected_script").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("mismatch"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatch"),
+    )
+    return agg.withColumn(
+        "mismatch_rate",
+        F.round(
+            F.col("n_mismatch").cast("double") / F.col("n_docs").cast("double"),
+            6,
+        ),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lang_metadata_audit": lang_metadata_audit,
+}
+
+_SQL_EXPECTED = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN '{script}'"
+    for lang, script in LANG_SCRIPT.items()
+) + " END"
+
+ORACLES: Dict[str, str] = {
+    "lang_metadata_audit": f"""
+    WITH counted AS (
+        SELECT lang,
+               {", ".join(f"{_SQL_CNT[k]} AS n_{k}" for k in _LETTER_CLASSES)}
+        FROM documents
+    ),
+    flagged AS (
+        SELECT lang,
+               {_SQL_EXPECTED} AS expected_script,
+               {_SQL_DOM} AS observed_script
+        FROM counted
+    )
+    SELECT lang, expected_script,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM((expected_script IS NOT NULL
+                AND observed_script != 'none'
+                AND expected_script != observed_script)::INT)::BIGINT
+               AS n_mismatch,
+           ROUND(SUM((expected_script IS NOT NULL
+                AND observed_script != 'none'
+                AND expected_script != observed_script)::INT)::DOUBLE
+                 / COUNT(*)::DOUBLE, 6) AS mismatch_rate
+    FROM flagged GROUP BY lang, expected_script
+    """,
+}

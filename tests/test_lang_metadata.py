@@ -1,0 +1,50 @@
+"""Language-metadata audit tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.lang_metadata import ORACLES, QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_driver_catches_lying_labels(spark):
+    rows = {r.lang: r for r in QUERIES["lang_metadata_audit"](spark, SF).collect()}
+    # the testdata declares zh documents whose text is latin word salad:
+    # the audit must catch every one of them
+    assert rows["zh"].expected_script == "cjk"
+    assert rows["zh"].n_mismatch == rows["zh"].n_docs
+    assert rows["zh"].mismatch_rate == 1.0
+    # latin-declared langs over latin text are clean
+    for lang in ("en", "fr", "de", "es"):
+        assert rows[lang].n_mismatch == 0 and rows[lang].mismatch_rate == 0.0
+
+
+def test_plan_no_python_single_scan(spark):
+    plan = (
+        QUERIES["lang_metadata_audit"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["lang_metadata_audit"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["lang_metadata_audit"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

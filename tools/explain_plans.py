@@ -113,6 +113,7 @@ PLAN_QUERIES = [
     "signal_correlation_matrix",
     "role_pii_report",
     "response_latency_report",
+    "lang_metadata_audit",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
