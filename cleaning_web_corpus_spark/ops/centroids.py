@@ -1,0 +1,142 @@
+"""Label-centroid cosine matrix over the embedding table.
+
+Cluster/stratum QA in embedding space: mixture designers and
+SemDeDup-style pipelines assume their labels (clusters, sources,
+topics) are DISTINCT regions of embedding space — the audit is the
+pairwise cosine matrix of label centroids (two labels at cos ~ 1 are
+one cluster split in half; re-merge before per-cluster pruning).
+Exact under the cross-engine gate:
+
+* each float component is quantized to micro BIGINT at the scan
+  (float->double cast is exact, quantization identical in both
+  engines), and every centroid SUM is an exactly-associative integer
+  sum per (label, dim) — ONE posexplode + ONE aggregate is the only
+  corpus-sized work (10^9 vectors -> K x 64 rows);
+* the mean never needs materializing: cosine is scale-invariant, so
+  ``cos(mean_a, mean_b) = cos(sum_a, sum_b)`` and the integer sum
+  vectors feed the dot product directly (BIGINT dot products; norms
+  via IEEE-correctly-rounded sqrt of exact integers, one rounded
+  division at the end);
+* the pairwise matrix is a self-join of the K*64-row centroid
+  relation — bounded, never data-sized.
+
+Reference scope: embedding-space extension of the ANN/SemDeDup
+family; the reference has no embedding stage.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+_MICRO = 1_000_000
+
+
+def centroid_cosine_over(vecs: DataFrame, label_col: str = "label") -> DataFrame:
+    """(label_x, label_y, n_x, n_y, cosine) over a (label, embedding
+    array<float>) relation."""
+    comp = vecs.select(
+        F.col(label_col).alias("lbl"),
+        F.posexplode("embedding").alias("dim", "v"),
+    ).select(
+        "lbl",
+        "dim",
+        F.expr(
+            f"cast(floor(cast(v as double) * {_MICRO} + 0.5) as bigint)"
+        ).alias("q"),
+    )
+    cent = comp.groupBy("lbl", "dim").agg(
+        F.sum("q").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    norms = cent.groupBy("lbl").agg(
+        F.sum(F.col("s") * F.col("s")).cast("long").alias("ss"),
+        F.max("n").cast("long").alias("n_vecs"),
+    )
+    a = cent.select(
+        F.col("lbl").alias("la"), "dim", F.col("s").alias("sa")
+    )
+    b = cent.select(
+        F.col("lbl").alias("lb"), "dim", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "dim")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("sa") * F.col("sb")).cast("long").alias("dot"))
+    )
+    na = norms.select(
+        F.col("lbl").alias("la"),
+        F.col("ss").alias("ssa"),
+        F.col("n_vecs").alias("n_x"),
+    )
+    nb = norms.select(
+        F.col("lbl").alias("lb"),
+        F.col("ss").alias("ssb"),
+        F.col("n_vecs").alias("n_y"),
+    )
+    return (
+        dots.join(na, "la")
+        .join(nb, "lb")
+        .select(
+            F.col("la").alias("label_x"),
+            F.col("lb").alias("label_y"),
+            "n_x",
+            "n_y",
+            F.round(
+                F.expr(
+                    "cast(dot as double)"
+                    " / nullif(sqrt(cast(ssa as double))"
+                    " * sqrt(cast(ssb as double)), 0.0)"
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+def embedding_centroid_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    return centroid_cosine_over(
+        t(spark, sf, "embeddings").select("label", "embedding")
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embedding_centroid_matrix": embedding_centroid_matrix,
+}
+
+ORACLES: Dict[str, str] = {
+    "embedding_centroid_matrix": f"""
+    WITH comp AS (
+        SELECT label AS lbl, i AS dim,
+               CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * {_MICRO} + 0.5)
+                    AS BIGINT) AS q
+        FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+    ),
+    cent AS (
+        SELECT lbl, dim, SUM(q)::BIGINT AS s, COUNT(*)::BIGINT AS n
+        FROM comp GROUP BY lbl, dim
+    ),
+    norms AS (
+        SELECT lbl, SUM(s * s)::BIGINT AS ss, MAX(n)::BIGINT AS n_vecs
+        FROM cent GROUP BY lbl
+    ),
+    dots AS (
+        SELECT a.lbl AS la, b.lbl AS lb, SUM(a.s * b.s)::BIGINT AS dot
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.lbl < b.lbl
+        GROUP BY a.lbl, b.lbl
+    )
+    SELECT d.la AS label_x, d.lb AS label_y,
+           na.n_vecs AS n_x, nb.n_vecs AS n_y,
+           ROUND(d.dot::DOUBLE
+                 / NULLIF(sqrt(na.ss::DOUBLE) * sqrt(nb.ss::DOUBLE), 0.0), 6)
+               AS cosine
+    FROM dots d
+    JOIN norms na ON d.la = na.lbl
+    JOIN norms nb ON d.lb = nb.lbl
+    """,
+}

@@ -1,0 +1,72 @@
+"""Embedding centroid-matrix tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.centroids import (
+    ORACLES,
+    QUERIES,
+    centroid_cosine_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mat(spark, rows):
+    df = spark.createDataFrame(rows, "label int, embedding array<float>")
+    return {
+        (r.label_x, r.label_y): r for r in centroid_cosine_over(df).collect()
+    }
+
+
+def test_centroid_cosine_semantics(spark):
+    out = _mat(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),  # orthogonal to label 0
+            (2, [2.0, 0.0, 0.0]),  # parallel to label 0 (scale-invariant)
+            (3, [-1.0, 0.0, 0.0]),  # anti-parallel
+        ],
+    )
+    assert out[(0, 1)].cosine == 0.0
+    assert out[(0, 2)].cosine == 1.0
+    assert out[(0, 3)].cosine == -1.0
+    assert out[(0, 1)].n_x == 2 and out[(0, 1)].n_y == 1
+
+
+def test_split_cluster_detection(spark):
+    # one cluster accidentally split into labels 7 and 8: cos ~ 1
+    rows = [(7, [1.0, 1.0, 0.1]), (7, [1.0, 0.9, 0.0]),
+            (8, [0.9, 1.0, 0.05]), (8, [1.1, 1.0, 0.1])]
+    out = _mat(spark, rows)
+    assert out[(7, 8)].cosine > 0.99
+
+
+def test_driver_matrix_shape(spark):
+    rows = QUERIES["embedding_centroid_matrix"](spark, SF).collect()
+    assert len(rows) == 45  # C(10, 2) unordered label pairs
+    assert all(r.label_x < r.label_y for r in rows)
+    assert all(-1.0 <= r.cosine <= 1.0 for r in rows)
+    # real clusters: centroids must not all collapse to one direction
+    assert min(r.cosine for r in rows) < 0.99
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["embedding_centroid_matrix"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF}/embeddings.parquet'"
+    )
+    o = ORACLES["embedding_centroid_matrix"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -114,6 +114,7 @@ PLAN_QUERIES = [
     "role_pii_report",
     "response_latency_report",
     "lang_metadata_audit",
+    "embedding_centroid_matrix",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
