@@ -1,0 +1,179 @@
+"""Turn-depth failure profile: WHERE in conversations failures cluster.
+
+Corpus-level refusal/truncation rates hide the structure that matters
+for SFT curation: refusals concentrated in the deep tail of long
+conversations mean the model being distilled degrades with context
+(drop the tail, keep the head), while uniformly-spread refusals mean a
+topical cause (filter by match, not position).  Per assistant turn:
+
+* depth quartile = ``(pos - 1) * 4 div n_turns`` over the
+  conversation's stable turn order — INTEGER bucketing, position and
+  length from the SAME conv exchange (row_number + count over one
+  partition);
+* the refusal / truncation detectors are the response_quality
+  regexes, re-applied here over the depth grain;
+* per quartile: assistant-turn count, refusal count/rate, truncation
+  count/rate (rates are one rounded division of exact integers each).
+
+Driver non-degeneracy: refusal boilerplate is planted with a
+DEPTH-DEPENDENT residue (only on later turns: ``doc_id % 11 == 4 AND
+pos * 2 > n_turns``) and terminal punctuation on ``doc_id % 5 < 3``,
+mirrored literally in the oracle — the profile provably SLOPES under
+the gate hash, which is the behavior the op exists to detect.
+
+Plan shape (100 TB): ONE conv_id exchange feeds row_number, the
+count-over window AND the quartile aggregate; per-row regexes; zero
+Python (plan-asserted).
+
+Reference scope: depth-grain extension of ops/response_quality; the
+reference has no conversation structure at all.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.response_quality import (
+    DISCLAIMER_RE,
+    REFUSAL_RE,
+)
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+_REFUSE_TOKEN = "I'm sorry, but I cannot help with that. "
+
+
+def depth_profile_over(turns: DataFrame) -> DataFrame:
+    """Per-quartile failure rates over (conv_id, turn_idx, role, text)."""
+    w_n = Window.partitionBy("conv_id")
+    scored = turns.select(
+        "conv_id",
+        "role",
+        "text",
+        F.col("turn_idx").alias("pos"),
+        F.count(F.lit(1)).over(w_n).cast("long").alias("n_turns"),
+    ).filter(F.col("role") == "assistant")
+    low = F.lower("text")
+    flagged = scored.select(
+        F.expr("cast((pos - 1) * 4 div n_turns as bigint)").alias(
+            "depth_quartile"
+        ),
+        (low.rlike(REFUSAL_RE) | low.rlike(DISCLAIMER_RE)).alias("refused"),
+        (~F.rtrim(F.col("text")).rlike("[.!?]$")).alias("truncated"),
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    agg = flagged.groupBy("depth_quartile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assistant"),
+        one_if(F.col("refused")).alias("n_refused"),
+        one_if(F.col("truncated")).alias("n_truncated"),
+    )
+    return agg.select(
+        "depth_quartile",
+        "n_assistant",
+        "n_refused",
+        "n_truncated",
+        F.round(
+            F.col("n_refused").cast("double")
+            / F.col("n_assistant").cast("double"),
+            6,
+        ).alias("refusal_rate"),
+        F.round(
+            F.col("n_truncated").cast("double")
+            / F.col("n_assistant").cast("double"),
+            6,
+        ).alias("truncation_rate"),
+    )
+
+
+def _synth_turns(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    base = t(spark, sf, "documents").select(
+        F.col("source").alias("conv_id"),
+        "doc_id",
+        F.when(d % 3 == 0, F.lit("user"))
+        .when(d % 3 == 1, F.lit("assistant"))
+        .otherwise(F.lit("system"))
+        .alias("role"),
+        "text",
+    )
+    w = Window.partitionBy("conv_id").orderBy("doc_id")
+    w_n = Window.partitionBy("conv_id")
+    pos = base.select(
+        "conv_id",
+        "doc_id",
+        "role",
+        "text",
+        F.row_number().over(w).alias("turn_idx"),
+        F.count(F.lit(1)).over(w_n).alias("_n"),
+    )
+    # depth-dependent refusal planting (deep-half only) + terminal '.'
+    injected = pos.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.concat(
+            F.when(
+                (d % 11 == 4) & (F.col("turn_idx") * 2 > F.col("_n")),
+                F.lit(_REFUSE_TOKEN),
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.when(d % 5 < 3, F.lit(".")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return injected
+
+
+def depth_failure_profile(spark: SparkSession, sf: str) -> DataFrame:
+    return depth_profile_over(_synth_turns(spark, sf))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "depth_failure_profile": depth_failure_profile,
+}
+
+ORACLES: Dict[str, str] = {
+    "depth_failure_profile": f"""
+    WITH pos AS (
+        SELECT source AS conv_id, doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'user'
+                    WHEN doc_id % 3 = 1 THEN 'assistant'
+                    ELSE 'system' END AS role,
+               text,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS turn_idx,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    ),
+    injected AS (
+        SELECT conv_id, turn_idx, role, n,
+               (CASE WHEN doc_id % 11 = 4 AND turn_idx * 2 > n
+                     THEN '{_REFUSE_TOKEN.replace("'", "''")}'
+                     ELSE '' END)
+               || text
+               || (CASE WHEN doc_id % 5 < 3 THEN '.' ELSE '' END) AS text
+        FROM pos
+    ),
+    flagged AS (
+        SELECT ((turn_idx - 1) * 4 // n)::BIGINT AS depth_quartile,
+               (regexp_matches(lower(text), '{REFUSAL_RE.replace(chr(39), chr(39) * 2)}')
+                OR regexp_matches(lower(text), '{DISCLAIMER_RE.replace(chr(39), chr(39) * 2)}'))
+                   AS refused,
+               NOT regexp_matches(rtrim(text), '[.!?]$') AS truncated
+        FROM injected WHERE role = 'assistant'
+    ),
+    agg AS (
+        SELECT depth_quartile,
+               COUNT(*)::BIGINT AS n_assistant,
+               SUM(refused::INT)::BIGINT AS n_refused,
+               SUM(truncated::INT)::BIGINT AS n_truncated
+        FROM flagged GROUP BY depth_quartile
+    )
+    SELECT depth_quartile, n_assistant, n_refused, n_truncated,
+           ROUND(n_refused::DOUBLE / n_assistant::DOUBLE, 6) AS refusal_rate,
+           ROUND(n_truncated::DOUBLE / n_assistant::DOUBLE, 6)
+               AS truncation_rate
+    FROM agg
+    """,
+}

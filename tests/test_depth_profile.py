@@ -1,0 +1,70 @@
+"""Turn-depth failure profile tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.depth_profile import (
+    ORACLES,
+    QUERIES,
+    depth_profile_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_depth_bucketing_and_flags(spark):
+    rows = []
+    # 8-turn conversation, assistant on even turns; deep answers refuse
+    for i in range(1, 9):
+        role = "assistant" if i % 2 == 0 else "user"
+        text = "fine answer here." if i <= 4 else "I cannot help with that"
+        rows.append(("c1", i, role, text))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {r.depth_quartile: r for r in depth_profile_over(df).collect()}
+    # assistant turns at pos 2,4,6,8 -> quartiles 0,1,2,3
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0].refusal_rate == 0.0 and out[0].truncation_rate == 0.0
+    assert out[2].refusal_rate == 1.0  # "I cannot" fires the regex
+    assert out[3].truncation_rate == 1.0  # no terminal punctuation
+
+
+def test_driver_profile_slopes_with_depth(spark):
+    rows = sorted(
+        QUERIES["depth_failure_profile"](spark, SF).collect(),
+        key=lambda r: r.depth_quartile,
+    )
+    assert [r.depth_quartile for r in rows] == [0, 1, 2, 3]
+    # refusals are planted deep-half only: the profile must slope
+    assert rows[3].refusal_rate > rows[0].refusal_rate
+    assert rows[0].n_refused == 0
+
+
+def test_plan_no_python(spark):
+    plan = (
+        QUERIES["depth_failure_profile"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["depth_failure_profile"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["depth_failure_profile"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

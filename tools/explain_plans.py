@@ -115,6 +115,7 @@ PLAN_QUERIES = [
     "response_latency_report",
     "lang_metadata_audit",
     "embedding_centroid_matrix",
+    "depth_failure_profile",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
