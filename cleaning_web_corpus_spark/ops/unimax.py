@@ -1,0 +1,164 @@
+"""UniMax budget allocation: epoch-capped waterfilling over sources.
+
+The mixture-design step after the dataset card: given a training
+budget of B tokens and a repetition cap (no source repeated more than
+E epochs — UniMax, Chung et al. 2023), allocate the budget as
+uniformly as possible subject to the caps.  The optimum is classic
+waterfilling and has a CLOSED FORM over sources sorted by capacity:
+the smallest sources saturate at ``cap = E * size`` and everyone past
+the breakpoint gets the equal share of what remains.  Exact under the
+gate:
+
+* sizes are the hotspot-relabeled per-source token counts (the
+  key_skew move, so one source holds ~half the corpus and the
+  waterfall provably BITES: small sources cap, the hotspot doesn't);
+* with caps sorted ascending (rank i, prefix sums P): the breakpoint
+  is the first i where ``(B - P_{{i-1}}) div (K - i + 1) <= cap_i``;
+  allocations are ``cap`` below it and that integer share above it —
+  EVERY quantity (budget ``B = 2 * total``, caps, prefix sums, shares)
+  is BIGINT arithmetic, the sub-K-token floor remainder is documented
+  slack, and the only float is the final rounded epochs ratio;
+* everything past the one per-source token aggregate runs on the
+  K-row relation (windows over K rows — bounded, never data).
+
+Reference scope: mixture-design extension consuming the
+effective-tokens family; no allocation stage exists in the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+MAX_EPOCHS = 3
+BUDGET_X = 2  # B = BUDGET_X * total corpus tokens
+
+
+def unimax_allocation_over(sizes: DataFrame) -> DataFrame:
+    """Waterfilling over a (source, sz) token-size relation."""
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.asc("cap"), F.asc("source"))
+    capped = sizes.select(
+        "source",
+        F.col("sz").cast("long").alias("sz"),
+        (F.col("sz") * MAX_EPOCHS).cast("long").alias("cap"),
+    ).withColumn("budget", F.sum("sz").over(w_all) * BUDGET_X)
+    ranked = (
+        capped.withColumn("i", F.row_number().over(w_rank))
+        .withColumn("k", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "p_prev",
+            F.coalesce(
+                F.sum("cap").over(
+                    w_rank.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("share", F.expr("(budget - p_prev) div (k - i + 1)"))
+        .withColumn("hit", F.expr("share <= cap"))
+    )
+    resolved = ranked.withColumn(
+        "istar",
+        F.coalesce(
+            F.min(F.when(F.col("hit"), F.col("i"))).over(w_all),
+            F.col("k") + 1,
+        ),
+    ).withColumn(
+        "share_star",
+        F.max(F.when(F.col("i") == F.col("istar"), F.col("share"))).over(
+            w_all
+        ),
+    )
+    out = resolved.select(
+        "source",
+        "sz",
+        "cap",
+        F.when(F.col("i") < F.col("istar"), F.col("cap"))
+        .otherwise(F.col("share_star"))
+        .cast("long")
+        .alias("allocation"),
+        (F.col("i") < F.col("istar")).alias("capped"),
+    )
+    return out.withColumn(
+        "epochs",
+        F.round(
+            F.col("allocation").cast("double") / F.col("sz").cast("double"), 6
+        ),
+    )
+
+
+def _hotspot_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").select(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("hotspot"))
+        .otherwise(F.col("source"))
+        .alias("source"),
+        F.expr(f"size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0))")
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return docs.groupBy("source").agg(F.sum("n_tokens").alias("sz"))
+
+
+def unimax_allocation(spark: SparkSession, sf: str) -> DataFrame:
+    return unimax_allocation_over(_hotspot_sizes(spark, sf))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "unimax_allocation": unimax_allocation,
+}
+
+ORACLES: Dict[str, str] = {
+    "unimax_allocation": f"""
+    WITH sizes AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'hotspot' ELSE source END
+                   AS source,
+               SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE}')))::BIGINT
+                   AS sz
+        FROM documents
+        GROUP BY 1
+    ),
+    capped AS (
+        SELECT source, sz, (sz * {MAX_EPOCHS})::BIGINT AS cap,
+               (SUM(sz) OVER ())::BIGINT * {BUDGET_X} AS budget
+        FROM sizes
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (ORDER BY cap ASC, source ASC) AS i,
+               COUNT(*) OVER () AS k,
+               COALESCE(SUM(cap) OVER (ORDER BY cap ASC, source ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0)::BIGINT AS p_prev
+        FROM capped
+    ),
+    shared AS (
+        SELECT *, ((budget - p_prev) // (k - i + 1))::BIGINT AS share,
+               ((budget - p_prev) // (k - i + 1)) <= cap AS hit
+        FROM ranked
+    ),
+    staged AS (
+        SELECT *,
+               COALESCE(MIN(CASE WHEN hit THEN i END) OVER (), k + 1)
+                   AS istar
+        FROM shared
+    ),
+    resolved AS (
+        SELECT *,
+               MAX(CASE WHEN i = istar THEN share END) OVER () AS share_star
+        FROM staged
+    )
+    SELECT source, sz, cap,
+           (CASE WHEN i < istar THEN cap ELSE share_star END)::BIGINT
+               AS allocation,
+           i < istar AS capped,
+           ROUND((CASE WHEN i < istar THEN cap ELSE share_star END)::DOUBLE
+                 / sz::DOUBLE, 6) AS epochs
+    FROM resolved
+    """,
+}

@@ -1,0 +1,82 @@
+"""UniMax waterfilling tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.unimax import (
+    BUDGET_X,
+    MAX_EPOCHS,
+    ORACLES,
+    QUERIES,
+    unimax_allocation_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _alloc(spark, sizes):
+    df = spark.createDataFrame(list(sizes.items()), "source string, sz long")
+    return {r.source: r for r in unimax_allocation_over(df).collect()}
+
+
+def test_waterfall_breakpoint(spark):
+    # total 1300 -> budget 2600; caps: a 300, b 900, c 2700
+    # rank by cap: a(300): share 2600//3 = 866 > 300 -> a capped
+    # b(900): share (2600-300)//2 = 1150 > 900 -> b capped
+    # c: share 2600-1200 = 1400 <= 2700 -> c uncapped at 1400
+    out = _alloc(spark, {"a": 100, "b": 300, "c": 900})
+    assert out["a"].capped and out["a"].allocation == 300
+    assert out["a"].epochs == float(MAX_EPOCHS)
+    assert out["b"].capped and out["b"].allocation == 900
+    assert not out["c"].capped and out["c"].allocation == 1400
+    total = 100 + 300 + 900
+    assert (
+        out["a"].allocation + out["b"].allocation + out["c"].allocation
+        == BUDGET_X * total
+    )
+
+
+def test_no_caps_fire_on_uniform(spark):
+    # equal sizes, budget 2x, caps 3x: uniform share 2x < cap -> nobody
+    # capped, everyone gets exactly 2 epochs
+    out = _alloc(spark, {"a": 500, "b": 500, "c": 500, "d": 500})
+    assert all(not r.capped for r in out.values())
+    assert all(r.allocation == 1000 and r.epochs == 2.0 for r in out.values())
+
+
+def test_everyone_capped_when_budget_exceeds_caps(spark):
+    # one giant + one tiny: budget 2*total; if budget >= sum(caps) the
+    # istar = k+1 branch caps everyone
+    out = _alloc(spark, {"t": 1})
+    # single source: share = 2*1 = 2 <= cap 3 -> uncapped at 2 epochs
+    assert not out["t"].capped and out["t"].allocation == 2
+
+
+def test_driver_waterfall_bites(spark):
+    rows = QUERIES["unimax_allocation"](spark, SF).collect()
+    by = {r.source: r for r in rows}
+    assert "hotspot" in by and not by["hotspot"].capped
+    assert by["hotspot"].epochs < MAX_EPOCHS
+    assert sum(r.capped for r in rows) >= len(rows) - 1  # small sources cap
+    assert sum(r.allocation for r in rows) <= BUDGET_X * sum(
+        r.sz for r in rows
+    )
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["unimax_allocation"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["unimax_allocation"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -116,6 +116,7 @@ PLAN_QUERIES = [
     "lang_metadata_audit",
     "embedding_centroid_matrix",
     "depth_failure_profile",
+    "unimax_allocation",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
