@@ -1,0 +1,135 @@
+"""Mergeable quantile sketch for document-length percentiles.
+
+The exact percentile query (A5) sorts; at 10^12 rows nobody sorts for
+a dashboard.  The production path is a MERGEABLE sketch — here the
+simplest one that is exactly gate-reproducible: a fixed-width
+histogram (bin = 16 tokens, clamped at 4096), whose per-bin counts
+merge by ADDITION across partitions, shards, days and clusters (the
+CMS/HLL contract: the sketch CONTENT is what the oracle hashes, not
+just the estimates).
+
+* quantile estimate at q% = the midpoint of the first bin whose
+  cumulative count reaches the nearest-rank position
+  ``(q*n + 99) div 100`` — INTEGER positions, integer midpoints;
+* the EXACT nearest-rank percentile rides alongside (computed from the
+  value-level count-of-counts histogram, the key_skew move — still no
+  data-sized sort), so the sketch's error is itself an audited,
+  gate-hashed column: ``abs_err <= bin/2 + clamp`` by construction;
+* one scan feeds both histograms; everything downstream is bounded by
+  the number of DISTINCT lengths / bins.
+
+Reference scope: the scalable form of A5 (exact percentile stats);
+sketch family sibling of CMS/HLL (ops/sketches).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+BIN_W = 16
+CLAMP = 4096
+QS = (25, 50, 75, 90, 99)
+
+
+def quantile_sketch_over(vals: DataFrame) -> DataFrame:
+    """(q_pct, est, exact, abs_err) over a single-column (v long)
+    relation."""
+    spark = vals.sparkSession
+    n_row = vals.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    binned = vals.select(
+        F.expr(f"least(cast(v as bigint), {CLAMP}) div {BIN_W}").alias("b")
+    )
+    hist_b = binned.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    hist_v = vals.groupBy(F.col("v").cast("long").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_b = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    w_v = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum_b = hist_b.select("b", F.sum("c").over(w_b).cast("long").alias("cum"))
+    cum_v = hist_v.select("v", F.sum("c").over(w_v).cast("long").alias("cum"))
+    qs = spark.createDataFrame([(q,) for q in QS], "q_pct long")
+    pos = qs.crossJoin(F.broadcast(n_row)).select(
+        "q_pct", F.expr("(q_pct * n + 99) div 100").alias("pos")
+    )
+    est = (
+        pos.join(cum_b, cum_b["cum"] >= pos["pos"])
+        .groupBy("q_pct")
+        .agg(F.min("b").alias("b"))
+        .select(
+            "q_pct",
+            F.expr(f"cast(b * {BIN_W} + {BIN_W // 2} as bigint)").alias("est"),
+        )
+    )
+    exact = (
+        pos.join(cum_v, cum_v["cum"] >= pos["pos"])
+        .groupBy("q_pct")
+        .agg(F.min("v").cast("long").alias("exact"))
+    )
+    return (
+        est.join(exact, "q_pct")
+        .select(
+            "q_pct",
+            "est",
+            "exact",
+            F.abs(F.col("est") - F.col("exact")).cast("long").alias("abs_err"),
+        )
+    )
+
+
+def length_quantile_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    vals = t(spark, sf, "documents").select(
+        F.expr(f"size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0))")
+        .cast("long")
+        .alias("v")
+    )
+    return quantile_sketch_over(vals)
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "length_quantile_sketch": length_quantile_sketch,
+}
+
+ORACLES: Dict[str, str] = {
+    "length_quantile_sketch": f"""
+    WITH vals AS (
+        SELECT len(regexp_extract_all(lower(text), '{TOKEN_RE}'))::BIGINT AS v
+        FROM documents
+    ),
+    n_row AS (SELECT COUNT(*)::BIGINT AS n FROM vals),
+    cum_b AS (
+        SELECT b, SUM(c) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS cum
+        FROM (SELECT LEAST(v, {CLAMP}) // {BIN_W} AS b,
+                     COUNT(*)::BIGINT AS c
+              FROM vals GROUP BY 1)
+    ),
+    cum_v AS (
+        SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS cum
+        FROM (SELECT v, COUNT(*)::BIGINT AS c FROM vals GROUP BY 1)
+    ),
+    pos AS (
+        SELECT q_pct, (q_pct * n + 99) // 100 AS pos
+        FROM (VALUES {", ".join(f"({q})" for q in QS)}) AS qs(q_pct), n_row
+    ),
+    est AS (
+        SELECT p.q_pct, (MIN(cb.b) * {BIN_W} + {BIN_W // 2})::BIGINT AS est
+        FROM pos p JOIN cum_b cb ON cb.cum >= p.pos
+        GROUP BY p.q_pct
+    ),
+    exact AS (
+        SELECT p.q_pct, MIN(cv.v)::BIGINT AS exact
+        FROM pos p JOIN cum_v cv ON cv.cum >= p.pos
+        GROUP BY p.q_pct
+    )
+    SELECT e.q_pct::BIGINT AS q_pct, e.est, x.exact,
+           ABS(e.est - x.exact)::BIGINT AS abs_err
+    FROM est e JOIN exact x ON e.q_pct = x.q_pct
+    """,
+}

@@ -1,0 +1,63 @@
+"""Mergeable quantile-sketch tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.quantile_sketch import (
+    BIN_W,
+    ORACLES,
+    QUERIES,
+    quantile_sketch_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sk(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "v long")
+    return {r.q_pct: r for r in quantile_sketch_over(df).collect()}
+
+
+def test_exact_nearest_rank(spark):
+    out = _sk(spark, list(range(1, 101)))  # 1..100
+    # nearest-rank: pos = ceil(q*n/100) = q -> exact = q
+    for q in (25, 50, 75, 90, 99):
+        assert out[q].exact == q
+        assert out[q].abs_err <= BIN_W // 2  # midpoint bound inside range
+
+
+def test_sketch_error_bound(spark):
+    vals = [7, 7, 7, 300, 301, 302, 303, 9000, 9001]  # incl. clamp tail
+    out = _sk(spark, vals)
+    for q in (25, 50, 75):
+        assert out[q].abs_err <= BIN_W // 2
+    # the 99th percentile sits in the clamp bin: estimate saturates
+    assert out[99].exact == 9001 and out[99].est <= 4096 + BIN_W
+
+
+def test_driver_sketch_close_to_exact(spark):
+    rows = QUERIES["length_quantile_sketch"](spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.abs_err <= BIN_W // 2  # driver lengths are far below clamp
+    qs = {r.q_pct: r.exact for r in rows}
+    assert qs[25] <= qs[50] <= qs[75] <= qs[90] <= qs[99]
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["length_quantile_sketch"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["length_quantile_sketch"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -117,6 +117,7 @@ PLAN_QUERIES = [
     "embedding_centroid_matrix",
     "depth_failure_profile",
     "unimax_allocation",
+    "length_quantile_sketch",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
