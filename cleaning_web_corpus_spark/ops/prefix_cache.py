@@ -1,0 +1,155 @@
+"""Prefix-cache savings estimator over shared system prompts.
+
+Fleet-serving and batch-inference planning starts from one number:
+what fraction of prompt tokens is a SHARED PREFIX that prefix caching
+(or prompt-prefix batching in offline scoring) would not recompute?
+Conversations sharing a byte-identical system prompt re-pay its tokens
+once per conversation; with caching the group pays once total.  Per
+system-prompt digest group:
+
+* ``n_convs``, ``prefix_tokens`` (whitespace-normalized md5 grouping,
+  the canned-response move — byte-noise in copies doesn't split
+  groups);
+* ``cacheable_tokens = (n_convs - 1) * prefix_tokens`` — exact
+  integers;
+* corpus rollup: total prompt tokens vs cacheable mass, one rounded
+  ``cacheable_frac`` division.
+
+Plan shape (100 TB): system turns only ride the digest shuffle (one
+md5 groupBy with map-side combine collapsing each fleet-wide template
+to one row per partition), then a bounded rollup.
+
+Driver synthesis: system turns = doc_id % 3 == 2; conversations whose
+id ends in {{0,3,6,9}} are re-emitted under '#rerun' with the SAME
+system turn (the template_fingerprints rerun-twin move, mirrored in
+the oracle) so shared-prefix groups exist at every sf.
+
+Reference scope: serving-side extension of the conversation-assembly
+family (J6); the reference has no notion of shared prefixes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+_RERUN_LAST = ("0", "3", "6", "9")
+
+
+def prefix_cache_over(system_turns: DataFrame) -> DataFrame:
+    """Per shared-prefix group over a (conv_id, text) relation of
+    system turns (one per conversation)."""
+    normed = system_turns.select(
+        "conv_id",
+        F.md5(
+            F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        ).alias("prefix_md5"),
+        F.expr(f"size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0))")
+        .cast("long")
+        .alias("prefix_tokens"),
+    )
+    grouped = normed.groupBy("prefix_md5").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.max("prefix_tokens").cast("long").alias("prefix_tokens"),
+        F.min("conv_id").alias("example_conv"),
+    )
+    return grouped.select(
+        "prefix_md5",
+        "n_convs",
+        "prefix_tokens",
+        "example_conv",
+        ((F.col("n_convs") - 1) * F.col("prefix_tokens"))
+        .cast("long")
+        .alias("cacheable_tokens"),
+    )
+
+
+def _system_turns(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").filter(F.col("doc_id") % 3 == 2)
+    base = docs.groupBy(F.col("source").alias("conv_id")).agg(
+        F.min_by("text", "doc_id").alias("text")
+    )
+    rerun = base.filter(
+        F.expr(f"substr(conv_id, -1) in {_RERUN_LAST!r}")
+    ).withColumn("conv_id", F.concat("conv_id", F.lit("#rerun")))
+    return base.unionByName(rerun)
+
+
+def prefix_cache_groups(spark: SparkSession, sf: str) -> DataFrame:
+    return prefix_cache_over(_system_turns(spark, sf))
+
+
+def prefix_cache_stats(spark: SparkSession, sf: str) -> DataFrame:
+    g = prefix_cache_groups(spark, sf)
+    total = F.sum(F.col("n_convs") * F.col("prefix_tokens"))
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("n_convs") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_shared_groups"),
+        total.cast("long").alias("total_prefix_tokens"),
+        F.sum("cacheable_tokens").cast("long").alias("cacheable_tokens"),
+        F.round(
+            F.sum("cacheable_tokens").cast("double")
+            / F.when(total > 0, total).cast("double"),
+            6,
+        ).alias("cacheable_frac"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "prefix_cache_groups": prefix_cache_groups,
+    "prefix_cache_stats": prefix_cache_stats,
+}
+
+_SQL_GROUPS = f"""
+    WITH base AS (
+        SELECT source AS conv_id, arg_min(text, doc_id) AS text
+        FROM documents WHERE doc_id % 3 = 2
+        GROUP BY source
+    ),
+    with_rerun AS (
+        SELECT conv_id, text FROM base
+        UNION ALL
+        SELECT conv_id || '#rerun', text FROM base
+        WHERE substr(conv_id, -1) IN {_RERUN_LAST!r}
+    ),
+    normed AS (
+        SELECT conv_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                   AS prefix_md5,
+               len(regexp_extract_all(lower(text), '{TOKEN_RE}'))::BIGINT
+                   AS prefix_tokens
+        FROM with_rerun
+    ),
+    grouped AS (
+        SELECT prefix_md5,
+               COUNT(*)::BIGINT AS n_convs,
+               MAX(prefix_tokens)::BIGINT AS prefix_tokens,
+               MIN(conv_id) AS example_conv
+        FROM normed GROUP BY prefix_md5
+    )
+    SELECT prefix_md5, n_convs, prefix_tokens, example_conv,
+           ((n_convs - 1) * prefix_tokens)::BIGINT AS cacheable_tokens
+    FROM grouped
+"""
+
+ORACLES: Dict[str, str] = {
+    "prefix_cache_groups": _SQL_GROUPS,
+    "prefix_cache_stats": f"""
+    WITH g AS ({_SQL_GROUPS})
+    SELECT COUNT(*)::BIGINT AS n_groups,
+           SUM((n_convs >= 2)::INT)::BIGINT AS n_shared_groups,
+           SUM(n_convs * prefix_tokens)::BIGINT AS total_prefix_tokens,
+           SUM(cacheable_tokens)::BIGINT AS cacheable_tokens,
+           ROUND(SUM(cacheable_tokens)::DOUBLE
+                 / NULLIF(SUM(n_convs * prefix_tokens), 0)::DOUBLE, 6)
+               AS cacheable_frac
+    FROM g
+    """,
+}

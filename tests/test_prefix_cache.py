@@ -1,0 +1,67 @@
+"""Prefix-cache savings tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.prefix_cache import (
+    ORACLES,
+    QUERIES,
+    prefix_cache_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_grouping_and_savings(spark):
+    rows = [
+        ("c1", "You are a helpful assistant with five words more"),
+        ("c2", "You are a  helpful\nassistant with five words more"),  # ws-noise
+        ("c3", "You are a helpful assistant with five words more"),
+        ("c4", "Totally different system prompt here"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, text string")
+    out = sorted(
+        prefix_cache_over(df).collect(), key=lambda r: -r.n_convs
+    )
+    assert out[0].n_convs == 3  # whitespace noise must not split the group
+    assert out[0].prefix_tokens == 9
+    assert out[0].cacheable_tokens == 18  # (3-1) * 9
+    assert out[0].example_conv == "c1"
+    assert out[1].n_convs == 1 and out[1].cacheable_tokens == 0
+
+
+def test_driver_shared_groups_exist(spark):
+    s = QUERIES["prefix_cache_stats"](spark, SF).collect()[0]
+    assert s.n_shared_groups > 0  # rerun twins share their system turn
+    assert 0 < s.cacheable_frac < 1
+    assert s.cacheable_tokens < s.total_prefix_tokens
+
+
+def test_plan_no_python(spark):
+    plan = (
+        QUERIES["prefix_cache_groups"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["prefix_cache_groups", "prefix_cache_stats"])
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    ocols = [d[0] for d in con.execute(ORACLES[name]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(ORACLES[name]).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -118,6 +118,7 @@ PLAN_QUERIES = [
     "depth_failure_profile",
     "unimax_allocation",
     "length_quantile_sketch",
+    "prefix_cache_groups",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
