@@ -1,0 +1,144 @@
+"""Tool-call funnel: calls -> parseable args -> answered conversations.
+
+The agent-trace quality question is a FUNNEL, not three independent
+rates: of every tool call, how many carried arguments the executor
+could even parse, and how many were followed by an actual
+natural-language answer (a later tool-free assistant turn in the same
+conversation)?  Calls that parse but never lead to an answer are the
+abandoned-trajectory mass an SFT curator drops; tools whose funnel
+narrows early are broken integrations.  Per tool:
+
+* ``n_calls`` / ``n_valid_args`` — the agent_behavior JSON audit
+  (JVM ``try_parse_json`` vs DuckDB ``json_valid``) reused at funnel
+  grain;
+* ``n_answered`` — the call has a LATER answer turn: computed as
+  ``last_answer_idx > turn_idx`` where ``last_answer_idx`` is one
+  whole-partition max over the conversation (the same conv exchange
+  the turn synthesis already pays — no join, no second shuffle);
+* ``n_full_funnel`` (valid AND answered) plus one rounded rate per
+  stage.
+
+Driver synthesis reuses transcript_checks' turn mapping and
+agent_behavior's deterministic args (every 5th call truncated JSON,
+every 5th bare key=value — both engines plant identically), so every
+funnel stage provably narrows under the gate hash.
+
+Reference scope: agent-ops extension of ops/agent_behavior; the
+reference has no tool concept.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.transcript_checks import (
+    _SQL_TURNS,
+    _synth_turns,
+)
+
+_ARGS_EXPR = (
+    "case turn_idx % 5"
+    " when 0 then concat('{\"q\":\"p', cast(turn_idx as string), '\"}')"
+    " when 1 then concat('{\"q\":\"p', cast(turn_idx as string),"
+    "                    '\",\"k\":', cast(turn_idx % 7 as string), '}')"
+    " when 2 then concat('{\"q\":\"p', cast(turn_idx as string))"
+    " when 3 then '{}'"
+    " else concat('q=p', cast(turn_idx as string)) end"
+)
+
+_SQL_ARGS = """
+    CASE turn_idx % 5
+         WHEN 0 THEN '{"q":"p' || turn_idx || '"}'
+         WHEN 1 THEN '{"q":"p' || turn_idx || '","k":' || turn_idx % 7 || '}'
+         WHEN 2 THEN '{"q":"p' || turn_idx
+         WHEN 3 THEN '{}'
+         ELSE 'q=p' || turn_idx END
+"""
+
+
+def tool_funnel_over(turns: DataFrame) -> DataFrame:
+    """Per-tool funnel over (conv_id, turn_idx, role, tool, args)."""
+    w = Window.partitionBy("conv_id")
+    staged = turns.withColumn(
+        "_last_answer",
+        F.max(
+            F.when(
+                (F.col("role") == "assistant") & F.col("tool").isNull(),
+                F.col("turn_idx"),
+            )
+        ).over(w),
+    )
+    calls = staged.filter(F.col("tool").isNotNull()).select(
+        "tool",
+        F.expr("try_parse_json(args) is not null").alias("valid"),
+        (
+            F.col("_last_answer").isNotNull()
+            & (F.col("_last_answer") > F.col("turn_idx"))
+        ).alias("answered"),
+    )
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    agg = calls.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+        one_if(F.col("valid")).alias("n_valid_args"),
+        one_if(F.col("answered")).alias("n_answered"),
+        one_if(F.col("valid") & F.col("answered")).alias("n_full_funnel"),
+    )
+    rate = lambda c: F.round(
+        F.col(c).cast("double") / F.col("n_calls").cast("double"), 6
+    )
+    return agg.select(
+        "tool",
+        "n_calls",
+        "n_valid_args",
+        "n_answered",
+        "n_full_funnel",
+        rate("n_valid_args").alias("valid_rate"),
+        rate("n_full_funnel").alias("full_funnel_rate"),
+    )
+
+
+def tool_call_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    turns = _synth_turns(spark, sf).withColumn("args", F.expr(_ARGS_EXPR))
+    return tool_funnel_over(turns)
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tool_call_funnel": tool_call_funnel,
+}
+
+ORACLES: Dict[str, str] = {
+    "tool_call_funnel": f"""
+{_SQL_TURNS},
+    staged AS (
+        SELECT conv_id, turn_idx, role, tool,
+               {_SQL_ARGS} AS args,
+               MAX(CASE WHEN role = 'assistant' AND tool IS NULL
+                        THEN turn_idx END)
+                   OVER (PARTITION BY conv_id) AS last_answer
+        FROM turns
+    ),
+    calls AS (
+        SELECT tool,
+               json_valid(args) AS valid,
+               (last_answer IS NOT NULL AND last_answer > turn_idx)
+                   AS answered
+        FROM staged WHERE tool IS NOT NULL
+    ),
+    agg AS (
+        SELECT tool,
+               COUNT(*)::BIGINT AS n_calls,
+               SUM(valid::INT)::BIGINT AS n_valid_args,
+               SUM(answered::INT)::BIGINT AS n_answered,
+               SUM((valid AND answered)::INT)::BIGINT AS n_full_funnel
+        FROM calls GROUP BY tool
+    )
+    SELECT tool, n_calls, n_valid_args, n_answered, n_full_funnel,
+           ROUND(n_valid_args::DOUBLE / n_calls::DOUBLE, 6) AS valid_rate,
+           ROUND(n_full_funnel::DOUBLE / n_calls::DOUBLE, 6)
+               AS full_funnel_rate
+    FROM agg
+    """,
+}

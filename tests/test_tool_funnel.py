@@ -1,0 +1,81 @@
+"""Tool-call funnel tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.tool_funnel import (
+    ORACLES,
+    QUERIES,
+    tool_funnel_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_funnel_stages(spark):
+    rows = [
+        # c1: valid call then a later answer -> full funnel
+        ("c1", 1, "user", None, None),
+        ("c1", 2, "assistant", "search", '{"q": "x"}'),
+        ("c1", 3, "assistant", None, None),
+        # c2: INVALID args but still answered
+        ("c2", 1, "assistant", "search", '{"q": broken'),
+        ("c2", 2, "assistant", None, None),
+        # c3: valid call, conversation ends on the call -> abandoned
+        ("c3", 1, "user", None, None),
+        ("c3", 2, "assistant", "browser", "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, tool string, args string",
+    )
+    out = {r.tool: r for r in tool_funnel_over(df).collect()}
+    assert out["search"].n_calls == 2
+    assert out["search"].n_valid_args == 1
+    assert out["search"].n_answered == 2
+    assert out["search"].n_full_funnel == 1
+    assert out["search"].full_funnel_rate == 0.5
+    assert out["browser"].n_answered == 0  # abandoned trajectory
+    assert out["browser"].n_valid_args == 1
+
+
+def test_answer_must_be_later(spark):
+    # answer BEFORE the call does not count
+    rows = [
+        ("c1", 1, "assistant", None, None),
+        ("c1", 2, "assistant", "search", "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, tool string, args string",
+    )
+    out = tool_funnel_over(df).collect()[0]
+    assert out.n_answered == 0
+
+
+def test_driver_funnel_narrows(spark):
+    rows = QUERIES["tool_call_funnel"](spark, SF).collect()
+    assert {r.tool for r in rows} == {"search", "browser"}
+    for r in rows:
+        assert r.n_calls >= r.n_valid_args >= r.n_full_funnel
+        assert r.n_valid_args < r.n_calls  # planted malformed args
+        assert 0 < r.valid_rate < 1
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["tool_call_funnel"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["tool_call_funnel"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

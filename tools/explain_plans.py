@@ -119,6 +119,7 @@ PLAN_QUERIES = [
     "unimax_allocation",
     "length_quantile_sketch",
     "prefix_cache_groups",
+    "tool_call_funnel",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
