@@ -1,0 +1,118 @@
+"""Generic table profiler: the ingest-QA pass every warehouse runs first.
+
+Before any pipeline consumes a new table drop, a profiler answers the
+boring-but-blocking questions: which columns are null and how often,
+what are the ranges, how many distinct values (is this a key? an
+enum?).  This op profiles a FIXED column set of the ``lineitem``
+table (the engine's widest non-document relation) with every emitted
+value gate-safe across engines:
+
+* numeric (double) columns are micro-quantized to BIGINT before
+  min/max (Spark and DuckDB render doubles differently — '1.0E7' vs
+  '10000000.0' — so raw double-as-string is the trap this avoids);
+* dates render ISO in both engines; strings compare bytewise;
+* counts (rows, nulls, distinct) are exact integer aggregates;
+* ONE scan collects every statistic (a single wide aggregate row),
+  and ``stack()`` pivots it to one row per column — the DuckDB twin
+  mirrors with UNION ALL over a MATERIALIZED one-row CTE.
+
+Scale note: COUNT(DISTINCT) over several columns in one pass EXPANDs
+(Spark rewrites multi-distinct aggregates; at 10^12 rows switch the
+wide profile to approx_count_distinct per column or per-column
+passes); exact distinct is the right contract for the gate.
+
+Reference scope: profiling extension of the validity predicates (F18)
+— the reference validates per-row shapes, never distributions.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+_MICRO = 1_000_000
+
+# (column, kind): kind decides the gate-safe min/max canonicalization
+PROFILE_COLS = (
+    ("l_orderkey", "int"),
+    ("l_quantity", "num"),
+    ("l_extendedprice", "num"),
+    ("l_shipdate", "str"),
+    ("l_returnflag", "str"),
+    ("l_shipmode", "str"),
+)
+
+
+def _canon(col: str, kind: str) -> str:
+    if kind == "num":
+        return (
+            f"cast(floor(cast({col} as double) * {_MICRO} + 0.5) as bigint)"
+        )
+    if kind == "int":
+        return f"cast({col} as bigint)"
+    return f"cast({col} as string)"
+
+
+def table_profile_lineitem(spark: SparkSession, sf: str) -> DataFrame:
+    df = t(spark, sf, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for col, kind in PROFILE_COLS:
+        c = _canon(col, kind)
+        aggs.append(
+            F.expr(f"sum(case when {col} is null then 1 else 0 end)")
+            .cast("long")
+            .alias(f"nulls_{col}")
+        )
+        aggs.append(F.expr(f"count(distinct {c})").cast("long").alias(f"nd_{col}"))
+        aggs.append(F.expr(f"cast(min({c}) as string)").alias(f"mn_{col}"))
+        aggs.append(F.expr(f"cast(max({c}) as string)").alias(f"mx_{col}"))
+    s = df.agg(*aggs)
+    tuples = ", ".join(
+        f"'{col}', n_rows, nulls_{col}, nd_{col}, mn_{col}, mx_{col}"
+        for col, _ in PROFILE_COLS
+    )
+    return s.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {tuples})"
+            " as (column_name, n_rows, n_nulls, n_distinct, min_repr,"
+            " max_repr)"
+        )
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "table_profile_lineitem": table_profile_lineitem,
+}
+
+_AGG = ["COUNT(*)::BIGINT AS n_rows"]
+for _col, _kind in PROFILE_COLS:
+    _c = _canon(_col, _kind).replace(" as string)", " as VARCHAR)")
+    _c = _c.replace("cast(", "CAST(").replace(" as bigint)", " AS BIGINT)")
+    _c = _c.replace(" as double)", " AS DOUBLE)")
+    _AGG.append(
+        f"SUM(CASE WHEN {_col} IS NULL THEN 1 ELSE 0 END)::BIGINT"
+        f" AS nulls_{_col}"
+    )
+    _AGG.append(f"COUNT(DISTINCT {_c})::BIGINT AS nd_{_col}")
+    _AGG.append(f"CAST(MIN({_c}) AS VARCHAR) AS mn_{_col}")
+    _AGG.append(f"CAST(MAX({_c}) AS VARCHAR) AS mx_{_col}")
+
+_SELECTS = [
+    f"""SELECT '{col}' AS column_name, n_rows, nulls_{col} AS n_nulls,
+           nd_{col} AS n_distinct, mn_{col} AS min_repr, mx_{col} AS max_repr
+    FROM s"""
+    for col, _ in PROFILE_COLS
+]
+
+ORACLES: Dict[str, str] = {
+    "table_profile_lineitem": f"""
+    WITH s AS MATERIALIZED (
+        SELECT {", ".join(_AGG)} FROM lineitem
+    )
+    {" UNION ALL ".join(_SELECTS)}
+    """,
+}
