@@ -43,7 +43,7 @@ PROFILE_COLS = (
     ("l_extendedprice", "num"),
     ("l_shipdate", "str"),
     ("l_returnflag", "str"),
-    ("l_shipmode", "str"),
+    ("l_linestatus", "str"),
 )
 
 

@@ -1,0 +1,62 @@
+"""Table-profiler tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.table_profile import (
+    PROFILE_COLS,
+    ORACLES,
+    QUERIES,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_profile_semantics(spark):
+    rows = {
+        r.column_name: r
+        for r in QUERIES["table_profile_lineitem"](spark, SF).collect()
+    }
+    assert set(rows) == {c for c, _ in PROFILE_COLS}
+    li = rows["l_orderkey"]
+    assert li.n_rows > 0 and li.n_nulls == 0
+    assert 0 < li.n_distinct <= li.n_rows
+    assert int(li.min_repr) <= int(li.max_repr)
+    rf = rows["l_returnflag"]
+    assert rf.n_distinct <= 3  # R/A/N enum
+    qty = rows["l_quantity"]
+    # micro-quantized canonical range: 1..50 quantity
+    assert int(qty.min_repr) >= 1_000_000
+    assert int(qty.max_repr) <= 50_000_000
+    sd = rows["l_shipdate"]
+    assert sd.min_repr.startswith("199") or sd.min_repr.startswith("20")
+
+
+def test_single_scan(spark):
+    plan = (
+        QUERIES["table_profile_lineitem"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "ArrowEvalPython" not in plan
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["table_profile_lineitem"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'"
+    )
+    o = ORACLES["table_profile_lineitem"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

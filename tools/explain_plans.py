@@ -120,6 +120,7 @@ PLAN_QUERIES = [
     "length_quantile_sketch",
     "prefix_cache_groups",
     "tool_call_funnel",
+    "table_profile_lineitem",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
