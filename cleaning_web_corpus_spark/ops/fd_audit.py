@@ -1,0 +1,83 @@
+"""Functional-dependency audit over ingest metadata.
+
+Schema assumptions die silently: a pipeline partitioned on the belief
+that every source is single-language (source -> lang) keeps working
+while mixed-language sources quietly poison the per-language shards.
+The audit is classic FD profiling: for each candidate dependency
+``determinant -> dependent``, count determinant keys with MORE THAN
+ONE distinct dependent value.  Both directions of (source, lang) are
+checked — the corpus's sources are multi-language, so the forward
+dependency provably FAILS (the audit's reason to exist), pinned by
+test.
+
+* per dependency: key count, violating-key count, one rounded
+  violation-rate division, and the lexicographically-smallest
+  violating key as the actionable example;
+* each direction is one keyed aggregate (count distinct dependent per
+  determinant, map-side combinable) + a 1-row rollup; the two
+  directions union to a 2-row report.
+
+Reference scope: profiling extension of the validity predicates (F18),
+sibling of the table profiler.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+
+def fd_audit_over(df: DataFrame, det: str, dep: str) -> DataFrame:
+    """One-row FD report for determinant `det` -> dependent `dep`."""
+    per_key = df.groupBy(F.col(det).alias("k")).agg(
+        F.count_distinct(F.col(dep)).cast("long").alias("nd")
+    )
+    return per_key.agg(
+        F.lit(det).alias("determinant"),
+        F.lit(dep).alias("dependent"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating"),
+        F.round(
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("violation_rate"),
+        F.min(F.when(F.col("nd") > 1, F.col("k"))).alias("example_key"),
+    )
+
+
+def metadata_fd_audit(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").select("source", "lang")
+    fwd = fd_audit_over(docs, "source", "lang")
+    rev = fd_audit_over(docs, "lang", "source")
+    return fwd.unionByName(rev)
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "metadata_fd_audit": metadata_fd_audit,
+}
+
+_SQL_DIR = """
+    SELECT '{det}' AS determinant, '{dep}' AS dependent,
+           COUNT(*)::BIGINT AS n_keys,
+           SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_violating,
+           ROUND(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*)::DOUBLE, 6) AS violation_rate,
+           MIN(CASE WHEN nd > 1 THEN k END) AS example_key
+    FROM (SELECT {det} AS k, COUNT(DISTINCT {dep})::BIGINT AS nd
+          FROM documents GROUP BY {det})
+"""
+
+ORACLES: Dict[str, str] = {
+    "metadata_fd_audit": (
+        _SQL_DIR.format(det="source", dep="lang")
+        + " UNION ALL "
+        + _SQL_DIR.format(det="lang", dep="source")
+    ),
+}

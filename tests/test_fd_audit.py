@@ -1,0 +1,63 @@
+"""Functional-dependency audit tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.fd_audit import (
+    ORACLES,
+    QUERIES,
+    fd_audit_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_fd_semantics(spark):
+    rows = [
+        ("s1", "en"), ("s1", "en"),  # s1 clean
+        ("s2", "en"), ("s2", "de"),  # s2 violates
+        ("s3", "fr"),
+    ]
+    df = spark.createDataFrame(rows, "source string, lang string")
+    r = fd_audit_over(df, "source", "lang").collect()[0]
+    assert (r.n_keys, r.n_violating) == (3, 1)
+    assert r.example_key == "s2"
+    assert abs(r.violation_rate - 1 / 3) < 1e-6
+
+
+def test_holding_dependency_reports_zero(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("b", "y")], "source string, lang string"
+    )
+    r = fd_audit_over(df, "source", "lang").collect()[0]
+    assert r.n_violating == 0 and r.violation_rate == 0.0
+    assert r.example_key is None
+
+
+def test_driver_sources_are_multilang(spark):
+    out = {
+        (r.determinant, r.dependent): r
+        for r in QUERIES["metadata_fd_audit"](spark, SF).collect()
+    }
+    # the corpus's sources mix languages: the forward FD must fail
+    assert out[("source", "lang")].n_violating > 0
+    assert out[("lang", "source")].n_violating > 0
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["metadata_fd_audit"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["metadata_fd_audit"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -121,6 +121,7 @@ PLAN_QUERIES = [
     "prefix_cache_groups",
     "tool_call_funnel",
     "table_profile_lineitem",
+    "metadata_fd_audit",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
