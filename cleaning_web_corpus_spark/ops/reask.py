@@ -1,0 +1,210 @@
+"""User re-ask detection: the frustration signal in conversation logs.
+
+A user repeating (near-verbatim) their previous request is the
+highest-precision label "the assistant's last answer failed" that
+exists WITHOUT a reward model — re-ask-heavy conversations are
+down-weighted for SFT and mined as hard negatives for preference
+training.  Per consecutive pair of USER turns in a conversation:
+
+* distinct word-trigram sets of both turns; overlap = exact integer
+  ``|A ∩ B|`` and ``|A ∪ B|`` (array_intersect + distinct-concat);
+* ``re_ask`` decided INTEGER-ONLY: ``2*|A∩B| >= |A∪B|`` (Jaccard >=
+  1/2) with a ``|A∪B| > 0`` guard — too-short turns never count;
+* per-conversation rollup: user-turn count, consecutive-pair count,
+  re-ask count, ``any_reask``; plus the corpus 1-row stats.
+
+Plan shape (100 TB): ONE conv_id exchange serves the user-turn lag
+windows AND the per-conv aggregate; gram math is per-row codegen.
+
+Driver non-degeneracy: user turns on a doc_id residue REPLACE their
+text with the conversation's PREVIOUS user turn (computed from the
+pre-injection lag, mirrored in the oracle), so planted re-asks exist
+at every sf while word-salad neighbours stay below the bar.
+
+Reference scope: transcripts-native extension of the
+response_quality/agent_behavior family; the reference never sees
+conversation structure.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.dedup import _shingle_arr
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+G_N = 3
+_RES_REASK = 37  # doc_id % 37 == 9 user turns repeat the previous ask
+
+
+def reask_report_over(user_turns: DataFrame) -> DataFrame:
+    """Per-conv re-ask rollup over ordered (conv_id, turn_idx, text)
+    USER turns."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    toks = F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+    grams = user_turns.select(
+        "conv_id",
+        "turn_idx",
+        toks.alias("toks"),
+    ).select("conv_id", "turn_idx", _shingle_arr(G_N).alias("g"))
+    paired = grams.select(
+        "conv_id",
+        "g",
+        F.lag("g").over(w).alias("pg"),
+    ).filter(F.col("pg").isNotNull())
+    scored = paired.select(
+        "conv_id",
+        F.size(F.array_intersect("g", "pg")).cast("long").alias("inter"),
+        F.size(F.array_distinct(F.concat("g", "pg"))).cast("long").alias("uni"),
+    ).select(
+        "conv_id",
+        ((F.col("inter") * 2 >= F.col("uni")) & (F.col("uni") > 0)).alias(
+            "re_ask"
+        ),
+    )
+    n_user = user_turns.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_user_turns")
+    )
+    per_conv = scored.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("re_ask"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reasks"),
+    )
+    return (
+        n_user.join(per_conv, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_user_turns",
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_reasks", F.lit(0)).cast("long").alias("n_reasks"),
+        )
+        .withColumn("any_reask", F.col("n_reasks") > 0)
+    )
+
+
+def _user_turns_injected(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    users = (
+        t(spark, sf, "documents")
+        .filter(d % 3 == 0)
+        .select(F.col("source").alias("conv_id"), "doc_id", "text")
+    )
+    w = Window.partitionBy("conv_id").orderBy("doc_id")
+    with_prev = users.select(
+        "conv_id",
+        "doc_id",
+        "text",
+        F.lag("text").over(w).alias("_prev"),
+    )
+    return with_prev.select(
+        "conv_id",
+        F.col("doc_id").alias("turn_idx"),
+        F.when(
+            (d % _RES_REASK == 9) & F.col("_prev").isNotNull(),
+            F.col("_prev"),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def user_reask_report(spark: SparkSession, sf: str) -> DataFrame:
+    return reask_report_over(_user_turns_injected(spark, sf))
+
+
+def user_reask_stats(spark: SparkSession, sf: str) -> DataFrame:
+    r = user_reask_report(spark, sf)
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum("n_pairs").cast("long").alias("n_pairs"),
+        F.sum("n_reasks").cast("long").alias("n_reasks"),
+        F.sum(F.when(F.col("any_reask"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_convs_with_reask"),
+        F.round(
+            F.sum("n_reasks").cast("double")
+            / F.when(F.sum("n_pairs") > 0, F.sum("n_pairs")).cast("double"),
+            6,
+        ).alias("reask_rate"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "user_reask_report": user_reask_report,
+    "user_reask_stats": user_reask_stats,
+}
+
+_GRAM = " || ' ' || ".join(f"w[i + {k}]" for k in range(1, G_N + 1))
+
+_SQL_REPORT = f"""
+    WITH users AS (
+        SELECT source AS conv_id, doc_id, text
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    with_prev AS (
+        SELECT conv_id, doc_id, text,
+               LAG(text) OVER (PARTITION BY conv_id ORDER BY doc_id) AS prev
+        FROM users
+    ),
+    injected AS (
+        SELECT conv_id, doc_id AS turn_idx,
+               CASE WHEN doc_id % {_RES_REASK} = 9 AND prev IS NOT NULL
+                    THEN prev ELSE text END AS text
+        FROM with_prev
+    ),
+    grams AS (
+        SELECT conv_id, turn_idx,
+               CASE WHEN len(w) >= {G_N}
+                    THEN list_distinct(list_transform(
+                             range(0, len(w) - {G_N - 1}), i -> {_GRAM}))
+                    ELSE []::VARCHAR[] END AS g
+        FROM (SELECT conv_id, turn_idx,
+                     regexp_extract_all(lower(text), '{TOKEN_RE}') AS w
+              FROM injected)
+    ),
+    paired AS (
+        SELECT conv_id, g,
+               LAG(g) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pg
+        FROM grams
+    ),
+    scored AS (
+        SELECT conv_id,
+               len(list_intersect(g, pg))::BIGINT AS inter,
+               len(list_distinct(list_concat(g, pg)))::BIGINT AS uni
+        FROM paired WHERE pg IS NOT NULL
+    ),
+    per_conv AS (
+        SELECT conv_id,
+               COUNT(*)::BIGINT AS n_pairs,
+               SUM((inter * 2 >= uni AND uni > 0)::INT)::BIGINT AS n_reasks
+        FROM scored GROUP BY conv_id
+    ),
+    n_user AS (
+        SELECT conv_id, COUNT(*)::BIGINT AS n_user_turns
+        FROM users GROUP BY conv_id
+    )
+    SELECT u.conv_id, u.n_user_turns,
+           COALESCE(p.n_pairs, 0)::BIGINT AS n_pairs,
+           COALESCE(p.n_reasks, 0)::BIGINT AS n_reasks,
+           COALESCE(p.n_reasks, 0) > 0 AS any_reask
+    FROM n_user u LEFT JOIN per_conv p USING (conv_id)
+"""
+
+ORACLES: Dict[str, str] = {
+    "user_reask_report": _SQL_REPORT,
+    "user_reask_stats": f"""
+    WITH r AS ({_SQL_REPORT})
+    SELECT COUNT(*)::BIGINT AS n_convs,
+           SUM(n_pairs)::BIGINT AS n_pairs,
+           SUM(n_reasks)::BIGINT AS n_reasks,
+           SUM(any_reask::INT)::BIGINT AS n_convs_with_reask,
+           ROUND(SUM(n_reasks)::DOUBLE
+                 / NULLIF(SUM(n_pairs), 0)::DOUBLE, 6) AS reask_rate
+    FROM r
+    """,
+}

@@ -1,0 +1,83 @@
+"""User re-ask detection tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.reask import (
+    ORACLES,
+    QUERIES,
+    reask_report_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _report(spark, rows):
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string"
+    )
+    return {r.conv_id: r for r in reask_report_over(df).collect()}
+
+
+def test_reask_semantics(spark):
+    out = _report(
+        spark,
+        [
+            # c1: verbatim repeat -> re-ask
+            ("c1", 1, "how do i reset my password on the portal"),
+            ("c1", 2, "how do i reset my password on the portal"),
+            ("c1", 3, "completely new question about billing cycles now"),
+            # c2: two unrelated asks -> clean
+            ("c2", 1, "what is the refund policy for annual plans"),
+            ("c2", 2, "where can i download the mobile application today"),
+            # c3: single turn -> no pairs
+            ("c3", 1, "hello there"),
+        ],
+    )
+    assert out["c1"].n_pairs == 2 and out["c1"].n_reasks == 1
+    assert out["c1"].any_reask
+    assert out["c2"].n_reasks == 0 and not out["c2"].any_reask
+    assert out["c3"].n_pairs == 0 and not out["c3"].any_reask
+
+
+def test_short_turns_never_count(spark):
+    # < 3 tokens: empty trigram sets, union 0 -> guarded out
+    out = _report(spark, [("c1", 1, "ok"), ("c1", 2, "ok")])
+    assert out["c1"].n_pairs == 1 and out["c1"].n_reasks == 0
+
+
+def test_paraphrase_below_half_is_clean(spark):
+    out = _report(
+        spark,
+        [
+            ("c1", 1, "please summarize the quarterly revenue report"),
+            ("c1", 2, "now translate the quarterly revenue report to french"),
+        ],
+    )
+    assert out["c1"].n_reasks == 0  # shared tail but Jaccard < 1/2
+
+
+def test_driver_planted_reasks_fire(spark):
+    s = QUERIES["user_reask_stats"](spark, SF).collect()[0]
+    assert s.n_reasks > 0 and s.n_convs_with_reask > 0
+    assert s.reask_rate < 0.5  # planted, not endemic
+
+
+@pytest.mark.parametrize("name", ["user_reask_report", "user_reask_stats"])
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    ocols = [d[0] for d in con.execute(ORACLES[name]).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(ORACLES[name]).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -122,6 +122,7 @@ PLAN_QUERIES = [
     "tool_call_funnel",
     "table_profile_lineitem",
     "metadata_fd_audit",
+    "user_reask_report",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
