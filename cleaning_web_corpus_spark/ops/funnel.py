@@ -1,0 +1,140 @@
+"""Strict event funnel: ordered-stage conversion over the events table.
+
+The warehouse-analytics staple the windowed rollups don't cover:
+of the users who VIEWED, how many then CLICKED, then SIGNED UP, then
+PURCHASED — with each stage required to happen STRICTLY AFTER the
+previous stage's first occurrence (the "strict order" funnel; a
+purchase before the view does not convert).  Distributed shape:
+
+* stage 1 is one keyed min-timestamp aggregate;
+* each later stage joins the previous stage's (user, t) relation and
+  takes ``min(ts) WHERE t_prev < ts <= t_prev + 24h`` (the same-
+  session strict window — without it every long-lived user trivially
+  converts) — the classic cascade, one equi-join + aggregate per
+  stage, with each stage's input SHRINKING; timestamps compare as
+  exact integer MICROSECONDS (``unix_micros`` / ``epoch_us``) so the
+  window boundary cannot drift between engines;
+* report: per-stage reached counts, step conversion and overall
+  conversion (each one rounded division of exact integers; timestamp
+  comparisons are exact).
+
+Driver note: event timestamps are synthetic-uniform over ~30 days, so
+the 24 h step window produces genuine attrition at every stage
+(150 -> 60 -> 21 -> 10 users at sf0.01) — all four stages
+non-degenerate.
+
+Reference scope: warehouse-analytics extension (A-family); the
+reference has no event-sequence queries.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+FUNNEL_STAGES = ("view", "click", "signup", "purchase")
+WINDOW_US = 24 * 3600 * 1_000_000  # strict same-day step window
+
+
+def funnel_over(
+    events: DataFrame, stages: Sequence[str] = FUNNEL_STAGES
+) -> DataFrame:
+    """One-row strict-funnel report over (user_id, event_type, ts)."""
+    reached = []
+    prev = None
+    for stage in stages:
+        ev = events.filter(F.col("event_type") == stage)
+        if prev is None:
+            cur = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                ev.join(prev.select("user_id", F.col("t").alias("_pt")), "user_id")
+                # ts is TIMESTAMP_NTZ; the session TZ is pinned UTC, so
+                # the cast to TIMESTAMP is the identity epoch mapping
+                .filter(
+                    F.expr(
+                        "unix_micros(cast(ts as timestamp))"
+                        " > unix_micros(cast(_pt as timestamp))"
+                    )
+                    & F.expr(
+                        "unix_micros(cast(ts as timestamp))"
+                        " <= unix_micros(cast(_pt as timestamp))"
+                        f" + {WINDOW_US}"
+                    )
+                )
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        reached.append(cur)
+        prev = cur
+    total = events.agg(
+        F.count_distinct("user_id").cast("long").alias("n_users")
+    )
+    counts = total
+    for stage, cur in zip(stages, reached):
+        counts = counts.crossJoin(
+            F.broadcast(
+                cur.agg(
+                    F.count(F.lit(1)).cast("long").alias(f"reached_{stage}")
+                )
+            )
+        )
+    first, last = f"reached_{stages[0]}", f"reached_{stages[-1]}"
+    out = counts.select(
+        "n_users",
+        *[f"reached_{s}" for s in stages],
+        F.round(
+            F.col(last).cast("double")
+            / F.when(F.col(first) > 0, F.col(first)).cast("double"),
+            6,
+        ).alias("overall_conversion"),
+    )
+    return out
+
+
+def event_funnel_report(spark: SparkSession, sf: str) -> DataFrame:
+    return funnel_over(
+        t(spark, sf, "events").select("user_id", "event_type", "ts")
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "event_funnel_report": event_funnel_report,
+}
+
+_STAGE_CTES = []
+for _i, _s in enumerate(FUNNEL_STAGES):
+    if _i == 0:
+        _STAGE_CTES.append(
+            f"""s0 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = '{_s}' GROUP BY user_id
+    )"""
+        )
+    else:
+        _STAGE_CTES.append(
+            f"""s{_i} AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s{_i - 1} p ON e.user_id = p.user_id
+        WHERE e.event_type = '{_s}' AND epoch_us(e.ts) > epoch_us(p.t)
+          AND epoch_us(e.ts) <= epoch_us(p.t) + {WINDOW_US}
+        GROUP BY e.user_id
+    )"""
+        )
+
+ORACLES: Dict[str, str] = {
+    "event_funnel_report": f"""
+    WITH {", ".join(_STAGE_CTES)}
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events)::BIGINT AS n_users,
+           {", ".join(
+               f"(SELECT COUNT(*) FROM s{i})::BIGINT AS reached_{s}"
+               for i, s in enumerate(FUNNEL_STAGES))},
+           ROUND((SELECT COUNT(*) FROM s{len(FUNNEL_STAGES) - 1})::DOUBLE
+                 / NULLIF((SELECT COUNT(*) FROM s0), 0)::DOUBLE, 6)
+               AS overall_conversion
+    """,
+}

@@ -1,0 +1,86 @@
+"""Strict event-funnel tests."""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.funnel import (
+    ORACLES,
+    QUERIES,
+    funnel_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ts(h, m=0):
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+def _funnel(spark, rows):
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    )
+    return funnel_over(df).collect()[0]
+
+
+def test_strict_order_and_window(spark):
+    rows = [
+        # u1: full in-order funnel within the window
+        (1, "view", _ts(1)), (1, "click", _ts(2)),
+        (1, "signup", _ts(3)), (1, "purchase", _ts(4)),
+        # u2: purchase BEFORE the view -> stops at signup
+        (2, "purchase", _ts(0)), (2, "view", _ts(1)),
+        (2, "click", _ts(2)), (2, "signup", _ts(3)),
+        # u3: click 3 days after view -> outside the 24h step window
+        (3, "view", _ts(1)), (3, "click", _ts(1) + datetime.timedelta(days=3)),
+        # u4: never views (only clicks) -> not even stage 1
+        (4, "click", _ts(1)),
+    ]
+    r = _funnel(spark, rows)
+    assert r.n_users == 4
+    assert r.reached_view == 3  # u1, u2, u3
+    assert r.reached_click == 2  # u1, u2
+    assert r.reached_signup == 2
+    assert r.reached_purchase == 1  # only u1
+    assert abs(r.overall_conversion - 1 / 3) < 1e-6
+
+
+def test_window_boundary_inclusive(spark):
+    rows = [
+        (1, "view", _ts(0)),
+        (1, "click", _ts(0) + datetime.timedelta(hours=24)),  # exactly 24h
+        (2, "view", _ts(0)),
+        (2, "click", _ts(0) + datetime.timedelta(hours=24, microseconds=1)),
+    ]
+    r = _funnel(spark, rows)
+    assert r.reached_click == 1  # <= is inclusive, 24h+1us is out
+
+
+def test_driver_funnel_attrition(spark):
+    r = QUERIES["event_funnel_report"](spark, SF).collect()[0]
+    assert (
+        r.reached_view
+        >= r.reached_click
+        >= r.reached_signup
+        >= r.reached_purchase
+    )
+    assert r.reached_click < r.reached_view  # the window genuinely bites
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["event_funnel_report"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    o = ORACLES["event_funnel_report"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

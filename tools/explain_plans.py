@@ -123,6 +123,7 @@ PLAN_QUERIES = [
     "table_profile_lineitem",
     "metadata_fd_audit",
     "user_reask_report",
+    "event_funnel_report",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
