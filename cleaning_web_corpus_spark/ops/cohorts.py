@@ -1,0 +1,102 @@
+"""Weekly cohort retention over the events table.
+
+The second classic event-analytics shape (the funnel's sibling):
+group users by the week of their FIRST event (the cohort) and count,
+for each later week offset, how many came back.  Exact under the
+gate:
+
+* weeks are INTEGER epoch-week indices: ``epoch_days div 7`` with
+  epoch days from the date — no timezone-dependent trunc('week'),
+  whose week-start convention differs between engines;
+* cohort = min week per user (one keyed aggregate); activity weeks =
+  distinct (user, week) pairs; offset = activity_week - cohort_week
+  (exact integer);
+* report rows (cohort_week, week_offset): active-user count and one
+  rounded retention division against the cohort size.
+
+Plan shape (100 TB): one scan -> per-user min-week aggregate + one
+distinct (user, week) shuffle, then a broadcast-sized cohort join and
+a bounded (cohorts x offsets) aggregate.
+
+Reference scope: warehouse-analytics extension (A-family), sibling of
+the funnel op.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+_WEEK_EXPR = "cast(datediff(cast(ts as date), date'1970-01-01') div 7 as bigint)"
+_SQL_WEEK = "(datediff('day', DATE '1970-01-01', ts::DATE) // 7)::BIGINT"
+
+
+def cohort_retention_over(events: DataFrame) -> DataFrame:
+    """(cohort_week, week_offset, cohort_size, n_active, retention)
+    over a (user_id, ts) relation."""
+    weeks = events.select(
+        "user_id", F.expr(_WEEK_EXPR).alias("week")
+    ).distinct()
+    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    joined = weeks.join(cohorts, "user_id").select(
+        "cohort_week",
+        (F.col("week") - F.col("cohort_week")).cast("long").alias("week_offset"),
+        "user_id",
+    )
+    active = joined.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )
+    return active.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "cohort_size",
+        "n_active",
+        F.round(
+            F.col("n_active").cast("double")
+            / F.col("cohort_size").cast("double"),
+            6,
+        ).alias("retention"),
+    )
+
+
+def cohort_retention_report(spark: SparkSession, sf: str) -> DataFrame:
+    return cohort_retention_over(
+        t(spark, sf, "events").select("user_id", "ts")
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cohort_retention_report": cohort_retention_report,
+}
+
+ORACLES: Dict[str, str] = {
+    "cohort_retention_report": f"""
+    WITH weeks AS (
+        SELECT DISTINCT user_id, {_SQL_WEEK} AS week FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_week, COUNT(*)::BIGINT AS cohort_size
+        FROM cohorts GROUP BY cohort_week
+    ),
+    active AS (
+        SELECT c.cohort_week,
+               (w.week - c.cohort_week)::BIGINT AS week_offset,
+               COUNT(*)::BIGINT AS n_active
+        FROM weeks w JOIN cohorts c USING (user_id)
+        GROUP BY c.cohort_week, w.week - c.cohort_week
+    )
+    SELECT a.cohort_week, a.week_offset, s.cohort_size, a.n_active,
+           ROUND(a.n_active::DOUBLE / s.cohort_size::DOUBLE, 6) AS retention
+    FROM active a JOIN sizes s USING (cohort_week)
+    """,
+}

@@ -1,0 +1,74 @@
+"""Weekly cohort-retention tests."""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.cohorts import (
+    ORACLES,
+    QUERIES,
+    cohort_retention_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _d(day):
+    return datetime.datetime(1970, 1, 1) + datetime.timedelta(days=day)
+
+
+def test_cohort_semantics(spark):
+    rows = [
+        # cohort week 0: u1 active weeks 0,1,2; u2 active week 0 only
+        (1, _d(0)), (1, _d(8)), (1, _d(15)),
+        (2, _d(3)),
+        # cohort week 2: u3 active weeks 2 and 4
+        (3, _d(14)), (3, _d(29)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort_week, r.week_offset): r
+        for r in cohort_retention_over(df).collect()
+    }
+    assert out[(0, 0)].cohort_size == 2 and out[(0, 0)].n_active == 2
+    assert out[(0, 1)].n_active == 1 and out[(0, 1)].retention == 0.5
+    assert out[(0, 2)].n_active == 1
+    assert out[(2, 0)].cohort_size == 1
+    assert out[(2, 2)].n_active == 1  # day 29 is week 4 = offset 2
+    assert (2, 1) not in out  # no activity in week 3
+
+
+def test_week_zero_always_full(spark):
+    rows = [(u, _d(u)) for u in range(5)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    for r in cohort_retention_over(df).collect():
+        assert r.week_offset == 0 and r.retention == 1.0
+
+
+def test_driver_retention_monotone_ranges(spark):
+    rows = QUERIES["cohort_retention_report"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 < r.retention <= 1.0 and r.week_offset >= 0
+    # offset-0 retention is definitionally 1.0
+    for r in rows:
+        if r.week_offset == 0:
+            assert r.retention == 1.0
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["cohort_retention_report"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    o = ORACLES["cohort_retention_report"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

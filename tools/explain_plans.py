@@ -124,6 +124,7 @@ PLAN_QUERIES = [
     "metadata_fd_audit",
     "user_reask_report",
     "event_funnel_report",
+    "cohort_retention_report",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
