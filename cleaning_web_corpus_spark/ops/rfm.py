@@ -1,0 +1,202 @@
+"""RFM segmentation over purchase events.
+
+The canonical customer-value rollup: Recency (days since last
+purchase, against the corpus's max event day — no wall clock, so the
+result is reproducible), Frequency (purchase count) and Monetary
+(summed purchase value).  Exact under the gate:
+
+* recency in INTEGER epoch-day arithmetic; monetary sums CENT-
+  quantized BIGINTs (``floor(value*100 + 0.5)`` per event BEFORE the
+  sum — float addition order can never drift the hash);
+* R/F/M scores are integer TERCILES via the two-pass count-of-counts
+  trick (the key_skew move): nearest-rank boundary values from the
+  bounded per-metric histograms, score = how many boundaries the
+  user's value exceeds — no interpolating ntile(), whose tie handling
+  differs between engines;
+* segment label composed from the three scores
+  ('champion' = high in all three, 'at_risk' = lapsed high-spender).
+
+Plan shape (100 TB): one purchase scan -> per-user aggregate; the
+histograms and boundaries are bounded by distinct metric values; the
+score join broadcasts 2-boundary relations.
+
+Reference scope: warehouse-analytics extension (A-family).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+_DAY = "cast(datediff(cast(ts as date), date'1970-01-01') as bigint)"
+_SQL_DAY = "datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT"
+
+
+def _tercile_bounds(metric: DataFrame, col: str) -> DataFrame:
+    """2-row (rank, bound) relation: nearest-rank 1/3 and 2/3 boundary
+    values of `col` via the count-of-counts histogram."""
+    hist = metric.groupBy(F.col(col).alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "v", F.sum("c").over(w).cast("long").alias("cum")
+    ).crossJoin(
+        F.broadcast(metric.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    )
+    b1 = cum.filter(F.expr("cum >= (n + 2) div 3")).agg(
+        F.lit(1).alias("rank"), F.min("v").alias("bound")
+    )
+    b2 = cum.filter(F.expr("cum >= (2 * n + 2) div 3")).agg(
+        F.lit(2).alias("rank"), F.min("v").alias("bound")
+    )
+    return b1.unionByName(b2)
+
+
+def _score(users: DataFrame, col: str, higher_better: bool) -> DataFrame:
+    """Append `{col}_score` in 1..3 = 1 + #boundaries strictly below."""
+    bounds = _tercile_bounds(users.select(col), col)
+    joined = users.crossJoin(F.broadcast(bounds)).withColumn(
+        "_above", F.when(F.col(col) > F.col("bound"), 1).otherwise(0)
+    )
+    keys = [c for c in users.columns]
+    agg = joined.groupBy(*keys).agg(
+        (F.lit(1) + F.sum("_above")).cast("long").alias(f"{col}_score")
+    )
+    if not higher_better:
+        agg = agg.withColumn(f"{col}_score", F.lit(4) - F.col(f"{col}_score"))
+    return agg
+
+
+def rfm_over(purchases: DataFrame) -> DataFrame:
+    """(user_id, recency_days, frequency, monetary_cents, r/f/m scores,
+    segment) over a (user_id, ts, value) purchase relation."""
+    day = F.expr(_DAY)
+    cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    per_user = purchases.select(
+        "user_id", day.alias("d"), cents.alias("cents")
+    ).groupBy("user_id").agg(
+        F.max("d").alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum("cents").cast("long").alias("monetary_cents"),
+    )
+    anchor = per_user.agg(F.max("last_day").alias("corpus_last"))
+    users = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        (F.col("corpus_last") - F.col("last_day"))
+        .cast("long")
+        .alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    scored = _score(
+        _score(_score(users, "recency_days", False), "frequency", True),
+        "monetary_cents",
+        True,
+    )
+    seg = (
+        F.when(
+            (F.col("recency_days_score") >= 3)
+            & (F.col("frequency_score") >= 3)
+            & (F.col("monetary_cents_score") >= 3),
+            "champion",
+        )
+        .when(
+            (F.col("recency_days_score") <= 1)
+            & (F.col("monetary_cents_score") >= 3),
+            "at_risk",
+        )
+        .when(F.col("recency_days_score") >= 3, "recent")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.col("recency_days_score").alias("r_score"),
+        F.col("frequency_score").alias("f_score"),
+        F.col("monetary_cents_score").alias("m_score"),
+        seg.alias("segment"),
+    )
+
+
+def rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    return rfm_over(ev.select("user_id", "ts", "value"))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rfm_segments": rfm_segments,
+}
+
+
+def _sql_bounds(src: str, col: str) -> str:
+    return f"""
+        SELECT 1 AS rank, MIN(v) AS bound
+        FROM (SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                         AS cum, n
+              FROM (SELECT {col} AS v, COUNT(*)::BIGINT AS c
+                    FROM {src} GROUP BY 1),
+                   (SELECT COUNT(*)::BIGINT AS n FROM {src}))
+        WHERE cum >= (n + 2) // 3
+        UNION ALL
+        SELECT 2, MIN(v)
+        FROM (SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+                         AS cum, n
+              FROM (SELECT {col} AS v, COUNT(*)::BIGINT AS c
+                    FROM {src} GROUP BY 1),
+                   (SELECT COUNT(*)::BIGINT AS n FROM {src}))
+        WHERE cum >= (2 * n + 2) // 3
+    """
+
+
+def _sql_score(col: str) -> str:
+    return f"""(
+        SELECT 1 + SUM(CASE WHEN u.{col} > b.bound THEN 1 ELSE 0 END)
+        FROM b_{col} b
+    )"""
+
+
+ORACLES: Dict[str, str] = {
+    "rfm_segments": f"""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX({_SQL_DAY}) AS last_day,
+               COUNT(*)::BIGINT AS frequency,
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))::BIGINT
+                   AS monetary_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    users AS (
+        SELECT user_id,
+               ((SELECT MAX(last_day) FROM per_user) - last_day)::BIGINT
+                   AS recency_days,
+               frequency, monetary_cents
+        FROM per_user
+    ),
+    b_recency_days AS ({_sql_bounds("users", "recency_days")}),
+    b_frequency AS ({_sql_bounds("users", "frequency")}),
+    b_monetary_cents AS ({_sql_bounds("users", "monetary_cents")}),
+    scored AS (
+        SELECT u.*,
+               (4 - {_sql_score("recency_days")})::BIGINT AS r_score,
+               {_sql_score("frequency")}::BIGINT AS f_score,
+               {_sql_score("monetary_cents")}::BIGINT AS m_score
+        FROM users u
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3
+                    THEN 'champion'
+                WHEN r_score <= 1 AND m_score >= 3 THEN 'at_risk'
+                WHEN r_score >= 3 THEN 'recent'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+}

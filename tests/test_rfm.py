@@ -1,0 +1,71 @@
+"""RFM segmentation tests."""
+
+from __future__ import annotations
+
+import datetime
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.rfm import ORACLES, QUERIES, rfm_over
+
+SF = "/root/testdata/sf0.001"
+
+
+def _d(day):
+    return datetime.datetime(1970, 1, 1) + datetime.timedelta(days=day)
+
+
+def test_rfm_semantics(spark):
+    rows = []
+    # u1 champion: recent, frequent, big spender (last day = corpus max)
+    for i in range(6):
+        rows.append((1, _d(95 + i), 100.0))
+    # u2 at_risk: old purchases, biggest spend
+    for i in range(5):
+        rows.append((2, _d(i), 150.0))
+    # u3 middling; u4-u6 small/old so the terciles have room
+    rows += [(3, _d(50), 10.0), (3, _d(51), 10.0)]
+    rows.append((4, _d(10), 0.05))
+    rows.append((5, _d(20), 0.04))
+    rows.append((6, _d(30), 0.03))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r.user_id: r for r in rfm_over(df).collect()}
+    assert out[1].segment == "champion"
+    assert out[1].recency_days == 0 and out[1].monetary_cents == 60000
+    assert out[2].segment == "at_risk"
+    assert out[4].monetary_cents == 5  # cent quantization of 0.05
+    assert out[4].segment not in ("champion",)
+    assert all(1 <= r.r_score <= 3 for r in out.values())
+
+
+def test_cent_quantization_is_exact(spark):
+    # 0.1 + 0.2 style float traps: per-event cents BEFORE the sum
+    rows = [(1, _d(0), 0.1), (1, _d(1), 0.2), (1, _d(2), 0.29)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = rfm_over(df).collect()[0]
+    assert out.monetary_cents == 10 + 20 + 29
+
+
+def test_driver_segments_non_degenerate(spark):
+    rows = QUERIES["rfm_segments"](spark, SF).collect()
+    segs = {r.segment for r in rows}
+    assert len(rows) > 0 and len(segs) >= 2
+    for r in rows:
+        assert 1 <= r.r_score <= 3 and 1 <= r.f_score <= 3
+        assert 1 <= r.m_score <= 3
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["rfm_segments"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    o = ORACLES["rfm_segments"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -125,6 +125,7 @@ PLAN_QUERIES = [
     "user_reask_report",
     "event_funnel_report",
     "cohort_retention_report",
+    "rfm_segments",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
