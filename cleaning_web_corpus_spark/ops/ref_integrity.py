@@ -1,0 +1,113 @@
+"""Referential-integrity audit across the warehouse foreign keys.
+
+The load-time QA pass the per-table profiler can't do: orphaned child
+rows (a lineitem whose order vanished) break every downstream join
+silently — inner joins drop them WITHOUT ERROR, so row counts drift
+and nobody knows why.  Per declared FK edge (lineitem.l_orderkey ->
+orders.o_orderkey, orders.o_custkey -> customer.c_custkey,
+customer.c_nationkey -> nation.n_nationkey):
+
+* ``n_child`` rows, ``n_orphans`` (left-anti join against the parent
+  key set), ``n_null_fk`` (NULL FKs are a separate defect class — an
+  anti-join would conflate them), orphan rate (one rounded division),
+  and the smallest orphan key as the actionable example;
+* each edge is ONE left-anti join against the parent's distinct-key
+  projection (parent side prunes to a single column; broadcasts when
+  the parent is dimension-sized), plus a 1-row aggregate; the three
+  edges union to the report.
+
+The synthetic warehouse is referentially CLEAN — the audit proves a
+zero (pinned), and the unit test plants orphans to prove the detector
+fires.
+
+Reference scope: QA extension of the validity predicates (F18) and the
+gap-analysis anti-join (A8), applied as a warehouse-wide contract.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+)
+
+
+def fk_audit_over(
+    child: DataFrame, fk: str, parent: DataFrame, pk: str, edge: str
+) -> DataFrame:
+    """One-row orphan report for child.fk -> parent.pk."""
+    keys = parent.select(F.col(pk).alias("_pk")).distinct()
+    nn = child.filter(F.col(fk).isNotNull()).select(F.col(fk).alias("_fk"))
+    orphans = nn.join(keys, nn["_fk"] == keys["_pk"], "left_anti")
+    counts = child.agg(
+        F.lit(edge).alias("fk_edge"),
+        F.count(F.lit(1)).cast("long").alias("n_child"),
+        F.sum(F.when(F.col(fk).isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_fk"),
+    )
+    orp = orphans.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orphans"),
+        F.min("_fk").cast("string").alias("example_orphan"),
+    )
+    return counts.crossJoin(F.broadcast(orp)).select(
+        "fk_edge",
+        "n_child",
+        "n_null_fk",
+        "n_orphans",
+        F.round(
+            F.col("n_orphans").cast("double") / F.col("n_child").cast("double"),
+            6,
+        ).alias("orphan_rate"),
+        "example_orphan",
+    )
+
+
+def referential_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    out = None
+    for child_t, fk, parent_t, pk in FK_EDGES:
+        child = t(spark, sf, child_t).select(fk)
+        parent = t(spark, sf, parent_t).select(pk)
+        r = fk_audit_over(child, fk, parent, pk, f"{child_t}.{fk}")
+        out = r if out is None else out.unionByName(r)
+    return out
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "referential_integrity_audit": referential_integrity_audit,
+}
+
+_SQL_EDGE = """
+    SELECT '{child}.{fk}' AS fk_edge,
+           (SELECT COUNT(*) FROM {child})::BIGINT AS n_child,
+           (SELECT COUNT(*) FROM {child} WHERE {fk} IS NULL)::BIGINT
+               AS n_null_fk,
+           (SELECT COUNT(*) FROM {child} c
+            WHERE c.{fk} IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM {parent} p
+                              WHERE p.{pk} = c.{fk}))::BIGINT AS n_orphans,
+           ROUND((SELECT COUNT(*) FROM {child} c
+                  WHERE c.{fk} IS NOT NULL
+                    AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                    WHERE p.{pk} = c.{fk}))::DOUBLE
+                 / (SELECT COUNT(*) FROM {child})::DOUBLE, 6) AS orphan_rate,
+           (SELECT CAST(MIN(c.{fk}) AS VARCHAR) FROM {child} c
+            WHERE c.{fk} IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM {parent} p
+                              WHERE p.{pk} = c.{fk})) AS example_orphan
+"""
+
+ORACLES: Dict[str, str] = {
+    "referential_integrity_audit": " UNION ALL ".join(
+        _SQL_EDGE.format(child=c, fk=fk, parent=p, pk=pk)
+        for c, fk, p, pk in FK_EDGES
+    ),
+}

@@ -1,0 +1,63 @@
+"""Referential-integrity audit tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.ref_integrity import (
+    ORACLES,
+    QUERIES,
+    fk_audit_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_orphans_and_null_fks_separate(spark):
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (None,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = fk_audit_over(child, "fk", parent, "pk", "child.fk").collect()[0]
+    assert r.n_child == 5
+    assert r.n_orphans == 1 and r.example_orphan == "99"
+    assert r.n_null_fk == 1  # NULL is counted separately, not an orphan
+    assert abs(r.orphan_rate - 0.2) < 1e-9
+
+
+def test_clean_edge_reports_zero(spark):
+    child = spark.createDataFrame([(1,), (2,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    r = fk_audit_over(child, "fk", parent, "pk", "e").collect()[0]
+    assert r.n_orphans == 0 and r.example_orphan is None
+
+
+def test_driver_warehouse_is_clean(spark):
+    rows = QUERIES["referential_integrity_audit"](spark, SF).collect()
+    assert {r.fk_edge for r in rows} == {
+        "lineitem.l_orderkey",
+        "orders.o_custkey",
+        "customer.c_nationkey",
+    }
+    for r in rows:
+        assert r.n_orphans == 0 and r.orphan_rate == 0.0
+        assert r.n_child > 0
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["referential_integrity_audit"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    for tbl in ("lineitem", "orders", "customer", "nation"):
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM '{SF}/{tbl}.parquet'"
+        )
+    o = ORACLES["referential_integrity_audit"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

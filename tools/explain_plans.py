@@ -126,6 +126,7 @@ PLAN_QUERIES = [
     "event_funnel_report",
     "cohort_retention_report",
     "rfm_segments",
+    "referential_integrity_audit",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
