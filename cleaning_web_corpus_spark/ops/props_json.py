@@ -1,0 +1,131 @@
+"""Semi-structured column extraction: typed audit of the props JSON.
+
+Event pipelines carry a free-form JSON column (``props``) that every
+consumer extracts ad hoc; the capability this op pins is TYPED
+extraction with an honest account of what didn't parse: JSON-path
+extraction (JVM ``get_json_object`` vs DuckDB ``json_extract``) is a
+different code path from full parsing, and NULL-vs-missing-vs-wrong-
+type must not be conflated.  Per event_type:
+
+* ``n_events``, ``n_valid_json`` (whole-document parse check),
+  ``n_with_k`` (path ``$.k`` present AND integer-castable — the
+  try_cast guard is what separates wrong-type from missing);
+* exact integer MIN/MAX/SUM of the extracted ``k``;
+* one rounded extraction-rate division.
+
+Driver non-degeneracy: a doc-residue slice of events gets its props
+REPLACED with (a) malformed JSON and (b) valid JSON whose ``k`` is a
+string — mirrored in the oracle, so all three failure classes are
+distinguished under the gate hash.
+
+Reference scope: semi-structured extension of the validity family
+(F18) — the reference stores JSON blobs but never extracts typed
+fields in queries.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+_RES = 41  # event_id % 41: 7 malformed, 13 string-typed k
+
+
+def props_extraction_over(events: DataFrame) -> DataFrame:
+    """Per-event_type typed-extraction audit over (event_type, props)."""
+    k_raw = F.expr("get_json_object(props, '$.k')")
+    k_int = F.expr("try_cast(get_json_object(props, '$.k') as bigint)")
+    flagged = events.select(
+        "event_type",
+        F.expr("try_parse_json(props) is not null").alias("valid_json"),
+        k_int.alias("k"),
+        (k_raw.isNotNull() & k_int.isNull()).alias("wrong_type"),
+    )
+    agg = flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("valid_json"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_valid_json"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_with_k"),
+        F.sum(F.when(F.col("wrong_type"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_wrong_type"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+    )
+    return agg.withColumn(
+        "extract_rate",
+        F.round(
+            F.col("n_with_k").cast("double") / F.col("n_events").cast("double"),
+            6,
+        ),
+    )
+
+
+def _injected(spark: SparkSession, sf: str) -> DataFrame:
+    e = F.col("event_id")
+    return t(spark, sf, "events").select(
+        "event_type",
+        F.when(e % _RES == 7, F.lit('{"k": broken'))
+        .when(e % _RES == 13, F.lit('{"k": "str"}'))
+        .otherwise(F.col("props"))
+        .alias("props"),
+    )
+
+
+def props_extraction_report(spark: SparkSession, sf: str) -> DataFrame:
+    return props_extraction_over(_injected(spark, sf))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "props_extraction_report": props_extraction_report,
+}
+
+ORACLES: Dict[str, str] = {
+    "props_extraction_report": f"""
+    WITH injected AS (
+        SELECT event_type,
+               CASE WHEN event_id % {_RES} = 7 THEN '{{"k": broken'
+                    WHEN event_id % {_RES} = 13 THEN '{{"k": "str"}}'
+                    ELSE props END AS props
+        FROM events
+    ),
+    flagged AS (
+        SELECT event_type, valid_json,
+               TRY_CAST(k_raw AS BIGINT) AS k,
+               (k_raw IS NOT NULL
+                AND TRY_CAST(k_raw AS BIGINT) IS NULL) AS wrong_type
+        FROM (
+            SELECT event_type,
+                   json_valid(props) AS valid_json,
+                   -- DuckDB json functions ERROR on malformed input
+                   -- (Spark's get_json_object returns NULL): guard
+                   CASE WHEN json_valid(props)
+                        THEN json_extract_string(props, '$.k') END AS k_raw
+            FROM injected
+        )
+    ),
+    agg AS (
+        SELECT event_type,
+               COUNT(*)::BIGINT AS n_events,
+               SUM(valid_json::INT)::BIGINT AS n_valid_json,
+               SUM((k IS NOT NULL)::INT)::BIGINT AS n_with_k,
+               SUM(wrong_type::INT)::BIGINT AS n_wrong_type,
+               MIN(k)::BIGINT AS min_k,
+               MAX(k)::BIGINT AS max_k,
+               SUM(k)::BIGINT AS sum_k
+        FROM flagged GROUP BY event_type
+    )
+    SELECT event_type, n_events, n_valid_json, n_with_k, n_wrong_type,
+           min_k, max_k, sum_k,
+           ROUND(n_with_k::DOUBLE / n_events::DOUBLE, 6) AS extract_rate
+    FROM agg
+    """,
+}

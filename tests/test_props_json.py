@@ -1,0 +1,60 @@
+"""Typed JSON-extraction audit tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.props_json import (
+    ORACLES,
+    QUERIES,
+    props_extraction_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_three_failure_classes_distinguished(spark):
+    rows = [
+        ("a", '{"k": 7}'),  # clean
+        ("a", '{"k": "str"}'),  # valid JSON, wrong type
+        ("a", '{"k": broken'),  # malformed
+        ("a", '{"other": 1}'),  # valid, k missing
+        ("a", None),  # null props
+    ]
+    df = spark.createDataFrame(rows, "event_type string, props string")
+    r = props_extraction_over(df).collect()[0]
+    assert r.n_events == 5
+    assert r.n_valid_json == 3
+    assert r.n_with_k == 1 and r.sum_k == 7
+    assert r.n_wrong_type == 1  # only the string-typed k
+    assert r.extract_rate == 0.2
+
+
+def test_integer_stats_exact(spark):
+    rows = [("b", f'{{"k": {i}}}') for i in (3, 9, 4)]
+    df = spark.createDataFrame(rows, "event_type string, props string")
+    r = props_extraction_over(df).collect()[0]
+    assert (r.min_k, r.max_k, r.sum_k) == (3, 9, 16)
+
+
+def test_driver_injections_fire(spark):
+    rows = QUERIES["props_extraction_report"](spark, SF).collect()
+    assert sum(r.n_wrong_type for r in rows) > 0
+    assert sum(r.n_events - r.n_valid_json for r in rows) > 0  # malformed
+    assert all(r.n_with_k <= r.n_valid_json for r in rows)
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["props_extraction_report"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    o = ORACLES["props_extraction_report"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

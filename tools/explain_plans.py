@@ -127,6 +127,7 @@ PLAN_QUERIES = [
     "cohort_retention_report",
     "rfm_segments",
     "referential_integrity_audit",
+    "props_extraction_report",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
