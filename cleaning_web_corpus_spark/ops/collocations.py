@@ -1,0 +1,144 @@
+"""PMI collocation mining: statistically-bound token pairs.
+
+Corpus linguistics' workhorse: pointwise mutual information over
+adjacent token pairs finds multiword units ("new york", "machine
+learning") and — in data-cleaning use — boilerplate collocations whose
+PMI is implausibly high because a template stamps them together.
+Exact under the gate:
+
+* bigram and unigram counts are plain integer aggregates (ONE token
+  explode feeds both);
+* ``pmi = ln(c_ab * N / (c_a * c_b))`` is computed as the SUM OF FOUR
+  QUANTIZED LOGS of small integers
+  (``q(ln c_ab) + q(ln N) - q(ln c_a) - q(ln c_b)``, micro BIGINTs) —
+  the zipf/heaps/bm25 contract, so ranking ties cannot drift;
+* noise floor ``c_ab >= 5``; top-20 by (pmi desc, pair asc) via
+  TakeOrderedAndProject — never a global sort.
+
+Driver non-degeneracy: a fixed two-token collocation is appended to a
+doc_id residue slice in both engines — the planted pair lands at the
+top of the ranking over the word-salad background (pinned by test).
+
+Reference scope: corpus-statistics extension (zipf/heaps family).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+_MICRO = 1_000_000
+MIN_PAIR = 5
+TOP_K = 20
+_RES = 11  # doc_id % 11 == 3 docs get the planted collocation appended
+_PLANT = " flux capacitor"
+
+
+def _q(e: str) -> str:
+    return f"cast(floor(ln(cast({e} as double)) * {_MICRO} + 0.5) as bigint)"
+
+
+def collocations_over(docs: DataFrame) -> DataFrame:
+    """Top-K PMI pairs over a (doc_id, text) relation."""
+    toks = docs.select(
+        F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)").alias(
+            "toks"
+        )
+    )
+    uni = toks.select(F.explode("toks").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n_row = uni.agg(F.sum("c").cast("long").alias("n"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "case when size(toks) < 2 then array() else"
+                    " transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] as w1, toks[i] as w2)) end"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= MIN_PAIR)
+    )
+    joined = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b")), "w2")
+        .crossJoin(F.broadcast(n_row))
+    )
+    scored = joined.select(
+        "w1",
+        "w2",
+        "c_ab",
+        "c_a",
+        "c_b",
+        F.expr(
+            f"{_q('c_ab')} + {_q('n')} - {_q('c_a')} - {_q('c_b')}"
+        ).alias("pmi_micro"),
+    )
+    return scored.orderBy(
+        F.desc("pmi_micro"), F.asc("w1"), F.asc("w2")
+    ).limit(TOP_K)
+
+
+def collocation_pmi_topk(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    docs = t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(d % _RES == 3, F.concat("text", F.lit(_PLANT)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return collocations_over(docs)
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "collocation_pmi_topk": collocation_pmi_topk,
+}
+
+_SQL_Q = (
+    lambda e: f"CAST(FLOOR(ln(({e})::DOUBLE) * {_MICRO} + 0.5) AS BIGINT)"
+)
+
+ORACLES: Dict[str, str] = {
+    "collocation_pmi_topk": f"""
+    WITH docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_RES} = 3 THEN text || '{_PLANT}'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    tk AS (
+        SELECT regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM docs
+    ),
+    uni AS (
+        SELECT w, COUNT(*)::BIGINT AS c
+        FROM (SELECT UNNEST(toks) AS w FROM tk) GROUP BY w
+    ),
+    n_row AS (SELECT SUM(c)::BIGINT AS n FROM uni),
+    bi AS (
+        SELECT w1, w2, COUNT(*)::BIGINT AS c_ab
+        FROM (SELECT toks[i] AS w1, toks[i + 1] AS w2
+              FROM tk, UNNEST(range(1, len(toks))) AS u(i))
+        GROUP BY w1, w2
+        HAVING COUNT(*) >= {MIN_PAIR}
+    )
+    SELECT b.w1, b.w2, b.c_ab, ua.c AS c_a, ub.c AS c_b,
+           ({_SQL_Q('b.c_ab')} + {_SQL_Q('n.n')}
+            - {_SQL_Q('ua.c')} - {_SQL_Q('ub.c')})::BIGINT AS pmi_micro
+    FROM bi b
+    JOIN uni ua ON b.w1 = ua.w
+    JOIN uni ub ON b.w2 = ub.w
+    CROSS JOIN n_row n
+    ORDER BY pmi_micro DESC, b.w1 ASC, b.w2 ASC
+    LIMIT {TOP_K}
+    """,
+}

@@ -1,0 +1,68 @@
+"""PMI collocation tests."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.collocations import (
+    MIN_PAIR,
+    ORACLES,
+    QUERIES,
+    collocations_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pmi_arithmetic_and_floor(spark):
+    # 'a b' always adjacent; 'x y' independent-ish fillers
+    texts = ["a b x", "a b y", "a b x y", "a b y x", "a b x"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = collocations_over(df).collect()
+    top = rows[0]
+    assert (top.w1, top.w2, top.c_ab) == ("a", "b", 5)
+    # q(ln 5) + q(ln N) - q(ln 5) - q(ln 5), N = 17 tokens
+    q = lambda v: math.floor(math.log(v) * 1_000_000 + 0.5)
+    assert top.pmi_micro == q(5) + q(17) - q(5) - q(5)
+    # below the noise floor: pairs with < MIN_PAIR occurrences excluded
+    assert all(r.c_ab >= MIN_PAIR for r in rows)
+
+
+def test_driver_planted_pair_wins(spark):
+    rows = QUERIES["collocation_pmi_topk"](spark, SF).collect()
+    assert (rows[0].w1, rows[0].w2) == ("flux", "capacitor")
+    assert rows[0].pmi_micro > rows[1].pmi_micro * 2  # far above background
+    assert len(rows) <= 20
+
+
+def test_topk_plan(spark):
+    plan = (
+        QUERIES["collocation_pmi_topk"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["collocation_pmi_topk"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["collocation_pmi_topk"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

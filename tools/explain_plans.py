@@ -128,6 +128,7 @@ PLAN_QUERIES = [
     "rfm_segments",
     "referential_integrity_audit",
     "props_extraction_report",
+    "collocation_pmi_topk",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
