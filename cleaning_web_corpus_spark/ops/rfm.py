@@ -37,8 +37,10 @@ _SQL_DAY = "datediff('day', DATE '1970-01-01', ts::DATE)::BIGINT"
 
 
 def _tercile_bounds(metric: DataFrame, col: str) -> DataFrame:
-    """2-row (rank, bound) relation: nearest-rank 1/3 and 2/3 boundary
-    values of `col` via the count-of-counts histogram."""
+    """ONE-row (bound1, bound2) relation: nearest-rank 1/3 and 2/3
+    boundary values of `col` via the count-of-counts histogram —
+    single-row so scoring is a broadcast crossJoin + pure projection,
+    never a re-aggregation of the user relation."""
     hist = metric.groupBy(F.col(col).alias("v")).agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
@@ -48,28 +50,30 @@ def _tercile_bounds(metric: DataFrame, col: str) -> DataFrame:
     ).crossJoin(
         F.broadcast(metric.agg(F.count(F.lit(1)).cast("long").alias("n")))
     )
-    b1 = cum.filter(F.expr("cum >= (n + 2) div 3")).agg(
-        F.lit(1).alias("rank"), F.min("v").alias("bound")
+    return cum.agg(
+        F.min(F.when(F.expr("cum >= (n + 2) div 3"), F.col("v"))).alias(
+            f"_b1_{col}"
+        ),
+        F.min(F.when(F.expr("cum >= (2 * n + 2) div 3"), F.col("v"))).alias(
+            f"_b2_{col}"
+        ),
     )
-    b2 = cum.filter(F.expr("cum >= (2 * n + 2) div 3")).agg(
-        F.lit(2).alias("rank"), F.min("v").alias("bound")
-    )
-    return b1.unionByName(b2)
 
 
 def _score(users: DataFrame, col: str, higher_better: bool) -> DataFrame:
     """Append `{col}_score` in 1..3 = 1 + #boundaries strictly below."""
     bounds = _tercile_bounds(users.select(col), col)
-    joined = users.crossJoin(F.broadcast(bounds)).withColumn(
-        "_above", F.when(F.col(col) > F.col("bound"), 1).otherwise(0)
+    raw = (
+        F.lit(1)
+        + F.when(F.col(col) > F.col(f"_b1_{col}"), 1).otherwise(0)
+        + F.when(F.col(col) > F.col(f"_b2_{col}"), 1).otherwise(0)
+    ).cast("long")
+    score = raw if higher_better else (F.lit(4) - raw).cast("long")
+    return (
+        users.crossJoin(F.broadcast(bounds))
+        .withColumn(f"{col}_score", score)
+        .drop(f"_b1_{col}", f"_b2_{col}")
     )
-    keys = [c for c in users.columns]
-    agg = joined.groupBy(*keys).agg(
-        (F.lit(1) + F.sum("_above")).cast("long").alias(f"{col}_score")
-    )
-    if not higher_better:
-        agg = agg.withColumn(f"{col}_score", F.lit(4) - F.col(f"{col}_score"))
-    return agg
 
 
 def rfm_over(purchases: DataFrame) -> DataFrame:
