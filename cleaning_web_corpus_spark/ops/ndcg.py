@@ -1,0 +1,109 @@
+"""Retrieval-eval harness: nDCG@20 of the BM25 ranking.
+
+A retrieval stack without an eval harness degrades silently; the
+standard guard is nDCG over graded relevance.  Self-contained grading
+(no human labels in the sandbox): a document's grade is its
+query-term COVERAGE (``n_terms_hit``, 1..3) — correlated with but not
+identical to the BM25 score (length normalization and idf reorder
+within a coverage band), so the metric is informative: a ranking
+regression that demotes full-coverage docs drops nDCG below 1 and the
+number moves.  Exact under the gate:
+
+* ranks and ideal ranks are row_numbers over the 20-row retrieved
+  relation (bounded — the ONLY windowed relation here);
+* the log discount ``1/log2(rank+1)`` quantizes to micro BIGINT
+  (``floor(1e6 * ln(2)/ln(rank+1) + 0.5)`` — identical doubles from
+  logs of SMALL INTEGERS divide identically, then one identical
+  floor), so DCG/IDCG are exact integer dot products;
+* ``ndcg = round(dcg/idcg, 6)`` — the single final division.
+
+Reference scope: eval-harness extension of the BM25 op; the reference
+has no retrieval metrics.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.bm25 import ORACLES as _BM25_ORACLES, bm25_search
+
+_MICRO = 1_000_000
+_DISC = (
+    f"cast(floor({_MICRO} * ln(cast(2 as double))"
+    " / ln(cast(rnk + 1 as double)) + 0.5) as bigint)"
+)
+
+
+def ndcg_over(ranked: DataFrame) -> DataFrame:
+    """One-row nDCG over a retrieved relation with (doc_id,
+    score_micro, n_terms_hit); grade = n_terms_hit."""
+    w_rank = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    w_ideal = Window.orderBy(F.desc("n_terms_hit"), F.asc("doc_id"))
+    scored = ranked.select(
+        F.col("n_terms_hit").alias("grade"),
+        F.row_number().over(w_rank).alias("rnk"),
+        F.row_number().over(w_ideal).alias("ideal_rnk"),
+    )
+    dcg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.expr(f"grade * ({_DISC})")).cast("long").alias("dcg_micro"),
+        F.sum(
+            F.expr(f"grade * ({_DISC.replace('rnk', 'ideal_rnk')})")
+        )
+        .cast("long")
+        .alias("idcg_micro"),
+    )
+    return dcg.select(
+        "k",
+        "dcg_micro",
+        "idcg_micro",
+        F.round(
+            F.col("dcg_micro").cast("double")
+            / F.when(F.col("idcg_micro") > 0, F.col("idcg_micro")).cast(
+                "double"
+            ),
+            6,
+        ).alias("ndcg"),
+    )
+
+
+def bm25_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
+    return ndcg_over(bm25_search(spark, sf))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bm25_ndcg_eval": bm25_ndcg_eval,
+}
+
+_SQL_DISC = (
+    f"CAST(FLOOR({_MICRO} * ln(2::DOUBLE) / ln((rnk + 1)::DOUBLE) + 0.5)"
+    " AS BIGINT)"
+)
+
+ORACLES: Dict[str, str] = {
+    "bm25_ndcg_eval": f"""
+    WITH retrieved AS ({_BM25_ORACLES["bm25_search"]}),
+    scored AS (
+        SELECT n_terms_hit AS grade,
+               ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC)
+                   AS rnk,
+               ROW_NUMBER() OVER (ORDER BY n_terms_hit DESC, doc_id ASC)
+                   AS ideal_rnk
+        FROM retrieved
+    ),
+    agg AS (
+        SELECT COUNT(*)::BIGINT AS k,
+               SUM(grade * ({_SQL_DISC}))::BIGINT AS dcg_micro,
+               SUM(grade * ({_SQL_DISC.replace('rnk', 'ideal_rnk')}))::BIGINT
+                   AS idcg_micro
+        FROM scored
+    )
+    SELECT k, dcg_micro, idcg_micro,
+           ROUND(dcg_micro::DOUBLE / NULLIF(idcg_micro, 0)::DOUBLE, 6)
+               AS ndcg
+    FROM agg
+    """,
+}

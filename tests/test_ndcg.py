@@ -1,0 +1,66 @@
+"""nDCG eval-harness tests."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.ndcg import ORACLES, QUERIES, ndcg_over
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ndcg(spark, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, score_micro long, n_terms_hit long"
+    )
+    return ndcg_over(df).collect()[0]
+
+
+def test_perfect_ranking_is_one(spark):
+    # scores already ordered by grade: ranking == ideal
+    r = _ndcg(spark, [(1, 300, 3), (2, 200, 2), (3, 100, 1)])
+    assert r.ndcg == 1.0 and r.dcg_micro == r.idcg_micro
+
+
+def test_inverted_ranking_below_one(spark):
+    r = _ndcg(spark, [(1, 300, 1), (2, 200, 2), (3, 100, 3)])
+    assert r.ndcg < 1.0
+    # hand-check: dcg = 1*d1 + 2*d2 + 3*d3, idcg = 3*d1 + 2*d2 + 1*d3
+    q = lambda rk: math.floor(
+        1_000_000 * math.log(2) / math.log(rk + 1) + 0.5
+    )
+    assert r.dcg_micro == 1 * q(1) + 2 * q(2) + 3 * q(3)
+    assert r.idcg_micro == 3 * q(1) + 2 * q(2) + 1 * q(3)
+
+
+def test_tie_break_is_deterministic(spark):
+    # equal scores: doc_id asc decides both rankings identically
+    r1 = _ndcg(spark, [(1, 100, 2), (2, 100, 1)])
+    r2 = _ndcg(spark, [(2, 100, 1), (1, 100, 2)])
+    assert r1.ndcg == r2.ndcg
+
+
+def test_driver_ndcg_informative(spark):
+    r = QUERIES["bm25_ndcg_eval"](spark, SF).collect()[0]
+    assert r.k == 20
+    assert 0.5 < r.ndcg <= 1.0  # BM25 respects coverage but not exactly
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["bm25_ndcg_eval"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["bm25_ndcg_eval"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

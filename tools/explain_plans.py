@@ -129,6 +129,7 @@ PLAN_QUERIES = [
     "referential_integrity_audit",
     "props_extraction_report",
     "collocation_pmi_topk",
+    "bm25_ndcg_eval",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
