@@ -1,0 +1,141 @@
+"""Dedup eval harness: precision/recall of fuzzy dedup vs prefix truth.
+
+The dedup stack's missing guard: MinHash parameters (bands, rows,
+threshold) are tuned once and then drift as the corpus changes; the
+regression check is P/R against an INDEPENDENT label source.  Here the
+label source is exact 80-char-prefix identity — a different signal
+family from shingle MinHash (prefix equality is not derived from
+shingles, so the eval is not circular): the corpus's planted twins
+share prefixes, word-salad neighbours don't.
+
+* truth pairs: group by ``substr(text, 1, 80)``, expand pairs
+  IN-BUCKET via collect_list (the simhash shape — never a self-join;
+  flood-capped at 100 like the LSH buckets);
+* predicted pairs: the verified MinHash near-dups
+  (``minhash_candidate_jaccard``, est-Jaccard >= 1/2);
+* full-outer pair join -> ``n_truth / n_pred / n_both`` and one
+  rounded division each for precision, recall, F1 (F1 multiplied
+  through: ``2*both / (pred + truth)`` — one division, no nested
+  ratios).
+
+Oracle splices the MinHash verification oracle, so DuckDB re-derives
+the predictions from scratch and the gate hash covers truth
+construction AND the matching.
+
+Reference scope: eval-harness extension of the dedup family (F16).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.dedup import (
+    ORACLES as _DEDUP_ORACLES,
+    minhash_candidate_jaccard,
+)
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+PREFIX_LEN = 80
+MAX_BUCKET = 100
+
+
+def _truth_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, PREFIX_LEN).alias("pfx")
+    )
+    buckets = (
+        docs.groupBy("pfx")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids").between(2, MAX_BUCKET))
+    )
+    pairs = F.expr(
+        "filter(flatten(transform(ids, x -> transform(ids, y ->"
+        " struct(x AS doc_a, y AS doc_b)))), p -> p.doc_a < p.doc_b)"
+    )
+    return buckets.select(F.explode(pairs).alias("p")).select(
+        "p.doc_a", "p.doc_b"
+    )
+
+
+def dedup_pr_eval(spark: SparkSession, sf: str) -> DataFrame:
+    truth = _truth_pairs(spark, sf).withColumn("in_truth", F.lit(1))
+    pred = (
+        minhash_candidate_jaccard(spark, sf)
+        .filter(F.col("near_dup"))
+        .select("doc_a", "doc_b")
+        .withColumn("in_pred", F.lit(1))
+    )
+    joined = truth.join(pred, ["doc_a", "doc_b"], "full_outer")
+    agg = joined.agg(
+        F.sum(F.coalesce("in_truth", F.lit(0))).cast("long").alias("n_truth"),
+        F.sum(F.coalesce("in_pred", F.lit(0))).cast("long").alias("n_pred"),
+        F.sum(
+            F.when(
+                F.col("in_truth").isNotNull() & F.col("in_pred").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+    )
+    rate = lambda num, den: F.round(
+        num.cast("double") / F.when(den > 0, den).cast("double"), 6
+    )
+    return agg.select(
+        "n_truth",
+        "n_pred",
+        "n_both",
+        rate(F.col("n_both"), F.col("n_pred")).alias("precision"),
+        rate(F.col("n_both"), F.col("n_truth")).alias("recall"),
+        rate(
+            F.col("n_both") * 2, F.col("n_pred") + F.col("n_truth")
+        ).alias("f1"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_pr_eval": dedup_pr_eval,
+}
+
+ORACLES: Dict[str, str] = {
+    "dedup_pr_eval": f"""
+    WITH predicted AS ({_DEDUP_ORACLES["minhash_candidate_jaccard"]}),
+    truth AS (
+        SELECT a AS doc_a, b AS doc_b
+        FROM (
+            SELECT ids[i + 1] AS a, ids[j + 1] AS b
+            FROM (SELECT list(doc_id) AS ids
+                  FROM (SELECT doc_id, substr(text, 1, {PREFIX_LEN}) AS pfx
+                        FROM documents)
+                  GROUP BY pfx
+                  HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET}),
+                 UNNEST(range(0, len(ids))) AS u(i),
+                 UNNEST(range(0, len(ids))) AS v(j)
+        )
+        WHERE a < b
+    ),
+    joined AS (
+        SELECT COALESCE(t.doc_a, p.doc_a) AS doc_a,
+               (t.doc_a IS NOT NULL)::INT AS in_truth,
+               (p.doc_a IS NOT NULL)::INT AS in_pred
+        FROM truth t
+        FULL OUTER JOIN (SELECT doc_a, doc_b FROM predicted
+                         WHERE near_dup) p
+          ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+    ),
+    agg AS (
+        SELECT SUM(in_truth)::BIGINT AS n_truth,
+               SUM(in_pred)::BIGINT AS n_pred,
+               SUM(in_truth * in_pred)::BIGINT AS n_both
+        FROM joined
+    )
+    SELECT n_truth, n_pred, n_both,
+           ROUND(n_both::DOUBLE / NULLIF(n_pred, 0)::DOUBLE, 6) AS precision,
+           ROUND(n_both::DOUBLE / NULLIF(n_truth, 0)::DOUBLE, 6) AS recall,
+           ROUND((n_both * 2)::DOUBLE
+                 / NULLIF(n_pred + n_truth, 0)::DOUBLE, 6) AS f1
+    FROM agg
+    """,
+}

@@ -1,0 +1,38 @@
+"""Dedup P/R eval-harness tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.dedup_eval import QUERIES, ORACLES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_driver_pr_informative(spark):
+    r = QUERIES["dedup_pr_eval"](spark, SF).collect()[0]
+    # planted twins: the detector must find essentially all of them
+    assert r.n_truth > 0 and r.n_pred > 0
+    assert r.recall >= 0.9
+    assert r.precision > 0.5
+    assert r.n_both <= min(r.n_truth, r.n_pred)
+    # F1 is the multiplied-through harmonic mean
+    assert abs(r.f1 - (2 * r.n_both) / (r.n_pred + r.n_truth)) < 1e-6
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["dedup_pr_eval"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["dedup_pr_eval"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

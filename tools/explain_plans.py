@@ -130,6 +130,7 @@ PLAN_QUERIES = [
     "props_extraction_report",
     "collocation_pmi_topk",
     "bm25_ndcg_eval",
+    "dedup_pr_eval",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
