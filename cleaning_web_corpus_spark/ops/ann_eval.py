@@ -1,0 +1,91 @@
+"""ANN recall eval: IVF top-k against the exact brute-force ranking.
+
+The number every approximate index is judged by — recall@k vs exact —
+promoted from a pytest assertion to a driver-gated query: the overlap
+of ``ann_ivf_knn``'s top-20 with ``embedding_knn``'s exact top-20 for
+the same probe.  A quantizer retrain, an nprobe change, or a cell-
+assignment bug moves this number and the gate hash catches it.
+
+* both rankings are existing oracle-checked queries; the eval is a
+  full-outer id join + one integer overlap count + one rounded
+  division (recall = overlap / k_exact);
+* the oracle SPLICES both underlying oracles (the IVF one is built at
+  ``oracle_sql()`` time from the twin-trained cell table, the
+  ann_ivf_knn precedent), so DuckDB re-derives both rankings from
+  scratch.
+
+Reference scope: eval-harness extension of the ANN family.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.ann import (
+    ORACLES as _ANN_ORACLES,
+    ann_ivf_knn,
+    embedding_knn,
+)
+
+
+def ann_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    exact = embedding_knn(spark, sf).select(
+        F.col("vec_id").alias("id"), F.lit(1).alias("in_exact")
+    )
+    approx = ann_ivf_knn(spark, sf).select(
+        F.col("vec_id").alias("id"), F.lit(1).alias("in_approx")
+    )
+    joined = exact.join(approx, "id", "full_outer")
+    agg = joined.agg(
+        F.sum(F.coalesce("in_exact", F.lit(0))).cast("long").alias("k_exact"),
+        F.sum(F.coalesce("in_approx", F.lit(0))).cast("long").alias("k_approx"),
+        F.sum(
+            F.when(
+                F.col("in_exact").isNotNull() & F.col("in_approx").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_overlap"),
+    )
+    return agg.select(
+        "k_exact",
+        "k_approx",
+        "n_overlap",
+        F.round(
+            F.col("n_overlap").cast("double")
+            / F.when(F.col("k_exact") > 0, F.col("k_exact")).cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ann_recall_eval": ann_recall_eval,
+}
+
+
+def recall_oracle_sql(ivf_sql: str) -> str:
+    """Build the eval oracle by splicing the exact-knn oracle and the
+    (label-time-built) IVF oracle."""
+    return f"""
+    WITH exact AS ({_ANN_ORACLES["embedding_knn"]}),
+    approx AS ({ivf_sql}),
+    joined AS (
+        SELECT (e.vec_id IS NOT NULL)::INT AS in_exact,
+               (a.vec_id IS NOT NULL)::INT AS in_approx
+        FROM exact e FULL OUTER JOIN approx a ON e.vec_id = a.vec_id
+    ),
+    agg AS (
+        SELECT SUM(in_exact)::BIGINT AS k_exact,
+               SUM(in_approx)::BIGINT AS k_approx,
+               SUM(in_exact * in_approx)::BIGINT AS n_overlap
+        FROM joined
+    )
+    SELECT k_exact, k_approx, n_overlap,
+           ROUND(n_overlap::DOUBLE / NULLIF(k_exact, 0)::DOUBLE, 6) AS recall
+    FROM agg
+    """

