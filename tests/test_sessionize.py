@@ -1,0 +1,92 @@
+"""Session-stats tests: gap boundaries, bounce math, plan shape."""
+
+from __future__ import annotations
+
+import datetime
+
+from cleaning_web_corpus_spark.ops.sessionize import (
+    GAP_US,
+    session_rollup,
+    session_stats,
+    sessionize,
+)
+
+SF = "/root/testdata/sf0.001"
+HOUR = datetime.timedelta(hours=1)
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+
+
+def test_gap_boundaries(spark):
+    rows = [
+        # u1: three events inside one 12h envelope, then a 13h gap
+        (1, 0, "view", T0),
+        (1, 1, "click", T0 + 5 * HOUR),
+        (1, 2, "view", T0 + 11 * HOUR),
+        (1, 3, "view", T0 + 24 * HOUR),
+        # u2: exactly-12h gap does NOT split (strictly-greater rule)
+        (2, 4, "view", T0),
+        (2, 5, "view", T0 + 12 * HOUR),
+        # u3: single event -> bounce
+        (3, 6, "error", T0),
+    ]
+    got = {
+        (r.user_id, r.event_id): r.session_idx
+        for r in sessionize(_events(spark, rows)).collect()
+    }
+    assert got == {
+        (1, 0): 1, (1, 1): 1, (1, 2): 1, (1, 3): 2,
+        (2, 4): 1, (2, 5): 1,
+        (3, 6): 1,
+    }
+    roll = {
+        (r.user_id, r.session_idx): (r.n_events, r.duration_us, r.n_types)
+        for r in session_rollup(_events(spark, rows)).collect()
+    }
+    assert roll[(1, 1)] == (3, 11 * 3600 * 1_000_000, 2)
+    assert roll[(1, 2)] == (1, 0, 1)
+    assert roll[(2, 1)] == (2, GAP_US, 1)
+    assert roll[(3, 1)] == (1, 0, 1)
+
+
+def test_stats_report(spark):
+    rows = [
+        (1, 0, "view", T0),
+        (1, 1, "click", T0 + HOUR),
+        (1, 2, "view", T0 + 30 * HOUR),
+        (2, 3, "view", T0),
+    ]
+    roll = session_rollup(_events(spark, rows))
+    # sessions: u1 has [2 events], [1 event]; u2 has [1 event]
+    n = {(x.user_id, x.session_idx): x.n_events for x in roll.collect()}
+    assert n == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_sf0001_non_degenerate(spark):
+    row = session_stats(spark, SF).collect()[0]
+    assert row.n_sessions == 329
+    assert row.n_users == 15
+    assert row.bounce_sessions == 106
+    assert row.max_events == 18
+    assert 1 <= row.median_events <= 4
+    assert 0.2 < row.bounce_rate < 0.5
+    assert row.avg_duration_us > 0
+
+
+def test_one_shuffle_plan(spark):
+    """The lag window, the running sum, and the (user, session) rollup
+    must reuse ONE hash exchange on user_id."""
+    from cleaning_web_corpus_spark.warehouse.queries import t
+
+    plan = session_rollup(
+        t(spark, SF, "events").select("user_id", "event_id", "event_type", "ts")
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    n_exchange = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_exchange == 1, plan

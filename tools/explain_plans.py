@@ -132,6 +132,7 @@ PLAN_QUERIES = [
     "bm25_ndcg_eval",
     "dedup_pr_eval",
     "ann_recall_eval",
+    "session_stats",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
