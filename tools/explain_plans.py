@@ -133,6 +133,7 @@ PLAN_QUERIES = [
     "dedup_pr_eval",
     "ann_recall_eval",
     "session_stats",
+    "edit_verify_agreement",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
