@@ -1,0 +1,243 @@
+"""Triangle counting + clustering coefficients over the host graph.
+
+The second classic graph primitive after PageRank (``ops/pagerank.py``)
+that web-corpus triage uses: link-farm and mirror-ring detection reads
+LOCAL CLUSTERING (a host whose neighbours all interlink is a spam
+clique candidate), and the global transitivity number summarizes graph
+health snapshot-over-snapshot.
+
+Distributed shape — the 100 TB story is DEGREE-ORIENTED enumeration
+(the Cohen / "MapReduce triangle" construction): every undirected edge
+is oriented from its lower-(degree, id) endpoint to the higher one, so
+out-degrees are bounded by O(sqrt(m)) and the wedge self-join
+enumerates each triangle EXACTLY ONCE from its minimum-order vertex —
+the wedge volume is sum(out_deg^2), not sum(deg^2), which is what
+makes skewed web graphs (10^8-degree hubs) tractable.  Two equi-joins
+total: the wedge join on the pivot vertex and the closing-edge join on
+the normalized (lo, hi) pair.  The DuckDB oracle counts the SAME
+triangles via the naive a<b<c three-way self-join — enumeration order
+differs, the triangle set is identical, so per-vertex credits and all
+counts hash-match.
+
+Exactness: counts are BIGINTs; the clustering coefficients quantize as
+one truncating integer division each (`(2*tri*1e6) div (deg*(deg-1))`,
+`(3*tri*1e6) div wedges`) — positive operands, identical in both
+engines.
+
+Driver graph synthesis (no links table in the testdata, the pagerank
+precedent): virtual hosts 0..36; each document contributes the edge
+``(doc_id % 37, (doc_id div 37) % 37)``, self-loops dropped, kept iff
+``(a*a + b*b + a*b) % 7 < 3`` (a deterministic ~43% sparsifier so the
+graph never completes at larger SFs) — mirrored literally in the
+oracle.  Degree spread 3..26 and 343 triangles at sf0.001; the graph
+GROWS with SF (1 270 triangles at sf0.1), so the bench exercises real
+growth.
+
+Reference scope: no graph stage in the reference — web-corpus
+extension in the pagerank family.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+N_HOSTS = 37
+KEEP_MOD = 7
+KEEP_LT = 3
+
+
+# --- generic operator --------------------------------------------------------
+
+
+def triangles_over(und: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over an undirected edge relation
+    ``(a, b)`` with ``a < b``, distinct, loop-free.  Degree-oriented:
+    two equi-joins, wedge volume bounded by sum(out_deg^2)."""
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    # orient each edge from its lower-(deg, id) endpoint
+    e = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(
+                    F.col("a").alias("u"),
+                    F.col("b").alias("v"),
+                    F.col("da").alias("du"),
+                    F.col("db").alias("dv"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("u"),
+                    F.col("a").alias("v"),
+                    F.col("db").alias("du"),
+                    F.col("da").alias("dv"),
+                )
+            )
+            .alias("o")
+        )
+        .select("o.u", "o.v", "o.dv")
+    )
+    # wedges from each pivot's out-neighbours, normalized by (deg, id)
+    e1 = e.select(F.col("u"), F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    e2 = e.select(F.col("u"), F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = e1.join(e2, "u").filter(
+        (F.col("d1") < F.col("d2"))
+        | ((F.col("d1") == F.col("d2")) & (F.col("v1") < F.col("v2")))
+    )
+    closed = wedges.join(
+        e.select(F.col("u").alias("v1"), F.col("v").alias("v2")),
+        ["v1", "v2"],
+    ).select(F.col("u").alias("x"), F.col("v1").alias("y"), F.col("v2").alias("z"))
+    per_vertex = (
+        closed.select(F.explode(F.array("x", "y", "z")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return deg.join(per_vertex, "v", "left").select(
+        F.col("v").alias("host"),
+        F.col("deg"),
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+    )
+
+
+# --- driver queries ------------------------------------------------------------
+
+
+def _host_edges(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").select("doc_id")
+    ab = docs.select(
+        (F.col("doc_id") % N_HOSTS).cast("long").alias("x"),
+        F.expr(f"(doc_id div {N_HOSTS}) % {N_HOSTS}").cast("long").alias("y"),
+    )
+    return (
+        ab.filter(F.col("x") != F.col("y"))
+        .filter(
+            (F.col("x") * F.col("x") + F.col("y") * F.col("y") + F.col("x") * F.col("y"))
+            % KEEP_MOD
+            < KEEP_LT
+        )
+        .select(
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
+        )
+        .distinct()
+    )
+
+
+def host_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    tri = triangles_over(_host_edges(spark, sf))
+    return tri.select(
+        "host",
+        "deg",
+        "n_triangles",
+        F.when(
+            F.col("deg") >= 2,
+            F.expr("(n_triangles * 2 * 1000000) div (deg * (deg - 1))"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("local_cc_ppm"),
+    )
+
+
+def triangle_stats(spark: SparkSession, sf: str) -> DataFrame:
+    per_v = host_triangles(spark, sf)
+    edges = _host_edges(spark, sf).agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    agg = per_v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hosts"),
+        F.sum(F.expr("(deg * (deg - 1)) div 2")).cast("long").alias("n_wedges"),
+        F.expr("sum(n_triangles) div 3").cast("long").alias("n_triangles"),
+        F.max("local_cc_ppm").cast("long").alias("max_local_cc_ppm"),
+    )
+    return agg.crossJoin(F.broadcast(edges)).select(
+        "n_hosts",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr("(n_triangles * 3 * 1000000) div n_wedges").alias(
+            "global_cc_ppm"
+        ),
+        "max_local_cc_ppm",
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "host_triangles": host_triangles,
+    "triangle_stats": triangle_stats,
+}
+
+_SQL_BASE = f"""
+    und AS (
+        SELECT DISTINCT least(doc_id % {N_HOSTS}, (doc_id // {N_HOSTS}) % {N_HOSTS}) AS a,
+                        greatest(doc_id % {N_HOSTS}, (doc_id // {N_HOSTS}) % {N_HOSTS}) AS b
+        FROM documents
+        WHERE doc_id % {N_HOSTS} <> (doc_id // {N_HOSTS}) % {N_HOSTS}
+          AND ((doc_id % {N_HOSTS}) * (doc_id % {N_HOSTS})
+               + ((doc_id // {N_HOSTS}) % {N_HOSTS}) * ((doc_id // {N_HOSTS}) % {N_HOSTS})
+               + (doc_id % {N_HOSTS}) * ((doc_id // {N_HOSTS}) % {N_HOSTS}))
+              % {KEEP_MOD} < {KEEP_LT}
+    ),
+    deg AS (
+        SELECT v, COUNT(*)::BIGINT AS deg
+        FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+        GROUP BY v
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e1.b = e2.a
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_v AS (
+        SELECT d.v AS host, d.deg,
+               COALESCE(c.n, 0)::BIGINT AS n_triangles
+        FROM deg d
+        LEFT JOIN (
+            SELECT v, COUNT(*) AS n
+            FROM (SELECT x AS v FROM tri UNION ALL
+                  SELECT y AS v FROM tri UNION ALL
+                  SELECT z AS v FROM tri)
+            GROUP BY v
+        ) c ON d.v = c.v
+    ),
+    scored AS (
+        SELECT host, deg, n_triangles,
+               CASE WHEN deg >= 2
+                    THEN (n_triangles * 2 * 1000000) // (deg * (deg - 1))
+                    ELSE 0 END::BIGINT AS local_cc_ppm
+        FROM per_v
+    )
+"""
+
+ORACLES: Dict[str, str] = {
+    "host_triangles": f"""
+    WITH {_SQL_BASE}
+    SELECT host, deg, n_triangles, local_cc_ppm FROM scored
+    """,
+    "triangle_stats": f"""
+    WITH {_SQL_BASE}
+    SELECT (SELECT COUNT(*) FROM scored)::BIGINT AS n_hosts,
+           (SELECT COUNT(*) FROM und)::BIGINT AS n_edges,
+           (SELECT SUM((deg * (deg - 1)) // 2) FROM scored)::BIGINT AS n_wedges,
+           (SELECT SUM(n_triangles) // 3 FROM scored)::BIGINT AS n_triangles,
+           ((SELECT SUM(n_triangles) // 3 FROM scored) * 3 * 1000000
+            // (SELECT SUM((deg * (deg - 1)) // 2) FROM scored))::BIGINT
+               AS global_cc_ppm,
+           (SELECT MAX(local_cc_ppm) FROM scored)::BIGINT AS max_local_cc_ppm
+    """,
+}

@@ -1,0 +1,63 @@
+"""Triangle-count tests: known graphs, orientation invariance, stats."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.triangles import (
+    host_triangles,
+    triangle_stats,
+    triangles_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _und(spark, edges):
+    return spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "a long, b long"
+    ).distinct()
+
+
+def test_known_graphs(spark):
+    # K4: every vertex in 3 triangles, local cc = 1
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    got = {r.host: r.n_triangles for r in triangles_over(_und(spark, k4)).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # a triangle with a pendant vertex: pendant's count is 0
+    tri_pendant = [(0, 1), (1, 2), (0, 2), (2, 3)]
+    got = {
+        r.host: (r.deg, r.n_triangles)
+        for r in triangles_over(_und(spark, tri_pendant)).collect()
+    }
+    assert got == {0: (2, 1), 1: (2, 1), 2: (3, 1), 3: (1, 0)}
+    # skewed star (hub of degree 5, no closing edges): zero triangles
+    star = [(0, i) for i in range(1, 6)]
+    rows = triangles_over(_und(spark, star)).collect()
+    assert all(r.n_triangles == 0 for r in rows)
+
+
+def test_sf0001_values(spark):
+    rows = host_triangles(spark, SF).collect()
+    assert len(rows) == 37
+    assert sum(r.n_triangles for r in rows) == 3 * 343
+    assert {r.deg for r in rows} >= {3, 26}
+    assert all(0 <= r.local_cc_ppm <= 1_000_000 for r in rows)
+    st = triangle_stats(spark, SF).collect()[0]
+    assert st.n_hosts == 37
+    assert st.n_edges == 206
+    assert st.n_triangles == 343
+    assert 0 < st.global_cc_ppm < 1_000_000
+    # transitivity identity: 3*tri <= wedges
+    assert 3 * st.n_triangles <= st.n_wedges
+
+
+def test_two_equi_joins_no_cartesian(spark):
+    """The degree-oriented plan must contain no cartesian/NL join —
+    the wedge and closing joins are equi-joins."""
+    plan = (
+        host_triangles(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -134,6 +134,7 @@ PLAN_QUERIES = [
     "ann_recall_eval",
     "session_stats",
     "edit_verify_agreement",
+    "host_triangles",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
