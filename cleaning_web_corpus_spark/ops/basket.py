@@ -1,0 +1,183 @@
+"""Market-basket pair lift over the order/lineitem warehouse.
+
+The co-occurrence analytics staple the PMI collocation miner
+(``ops/collocations.py``) covers only for ADJACENT TOKENS: which part
+pairs appear in the same order far more often than chance — the
+affinity signal behind recommendations, assortment planning, and (in
+corpus terms) source-bundle detection.  Lift of a pair is
+``N * c_ab / (c_a * c_b)`` over basket counts.
+
+Distributed shape (the 100 TB story):
+
+* baskets materialize ONCE as ``sort_array(collect_set(part))`` per
+  order — one shuffle on the order key; pair expansion runs IN-BUCKET
+  with native array expressions (the simhash/minhash bucket move —
+  never an items-level self-join, whose shuffle would carry every
+  (order, part) row twice); basket sizes are bounded (<= 13 here,
+  flood-capped at ``MAX_BASKET`` like every bucket op in this repo),
+  so the expansion is O(basket^2) <= O(cap^2) per order;
+* per-item basket counts are ONE aggregate; attaching ``c_a`` /
+  ``c_b`` to the supported pairs is two equi-joins on the part key
+  (pair relation << items at the support floor);
+* lift quantizes as ``(N * c_ab * 1_000_000) div (c_a * c_b)`` — one
+  truncating division of positive BIGINTs, identical in both engines,
+  so the top-k ordering (lift desc, part_a, part_b) cannot drift;
+  top-20 via TakeOrderedAndProject.
+
+The DuckDB oracle enumerates the SAME pairs via the naive items
+self-join — enumeration differs, counts hash-match (the triangles
+contract).
+
+Reference scope: warehouse-analytics extension (A-family); the
+reference has no co-occurrence queries.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+MIN_SUPPORT = 2  # pair must co-occur in >= 2 baskets
+TOP_K = 20
+MAX_BASKET = 100  # flood cap: degenerate mega-baskets are dropped
+
+
+def _pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """(part_a, part_b, c_ab) for pairs at the support floor."""
+    items = t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    )
+    baskets = (
+        items.groupBy("o")
+        .agg(F.sort_array(F.collect_set("p")).alias("ps"))
+        .filter(F.size("ps").between(2, MAX_BASKET))
+    )
+    pairs = F.expr(
+        "filter(flatten(transform(ps, x -> transform(ps, y ->"
+        " struct(x AS part_a, y AS part_b)))), q -> q.part_a < q.part_b)"
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("q"))
+        .groupBy("q.part_a", "q.part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= MIN_SUPPORT)
+    )
+
+
+def _item_counts(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def _n_baskets(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "lineitem")
+        .select(F.col("l_orderkey").alias("o"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    )
+
+
+def _lift(spark: SparkSession, sf: str) -> DataFrame:
+    ic = _item_counts(spark, sf)
+    return (
+        _pair_counts(spark, sf)
+        .join(ic.select(F.col("p").alias("part_a"), F.col("c").alias("c_a")), "part_a")
+        .join(ic.select(F.col("p").alias("part_b"), F.col("c").alias("c_b")), "part_b")
+        .crossJoin(F.broadcast(_n_baskets(spark, sf)))
+        .withColumn(
+            "lift_ppm",
+            F.expr("(n_baskets * c_ab * 1000000) div (c_a * c_b)"),
+        )
+    )
+
+
+def basket_pair_lift(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _lift(spark, sf)
+        .select("part_a", "part_b", "c_ab", "c_a", "c_b", "lift_ppm")
+        .orderBy(
+            F.col("lift_ppm").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+        )
+        .limit(TOP_K)
+    )
+
+
+def basket_lift_stats(spark: SparkSession, sf: str) -> DataFrame:
+    lifted = _lift(spark, sf)
+    return lifted.agg(
+        F.min("n_baskets").cast("long").alias("n_baskets"),
+        F.count(F.lit(1)).cast("long").alias("n_supported_pairs"),
+        F.max("c_ab").cast("long").alias("max_cooc"),
+        F.max("lift_ppm").cast("long").alias("max_lift_ppm"),
+        F.min("lift_ppm").cast("long").alias("min_lift_ppm"),
+        F.sum(F.when(F.col("lift_ppm") > 1_000_000, 1).otherwise(0))
+        .cast("long")
+        .alias("n_above_chance"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "basket_pair_lift": basket_pair_lift,
+    "basket_lift_stats": basket_lift_stats,
+}
+
+_SQL_LIFT = f"""
+    items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    sized AS (
+        SELECT o FROM items GROUP BY o
+        HAVING COUNT(*) BETWEEN 2 AND {MAX_BASKET}
+    ),
+    pc AS (
+        SELECT a.p AS part_a, b.p AS part_b, COUNT(*)::BIGINT AS c_ab
+        FROM items a
+        JOIN items b ON a.o = b.o AND a.p < b.p
+        JOIN sized s ON a.o = s.o
+        GROUP BY a.p, b.p
+        HAVING COUNT(*) >= {MIN_SUPPORT}
+    ),
+    ic AS (SELECT p, COUNT(*)::BIGINT AS c FROM items GROUP BY p),
+    nb AS (SELECT COUNT(DISTINCT o)::BIGINT AS n_baskets FROM items),
+    lifted AS (
+        SELECT pc.part_a, pc.part_b, pc.c_ab,
+               ia.c AS c_a, ib.c AS c_b, nb.n_baskets,
+               (nb.n_baskets * pc.c_ab * 1000000) // (ia.c * ib.c)
+                   AS lift_ppm
+        FROM pc
+        JOIN ic ia ON pc.part_a = ia.p
+        JOIN ic ib ON pc.part_b = ib.p
+        CROSS JOIN nb
+    )
+"""
+
+ORACLES: Dict[str, str] = {
+    "basket_pair_lift": f"""
+    WITH {_SQL_LIFT}
+    SELECT part_a, part_b, c_ab, c_a, c_b, lift_ppm::BIGINT AS lift_ppm
+    FROM lifted
+    ORDER BY lift_ppm DESC, part_a ASC, part_b ASC
+    LIMIT {TOP_K}
+    """,
+    "basket_lift_stats": f"""
+    WITH {_SQL_LIFT}
+    SELECT MIN(n_baskets)::BIGINT AS n_baskets,
+           COUNT(*)::BIGINT AS n_supported_pairs,
+           MAX(c_ab)::BIGINT AS max_cooc,
+           MAX(lift_ppm)::BIGINT AS max_lift_ppm,
+           MIN(lift_ppm)::BIGINT AS min_lift_ppm,
+           SUM(CASE WHEN lift_ppm > 1000000 THEN 1 ELSE 0 END)::BIGINT
+               AS n_above_chance
+    FROM lifted
+    """,
+}

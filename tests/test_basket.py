@@ -1,0 +1,53 @@
+"""Market-basket lift tests: known baskets, support floor, top-k."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.basket import (
+    MIN_SUPPORT,
+    TOP_K,
+    basket_lift_stats,
+    basket_pair_lift,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_lift_math_known_baskets(spark, monkeypatch):
+    """Hand-built baskets: {1,2} x3, {1,3} x1, {2,3} x1, {4} x1.
+    Pair (1,2) has c_ab=3, c_1=4, c_2=4, N=6 -> lift 6*3/16 = 1.125."""
+    rows = []
+    oid = 0
+    for basket in ([1, 2], [1, 2], [1, 2], [1, 3], [2, 3], [4]):
+        for p in basket:
+            rows.append((oid, p))
+        oid += 1
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    import cleaning_web_corpus_spark.ops.basket as mod
+
+    monkeypatch.setattr(mod, "t", lambda spark, sf, name: df)
+    got = {
+        (r.part_a, r.part_b): (r.c_ab, r.c_a, r.c_b, r.lift_ppm)
+        for r in basket_pair_lift(spark, "ignored").collect()
+    }
+    # only (1,2) reaches the support floor of 2
+    assert got == {(1, 2): (3, 4, 4, (6 * 3 * 1_000_000) // 16)}
+    assert got[(1, 2)][3] == 1_125_000
+    st = basket_lift_stats(spark, "ignored").collect()[0]
+    assert st.n_baskets == 6
+    assert st.n_supported_pairs == 1
+    assert st.max_cooc == 3
+    assert st.n_above_chance == 1
+
+
+def test_sf0001_non_degenerate(spark):
+    top = basket_pair_lift(spark, SF).collect()
+    assert len(top) == TOP_K
+    # descending lift with deterministic tie-break
+    keys = [(-r.lift_ppm, r.part_a, r.part_b) for r in top]
+    assert keys == sorted(keys)
+    assert all(r.c_ab >= MIN_SUPPORT for r in top)
+    st = basket_lift_stats(spark, SF).collect()[0]
+    assert st.n_baskets == 1473
+    assert st.n_supported_pairs == 2324
+    assert st.max_cooc == 5
+    assert st.max_lift_ppm >= top[0].lift_ppm

@@ -135,6 +135,7 @@ PLAN_QUERIES = [
     "session_stats",
     "edit_verify_agreement",
     "host_triangles",
+    "basket_pair_lift",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
