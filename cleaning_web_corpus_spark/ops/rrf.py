@@ -1,0 +1,122 @@
+"""Reciprocal-rank fusion of the lexical and semantic rankings.
+
+Hybrid retrieval — the shape every modern RAG data stack runs: fuse
+the BM25 top-k (``ops/bm25.py``, lexical) with the embedding-kNN
+top-k (``ops/ann.py``, semantic) via RRF, the standard
+score-scale-free fusion: ``rrf(d) = sum_r 1 / (K + rank_r(d))`` with
+K = 60 (the constant from Cormack et al.'s original formulation).
+
+Exactness contract: each reciprocal quantizes INDEPENDENTLY as
+``1_000_000_000 div (60 + rank)`` — ranks are small integers, the
+division truncates identically in both engines, and the fused score
+is a SUM of those exact BIGINTs, so the final ordering cannot drift
+(the zipf/bm25 quantization contract).
+
+Plan (100 TB story): both input rankings are already top-k relations
+(20 rows each — TakeOrderedAndProject outputs), so the rank windows,
+the full-outer join on the doc id, and the fused sort all run on
+O(k) rows; the corpus-sized work is entirely inside the two upstream
+queries.  vec_id and doc_id share the id space (the embeddings table
+is the documents' embedding column, the ann/semdedup convention).
+
+Oracle splices BOTH upstream oracles (the ann_recall_eval move), so
+DuckDB re-derives the lexical and semantic rankings from scratch and
+the gate hash covers rank assignment AND fusion.
+
+Reference scope: retrieval extension of the bm25/ann family.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.ann import (
+    ORACLES as _ANN_ORACLES,
+    embedding_knn,
+)
+from cleaning_web_corpus_spark.ops.bm25 import (
+    ORACLES as _BM25_ORACLES,
+    bm25_search,
+)
+
+RRF_K = 60
+FUSED_TOP_K = 10
+_SCALE = 1_000_000_000
+
+
+def _recip(rank_col: str) -> F.Column:
+    return F.coalesce(
+        F.expr(f"{_SCALE} div ({RRF_K} + {rank_col})"), F.lit(0)
+    ).cast("long")
+
+
+def rrf_fusion(spark: SparkSession, sf: str) -> DataFrame:
+    lex = bm25_search(spark, sf).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_micro"), F.asc("doc_id")))
+        .cast("long")
+        .alias("bm25_rank"),
+    )
+    sem = embedding_knn(spark, sf).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .cast("long")
+        .alias("knn_rank"),
+    )
+    fused = (
+        lex.join(sem, "doc_id", "full_outer")
+        .withColumn(
+            "rrf_micro", _recip("bm25_rank") + _recip("knn_rank")
+        )
+        .withColumn(
+            "in_both",
+            F.col("bm25_rank").isNotNull() & F.col("knn_rank").isNotNull(),
+        )
+    )
+    return (
+        fused.select("doc_id", "bm25_rank", "knn_rank", "rrf_micro", "in_both")
+        .orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+        .limit(FUSED_TOP_K)
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "rrf_fusion": rrf_fusion,
+}
+
+ORACLES: Dict[str, str] = {
+    "rrf_fusion": f"""
+    WITH lex0 AS ({_BM25_ORACLES["bm25_search"]}),
+    sem0 AS ({_ANN_ORACLES["embedding_knn"]}),
+    lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id ASC)
+                   ::BIGINT AS bm25_rank
+        FROM lex0
+    ),
+    sem AS (
+        SELECT vec_id AS doc_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id ASC)
+                   ::BIGINT AS knn_rank
+        FROM sem0
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               l.bm25_rank, s.knn_rank,
+               (COALESCE({_SCALE} // ({RRF_K} + l.bm25_rank), 0)
+                + COALESCE({_SCALE} // ({RRF_K} + s.knn_rank), 0))::BIGINT
+                   AS rrf_micro,
+               l.bm25_rank IS NOT NULL AND s.knn_rank IS NOT NULL AS in_both
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, bm25_rank, knn_rank, rrf_micro, in_both
+    FROM fused
+    ORDER BY rrf_micro DESC, doc_id ASC
+    LIMIT {FUSED_TOP_K}
+    """,
+}

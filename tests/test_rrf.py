@@ -1,0 +1,42 @@
+"""RRF fusion tests: quantized math, ordering, overlap behavior."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.rrf import (
+    FUSED_TOP_K,
+    RRF_K,
+    _SCALE,
+    rrf_fusion,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rrf_values(spark):
+    rows = rrf_fusion(spark, SF).collect()
+    assert len(rows) == FUSED_TOP_K
+    for r in rows:
+        expected = 0
+        if r.bm25_rank is not None:
+            expected += _SCALE // (RRF_K + r.bm25_rank)
+        if r.knn_rank is not None:
+            expected += _SCALE // (RRF_K + r.knn_rank)
+        assert r.rrf_micro == expected
+        assert r.in_both == (
+            r.bm25_rank is not None and r.knn_rank is not None
+        )
+    keys = [(-r.rrf_micro, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
+    # a doc present in both rankings beats a single-list doc at the
+    # same best rank, so the fusion is genuinely hybrid: at least one
+    # of top-k must come from each source list
+    assert any(r.bm25_rank is not None for r in rows)
+    assert any(r.knn_rank is not None for r in rows)
+
+
+def test_single_list_membership_caps_score(spark):
+    rows = rrf_fusion(spark, SF).collect()
+    solo_max = _SCALE // (RRF_K + 1)
+    for r in rows:
+        if not r.in_both:
+            assert r.rrf_micro <= solo_max

@@ -136,6 +136,7 @@ PLAN_QUERIES = [
     "edit_verify_agreement",
     "host_triangles",
     "basket_pair_lift",
+    "rrf_fusion",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
