@@ -1,0 +1,213 @@
+"""MAD-based robust outlier detection per source.
+
+The robust counterpart of the z-score spike detector
+(``ops/anomaly.py``): mean/stddev break down exactly when the data
+has the outliers you hunt (one mega-doc inflates sigma until nothing
+is an outlier), so production data-quality checks use
+median/median-absolute-deviation, which has a 50% breakdown point.
+Per-source rule: a document is an outlier iff
+``|v - median| > 5 * MAD``.
+
+Exactness contract: medians are NEAREST-RANK over the count-of-counts
+histogram (never ntile/percentile — the key_skew contract), MAD is
+the nearest-rank median of absolute deviations, and the outlier rule
+compares exact BIGINTs — no float exists anywhere, so both engines
+agree bit-for-bit.
+
+Distributed shape (the 100 TB story): each median is ONE
+``(group, value)`` histogram aggregate (map-side combine collapses
+duplicates before the shuffle) plus a cumulative window over the
+per-group HISTOGRAM rows (bounded by value cardinality, not row
+count); deviations join the K-row median table back on the group key
+— two histogram rounds total, never a per-group sort of raw rows.
+
+Driver tell (no natural heavy tail in the synthetic corpus):
+documents with ``doc_id % 97 = 0`` count as 20x their length — the
+deterministic mega-doc residue, mirrored LITERALLY in the oracle; the
+detector flags exactly those 6 and nothing else (pinned by test).
+
+Reference scope: data-quality extension of the anomaly family (A6).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+MAD_MULT = 5  # |v - median| > 5 * MAD flags an outlier
+MEGA_RESIDUE = 97
+MEGA_FACTOR = 20
+
+
+def _nearest_rank_median(
+    vals: DataFrame, group_col: str, value_col: str, out_col: str
+) -> DataFrame:
+    """(group, median) via the count-of-counts histogram; nearest rank
+    = smallest value whose cumulative count reaches ceil(n/2)."""
+    hist = vals.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy(group_col)
+            .orderBy(value_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    tot = vals.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cum.join(tot, group_col)
+        .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .groupBy(group_col)
+        .agg(F.min(value_col).cast("long").alias(out_col))
+    )
+
+
+def mad_outliers_over(
+    df: DataFrame, group_col: str, value_col: str, mult: int = MAD_MULT
+) -> DataFrame:
+    """Per-group robust outlier report over an integer value column."""
+    vals = df.select(group_col, F.col(value_col).cast("long").alias("v"))
+    med = _nearest_rank_median(vals, group_col, "v", "median_v")
+    dev = vals.join(med, group_col).select(
+        group_col,
+        "v",
+        "median_v",
+        F.abs(F.col("v") - F.col("median_v")).alias("dv"),
+    )
+    mad = _nearest_rank_median(
+        dev.select(group_col, F.col("dv").alias("v")), group_col, "v", "mad_v"
+    )
+    return (
+        dev.join(mad, group_col)
+        .groupBy(group_col, "median_v", "mad_v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum((F.col("dv") > mult * F.col("mad_v")).cast("long"))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            group_col,
+            "n_rows",
+            "median_v",
+            "mad_v",
+            "n_outliers",
+            F.expr("(n_outliers * 1000000) div n_rows").alias("outlier_ppm"),
+        )
+    )
+
+
+def _mega_docs(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "source",
+        (
+            F.col("n_chars")
+            * F.when(F.col("doc_id") % MEGA_RESIDUE == 0, MEGA_FACTOR).otherwise(1)
+        ).alias("v"),
+    )
+
+
+def source_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    return mad_outliers_over(_mega_docs(spark, sf), "source", "v")
+
+
+def mad_outlier_stats(spark: SparkSession, sf: str) -> DataFrame:
+    r = source_mad_outliers(spark, sf)
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("n_outliers").cast("long").alias("total_outliers"),
+        F.sum(F.when(F.col("n_outliers") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("sources_with_outliers"),
+        F.min("mad_v").cast("long").alias("min_mad"),
+        F.max("mad_v").cast("long").alias("max_mad"),
+        F.max("outlier_ppm").cast("long").alias("max_outlier_ppm"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "source_mad_outliers": source_mad_outliers,
+    "mad_outlier_stats": mad_outlier_stats,
+}
+
+_SQL_MAD = f"""
+    docs AS (
+        SELECT source,
+               (n_chars * CASE WHEN doc_id % {MEGA_RESIDUE} = 0
+                               THEN {MEGA_FACTOR} ELSE 1 END)::BIGINT AS v
+        FROM documents
+    ),
+    hist AS (SELECT source, v, COUNT(*) AS cnt FROM docs GROUP BY source, v),
+    cum AS (
+        SELECT source, v,
+               SUM(cnt) OVER (PARTITION BY source ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist
+    ),
+    tot AS (SELECT source, COUNT(*) AS n FROM docs GROUP BY source),
+    med AS (
+        SELECT c.source, MIN(c.v)::BIGINT AS median_v
+        FROM cum c JOIN tot t ON c.source = t.source
+        WHERE c.cum >= (t.n + 1) // 2
+        GROUP BY c.source
+    ),
+    dev AS (
+        SELECT d.source, d.v, m.median_v, abs(d.v - m.median_v) AS dv
+        FROM docs d JOIN med m ON d.source = m.source
+    ),
+    dhist AS (
+        SELECT source, dv, COUNT(*) AS cnt FROM dev GROUP BY source, dv
+    ),
+    dcum AS (
+        SELECT source, dv,
+               SUM(cnt) OVER (PARTITION BY source ORDER BY dv
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM dhist
+    ),
+    mad AS (
+        SELECT dc.source, MIN(dc.dv)::BIGINT AS mad_v
+        FROM dcum dc JOIN tot t ON dc.source = t.source
+        WHERE dc.cum >= (t.n + 1) // 2
+        GROUP BY dc.source
+    ),
+    rep AS (
+        SELECT d.source,
+               COUNT(*)::BIGINT AS n_rows,
+               MIN(d.median_v)::BIGINT AS median_v,
+               MIN(a.mad_v)::BIGINT AS mad_v,
+               SUM(CASE WHEN d.dv > {MAD_MULT} * a.mad_v
+                        THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        FROM dev d JOIN mad a ON d.source = a.source
+        GROUP BY d.source
+    ),
+    scored AS (
+        SELECT source, n_rows, median_v, mad_v, n_outliers,
+               ((n_outliers * 1000000) // n_rows)::BIGINT AS outlier_ppm
+        FROM rep
+    )
+"""
+
+ORACLES: Dict[str, str] = {
+    "source_mad_outliers": f"""
+    WITH {_SQL_MAD}
+    SELECT source, n_rows, median_v, mad_v, n_outliers, outlier_ppm
+    FROM scored
+    """,
+    "mad_outlier_stats": f"""
+    WITH {_SQL_MAD}
+    SELECT COUNT(*)::BIGINT AS n_sources,
+           SUM(n_outliers)::BIGINT AS total_outliers,
+           SUM(CASE WHEN n_outliers > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS sources_with_outliers,
+           MIN(mad_v)::BIGINT AS min_mad,
+           MAX(mad_v)::BIGINT AS max_mad,
+           MAX(outlier_ppm)::BIGINT AS max_outlier_ppm
+    FROM scored
+    """,
+}

@@ -1,0 +1,51 @@
+"""MAD outlier tests: nearest-rank math, breakdown robustness, tell."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.robust_stats import (
+    MEGA_RESIDUE,
+    mad_outlier_stats,
+    mad_outliers_over,
+    source_mad_outliers,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "g string, v long")
+
+
+def test_known_median_and_mad(spark):
+    # g1: values 1..5 -> median 3, deviations {2,1,0,1,2} -> MAD 1;
+    # the 100 at the end deviates 97 > 5*1 -> one outlier
+    rows = [("g1", v) for v in (1, 2, 3, 4, 5, 100)]
+    # even count: nearest rank = ceil(6/2) = 3rd smallest -> median 3
+    r = {x.g: x for x in mad_outliers_over(_df(spark, rows), "g", "v").collect()}
+    assert r["g1"].median_v == 3
+    assert r["g1"].mad_v == 1
+    assert r["g1"].n_outliers == 1
+    assert r["g1"].n_rows == 6
+
+
+def test_breakdown_vs_sigma(spark):
+    """The case that breaks z-scores: one huge outlier inflates sigma
+    so much that 3-sigma misses it; MAD still flags it."""
+    rows = [("g", v) for v in [10] * 9 + [10_000_000]]
+    r = mad_outliers_over(_df(spark, rows), "g", "v").collect()[0]
+    assert r.median_v == 10 and r.mad_v == 0
+    assert r.n_outliers == 1  # |1e7-10| > 5*0 holds
+
+
+def test_mega_doc_tell(spark):
+    per = source_mad_outliers(spark, SF).collect()
+    assert len(per) == 20
+    assert sum(r.n_outliers for r in per) == 6
+    assert max(r.n_outliers for r in per) == 1
+    st = mad_outlier_stats(spark, SF).collect()[0]
+    assert st.n_sources == 20
+    assert st.total_outliers == 6
+    assert st.sources_with_outliers == 6
+    assert st.min_mad > 0
+    # exactly the doc_id % 97 == 0 docs: 500 ids -> 6 residues
+    assert len([i for i in range(500) if i % MEGA_RESIDUE == 0]) == 6

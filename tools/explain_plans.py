@@ -137,6 +137,7 @@ PLAN_QUERIES = [
     "host_triangles",
     "basket_pair_lift",
     "rrf_fusion",
+    "source_mad_outliers",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
