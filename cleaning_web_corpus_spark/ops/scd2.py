@@ -1,0 +1,214 @@
+"""SCD Type-2 dimension history merge (Kimball slowly-changing dims).
+
+``stg_dedup_latest`` keeps only the LATEST record per key; the other
+warehouse-load contract is the opposite: keep EVERY version with a
+validity interval, so facts can join the dimension AS OF their event
+time.  This is the standard SCD2 merge — the batch operation behind
+``MERGE INTO`` dimension loads on Iceberg/Delta:
+
+* ``scd2_merge(current, incoming, t_new)`` is the generic builder:
+  already-closed history rows pass through untouched; the OPEN rows
+  full-outer-join the incoming snapshot on the business key and each
+  joined row emits its history rows via an in-row CASE array explode
+  — unchanged (keep open), changed (close old at ``t_new`` + insert
+  new open), deleted (close old), added (insert open).  ONE join is
+  the whole merge; co-partitioned/bucketed on the key it is
+  shuffle-light at 10^12-row dimension scale, and the output is
+  exactly what ``MERGE INTO`` would commit.
+* validity bounds are exact BIGINT epoch-MICROSECOND constants
+  (``T1_US``/``T2_US``); versions/attributes are strings — no floats
+  anywhere, both engines agree bit-for-bit.
+
+Driver snapshots (the snapshot_diff residue convention, mirrored
+literally in the oracle): snapshot A is the customer dim loaded at
+T1 (all rows open); snapshot B at T2 removes ``c_custkey % 11 = 0``,
+rewrites ``c_mktsegment`` to ``<seg>_V2`` when ``% 13 = 0`` (removal
+wins), and adds a twin under ``c_custkey + 10^9`` with segment
+``'NEW'`` when ``% 17 = 0``.
+
+Reference scope: warehouse-load extension (W-family: the reference's
+ClickHouse loader truncates-and-reloads; SCD2 is the incremental
+contract it lacks — `/root/reference/src/db/load_to_clickhouse.py`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+T1_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+T2_US = 1_706_745_600_000_000  # 2024-02-01 00:00:00 UTC
+_ADD_KEY = 1_000_000_000
+
+
+def scd2_merge(
+    current: DataFrame, incoming: DataFrame, t_new: int
+) -> DataFrame:
+    """Merge an incoming (key, attr) snapshot taken at ``t_new`` into
+    an SCD2 history (key, attr, valid_from_us, valid_to_us,
+    is_current).  Closed rows pass through; open rows reconcile."""
+    closed = current.filter(~F.col("is_current"))
+    open_rows = current.filter(F.col("is_current")).select(
+        "key", "attr", "valid_from_us"
+    )
+    inc = incoming.select(
+        F.col("key").alias("i_key"), F.col("attr").alias("i_attr")
+    )
+    joined = open_rows.join(
+        inc, open_rows["key"] == inc["i_key"], "full_outer"
+    )
+    hist = F.expr(
+        f"""
+        CASE
+          WHEN key IS NOT NULL AND i_key IS NOT NULL AND attr = i_attr THEN
+            array(struct(key AS key, attr AS attr,
+                         valid_from_us AS valid_from_us,
+                         CAST(NULL AS BIGINT) AS valid_to_us,
+                         true AS is_current))
+          WHEN key IS NOT NULL AND i_key IS NOT NULL THEN
+            array(struct(key AS key, attr AS attr,
+                         valid_from_us AS valid_from_us,
+                         CAST({t_new} AS BIGINT) AS valid_to_us,
+                         false AS is_current),
+                  struct(i_key AS key, i_attr AS attr,
+                         CAST({t_new} AS BIGINT) AS valid_from_us,
+                         CAST(NULL AS BIGINT) AS valid_to_us,
+                         true AS is_current))
+          WHEN key IS NOT NULL THEN
+            array(struct(key AS key, attr AS attr,
+                         valid_from_us AS valid_from_us,
+                         CAST({t_new} AS BIGINT) AS valid_to_us,
+                         false AS is_current))
+          ELSE
+            array(struct(i_key AS key, i_attr AS attr,
+                         CAST({t_new} AS BIGINT) AS valid_from_us,
+                         CAST(NULL AS BIGINT) AS valid_to_us,
+                         true AS is_current))
+        END
+        """
+    )
+    reconciled = joined.select(F.explode(hist).alias("h")).select(
+        "h.key", "h.attr", "h.valid_from_us", "h.valid_to_us", "h.is_current"
+    )
+    return closed.select(
+        "key", "attr", "valid_from_us", "valid_to_us", "is_current"
+    ).unionByName(reconciled)
+
+
+def _snapshot_a(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("attr"),
+        F.lit(T1_US).cast("long").alias("valid_from_us"),
+        F.lit(None).cast("long").alias("valid_to_us"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def _snapshot_b(spark: SparkSession, sf: str) -> DataFrame:
+    c = t(spark, sf, "customer")
+    kept = c.filter(F.col("c_custkey") % 11 != 0).select(
+        F.col("c_custkey").alias("key"),
+        F.when(
+            F.col("c_custkey") % 13 == 0,
+            F.concat(F.col("c_mktsegment"), F.lit("_V2")),
+        )
+        .otherwise(F.col("c_mktsegment"))
+        .alias("attr"),
+    )
+    added = c.filter(F.col("c_custkey") % 17 == 0).select(
+        (F.col("c_custkey") + _ADD_KEY).alias("key"),
+        F.lit("NEW").alias("attr"),
+    )
+    return kept.unionByName(added)
+
+
+def scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    return scd2_merge(
+        _snapshot_a(spark, sf), _snapshot_b(spark, sf), T2_US
+    )
+
+
+def scd2_stats(spark: SparkSession, sf: str) -> DataFrame:
+    h = scd2_history(spark, sf)
+    return h.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("is_current").cast("long")).cast("long").alias("n_open"),
+        F.sum((~F.col("is_current")).cast("long"))
+        .cast("long")
+        .alias("n_closed"),
+        F.sum((F.col("valid_from_us") == T2_US).cast("long"))
+        .cast("long")
+        .alias("n_inserted_at_t2"),
+        F.sum(F.coalesce(F.col("valid_to_us") == T2_US, F.lit(False)).cast("long"))
+        .cast("long")
+        .alias("n_closed_at_t2"),
+        F.count_distinct("key").cast("long").alias("n_keys"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "scd2_history": scd2_history,
+    "scd2_stats": scd2_stats,
+}
+
+_SQL_HIST = f"""
+    a AS (
+        SELECT c_custkey AS key, c_mktsegment AS attr,
+               {T1_US}::BIGINT AS valid_from_us
+        FROM customer
+    ),
+    b AS (
+        SELECT c_custkey AS key,
+               CASE WHEN c_custkey % 13 = 0 THEN c_mktsegment || '_V2'
+                    ELSE c_mktsegment END AS attr
+        FROM customer WHERE c_custkey % 11 <> 0
+        UNION ALL
+        SELECT c_custkey + {_ADD_KEY} AS key, 'NEW' AS attr
+        FROM customer WHERE c_custkey % 17 = 0
+    ),
+    hist AS (
+        -- unchanged: keep the open row
+        SELECT a.key, a.attr, a.valid_from_us,
+               NULL::BIGINT AS valid_to_us, true AS is_current
+        FROM a JOIN b ON a.key = b.key AND a.attr = b.attr
+        UNION ALL
+        -- changed: close the old version at T2
+        SELECT a.key, a.attr, a.valid_from_us, {T2_US}::BIGINT, false
+        FROM a JOIN b ON a.key = b.key AND a.attr <> b.attr
+        UNION ALL
+        -- changed: insert the new open version
+        SELECT b.key, b.attr, {T2_US}::BIGINT, NULL::BIGINT, true
+        FROM a JOIN b ON a.key = b.key AND a.attr <> b.attr
+        UNION ALL
+        -- deleted: close at T2
+        SELECT a.key, a.attr, a.valid_from_us, {T2_US}::BIGINT, false
+        FROM a ANTI JOIN b ON a.key = b.key
+        UNION ALL
+        -- added: new open row
+        SELECT b.key, b.attr, {T2_US}::BIGINT, NULL::BIGINT, true
+        FROM b ANTI JOIN a ON a.key = b.key
+    )
+"""
+
+ORACLES: Dict[str, str] = {
+    "scd2_history": f"""
+    WITH {_SQL_HIST}
+    SELECT key, attr, valid_from_us, valid_to_us, is_current FROM hist
+    """,
+    "scd2_stats": f"""
+    WITH {_SQL_HIST}
+    SELECT COUNT(*)::BIGINT AS n_rows,
+           SUM(is_current::INT)::BIGINT AS n_open,
+           SUM((NOT is_current)::INT)::BIGINT AS n_closed,
+           SUM((valid_from_us = {T2_US})::INT)::BIGINT AS n_inserted_at_t2,
+           SUM(COALESCE(valid_to_us = {T2_US}, false)::INT)::BIGINT
+               AS n_closed_at_t2,
+           COUNT(DISTINCT key)::BIGINT AS n_keys
+    FROM hist
+    """,
+}

@@ -1,0 +1,90 @@
+"""SCD2 merge tests: all four transitions, idempotence, dim counts."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.scd2 import (
+    T1_US,
+    T2_US,
+    scd2_history,
+    scd2_merge,
+    scd2_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+SCHEMA_CUR = (
+    "key long, attr string, valid_from_us long, valid_to_us long,"
+    " is_current boolean"
+)
+
+
+def _current(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA_CUR)
+
+
+def _incoming(spark, rows):
+    return spark.createDataFrame(rows, "key long, attr string")
+
+
+def test_all_transitions(spark):
+    cur = _current(
+        spark,
+        [
+            (1, "A", T1_US, None, True),      # unchanged
+            (2, "B", T1_US, None, True),      # changed -> B2
+            (3, "C", T1_US, None, True),      # deleted
+            (9, "OLD", 0, T1_US, False),      # already-closed: passthrough
+        ],
+    )
+    inc = _incoming(spark, [(1, "A"), (2, "B2"), (4, "D")])  # 4 added
+    got = sorted(
+        scd2_merge(cur, inc, T2_US).collect(),
+        key=lambda r: (r.key, r.valid_from_us),
+    )
+    as_tuples = [
+        (r.key, r.attr, r.valid_from_us, r.valid_to_us, r.is_current)
+        for r in got
+    ]
+    assert as_tuples == [
+        (1, "A", T1_US, None, True),
+        (2, "B", T1_US, T2_US, False),
+        (2, "B2", T2_US, None, True),
+        (3, "C", T1_US, T2_US, False),
+        (4, "D", T2_US, None, True),
+        (9, "OLD", 0, T1_US, False),
+    ]
+
+
+def test_idempotent_remerge(spark):
+    """Re-merging the SAME snapshot at a later time changes nothing
+    but timestamps of nothing — history is stable (no spurious
+    closes/opens)."""
+    cur = _current(spark, [(1, "A", T1_US, None, True)])
+    inc = _incoming(spark, [(1, "A")])
+    once = scd2_merge(cur, inc, T2_US)
+    twice = scd2_merge(once, inc, T2_US + 1)
+    rows = twice.collect()
+    assert len(rows) == 1
+    assert rows[0].valid_from_us == T1_US and rows[0].is_current
+
+
+def test_driver_history_counts(spark):
+    st = scd2_stats(spark, SF).collect()[0]
+    # sf0.001 customer keys are 0..149 (residue sets include 0)
+    keys = range(0, 150)
+    n = len(keys)
+    deleted = len([k for k in keys if k % 11 == 0])
+    changed = len([k for k in keys if k % 13 == 0 and k % 11 != 0])
+    added = len([k for k in keys if k % 17 == 0])
+    assert st.n_rows == n + changed + added
+    assert st.n_closed == deleted + changed
+    assert st.n_open == n - deleted + added
+    assert st.n_inserted_at_t2 == changed + added
+    assert st.n_closed_at_t2 == deleted + changed
+    h = scd2_history(spark, SF)
+    # every key has at most one open row
+    from pyspark.sql import functions as F
+
+    dup_open = (
+        h.filter("is_current").groupBy("key").count().filter("count > 1")
+    )
+    assert dup_open.count() == 0

@@ -138,6 +138,7 @@ PLAN_QUERIES = [
     "basket_pair_lift",
     "rrf_fusion",
     "source_mad_outliers",
+    "scd2_history",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
