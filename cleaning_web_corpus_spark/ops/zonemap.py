@@ -1,0 +1,158 @@
+"""Zone-map (min/max file-skipping) effectiveness audit.
+
+The physical-layout question every 100 TB table lives or dies by:
+given per-file min/max statistics (parquet row-group zone maps,
+Iceberg manifest bounds), how many files does a time-range predicate
+actually prune — and how much does CLUSTERING the write by that
+column improve it?  This op simulates the two canonical layouts over
+``lineitem`` and reports read amplification for each:
+
+* **insertion** layout: files hold consecutive order keys
+  (``l_orderkey div 500`` — what an unsorted append produces); ship
+  dates land uniformly in every file, so zone maps prune ~nothing;
+* **clustered** layout: files hold ship-date ranges (one file per
+  epoch-week, ``day div 7`` — what a sort-on-write or Iceberg
+  ``sort_order(l_shipdate)`` produces); the same predicate touches
+  only the overlapping weeks.
+
+Read amplification = rows inside zone-hit files / rows actually
+matching — the number a table-format optimizer quotes.  Everything is
+exact integer arithmetic: days are ``epoch_us div 86_400_000_000``
+(pinned-UTC identity), file ids are integer divs, the final ppm
+ratios divide exact BIGINTs once.
+
+Plan (100 TB story): each layout's zone table is ONE aggregate of the
+narrow (file_id, day) projection — in production it is a pure
+MANIFEST read (no data scan at all); the audit never shuffles rows,
+only the per-file zone relation (bounded by file count).
+
+Reference scope: physical-layout extension of the warehouse family
+(the reference's ClickHouse schema orders by (conv_id, ts) for
+exactly this reason — `/root/reference/src/db/schema.sql`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+US_PER_DAY = 86_400_000_000
+ROWS_PER_INSERTION_FILE = 500  # order keys per simulated file
+DAYS_PER_CLUSTERED_FILE = 7  # one file per epoch-week
+D_LO = 10_378  # 1998-06-01 as epoch days
+D_HI = 10_407  # 1998-06-30 inclusive
+
+
+def _days(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.expr(
+            f"unix_micros(cast(l_shipdate as timestamp)) div {US_PER_DAY}"
+        ).alias("day"),
+    )
+
+
+def zone_report_over(rows: DataFrame, layout: str, file_col: F.Column) -> DataFrame:
+    """One-row zone-skipping report for a simulated file layout."""
+    filed = rows.select(file_col.alias("file_id"), "day")
+    zones = filed.groupBy("file_id").agg(
+        F.min("day").alias("zmin"),
+        F.max("day").alias("zmax"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("day").between(D_LO, D_HI).cast("long"))
+        .cast("long")
+        .alias("n_matching"),
+    )
+    hit = (F.col("zmax") >= D_LO) & (F.col("zmin") <= D_HI)
+    return zones.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(hit.cast("long")).cast("long").alias("files_hit"),
+        F.sum("n_rows").cast("long").alias("rows_total"),
+        F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_in_hit_files"),
+        F.sum("n_matching").cast("long").alias("rows_matching"),
+    ).select(
+        F.lit(layout).alias("layout"),
+        "n_files",
+        "files_hit",
+        "rows_total",
+        "rows_in_hit_files",
+        "rows_matching",
+        F.expr(
+            "(rows_in_hit_files * 1000000) div rows_matching"
+        ).alias("read_amplification_ppm"),
+        F.expr(
+            "((n_files - files_hit) * 1000000) div n_files"
+        ).alias("prune_ratio_ppm"),
+    )
+
+
+def zonemap_effectiveness(spark: SparkSession, sf: str) -> DataFrame:
+    rows = _days(spark, sf)
+    ins = zone_report_over(
+        rows,
+        "insertion",
+        F.expr(f"okey div {ROWS_PER_INSERTION_FILE}"),
+    )
+    clu = zone_report_over(
+        rows,
+        "clustered",
+        F.expr(f"day div {DAYS_PER_CLUSTERED_FILE}"),
+    )
+    return ins.unionByName(clu)
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "zonemap_effectiveness": zonemap_effectiveness,
+}
+
+_SQL_ONE = """
+    SELECT '{layout}' AS layout,
+           COUNT(*)::BIGINT AS n_files,
+           SUM(hit::INT)::BIGINT AS files_hit,
+           SUM(n_rows)::BIGINT AS rows_total,
+           SUM(CASE WHEN hit THEN n_rows ELSE 0 END)::BIGINT
+               AS rows_in_hit_files,
+           SUM(n_matching)::BIGINT AS rows_matching,
+           ((SUM(CASE WHEN hit THEN n_rows ELSE 0 END) * 1000000)
+            // SUM(n_matching))::BIGINT AS read_amplification_ppm,
+           (((COUNT(*) - SUM(hit::INT)) * 1000000)
+            // COUNT(*))::BIGINT AS prune_ratio_ppm
+    FROM (
+        SELECT *, (zmax >= {d_lo} AND zmin <= {d_hi}) AS hit
+        FROM (
+            SELECT {file_expr} AS file_id,
+                   MIN(day) AS zmin, MAX(day) AS zmax,
+                   COUNT(*)::BIGINT AS n_rows,
+                   SUM(CASE WHEN day BETWEEN {d_lo} AND {d_hi}
+                            THEN 1 ELSE 0 END)::BIGINT AS n_matching
+            FROM days
+            GROUP BY 1
+        )
+    )
+"""
+
+
+def _one(layout: str, file_expr: str) -> str:
+    return _SQL_ONE.format(
+        layout=layout, file_expr=file_expr, d_lo=D_LO, d_hi=D_HI
+    )
+
+
+ORACLES: Dict[str, str] = {
+    "zonemap_effectiveness": f"""
+    WITH days AS (
+        SELECT l_orderkey AS okey,
+               epoch_us(l_shipdate) // {US_PER_DAY} AS day
+        FROM lineitem
+    )
+    {_one("insertion", f"okey // {ROWS_PER_INSERTION_FILE}")}
+    UNION ALL
+    {_one("clustered", f"day // {DAYS_PER_CLUSTERED_FILE}")}
+    """,
+}

@@ -1,0 +1,50 @@
+"""Zone-map audit tests: pruning math and the clustering payoff."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.zonemap import (
+    D_HI,
+    D_LO,
+    DAYS_PER_CLUSTERED_FILE,
+    zone_report_over,
+    zonemap_effectiveness,
+)
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_known_layout_math(spark):
+    # files: f0 covers days 0-9 (10 rows), f1 covers 100-109 (10 rows);
+    # predicate [D_LO, D_HI] hits neither; f2 covers D_LO..D_LO+9
+    rows = (
+        [(0, d) for d in range(10)]
+        + [(1, 100 + d) for d in range(10)]
+        + [(2, D_LO + d) for d in range(10)]
+    )
+    df = spark.createDataFrame(rows, "fid long, day long")
+    r = zone_report_over(df, "t", F.col("fid")).collect()[0]
+    assert r.n_files == 3
+    assert r.files_hit == 1
+    assert r.rows_total == 30
+    assert r.rows_in_hit_files == 10
+    assert r.rows_matching == 10
+    assert r.read_amplification_ppm == 1_000_000  # perfect zone
+    assert r.prune_ratio_ppm == (2 * 1_000_000) // 3
+
+
+def test_clustering_beats_insertion(spark):
+    by = {r.layout: r for r in zonemap_effectiveness(spark, SF).collect()}
+    ins, clu = by["insertion"], by["clustered"]
+    # both layouts see the same data and predicate
+    assert ins.rows_total == clu.rows_total == 6000
+    assert ins.rows_matching == clu.rows_matching > 0
+    # insertion files each span most of the date range: nothing prunes
+    assert ins.prune_ratio_ppm == 0
+    assert ins.rows_in_hit_files == ins.rows_total
+    # clustered layout touches only the overlapping weeks
+    assert clu.prune_ratio_ppm > 900_000
+    assert clu.rows_in_hit_files < ins.rows_in_hit_files // 10
+    assert clu.read_amplification_ppm < 2_000_000  # < 2x reads
+    # the 30-day predicate can overlap at most ceil(30/7)+1 weekly files
+    assert clu.files_hit <= (D_HI - D_LO) // DAYS_PER_CLUSTERED_FILE + 2

@@ -139,6 +139,7 @@ PLAN_QUERIES = [
     "rrf_fusion",
     "source_mad_outliers",
     "scd2_history",
+    "zonemap_effectiveness",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
