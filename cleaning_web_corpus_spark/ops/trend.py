@@ -1,0 +1,142 @@
+"""Calendar-correct moving-average trend over the error-event stream.
+
+Ops monitoring 101 — and the one window mechanic nothing else in the
+surface uses: a 7-day moving window as a RANGE frame over the integer
+epoch-day key.  A ROWS frame silently lies the moment days are
+missing (an outage's absent days make "last 7 rows" reach weeks back);
+the RANGE frame is anchored to the CALENDAR, so gaps shrink the
+window instead of stretching it — the difference is pinned by a test
+on the synthetic outage days.
+
+* daily counts: one aggregate of (day = ``epoch_us div 86.4e9``);
+* ``ma7_sum``: ``RANGE BETWEEN 6 PRECEDING AND CURRENT ROW``;
+  ``ma7_avg_milli = (ma7_sum * 1000) div 7`` — divide by the CALENDAR
+  width, one truncating integer division;
+* spike rule: ``baseline = RANGE BETWEEN 7 PRECEDING AND 1
+  PRECEDING``; a day spikes iff its count exceeds 2x the baseline
+  MEAN (``n * baseline_days > 2 * baseline_sum``) and the baseline
+  holds at least ``MIN_BASELINE_DAYS`` days — the warm-up guard that
+  keeps the first ramp-in days from spiking on a one-day baseline;
+  all-integer comparison.
+
+Driver tells (the stream is synthetic-uniform, so both behaviors are
+injected deterministically and mirrored literally in the oracle):
+days with ``day % 5 = 2`` are dropped (outage — creates the calendar
+gaps RANGE must honor); days with ``day % 13 = 6`` flood the error
+stream with that day's click volume (incident — fires the spike flag
+on exactly those days).
+
+Plan (100 TB story): the corpus-sized work is the ONE daily-count
+aggregate; the windows run over the bounded per-day relation (one row
+per calendar day — a driver-scale table even at a century of days).
+
+Reference scope: ops-monitoring extension of the anomaly family (A6).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+US_PER_DAY = 86_400_000_000
+OUTAGE_MOD, OUTAGE_RES = 5, 2
+INCIDENT_MOD, INCIDENT_RES = 13, 6
+MIN_BASELINE_DAYS = 4
+
+
+def _daily(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events").select(
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {US_PER_DAY}").alias(
+            "day"
+        ),
+        "event_type",
+    )
+    in_stream = (F.col("event_type") == "error") | (
+        (F.col("event_type") == "click")
+        & (F.col("day") % INCIDENT_MOD == INCIDENT_RES)
+    )
+    return (
+        ev.filter(in_stream)
+        .filter(F.col("day") % OUTAGE_MOD != OUTAGE_RES)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+
+
+def trend_over(daily: DataFrame) -> DataFrame:
+    """Moving-average + spike report over a (day, n_events) relation."""
+    w_ma = Window.orderBy("day").rangeBetween(-6, 0)
+    w_base = Window.orderBy("day").rangeBetween(-7, -1)
+    return (
+        daily.withColumn("ma7_sum", F.sum("n_events").over(w_ma).cast("long"))
+        .withColumn(
+            "baseline_sum",
+            F.coalesce(F.sum("n_events").over(w_base), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "baseline_days", F.count("n_events").over(w_base).cast("long")
+        )
+        .select(
+            "day",
+            "n_events",
+            "ma7_sum",
+            F.expr("(ma7_sum * 1000) div 7").alias("ma7_avg_milli"),
+            "baseline_sum",
+            "baseline_days",
+            (
+                (F.col("baseline_days") >= MIN_BASELINE_DAYS)
+                & (
+                    F.col("n_events") * F.col("baseline_days")
+                    > 2 * F.col("baseline_sum")
+                )
+            ).alias("spike"),
+        )
+    )
+
+
+def error_trend_ma7(spark: SparkSession, sf: str) -> DataFrame:
+    return trend_over(_daily(spark, sf))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "error_trend_ma7": error_trend_ma7,
+}
+
+ORACLES: Dict[str, str] = {
+    "error_trend_ma7": f"""
+    WITH daily AS (
+        SELECT epoch_us(ts) // {US_PER_DAY} AS day,
+               COUNT(*)::BIGINT AS n_events
+        FROM events
+        WHERE (event_type = 'error'
+               OR (event_type = 'click'
+                   AND (epoch_us(ts) // {US_PER_DAY}) % {INCIDENT_MOD}
+                       = {INCIDENT_RES}))
+          AND (epoch_us(ts) // {US_PER_DAY}) % {OUTAGE_MOD} <> {OUTAGE_RES}
+        GROUP BY 1
+    ),
+    win AS (
+        SELECT day, n_events,
+               SUM(n_events) OVER (ORDER BY day
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT
+                   AS ma7_sum,
+               COALESCE(SUM(n_events) OVER (ORDER BY day
+                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                   AS baseline_sum,
+               COUNT(n_events) OVER (ORDER BY day
+                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)::BIGINT
+                   AS baseline_days
+        FROM daily
+    )
+    SELECT day, n_events, ma7_sum,
+           ((ma7_sum * 1000) // 7)::BIGINT AS ma7_avg_milli,
+           baseline_sum, baseline_days,
+           baseline_days >= {MIN_BASELINE_DAYS}
+               AND n_events * baseline_days > 2 * baseline_sum AS spike
+    FROM win
+    """,
+}

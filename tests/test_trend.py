@@ -1,0 +1,64 @@
+"""Trend tests: RANGE-vs-ROWS gap semantics, spike rule, tells."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.trend import (
+    INCIDENT_MOD,
+    INCIDENT_RES,
+    OUTAGE_MOD,
+    OUTAGE_RES,
+    error_trend_ma7,
+    trend_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_range_frame_honors_calendar_gaps(spark):
+    """Days 0,1,2 then a gap to day 20: the RANGE ma7 at day 20 must
+    see ONLY day 20, while a ROWS frame would wrongly reach back."""
+    daily = spark.createDataFrame(
+        [(0, 10), (1, 10), (2, 10), (20, 7)], "day long, n_events long"
+    )
+    got = {r.day: r for r in trend_over(daily).collect()}
+    assert got[2].ma7_sum == 30
+    assert got[20].ma7_sum == 7  # calendar-anchored: the gap excludes 0-2
+    assert got[20].baseline_sum == 0
+    rows_frame = (
+        daily.withColumn(
+            "bad",
+            F.sum("n_events").over(
+                Window.orderBy("day").rowsBetween(-6, 0)
+            ),
+        )
+        .filter("day = 20")
+        .collect()[0]
+        .bad
+    )
+    assert rows_frame == 37  # the ROWS lie the RANGE frame avoids
+
+
+def test_spike_rule(spark):
+    # 7 calm days then a 3x day: spike fires; a 1.5x day does not
+    rows = [(d, 10) for d in range(7)] + [(7, 30), (8, 16)]
+    got = {r.day: r.spike for r in trend_over(
+        spark.createDataFrame(rows, "day long, n_events long")
+    ).collect()}
+    assert got[7] is True
+    assert got[8] is False
+    assert got[0] is False  # empty baseline never spikes
+
+
+def test_driver_tells(spark):
+    rows = error_trend_ma7(spark, SF).collect()
+    days = sorted(r.day for r in rows)
+    assert len(days) == 24  # 30 calendar days minus 6 outage days
+    assert all(d % OUTAGE_MOD != OUTAGE_RES for d in days)
+    spikes = {r.day for r in rows if r.spike}
+    incident_days = {
+        d for d in days if d % INCIDENT_MOD == INCIDENT_RES
+    }
+    assert spikes == incident_days and len(spikes) >= 1

@@ -140,6 +140,7 @@ PLAN_QUERIES = [
     "source_mad_outliers",
     "scd2_history",
     "zonemap_effectiveness",
+    "error_trend_ma7",
     "k_anonymity_report",
     "doc_keywords",
     "ingest_anomaly_report",
