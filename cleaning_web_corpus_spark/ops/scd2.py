@@ -40,8 +40,8 @@ from pyspark.sql import functions as F
 
 from cleaning_web_corpus_spark.warehouse.queries import t
 
-T1_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
-T2_US = 1_706_745_600_000_000  # 2024-02-01 00:00:00 UTC
+T1_US = 788_918_400_000_000  # 1995-01-01 00:00:00 UTC (dim first load)
+T2_US = 896_659_200_000_000  # 1998-06-01 00:00:00 UTC (snapshot B merge)
 _ADD_KEY = 1_000_000_000
 
 
@@ -151,9 +151,89 @@ def scd2_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def scd2_asof_join(
+    facts: DataFrame, history: DataFrame
+) -> DataFrame:
+    """Join facts (key, t_us, ...) to the SCD2 version valid AS OF
+    each fact's own time: equi-join on the business key, then the
+    half-open containment filter ``valid_from <= t < valid_to`` (open
+    rows have NULL valid_to = +inf).  Versions per key are few, so the
+    equi-join carries the whole cost — bucketed on the key it is the
+    standard shuffle-light dimension hydration; facts whose key has no
+    valid version at t (e.g. deleted before t) come back unmatched
+    via the left join."""
+    h = history.select(
+        F.col("key").alias("h_key"),
+        F.col("attr"),
+        "valid_from_us",
+        "valid_to_us",
+    )
+    return facts.join(
+        h,
+        (facts["key"] == h["h_key"])
+        & (h["valid_from_us"] <= facts["t_us"])
+        & (h["valid_to_us"].isNull() | (facts["t_us"] < h["valid_to_us"])),
+        "left",
+    ).drop("h_key")
+
+
+def _order_facts(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("key"),
+        F.expr("unix_micros(cast(o_orderdate as timestamp))").alias("t_us"),
+    )
+
+
+def scd2_asof_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Every order hydrated with the segment valid at its order date:
+    pre-T2 orders see version 1, post-T2 orders see version 2 (or go
+    unmatched when the customer was deleted at T2)."""
+    joined = scd2_asof_join(
+        _order_facts(spark, sf), scd2_history(spark, sf)
+    )
+    return joined.select(
+        "o_orderkey",
+        "key",
+        "t_us",
+        "attr",
+        "valid_from_us",
+    )
+
+
+def scd2_asof_stats(spark: SparkSession, sf: str) -> DataFrame:
+    j = scd2_asof_orders(spark, sf)
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_facts"),
+        F.sum(F.col("attr").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_matched"),
+        F.sum(
+            F.coalesce(F.col("valid_from_us") == T1_US, F.lit(False)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("n_v1_matches"),
+        F.sum(
+            F.coalesce(F.col("valid_from_us") == T2_US, F.lit(False)).cast(
+                "long"
+            )
+        )
+        .cast("long")
+        .alias("n_v2_matches"),
+        F.sum(F.col("attr").isNull().cast("long"))
+        .cast("long")
+        .alias("n_unmatched"),
+        F.count_distinct("o_orderkey").cast("long").alias("n_distinct_facts"),
+    )
+
+
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_history": scd2_history,
     "scd2_stats": scd2_stats,
+    "scd2_asof_orders": scd2_asof_orders,
+    "scd2_asof_stats": scd2_asof_stats,
 }
 
 _SQL_HIST = f"""
@@ -210,5 +290,44 @@ ORACLES: Dict[str, str] = {
                AS n_closed_at_t2,
            COUNT(DISTINCT key)::BIGINT AS n_keys
     FROM hist
+    """,
+    "scd2_asof_orders": f"""
+    WITH {_SQL_HIST},
+    facts AS (
+        SELECT o_orderkey, o_custkey AS key,
+               epoch_us(o_orderdate) AS t_us
+        FROM orders
+    )
+    SELECT f.o_orderkey, f.key, f.t_us, h.attr, h.valid_from_us
+    FROM facts f
+    LEFT JOIN hist h
+      ON f.key = h.key
+     AND h.valid_from_us <= f.t_us
+     AND (h.valid_to_us IS NULL OR f.t_us < h.valid_to_us)
+    """,
+    "scd2_asof_stats": f"""
+    WITH {_SQL_HIST},
+    facts AS (
+        SELECT o_orderkey, o_custkey AS key,
+               epoch_us(o_orderdate) AS t_us
+        FROM orders
+    ),
+    j AS (
+        SELECT f.o_orderkey, h.attr, h.valid_from_us
+        FROM facts f
+        LEFT JOIN hist h
+          ON f.key = h.key
+         AND h.valid_from_us <= f.t_us
+         AND (h.valid_to_us IS NULL OR f.t_us < h.valid_to_us)
+    )
+    SELECT COUNT(*)::BIGINT AS n_facts,
+           SUM((attr IS NOT NULL)::INT)::BIGINT AS n_matched,
+           SUM(COALESCE(valid_from_us = {T1_US}, false)::INT)::BIGINT
+               AS n_v1_matches,
+           SUM(COALESCE(valid_from_us = {T2_US}, false)::INT)::BIGINT
+               AS n_v2_matches,
+           SUM((attr IS NULL)::INT)::BIGINT AS n_unmatched,
+           COUNT(DISTINCT o_orderkey)::BIGINT AS n_distinct_facts
+    FROM j
     """,
 }

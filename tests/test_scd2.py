@@ -88,3 +88,42 @@ def test_driver_history_counts(spark):
         h.filter("is_current").groupBy("key").count().filter("count > 1")
     )
     assert dup_open.count() == 0
+
+
+def test_asof_join_picks_version_at_fact_time(spark):
+    from cleaning_web_corpus_spark.ops.scd2 import scd2_asof_join
+
+    hist = _current(
+        spark,
+        [
+            (1, "A", T1_US, T2_US, False),
+            (1, "A2", T2_US, None, True),
+            (3, "C", T1_US, T2_US, False),  # deleted at T2
+        ],
+    )
+    facts = spark.createDataFrame(
+        [
+            (10, 1, T1_US + 1),   # inside v1
+            (11, 1, T2_US),       # boundary: half-open -> v2
+            (12, 3, T2_US + 5),   # after deletion -> unmatched
+            (13, 7, T1_US + 1),   # unknown key -> unmatched
+        ],
+        "fid long, key long, t_us long",
+    )
+    got = {
+        r.fid: r.attr for r in scd2_asof_join(facts, hist).collect()
+    }
+    assert got == {10: "A", 11: "A2", 12: None, 13: None}
+
+
+def test_asof_orders_stats(spark):
+    from cleaning_web_corpus_spark.ops.scd2 import scd2_asof_stats
+
+    st = scd2_asof_stats(spark, SF).collect()[0]
+    assert st.n_facts == 1500
+    # exactly one version matches each matched order (no fan-out)
+    assert st.n_distinct_facts == 1500
+    assert st.n_matched + st.n_unmatched == st.n_facts
+    assert st.n_v1_matches > 0 and st.n_v2_matches > 0
+    assert st.n_unmatched > 0  # post-T2 orders of deleted customers
+    assert st.n_v1_matches + st.n_v2_matches == st.n_matched

@@ -139,6 +139,7 @@ PLAN_QUERIES = [
     "rrf_fusion",
     "source_mad_outliers",
     "scd2_history",
+    "scd2_asof_orders",
     "zonemap_effectiveness",
     "error_trend_ma7",
     "k_anonymity_report",
