@@ -1,0 +1,54 @@
+"""K-core tests: known cascades, convergence flag, driver values."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.kcore import (
+    CORE_K,
+    kcore_membership,
+    kcore_over,
+    kcore_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _und(spark, edges):
+    return spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "a long, b long"
+    ).distinct()
+
+
+def test_cascade_peeling(spark):
+    """K4 plus a tail 3-4-5: the 2-core peels the tail by CASCADE —
+    vertex 6 (deg 1) goes first, which drops 5 to deg 1, then 4."""
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    tail = [(3, 4), (4, 5), (5, 6)]
+    deg, edges = kcore_over(_und(spark, k4 + tail), k=2, n_rounds=4)
+    got = {r.v: r.deg for r in deg.collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # only K4 survives the 2-core
+    assert edges.count() == 6
+
+
+def test_whole_graph_survives(spark):
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    deg, _ = kcore_over(_und(spark, k4), k=3, n_rounds=4)
+    assert deg.count() == 4
+
+
+def test_everything_peels(spark):
+    star = [(0, i) for i in range(1, 6)]
+    deg, edges = kcore_over(_und(spark, star), k=2, n_rounds=4)
+    assert deg.count() == 0 and edges.count() == 0
+
+
+def test_driver_graph(spark):
+    rows = kcore_membership(spark, SF).collect()
+    assert len(rows) == 13
+    assert all(r.core_deg >= CORE_K for r in rows)
+    st = kcore_stats(spark, SF).collect()[0]
+    assert st.n_hosts_initial == 37
+    assert st.n_core_hosts == 13
+    assert st.n_peeled == 24
+    assert st.n_core_edges == 63
+    assert st.min_core_deg >= CORE_K
+    assert st.converged is True
