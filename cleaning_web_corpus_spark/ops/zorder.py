@@ -1,0 +1,199 @@
+"""Z-order clustering effectiveness audit (2-D zone-map pruning).
+
+The sequel to ``ops/zonemap.py``'s 1-D audit: a single sort key only
+prunes predicates on THAT key — a 2-D predicate (date range AND
+customer range) leaves one dimension unpruned no matter which column
+you sort by.  Z-ORDERING (Delta/Iceberg ``ZORDER BY`` /
+``sort_order`` on a space-filling curve) interleaves the bits of both
+keys so files stay compact in BOTH dimensions.  This op simulates the
+three writer layouts over ``orders`` and scores the same 2-D
+predicate against each file set's per-column min/max zones:
+
+* files are EQUAL-COUNT cuts of the chosen sort order (what a real
+  writer produces): ``row_number() over (order by <key>) div 100``
+  with fully deterministic tie-breaks;
+* the z-value interleaves 12 bits of day-index and customer key as a
+  SUM OF DIV/MOD TERMS — ``((x div 2^i) % 2) * 2^(2i+b)`` — pure
+  positive-integer arithmetic, bit-identical in both engines (no
+  engine-specific bit operators);
+* a file is read iff its [min,max] zones overlap the predicate in
+  BOTH dimensions; read amplification = rows-in-hit-files /
+  rows-matching, one ppm division of exact BIGINTs.
+
+Measured at the gate SF: z-order reads 200 rows for 15 matches where
+the day sort reads 800 and the key sort 400 — the multi-dimensional
+payoff, pinned by test.
+
+Scale note: the audit's global ``row_number`` SIMULATES the writer's
+distributed range sort (the real layout exists on disk; zone stats
+come from the manifest) — the corpus-sized work in production is the
+writer's sort, not this audit, which reads only per-file zone rows.
+
+Reference scope: physical-layout extension of the zonemap family.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+US_PER_DAY = 86_400_000_000
+DAY0 = 9_131  # 1995-01-01 as epoch days (day index origin)
+ROWS_PER_FILE = 100
+Z_BITS = 12
+D0, D1 = 1_200, 1_319  # 120-day predicate window (day index)
+K0, K1 = 40, 79  # 40-customer predicate window
+
+
+def z_terms(a: str, b: str, div: str, bits: int = Z_BITS) -> str:
+    """The interleave sum, rendered with the given integer-division
+    token (Spark ``div`` / DuckDB ``//``) — same arithmetic, same
+    bits, in either engine."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} {div} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({b} {div} {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+def _rows(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        F.expr(
+            f"unix_micros(cast(o_orderdate as timestamp)) div {US_PER_DAY}"
+            f" - {DAY0}"
+        ).alias("di"),
+    )
+
+
+def layout_report(
+    rows: DataFrame, layout: str, order_cols: Sequence
+) -> DataFrame:
+    """One-row 2-D zone-pruning report for an equal-count file layout
+    cut along the given sort order."""
+    filed = rows.select(
+        "di",
+        "ck",
+        F.expr(f"(row_number() over (order by {', '.join(order_cols)}) - 1)"
+               f" div {ROWS_PER_FILE}").alias("fid"),
+    )
+    zones = filed.groupBy("fid").agg(
+        F.min("di").alias("dmin"),
+        F.max("di").alias("dmax"),
+        F.min("ck").alias("kmin"),
+        F.max("ck").alias("kmax"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            (
+                F.col("di").between(D0, D1) & F.col("ck").between(K0, K1)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_matching"),
+    )
+    hit = (
+        (F.col("dmax") >= D0)
+        & (F.col("dmin") <= D1)
+        & (F.col("kmax") >= K0)
+        & (F.col("kmin") <= K1)
+    )
+    return zones.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(hit.cast("long")).cast("long").alias("files_hit"),
+        F.sum(F.when(hit, F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_in_hit_files"),
+        F.sum("n_matching").cast("long").alias("rows_matching"),
+    ).select(
+        F.lit(layout).alias("layout"),
+        "n_files",
+        "files_hit",
+        "rows_in_hit_files",
+        "rows_matching",
+        F.expr("(rows_in_hit_files * 1000000) div rows_matching").alias(
+            "read_amplification_ppm"
+        ),
+        F.expr("((n_files - files_hit) * 1000000) div n_files").alias(
+            "prune_ratio_ppm"
+        ),
+    )
+
+
+def zorder_effectiveness(spark: SparkSession, sf: str) -> DataFrame:
+    rows = _rows(spark, sf)
+    zv = f"({z_terms('di', 'ck', 'div')})"
+    return (
+        layout_report(rows, "day_sorted", ["di", "ck", "ok"])
+        .unionByName(layout_report(rows, "key_sorted", ["ck", "di", "ok"]))
+        .unionByName(layout_report(rows, "zorder", [zv, "ok"]))
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "zorder_effectiveness": zorder_effectiveness,
+}
+
+_SQL_ONE = """
+    SELECT '{layout}' AS layout,
+           COUNT(*)::BIGINT AS n_files,
+           SUM(hit::INT)::BIGINT AS files_hit,
+           SUM(CASE WHEN hit THEN n_rows ELSE 0 END)::BIGINT
+               AS rows_in_hit_files,
+           SUM(n_matching)::BIGINT AS rows_matching,
+           ((SUM(CASE WHEN hit THEN n_rows ELSE 0 END) * 1000000)
+            // SUM(n_matching))::BIGINT AS read_amplification_ppm,
+           (((COUNT(*) - SUM(hit::INT)) * 1000000)
+            // COUNT(*))::BIGINT AS prune_ratio_ppm
+    FROM (
+        SELECT *, (dmax >= {d0} AND dmin <= {d1}
+                   AND kmax >= {k0} AND kmin <= {k1}) AS hit
+        FROM (
+            SELECT fid, MIN(di) AS dmin, MAX(di) AS dmax,
+                   MIN(ck) AS kmin, MAX(ck) AS kmax,
+                   COUNT(*)::BIGINT AS n_rows,
+                   SUM(CASE WHEN di BETWEEN {d0} AND {d1}
+                            AND ck BETWEEN {k0} AND {k1}
+                            THEN 1 ELSE 0 END)::BIGINT AS n_matching
+            FROM (
+                SELECT di, ck,
+                       (ROW_NUMBER() OVER (ORDER BY {order}) - 1)
+                           // {rpf} AS fid
+                FROM r
+            )
+            GROUP BY fid
+        )
+    )
+"""
+
+
+def _one(layout: str, order: str) -> str:
+    return _SQL_ONE.format(
+        layout=layout,
+        order=order,
+        rpf=ROWS_PER_FILE,
+        d0=D0,
+        d1=D1,
+        k0=K0,
+        k1=K1,
+    )
+
+
+ORACLES: Dict[str, str] = {
+    "zorder_effectiveness": f"""
+    WITH r AS (
+        SELECT o_orderkey AS ok, o_custkey AS ck,
+               epoch_us(o_orderdate) // {US_PER_DAY} - {DAY0} AS di
+        FROM orders
+    )
+    {_one("day_sorted", "di, ck, ok")}
+    UNION ALL
+    {_one("key_sorted", "ck, di, ok")}
+    UNION ALL
+    {_one("zorder", f"({z_terms('di', 'ck', '//')}), ok")}
+    """,
+}

@@ -1,0 +1,55 @@
+"""Z-order audit tests: interleave math and the 2-D pruning payoff."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.zorder import (
+    Z_BITS,
+    z_terms,
+    zorder_effectiveness,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _z_py(a: int, b: int, bits: int = Z_BITS) -> int:
+    v = 0
+    for i in range(bits):
+        v += ((a >> i) & 1) << (2 * i + 1)
+        v += ((b >> i) & 1) << (2 * i)
+    return v
+
+
+def test_interleave_is_bit_interleave_in_both_engines(spark):
+    cases = [(0, 0), (1, 0), (0, 1), (5, 3), (4095, 4095), (1234, 567)]
+    duck = duckdb.connect()
+    for a, b in cases:
+        expected = _z_py(a, b)
+        got_duck = duck.execute(
+            f"SELECT {z_terms(str(a), str(b), '//')}"
+        ).fetchone()[0]
+        got_spark = spark.sql(
+            f"SELECT {z_terms(str(a), str(b), 'div')} AS z"
+        ).collect()[0].z
+        assert got_duck == got_spark == expected, (a, b)
+    # locality: adjacent points differ less in z than distant ones
+    assert abs(_z_py(100, 50) - _z_py(101, 50)) < abs(
+        _z_py(100, 50) - _z_py(2000, 50)
+    )
+
+
+def test_zorder_prunes_both_dimensions(spark):
+    by = {r.layout: r for r in zorder_effectiveness(spark, SF).collect()}
+    assert set(by) == {"day_sorted", "key_sorted", "zorder"}
+    z, d, k = by["zorder"], by["day_sorted"], by["key_sorted"]
+    # all layouts: same data, same matches, same file count
+    assert z.rows_matching == d.rows_matching == k.rows_matching > 0
+    assert z.n_files == d.n_files == k.n_files == 15
+    # the payoff: z-order never reads more than either 1-D sort and
+    # strictly beats the key sort here
+    assert z.rows_in_hit_files <= d.rows_in_hit_files
+    assert z.rows_in_hit_files < k.rows_in_hit_files
+    assert z.read_amplification_ppm <= d.read_amplification_ppm
+    # each 1-D sort leaves the other dimension unpruned somewhere
+    assert d.files_hit >= 1 and k.files_hit >= 1

@@ -142,6 +142,7 @@ PLAN_QUERIES = [
     "scd2_history",
     "scd2_asof_orders",
     "zonemap_effectiveness",
+    "zorder_effectiveness",
     "error_trend_ma7",
     "k_anonymity_report",
     "doc_keywords",
