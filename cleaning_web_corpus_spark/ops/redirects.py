@@ -1,0 +1,167 @@
+"""Redirect-chain resolution by pointer jumping (iterative doubling).
+
+Crawl frontiers are full of redirect chains (http->https->www->
+canonical); dedup and URL policy need every URL resolved to its FINAL
+target.  Following chains one hop per round needs O(depth) joins; the
+distributed-systems answer is POINTER JUMPING — each round every node
+re-points to its parent's parent, so resolved prefix-depth DOUBLES
+and chains of length <= 2^R resolve in R self-joins.  This is the
+third iterative shape in the repo after min-label propagation
+(connected components) and peeling (k-core), and the only
+logarithmic-round one.
+
+* each doubling round is ONE self-join of the (node, parent, dist)
+  mapping on ``parent = node`` — re-pointing and distance accumulate:
+  ``parent' = parent.parent``, ``dist' = dist + parent.dist``; heads
+  (self-parents) are fixpoints, so extra rounds are idempotent
+  (pinned by test);
+* ``N_DOUBLINGS = 3`` resolves chains to depth 8 — the synthetic
+  chains have depth <= 5, and the report's ``all_resolved`` flag
+  (every final parent is a head) proves the bound held;
+* everything is BIGINT node ids and hop counts — bit-exact in both
+  engines; the DuckDB twin unrolls the same 3 doublings as
+  MATERIALIZED CTEs (the kcore lesson: inlined CTEs re-evaluate the
+  prefix exponentially).
+
+Driver synthesis (no URL graph in the testdata, the pagerank
+convention, mirrored literally in the oracle): url ``i`` redirects to
+``i - 1`` unless ``i % 6 = 0`` (chain heads every 6 ids) — chains of
+depth 0..5 at every SF.
+
+Scale note: each round shuffles the mapping once on the parent key;
+R = ceil(log2(max_depth)) rounds total — for real redirect data
+(depth <= ~10 by crawler policy) that is 4 joins regardless of corpus
+size.
+
+Reference scope: URL-family extension (url_canonical_dedup,
+blocklist); the reference follows redirects inside the HTTP client,
+one page at a time.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+CHAIN_MOD = 6  # chain heads at ids % 6 == 0 -> depths 0..5
+N_DOUBLINGS = 3  # resolves chains to depth 2^3 = 8
+
+
+def pointer_jump(mapping: DataFrame, n_doublings: int = N_DOUBLINGS) -> DataFrame:
+    """Resolve (node, parent, dist) to roots by iterative doubling.
+    Heads must be self-parents with dist 0."""
+    # each round references the previous mapping TWICE (both join
+    # sides) — localCheckpoint truncates the lineage so the corpus-
+    # sized mapping is computed once per round, not 2^rounds times
+    # (the kcore lesson)
+    m = mapping.localCheckpoint()
+    for _ in range(n_doublings):
+        p = m.select(
+            F.col("node").alias("p_node"),
+            F.col("parent").alias("p_parent"),
+            F.col("dist").alias("p_dist"),
+        )
+        m = (
+            m.join(p, m["parent"] == p["p_node"])
+            .select(
+                "node",
+                F.col("p_parent").alias("parent"),
+                (F.col("dist") + F.col("p_dist")).cast("long").alias("dist"),
+            )
+            .localCheckpoint()
+        )
+    return m
+
+
+def _mapping(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        F.col("doc_id").alias("node"),
+        F.when(F.col("doc_id") % CHAIN_MOD == 0, F.col("doc_id"))
+        .otherwise(F.col("doc_id") - 1)
+        .cast("long")
+        .alias("parent"),
+        F.when(F.col("doc_id") % CHAIN_MOD == 0, 0)
+        .otherwise(1)
+        .cast("long")
+        .alias("dist"),
+    )
+
+
+def redirect_resolution(spark: SparkSession, sf: str) -> DataFrame:
+    return pointer_jump(_mapping(spark, sf)).select(
+        F.col("node").alias("url_id"),
+        F.col("parent").alias("root_id"),
+        F.col("dist").alias("depth"),
+    )
+
+
+def redirect_stats(spark: SparkSession, sf: str) -> DataFrame:
+    r = redirect_resolution(spark, sf)
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.count_distinct("root_id").cast("long").alias("n_roots"),
+        F.max("depth").cast("long").alias("max_depth"),
+        F.sum("depth").cast("long").alias("total_hops"),
+        F.sum((F.col("url_id") == F.col("root_id")).cast("long"))
+        .cast("long")
+        .alias("n_heads"),
+        (
+            F.sum((F.col("root_id") % CHAIN_MOD != 0).cast("long")) == 0
+        ).alias("all_resolved"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "redirect_resolution": redirect_resolution,
+    "redirect_stats": redirect_stats,
+}
+
+_SQL_BASE = f"""
+    m0 AS MATERIALIZED (
+        SELECT doc_id AS node,
+               CASE WHEN doc_id % {CHAIN_MOD} = 0 THEN doc_id
+                    ELSE doc_id - 1 END::BIGINT AS parent,
+               CASE WHEN doc_id % {CHAIN_MOD} = 0 THEN 0
+                    ELSE 1 END::BIGINT AS dist
+        FROM documents
+    )"""
+
+_SQL_ROUNDS = ",".join(
+    f"""
+    m{i + 1} AS MATERIALIZED (
+        SELECT a.node, b.parent,
+               (a.dist + b.dist)::BIGINT AS dist
+        FROM m{i} a JOIN m{i} b ON a.parent = b.node
+    )"""
+    for i in range(N_DOUBLINGS)
+)
+
+_SQL_RESOLVED = f"""
+    {_SQL_BASE},
+    {_SQL_ROUNDS},
+    resolved AS (
+        SELECT node AS url_id, parent AS root_id, dist AS depth
+        FROM m{N_DOUBLINGS}
+    )
+"""
+
+ORACLES: Dict[str, str] = {
+    "redirect_resolution": f"""
+    WITH {_SQL_RESOLVED}
+    SELECT url_id, root_id, depth FROM resolved
+    """,
+    "redirect_stats": f"""
+    WITH {_SQL_RESOLVED}
+    SELECT COUNT(*)::BIGINT AS n_urls,
+           COUNT(DISTINCT root_id)::BIGINT AS n_roots,
+           MAX(depth)::BIGINT AS max_depth,
+           SUM(depth)::BIGINT AS total_hops,
+           SUM((url_id = root_id)::INT)::BIGINT AS n_heads,
+           SUM((root_id % {CHAIN_MOD} <> 0)::INT) = 0 AS all_resolved
+    FROM resolved
+    """,
+}

@@ -1,0 +1,67 @@
+"""Pointer-jumping tests: doubling depth, idempotence, driver chains."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.redirects import (
+    CHAIN_MOD,
+    pointer_jump,
+    redirect_resolution,
+    redirect_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _mapping(spark, parents):
+    rows = [
+        (n, p, 0 if n == p else 1) for n, p in parents.items()
+    ]
+    return spark.createDataFrame(rows, "node long, parent long, dist long")
+
+
+def test_chain_resolves_with_log_rounds(spark):
+    # chain 5 -> 4 -> 3 -> 2 -> 1 -> 0 (head): depth 5 needs
+    # ceil(log2(5)) = 3 doublings
+    parents = {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    got = {
+        r.node: (r.parent, r.dist)
+        for r in pointer_jump(_mapping(spark, parents), 3).collect()
+    }
+    assert got == {
+        0: (0, 0), 1: (0, 1), 2: (0, 2), 3: (0, 3), 4: (0, 4), 5: (0, 5)
+    }
+    # 2 doublings resolve only to depth 4: node 5 is NOT at the root yet
+    got2 = {
+        r.node: r.parent
+        for r in pointer_jump(_mapping(spark, parents), 2).collect()
+    }
+    assert got2[4] == 0 and got2[5] == 1
+
+
+def test_idempotent_past_fixpoint(spark):
+    parents = {0: 0, 1: 0, 2: 1}
+    a = {
+        (r.node, r.parent, r.dist)
+        for r in pointer_jump(_mapping(spark, parents), 3).collect()
+    }
+    b = {
+        (r.node, r.parent, r.dist)
+        for r in pointer_jump(_mapping(spark, parents), 5).collect()
+    }
+    assert a == b
+
+
+def test_driver_chains(spark):
+    st = redirect_stats(spark, SF).collect()[0]
+    assert st.n_urls == 500
+    # heads at 0,6,...,498 -> 84 roots; but roots of nodes = heads
+    assert st.n_heads == len([i for i in range(500) if i % CHAIN_MOD == 0])
+    assert st.n_roots == st.n_heads
+    assert st.max_depth == CHAIN_MOD - 1
+    assert st.all_resolved is True
+    # depth histogram: ids 0..499 = 83 full chains of 6 + partial
+    expected_total = sum(i % CHAIN_MOD for i in range(500))
+    assert st.total_hops == expected_total
+    rows = redirect_resolution(spark, SF).collect()
+    assert all(r.root_id % CHAIN_MOD == 0 for r in rows)
+    assert all(r.url_id - r.depth == r.root_id for r in rows)

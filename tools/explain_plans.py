@@ -41,8 +41,9 @@ PLAN_QUERIES = [
     "user_sessions",
     "media_quality_filter",
     "scrub_documents",
-    # dedup_components and kcore_membership/kcore_stats are
-    # deliberately absent: each is an ITERATIVE op
+    # dedup_components, kcore_membership/kcore_stats, and the
+    # redirect_resolution family are deliberately absent: each is an
+    # ITERATIVE op
     # (bounded min-label propagation); its final plan is just an
     # InMemoryTableScan of the converged labels, so the audit would
     # inspect the cache, not the per-round join+agg shape. Its scale
