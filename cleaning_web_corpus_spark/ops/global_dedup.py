@@ -1,0 +1,197 @@
+"""Cross-corpus line dedup with keep-FIRST-occurrence survivors (C4 style).
+
+C4 (Raffel et al. 2020, §2.2) dedups at span granularity: any span
+occurring more than once in the CORPUS is dropped from every document
+except one canonical survivor.  This is a third, distinct semantics
+next to the two line operators in ``ops/corpus.py``:
+
+* ``boilerplate_removal`` — a line in >= K docs is dropped from ALL
+  documents (nobody survives);
+* ``dedup_lines_within_docs`` — repeats collapse per document, but a
+  line shared by two documents survives in both;
+* here — each distinct line survives EXACTLY ONCE corpus-wide, in its
+  first occurrence by (doc_id, position) order; every other occurrence
+  (same doc or not) is dropped.
+
+All three consume the same exploded ``(doc_id, i, line)`` relation
+(``corpus._doc_lines`` — the documented fixed-width-segment shim for
+the single-line driver corpus; a newline corpus would swap in
+``posexplode(split(text, '\\n'))``).
+
+Survivor choice is an argmin over a SINGLE packed BIGINT key
+``doc_id * 2^20 + i`` rather than a struct min: ``min(BIGINT)`` has
+map-side partial aggregation in both engines and sidesteps DuckDB's
+struct-key aggregate limitation (the established cross-engine trap).
+The packing is exact while every document has < 2^20 lines and
+doc_id < 2^43 — both asserted cheap in the stats query
+(``key_packing_ok``); production would widen to two aggregates.
+
+Plan shape (one scan, three narrow shuffles, zero Python):
+
+1. one documents scan -> tokenize -> segment explode;
+2. ``groupBy(line)`` -> ``min(k)`` + count: map-side combine collapses
+   within-partition repeats before the shuffle, so the shuffled
+   per-line table is the DISTINCT-line table (the CCNet hash-table
+   bound — orders of magnitude smaller than the corpus at web scale);
+3. join back ON THE SAME KEY (the aggregate's hash partitioning is
+   reused — no extra exchange);
+4. per-doc reassembly: one (doc_id) shuffle, ``collect_list`` of kept
+   ``(i, line)`` structs (collect_list skips the nulls that removed
+   lines become), ``array_sort`` restores original order.
+
+At 100 TB the only wide state is the distinct-line table keyed by the
+line text itself; a production variant would key steps 2-3 on
+``xxhash64(line)`` to shrink shuffle bytes — kept as the raw string
+here so the oracle is trivially exact.
+
+Reference scope: the reference dedups whole documents only
+(dedup.py); line-level corpus dedup is part of the training-data
+extension surface (SURVEY §2 extensions).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.corpus import BOILER_W, _doc_lines
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+
+LINE_KEY_BITS = 20  # packed survivor key: doc_id * 2^20 + line_idx
+
+
+def keyed_lines(lines: DataFrame) -> DataFrame:
+    """Attach the packed argmin key to a (doc_id, i, line) relation."""
+    return lines.withColumn(
+        "k",
+        (F.col("doc_id") * F.lit(1 << LINE_KEY_BITS) + F.col("i")).cast("long"),
+    )
+
+
+def mark_keep_first(lines: DataFrame) -> DataFrame:
+    """(doc_id, i, line, keep): keep=True on the corpus-wide first
+    occurrence of each distinct line, False everywhere else."""
+    keyed = keyed_lines(lines)
+    firsts = keyed.groupBy("line").agg(F.min("k").alias("keeper"))
+    return (
+        keyed.join(firsts, "line")
+        .withColumn("keep", F.col("k") == F.col("keeper"))
+        .select("doc_id", "i", "line", "keep")
+    )
+
+
+def global_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    marked = mark_keep_first(_doc_lines(spark, sf))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum((~F.col("keep")).cast("long")).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep"), F.struct("i", "line")))
+                ),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+
+
+def global_line_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    keyed = keyed_lines(_doc_lines(spark, sf))
+    per_line = keyed.groupBy("line").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.min("k").alias("keeper"),
+    )
+    totals = per_line.agg(
+        F.sum("n_occ").cast("long").alias("n_lines_total"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_lines"),
+        F.sum((F.col("n_occ") > 1).cast("long")).cast("long").alias("n_dup_lines"),
+        (F.sum("n_occ") - F.count(F.lit(1))).cast("long").alias("n_removed"),
+        F.sum(
+            F.when(
+                F.col("n_occ") > 1, F.length("line") * (F.col("n_occ") - 1)
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("chars_removed"),
+    )
+    affected = (
+        keyed.join(per_line.select("line", "keeper"), "line")
+        .filter(F.col("k") != F.col("keeper"))
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("docs_affected"),
+            (F.max(F.col("k") % F.lit(1 << LINE_KEY_BITS)) < F.lit(1 << LINE_KEY_BITS))
+            .alias("key_packing_ok"),
+        )
+    )
+    return totals.crossJoin(affected)
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "global_line_dedup": global_line_dedup,
+    "global_line_dedup_stats": global_line_dedup_stats,
+}
+
+_SQL_LINES = f"""
+    toksed AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM documents
+        WHERE len(regexp_extract_all(lower(text), '{TOKEN_RE}')) > 0
+    ),
+    seg AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(ceil(len(toks) / {float(BOILER_W)}) AS BIGINT)))
+                   AS i,
+               toks
+        FROM toksed
+    ),
+    lines AS (
+        SELECT doc_id, i,
+               array_to_string(
+                   list_slice(toks, i * {BOILER_W} + 1, i * {BOILER_W} + {BOILER_W}),
+                   ' ') AS line,
+               (doc_id * {1 << LINE_KEY_BITS} + i)::BIGINT AS k
+        FROM seg
+    ),
+    per_line AS (
+        SELECT line, COUNT(*)::BIGINT AS n_occ, MIN(k) AS keeper
+        FROM lines GROUP BY line
+    )"""
+
+ORACLES: Dict[str, str] = {
+    "global_line_dedup": f"""
+    WITH {_SQL_LINES}
+    SELECT l.doc_id,
+           COUNT(*)::BIGINT AS n_lines,
+           SUM((l.k <> p.keeper)::INT)::BIGINT AS n_removed,
+           COALESCE(
+               string_agg(l.line, ' ' ORDER BY l.i) FILTER (l.k = p.keeper), ''
+           ) AS text_clean
+    FROM lines l JOIN per_line p ON l.line = p.line
+    GROUP BY l.doc_id
+    """,
+    "global_line_dedup_stats": f"""
+    WITH {_SQL_LINES}
+    SELECT t.n_lines_total, t.n_distinct_lines, t.n_dup_lines, t.n_removed,
+           t.chars_removed, a.docs_affected, a.key_packing_ok
+    FROM (
+        SELECT SUM(n_occ)::BIGINT AS n_lines_total,
+               COUNT(*)::BIGINT AS n_distinct_lines,
+               SUM((n_occ > 1)::INT)::BIGINT AS n_dup_lines,
+               (SUM(n_occ) - COUNT(*))::BIGINT AS n_removed,
+               SUM(CASE WHEN n_occ > 1
+                        THEN length(line) * (n_occ - 1) ELSE 0 END)::BIGINT
+                   AS chars_removed
+        FROM per_line
+    ) t, (
+        SELECT COUNT(DISTINCT l.doc_id)::BIGINT AS docs_affected,
+               MAX(l.k % {1 << LINE_KEY_BITS}) < {1 << LINE_KEY_BITS}
+                   AS key_packing_ok
+        FROM lines l JOIN per_line p ON l.line = p.line
+        WHERE l.k <> p.keeper
+    ) a
+    """,
+}

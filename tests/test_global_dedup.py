@@ -1,0 +1,100 @@
+"""Keep-first cross-corpus line dedup: survivor choice, reassembly,
+conservation identities, and the semantics split vs the two line
+operators in ops/corpus.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.global_dedup import (
+    global_line_dedup,
+    global_line_dedup_stats,
+    mark_keep_first,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _lines(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, i int, line string")
+
+
+def test_first_occurrence_wins_across_docs(spark):
+    # "x" appears in doc 1 (i=1), doc 0 (i=2), doc 2 (i=0):
+    # survivor is the smallest (doc_id, i) = doc 0, i 2
+    rows = [
+        (0, 0, "a"), (0, 1, "b"), (0, 2, "x"),
+        (1, 0, "c"), (1, 1, "x"),
+        (2, 0, "x"), (2, 1, "d"),
+    ]
+    kept = {
+        (r.doc_id, r.i)
+        for r in mark_keep_first(_lines(spark, rows)).filter("keep").collect()
+    }
+    assert (0, 2) in kept and (1, 1) not in kept and (2, 0) not in kept
+    # unique lines all survive
+    assert {(0, 0), (0, 1), (1, 0), (2, 1)} <= kept
+
+
+def test_within_doc_repeat_keeps_earliest_position(spark):
+    rows = [(5, 0, "x"), (5, 1, "x"), (5, 2, "x")]
+    kept = [
+        (r.i, r.keep)
+        for r in mark_keep_first(_lines(spark, rows)).orderBy("i").collect()
+    ]
+    assert kept == [(0, True), (1, False), (2, False)]
+
+
+def test_driver_corpus_identities(spark):
+    st = global_line_dedup_stats(spark, SF).collect()[0]
+    # survivors == distinct lines; removed == total - distinct
+    assert st.n_lines_total - st.n_removed == st.n_distinct_lines
+    assert st.key_packing_ok
+    # word salad over a small vocab MUST produce cross-doc dup segments
+    assert st.n_dup_lines > 0 and st.docs_affected > 1
+
+    per_doc = global_line_dedup(spark, SF)
+    agg = per_doc.agg(
+        F.sum("n_lines").alias("nl"), F.sum("n_removed").alias("nr")
+    ).collect()[0]
+    assert agg.nl == st.n_lines_total and agg.nr == st.n_removed
+
+
+def test_each_distinct_line_survives_exactly_once(spark):
+    marked = mark_keep_first(_lines(spark, [
+        (0, 0, "a"), (0, 1, "a"), (1, 0, "a"), (1, 1, "b"), (2, 0, "b"),
+    ]))
+    per_line = (
+        marked.groupBy("line")
+        .agg(F.sum(F.col("keep").cast("long")).alias("n_kept"))
+        .collect()
+    )
+    assert all(r.n_kept == 1 for r in per_line)
+
+
+def test_reassembly_drops_only_non_survivors(spark):
+    # doc 7's text keeps its own unique lines in order; the line it
+    # shares with the earlier doc 3 vanishes
+    rows = [(3, 0, "dup"), (7, 0, "u1"), (7, 1, "dup"), (7, 2, "u2")]
+    src = _lines(spark, rows)
+    marked = mark_keep_first(src)
+    out = {
+        r.doc_id: (r.n_lines, r.n_removed, r.text_clean)
+        for r in marked.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum((~F.col("keep")).cast("long")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("i", "line"))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        ).collect()
+    }
+    assert out[3] == (1, 0, "dup")
+    assert out[7] == (3, 1, "u1 u2")

@@ -52,6 +52,7 @@ PLAN_QUERIES = [
     "decontamination_report",
     "stratified_sample",
     "boilerplate_removal",
+    "global_line_dedup",
     "idf_top_terms",
     "nb_lang_confusion",
     "events_asof_attribution",
