@@ -1,0 +1,237 @@
+"""Asymmetric shingle-containment near-dup pairs (subsumption detection).
+
+Jaccard (``ops/dedup.ngram_jaccard_pairs``) misses the most common
+web-corpus duplication mode: a SHORT document wholly quoted inside a
+LONG one (syndicated article + commentary, quoted email chains, doc
+pages embedding a changelog).  |A∩B|/|A∪B| is diluted by the big
+doc's extra content, but CONTAINMENT c(A,B) = |A∩B|/|A| (Broder 1997,
+"On the resemblance and containment of documents") stays ~1 for the
+subsumed side.  This module reports candidate pairs where the MAX
+directional containment clears ``CONTAIN_NUM/CONTAIN_DEN`` (0.8), with
+both directions carried so the caller can tell mutual near-dups from
+one-way subsumption.
+
+Shape (same skeleton as ngram_jaccard_pairs — measured there that the
+codegen shingle self-join with exchange reuse beats collect_list
+bucket grouping for UDF-free families):
+
+* distinct 3-token shingles per doc (one tokenize pass);
+* flood cap: broadcast anti-join against shingles in > MAX_BUCKET docs;
+* self-join on shingle -> per-pair intersection counts (one exchange,
+  reused on both sides);
+* TRUE set sizes join from the UNCAPPED relation, so containment
+  denominators are exact even when the cap drops hot shingles from the
+  intersection (the estimate is then conservative — documented);
+* threshold as an INTEGER cross-multiplication
+  ``DEN*n_common >= NUM*least(na, nb)`` — no float boundary in the
+  filter; the reported ratios are single BIGINT/BIGINT divisions
+  (IEEE-exact in both engines).
+
+Driver injection (the REPLACE-text move, mirrored literally in the
+oracle): docs with ``doc_id % 53 == 7`` become a fixed 20-token
+template; docs with ``doc_id % 53 == 8`` become the template's first
+12 tokens plus a doc-unique tail token — 10 of their 11 shingles land
+inside the template (containment 10/11 >= 0.8) while the template
+contains them at only 10/18 < 0.8, so the asymmetric branch is
+provably non-degenerate at every SF.
+
+Scale: identical cost envelope to ngram_jaccard_pairs — the dominant
+shuffle is the shingle self-join, bounded by the flood cap; at 100 TB
+the shingle key would be xxhash64'd to shrink shuffle bytes.
+
+Reference scope: the reference dedups exact-only (dedup.py md5);
+containment is part of the dedup extension surface (SURVEY §2 ext).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.dedup import MAX_BUCKET, _shingle_arr
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+CONTAIN_NUM, CONTAIN_DEN = 4, 5  # threshold = NUM/DEN = 0.8
+INJECT_MOD = 53
+TEMPLATE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    "kilo lima mike november oscar papa quebec romeo sierra tango"
+)
+SUBSET_PREFIX = " ".join(TEMPLATE.split()[:12])
+
+
+def _injected_shingles(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, shingle): distinct 3-shingles over the residue-injected
+    corpus (template / template-subset docs planted per module doc)."""
+    parallelism = spark.sparkContext.defaultParallelism
+    toksed = (
+        t(spark, sf, "documents")
+        .repartition(parallelism)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % INJECT_MOD == 7, F.lit(TEMPLATE))
+            .when(
+                F.col("doc_id") % INJECT_MOD == 8,
+                F.concat(
+                    F.lit(SUBSET_PREFIX + " tail"), F.col("doc_id").cast("string")
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)").alias("toks"),
+        )
+    )
+    return toksed.select("doc_id", F.explode(_shingle_arr(3)).alias("shingle"))
+
+
+def containment_pairs_frame(sh: DataFrame, max_bucket: int = MAX_BUCKET) -> DataFrame:
+    """Thresholded containment pairs over any (doc_id, shingle)
+    relation with per-doc-distinct shingles."""
+    flooded = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_bucket"))
+        .filter(F.col("n_bucket") > max_bucket)
+        .select("shingle")
+    )
+    capped = sh.join(F.broadcast(flooded), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = capped.alias("a"), capped.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.lit(CONTAIN_DEN) * F.col("n_common")
+            >= F.lit(CONTAIN_NUM) * F.least("na", "nb")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            F.round(F.col("n_common") / F.col("na"), 4).alias("contain_a"),
+            F.round(F.col("n_common") / F.col("nb"), 4).alias("contain_b"),
+        )
+    )
+
+
+def containment_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return containment_pairs_frame(_injected_shingles(spark, sf))
+
+
+def containment_stats(spark: SparkSession, sf: str) -> DataFrame:
+    p = containment_dup_pairs(spark, sf)
+    in_a = F.lit(CONTAIN_DEN) * F.col("n_common") >= F.lit(CONTAIN_NUM) * F.col("na")
+    in_b = F.lit(CONTAIN_DEN) * F.col("n_common") >= F.lit(CONTAIN_NUM) * F.col("nb")
+    totals = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum((in_a & in_b).cast("long")).cast("long").alias("n_mutual"),
+        F.sum((in_a != in_b).cast("long")).cast("long").alias("n_one_way"),
+        F.max("n_common").cast("long").alias("max_n_common"),
+    )
+    subsumed = (
+        p.select(
+            F.explode(
+                F.array(F.when(in_a, F.col("doc_a")), F.when(in_b, F.col("doc_b")))
+            ).alias("d")
+        )
+        .filter(F.col("d").isNotNull())
+        .agg(F.count_distinct("d").cast("long").alias("n_docs_subsumed"))
+    )
+    return totals.crossJoin(subsumed)
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "containment_dup_pairs": containment_dup_pairs,
+    "containment_stats": containment_stats,
+}
+
+_SQL_PAIRS = f"""
+    docs_i AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {INJECT_MOD} = 7 THEN '{TEMPLATE}'
+                    WHEN doc_id % {INJECT_MOD} = 8
+                        THEN '{SUBSET_PREFIX} tail' || doc_id::VARCHAR
+                    ELSE text END AS text
+        FROM documents
+    ),
+    shingles AS (
+        SELECT doc_id, UNNEST(list_distinct([
+            tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2]
+            FOR i IN range(1, GREATEST(len(tok) - 2, 0) + 1)
+        ])) AS shingle
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS tok
+              FROM docs_i)
+    ),
+    flood AS (
+        SELECT shingle FROM shingles GROUP BY shingle
+        HAVING COUNT(*) > {MAX_BUCKET}
+    ),
+    capped AS (
+        SELECT s.doc_id, s.shingle FROM shingles s
+        LEFT JOIN flood f USING (shingle) WHERE f.shingle IS NULL
+    ),
+    sizes AS (
+        SELECT doc_id, COUNT(*)::BIGINT AS n FROM shingles GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_common
+        FROM capped a JOIN capped b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT i.doc_a, i.doc_b, i.n_common,
+               sa.n AS na, sb.n AS nb,
+               round(i.n_common / sa.n, 4) AS contain_a,
+               round(i.n_common / sb.n, 4) AS contain_b
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE {CONTAIN_DEN} * i.n_common >= {CONTAIN_NUM} * LEAST(sa.n, sb.n)
+    )"""
+
+ORACLES: Dict[str, str] = {
+    "containment_dup_pairs": f"""
+    WITH {_SQL_PAIRS}
+    SELECT doc_a, doc_b, n_common, na, nb, contain_a, contain_b FROM pairs
+    """,
+    "containment_stats": f"""
+    WITH {_SQL_PAIRS},
+    flagged AS (
+        SELECT *,
+               ({CONTAIN_DEN} * n_common >= {CONTAIN_NUM} * na) AS in_a,
+               ({CONTAIN_DEN} * n_common >= {CONTAIN_NUM} * nb) AS in_b
+        FROM pairs
+    )
+    SELECT t.n_pairs, t.n_mutual, t.n_one_way, t.max_n_common, s.n_docs_subsumed
+    FROM (
+        SELECT COUNT(*)::BIGINT AS n_pairs,
+               SUM((in_a AND in_b)::INT)::BIGINT AS n_mutual,
+               SUM((in_a <> in_b)::INT)::BIGINT AS n_one_way,
+               MAX(n_common)::BIGINT AS max_n_common
+        FROM flagged
+    ) t, (
+        SELECT COUNT(DISTINCT d)::BIGINT AS n_docs_subsumed
+        FROM (
+            SELECT CASE WHEN in_a THEN doc_a END AS d FROM flagged
+            UNION ALL
+            SELECT CASE WHEN in_b THEN doc_b END AS d FROM flagged
+        ) WHERE d IS NOT NULL
+    ) s
+    """,
+}

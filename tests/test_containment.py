@@ -1,0 +1,75 @@
+"""Containment near-dups: asymmetric detection, thresholds, flood cap,
+and the injected template/subset story on the driver corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.containment import (
+    INJECT_MOD,
+    containment_dup_pairs,
+    containment_pairs_frame,
+    containment_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sh(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, shingle string")
+
+
+def test_one_way_subsumption_detected(spark):
+    # doc 1 = {s1..s5} fully inside doc 2 = {s1..s10}: contain_a = 1.0,
+    # contain_b = 0.5 -> max containment 1.0 >= 0.8 keeps the pair
+    rows = [(1, f"s{i}") for i in range(5)] + [(2, f"s{i}") for i in range(10)]
+    got = containment_pairs_frame(_sh(spark, rows)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.doc_a, r.doc_b, r.n_common, r.na, r.nb) == (1, 2, 5, 5, 10)
+    assert r.contain_a == 1.0 and r.contain_b == 0.5
+
+
+def test_below_threshold_pair_excluded(spark):
+    # overlap 3 of min-size 5 -> max containment 0.6 < 0.8
+    rows = [(1, f"s{i}") for i in range(5)] + [(2, f"s{i}") for i in range(3)] + [
+        (2, f"t{i}") for i in range(4)
+    ]
+    assert containment_pairs_frame(_sh(spark, rows)).count() == 0
+
+
+def test_flood_cap_drops_hot_shingles_conservatively(spark):
+    # "hot" is shared by 4 docs with cap 3 -> dropped from intersections;
+    # docs 1/2 still match on their 4 private shared shingles (4/5 >= .8)
+    rows = (
+        [(d, "hot") for d in (1, 2, 3, 4)]
+        + [(1, f"p{i}") for i in range(4)]
+        + [(2, f"p{i}") for i in range(4)]
+        + [(3, "x1"), (4, "x2")]
+    )
+    got = containment_pairs_frame(_sh(spark, rows), max_bucket=3).collect()
+    assert {(r.doc_a, r.doc_b) for r in got} == {(1, 2)}
+    # true sizes (5) come from the UNCAPPED relation
+    assert got[0].na == 5 and got[0].nb == 5 and got[0].n_common == 4
+
+
+def test_driver_injection_story(spark):
+    pairs = containment_dup_pairs(spark, SF)
+    # a template doc (res 7) and a subset doc (res 8): subset side
+    # contained at 10/11, template side at 10/18 -> one-way
+    tmpl_sub = pairs.filter(
+        (F.col("doc_a") % INJECT_MOD).isin(7, 8)
+        & (F.col("doc_b") % INJECT_MOD).isin(7, 8)
+        & ((F.col("doc_a") % INJECT_MOD) != (F.col("doc_b") % INJECT_MOD))
+    ).collect()
+    assert tmpl_sub, "injected template/subset pairs must exist"
+    for r in tmpl_sub:
+        sub_side = "a" if r.doc_a % INJECT_MOD == 8 else "b"
+        assert r.n_common == 10
+        assert (r.contain_a if sub_side == "a" else r.contain_b) == round(10 / 11, 4)
+        assert (r.contain_b if sub_side == "a" else r.contain_a) == round(10 / 18, 4)
+
+    st = containment_stats(spark, SF).collect()[0]
+    assert st.n_one_way > 0 and st.n_mutual > 0
+    assert st.n_mutual + st.n_one_way <= st.n_pairs
+    assert st.n_docs_subsumed > 0

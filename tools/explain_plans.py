@@ -53,6 +53,7 @@ PLAN_QUERIES = [
     "stratified_sample",
     "boilerplate_removal",
     "global_line_dedup",
+    "containment_dup_pairs",
     "idf_top_terms",
     "nb_lang_confusion",
     "events_asof_attribution",
