@@ -1,0 +1,126 @@
+"""Order-independent corpus parity digests (resume / replica audit).
+
+The north rule's contract is per-turn BYTE equality of outputs across
+runs and resumes.  Verifying that at 10^12 turns cannot mean sorting
+and diffing; the standard trick is a COMMUTATIVE digest: hash each row
+with its identity bound in (``md5(doc_id || ':' || text)``), truncate
+to 32 bits, and SUM.  Addition is associative/commutative, so the
+digest is invariant to row order, partitioning, and shuffle plan —
+but any edited byte, dropped row, or text moved to a different doc_id
+shifts the sum with probability ~1-2^-32 per change.  Two pipeline
+runs (or a resume vs a cold run) agree iff their digest tables agree
+— a one-row-per-source comparison instead of a 100 TB diff.
+
+* 32-bit truncation keeps the per-row term < 2^32 so a BIGINT sum
+  holds 2^31 rows with no overflow (ANSI mode safe in both engines);
+  ``n_distinct_h32`` rides along to expose truncation collisions at
+  audit time (collisions weaken the digest additively, not fatally).
+* ``corpus_parity_digest`` emits per-source rows plus the ROLLUP grand
+  total (source = '__ALL__') — the shape a resume manifest stores.
+* ``parity_invariance_check`` PROVES the order-independence property
+  as a query: the same corpus digested under two unrelated
+  partitionings (by source vs by doc_id mod 7) must produce equal
+  grand totals.  At cluster scale this is the cheap cross-check that
+  a re-partitioned / re-clustered copy of a table is still the same
+  data (the lineage twin of ops/zorder's layout audits).
+
+Reference scope: the reference has no corpus-level integrity check;
+its per-batch md5 manifest (media sink) is the closest analogue —
+this is that idea lifted to relation grain (SURVEY §2 ext).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+_H32 = (
+    "cast(conv(substr(md5(concat(cast(doc_id as string), ':', text)), 1, 8),"
+    " 16, 10) as bigint)"
+)
+_SQL_H32 = "('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 8))::BIGINT"
+
+
+def _hashed(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id", "source", F.expr(_H32).alias("h32")
+    )
+
+
+def corpus_parity_digest(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _hashed(spark, sf)
+        .rollup("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("h32").cast("long").alias("digest_sum"),
+            F.count_distinct("h32").cast("long").alias("n_distinct_h32"),
+            F.min("h32").cast("long").alias("h32_min"),
+            F.max("h32").cast("long").alias("h32_max"),
+        )
+        .select(
+            F.coalesce("source", F.lit("__ALL__")).alias("source"),
+            "n_rows",
+            "digest_sum",
+            "n_distinct_h32",
+            "h32_min",
+            "h32_max",
+        )
+    )
+
+
+def parity_invariance_check(spark: SparkSession, sf: str) -> DataFrame:
+    h = _hashed(spark, sf)
+    by_source = h.groupBy("source").agg(F.sum("h32").alias("s")).agg(
+        F.sum("s").cast("long").alias("digest_by_source")
+    )
+    by_bucket = (
+        h.groupBy((F.col("doc_id") % 7).alias("b"))
+        .agg(F.sum("h32").alias("s"))
+        .agg(F.sum("s").cast("long").alias("digest_by_bucket"))
+    )
+    return (
+        by_source.crossJoin(by_bucket)
+        .withColumn(
+            "digests_equal", F.col("digest_by_source") == F.col("digest_by_bucket")
+        )
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "corpus_parity_digest": corpus_parity_digest,
+    "parity_invariance_check": parity_invariance_check,
+}
+
+ORACLES: Dict[str, str] = {
+    "corpus_parity_digest": f"""
+    SELECT COALESCE(source, '__ALL__') AS source,
+           COUNT(*)::BIGINT AS n_rows,
+           SUM({_SQL_H32})::BIGINT AS digest_sum,
+           COUNT(DISTINCT {_SQL_H32})::BIGINT AS n_distinct_h32,
+           MIN({_SQL_H32})::BIGINT AS h32_min,
+           MAX({_SQL_H32})::BIGINT AS h32_max
+    FROM documents
+    GROUP BY ROLLUP(source)
+    """,
+    "parity_invariance_check": f"""
+    WITH h AS (
+        SELECT doc_id, source, {_SQL_H32} AS h32 FROM documents
+    ),
+    a AS (
+        SELECT SUM(s)::BIGINT AS digest_by_source
+        FROM (SELECT SUM(h32) AS s FROM h GROUP BY source)
+    ),
+    b AS (
+        SELECT SUM(s)::BIGINT AS digest_by_bucket
+        FROM (SELECT SUM(h32) AS s FROM h GROUP BY doc_id % 7)
+    )
+    SELECT a.digest_by_source, b.digest_by_bucket,
+           a.digest_by_source = b.digest_by_bucket AS digests_equal
+    FROM a, b
+    """,
+}

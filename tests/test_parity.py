@@ -1,0 +1,52 @@
+"""Parity digests: edit sensitivity, order/partitioning invariance,
+rollup consistency."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.parity import (
+    _H32,
+    corpus_parity_digest,
+    parity_invariance_check,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _digest(df):
+    return df.select(F.expr(_H32).alias("h")).agg(F.sum("h").alias("d")).collect()[0].d
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_single_byte_edit_shifts_digest(spark):
+    base = [(1, "hello world", "s"), (2, "foo bar", "s")]
+    edited = [(1, "hello world", "s"), (2, "foo baz", "s")]
+    assert _digest(_docs(spark, base)) != _digest(_docs(spark, edited))
+
+
+def test_row_identity_binding(spark):
+    # same texts swapped across doc_ids is a DIFFERENT corpus
+    a = [(1, "alpha", "s"), (2, "beta", "s")]
+    b = [(1, "beta", "s"), (2, "alpha", "s")]
+    assert _digest(_docs(spark, a)) != _digest(_docs(spark, b))
+
+
+def test_partitioning_and_order_invariance(spark):
+    rows = [(i, f"text {i * 17 % 13}", f"s{i % 3}") for i in range(100)]
+    df = _docs(spark, rows)
+    d1 = _digest(df.repartition(1))
+    d2 = _digest(df.repartition(16, "source"))
+    d3 = _digest(df.orderBy(F.desc("doc_id")))
+    assert d1 == d2 == d3
+
+
+def test_rollup_total_is_sum_of_sources(spark):
+    out = {r.source: r for r in corpus_parity_digest(spark, SF).collect()}
+    total = out.pop("__ALL__")
+    assert total.n_rows == sum(r.n_rows for r in out.values())
+    assert total.digest_sum == sum(r.digest_sum for r in out.values())
+    assert parity_invariance_check(spark, SF).collect()[0].digests_equal
