@@ -1,0 +1,152 @@
+"""Wilson lower-bound ranking of per-group keep rates.
+
+Ranking data sources/languages by RAW pass rate systematically
+over-promotes small groups: 10/10 beats 950/1000 on phat but is far
+weaker evidence.  The standard fix (Wilson 1927 score interval, the
+"how not to sort by average rating" construction) ranks by the LOWER
+confidence bound
+
+    w = (k + z²/2 − z·√(k(n−k)/n + z²/4)) / (n + z²),   z = 1.96
+
+which shrinks toward 0 for small n.  A data-mixing planner keeps /
+weights upstream sources by this bound so a tiny source can't buy its
+way into the mix on a lucky sample.
+
+Cross-engine exactness: the bound is pure IEEE double arithmetic from
+BIGINT (k, n) — the expression STRING is shared between the Spark
+plan and the DuckDB oracle (z inlined as ``CAST(1.96 AS DOUBLE)`` and
+z² as its self-product, never a pre-folded decimal literal, so both
+engines round the constant identically), integer product ``k(n−k)``
+stays exact below 2^62, and every division/sqrt is correctly-rounded
+IEEE — bit-identical outputs, no quantization needed.
+
+The gate is deterministic (word count >= GATE_MIN_WORDS) and the
+grouping is ``lang`` — group sizes vary 3x in the driver corpus, so
+the naive-vs-wilson rank REORDERING branch is non-degenerate (en
+outranks zh on evidence despite a lower raw rate; pinned by test).
+
+Scale: one corpus scan -> one tiny (|langs|-row) aggregate; the rank
+windows run on the aggregate, not the corpus.
+
+Reference scope: the reference reports raw pass-rate metrics only
+(run_summary); confidence-aware ranking is extension surface.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+GATE_MIN_WORDS = 25
+PROMOTE_LB = 0.75
+
+_Z = "CAST(1.96 AS DOUBLE)"
+_Z2 = f"({_Z} * {_Z})"
+WILSON_EXPR = (
+    f"((k + {_Z2}/2) - {_Z} * sqrt(k * (n - k) / n + {_Z2}/4)) / (n + {_Z2})"
+)
+
+
+def _groups(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "documents")
+        .select(
+            "lang",
+            (
+                F.expr(f"size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0))")
+                >= GATE_MIN_WORDS
+            )
+            .cast("long")
+            .alias("passed"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("passed").cast("long").alias("k"),
+        )
+    )
+
+
+def wilson_keep_ranking(spark: SparkSession, sf: str) -> DataFrame:
+    g = _groups(spark, sf).withColumn("phat", F.col("k") / F.col("n")).withColumn(
+        "wilson_lb", F.expr(WILSON_EXPR)
+    )
+    w_naive = Window.orderBy(F.desc("phat"), F.asc("lang"))
+    w_wilson = Window.orderBy(F.desc("wilson_lb"), F.asc("lang"))
+    return g.select(
+        "lang",
+        "n",
+        "k",
+        "phat",
+        "wilson_lb",
+        F.row_number().over(w_naive).cast("long").alias("naive_rank"),
+        F.row_number().over(w_wilson).cast("long").alias("wilson_rank"),
+    ).withColumn(
+        "rank_moved", F.col("naive_rank") != F.col("wilson_rank")
+    ).withColumn(
+        "promote", F.col("wilson_lb") >= PROMOTE_LB
+    )
+
+
+def wilson_ranking_stats(spark: SparkSession, sf: str) -> DataFrame:
+    r = wilson_keep_ranking(spark, sf)
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.col("rank_moved").cast("long")).cast("long").alias("n_moved"),
+        F.sum(F.col("promote").cast("long")).cast("long").alias("n_promoted"),
+        F.sum(F.abs(F.col("naive_rank") - F.col("wilson_rank")))
+        .cast("long")
+        .alias("footrule_distance"),
+        F.min("wilson_lb").alias("min_wilson_lb"),
+        F.max("wilson_lb").alias("max_wilson_lb"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "wilson_keep_ranking": wilson_keep_ranking,
+    "wilson_ranking_stats": wilson_ranking_stats,
+}
+
+_SQL_RANKED = f"""
+    g AS (
+        SELECT lang, COUNT(*)::BIGINT AS n,
+               SUM((len(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+                    >= {GATE_MIN_WORDS})::INT)::BIGINT AS k
+        FROM documents GROUP BY lang
+    ),
+    scored AS (
+        SELECT lang, n, k, k / n AS phat, {WILSON_EXPR} AS wilson_lb
+        FROM g
+    ),
+    ranked AS (
+        SELECT lang, n, k, phat, wilson_lb,
+               ROW_NUMBER() OVER (ORDER BY phat DESC, lang)::BIGINT AS naive_rank,
+               ROW_NUMBER() OVER (ORDER BY wilson_lb DESC, lang)::BIGINT
+                   AS wilson_rank
+        FROM scored
+    )"""
+
+ORACLES: Dict[str, str] = {
+    "wilson_keep_ranking": f"""
+    WITH {_SQL_RANKED}
+    SELECT lang, n, k, phat, wilson_lb, naive_rank, wilson_rank,
+           naive_rank <> wilson_rank AS rank_moved,
+           wilson_lb >= {PROMOTE_LB} AS promote
+    FROM ranked
+    """,
+    "wilson_ranking_stats": f"""
+    WITH {_SQL_RANKED}
+    SELECT COUNT(*)::BIGINT AS n_groups,
+           SUM((naive_rank <> wilson_rank)::INT)::BIGINT AS n_moved,
+           SUM((wilson_lb >= {PROMOTE_LB})::INT)::BIGINT AS n_promoted,
+           SUM(ABS(naive_rank - wilson_rank))::BIGINT AS footrule_distance,
+           MIN(wilson_lb) AS min_wilson_lb,
+           MAX(wilson_lb) AS max_wilson_lb
+    FROM ranked
+    """,
+}

@@ -1,0 +1,58 @@
+"""Wilson ranking: shrinkage vs naive rate, bound sanity, driver
+reordering non-degeneracy."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.wilson import (
+    WILSON_EXPR,
+    wilson_keep_ranking,
+    wilson_ranking_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _wilson(spark, rows):
+    df = spark.createDataFrame(rows, "grp string, n long, k long")
+    return {
+        r.grp: r.w
+        for r in df.select("grp", F.expr(WILSON_EXPR).alias("w")).collect()
+    }
+
+
+def test_small_perfect_loses_to_large_strong(spark):
+    w = _wilson(spark, [("small", 10, 10), ("large", 1000, 950)])
+    assert w["small"] < w["large"]  # 10/10 is weaker evidence than 950/1000
+
+
+def test_bound_matches_closed_form_and_is_below_phat(spark):
+    n, k, z = 80, 64, 1.96
+    w = _wilson(spark, [("g", n, k)])["g"]
+    ref = ((k + z * z / 2) - z * math.sqrt(k * (n - k) / n + z * z / 4)) / (
+        n + z * z
+    )
+    assert abs(w - ref) < 1e-12
+    assert 0.0 <= w < k / n
+
+
+def test_zero_and_full_rates_stay_in_unit_interval(spark):
+    w = _wilson(spark, [("none", 50, 0), ("all", 50, 50)])
+    assert 0.0 <= w["none"] < 0.1
+    assert 0.8 < w["all"] < 1.0
+
+
+def test_driver_reordering_nondegenerate(spark):
+    rows = {r.lang: r for r in wilson_keep_ranking(spark, SF).collect()}
+    assert len(rows) == 5
+    # en: largest n, lower raw rate than zh — evidence flips the order
+    assert rows["en"].naive_rank > rows["zh"].naive_rank
+    assert rows["en"].wilson_rank < rows["zh"].wilson_rank
+    st = wilson_ranking_stats(spark, SF).collect()[0]
+    assert st.n_moved >= 2
+    assert st.footrule_distance >= st.n_moved
+    # footrule over two permutations of the same set is even
+    assert st.footrule_distance % 2 == 0
