@@ -1,0 +1,163 @@
+"""Unicode NFC normalization audit (decode-health family).
+
+Web text arrives in mixed normalization forms: combining-mark
+sequences (``e`` + U+0301) and precomposed code points (U+00E9) are
+canonically equivalent but byte-different, so they break exact dedup,
+PII regexes anchored on word chars, and tokenizer vocab lookups.
+Production cleaners (ftfy, CCNet) normalize to NFC early; this module
+is the AUDIT for that stage: which documents change under NFC, by how
+many code points, and the md5 of the normalized text (the digest is
+what a downstream parity check would store).
+
+Engine split, by design:
+
+* Spark side: Python's ``unicodedata.normalize("NFC", ...)`` in an
+  Arrow-batched pandas UDF — the JVM has no NFC builtin; the UDF is
+  marked ``asNondeterministic()`` so the ``changed`` filter cannot be
+  pushed below the projection and re-evaluate it (the VERDICT r02
+  duplicate-subtree trap, same fix as the enrich/signature UDFs).
+* Oracle side: DuckDB's native ``nfc_normalize``.  Both implement the
+  same Unicode canonical composition, so the md5 digests are
+  byte-identical under the gate hash — the strongest possible
+  cross-implementation check for this operator (verified for
+  combining marks, ligature-exclusions and ring/diaeresis stacks).
+
+Driver injection (suffix-APPEND on doc_id residues, mirrored
+literally): residue 3 appends a decomposed ``e``+U+0301 suffix (MUST
+change), residue 4 appends the precomposed U+00E9 twin (must NOT
+change), residue 5 appends a two-mark stack (a+U+030A, o+U+0308).
+The ASCII word-salad base text is NFC-invariant, so the injected
+residues are exactly the changed set — pinned by the stats flags.
+
+Scale: one scan, one Arrow round-trip, no shuffle for the audit and
+one 1-row aggregate for the stats; code-point counts are
+``length()`` (code points in both engines — no UTF-16 unit trap).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+INJECT_MOD = 41
+SUF_DECOMP = " café stack"  # e + COMBINING ACUTE: changes under NFC
+SUF_PRECOMP = " café stack"  # precomposed twin: NFC fixpoint
+SUF_MARKS = " ångström"  # ring + diaeresis stacks: changes
+
+
+def _nfc_udf():
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    # pure, but the marker stops Catalyst duplicating the UDF subtree
+    # below the `changed` filter (one ArrowEvalPython per plan)
+    return _nfc.asNondeterministic()
+
+
+def _injected(spark: SparkSession, sf: str) -> DataFrame:
+    r = F.col("doc_id") % INJECT_MOD
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(r == 3, F.concat("text", F.lit(SUF_DECOMP)))
+        .when(r == 4, F.concat("text", F.lit(SUF_PRECOMP)))
+        .when(r == 5, F.concat("text", F.lit(SUF_MARKS)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _audited(spark: SparkSession, sf: str) -> DataFrame:
+    nfc = _nfc_udf()
+    return (
+        _injected(spark, sf)
+        .withColumn("norm", nfc(F.col("text")))
+        .select(
+            "doc_id",
+            (F.col("norm") != F.col("text")).alias("changed"),
+            F.length("text").cast("long").alias("cp_before"),
+            F.length("norm").cast("long").alias("cp_after"),
+            F.md5("norm").alias("md5_norm"),
+        )
+    )
+
+
+def nfc_normalization_audit(spark: SparkSession, sf: str) -> DataFrame:
+    return _audited(spark, sf).filter(F.col("changed")).select(
+        "doc_id", "cp_before", "cp_after", "md5_norm"
+    )
+
+
+def nfc_stats(spark: SparkSession, sf: str) -> DataFrame:
+    a = _audited(spark, sf)
+    r = F.col("doc_id") % INJECT_MOD
+    return a.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("changed").cast("long")).cast("long").alias("n_changed"),
+        F.sum(F.col("cp_before") - F.col("cp_after"))
+        .cast("long")
+        .alias("cp_delta_total"),
+        (
+            F.sum(((r == 3) & ~F.col("changed")).cast("long")) == 0
+        ).alias("all_decomposed_changed"),
+        (
+            F.sum(((r == 4) & F.col("changed")).cast("long")) == 0
+        ).alias("no_precomposed_changed"),
+        (
+            F.sum((~r.isin(3, 5) & F.col("changed")).cast("long")) == 0
+        ).alias("changes_only_injected"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "nfc_normalization_audit": nfc_normalization_audit,
+    "nfc_stats": nfc_stats,
+}
+
+_SQL_AUDIT = f"""
+    injected AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {INJECT_MOD} = 3 THEN text || '{SUF_DECOMP}'
+                    WHEN doc_id % {INJECT_MOD} = 4 THEN text || '{SUF_PRECOMP}'
+                    WHEN doc_id % {INJECT_MOD} = 5 THEN text || '{SUF_MARKS}'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    audited AS (
+        SELECT doc_id,
+               nfc_normalize(text) <> text AS changed,
+               length(text)::BIGINT AS cp_before,
+               length(nfc_normalize(text))::BIGINT AS cp_after,
+               md5(nfc_normalize(text)) AS md5_norm
+        FROM injected
+    )"""
+
+ORACLES: Dict[str, str] = {
+    "nfc_normalization_audit": f"""
+    WITH {_SQL_AUDIT}
+    SELECT doc_id, cp_before, cp_after, md5_norm FROM audited WHERE changed
+    """,
+    "nfc_stats": f"""
+    WITH {_SQL_AUDIT}
+    SELECT COUNT(*)::BIGINT AS n_docs,
+           SUM(changed::INT)::BIGINT AS n_changed,
+           SUM(cp_before - cp_after)::BIGINT AS cp_delta_total,
+           SUM((doc_id % {INJECT_MOD} = 3 AND NOT changed)::INT) = 0
+               AS all_decomposed_changed,
+           SUM((doc_id % {INJECT_MOD} = 4 AND changed)::INT) = 0
+               AS no_precomposed_changed,
+           SUM((doc_id % {INJECT_MOD} NOT IN (3, 5) AND changed)::INT) = 0
+               AS changes_only_injected
+    FROM audited
+    """,
+}

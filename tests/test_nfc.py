@@ -1,0 +1,51 @@
+"""NFC audit: injection semantics, changed-set boundaries, idempotence."""
+
+from __future__ import annotations
+
+import unicodedata
+
+from cleaning_web_corpus_spark.ops.nfc import (
+    INJECT_MOD,
+    SUF_DECOMP,
+    SUF_MARKS,
+    SUF_PRECOMP,
+    nfc_normalization_audit,
+    nfc_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_suffix_fixture_semantics():
+    # decomposed suffix normalizes TO the precomposed twin
+    assert unicodedata.normalize("NFC", SUF_DECOMP) != SUF_DECOMP
+    assert unicodedata.normalize("NFC", SUF_DECOMP) == SUF_PRECOMP
+    assert unicodedata.normalize("NFC", SUF_PRECOMP) == SUF_PRECOMP
+    norm_marks = unicodedata.normalize("NFC", SUF_MARKS)
+    assert norm_marks != SUF_MARKS
+    # idempotence: NFC is a fixpoint after one pass
+    assert unicodedata.normalize("NFC", norm_marks) == norm_marks
+
+
+def test_changed_set_is_exactly_the_decomposed_residues(spark):
+    changed = {r.doc_id for r in nfc_normalization_audit(spark, SF).collect()}
+    expect = {
+        d for d in range(500) if d % INJECT_MOD in (3, 5)
+    }  # sf0.001 has doc_ids 0..499
+    assert changed == expect
+
+
+def test_code_point_deltas_match_suffix_composition(spark):
+    # decomposed suffix loses 1 cp (e+mark -> é); marks suffix loses 2
+    rows = {r.doc_id: r for r in nfc_normalization_audit(spark, SF).collect()}
+    for d, r in rows.items():
+        delta = r.cp_before - r.cp_after
+        assert delta == (1 if d % INJECT_MOD == 3 else 2)
+
+
+def test_stats_flags(spark):
+    st = nfc_stats(spark, SF).collect()[0]
+    assert st.all_decomposed_changed
+    assert st.no_precomposed_changed
+    assert st.changes_only_injected
+    assert st.n_changed > 0 and st.cp_delta_total > 0

@@ -50,6 +50,7 @@ def _query(name):
         "workflow_plan_candidates",
         "simhash_fingerprints",
         "simhash_near_dups",
+        "nfc_normalization_audit",
     ],
 )
 def test_single_arrow_eval_python(spark, name):
