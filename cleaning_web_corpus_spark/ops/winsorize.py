@@ -1,0 +1,185 @@
+"""Winsorized and trimmed per-source length statistics.
+
+Corpus dashboards report mean document length per source, but raw
+means are dominated by the tail (one pathological mega-page moves a
+source's mean more than a thousand normal pages).  The standard
+robust summaries are the 10-90 WINSORIZED mean (clamp values outside
+the percentile bounds to the bounds) and the TRIMMED mean (drop them)
+— the robust-location siblings of ``ops/robust_stats``'s MAD
+dispersion rule.
+
+Exactness contract (the count-of-counts discipline): percentile
+bounds are NEAREST-RANK over the per-(source, value) histogram —
+``lo`` = smallest value whose cumulative count reaches ceil(n/10)
+(computed as ``(n + 9) div 10`` on positive BIGINTs; ``hi`` at
+ceil(9n/10)) — never ntile/percentile_cont.  Trimming is
+value-threshold semantics (drop v outside [lo, hi]; at ties this
+keeps all tied occurrences — documented, identical in both engines).
+All sums are BIGINT over histogram rows; each reported mean is ONE
+BIGINT/BIGINT division (IEEE-exact).  The corpus rollup aggregates
+the INTEGER totals, never double means (summing doubles across groups
+is aggregation-order-dependent — the established hash-drift trap).
+
+Distributed shape: one (source, v) histogram aggregate with map-side
+combine; the cumulative window and both bound filters run over
+HISTOGRAM rows (bounded by per-source value cardinality, not corpus
+rows); the conditional sums re-consume the same histogram joined to
+the K-row bounds table.  No per-group sort of raw rows anywhere.
+
+Reference scope: robust-statistics extension of the reference's
+run_summary length metrics (A5/A6 family).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+
+def winsorized_stats_over(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Per-group raw/winsorized/trimmed location stats over an integer
+    value column, entirely on the count-of-counts histogram."""
+    vals = df.select(group_col, F.col(value_col).cast("long").alias("v"))
+    hist = vals.groupBy(group_col, "v").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy(group_col)
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    tot = vals.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    j = cum.join(tot, group_col)
+    lo = (
+        j.filter(F.col("cum") >= F.expr("(n + 9) div 10"))
+        .groupBy(group_col)
+        .agg(F.min("v").alias("lo"))
+    )
+    hi = (
+        j.filter(F.col("cum") >= F.expr("(9 * n + 9) div 10"))
+        .groupBy(group_col)
+        .agg(F.min("v").alias("hi"))
+    )
+    clamped = F.when(F.col("v") < F.col("lo"), F.col("lo")).when(
+        F.col("v") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("v"))
+    in_range = F.col("v").between(F.col("lo"), F.col("hi"))
+    return (
+        hist.join(lo, group_col)
+        .join(hi, group_col)
+        .groupBy(group_col, "lo", "hi")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(F.col("v") * F.col("cnt")).cast("long").alias("raw_sum"),
+            F.sum(clamped * F.col("cnt")).cast("long").alias("wins_sum"),
+            F.sum(F.when(in_range, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("trimmed_n"),
+            F.sum(F.when(in_range, F.col("v") * F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("trimmed_sum"),
+        )
+        .select(
+            group_col,
+            "n",
+            F.col("lo").cast("long").alias("lo_p10"),
+            F.col("hi").cast("long").alias("hi_p90"),
+            "raw_sum",
+            "wins_sum",
+            "trimmed_n",
+            "trimmed_sum",
+            (F.col("raw_sum") / F.col("n")).alias("raw_mean"),
+            (F.col("wins_sum") / F.col("n")).alias("wins_mean"),
+            (F.col("trimmed_sum") / F.col("trimmed_n")).alias("trimmed_mean"),
+        )
+    )
+
+
+def winsorized_source_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return winsorized_stats_over(
+        t(spark, sf, "documents"), "source", "n_chars"
+    )
+
+
+def winsorized_corpus_stats(spark: SparkSession, sf: str) -> DataFrame:
+    per = winsorized_source_stats(spark, sf)
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("raw_sum").cast("long").alias("raw_sum"),
+        F.sum("wins_sum").cast("long").alias("wins_sum"),
+        F.sum(F.col("n") - F.col("trimmed_n")).cast("long").alias("n_trimmed_out"),
+        (F.sum("raw_sum") / F.sum("n")).alias("raw_mean"),
+        (F.sum("wins_sum") / F.sum("n")).alias("wins_mean"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "winsorized_source_stats": winsorized_source_stats,
+    "winsorized_corpus_stats": winsorized_corpus_stats,
+}
+
+_SQL_PER_SOURCE = """
+    hist AS (
+        SELECT source, n_chars::BIGINT AS v, COUNT(*)::BIGINT AS cnt
+        FROM documents GROUP BY source, n_chars
+    ),
+    cum AS (
+        SELECT source, v, cnt,
+               SUM(cnt) OVER (PARTITION BY source ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist
+    ),
+    tot AS (SELECT source, COUNT(*)::BIGINT AS n FROM documents GROUP BY source),
+    lo AS (
+        SELECT c.source, MIN(v) AS lo FROM cum c JOIN tot t ON c.source = t.source
+        WHERE c.cum >= (t.n + 9) // 10 GROUP BY c.source
+    ),
+    hi AS (
+        SELECT c.source, MIN(v) AS hi FROM cum c JOIN tot t ON c.source = t.source
+        WHERE c.cum >= (9 * t.n + 9) // 10 GROUP BY c.source
+    ),
+    per_source AS (
+        SELECT h.source, SUM(cnt)::BIGINT AS n,
+               lo::BIGINT AS lo_p10, hi::BIGINT AS hi_p90,
+               SUM(v * cnt)::BIGINT AS raw_sum,
+               SUM(CASE WHEN v < lo THEN lo WHEN v > hi THEN hi ELSE v END
+                   * cnt)::BIGINT AS wins_sum,
+               SUM(CASE WHEN v BETWEEN lo AND hi THEN cnt ELSE 0 END)::BIGINT
+                   AS trimmed_n,
+               SUM(CASE WHEN v BETWEEN lo AND hi THEN v * cnt ELSE 0 END)::BIGINT
+                   AS trimmed_sum
+        FROM hist h
+        JOIN lo ON h.source = lo.source
+        JOIN hi ON h.source = hi.source
+        GROUP BY h.source, lo, hi
+    )"""
+
+ORACLES: Dict[str, str] = {
+    "winsorized_source_stats": f"""
+    WITH {_SQL_PER_SOURCE}
+    SELECT source, n, lo_p10, hi_p90, raw_sum, wins_sum, trimmed_n, trimmed_sum,
+           raw_sum / n AS raw_mean,
+           wins_sum / n AS wins_mean,
+           trimmed_sum / trimmed_n AS trimmed_mean
+    FROM per_source
+    """,
+    "winsorized_corpus_stats": f"""
+    WITH {_SQL_PER_SOURCE}
+    SELECT COUNT(*)::BIGINT AS n_sources,
+           SUM(n)::BIGINT AS n_docs,
+           SUM(raw_sum)::BIGINT AS raw_sum,
+           SUM(wins_sum)::BIGINT AS wins_sum,
+           SUM(n - trimmed_n)::BIGINT AS n_trimmed_out,
+           SUM(raw_sum) / SUM(n) AS raw_mean,
+           SUM(wins_sum) / SUM(n) AS wins_mean
+    FROM per_source
+    """,
+}

@@ -1,0 +1,64 @@
+"""Winsorized/trimmed stats: hand-computed bounds, outlier damping,
+identities on the driver corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.winsorize import (
+    winsorized_corpus_stats,
+    winsorized_source_stats,
+    winsorized_stats_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _over(spark, vals):
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v long")
+    return winsorized_stats_over(df, "grp", "v").collect()[0]
+
+
+def test_hand_computed_bounds_and_means(spark):
+    # 10 values: ranks ceil(1)=1st and ceil(9)=9th -> lo=1, hi=9
+    vals = [1, 2, 3, 4, 5, 6, 7, 8, 9, 1000]
+    r = _over(spark, vals)
+    assert (r.lo_p10, r.hi_p90) == (1, 9)
+    assert r.raw_sum == sum(vals)
+    assert r.wins_sum == sum(vals[:-1]) + 9  # 1000 clamps to 9
+    assert r.trimmed_n == 9 and r.trimmed_sum == sum(vals[:-1])
+    assert r.wins_mean == (sum(vals[:-1]) + 9) / 10
+    assert r.trimmed_mean == sum(vals[:-1]) / 9
+
+
+def test_outlier_damping(spark):
+    base = list(range(10, 30))
+    r_clean = _over(spark, base)
+    r_dirty = _over(spark, base + [10**6])
+    # raw mean explodes, winsorized mean barely moves
+    assert r_dirty.raw_mean > 10 * r_clean.raw_mean
+    assert abs(r_dirty.wins_mean - r_clean.wins_mean) < 3
+
+
+def test_ties_keep_all_tied_occurrences(spark):
+    # value-threshold semantics: everything equal -> nothing trimmed
+    r = _over(spark, [5] * 20)
+    assert r.trimmed_n == 20 and r.lo_p10 == 5 and r.hi_p90 == 5
+    assert r.wins_mean == r.raw_mean == 5.0
+
+
+def test_driver_identities(spark):
+    per = winsorized_source_stats(spark, SF)
+    rows = per.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.lo_p10 <= r.hi_p90
+        assert r.trimmed_n <= r.n
+        # winsorized mean lies between trimmed-range endpoints
+        assert r.lo_p10 <= r.wins_mean <= r.hi_p90
+    agg = per.agg(
+        F.sum("n").alias("n"), F.sum("raw_sum").alias("rs")
+    ).collect()[0]
+    st = winsorized_corpus_stats(spark, SF).collect()[0]
+    assert (st.n_docs, st.raw_sum) == (agg.n, agg.rs)
+    assert st.n_trimmed_out > 0  # real tails exist in the corpus
