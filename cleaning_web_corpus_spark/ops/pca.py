@@ -1,0 +1,209 @@
+"""Distributed PCA over the embedding table — projection + spectrum.
+
+Dimensionality reduction is the standard pre-step for embedding-space
+curation at corpus scale (SemDeDup Abbas et al. 2023 runs k-means on
+reduced vectors; DataComp's filtering networks whiten before cosine):
+a 64->8 projection cuts every downstream ANN / clustering shuffle by
+8x while keeping most variance.  This module trains the projection
+INSIDE the engine with one bounded pass and applies it shuffle-free:
+
+* TRAIN — the second-moment matrix is an exactly-associative integer
+  aggregation: each component is milli-quantized at the scan
+  (``floor(v * 1000 + 0.5)``, identical in every engine), then ONE
+  ``mapInPandas`` pass emits per-Arrow-batch partial moments
+  (n, sum-vector, Gram matrix — int64-safe per batch) and the driver
+  combines the tiny partials with Python ints (overflow-free at any
+  corpus size).  The collect is O(partitions * d^2), never data-sized
+  — the same bounded-trainer contract as IVF/NB/DSIR.
+* EIGH — covariance from the exact integer moments
+  (``(n*G - s s^T) / (n*(n-1)*Q^2)``, original units), then
+  ``np.linalg.eigh`` on the driver; descending-eigenvalue top-K with a
+  deterministic sign fix (the loading's first max-|value| component is
+  made positive) and micro-quantized loadings.  Because the integer
+  moments are partition-order independent, the eigh input — and hence
+  every loading bit — is reproducible across any cluster layout.
+* PROJECT — the K loading rows are inlined as BIGINT array literals
+  (the ``ann_lsh_knn`` plane-literal move) and each projection is a
+  row-local integer dot (``zip_with`` + ``aggregate``): ONE scan, zero
+  shuffles, whole-stage codegen, exact BIGINT output (milli x micro
+  units) that the DuckDB oracle reproduces from the twin-trained
+  matrix — any divergence in the distributed trainer flips the hash.
+
+At 100 TB: training reads every row once but moves only
+O(partitions * d^2) bytes to the driver; in practice one trains on a
+bounded sample split (swap ``emb`` for ``emb.limit(cap)``) — kept
+whole-table here so the driver gate pins the full integer-moment path.
+Projection is embarrassingly parallel.
+
+Reference scope: embedding-space extension (ANN/SemDeDup family); the
+reference engine has no embedding stage.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterator, Tuple
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+PCA_K = 8
+PCA_QIN = 1_000  # input component quantizer (milli)
+PCA_QOUT = 1_000_000  # loading / eigenvalue quantizer (micro)
+_PPM = 1_000_000
+
+
+def _partial_moments_schema(d: int) -> str:
+    return "n long, s array<long>, g array<long>"
+
+
+def _moments_udf(d: int):
+    def gen(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf["emb"].tolist(), dtype=np.float64)
+            Q = np.floor(X * PCA_QIN + 0.5).astype(np.int64)
+            G = Q.T @ Q  # int64-safe per Arrow batch (|q| <= ~1e4)
+            s = Q.sum(axis=0, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(pdf)],
+                    "s": [s.tolist()],
+                    "g": [G.reshape(-1).tolist()],
+                }
+            )
+
+    return gen
+
+
+def train_pca(emb: DataFrame, k: int = PCA_K) -> Tuple[np.ndarray, np.ndarray]:
+    """(W_micro int64 (k, d), eigval_micro int64 (d,) descending) from a
+    (vec_id, embedding array<float>) relation.  Exact integer moments ->
+    identical eigh input on any partitioning."""
+    d = len(emb.select("embedding").first()[0])
+    k = min(k, d)
+    parts = (
+        emb.select(F.col("embedding").cast("array<double>").alias("emb"))
+        .mapInPandas(_moments_udf(d), _partial_moments_schema(d))
+        .collect()
+    )
+    n = 0
+    s = [0] * d
+    G = [0] * (d * d)
+    for r in parts:  # Python-int combine: overflow-free at any n
+        n += r.n
+        for i, v in enumerate(r.s):
+            s[i] += int(v)
+        for i, v in enumerate(r.g):
+            G[i] += int(v)
+    denom = n * (n - 1) * PCA_QIN * PCA_QIN
+    C = np.array(
+        [
+            [int(n * G[i * d + j] - s[i] * s[j]) / denom for j in range(d)]
+            for i in range(d)
+        ],
+        dtype=np.float64,
+    )
+    vals, vecs = np.linalg.eigh(C)  # ascending
+    order = np.argsort(-vals, kind="stable")
+    W = []
+    for c in range(k):
+        w = vecs[:, order[c]].copy()
+        j = int(np.argmax(np.abs(w)))  # first max on ties
+        if w[j] < 0:
+            w = -w
+        W.append(np.floor(w * PCA_QOUT + 0.5).astype(np.int64))
+    eig = np.floor(vals[order] * PCA_QOUT + 0.5).astype(np.int64)
+    return np.stack(W), eig
+
+
+def _emb(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "embeddings").select("vec_id", "label", "embedding")
+
+
+def project_pca(emb: DataFrame, W_micro: np.ndarray) -> DataFrame:
+    """Row-local integer projections: (vec_id, label, pc0..pc{k-1})
+    BIGINT in milli x micro units.  Zero shuffles — the loadings ride
+    as array literals inside whole-stage codegen."""
+    q = (
+        f"transform(cast(embedding as array<double>),"
+        f" v -> cast(floor(v * {PCA_QIN} + 0.5) as bigint))"
+    )
+    cols = [F.col("vec_id"), F.col("label")]
+    for c in range(W_micro.shape[0]):
+        lit = ", ".join(f"{int(w)}L" for w in W_micro[c])
+        cols.append(
+            F.expr(
+                f"aggregate(zip_with({q}, array({lit}), (a, b) -> a * b),"
+                " 0L, (acc, x) -> acc + x)"
+            ).alias(f"pc{c}")
+        )
+    return emb.select(*cols)
+
+
+def embedding_pca_projection(spark: SparkSession, sf: str) -> DataFrame:
+    emb = _emb(spark, sf)
+    W, _ = train_pca(emb.select("vec_id", "embedding"))
+    return project_pca(emb, W)
+
+
+def pca_variance_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Full eigenvalue spectrum with explained-variance shares in exact
+    ppm (floor division of the micro-quantized integers — identical
+    arithmetic in the twin, so the driver hash pins the whole trainer)."""
+    _, eig = train_pca(_emb(spark, sf).select("vec_id", "embedding"))
+    tot = int(eig.sum())
+    rows = []
+    cum = 0
+    for i, ev in enumerate(int(e) for e in eig):
+        ppm = (ev * _PPM) // tot
+        cum += ppm
+        rows.append((i, ev, ppm, cum))
+    return spark.createDataFrame(
+        rows, "component long, eigval_micro long, explained_ppm long, cum_ppm long"
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "embedding_pca_projection": embedding_pca_projection,
+    "pca_variance_report": pca_variance_report,
+}
+
+
+def pca_projection_oracle_sql(matrix_path: str) -> str:
+    """DuckDB twin: re-derives every projection from the TWIN-trained
+    loading matrix (tools/oracle_labels.py -> tests/reference_twin.py
+    twin_pca, no engine imports).  The engine trains its own matrix
+    distributed — a single diverged loading flips every pc hash."""
+    pcs = ",\n               ".join(
+        f"SUM(CASE WHEN comp = {c} THEN q * w ELSE 0 END)::BIGINT AS pc{c}"
+        for c in range(PCA_K)
+    )
+    return f"""
+        WITH q AS (
+            SELECT vec_id, label, i AS dim,
+                   CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * {PCA_QIN}
+                        + 0.5) AS BIGINT) AS q
+            FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+        ),
+        m AS (SELECT comp, dim, w FROM read_parquet('{matrix_path}'))
+        SELECT vec_id, label,
+               {pcs}
+        FROM q JOIN m USING (dim)
+        GROUP BY vec_id, label
+    """
+
+
+def pca_variance_oracle_sql(eig_path: str) -> str:
+    return f"""
+        SELECT component, eigval_micro, explained_ppm, cum_ppm
+        FROM read_parquet('{eig_path}')
+    """
+
+
+ORACLES: Dict[str, str] = {}

@@ -829,3 +829,49 @@ def twin_video_frames(n=TWIN_VIDEO_N, seed=TWIN_VIDEO_SEED, k=TWIN_FRAME_K):
                 }
             )
     return rows
+
+
+# --- PCA twin (embedding principal components) ------------------------------
+# Independent restatement of the distributed PCA trainer in ops/pca.py:
+# milli-quantize components, EXACT integer Gram/sum moments (Python
+# ints — overflow-free at any n), covariance from the integer moments,
+# np.linalg.eigh on the identical float64 matrix, descending-eigenvalue
+# top-K with a deterministic sign fix (component at the first
+# max-|value| dim made positive), micro-quantized loading matrix.
+# Shares NOTHING with the engine module; the contract is exact equality
+# of the quantized loadings (and therefore of every integer projection).
+
+TWIN_PCA_K = 8
+TWIN_PCA_QIN = 1_000  # input component quantizer (milli)
+TWIN_PCA_QOUT = 1_000_000  # loading / eigenvalue quantizer (micro)
+
+
+def twin_pca(X):
+    """X: (n, d) float array-like. Returns (W_micro int64 (K, d),
+    eigval_micro int64 (d,) descending) — loadings and the FULL
+    eigenvalue spectrum in original units, micro-quantized."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    n, d = X.shape
+    Q = np.floor(X * TWIN_PCA_QIN + 0.5).astype(np.int64)
+    # exact integer moments (object dtype -> Python ints, no overflow)
+    G = (Q.astype(object).T @ Q.astype(object))
+    s = Q.astype(object).sum(axis=0)
+    # covariance in ORIGINAL units: (n*G - s s^T) / (n*(n-1)*QIN^2)
+    denom = n * (n - 1) * TWIN_PCA_QIN * TWIN_PCA_QIN
+    C = np.array(
+        [[int(n * G[i][j] - s[i] * s[j]) / denom for j in range(d)] for i in range(d)],
+        dtype=np.float64,
+    )
+    vals, vecs = np.linalg.eigh(C)  # ascending
+    order = np.argsort(-vals, kind="stable")
+    W = []
+    for k in range(TWIN_PCA_K):
+        w = vecs[:, order[k]].copy()
+        j = int(np.argmax(np.abs(w)))  # first max on ties
+        if w[j] < 0:
+            w = -w
+        W.append(np.floor(w * TWIN_PCA_QOUT + 0.5).astype(np.int64))
+    eig = np.floor(vals[order] * TWIN_PCA_QOUT + 0.5).astype(np.int64)
+    return np.stack(W), eig

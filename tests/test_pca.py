@@ -1,0 +1,104 @@
+"""Distributed-PCA tests: trainer exactness vs the twin, projection
+semantics, spectrum report invariants, and the zero-shuffle plan."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+
+from cleaning_web_corpus_spark.ops.pca import (
+    PCA_K,
+    PCA_QIN,
+    PCA_QOUT,
+    embedding_pca_projection,
+    pca_variance_report,
+    project_pca,
+    train_pca,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _twin():
+    import importlib.util
+    import os
+
+    p = os.path.join(os.path.dirname(__file__), "reference_twin.py")
+    spec = importlib.util.spec_from_file_location("cwc_twin_pca_test", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_trainer_matches_twin_exactly(spark):
+    """The distributed integer-moment trainer must reproduce the twin's
+    loadings and spectrum BIT-EXACTLY (same quantized integers) on the
+    real table, under a multi-partition layout."""
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .repartition(7)  # partial-moment combine must be order-proof
+    )
+    W, eig = train_pca(emb)
+    X = np.array(
+        duckdb.sql(
+            f"SELECT embedding FROM read_parquet('{SF}/embeddings.parquet')"
+            " ORDER BY vec_id"
+        ).fetchall(),
+        dtype=object,
+    )
+    X = np.array([list(r[0]) for r in X], dtype=np.float64)
+    tw = _twin()
+    W2, eig2 = tw.twin_pca(X)
+    assert (W == W2).all()
+    assert (eig == eig2).all()
+
+
+def test_projection_semantics(spark):
+    """Data with one dominant axis: pc0 must align with it, and the
+    integer dot must equal the hand-computed quantized product."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 0.01, (400, 4))
+    base[:, 2] += np.linspace(-0.4, 0.4, 400)  # dominant variance on dim 2
+    rows = [(int(i), 0, [float(v) for v in base[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    W, eig = train_pca(df.select("vec_id", "embedding"))
+    # top component points along dim 2 (sign-fixed positive)
+    assert int(np.argmax(np.abs(W[0]))) == 2
+    assert W[0][2] > 0
+    assert eig[0] > 5 * eig[1]
+    out = {r.vec_id: r for r in project_pca(df, W).collect()}
+    q = np.floor(np.asarray(df.first().embedding, dtype=np.float64) * PCA_QIN + 0.5)
+    expect = int((q.astype(np.int64) * W[0]).sum())
+    assert out[0].pc0 == expect
+
+
+def test_variance_report_invariants(spark):
+    rep = pca_variance_report(spark, SF).collect()
+    assert len(rep) == 64
+    ppm = [r.explained_ppm for r in rep]
+    eig = [r.eigval_micro for r in rep]
+    assert eig == sorted(eig, reverse=True)
+    assert sum(ppm) <= 1_000_000  # floor division never over-allocates
+    assert rep[-1].cum_ppm == sum(ppm)
+    # descending spectrum: the top-K share strictly beats the uniform
+    # K/d share (the synthetic embeddings are near-isotropic, so this
+    # is the invariant, not dominance)
+    assert sum(ppm[:PCA_K]) > (PCA_K * 1_000_000) // 64
+
+
+def test_projection_plan_is_shuffle_free(spark):
+    df = embedding_pca_projection(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert df.columns == ["vec_id", "label"] + [f"pc{c}" for c in range(PCA_K)]
+
+
+def test_loadings_are_orthonormal(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    W, _ = train_pca(emb)
+    Wf = W.astype(np.float64) / PCA_QOUT
+    G = Wf @ Wf.T
+    assert np.allclose(G, np.eye(PCA_K), atol=1e-4)

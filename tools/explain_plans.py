@@ -119,6 +119,7 @@ PLAN_QUERIES = [
     "response_latency_report",
     "lang_metadata_audit",
     "embedding_centroid_matrix",
+    "embedding_pca_projection",
     "depth_failure_profile",
     "unimax_allocation",
     "length_quantile_sketch",

@@ -157,6 +157,8 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
         "ivf_cells": os.path.join(out_dir, "ivf_cells.parquet"),
         "media": os.path.join(out_dir, "media_labels.parquet"),
         "video": os.path.join(out_dir, "video_frames_labels.parquet"),
+        "pca_matrix": os.path.join(out_dir, "pca_matrix.parquet"),
+        "pca_eigvals": os.path.join(out_dir, "pca_eigvals.parquet"),
     }
     # tmp + os.replace for every label file, mirroring the meta.json
     # commit below: a concurrent regeneration must never expose torn
@@ -186,6 +188,7 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
     _commit(pa.Table.from_pylist(video_rows), paths["video"])
 
     probe_cells = _ivf_labels(sf_dir, paths["ivf_cells"])
+    _pca_labels(sf_dir, paths["pca_matrix"], paths["pca_eigvals"])
 
     # the TWIN's check names (independent of the engine's CHECKS list):
     # an engine-side check removal then mismatches the oracle's column
@@ -230,3 +233,59 @@ def _ivf_labels(sf_dir: str, cells_path: str) -> List[int]:
     os.replace(tmp, cells_path)
     probe = X[vec_ids == twin.TWIN_PROBE_VEC_ID][0]
     return twin.twin_probe_cells(probe, C)
+
+
+def _pca_labels(sf_dir: str, matrix_path: str, eig_path: str) -> None:
+    """Twin-trained PCA loadings + eigenvalue spectrum
+    (tests/reference_twin.py twin_pca — exact integer moments, driver
+    eigh, deterministic sign fix; no engine imports).  The explained-ppm
+    shares are floor divisions of the micro-quantized integers, restated
+    here so the engine's pca_variance_report must reproduce the exact
+    same BIGINTs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    twin = _load_twin()
+    tbl = (
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        .select(["vec_id", "embedding"])
+        .sort_by("vec_id")
+    )
+    X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    W, eig = twin.twin_pca(X)
+    k, d = W.shape
+    comps = [c for c in range(k) for _ in range(d)]
+    dims = list(range(d)) * k
+    tmp = f"{matrix_path}.{os.getpid()}.tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "comp": pa.array(comps, type=pa.int64()),
+                "dim": pa.array(dims, type=pa.int64()),
+                "w": pa.array(W.reshape(-1).tolist(), type=pa.int64()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, matrix_path)
+    tot = int(eig.sum())
+    ppm, cum, cums = [], 0, []
+    for ev in (int(e) for e in eig):
+        p = (ev * 1_000_000) // tot
+        cum += p
+        ppm.append(p)
+        cums.append(cum)
+    tmp = f"{eig_path}.{os.getpid()}.tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "component": pa.array(range(len(ppm)), type=pa.int64()),
+                "eigval_micro": pa.array([int(e) for e in eig], type=pa.int64()),
+                "explained_ppm": pa.array(ppm, type=pa.int64()),
+                "cum_ppm": pa.array(cums, type=pa.int64()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, eig_path)
