@@ -153,6 +153,17 @@ def embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     bucket row. Size-1 buckets yield no pairs, so the
     ``size(rs) BETWEEN 2 AND cap`` filter is contract-identical to the
     oracle's ``n_bucket <= cap`` window cap."""
+    return banded_candidate_pairs(spark, sf).filter(
+        F.col("cosine") >= NEAR_DUP_COS
+    )
+
+
+def banded_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """All scored LSH band-bucket candidate pairs
+    ``(vec_a < vec_b, cosine)`` with NO similarity threshold — the
+    shared candidate relation under ``embedding_near_dups`` (which
+    keeps ``cosine >= NEAR_DUP_COS``) and ``ops/margin_mining`` (which
+    ranks by neighborhood margin instead of raw cosine)."""
     # precompute each vector's norm ONCE before the explode: the
     # per-pair cosine then costs a single zip_with dot product instead
     # of three array aggregates (the norms are the identical float
@@ -183,7 +194,6 @@ def embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     return (
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.vec_a", "p.vec_b", "p.cosine")
-        .filter(F.col("cosine") >= NEAR_DUP_COS)
         .distinct()
     )
 
@@ -429,9 +439,10 @@ def _sql_bucket(vec_expr: str) -> str:
     return _sql_band_sig(vec_expr, _planes())
 
 
-def _near_dup_oracle() -> str:
-    """DuckDB twin of the banded near-dup plan: same planes (inlined),
-    same band buckets, same flood cap, same post-filter."""
+def candidate_pairs_oracle_sql() -> str:
+    """DuckDB twin of ``banded_candidate_pairs``: same planes
+    (inlined), same band buckets, same flood cap, NO threshold —
+    shared by the near-dup oracle and the margin-mining oracle."""
     planes = _nd_planes()
     branches = []
     for band in range(ND_BANDS):
@@ -453,14 +464,21 @@ def _near_dup_oracle() -> str:
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM capped a JOIN capped b ON a.band = b.band AND a.sig = b.sig
             WHERE a.vec_id < b.vec_id)
-        SELECT * FROM (
-            SELECT vec_a, vec_b,
-                   ROUND(list_dot_product(ea.e, eb.e) /
-                         (sqrt(list_dot_product(ea.e, ea.e)) *
-                          sqrt(list_dot_product(eb.e, eb.e))), 6) AS cosine
-            FROM pairs
-            JOIN emb ea ON ea.vec_id = pairs.vec_a
-            JOIN emb eb ON eb.vec_id = pairs.vec_b)
+        SELECT vec_a, vec_b,
+               ROUND(list_dot_product(ea.e, eb.e) /
+                     (sqrt(list_dot_product(ea.e, ea.e)) *
+                      sqrt(list_dot_product(eb.e, eb.e))), 6) AS cosine
+        FROM pairs
+        JOIN emb ea ON ea.vec_id = pairs.vec_a
+        JOIN emb eb ON eb.vec_id = pairs.vec_b
+    """
+
+
+def _near_dup_oracle() -> str:
+    """Near-dup oracle = the shared candidate relation + the cosine
+    threshold (mirrors ``embedding_near_dups``'s final filter)."""
+    return f"""
+        SELECT * FROM ({candidate_pairs_oracle_sql()})
         WHERE cosine >= {NEAR_DUP_COS}
     """
 

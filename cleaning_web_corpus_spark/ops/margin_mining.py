@@ -1,0 +1,207 @@
+"""Margin-based pair mining over the embedding candidate graph.
+
+The CCMatrix / LASER move (Artetxe & Schwenk 2019; Schwenk et al.
+2021): raw cosine is a poor pair-mining score because hub vectors are
+close to EVERYTHING — the fix is the ratio margin, each pair's cosine
+normalized by the mean similarity of the two endpoints' own
+neighborhoods:
+
+    margin(x, y) = cos(x, y) / ((avg_k(x) + avg_k(y)) / 2)
+
+A pair only ranks high if it is much closer than either side's
+ordinary neighbors.  At corpus scale the neighborhoods come from the
+SAME banded-LSH candidate graph the near-dup pass already pays for
+(``ops/ann.banded_candidate_pairs`` — shuffle on (band, sig), flood
+cap, never a cross join), so mining costs one extra vec-keyed
+aggregate over the pair relation, which is candidate-sized, never
+n^2.
+
+Exactness under the cross-engine gate:
+
+* the pair cosine is the near-dup family's shared double expression
+  (integer-free but expression-identical in both engines, ROUND 6);
+  it is then micro-quantized with ``floor(cos * 1e6 + 0.5)`` — the
+  rounded double sits within 1e-7 * 1e6 = 0.1 of an integer, so the
+  floor cannot straddle an ulp;
+* per-vector neighborhoods are the top-``MARGIN_TOP_K`` candidate
+  cosines (ties broken by neighbor id — deterministic), kept as the
+  exact integer SUM + COUNT, never a float mean;
+* the margin clears its two divisions symbolically:
+  ``2 * cos * n_x * n_y / (sum_x * n_y + sum_y * n_x)`` — one BIGINT
+  ratio in ppm via truncating integer division, guarded positive on
+  both sides so Spark ``div`` (toward zero) and DuckDB ``//`` can
+  never disagree on rounding direction.
+
+At 100 TB: candidate generation is the audited near-dup plan; the
+neighborhood aggregate shuffles candidate pairs (<< corpus-sized) on
+vec id with map-side combine; the final ranking is a bounded top-N
+(TakeOrderedAndProject).
+
+Reference scope: embedding-space extension (ANN/dedup family); the
+reference engine has no embedding stage.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.ann import (
+    banded_candidate_pairs,
+    candidate_pairs_oracle_sql,
+)
+
+MARGIN_TOP_K = 4  # neighborhood size per endpoint
+MARGIN_MIN_PPM = 1_050_000  # mined = margin > 1.05
+MARGIN_PAGE = 50
+_PPM = 1_000_000
+
+
+def _pairs_micro(spark: SparkSession, sf: str) -> DataFrame:
+    """Candidate pairs with the micro-quantized cosine."""
+    return banded_candidate_pairs(spark, sf).select(
+        "vec_a",
+        "vec_b",
+        F.expr(f"cast(floor(cosine * {_PPM} + 0.5) as bigint)").alias("cos_micro"),
+    )
+
+
+def _with_margin(pairs: DataFrame) -> DataFrame:
+    """(vec_a, vec_b, cos_micro, margin_ppm) — neighborhoods from the
+    symmetrized candidate relation, margin as one guarded BIGINT ratio."""
+    sym = pairs.select(
+        F.col("vec_a").alias("v"), F.col("vec_b").alias("nb"), "cos_micro"
+    ).unionAll(
+        pairs.select(
+            F.col("vec_b").alias("v"), F.col("vec_a").alias("nb"), "cos_micro"
+        )
+    )
+    w = Window.partitionBy("v").orderBy(F.desc("cos_micro"), F.asc("nb"))
+    hood = (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MARGIN_TOP_K)
+        .groupBy("v")
+        .agg(
+            F.sum("cos_micro").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    ha = hood.select(
+        F.col("v").alias("vec_a"), F.col("s").alias("s_a"), F.col("n").alias("n_a")
+    )
+    hb = hood.select(
+        F.col("v").alias("vec_b"), F.col("s").alias("s_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(ha, "vec_a")
+        .join(hb, "vec_b")
+        .filter(
+            (F.col("cos_micro") > 0)
+            & (F.col("s_a") * F.col("n_b") + F.col("s_b") * F.col("n_a") > 0)
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            "cos_micro",
+            F.expr(
+                f"(2 * cos_micro * n_a * n_b * {_PPM})"
+                " div (s_a * n_b + s_b * n_a)"
+            ).alias("margin_ppm"),
+        )
+    )
+
+
+def margin_pair_mining(spark: SparkSession, sf: str) -> DataFrame:
+    """Top mined pairs by neighborhood margin (deterministic page)."""
+    return (
+        _with_margin(_pairs_micro(spark, sf))
+        .orderBy(F.desc("margin_ppm"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(MARGIN_PAGE)
+    )
+
+
+def margin_mining_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Mining yield report: candidate pairs vs margin-cleared pairs,
+    and how differently margin and raw cosine would rank (pairs the
+    margin keeps that the near-dup cosine bar would miss)."""
+    m = _with_margin(_pairs_micro(spark, sf))
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum((F.col("margin_ppm") >= MARGIN_MIN_PPM).cast("long"))
+        .cast("long")
+        .alias("n_mined"),
+        F.sum(
+            (
+                (F.col("margin_ppm") >= MARGIN_MIN_PPM)
+                & (F.col("cos_micro") < 450_000)
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_mined_below_cos_bar"),
+        F.max("margin_ppm").cast("long").alias("max_margin_ppm"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "margin_pair_mining": margin_pair_mining,
+    "margin_mining_stats": margin_mining_stats,
+}
+
+
+def _margin_cte() -> str:
+    return f"""
+        cand AS (
+            SELECT vec_a, vec_b,
+                   CAST(FLOOR(cosine * {_PPM} + 0.5) AS BIGINT) AS cos_micro
+            FROM ({candidate_pairs_oracle_sql()})
+        ),
+        sym AS (
+            SELECT vec_a AS v, vec_b AS nb, cos_micro FROM cand
+            UNION ALL
+            SELECT vec_b AS v, vec_a AS nb, cos_micro FROM cand
+        ),
+        hood AS (
+            SELECT v, SUM(cos_micro)::BIGINT AS s, COUNT(*)::BIGINT AS n
+            FROM (
+                SELECT v, nb, cos_micro,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY v
+                           ORDER BY cos_micro DESC, nb ASC) AS rk
+                FROM sym)
+            WHERE rk <= {MARGIN_TOP_K}
+            GROUP BY v
+        ),
+        margined AS (
+            SELECT vec_a, vec_b, cos_micro,
+                   (2 * cos_micro * hb.n * ha.n * {_PPM})
+                       // (ha.s * hb.n + hb.s * ha.n) AS margin_ppm
+            FROM cand
+            JOIN hood ha ON ha.v = cand.vec_a
+            JOIN hood hb ON hb.v = cand.vec_b
+            WHERE cos_micro > 0 AND ha.s * hb.n + hb.s * ha.n > 0
+        )
+    """
+
+
+ORACLES: Dict[str, str] = {
+    "margin_pair_mining": f"""
+        WITH {_margin_cte()}
+        SELECT vec_a, vec_b, cos_micro, margin_ppm FROM margined
+        ORDER BY margin_ppm DESC, vec_a ASC, vec_b ASC
+        LIMIT {MARGIN_PAGE}
+    """,
+    "margin_mining_stats": f"""
+        WITH {_margin_cte()}
+        SELECT COUNT(*)::BIGINT AS n_candidates,
+               COALESCE(SUM(CASE WHEN margin_ppm >= {MARGIN_MIN_PPM}
+                                 THEN 1 ELSE 0 END), 0)::BIGINT AS n_mined,
+               COALESCE(SUM(CASE WHEN margin_ppm >= {MARGIN_MIN_PPM}
+                                  AND cos_micro < 450000
+                                 THEN 1 ELSE 0 END), 0)::BIGINT
+                   AS n_mined_below_cos_bar,
+               MAX(margin_ppm)::BIGINT AS max_margin_ppm
+        FROM margined
+    """,
+}

@@ -1,0 +1,80 @@
+"""Margin-mining tests: exact ratio-margin semantics on hand-built
+candidate graphs, hub penalization, and the full-query contract."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.margin_mining import (
+    MARGIN_PAGE,
+    _with_margin,
+    margin_mining_stats,
+    margin_pair_mining,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _margins(spark, pairs):
+    df = spark.createDataFrame(
+        pairs, "vec_a long, vec_b long, cos_micro long"
+    )
+    return {(r.vec_a, r.vec_b): r.margin_ppm for r in _with_margin(df).collect()}
+
+
+def test_exact_margin_arithmetic(spark):
+    out = _margins(
+        spark,
+        [
+            (1, 2, 900_000),
+            (1, 3, 500_000),
+            (2, 3, 500_000),
+            (4, 5, 600_000),  # isolated pair: margin exactly 1.0
+        ],
+    )
+    # hood(1) = hood(2) = {0.9, 0.5}; margin = 2*0.9 / (0.7 + 0.7)
+    assert out[(1, 2)] == (2 * 900_000 * 2 * 2 * 1_000_000) // (
+        1_400_000 * 2 + 1_400_000 * 2
+    )
+    assert out[(1, 2)] == 1_285_714
+    assert out[(4, 5)] == 1_000_000
+    # pair (1,3): cos 0.5 vs hoods avg (0.7 + 0.5)/2 -> margin < 1
+    assert out[(1, 3)] < 1_000_000
+
+
+def test_hub_is_penalized(spark):
+    """Same raw cosine, but one endpoint is a hub (close to everything):
+    the hub pair's margin must rank strictly below the isolated pair's —
+    the whole point of margin over cosine."""
+    hub = [(10, n, 900_000) for n in range(11, 15)]  # hub's own crowd
+    out = _margins(spark, hub + [(10, 16, 700_000), (20, 21, 700_000)])
+    assert out[(20, 21)] == 1_000_000
+    # hub hood avg 0.9, endpoint 16 hood avg 0.7:
+    # margin = 2*0.7 / (0.9 + 0.7) = 0.875
+    assert out[(10, 16)] == 875_000
+    assert out[(10, 16)] < out[(20, 21)]
+
+
+def test_negative_neighborhoods_are_guarded(spark):
+    """Pairs whose endpoint neighborhoods sum non-positive are dropped,
+    never divided by zero / sign-flipped."""
+    out = _margins(
+        spark,
+        [
+            (1, 2, -300_000),  # cos <= 0: never a mining candidate
+            (3, 4, 100_000),
+            (3, 5, -400_000),  # v3's hood sum = -300k < 0 -> dropped
+        ],
+    )
+    assert (1, 2) not in out
+    assert (3, 4) not in out or out[(3, 4)] > 0
+
+
+def test_query_contract(spark):
+    page = margin_pair_mining(spark, SF).collect()
+    assert 0 < len(page) <= MARGIN_PAGE
+    margins = [r.margin_ppm for r in page]
+    assert margins == sorted(margins, reverse=True)
+    assert all(r.vec_a < r.vec_b for r in page)
+    stats = margin_mining_stats(spark, SF).first()
+    assert stats.n_candidates >= len(page)
+    assert stats.max_margin_ppm == margins[0]
+    assert 0 <= stats.n_mined <= stats.n_candidates

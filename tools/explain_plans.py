@@ -120,6 +120,7 @@ PLAN_QUERIES = [
     "lang_metadata_audit",
     "embedding_centroid_matrix",
     "embedding_pca_projection",
+    "margin_pair_mining",
     "depth_failure_profile",
     "unimax_allocation",
     "length_quantile_sketch",
