@@ -1,0 +1,174 @@
+"""Deterministic multi-epoch shuffle ordering for training runs.
+
+Reproducible data ordering is a training-infrastructure contract, not
+an afterthought: a resumed or re-sharded run must see byte-identical
+batches, and each epoch must be a DIFFERENT pseudo-random permutation
+(epoch-repeated order measurably hurts LMs).  The standard trick —
+order by a keyed hash, re-keyed per epoch — is embarrassingly
+parallel and needs no RNG state:
+
+    shard(e, doc) = md5("epoch<e>:<doc_id>")[:13 hex] % N_SHARDS
+    pos(e, doc)   = rank within (epoch, shard) by (hash, doc_id)
+
+One scan explodes the epoch sequence (no per-epoch re-read), the only
+shuffle is the (epoch, shard) exchange, and the within-shard rank is a
+window over one shard — at corpus scale N_SHARDS grows with the data
+(shards are the training-job file unit), so a shard stays
+executor-sized by construction.  Everything is md5-derived BIGINT
+arithmetic — bit-identical in Spark (``conv(substr(md5..)``) and
+DuckDB (``('0x' || substr(md5..))::BIGINT``), the repo's shared
+hash idiom (ops/tokenize_fp.py).
+
+The stats query is the decorrelation audit: if the per-epoch keying
+works, a document's epoch-e shard agrees with its epoch-0 shard at
+the chance rate ~1/N_SHARDS — a broken keying (epoch ignored) shows
+up as same_shard_ppm = 1e6 on every row.
+
+Reference scope: training-data extension (packing/export family,
+sibling of ops/tokenize_fp's ``pack_training_shards`` which orders by
+(source, doc_id) for its token chunking; this op supplies the
+shuffled ORDER a trainer consumes).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+N_EPOCHS = 3
+N_SHARDS = 16
+_PPM = 1_000_000
+
+
+def _shard_expr(epoch_col: str) -> str:
+    return (
+        f"cast(conv(substr(md5(concat('epoch', {epoch_col}, ':', doc_id)),"
+        f" 1, 13), 16, 10) as bigint) % {N_SHARDS}"
+    )
+
+
+def _hash_expr(epoch_col: str) -> str:
+    return (
+        f"cast(conv(substr(md5(concat('epoch', {epoch_col}, ':', doc_id)),"
+        " 1, 13), 16, 10) as bigint)"
+    )
+
+
+def epoch_shuffle_order(spark: SparkSession, sf: str) -> DataFrame:
+    """(epoch, doc_id, shard, pos): the reproducible per-epoch training
+    order — shard by keyed hash, position by (hash, doc_id) rank."""
+    docs = t(spark, sf, "documents").select("doc_id")
+    epochs = docs.select(
+        "doc_id", F.explode(F.expr(f"sequence(0, {N_EPOCHS - 1})")).alias("epoch")
+    ).select(
+        "epoch",
+        "doc_id",
+        F.expr(_shard_expr("epoch")).alias("shard"),
+        F.expr(_hash_expr("epoch")).alias("hk"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("hk", "doc_id")
+    return epochs.select(
+        "epoch",
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+def epoch_shuffle_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-epoch shard balance + cross-epoch decorrelation: shard sizes
+    min/max and the ppm of documents landing in the SAME shard as in
+    epoch 0 (expected ~1e6/N_SHARDS for epochs > 0, exactly 1e6 for
+    epoch 0 — the keying self-check)."""
+    docs = t(spark, sf, "documents").select("doc_id")
+    rows = docs.select(
+        "doc_id", F.explode(F.expr(f"sequence(0, {N_EPOCHS - 1})")).alias("epoch")
+    ).select(
+        "epoch",
+        F.expr(_shard_expr("epoch")).alias("shard"),
+        F.expr(_shard_expr("0")).alias("shard0"),
+    )
+    sizes = rows.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    balance = sizes.groupBy("epoch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shards_used"),
+        F.min("n").cast("long").alias("min_shard"),
+        F.max("n").cast("long").alias("max_shard"),
+    )
+    same = rows.groupBy("epoch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("shard") == F.col("shard0")).cast("long"))
+        .cast("long")
+        .alias("n_same"),
+    )
+    return (
+        balance.join(same, "epoch")
+        .select(
+            "epoch",
+            "n_shards_used",
+            "min_shard",
+            "max_shard",
+            F.expr(f"(n_same * {_PPM}) div n_docs").alias("same_shard_ppm"),
+        )
+        .orderBy("epoch")
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "epoch_shuffle_order": epoch_shuffle_order,
+    "epoch_shuffle_stats": epoch_shuffle_stats,
+}
+
+_D_SHARD = (
+    "(('0x' || substr(md5('epoch' || epoch || ':' || doc_id), 1, 13))::BIGINT"
+    f" % {N_SHARDS})"
+)
+_D_SHARD0 = (
+    "(('0x' || substr(md5('epoch0:' || doc_id), 1, 13))::BIGINT"
+    f" % {N_SHARDS})"
+)
+_D_HK = "(('0x' || substr(md5('epoch' || epoch || ':' || doc_id), 1, 13))::BIGINT)"
+
+ORACLES: Dict[str, str] = {
+    "epoch_shuffle_order": f"""
+        WITH e AS (
+            SELECT doc_id, epoch
+            FROM documents, UNNEST(range(0, {N_EPOCHS})) AS u(epoch)
+        )
+        SELECT epoch, doc_id, {_D_SHARD} AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY epoch, {_D_SHARD}
+                   ORDER BY {_D_HK} ASC, doc_id ASC)::BIGINT AS pos
+        FROM e
+    """,
+    "epoch_shuffle_stats": f"""
+        WITH e AS (
+            SELECT doc_id, epoch, {_D_SHARD} AS shard, {_D_SHARD0} AS shard0
+            FROM documents, UNNEST(range(0, {N_EPOCHS})) AS u(epoch)
+        ),
+        sizes AS (
+            SELECT epoch, shard, COUNT(*)::BIGINT AS n
+            FROM e GROUP BY epoch, shard
+        ),
+        balance AS (
+            SELECT epoch, COUNT(*)::BIGINT AS n_shards_used,
+                   MIN(n)::BIGINT AS min_shard, MAX(n)::BIGINT AS max_shard
+            FROM sizes GROUP BY epoch
+        ),
+        same AS (
+            SELECT epoch, COUNT(*)::BIGINT AS n_docs,
+                   SUM(CASE WHEN shard = shard0 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_same
+            FROM e GROUP BY epoch
+        )
+        SELECT balance.epoch, n_shards_used, min_shard, max_shard,
+               ((n_same * {_PPM}) // n_docs)::BIGINT AS same_shard_ppm
+        FROM balance JOIN same ON balance.epoch = same.epoch
+        ORDER BY balance.epoch
+    """,
+}

@@ -1,0 +1,51 @@
+"""Epoch-shuffle tests: reproducibility, per-epoch decorrelation,
+shard/position contract, and the chance-rate stats."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.epoch_shuffle import (
+    N_EPOCHS,
+    N_SHARDS,
+    epoch_shuffle_order,
+    epoch_shuffle_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_order_contract(spark):
+    rows = epoch_shuffle_order(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n_docs * N_EPOCHS
+    # every (epoch, shard) is 1..n contiguous positions
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault((r.epoch, r.shard), []).append(r.pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    assert all(0 <= r.shard < N_SHARDS for r in rows)
+
+
+def test_reproducible_and_decorrelated(spark):
+    a = {(r.epoch, r.doc_id): (r.shard, r.pos) for r in epoch_shuffle_order(spark, SF).collect()}
+    b = {(r.epoch, r.doc_id): (r.shard, r.pos) for r in epoch_shuffle_order(spark, SF).collect()}
+    assert a == b  # same keying -> byte-identical order on re-run
+    # epochs are DIFFERENT permutations: shard assignment must change
+    # for most documents between epoch 0 and 1
+    moved = sum(
+        1
+        for (e, d), (s, _) in a.items()
+        if e == 1 and a[(0, d)][0] != s
+    )
+    n_docs = sum(1 for (e, _d) in a if e == 0)
+    assert moved > n_docs // 2
+
+
+def test_stats_chance_rate(spark):
+    stats = {r.epoch: r for r in epoch_shuffle_stats(spark, SF).collect()}
+    assert stats[0].same_shard_ppm == 1_000_000  # self-check row
+    for e in range(1, N_EPOCHS):
+        # ~1/N_SHARDS = 62500 ppm; generous band for 500 docs
+        assert 10_000 < stats[e].same_shard_ppm < 200_000
+        assert stats[e].n_shards_used == N_SHARDS
+        assert stats[e].min_shard >= 1
