@@ -1,0 +1,216 @@
+"""License-signal detection and filtering for code-bearing corpora.
+
+The-Stack / StarCoder-style pipelines (Kocetkov et al. 2022; Li et al.
+2023) train only on permissively-licensed code: every file is scanned
+for license signals, copyleft and proprietary material is dropped, and
+the release ships the per-category accounting.  Chat corpora need the
+same gate — assistant turns paste licensed code verbatim.  This op is
+that scan as pure codegen regexp CASE chains (zero Python):
+
+* SPDX tag first — ``SPDX-License-Identifier: <id>`` is authoritative
+  when present; the id maps to a category by prefix;
+* else header phrases, checked in a FIXED precedence order: copyleft
+  (GPL/AGPL/LGPL preambles) > permissive (Apache/MIT/BSD headers) >
+  proprietary ("All rights reserved") — BSD headers contain "All
+  rights reserved", so the permissive check must win before the
+  proprietary one (pinned by test and by a planted BSD fixture);
+* verdict: permissive and unlicensed text keep; copyleft and
+  proprietary drop.
+
+All patterns live in the Java-regex/RE2 common subset ((?i), no
+lookaround) so the DuckDB twin runs the SAME strings.  Plan: ONE
+documents scan, per-row regexps inside whole-stage codegen, one
+partial+final aggregate for the stats — shuffle-free at any corpus
+size except the K-row category rollup.
+
+Driver non-degeneracy: the word-salad corpus carries no licenses, so
+deterministic ``doc_id`` residues inject the five signal classes
+(mirrored literally in the oracle), making every CASE branch and the
+precedence rule provably fire under the gate hash at every sf.
+
+Reference scope: no license stage in the reference — training-data
+extension in the code_blocks/response_quality family.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+SPDX_RE = "SPDX-License-Identifier: *([A-Za-z0-9.+-]+)"
+COPYLEFT_RE = "(?i)GNU (Affero |Lesser )?General Public License|\\bA?L?GPL-?[23]"
+APACHE_RE = "(?i)Apache License,? Version 2\\.0|Licensed under the Apache"
+MIT_RE = "(?i)MIT License|Permission is hereby granted, free of charge"
+BSD_RE = "(?i)BSD [23]-Clause|Redistribution and use in source and binary forms"
+PROPRIETARY_RE = "(?i)All rights reserved"
+_PPM = 1_000_000
+
+# --- injected driver fixtures (word-salad corpus has no licenses) ------------
+_RES = 17
+_MIT = "\n# MIT License\n# Permission is hereby granted, free of charge\ndef f(): pass"
+_SPDX_APACHE = "\n// SPDX-License-Identifier: Apache-2.0\nint main() {}"
+_GPL = (
+    "\n/* This program is free software: GNU General Public License v3 */\n"
+    "void run();"
+)
+_BSD = (
+    "\n# Copyright (c) 2020, Example Corp. All rights reserved.\n"
+    "# Redistribution and use in source and binary forms, with or without\n"
+    "# modification, are permitted."
+)
+_PROPRIETARY = "\nCopyright 2021 Example Corp. All rights reserved."
+
+
+def _q(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def license_signals_over(df: DataFrame) -> DataFrame:
+    """(doc_id, spdx_id, license_category, keep) over a (doc_id, text)
+    relation — the generic gate, composable over any code column."""
+    spdx = F.regexp_extract("text", SPDX_RE, 1)
+    spdx_cat = (
+        F.when(spdx.rlike("(?i)^(A?L?GPL)"), F.lit("copyleft"))
+        .when(spdx.rlike("(?i)^(MIT|Apache|BSD)"), F.lit("permissive"))
+        .otherwise(F.lit("unknown_spdx"))
+    )
+    phrase_cat = (
+        F.when(F.col("text").rlike(COPYLEFT_RE), F.lit("copyleft"))
+        .when(
+            F.col("text").rlike(APACHE_RE)
+            | F.col("text").rlike(MIT_RE)
+            | F.col("text").rlike(BSD_RE),
+            F.lit("permissive"),
+        )
+        .when(F.col("text").rlike(PROPRIETARY_RE), F.lit("proprietary"))
+        .otherwise(F.lit("none"))
+    )
+    cat = F.when(spdx != "", spdx_cat).otherwise(phrase_cat)
+    return df.select(
+        "doc_id",
+        F.when(spdx != "", spdx).otherwise(F.lit(None).cast("string")).alias(
+            "spdx_id"
+        ),
+        cat.alias("license_category"),
+    ).select(
+        "doc_id",
+        "spdx_id",
+        "license_category",
+        F.col("license_category").isin("permissive", "none").alias("keep"),
+    )
+
+
+def _injected(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    inject = (
+        F.when(d % _RES == 3, F.lit(_MIT))
+        .when(d % _RES == 5, F.lit(_SPDX_APACHE))
+        .when(d % _RES == 7, F.lit(_GPL))
+        .when(d % _RES == 11, F.lit(_BSD))
+        .when(d % _RES == 13, F.lit(_PROPRIETARY))
+        .otherwise(F.lit(""))
+    )
+    return t(spark, sf, "documents").select(
+        "doc_id", F.concat("text", inject).alias("text")
+    )
+
+
+def license_signal_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document license verdicts, signal-bearing docs only."""
+    return license_signals_over(_injected(spark, sf)).filter(
+        F.col("license_category") != "none"
+    )
+
+
+def license_filter_stats(spark: SparkSession, sf: str) -> DataFrame:
+    sig = license_signals_over(_injected(spark, sf))
+    total = sig.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        sig.groupBy("license_category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+            F.sum((F.col("spdx_id").isNotNull()).cast("long"))
+            .cast("long")
+            .alias("n_spdx_tagged"),
+        )
+        .crossJoin(total)
+        .select(
+            "license_category",
+            "n_docs",
+            "n_keep",
+            "n_spdx_tagged",
+            F.expr(f"(n_docs * {_PPM}) div n_total").alias("share_ppm"),
+        )
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "license_signal_report": license_signal_report,
+    "license_filter_stats": license_filter_stats,
+}
+
+_D_INJECTED = f"""
+    SELECT doc_id,
+           text || CASE
+               WHEN doc_id % {_RES} = 3 THEN '{_q(_MIT)}'
+               WHEN doc_id % {_RES} = 5 THEN '{_q(_SPDX_APACHE)}'
+               WHEN doc_id % {_RES} = 7 THEN '{_q(_GPL)}'
+               WHEN doc_id % {_RES} = 11 THEN '{_q(_BSD)}'
+               WHEN doc_id % {_RES} = 13 THEN '{_q(_PROPRIETARY)}'
+               ELSE '' END AS text
+    FROM documents
+"""
+
+_D_SIGNALS = f"""
+    SELECT doc_id,
+           CASE WHEN spdx != '' THEN spdx END AS spdx_id,
+           CASE WHEN spdx != '' THEN
+               CASE WHEN regexp_matches(spdx, '(?i)^(A?L?GPL)') THEN 'copyleft'
+                    WHEN regexp_matches(spdx, '(?i)^(MIT|Apache|BSD)')
+                        THEN 'permissive'
+                    ELSE 'unknown_spdx' END
+           ELSE
+               CASE WHEN regexp_matches(text, '{COPYLEFT_RE}') THEN 'copyleft'
+                    WHEN regexp_matches(text, '{APACHE_RE}')
+                         OR regexp_matches(text, '{MIT_RE}')
+                         OR regexp_matches(text, '{BSD_RE}') THEN 'permissive'
+                    WHEN regexp_matches(text, '{PROPRIETARY_RE}')
+                        THEN 'proprietary'
+                    ELSE 'none' END
+           END AS license_category
+    FROM (
+        SELECT doc_id, text,
+               regexp_extract(text, '{SPDX_RE}', 1) AS spdx
+        FROM ({_D_INJECTED})
+    )
+"""
+
+ORACLES: Dict[str, str] = {
+    "license_signal_report": f"""
+        SELECT doc_id, spdx_id, license_category,
+               license_category IN ('permissive', 'none') AS keep
+        FROM ({_D_SIGNALS})
+        WHERE license_category != 'none'
+    """,
+    "license_filter_stats": f"""
+        WITH sig AS (
+            SELECT doc_id, spdx_id, license_category,
+                   license_category IN ('permissive', 'none') AS keep
+            FROM ({_D_SIGNALS})
+        ),
+        tot AS (SELECT COUNT(*)::BIGINT AS n_total FROM sig)
+        SELECT license_category,
+               COUNT(*)::BIGINT AS n_docs,
+               SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_keep,
+               SUM(CASE WHEN spdx_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_spdx_tagged,
+               ((COUNT(*) * {_PPM}) // n_total)::BIGINT AS share_ppm
+        FROM sig, tot
+        GROUP BY license_category, n_total
+    """,
+}

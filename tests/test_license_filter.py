@@ -1,0 +1,78 @@
+"""License-filter tests: SPDX precedence, the BSD/"All rights
+reserved" precedence trap, category verdicts, and stats accounting."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.license_filter import (
+    license_filter_stats,
+    license_signal_report,
+    license_signals_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _verdicts(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {r.doc_id: r for r in license_signals_over(df).collect()}
+
+
+def test_category_semantics(spark):
+    out = _verdicts(
+        spark,
+        [
+            "plain prose, no license at all",
+            "# MIT License\nPermission is hereby granted, free of charge",
+            "This program is under the GNU General Public License v3",
+            "Licensed under the Apache License, Version 2.0",
+            "Copyright Example Corp. All rights reserved.",
+        ],
+    )
+    assert out[0].license_category == "none" and out[0].keep
+    assert out[1].license_category == "permissive" and out[1].keep
+    assert out[2].license_category == "copyleft" and not out[2].keep
+    assert out[3].license_category == "permissive"
+    assert out[4].license_category == "proprietary" and not out[4].keep
+
+
+def test_spdx_is_authoritative(spark):
+    out = _verdicts(
+        spark,
+        [
+            # SPDX tag wins even with a conflicting GPL phrase nearby
+            "SPDX-License-Identifier: MIT\nGNU General Public License text",
+            "// SPDX-License-Identifier: AGPL-3.0-only",
+            "// SPDX-License-Identifier: Zlib",
+        ],
+    )
+    assert out[0].license_category == "permissive" and out[0].spdx_id == "MIT"
+    assert out[1].license_category == "copyleft"
+    assert out[2].license_category == "unknown_spdx" and not out[2].keep
+
+
+def test_bsd_beats_proprietary_phrase(spark):
+    """BSD headers literally contain 'All rights reserved' — the
+    permissive check must win or every BSD file gets dropped."""
+    out = _verdicts(
+        spark,
+        [
+            "Copyright (c) Example. All rights reserved.\n"
+            "Redistribution and use in source and binary forms, with or"
+            " without modification, are permitted."
+        ],
+    )
+    assert out[0].license_category == "permissive" and out[0].keep
+
+
+def test_driver_queries(spark):
+    rep = license_signal_report(spark, SF)
+    cats = {r.license_category for r in rep.collect()}
+    assert {"permissive", "copyleft", "proprietary"} <= cats
+    assert rep.filter("license_category = 'none'").count() == 0
+    stats = {r.license_category: r for r in license_filter_stats(spark, SF).collect()}
+    assert stats["copyleft"].n_keep == 0
+    assert stats["permissive"].n_keep == stats["permissive"].n_docs
+    assert stats["permissive"].n_spdx_tagged > 0  # the Apache SPDX fixture
+    assert sum(r.n_docs for r in stats.values()) == 500
