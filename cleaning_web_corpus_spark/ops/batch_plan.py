@@ -1,0 +1,175 @@
+"""Length-bucketed batch planning and the padding-waste audit.
+
+Fixed-shape training/inference batches pad every sequence to the
+longest one in its batch; batching in arrival order wastes a large
+fraction of compute on pad tokens, and the standard fix — sort by
+length, then batch — is why every serious trainer ships a
+length-grouped sampler.  This op PLANS those batches distributed and
+quantifies the win exactly:
+
+* documents are hash-sharded (the epoch-shuffle keyed-md5 idiom, so a
+  shard is the training-file unit and shard count scales with the
+  corpus); within each shard two deterministic batch plans are formed
+  over the SAME documents:
+  - NAIVE arm: batch in keyed-hash order (arrival-order proxy),
+  - BUCKETED arm: batch in (token_len, doc_id) order;
+* per batch, padding waste is the exact integer
+  ``n_in_batch * max_len - sum_len``;
+* the report compares the two arms corpus-wide: pad-token ppm of each
+  arm and the saved share — all BIGINT, one rounded-free division.
+
+Plan: ONE documents scan computes (shard, len); each arm is one
+window rank + one (shard, batch) aggregate — the shuffles move
+(shard, len) pairs, never text.  At 100 TB the within-shard window is
+bounded because shards ARE the file-sized training unit (same
+contract as ops/epoch_shuffle).
+
+Reference scope: training-data extension (packing/export family —
+``pack_training_shards`` chunks a token stream; this op plans padded
+fixed-batch shapes and audits the padding economics).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+BP_SHARDS = 8
+BP_BATCH = 8  # sequences per batch
+_PPM = 1_000_000
+
+_SHARD = (
+    "cast(conv(substr(md5(concat('bp:', doc_id)), 1, 13), 16, 10) as bigint)"
+    f" % {BP_SHARDS}"
+)
+_HK = "cast(conv(substr(md5(concat('bp:', doc_id)), 1, 13), 16, 10) as bigint)"
+
+
+def _sharded_lens(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(_SHARD).alias("shard"),
+        F.expr(_HK).alias("hk"),
+        F.expr(f"size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0))")
+        .cast("long")
+        .alias("len"),
+    )
+
+
+def _batches(lens: DataFrame, bucketed: bool) -> DataFrame:
+    """(shard, batch, n_in_batch, max_len, sum_len, waste) under one
+    ordering arm."""
+    order = (
+        [F.asc("len"), F.asc("doc_id")] if bucketed else [F.asc("hk"), F.asc("doc_id")]
+    )
+    w = Window.partitionBy("shard").orderBy(*order)
+    return (
+        lens.withColumn("rk", F.row_number().over(w))
+        .withColumn("batch", F.expr(f"(rk - 1) div {BP_BATCH}"))
+        .groupBy("shard", "batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_in_batch"),
+            F.max("len").cast("long").alias("max_len"),
+            F.sum("len").cast("long").alias("sum_len"),
+        )
+        .select(
+            "shard",
+            "batch",
+            "n_in_batch",
+            "max_len",
+            "sum_len",
+            (F.col("n_in_batch") * F.col("max_len") - F.col("sum_len"))
+            .cast("long")
+            .alias("waste"),
+        )
+    )
+
+
+def length_batch_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """The bucketed-arm batch plan a trainer would consume."""
+    return _batches(_sharded_lens(spark, sf), bucketed=True)
+
+
+def padding_waste_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide padding economics: naive vs length-bucketed pad-token
+    share, and the saved ppm — the number that justifies the sampler."""
+    lens = _sharded_lens(spark, sf)
+    arms = []
+    for name, bucketed in (("naive", False), ("bucketed", True)):
+        arms.append(
+            _batches(lens, bucketed).agg(
+                F.lit(name).alias("arm"),
+                F.count(F.lit(1)).cast("long").alias("n_batches"),
+                F.sum("waste").cast("long").alias("pad_tokens"),
+                F.sum(F.col("n_in_batch") * F.col("max_len"))
+                .cast("long")
+                .alias("padded_tokens"),
+            )
+        )
+    both = arms[0].unionAll(arms[1])
+    return both.select(
+        "arm",
+        "n_batches",
+        "pad_tokens",
+        "padded_tokens",
+        F.expr(f"(pad_tokens * {_PPM}) div padded_tokens").alias("pad_ppm"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "length_batch_plan": length_batch_plan,
+    "padding_waste_report": padding_waste_report,
+}
+
+_D_LENS = f"""
+    SELECT doc_id,
+           (('0x' || substr(md5('bp:' || doc_id), 1, 13))::BIGINT
+               % {BP_SHARDS}) AS shard,
+           ('0x' || substr(md5('bp:' || doc_id), 1, 13))::BIGINT AS hk,
+           len(regexp_extract_all(lower(text), '{TOKEN_RE}', 0))::BIGINT AS len
+    FROM documents
+"""
+
+
+def _d_batches(order: str) -> str:
+    return f"""
+        SELECT shard, batch,
+               COUNT(*)::BIGINT AS n_in_batch,
+               MAX(len)::BIGINT AS max_len,
+               SUM(len)::BIGINT AS sum_len,
+               (COUNT(*) * MAX(len) - SUM(len))::BIGINT AS waste
+        FROM (
+            SELECT shard, len,
+                   ((ROW_NUMBER() OVER (
+                       PARTITION BY shard ORDER BY {order}) - 1)
+                       // {BP_BATCH}) AS batch
+            FROM ({_D_LENS}))
+        GROUP BY shard, batch
+    """
+
+
+ORACLES: Dict[str, str] = {
+    "length_batch_plan": _d_batches("len ASC, doc_id ASC"),
+    "padding_waste_report": f"""
+        WITH naive AS ({_d_batches("hk ASC, doc_id ASC")}),
+        bucketed AS ({_d_batches("len ASC, doc_id ASC")}),
+        arms AS (
+            SELECT 'naive' AS arm, COUNT(*)::BIGINT AS n_batches,
+                   SUM(waste)::BIGINT AS pad_tokens,
+                   SUM(n_in_batch * max_len)::BIGINT AS padded_tokens
+            FROM naive
+            UNION ALL
+            SELECT 'bucketed', COUNT(*)::BIGINT, SUM(waste)::BIGINT,
+                   SUM(n_in_batch * max_len)::BIGINT
+            FROM bucketed
+        )
+        SELECT arm, n_batches, pad_tokens, padded_tokens,
+               ((pad_tokens * {_PPM}) // padded_tokens)::BIGINT AS pad_ppm
+        FROM arms
+    """,
+}

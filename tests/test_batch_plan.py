@@ -1,0 +1,63 @@
+"""Batch-plan tests: exact waste arithmetic on a hand-built shard,
+bucketing must never lose to naive order, and the report contract."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.batch_plan import (
+    BP_BATCH,
+    _batches,
+    length_batch_plan,
+    padding_waste_report,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _one_shard(spark, lens):
+    rows = [(i, 0, i, ln) for i, ln in enumerate(lens)]
+    return spark.createDataFrame(
+        rows, "doc_id long, shard long, hk long, len long"
+    )
+
+
+def test_exact_waste_arithmetic(spark):
+    # one shard, batch size 8: lens 1..8 -> max 8, sum 36, waste 28
+    out = _batches(_one_shard(spark, list(range(1, 9))), bucketed=True).collect()
+    assert len(out) == 1
+    b = out[0]
+    assert (b.n_in_batch, b.max_len, b.sum_len, b.waste) == (8, 8, 36, 28)
+
+
+def test_bucketed_separates_lengths(spark):
+    # 8 short (len 2) + 8 long (len 100), interleaved by doc_id (= hk):
+    # naive mixes -> both batches pad to 100; bucketed separates -> zero waste
+    lens = [2, 100] * 8
+    shard = _one_shard(spark, lens)
+    naive = _batches(shard, bucketed=False).agg(F.sum("waste")).first()[0]
+    bucketed = _batches(shard, bucketed=True).agg(F.sum("waste")).first()[0]
+    assert bucketed == 0
+    assert naive == 2 * (BP_BATCH // 2) * 98  # 4 shorts padded by 98, twice
+
+
+def test_partial_tail_batch(spark):
+    out = _batches(_one_shard(spark, [5] * 10), bucketed=True).collect()
+    sizes = sorted(r.n_in_batch for r in out)
+    assert sizes == [2, 8]
+    assert all(r.waste == 0 for r in out)
+
+
+def test_report_contract(spark):
+    rep = {r.arm: r for r in padding_waste_report(spark, SF).collect()}
+    assert set(rep) == {"naive", "bucketed"}
+    # same documents, same batch count, same true token mass
+    assert rep["naive"].n_batches == rep["bucketed"].n_batches
+    true_naive = rep["naive"].padded_tokens - rep["naive"].pad_tokens
+    true_bucketed = rep["bucketed"].padded_tokens - rep["bucketed"].pad_tokens
+    assert true_naive == true_bucketed
+    # length-grouping can only help
+    assert rep["bucketed"].pad_tokens <= rep["naive"].pad_tokens
+    assert rep["bucketed"].pad_ppm <= rep["naive"].pad_ppm
+    plan = length_batch_plan(spark, SF)
+    assert plan.filter(F.col("n_in_batch") > BP_BATCH).count() == 0
