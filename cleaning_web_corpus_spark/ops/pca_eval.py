@@ -1,0 +1,201 @@
+"""PCA-reduced kNN and its recall eval against the exact ranking.
+
+The question that decides whether the 64->8 PCA reduction
+(``ops/pca``) may stand in front of the ANN stack: how much of the
+exact top-k survives when cosine runs in the reduced space?  Promoted
+to driver-gated queries, like ``ann_recall_eval`` did for IVF:
+
+* ``pca_knn_reduced`` — the probe's top-k by cosine over the 8
+  projected coordinates.  Projections are the exact BIGINTs of
+  ``embedding_pca_projection``; the cosine is computed in double with
+  ONE fixed expression shape (explicit left-assoc sum of per-component
+  products, sqrt of the same-shaped square sums) so Spark and DuckDB
+  round identically at 6 dp — reduced-space scoring is 8 multiplies
+  per pair instead of 64, the whole point of the reduction;
+* ``pca_knn_eval`` — overlap of the reduced top-k with the exact
+  full-space top-k (``embedding_knn``), as exact integers + one
+  rounded recall division.  A loading regression, a quantizer change,
+  or a variance collapse in the tail components moves this number
+  under the gate hash.
+
+The oracle re-derives the reduced ranking from the TWIN-trained
+loading matrix and splices the exact-knn oracle, so DuckDB rebuilds
+both rankings from scratch.
+
+At 100 TB: the reduced scan reads 8 BIGINTs per row instead of a
+64-float array; the eval is two bounded top-k relations joined on id.
+
+Reference scope: eval-harness extension of the ANN/PCA family.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.ann import (
+    ORACLES as _ANN_ORACLES,
+    PROBE_VEC_ID,
+    TOP_K,
+    embedding_knn,
+)
+from cleaning_web_corpus_spark.ops.pca import PCA_K, embedding_pca_projection
+
+
+def _dot(a: str, b: str) -> str:
+    """Fixed-shape left-assoc double dot over the K projected cols."""
+    return " + ".join(
+        f"cast({a}.pc{c} as double) * cast({b}.pc{c} as double)"
+        for c in range(PCA_K)
+    )
+
+
+def _norm(a: str) -> str:
+    return (
+        "sqrt("
+        + " + ".join(
+            f"cast({a}.pc{c} as double) * cast({a}.pc{c} as double)"
+            for c in range(PCA_K)
+        )
+        + ")"
+    )
+
+
+def pca_knn_reduced(spark: SparkSession, sf: str) -> DataFrame:
+    """Probe top-k by cosine in the PCA-reduced space."""
+    proj = embedding_pca_projection(spark, sf).alias("p")
+    probe = (
+        proj.filter(F.col("vec_id") == PROBE_VEC_ID)
+        .drop("label")
+        .alias("pr")
+    )
+    scored = (
+        proj.filter(F.col("vec_id") != PROBE_VEC_ID)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("p.vec_id").alias("vec_id"),
+            F.col("p.label").alias("label"),
+            F.round(
+                F.expr(f"({_dot('p', 'pr')}) / ({_norm('p')} * {_norm('pr')})"),
+                6,
+            ).alias("cosine_reduced"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine_reduced"), F.asc("vec_id")).limit(TOP_K)
+
+
+def pca_knn_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """recall@k of the reduced ranking vs the exact full-space one."""
+    exact = embedding_knn(spark, sf).select(
+        F.col("vec_id").alias("id"), F.lit(1).alias("in_exact")
+    )
+    reduced = pca_knn_reduced(spark, sf).select(
+        F.col("vec_id").alias("id"), F.lit(1).alias("in_reduced")
+    )
+    joined = exact.join(reduced, "id", "full_outer")
+    agg = joined.agg(
+        F.sum(F.coalesce("in_exact", F.lit(0))).cast("long").alias("k_exact"),
+        F.sum(F.coalesce("in_reduced", F.lit(0))).cast("long").alias("k_reduced"),
+        F.sum(
+            F.when(
+                F.col("in_exact").isNotNull() & F.col("in_reduced").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_overlap"),
+    )
+    return agg.select(
+        "k_exact",
+        "k_reduced",
+        "n_overlap",
+        F.round(
+            F.col("n_overlap").cast("double")
+            / F.when(F.col("k_exact") > 0, F.col("k_exact")).cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pca_knn_reduced": pca_knn_reduced,
+    "pca_knn_eval": pca_knn_eval,
+}
+
+
+def _sql_proj(matrix_path: str) -> str:
+    from cleaning_web_corpus_spark.ops.pca import PCA_QIN
+
+    pcs = ",\n                   ".join(
+        f"SUM(CASE WHEN comp = {c} THEN q * w ELSE 0 END)::BIGINT AS pc{c}"
+        for c in range(PCA_K)
+    )
+    return f"""
+        proj AS (
+            SELECT vec_id, label,
+                   {pcs}
+            FROM (
+                SELECT vec_id, label, i AS dim,
+                       CAST(FLOOR(CAST(embedding[i + 1] AS DOUBLE) * {PCA_QIN}
+                            + 0.5) AS BIGINT) AS q
+                FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)
+            ) q JOIN (SELECT comp, dim, w
+                      FROM read_parquet('{matrix_path}')) m USING (dim)
+            GROUP BY vec_id, label
+        )
+    """
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return " + ".join(
+        f"CAST({a}.pc{c} AS DOUBLE) * CAST({b}.pc{c} AS DOUBLE)"
+        for c in range(PCA_K)
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return (
+        "sqrt("
+        + " + ".join(
+            f"CAST({a}.pc{c} AS DOUBLE) * CAST({a}.pc{c} AS DOUBLE)"
+            for c in range(PCA_K)
+        )
+        + ")"
+    )
+
+
+def pca_knn_oracle_sql(matrix_path: str) -> str:
+    return f"""
+        WITH {_sql_proj(matrix_path)},
+        probe AS (SELECT * FROM proj WHERE vec_id = {PROBE_VEC_ID})
+        SELECT p.vec_id, p.label,
+               ROUND(({_sql_dot('p', 'pr')})
+                     / ({_sql_norm('p')} * {_sql_norm('pr')}), 6)
+                   AS cosine_reduced
+        FROM proj p, probe pr
+        WHERE p.vec_id != {PROBE_VEC_ID}
+        ORDER BY cosine_reduced DESC, p.vec_id ASC
+        LIMIT {TOP_K}
+    """
+
+
+def pca_knn_eval_oracle_sql(matrix_path: str) -> str:
+    return f"""
+    WITH exact AS ({_ANN_ORACLES["embedding_knn"]}),
+    reduced AS ({pca_knn_oracle_sql(matrix_path)}),
+    joined AS (
+        SELECT (e.vec_id IS NOT NULL)::INT AS in_exact,
+               (r.vec_id IS NOT NULL)::INT AS in_reduced
+        FROM exact e FULL OUTER JOIN reduced r ON e.vec_id = r.vec_id
+    ),
+    agg AS (
+        SELECT SUM(in_exact)::BIGINT AS k_exact,
+               SUM(in_reduced)::BIGINT AS k_reduced,
+               SUM(in_exact * in_reduced)::BIGINT AS n_overlap
+        FROM joined
+    )
+    SELECT k_exact, k_reduced, n_overlap,
+           ROUND(n_overlap::DOUBLE / NULLIF(k_exact, 0)::DOUBLE, 6) AS recall
+    FROM agg
+    """

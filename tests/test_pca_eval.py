@@ -1,0 +1,30 @@
+"""PCA-kNN eval tests: reduced ranking contract and recall sanity."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.ann import TOP_K
+from cleaning_web_corpus_spark.ops.pca_eval import pca_knn_eval, pca_knn_reduced
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_reduced_ranking_contract(spark):
+    rows = pca_knn_reduced(spark, SF).collect()
+    assert len(rows) == TOP_K
+    cs = [r.cosine_reduced for r in rows]
+    assert cs == sorted(cs, reverse=True)
+    assert all(r.vec_id != 0 for r in rows)
+    assert all(-1.0 <= c <= 1.0 for c in cs)
+
+
+def test_recall_sanity(spark):
+    r = pca_knn_eval(spark, SF).first()
+    assert r.k_exact == TOP_K and r.k_reduced == TOP_K
+    assert 0 <= r.n_overlap <= TOP_K
+    assert abs(r.recall - r.n_overlap / TOP_K) < 1e-9
+    # The synthetic embeddings are near-isotropic (pca_variance_report:
+    # top-8 of 64 ~ 20% variance), so low/zero overlap IS the honest
+    # measurement here — the eval's job is to REPORT it, which is why
+    # it exists. On clustered real data this number is the go/no-go
+    # for fronting ANN with the reduction. The gate hash pins the
+    # exact value; this test pins only the accounting identities.
