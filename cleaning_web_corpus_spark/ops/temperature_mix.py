@@ -1,0 +1,166 @@
+"""Temperature-based mixture weights over per-source token masses.
+
+The other standard multilingual/multi-source mixing rule, next to
+UniMax's epoch caps (``ops/unimax``): mT5 / XLM-R sample source i
+proportionally to ``size_i ** tau`` with a temperature ``tau < 1``
+that flattens the raw-size distribution (Conneau et al. 2020; Xue et
+al. 2021).  This op computes the weight table and the resulting
+effective epochs per source for a budget of ``BUDGET_X x`` total
+tokens.
+
+Cross-engine exactness without a twin: ``tau`` is restricted to
+DYADIC powers (1, 1/2, 1/4), so every ``size ** tau`` is a
+composition of IEEE-754 *correctly rounded* ``sqrt`` calls — the one
+transcendental both engines are REQUIRED to round identically
+(general ``pow`` carries no such guarantee, which is why an arbitrary
+tau would need label parquet).  Each powered size is then
+milli-quantized to BIGINT, every normalization is an exact integer
+sum, and weights/epochs are single floor divisions.  At real-corpus
+magnitudes the epoch numerator wants DECIMAL(38) — noted inline; the
+BIGINT form is exact through ~10^12-token sources.
+
+Plan: ONE documents scan -> per-source token aggregate (K rows);
+everything after runs on the K-row relation (stack to the tau arms,
+window-free integer sums).  Sources are hotspot-relabeled exactly
+like UniMax so the flattening provably bites: at tau=1 the hotspot
+keeps its raw share, at tau=1/4 its weight visibly collapses toward
+uniform — the monotonicity the stats query pins.
+
+Reference scope: mixture-design extension (dataset-card/UniMax
+family); the reference has no mixing stage.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.unimax import BUDGET_X, _hotspot_sizes
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+
+# tau as centi-units -> the sqrt-chain expression over a double col
+_TAUS = (
+    (100, "{x}"),
+    (50, "sqrt({x})"),
+    (25, "sqrt(sqrt({x}))"),
+)
+_PPM = 1_000_000
+
+
+def temperature_mixture_over(sizes: DataFrame) -> DataFrame:
+    """(tau_centi, source, sz, share_ppm, weight_ppm, epochs_milli)
+    over a (source, sz) token-mass relation."""
+    arms = []
+    for tau_centi, tmpl in _TAUS:
+        powered = tmpl.format(x="cast(sz as double)")
+        arms.append(
+            sizes.select(
+                F.lit(tau_centi).cast("long").alias("tau_centi"),
+                "source",
+                F.col("sz").cast("long").alias("sz"),
+                F.expr(f"cast(floor({powered} * 1000 + 0.5) as bigint)").alias("q"),
+            )
+        )
+    rows = arms[0].unionAll(arms[1]).unionAll(arms[2])
+    # exact integer normalizers per tau arm (K-row aggregate)
+    tot = rows.groupBy("tau_centi").agg(
+        F.sum("sz").cast("long").alias("tot_sz"),
+        F.sum("q").cast("long").alias("tot_q"),
+    )
+    j = rows.join(tot, "tau_centi")
+    # epochs = weight * budget / sz; budget = BUDGET_X * tot_sz.
+    # BIGINT-exact through ~1e12-token sources; at 100 TB promote the
+    # numerator to DECIMAL(38, 0) (same expressions, wider type).
+    return j.select(
+        "tau_centi",
+        "source",
+        "sz",
+        F.expr(f"(sz * {_PPM}) div tot_sz").alias("share_ppm"),
+        F.expr(f"(q * {_PPM}) div tot_q").alias("weight_ppm"),
+        F.expr(
+            f"(q * {_PPM} div tot_q) * {BUDGET_X} * tot_sz div sz div 1000"
+        ).alias("epochs_milli"),
+    )
+
+
+def temperature_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    return temperature_mixture_over(_hotspot_sizes(spark, sf))
+
+
+def temperature_flatness_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per tau: the max/min weight ratio — monotonically shrinking in
+    tau is the flattening guarantee the sampler relies on (tau=1 must
+    reproduce the raw shares exactly)."""
+    w = temperature_mixture_weights(spark, sf)
+    return (
+        w.groupBy("tau_centi")
+        .agg(
+            F.max("weight_ppm").cast("long").alias("max_weight_ppm"),
+            F.min("weight_ppm").cast("long").alias("min_weight_ppm"),
+            F.sum((F.col("weight_ppm") != F.col("share_ppm")).cast("long"))
+            .cast("long")
+            .alias("n_reweighted"),
+        )
+        .select(
+            "tau_centi",
+            "max_weight_ppm",
+            "min_weight_ppm",
+            F.expr(f"(max_weight_ppm * {_PPM}) div min_weight_ppm").alias(
+                "spread_micro"
+            ),
+            "n_reweighted",
+        )
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "temperature_mixture_weights": temperature_mixture_weights,
+    "temperature_flatness_stats": temperature_flatness_stats,
+}
+
+_D_SIZES = f"""
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'hotspot' ELSE source END AS source,
+           SUM(len(regexp_extract_all(lower(text), '{TOKEN_RE}')))::BIGINT AS sz
+    FROM documents
+    GROUP BY 1
+"""
+
+_D_ARMS = " UNION ALL ".join(
+    f"""SELECT {tau_centi}::BIGINT AS tau_centi, source, sz,
+           CAST(FLOOR({tmpl.format(x="CAST(sz AS DOUBLE)")} * 1000 + 0.5)
+                AS BIGINT) AS q
+    FROM sizes"""
+    for tau_centi, tmpl in _TAUS
+)
+
+_D_WEIGHTS = f"""
+    WITH sizes AS ({_D_SIZES}),
+    rows_ AS ({_D_ARMS}),
+    tot AS (
+        SELECT tau_centi, SUM(sz)::BIGINT AS tot_sz, SUM(q)::BIGINT AS tot_q
+        FROM rows_ GROUP BY tau_centi
+    )
+    SELECT rows_.tau_centi, source, sz,
+           ((sz * {_PPM}) // tot_sz)::BIGINT AS share_ppm,
+           ((q * {_PPM}) // tot_q)::BIGINT AS weight_ppm,
+           (((q * {_PPM} // tot_q) * {BUDGET_X} * tot_sz // sz) // 1000)::BIGINT
+               AS epochs_milli
+    FROM rows_ JOIN tot ON rows_.tau_centi = tot.tau_centi
+"""
+
+ORACLES: Dict[str, str] = {
+    "temperature_mixture_weights": _D_WEIGHTS,
+    "temperature_flatness_stats": f"""
+        WITH w AS ({_D_WEIGHTS})
+        SELECT tau_centi,
+               MAX(weight_ppm)::BIGINT AS max_weight_ppm,
+               MIN(weight_ppm)::BIGINT AS min_weight_ppm,
+               ((MAX(weight_ppm) * {_PPM}) // MIN(weight_ppm))::BIGINT
+                   AS spread_micro,
+               SUM(CASE WHEN weight_ppm != share_ppm THEN 1 ELSE 0 END)::BIGINT
+                   AS n_reweighted
+        FROM w GROUP BY tau_centi
+    """,
+}

@@ -1,0 +1,65 @@
+"""Temperature-mixture tests: tau=1 identity, flattening monotonicity,
+exact sqrt-chain arithmetic, and budget accounting."""
+
+from __future__ import annotations
+
+import math
+
+from cleaning_web_corpus_spark.ops.temperature_mix import (
+    temperature_flatness_stats,
+    temperature_mixture_over,
+    temperature_mixture_weights,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _weights(spark, sizes):
+    df = spark.createDataFrame(sizes, "source string, sz long")
+    out = {}
+    for r in temperature_mixture_over(df).collect():
+        out[(r.tau_centi, r.source)] = r
+    return out
+
+
+def test_tau_one_reproduces_raw_shares(spark):
+    out = _weights(spark, [("a", 900), ("b", 100)])
+    assert out[(100, "a")].weight_ppm == out[(100, "a")].share_ppm == 900_000
+    assert out[(100, "b")].weight_ppm == 100_000
+
+
+def test_flattening_monotonicity(spark):
+    out = _weights(spark, [("a", 900), ("b", 100)])
+    # sqrt flattening: weight(a) falls toward uniform as tau drops
+    w100, w50, w25 = (out[(t, "a")].weight_ppm for t in (100, 50, 25))
+    assert w100 > w50 > w25 > 500_000
+
+
+def test_exact_sqrt_chain(spark):
+    out = _weights(spark, [("a", 400), ("b", 100)])
+    # tau=1/2: q_a = 20000, q_b = 10000 -> weight_a = 2/3 exactly
+    qa = math.floor(math.sqrt(400.0) * 1000 + 0.5)
+    qb = math.floor(math.sqrt(100.0) * 1000 + 0.5)
+    assert out[(50, "a")].weight_ppm == (qa * 1_000_000) // (qa + qb) == 666_666
+    # tau=1/4: sqrt(sqrt(400)) vs sqrt(sqrt(100))
+    qa4 = math.floor(math.sqrt(math.sqrt(400.0)) * 1000 + 0.5)
+    qb4 = math.floor(math.sqrt(math.sqrt(100.0)) * 1000 + 0.5)
+    assert out[(25, "a")].weight_ppm == (qa4 * 1_000_000) // (qa4 + qb4)
+
+
+def test_epochs_budget_accounting(spark):
+    out = _weights(spark, [("a", 500), ("b", 500)])
+    # uniform sources at any tau: each gets half of a 2x-total budget,
+    # i.e. exactly 2 epochs of its own mass
+    for t in (100, 50, 25):
+        assert out[(t, "a")].epochs_milli == 2000
+
+
+def test_driver_queries(spark):
+    rows = temperature_mixture_weights(spark, SF).collect()
+    taus = {r.tau_centi for r in rows}
+    assert taus == {100, 50, 25}
+    stats = {r.tau_centi: r for r in temperature_flatness_stats(spark, SF).collect()}
+    assert stats[100].n_reweighted == 0  # tau=1 is the identity
+    # spread shrinks monotonically with tau
+    assert stats[100].spread_micro > stats[50].spread_micro > stats[25].spread_micro
