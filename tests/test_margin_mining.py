@@ -14,9 +14,12 @@ SF = "/root/testdata/sf0.001"
 
 
 def _margins(spark, pairs):
-    df = spark.createDataFrame(
-        pairs, "vec_a long, vec_b long, cos_micro long"
-    )
+    """Feed hand-built UNordered pairs through the production margin
+    logic (which takes the symmetric ordered relation)."""
+    ordered = [(a, b, c) for a, b, c in pairs] + [
+        (b, a, c) for a, b, c in pairs
+    ]
+    df = spark.createDataFrame(ordered, "v long, nb long, cos_micro long")
     return {(r.vec_a, r.vec_b): r.margin_ppm for r in _with_margin(df).collect()}
 
 
@@ -78,3 +81,16 @@ def test_query_contract(spark):
     assert stats.n_candidates >= len(page)
     assert stats.max_margin_ppm == margins[0]
     assert 0 <= stats.n_mined <= stats.n_candidates
+
+
+def test_single_udf_evaluation_plan(spark):
+    """The executed plan must evaluate the signature-UDF subtree ONCE
+    (VERDICT r02 #1 defect class): one ArrowEvalPython, no self-join
+    of the candidate relation."""
+    df = margin_pair_mining(spark, SF)
+    df.collect()  # AQE: final plan only materializes on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # count in the FINAL plan only — AQE's toString appends the
+    # "== Initial Plan ==" copy, which would double every node
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ArrowEvalPython") == 1, final
