@@ -1,0 +1,245 @@
+"""Assistant-echoes-user-PII audit over conversation turns.
+
+The governance case corpus-total PII densities (``ops/role_pii``)
+cannot see: a user pastes an email address and the ASSISTANT repeats
+it in a later turn.  Echoed PII is the worst retention class — it
+survives user-side-only scrubbing, leaks into the assistant
+distribution a model is trained to imitate, and is the row a privacy
+reviewer asks for first.  Per conversation this op pairs every
+user-turn email with later assistant turns carrying the SAME address:
+
+* one scan synthesizes (conv_id, turn_idx, role) and explodes the
+  email matches (the scrub family's EMAIL_PATTERN over lower(text) —
+  one regexp pass, shared with role_pii);
+* origins = first USER turn per (conv, email); echoes = assistant
+  turns with that email at a LATER index — ONE equi-join on
+  (conv_id, email), never a text comparison;
+* the report publishes ``md5(email)`` digests, never the address —
+  an audit artifact must not itself become a PII store;
+* stats split three governance classes exactly: user-only PII
+  (scrub-at-source fixes it), echoed PII (needs assistant-side
+  scrubbing), assistant-originated PII (model regurgitation — a
+  different incident class).
+
+At 100 TB: emails-per-turn is tiny, so the join input is a sparse
+sliver of the corpus; the join keys on (conv_id, email) with map-side
+combinable aggregates on both sides.
+
+Driver non-degeneracy: conv residues plant all three classes with
+per-conversation UNIQUE addresses (mirrored in the oracle), so the
+echo join provably matches within — and never across — conversations
+under the gate hash.
+
+Reference scope: governance extension of the scrub/role_pii family;
+the reference scrubs but never audits cross-turn propagation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.scrub.pii import EMAIL_PATTERN
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+TURNS_PER_CONV = 4
+_RES = 5  # conv_id residues: 1 echo, 2 user-only, 3 assistant-only
+_PPM = 1_000_000
+_EMAIL_LOWER = EMAIL_PATTERN.lower()
+# Spark SQL literals process backslash escapes ('\.' -> '.'); DuckDB's
+# standard-SQL literals do not — double them on the Spark side only
+# (the role_pii move).
+_EMAIL_SPARK = _EMAIL_LOWER.replace(chr(92), chr(92) * 2)
+
+
+def _turns(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    conv = F.expr(f"doc_id div {TURNS_PER_CONV}")
+    turn = d % TURNS_PER_CONV
+    role = F.when(turn % 2 == 0, F.lit("user")).otherwise(F.lit("assistant"))
+    addr = F.concat(F.lit("user"), conv.cast("string"), F.lit("@example.com"))
+    inject = (
+        F.when((conv % _RES == 1) & turn.isin(0, 1), F.concat(F.lit(" "), addr))
+        .when((conv % _RES == 2) & (turn == 0), F.concat(F.lit(" "), addr))
+        .when((conv % _RES == 3) & (turn == 1), F.concat(F.lit(" "), addr))
+        .otherwise(F.lit(""))
+    )
+    return t(spark, sf, "documents").select(
+        conv.alias("conv_id"),
+        turn.cast("long").alias("turn_idx"),
+        role.alias("role"),
+        F.concat("text", inject).alias("text"),
+    )
+
+
+def pii_echo_over(turns: DataFrame) -> DataFrame:
+    """(conv_id, email_md5, first_user_turn, first_echo_turn,
+    n_echo_turns) over a (conv_id, turn_idx, role, text) relation."""
+    emails = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{_EMAIL_SPARK}', 0)")
+        ).alias("email"),
+    )
+    origins = (
+        emails.filter(F.col("role") == "user")
+        .groupBy("conv_id", "email")
+        .agg(F.min("turn_idx").cast("long").alias("first_user_turn"))
+    )
+    asst = emails.filter(F.col("role") == "assistant").select(
+        "conv_id", "email", F.col("turn_idx").alias("echo_turn")
+    )
+    return (
+        origins.join(asst, ["conv_id", "email"])
+        .filter(F.col("echo_turn") > F.col("first_user_turn"))
+        .groupBy("conv_id", "email", "first_user_turn")
+        .agg(
+            F.min("echo_turn").cast("long").alias("first_echo_turn"),
+            F.count(F.lit(1)).cast("long").alias("n_echo_turns"),
+        )
+        .select(
+            "conv_id",
+            F.md5("email").alias("email_md5"),
+            "first_user_turn",
+            "first_echo_turn",
+            "n_echo_turns",
+        )
+    )
+
+
+def pii_echo_report(spark: SparkSession, sf: str) -> DataFrame:
+    return pii_echo_over(_turns(spark, sf))
+
+
+def pii_echo_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """The three governance classes as exact conversation counts."""
+    turns = _turns(spark, sf)
+    emails = turns.select(
+        "conv_id",
+        "role",
+        "turn_idx",
+        F.explode(
+            F.expr(f"regexp_extract_all(lower(text), '{_EMAIL_SPARK}', 0)")
+        ).alias("email"),
+    )
+    per_conv = emails.groupBy("conv_id").agg(
+        F.sum((F.col("role") == "user").cast("long")).alias("n_user_pii"),
+        F.sum((F.col("role") == "assistant").cast("long")).alias("n_asst_pii"),
+    )
+    echoes = (
+        pii_echo_over(turns)
+        .select("conv_id")
+        .distinct()
+        .withColumn("echoed", F.lit(1))
+    )
+    j = per_conv.join(echoes, "conv_id", "left")
+    n_convs = turns.select("conv_id").distinct().count()
+    return j.agg(
+        F.lit(n_convs).cast("long").alias("n_convs"),
+        F.count(F.lit(1)).cast("long").alias("n_pii_convs"),
+        F.sum(F.coalesce("echoed", F.lit(0))).cast("long").alias("n_echo_convs"),
+        F.sum(
+            ((F.col("n_user_pii") > 0) & (F.col("n_asst_pii") == 0)).cast("long")
+        )
+        .cast("long")
+        .alias("n_user_only_convs"),
+        F.sum(
+            ((F.col("n_asst_pii") > 0) & (F.col("n_user_pii") == 0)).cast("long")
+        )
+        .cast("long")
+        .alias("n_assistant_only_convs"),
+    ).select(
+        "n_convs",
+        "n_pii_convs",
+        "n_echo_convs",
+        "n_user_only_convs",
+        "n_assistant_only_convs",
+        F.expr(f"(n_echo_convs * {_PPM}) div n_convs").alias("echo_rate_ppm"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pii_echo_report": pii_echo_report,
+    "pii_echo_stats": pii_echo_stats,
+}
+
+_D_TURNS = f"""
+    SELECT (doc_id // {TURNS_PER_CONV}) AS conv_id,
+           (doc_id % {TURNS_PER_CONV}) AS turn_idx,
+           CASE WHEN (doc_id % {TURNS_PER_CONV}) % 2 = 0
+                THEN 'user' ELSE 'assistant' END AS role,
+           text || CASE
+               WHEN (doc_id // {TURNS_PER_CONV}) % {_RES} = 1
+                    AND (doc_id % {TURNS_PER_CONV}) IN (0, 1)
+                   THEN ' user' || (doc_id // {TURNS_PER_CONV}) || '@example.com'
+               WHEN (doc_id // {TURNS_PER_CONV}) % {_RES} = 2
+                    AND (doc_id % {TURNS_PER_CONV}) = 0
+                   THEN ' user' || (doc_id // {TURNS_PER_CONV}) || '@example.com'
+               WHEN (doc_id // {TURNS_PER_CONV}) % {_RES} = 3
+                    AND (doc_id % {TURNS_PER_CONV}) = 1
+                   THEN ' user' || (doc_id // {TURNS_PER_CONV}) || '@example.com'
+               ELSE '' END AS text
+    FROM documents
+"""
+
+_D_EMAILS = f"""
+    SELECT conv_id, turn_idx, role, UNNEST(
+        regexp_extract_all(lower(text), '{_EMAIL_LOWER}')) AS email
+    FROM ({_D_TURNS})
+"""
+
+_D_ECHOES = f"""
+    SELECT o.conv_id, o.email, o.first_user_turn,
+           MIN(a.turn_idx)::BIGINT AS first_echo_turn,
+           COUNT(*)::BIGINT AS n_echo_turns
+    FROM (
+        SELECT conv_id, email, MIN(turn_idx)::BIGINT AS first_user_turn
+        FROM ({_D_EMAILS}) WHERE role = 'user'
+        GROUP BY conv_id, email
+    ) o
+    JOIN (
+        SELECT conv_id, email, turn_idx FROM ({_D_EMAILS})
+        WHERE role = 'assistant'
+    ) a ON a.conv_id = o.conv_id AND a.email = o.email
+       AND a.turn_idx > o.first_user_turn
+    GROUP BY o.conv_id, o.email, o.first_user_turn
+"""
+
+ORACLES: Dict[str, str] = {
+    "pii_echo_report": f"""
+        SELECT conv_id, md5(email) AS email_md5, first_user_turn,
+               first_echo_turn, n_echo_turns
+        FROM ({_D_ECHOES})
+    """,
+    "pii_echo_stats": f"""
+        WITH per_conv AS (
+            SELECT conv_id,
+                   SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END)::BIGINT
+                       AS n_user_pii,
+                   SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)::BIGINT
+                       AS n_asst_pii
+            FROM ({_D_EMAILS}) GROUP BY conv_id
+        ),
+        echoes AS (SELECT DISTINCT conv_id FROM ({_D_ECHOES})),
+        tot AS (
+            SELECT COUNT(DISTINCT conv_id)::BIGINT AS n_convs
+            FROM ({_D_TURNS})
+        )
+        SELECT n_convs,
+               COUNT(*)::BIGINT AS n_pii_convs,
+               SUM(CASE WHEN e.conv_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_echo_convs,
+               SUM(CASE WHEN n_user_pii > 0 AND n_asst_pii = 0
+                        THEN 1 ELSE 0 END)::BIGINT AS n_user_only_convs,
+               SUM(CASE WHEN n_asst_pii > 0 AND n_user_pii = 0
+                        THEN 1 ELSE 0 END)::BIGINT AS n_assistant_only_convs,
+               ((SUM(CASE WHEN e.conv_id IS NOT NULL THEN 1 ELSE 0 END)
+                   * {_PPM}) // n_convs)::BIGINT AS echo_rate_ppm
+        FROM per_conv p LEFT JOIN echoes e ON p.conv_id = e.conv_id, tot
+        GROUP BY n_convs
+    """,
+}

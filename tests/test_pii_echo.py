@@ -1,0 +1,74 @@
+"""PII-echo tests: within-conv pairing, direction, digest privacy,
+and the three-class governance accounting."""
+
+from __future__ import annotations
+
+import hashlib
+
+from cleaning_web_corpus_spark.ops.pii_echo import (
+    pii_echo_over,
+    pii_echo_report,
+    pii_echo_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _echoes(spark, turns):
+    df = spark.createDataFrame(
+        turns, "conv_id long, turn_idx long, role string, text string"
+    )
+    return {(r.conv_id, r.email_md5): r for r in pii_echo_over(df).collect()}
+
+
+def test_echo_semantics(spark):
+    out = _echoes(
+        spark,
+        [
+            # conv 0: user posts, assistant echoes later -> ECHO
+            (0, 0, "user", "reach me at a@x.com please"),
+            (0, 1, "assistant", "I will email a@x.com today"),
+            (0, 3, "assistant", "sent to a@x.com"),
+            # conv 1: assistant FIRST, user later -> not an echo
+            (1, 0, "assistant", "try b@x.com"),
+            (1, 1, "user", "ok b@x.com works"),
+            # conv 2: same address as conv 0 but no user origin here
+            (2, 1, "assistant", "a@x.com"),
+        ],
+    )
+    key = (0, hashlib.md5(b"a@x.com").hexdigest())
+    assert key in out
+    assert out[key].first_user_turn == 0
+    assert out[key].first_echo_turn == 1
+    assert out[key].n_echo_turns == 2
+    assert all(c == 0 for c, _ in out)  # convs 1 and 2 never pair
+
+
+def test_same_turn_is_not_an_echo(spark):
+    out = _echoes(
+        spark,
+        [
+            (0, 2, "user", "c@x.com"),
+            (0, 2, "assistant", "c@x.com"),  # same index: not LATER
+        ],
+    )
+    assert out == {}
+
+
+def test_report_is_digest_only(spark):
+    rows = pii_echo_report(spark, SF).collect()
+    assert len(rows) > 0
+    assert all(len(r.email_md5) == 32 for r in rows)
+    assert all("@" not in r.email_md5 for r in rows)
+    assert all(r.first_echo_turn > r.first_user_turn for r in rows)
+
+
+def test_stats_classes(spark):
+    s = pii_echo_stats(spark, SF).first()
+    assert s.n_convs == 125  # 500 docs / 4 turns
+    # the planted classes all occur
+    assert s.n_echo_convs > 0
+    assert s.n_user_only_convs > 0
+    assert s.n_assistant_only_convs > 0
+    assert s.n_echo_convs <= s.n_pii_convs <= s.n_convs
+    assert s.echo_rate_ppm == (s.n_echo_convs * 1_000_000) // s.n_convs
