@@ -875,3 +875,22 @@ def twin_pca(X):
         W.append(np.floor(w * TWIN_PCA_QOUT + 0.5).astype(np.int64))
     eig = np.floor(vals[order] * TWIN_PCA_QOUT + 0.5).astype(np.int64)
     return np.stack(W), eig
+
+
+# --- compressibility twin ----------------------------------------------------
+# Independent restatement of ops/compressibility: UTF-8 byte length and
+# zlib-deflate length at the pinned level over the SAME injected text
+# (stdlib zlib in both processes -> identical bytes, so lengths are a
+# deterministic function of the text).  No engine imports.
+
+TWIN_CR_LEVEL = 6
+TWIN_CR_RES = 29  # doc_id % 29 == 4 -> highly-compressible fixture
+TWIN_CR_FIXTURE = " spam" * 120
+
+
+def twin_compress_lens(doc_id, text):
+    import zlib
+
+    t = text + (TWIN_CR_FIXTURE if doc_id % TWIN_CR_RES == 4 else "")
+    b = t.encode("utf-8")
+    return len(b), len(zlib.compress(b, TWIN_CR_LEVEL))

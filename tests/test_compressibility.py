@@ -1,0 +1,52 @@
+"""Compressibility-signal tests: known-ratio fixtures, verdict
+boundary, twin parity, and the stats accounting."""
+
+from __future__ import annotations
+
+import zlib
+
+from cleaning_web_corpus_spark.ops.compressibility import (
+    CR_LEVEL,
+    CR_MIN_PPM,
+    compressibility_over,
+    compressibility_scores,
+    compressibility_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _scores(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return {r.doc_id: r for r in compressibility_over(df).collect()}
+
+
+def test_known_ratios(spark):
+    repetitive = "spam " * 400
+    prose = (
+        "the quick brown fox jumps over seventeen unusually lazy dogs while "
+        "quietly observing barometric pressure changes near the harbor at dusk"
+    )
+    out = _scores(spark, [repetitive, prose])
+    # exact parity with stdlib zlib at the pinned level
+    for i, t in enumerate([repetitive, prose]):
+        b = t.encode("utf-8")
+        assert out[i].raw_len == len(b)
+        assert out[i].comp_len == len(zlib.compress(b, CR_LEVEL))
+        assert out[i].ratio_ppm == (out[i].comp_len * 1_000_000) // out[i].raw_len
+    assert out[0].low_entropy  # repeats deflate to almost nothing
+    assert not out[1].low_entropy
+    assert out[0].ratio_ppm < CR_MIN_PPM < out[1].ratio_ppm
+
+
+def test_driver_queries(spark):
+    stats = {r.low_entropy: r for r in compressibility_stats(spark, SF).collect()}
+    assert set(stats) == {True, False}  # injected fixture fires the drop branch
+    assert stats[True].max_ratio_ppm < CR_MIN_PPM <= stats[False].min_ratio_ppm
+    assert stats[True].n_docs + stats[False].n_docs == 500
+    # compression always shrinks the planted repeats
+    assert stats[True].comp_bytes < stats[True].raw_bytes
+    scores = compressibility_scores(spark, SF)
+    assert scores.count() == 500

@@ -159,6 +159,7 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
         "video": os.path.join(out_dir, "video_frames_labels.parquet"),
         "pca_matrix": os.path.join(out_dir, "pca_matrix.parquet"),
         "pca_eigvals": os.path.join(out_dir, "pca_eigvals.parquet"),
+        "compress": os.path.join(out_dir, "compress_labels.parquet"),
     }
     # tmp + os.replace for every label file, mirroring the meta.json
     # commit below: a concurrent regeneration must never expose torn
@@ -186,6 +187,16 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
     _commit(pa.Table.from_pylist(html_rows), paths["html"])
     _commit(pa.Table.from_pylist(media_rows), paths["media"])
     _commit(pa.Table.from_pylist(video_rows), paths["video"])
+
+    # compressibility labels: twin's stdlib-zlib lengths over the same
+    # injected text (injection rule restated inside the twin)
+    compress_rows = []
+    for d in docs:
+        raw_len, comp_len = twin.twin_compress_lens(d["doc_id"], d["text"])
+        compress_rows.append(
+            {"doc_id": d["doc_id"], "raw_len": raw_len, "comp_len": comp_len}
+        )
+    _commit(pa.Table.from_pylist(compress_rows), paths["compress"])
 
     probe_cells = _ivf_labels(sf_dir, paths["ivf_cells"])
     _pca_labels(sf_dir, paths["pca_matrix"], paths["pca_eigvals"])
