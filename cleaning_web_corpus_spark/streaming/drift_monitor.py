@@ -1,0 +1,120 @@
+"""Per-micro-batch quality-drift monitor for the incremental pipeline.
+
+An ingest pipeline's keep-rate is its heartbeat: a crawler change, an
+upstream template rollout, or a broken extractor shows up FIRST as a
+keep-rate step — hours before any corpus-level report re-runs.  This
+monitor rides the same incremental job as ``streaming/incremental``:
+per micro-batch it runs the real verdict chain, appends one metrics
+row, and flags the batch when its keep rate deviates from the
+cumulative baseline of every batch before it.
+
+Semantics (all integer-exact):
+
+* ``keep_ppm = passed * 1e6 div turns`` per batch;
+* baseline = cumulative passed/turns over all PRIOR batches (read
+  back from the metrics sink — a K-row parquet, not state store);
+* ``alert`` when the baseline has at least ``min_baseline_turns``
+  turns and ``|keep_ppm - baseline_ppm| > threshold_ppm``;
+* restart-safe AND replay-idempotent: ``foreachBatch`` may re-deliver
+  a batch id after a crash, so an id already present in the sink is
+  skipped — the metrics table stays exactly one row per batch across
+  any number of restarts.
+
+At scale the metrics sink is one tiny row per trigger (the corpus
+never flows through it), so reading it back per batch is O(batches) —
+the standard pattern until the job graduates to an external metrics
+store.
+
+Reference scope: streaming extension (the reference is batch-only,
+SURVEY §2.9); sibling of incremental.py/stateful.py, giving the
+incremental path the pipeline-counters observability the batch path
+gets from ``pipeline/lineage``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.config import PipelineConfig
+from cleaning_web_corpus_spark.pipeline.run import turn_verdicts_df
+from cleaning_web_corpus_spark.pipeline.transcripts import TRANSCRIPT_SCHEMA
+
+_PPM = 1_000_000
+
+METRICS_SCHEMA = (
+    "batch_id long, n_turns long, n_passed long, keep_ppm long,"
+    " baseline_ppm long, alert boolean"
+)
+
+
+def drift_monitor_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_dir: str,
+    pcfg: Optional[PipelineConfig] = None,
+    threshold_ppm: int = 150_000,
+    min_baseline_turns: int = 50,
+    max_files_per_trigger: Optional[int] = None,
+):
+    """Start the monitored incremental job; returns the StreamingQuery.
+
+    Metrics land in ``<out_dir>/drift_metrics`` (one row per batch);
+    the checkpoint keys the file-stream progress as usual."""
+    pcfg = pcfg or PipelineConfig()
+    metrics_path = os.path.join(out_dir, "drift_metrics")
+    checkpoint = os.path.join(out_dir, "_checkpoints", "drift_monitor")
+
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    def _process(batch_df, batch_id: int):
+        # replay idempotency: a crashed commit re-delivers the same id
+        prior = None
+        if os.path.isdir(metrics_path):
+            try:
+                prior = batch_df.sparkSession.read.parquet(metrics_path)
+            except Exception:
+                prior = None
+        if prior is not None and prior.filter(F.col("batch_id") == batch_id).count():
+            return
+        tv = turn_verdicts_df(batch_df, pcfg, emit_stats=False)
+        agg = tv.agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.sum(F.col("passed").cast("long")).cast("long").alias("n_passed"),
+        ).first()
+        n, p = int(agg.n_turns or 0), int(agg.n_passed or 0)
+        if n == 0:
+            return
+        keep_ppm = (p * _PPM) // n
+        base_n = base_p = 0
+        if prior is not None:
+            b = prior.agg(
+                F.sum("n_turns").alias("n"), F.sum("n_passed").alias("p")
+            ).first()
+            base_n, base_p = int(b.n or 0), int(b.p or 0)
+        baseline_ppm = (base_p * _PPM) // base_n if base_n else None
+        alert = bool(
+            base_n >= min_baseline_turns
+            and abs(keep_ppm - baseline_ppm) > threshold_ppm
+        )
+        row = [(batch_id, n, p, keep_ppm, baseline_ppm, alert)]
+        batch_df.sparkSession.createDataFrame(row, METRICS_SCHEMA).write.mode(
+            "append"
+        ).parquet(metrics_path)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_metrics(spark: SparkSession, out_dir: str):
+    return spark.read.parquet(os.path.join(out_dir, "drift_metrics"))

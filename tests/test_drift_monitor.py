@@ -1,0 +1,70 @@
+"""Drift-monitor tests: per-batch metrics, baseline/alert semantics,
+restart idempotency, and degraded-ingest detection."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.pipeline.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    generate_transcripts,
+)
+from cleaning_web_corpus_spark.streaming.drift_monitor import (
+    drift_monitor_stream,
+    read_metrics,
+)
+
+
+def _write_chunk(df, path):
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_metrics_baseline_and_degradation_alert(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    healthy = generate_transcripts(spark, 40, seed=5, mega_every=0, partitions=1)
+    _write_chunk(healthy, inp)
+
+    q = drift_monitor_stream(spark, inp, out, max_files_per_trigger=1)
+    q.awaitTermination(120)
+    m1 = {r.batch_id: r for r in read_metrics(spark, out).collect()}
+    assert len(m1) == 1
+    first = m1[min(m1)]
+    assert first.baseline_ppm is None and not first.alert
+    assert first.keep_ppm == (first.n_passed * 1_000_000) // first.n_turns
+
+    # degraded ingest: every text emptied -> keep rate collapses
+    degraded = generate_transcripts(
+        spark, 40, seed=9, mega_every=0, partitions=1
+    ).withColumn("text", F.lit(""))
+    _write_chunk(degraded.select(*healthy.columns), inp)
+    q2 = drift_monitor_stream(spark, inp, out, max_files_per_trigger=1)
+    q2.awaitTermination(120)
+    rows = sorted(read_metrics(spark, out).collect(), key=lambda r: r.batch_id)
+    assert len(rows) == 2
+    bad = rows[-1]
+    assert bad.baseline_ppm == first.keep_ppm
+    assert bad.n_passed == 0 and bad.keep_ppm == 0
+    assert bad.alert  # collapse vs healthy baseline crosses the threshold
+
+
+def test_restart_is_idempotent(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    corpus = generate_transcripts(spark, 30, seed=7, mega_every=0, partitions=1)
+    _write_chunk(corpus, inp)
+    drift_monitor_stream(spark, inp, out).awaitTermination(120)
+    n1 = read_metrics(spark, out).count()
+    # restart with NO new files: checkpoint yields nothing new, and even
+    # a replayed id must not duplicate a metrics row
+    drift_monitor_stream(spark, inp, out).awaitTermination(120)
+    assert read_metrics(spark, out).count() == n1
+    # exactly one row per batch id
+    dup = (
+        read_metrics(spark, out)
+        .groupBy("batch_id")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup == 0

@@ -121,6 +121,13 @@ PLAN_QUERIES = [
     "embedding_centroid_matrix",
     "embedding_pca_projection",
     "margin_pair_mining",
+    "epoch_shuffle_order",
+    "license_signal_report",
+    "padding_waste_report",
+    "temperature_mixture_weights",
+    "pii_echo_report",
+    "compressibility_scores",
+    "pca_knn_reduced",
     "depth_failure_profile",
     "unimax_allocation",
     "length_quantile_sketch",
