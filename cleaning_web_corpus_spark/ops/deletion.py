@@ -1,0 +1,183 @@
+"""Right-to-be-forgotten deletion propagation through the dedup layer.
+
+Deleting a document is not one row: if the deleted doc was its
+near-dup component's CANONICAL survivor, the min-id survivor rule
+promotes the next member — content the deduped training corpus has
+never contained suddenly enters it, and a retention reviewer needs
+that promotion list BEFORE executing the deletes (it changes what the
+next model trains on, and the promoted twin may carry the very
+content the user asked to remove).  This op is that impact analysis:
+
+* deletion requests are a deterministic doc set (a ``doc_id`` residue
+  standing in for the request table an operator would join);
+* over the fuzzy-dedup survivor relation (``ops/dedup``), per
+  affected component: members, deletions, the old canonical
+  (min member id — the survivor rule), the new canonical among the
+  remaining members, and whether a PROMOTION occurs (old canonical
+  deleted, component not emptied);
+* the stats row gives the executive numbers: requests, affected
+  components, promotions, emptied components, and the deduped-corpus
+  row count before/after.
+
+Plan: the survivor relation's own audited plan (shingle -> MinHash ->
+LSH -> verify -> components -> join-back) plus ONE component-keyed
+aggregate — the deletion analysis adds no corpus-sized work.  The
+oracle splices the survivors' recursive-CTE twin, so the hash covers
+the dedup composition AND the propagation arithmetic.
+
+Reference scope: governance extension of the dedup family (sibling of
+``component_safe_splits``); the reference has no deletion tooling.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.dedup import (
+    _SQL_SURVIVORS_BODY,
+    fuzzy_dedup_survivors,
+)
+
+DEL_RES = 37  # doc_id % 37 == 5 -> a user requested deletion
+_PPM = 1_000_000
+
+
+def deletion_impact_over(survivors: DataFrame, deleted_col) -> DataFrame:
+    """Per-component impact over a (doc_id, component_id, keep)
+    survivor relation and a deletion predicate column."""
+    marked = survivors.withColumn("deleted", deleted_col)
+    return (
+        marked.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum(F.col("deleted").cast("long")).cast("long").alias("n_deleted"),
+            F.min("doc_id").cast("long").alias("old_canonical"),
+            F.min(F.when(~F.col("deleted"), F.col("doc_id")))
+            .cast("long")
+            .alias("new_canonical"),
+        )
+        .filter(F.col("n_deleted") > 0)
+        .select(
+            "component_id",
+            "n_members",
+            "n_deleted",
+            "old_canonical",
+            "new_canonical",
+            (
+                (F.col("old_canonical") != F.coalesce("new_canonical", F.lit(-1)))
+                & F.col("new_canonical").isNotNull()
+            ).alias("promotion"),
+            F.col("new_canonical").isNull().alias("emptied"),
+        )
+    )
+
+
+def _deleted_flag():
+    return F.col("doc_id") % DEL_RES == 5
+
+
+def deletion_propagation_report(spark: SparkSession, sf: str) -> DataFrame:
+    return deletion_impact_over(fuzzy_dedup_survivors(spark, sf), _deleted_flag())
+
+
+def deletion_propagation_stats(spark: SparkSession, sf: str) -> DataFrame:
+    surv = fuzzy_dedup_survivors(spark, sf).withColumn("deleted", _deleted_flag())
+    impact = deletion_impact_over(
+        surv.drop("deleted"), _deleted_flag()
+    )
+    totals = surv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("deleted").cast("long")).cast("long").alias("n_requests"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("kept_before"),
+        # deduped corpus AFTER deletes: per component the new canonical
+        # survives — exactly one kept row per non-emptied component
+        F.count_distinct(
+            F.when(~F.col("deleted"), F.col("component_id"))
+        )
+        .cast("long")
+        .alias("kept_after"),
+    )
+    side = impact.agg(
+        F.count(F.lit(1)).cast("long").alias("n_components_affected"),
+        F.sum(F.col("promotion").cast("long")).cast("long").alias("n_promotions"),
+        F.sum(F.col("emptied").cast("long")).cast("long").alias("n_emptied"),
+    )
+    return totals.crossJoin(side).select(
+        "n_docs",
+        "n_requests",
+        "kept_before",
+        "kept_after",
+        "n_components_affected",
+        "n_promotions",
+        "n_emptied",
+        F.expr(f"((kept_before - kept_after) * {_PPM}) div kept_before").alias(
+            "dedup_shrink_ppm"
+        ),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "deletion_propagation_report": deletion_propagation_report,
+    "deletion_propagation_stats": deletion_propagation_stats,
+}
+
+_D_IMPACT = f"""
+        marked AS (
+            SELECT doc_id, component_id, keep,
+                   (doc_id % {DEL_RES} = 5) AS deleted
+            FROM surv
+        ),
+        impact AS (
+            SELECT component_id,
+                   COUNT(*)::BIGINT AS n_members,
+                   SUM(CASE WHEN deleted THEN 1 ELSE 0 END)::BIGINT
+                       AS n_deleted,
+                   MIN(doc_id)::BIGINT AS old_canonical,
+                   MIN(CASE WHEN NOT deleted THEN doc_id END)::BIGINT
+                       AS new_canonical
+            FROM marked GROUP BY component_id
+        )
+"""
+
+ORACLES: Dict[str, str] = {
+    "deletion_propagation_report": f"""
+        WITH RECURSIVE {_SQL_SURVIVORS_BODY},
+        {_D_IMPACT}
+        SELECT component_id, n_members, n_deleted, old_canonical,
+               new_canonical,
+               (old_canonical != COALESCE(new_canonical, -1)
+                AND new_canonical IS NOT NULL) AS promotion,
+               new_canonical IS NULL AS emptied
+        FROM impact WHERE n_deleted > 0
+    """,
+    "deletion_propagation_stats": f"""
+        WITH RECURSIVE {_SQL_SURVIVORS_BODY},
+        {_D_IMPACT}
+        SELECT n_docs, n_requests, kept_before, kept_after,
+               n_components_affected, n_promotions, n_emptied,
+               (((kept_before - kept_after) * {_PPM}) // kept_before)::BIGINT
+                   AS dedup_shrink_ppm
+        FROM (
+            SELECT COUNT(*)::BIGINT AS n_docs,
+                   SUM(CASE WHEN deleted THEN 1 ELSE 0 END)::BIGINT
+                       AS n_requests,
+                   SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT
+                       AS kept_before,
+                   COUNT(DISTINCT CASE WHEN NOT deleted
+                                       THEN component_id END)::BIGINT
+                       AS kept_after
+            FROM marked
+        ), (
+            SELECT COUNT(*)::BIGINT AS n_components_affected,
+                   SUM(CASE WHEN old_canonical != COALESCE(new_canonical, -1)
+                             AND new_canonical IS NOT NULL
+                            THEN 1 ELSE 0 END)::BIGINT AS n_promotions,
+                   SUM(CASE WHEN new_canonical IS NULL
+                            THEN 1 ELSE 0 END)::BIGINT AS n_emptied
+            FROM impact WHERE n_deleted > 0
+        )
+    """,
+}

@@ -1,0 +1,61 @@
+"""Deletion-propagation tests: promotion/emptied semantics on
+hand-built components and the stats accounting identities."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.deletion import (
+    DEL_RES,
+    deletion_impact_over,
+    deletion_propagation_report,
+    deletion_propagation_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _impact(spark, rows, deleted_ids):
+    surv = spark.createDataFrame(
+        rows, "doc_id long, component_id long, keep boolean"
+    )
+    out = deletion_impact_over(
+        surv, F.col("doc_id").isin(list(deleted_ids))
+    ).collect()
+    return {r.component_id: r for r in out}
+
+
+def test_promotion_and_emptied_semantics(spark):
+    rows = [
+        # component 1: canonical 1 deleted, 2 promoted
+        (1, 1, True),
+        (2, 1, False),
+        # component 10: non-canonical member deleted -> no promotion
+        (10, 10, True),
+        (11, 10, False),
+        # component 20: sole member deleted -> emptied
+        (20, 20, True),
+        # component 30: untouched -> absent from the report
+        (30, 30, True),
+    ]
+    out = _impact(spark, rows, {1, 11, 20})
+    assert set(out) == {1, 10, 20}
+    assert out[1].promotion and out[1].new_canonical == 2
+    assert not out[10].promotion and out[10].new_canonical == 10
+    assert out[20].emptied and out[20].new_canonical is None
+    assert not out[20].promotion
+
+
+def test_driver_report_and_stats(spark):
+    rep = deletion_propagation_report(spark, SF).collect()
+    assert all(r.n_deleted > 0 for r in rep)
+    assert all(r.n_deleted <= r.n_members for r in rep)
+    s = deletion_propagation_stats(spark, SF).first()
+    assert s.n_docs == 500
+    assert s.n_requests == sum(1 for d in range(500) if d % DEL_RES == 5)
+    # every request affects exactly one component
+    assert s.n_components_affected == len(rep)
+    assert s.n_promotions == sum(1 for r in rep if r.promotion)
+    assert s.n_emptied == sum(1 for r in rep if r.emptied)
+    # the deduped corpus can only shrink, by at most the request count
+    assert 0 <= s.kept_before - s.kept_after <= s.n_requests
