@@ -1,0 +1,114 @@
+"""Dedup-threshold sweep over the verified-pair Jaccard estimates.
+
+Choosing the near-dup threshold is the highest-leverage knob in a
+fuzzy-dedup pipeline — too low merges distinct documents (over-dedup,
+lost data), too high leaks mirror pairs (eval contamination, wasted
+epochs).  The tuning evidence is the SWEEP: for every feasible
+signature-agreement threshold, how many candidate pairs clear it and
+how many documents they touch.  Operators read the elbow off this
+table before committing a threshold; re-running the whole dedup per
+candidate threshold (the naive approach) pays the shingle/LSH
+pipeline K times.
+
+This op pays it ONCE: the verified candidate relation
+(``minhash_candidate_jaccard`` — in-bucket signature agreement, the
+audited plan) already carries ``n_matching`` of ``N_HASHES``
+components per pair, so the sweep is a literal-array fan-out over the
+thresholds and one keyed aggregate.  Distinct-document counts ride the
+same pass via an endpoint explode.  All counts exact BIGINTs; the
+estimated-Jaccard floor per threshold is the exact ppm ratio
+``tau * 1e6 div N_HASHES``.
+
+At 100 TB: the candidate relation is bucket-bounded (flood cap), and
+the sweep adds |thresholds| * 3 rows of shuffle per pair — noise next
+to the LSH pass it reuses.
+
+Reference scope: tuning-harness extension of the dedup family
+(sibling of ``dedup_pr_eval``, which scores ONE threshold against
+planted truth; this op maps the whole curve).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.dedup import (
+    N_HASHES,
+    ORACLES as _DEDUP_ORACLES,
+    minhash_candidate_jaccard,
+)
+
+SWEEP_MIN = 2  # below 2/8 agreement a "pair" is band noise
+_PPM = 1_000_000
+
+
+def threshold_sweep_over(cand: DataFrame) -> DataFrame:
+    """Per-threshold pair/doc counts over a (doc_a, doc_b, n_matching)
+    relation."""
+    taus = F.expr(f"sequence({SWEEP_MIN}, {N_HASHES})")
+    fanned = cand.select(
+        "doc_a", "doc_b", "n_matching", F.explode(taus).alias("tau")
+    ).filter(F.col("n_matching") >= F.col("tau"))
+    pair_counts = fanned.groupBy("tau").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    doc_counts = (
+        fanned.select("tau", F.explode(F.array("doc_a", "doc_b")).alias("doc"))
+        .groupBy("tau")
+        .agg(F.count_distinct("doc").cast("long").alias("n_docs_in_pairs"))
+    )
+    total = cand.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    return (
+        pair_counts.join(doc_counts, "tau")
+        .crossJoin(total)
+        .select(
+            F.col("tau").cast("long").alias("tau_matching"),
+            F.expr(f"(tau * {_PPM}) div {N_HASHES}").alias("jaccard_floor_ppm"),
+            "n_pairs",
+            "n_docs_in_pairs",
+            F.expr(f"(n_pairs * {_PPM}) div n_candidates").alias(
+                "pair_share_ppm"
+            ),
+        )
+    )
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    return threshold_sweep_over(minhash_candidate_jaccard(spark, sf))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_threshold_sweep": dedup_threshold_sweep,
+}
+
+ORACLES: Dict[str, str] = {
+    "dedup_threshold_sweep": f"""
+        WITH cand AS ({_DEDUP_ORACLES["minhash_candidate_jaccard"]}),
+        fanned AS (
+            SELECT doc_a, doc_b, n_matching, tau
+            FROM cand, UNNEST(range({SWEEP_MIN}, {N_HASHES} + 1)) AS u(tau)
+            WHERE n_matching >= tau
+        ),
+        pair_counts AS (
+            SELECT tau, COUNT(*)::BIGINT AS n_pairs FROM fanned GROUP BY tau
+        ),
+        doc_counts AS (
+            SELECT tau, COUNT(DISTINCT doc)::BIGINT AS n_docs_in_pairs
+            FROM (
+                SELECT tau, doc_a AS doc FROM fanned
+                UNION ALL SELECT tau, doc_b FROM fanned
+            ) GROUP BY tau
+        ),
+        total AS (SELECT COUNT(*)::BIGINT AS n_candidates FROM cand)
+        SELECT tau::BIGINT AS tau_matching,
+               ((tau * {_PPM}) // {N_HASHES})::BIGINT AS jaccard_floor_ppm,
+               n_pairs, n_docs_in_pairs,
+               ((n_pairs * {_PPM}) // n_candidates)::BIGINT AS pair_share_ppm
+        FROM pair_counts JOIN doc_counts USING (tau), total
+    """,
+}

@@ -1,0 +1,46 @@
+"""Threshold-sweep tests: exact counts on a hand-built candidate
+relation and the monotone-curve invariants on the driver corpus."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.dedup import N_HASHES
+from cleaning_web_corpus_spark.ops.threshold_sweep import (
+    SWEEP_MIN,
+    dedup_threshold_sweep,
+    threshold_sweep_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_counts(spark):
+    cand = spark.createDataFrame(
+        [
+            (1, 2, 8),  # identical twins: clear every threshold
+            (1, 3, 4),  # half agreement
+            (4, 5, 2),  # band-noise floor
+        ],
+        "doc_a long, doc_b long, n_matching long",
+    )
+    out = {r.tau_matching: r for r in threshold_sweep_over(cand).collect()}
+    assert set(out) == set(range(SWEEP_MIN, N_HASHES + 1)) - {
+        t for t in range(SWEEP_MIN, N_HASHES + 1) if t > 8
+    }
+    assert out[2].n_pairs == 3 and out[2].n_docs_in_pairs == 5
+    assert out[4].n_pairs == 2 and out[4].n_docs_in_pairs == 3
+    assert out[8].n_pairs == 1 and out[8].n_docs_in_pairs == 2
+    assert out[8].jaccard_floor_ppm == 1_000_000
+    assert out[2].pair_share_ppm == 1_000_000  # all 3 candidates clear tau=2
+
+
+def test_sweep_is_monotone_on_corpus(spark):
+    rows = sorted(
+        dedup_threshold_sweep(spark, SF).collect(), key=lambda r: r.tau_matching
+    )
+    assert rows, "corpus has LSH candidates at every sf"
+    pairs = [r.n_pairs for r in rows]
+    docs = [r.n_docs_in_pairs for r in rows]
+    # raising the bar can only shrink both counts
+    assert pairs == sorted(pairs, reverse=True)
+    assert docs == sorted(docs, reverse=True)
+    assert all(r.n_docs_in_pairs <= 2 * r.n_pairs for r in rows)
