@@ -84,14 +84,21 @@ def _ordered_candidates(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.collect_list(F.struct("vec_id", "emb", "norm")).alias("rs"))
         .filter(F.size("rs").between(2, ND_MAX_BUCKET))
     )
+    # score each UNORDERED pair once (id-filter before the dot product,
+    # the near-dup shape), THEN fan the scored value out to both
+    # orientations — emitting directions before scoring would pay every
+    # cosine twice
     ordered = F.expr(
-        "transform("
-        " filter(flatten(transform(rs, x -> transform(rs, y -> struct(x AS a, y AS b)))),"
-        "        p -> p.a.vec_id != p.b.vec_id),"
-        " p -> struct(p.a.vec_id AS v, p.b.vec_id AS nb,"
+        "flatten(transform("
+        " transform("
+        "  filter(flatten(transform(rs, x -> transform(rs, y -> struct(x AS a, y AS b)))),"
+        "         p -> p.a.vec_id < p.b.vec_id),"
+        "  p -> struct(p.a.vec_id AS va, p.b.vec_id AS vb,"
         f"      cast(floor(round(aggregate(zip_with(p.a.emb, p.b.emb, (x, y) -> x * y),"
         f"      0D, (s, v) -> s + v) / (p.a.norm * p.b.norm), 6) * {_PPM} + 0.5)"
-        "       as bigint) AS cos_micro))"
+        "       as bigint) AS c)),"
+        " s -> array(struct(s.va AS v, s.vb AS nb, s.c AS cos_micro),"
+        "            struct(s.vb AS v, s.va AS nb, s.c AS cos_micro))))"
     )
     return (
         buckets.select(F.explode(ordered).alias("p"))
