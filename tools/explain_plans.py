@@ -268,6 +268,22 @@ the plan shape, which is window-invariant.)
   projection on top). In production these read the PERSISTED
   candidate/component stages; benched here as self-contained queries
   for the oracle gate, like `dedup_components` above.
+- `margin_pair_mining` / `margin_mining_stats` (~5.8/6.0 s): the
+  margin op is CANDIDATE-VOLUME bound like hard-negative mining — the
+  in-bucket pair matrix (sum of bucket^2 at 4-bit bands, ~1M scored
+  pairs at sf0.1) plus two candidate-sized window sorts for the
+  endpoint neighborhoods. Kept as ONE linear chain (single
+  ArrowEvalPython, plan-asserted): any join-back/pre-pruned-hood
+  variant references the nondeterministic-UDF subtree twice, which is
+  the round-2 defect class and costs more than the windows it saves.
+  At corpus scale ND_BAND_BITS rises so buckets stay bounded (the
+  near-dup contract); the *_stats twin re-pays the mining like every
+  stats twin.
+- `deletion_propagation_report` / `_stats` (~2.3/2.9 s): each re-pays
+  the full fuzzy-dedup survivor composition (MinHash -> verify ->
+  components -> join-back) plus one component-keyed aggregate — the
+  same self-contained-for-the-gate shape as `fuzzy_dedup_survivors`
+  above; in production it reads the persisted survivor stage.
 """
 
 
