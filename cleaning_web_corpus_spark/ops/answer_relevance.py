@@ -1,0 +1,215 @@
+"""Answer-relevance audit: non-responsive assistant turns.
+
+The SFT-quality failure the refusal/truncation gates
+(``ops/response_quality``) cannot see: the assistant answered
+SOMETHING, fluently — just not the user's question.  The model-free
+signal is lexical question coverage: what fraction of the question's
+distinct content terms does the immediately-following answer mention?
+Off-topic answers score near zero; paraphrased-but-responsive answers
+keep the entities/nouns that survive the content-token filter.  Used
+as a downweight/drop label and as the denominator sanity check for
+the re-ask signal (``ops/reask`` fires one turn LATER, when the user
+complains; this fires on the failing answer itself).
+
+* content terms = distinct tokens of length >= ``AR_MIN_TOKEN_LEN``
+  (the cheap stopword skim — integer contract, no stopword list to
+  drift between engines);
+* coverage = exact integer ``|Q ∩ A| * 1e6 div |Q|`` with a
+  ``|Q| > 0`` guard; ``non_responsive`` below ``AR_MIN_COVER_PPM``;
+* pairing is the conv-window ``lead`` (user turn -> next turn, kept
+  when that turn is the assistant's) — ONE conv_id exchange, gram
+  math per-row codegen, one aggregate for the stats.
+
+Driver non-degeneracy: the word-salad corpus is off-topic by
+construction (coverage ~ 0), so a conv residue makes the assistant
+ECHO the question ("regarding <question>") and another residue
+replaces the answer with a content-term-free string — planted
+responsive AND off-topic pairs exist at every sf (the shared-pool
+word salad otherwise clears the 10% bar naturally), so the verdict
+boundary is exercised from both sides under the gate hash.
+
+Reference scope: transcripts-native extension of the
+response_quality/reask family; the reference never sees conversation
+structure.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+TURNS_PER_CONV = 4
+AR_MIN_TOKEN_LEN = 4
+AR_MIN_COVER_PPM = 100_000  # <10% of question terms mentioned -> off-topic
+AR_RES = 7  # conv_id % 7 == 2 -> echo plant; % 7 == 4 -> off-topic plant
+AR_OFFTOPIC = "kqzx vvwy 12 34 zzqj"  # shares no content term with any doc
+_PPM = 1_000_000
+
+
+def _content_terms(col: str) -> str:
+    return (
+        f"array_distinct(filter(regexp_extract_all(lower({col}),"
+        f" '{TOKEN_RE}', 0), x -> length(x) >= {AR_MIN_TOKEN_LEN}))"
+    )
+
+
+def answer_relevance_over(turns: DataFrame) -> DataFrame:
+    """(conv_id, q_turn, n_q_terms, n_covered, covered_ppm,
+    non_responsive) over ordered (conv_id, turn_idx, role, text)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    paired = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.expr(_content_terms("text")).alias("terms"),
+        F.lead("role").over(w).alias("next_role"),
+        F.lead(F.expr(_content_terms("text"))).over(w).alias("next_terms"),
+    ).filter((F.col("role") == "user") & (F.col("next_role") == "assistant"))
+    scored = paired.select(
+        "conv_id",
+        F.col("turn_idx").alias("q_turn"),
+        F.size("terms").cast("long").alias("n_q_terms"),
+        F.size(F.array_intersect("terms", "next_terms"))
+        .cast("long")
+        .alias("n_covered"),
+    ).filter(F.col("n_q_terms") > 0)
+    return scored.select(
+        "conv_id",
+        "q_turn",
+        "n_q_terms",
+        "n_covered",
+        F.expr(f"(n_covered * {_PPM}) div n_q_terms").alias("covered_ppm"),
+    ).select(
+        "*",
+        (F.col("covered_ppm") < AR_MIN_COVER_PPM).alias("non_responsive"),
+    )
+
+
+def _turns(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    conv = F.expr(f"doc_id div {TURNS_PER_CONV}")
+    turn = d % TURNS_PER_CONV
+    role = F.when(turn % 2 == 0, F.lit("user")).otherwise(F.lit("assistant"))
+    base = t(spark, sf, "documents")
+    w = Window.partitionBy(conv).orderBy(d)
+    # responsive plant: the assistant echoes the PREVIOUS (user) turn
+    prev_text = F.lag("text").over(w)
+    echoed = (
+        (conv % AR_RES == 2)
+        & (turn % 2 == 1)
+        & prev_text.isNotNull()
+    )
+    offtopic = (conv % AR_RES == 4) & (turn % 2 == 1)
+    return base.select(
+        conv.alias("conv_id"),
+        turn.cast("long").alias("turn_idx"),
+        role.alias("role"),
+        F.when(echoed, F.concat(F.lit("regarding "), prev_text))
+        .when(offtopic, F.lit(AR_OFFTOPIC))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def answer_relevance_report(spark: SparkSession, sf: str) -> DataFrame:
+    return answer_relevance_over(_turns(spark, sf))
+
+
+def answer_relevance_stats(spark: SparkSession, sf: str) -> DataFrame:
+    r = answer_relevance_report(spark, sf)
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("non_responsive").cast("long"))
+        .cast("long")
+        .alias("n_non_responsive"),
+        F.sum((F.col("covered_ppm") >= 500_000).cast("long"))
+        .cast("long")
+        .alias("n_well_covered"),
+        F.max("covered_ppm").cast("long").alias("max_covered_ppm"),
+    ).select(
+        "n_pairs",
+        "n_non_responsive",
+        "n_well_covered",
+        "max_covered_ppm",
+        F.expr(f"(n_non_responsive * {_PPM}) div n_pairs").alias(
+            "non_responsive_ppm"
+        ),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "answer_relevance_report": answer_relevance_report,
+    "answer_relevance_stats": answer_relevance_stats,
+}
+
+_D_TERMS = (
+    f"list_distinct(list_filter(regexp_extract_all(lower({{col}}),"
+    f" '{TOKEN_RE}'), x -> length(x) >= {AR_MIN_TOKEN_LEN}))"
+)
+
+_D_TURNS = f"""
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN conv_id % {AR_RES} = 2 AND turn_idx % 2 = 1
+                     AND prev IS NOT NULL
+                THEN 'regarding ' || prev
+                WHEN conv_id % {AR_RES} = 4 AND turn_idx % 2 = 1
+                THEN '{AR_OFFTOPIC}'
+                ELSE text END AS text
+    FROM (
+        SELECT (doc_id // {TURNS_PER_CONV}) AS conv_id,
+               (doc_id % {TURNS_PER_CONV}) AS turn_idx,
+               CASE WHEN (doc_id % {TURNS_PER_CONV}) % 2 = 0
+                    THEN 'user' ELSE 'assistant' END AS role,
+               text,
+               LAG(text) OVER (PARTITION BY (doc_id // {TURNS_PER_CONV})
+                               ORDER BY doc_id) AS prev
+        FROM documents
+    )
+"""
+
+_D_SCORED = f"""
+    SELECT conv_id, turn_idx AS q_turn,
+           len(terms)::BIGINT AS n_q_terms,
+           len(list_intersect(terms, next_terms))::BIGINT AS n_covered
+    FROM (
+        SELECT conv_id, turn_idx, role,
+               {_D_TERMS.format(col="text")} AS terms,
+               LEAD(role) OVER w AS next_role,
+               LEAD({_D_TERMS.format(col="text")}) OVER w AS next_terms
+        FROM ({_D_TURNS})
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    )
+    WHERE role = 'user' AND next_role = 'assistant' AND len(terms) > 0
+"""
+
+ORACLES: Dict[str, str] = {
+    "answer_relevance_report": f"""
+        SELECT conv_id, q_turn, n_q_terms, n_covered,
+               ((n_covered * {_PPM}) // n_q_terms)::BIGINT AS covered_ppm,
+               ((n_covered * {_PPM}) // n_q_terms) < {AR_MIN_COVER_PPM}
+                   AS non_responsive
+        FROM ({_D_SCORED})
+    """,
+    "answer_relevance_stats": f"""
+        WITH s AS (
+            SELECT *, ((n_covered * {_PPM}) // n_q_terms)::BIGINT
+                       AS covered_ppm
+            FROM ({_D_SCORED})
+        )
+        SELECT COUNT(*)::BIGINT AS n_pairs,
+               SUM(CASE WHEN covered_ppm < {AR_MIN_COVER_PPM}
+                        THEN 1 ELSE 0 END)::BIGINT AS n_non_responsive,
+               SUM(CASE WHEN covered_ppm >= 500000
+                        THEN 1 ELSE 0 END)::BIGINT AS n_well_covered,
+               MAX(covered_ppm)::BIGINT AS max_covered_ppm,
+               ((SUM(CASE WHEN covered_ppm < {AR_MIN_COVER_PPM}
+                          THEN 1 ELSE 0 END) * {_PPM})
+                   // COUNT(*))::BIGINT AS non_responsive_ppm
+        FROM s
+    """,
+}

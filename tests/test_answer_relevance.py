@@ -1,0 +1,90 @@
+"""Answer-relevance tests: coverage arithmetic, pairing rules, echo
+plants, and the stats accounting."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.answer_relevance import (
+    AR_MIN_COVER_PPM,
+    answer_relevance_over,
+    answer_relevance_report,
+    answer_relevance_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _scores(spark, turns):
+    df = spark.createDataFrame(
+        turns, "conv_id long, turn_idx long, role string, text string"
+    )
+    return {
+        (r.conv_id, r.q_turn): r for r in answer_relevance_over(df).collect()
+    }
+
+
+def test_coverage_arithmetic(spark):
+    out = _scores(
+        spark,
+        [
+            (0, 0, "user", "please compare quicksort with mergesort runtime"),
+            (0, 1, "assistant", "quicksort beats mergesort on average runtime"),
+            (1, 0, "user", "explain kubernetes ingress controllers"),
+            (1, 1, "assistant", "bananas are yellow and monkeys enjoy them"),
+        ],
+    )
+    r0 = out[(0, 0)]
+    # question terms (len>=4): please compare quicksort with(no, len 4: yes)
+    # {please, compare, quicksort, with, mergesort, runtime} -> covered:
+    # quicksort, mergesort, runtime
+    assert r0.n_covered == 3
+    assert r0.covered_ppm == (3 * 1_000_000) // r0.n_q_terms
+    assert not r0.non_responsive
+    r1 = out[(1, 0)]
+    assert r1.n_covered == 0 and r1.non_responsive
+
+
+def test_pairing_rules(spark):
+    out = _scores(
+        spark,
+        [
+            # user followed by user: no pair
+            (0, 0, "user", "first question words here"),
+            (0, 1, "user", "second question words here"),
+            # assistant first: not a question
+            (1, 0, "assistant", "unsolicited answer"),
+            (1, 1, "user", "question words arrive late"),
+            # cross-conv adjacency must not pair
+            (2, 3, "user", "question words close conversation"),
+            (3, 0, "assistant", "question words open conversation"),
+        ],
+    )
+    # user->user pairs are skipped, trailing turns have no successor,
+    # assistant-first turns are not questions, and conv boundaries
+    # never pair — nothing here scores
+    assert out == {}
+
+
+def test_short_question_guard(spark):
+    # all tokens shorter than the content filter -> no row (|Q| = 0)
+    out = _scores(
+        spark,
+        [(0, 0, "user", "a b c d"), (0, 1, "assistant", "ok")],
+    )
+    assert out == {}
+
+
+def test_driver_queries(spark):
+    rep = answer_relevance_report(spark, SF)
+    rows = rep.collect()
+    assert all(0 <= r.n_covered <= r.n_q_terms for r in rows)
+    # the echo plant produces fully-covered pairs
+    assert any(r.covered_ppm == 1_000_000 for r in rows)
+    s = answer_relevance_stats(spark, SF).first()
+    assert s.n_pairs == len(rows)
+    assert s.max_covered_ppm == 1_000_000
+    assert s.n_non_responsive == sum(1 for r in rows if r.non_responsive)
+    # the shared-pool word salad clears the bar naturally, so flags
+    # come from the planted off-topic answers — both branches populated
+    assert 0 < s.n_non_responsive < s.n_pairs
+    assert s.n_well_covered > s.n_non_responsive
+    assert AR_MIN_COVER_PPM < 500_000  # verdict bar sits below "well covered"
