@@ -531,3 +531,96 @@ ORACLES["sft_loss_span_stats"] = f"""
                  / (SELECT total_chars FROM chars)::DOUBLE, 4) AS loss_frac
     FROM spans
 """
+
+
+# --- truncation budget sweep -------------------------------------------------
+
+SWEEP_BUDGETS = (128, 256, 512, 1024, 2048)
+
+
+def truncation_budget_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Max-sequence-length tuning evidence: for each candidate token
+    budget, how many conversations the greedy prefix rule truncates and
+    what share of tokens is LOST — the curve read before fixing
+    ``max_seq_len`` (too small discards data, too large wastes compute
+    via padding; cf. ``ops/batch_plan`` for the padding side).
+
+    One conv exchange computes the running totals (the exact
+    ``truncate_to_budget`` semantics), then a literal fan-out over the
+    budgets and one keyed aggregate — the sweep never re-reads the
+    corpus per budget.  All counts exact BIGINTs; ``lost_ppm`` is one
+    floor division."""
+    turns = _chat_turns(spark, sf)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    run = turns.select(
+        "conv_id",
+        "n_tok",
+        F.sum("n_tok")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_tok"),
+    )
+    fanned = run.select(
+        "*",
+        F.explode(F.array(*[F.lit(b) for b in SWEEP_BUDGETS])).alias("budget"),
+    )
+    per_conv = fanned.groupBy("budget", "conv_id").agg(
+        F.sum("n_tok").cast("long").alias("total"),
+        F.sum(F.when(F.col("cum_tok") <= F.col("budget"), F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("kept"),
+    )
+    return (
+        per_conv.groupBy("budget")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_convs"),
+            F.sum((F.col("total") > F.col("budget")).cast("long"))
+            .cast("long")
+            .alias("n_truncated"),
+            F.sum("total").cast("long").alias("total_tokens"),
+            F.sum("kept").cast("long").alias("kept_tokens"),
+        )
+        .select(
+            F.col("budget").cast("long").alias("budget"),
+            "n_convs",
+            "n_truncated",
+            "total_tokens",
+            "kept_tokens",
+            F.expr(
+                "((total_tokens - kept_tokens) * 1000000) div total_tokens"
+            ).alias("lost_ppm"),
+        )
+    )
+
+
+QUERIES["truncation_budget_sweep"] = truncation_budget_sweep
+
+ORACLES["truncation_budget_sweep"] = f"""
+    WITH {_SQL_TURNS},
+    run AS (
+        SELECT conv_id, n_tok,
+               SUM(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                ROWS UNBOUNDED PRECEDING) AS cum_tok
+        FROM roled
+    ),
+    fanned AS (
+        SELECT conv_id, n_tok, cum_tok, budget
+        FROM run, UNNEST([{", ".join(str(b) for b in SWEEP_BUDGETS)}])
+             AS u(budget)
+    ),
+    per_conv AS (
+        SELECT budget, conv_id,
+               SUM(n_tok)::BIGINT AS total,
+               SUM(CASE WHEN cum_tok <= budget THEN n_tok ELSE 0 END)::BIGINT
+                   AS kept
+        FROM fanned GROUP BY budget, conv_id
+    )
+    SELECT budget::BIGINT AS budget,
+           COUNT(*)::BIGINT AS n_convs,
+           SUM(CASE WHEN total > budget THEN 1 ELSE 0 END)::BIGINT
+               AS n_truncated,
+           SUM(total)::BIGINT AS total_tokens,
+           SUM(kept)::BIGINT AS kept_tokens,
+           (((SUM(total) - SUM(kept)) * 1000000) // SUM(total))::BIGINT
+               AS lost_ppm
+    FROM per_conv GROUP BY budget
+"""

@@ -229,3 +229,32 @@ def test_sft_loss_span_oracle_parity(spark):
         if name == "sft_loss_span_report":
             ok_idx = cols.index("span_ok")
             assert all(r[ok_idx] == "True" for r in srows)
+
+
+def test_truncation_budget_sweep(spark):
+    from cleaning_web_corpus_spark.ops.training_export import (
+        SWEEP_BUDGETS,
+        truncation_budget_sweep,
+    )
+
+    rows = {
+        r.budget: r
+        for r in truncation_budget_sweep(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(rows) == set(SWEEP_BUDGETS)
+    # same corpus at every budget
+    totals = {r.total_tokens for r in rows.values()}
+    convs = {r.n_convs for r in rows.values()}
+    assert len(totals) == 1 and len(convs) == 1
+    # raising the budget can only keep more and truncate fewer
+    ordered = [rows[b] for b in sorted(rows)]
+    kepts = [r.kept_tokens for r in ordered]
+    truncs = [r.n_truncated for r in ordered]
+    assert kepts == sorted(kepts)
+    assert truncs == sorted(truncs, reverse=True)
+    assert all(r.kept_tokens <= r.total_tokens for r in ordered)
+    assert all(
+        r.lost_ppm
+        == ((r.total_tokens - r.kept_tokens) * 1_000_000) // r.total_tokens
+        for r in ordered
+    )
