@@ -199,3 +199,99 @@ def pca_knn_eval_oracle_sql(matrix_path: str) -> str:
            ROUND(n_overlap::DOUBLE / NULLIF(k_exact, 0)::DOUBLE, 6) AS recall
     FROM agg
     """
+
+
+# --- distributional outliers (diagonal Mahalanobis in PCA space) -------------
+
+OUTLIER_TOP = 20
+_M2_ALERT_MILLI = 20_000  # ~chi^2_{8} p99 in milli units
+
+
+def embedding_outlier_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributional outliers: top vectors by diagonal Mahalanobis
+    distance in PCA space — ``sum_c centered_pc_c^2 / eigval_c``.  The
+    complement of ``ops/emb_health`` (which gates NaN/zero/clipped
+    VALUES): this flags vectors whose geometry is wrong — corrupted
+    rows, wrong-model embeddings, adversarial inserts — before they
+    poison ANN neighborhoods and centroid stats.
+
+    Exactness: projections are the exact PCA BIGINTs; per-component
+    means are floor-divided integer sums (identical both engines);
+    each term is ``(centered div 1e6)^2 * 1000 div eigval_micro`` —
+    all-BIGINT with the square kept under 2^63 by the pre-division,
+    summed exactly (milli-Mahalanobis^2 units).  The oracle re-derives
+    everything from the TWIN-trained loading matrix + spectrum.
+
+    Plan: the shuffle-free projection scan, ONE 8-value broadcast
+    aggregate for the means, one projection, TakeOrderedAndProject."""
+    from cleaning_web_corpus_spark.ops.pca import (
+        PCA_K,
+        embedding_pca_projection,
+        train_pca,
+    )
+
+    proj = embedding_pca_projection(spark, sf)
+    _, eig = train_pca(
+        _emb_for_outliers(spark, sf).select("vec_id", "embedding")
+    )
+    sums = proj.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[F.sum(f"pc{c}").cast("long").alias(f"s{c}") for c in range(PCA_K)],
+    )
+    terms = " + ".join(
+        f"(((pc{c} - (s{c} div n)) div 1000000)"
+        f" * ((pc{c} - (s{c} div n)) div 1000000) * 1000)"
+        f" div {int(eig[c])}L"
+        for c in range(PCA_K)
+    )
+    scored = proj.crossJoin(F.broadcast(sums)).select(
+        "vec_id",
+        "label",
+        F.expr(terms).alias("m2_milli"),
+    )
+    return scored.select(
+        "vec_id",
+        "label",
+        "m2_milli",
+        (F.col("m2_milli") > _M2_ALERT_MILLI).alias("outlier"),
+    ).orderBy(F.desc("m2_milli"), F.asc("vec_id")).limit(OUTLIER_TOP)
+
+
+def _emb_for_outliers(spark: SparkSession, sf: str):
+    from cleaning_web_corpus_spark.warehouse.queries import t
+
+    return t(spark, sf, "embeddings")
+
+
+QUERIES["embedding_outlier_report"] = embedding_outlier_report
+
+
+def pca_outlier_oracle_sql(matrix_path: str, eig_path: str) -> str:
+    from cleaning_web_corpus_spark.ops.pca import PCA_K
+
+    terms = " + ".join(
+        f"(((pc{c} - (s{c} // n)) // 1000000)"
+        f" * ((pc{c} - (s{c} // n)) // 1000000) * 1000) // e{c}"
+        for c in range(PCA_K)
+    )
+    s_cols = ", ".join(
+        f"SUM(pc{c})::BIGINT AS s{c}" for c in range(PCA_K)
+    )
+    e_cols = ", ".join(
+        f"MAX(CASE WHEN component = {c} THEN eigval_micro END)::BIGINT AS e{c}"
+        for c in range(PCA_K)
+    )
+    return f"""
+        WITH {_sql_proj(matrix_path)},
+        sums AS (SELECT COUNT(*)::BIGINT AS n, {s_cols} FROM proj),
+        eig AS (SELECT {e_cols} FROM read_parquet('{eig_path}')),
+        scored AS (
+            SELECT vec_id, label, ({terms})::BIGINT AS m2_milli
+            FROM proj, sums, eig
+        )
+        SELECT vec_id, label, m2_milli,
+               m2_milli > {_M2_ALERT_MILLI} AS outlier
+        FROM scored
+        ORDER BY m2_milli DESC, vec_id ASC
+        LIMIT {OUTLIER_TOP}
+    """

@@ -28,3 +28,21 @@ def test_recall_sanity(spark):
     # it exists. On clustered real data this number is the go/no-go
     # for fronting ANN with the reduction. The gate hash pins the
     # exact value; this test pins only the accounting identities.
+
+
+def test_outlier_report_contract(spark):
+    from cleaning_web_corpus_spark.ops.pca_eval import (
+        OUTLIER_TOP,
+        embedding_outlier_report,
+    )
+
+    rows = embedding_outlier_report(spark, SF).collect()
+    assert len(rows) == OUTLIER_TOP
+    scores = [r.m2_milli for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s >= 0 for s in scores)
+    # diag-Mahalanobis^2 in milli units: for 8 components on roughly
+    # elliptical data the TOP scores sit well above the 8000 (= E[chi^2_8])
+    # center — a flat/zero column here means the centering or eigen
+    # scaling broke
+    assert scores[0] > 8_000
