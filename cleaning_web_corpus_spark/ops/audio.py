@@ -1,0 +1,239 @@
+"""Audio as an opaque binary column: WAV header probe + segment plan.
+
+Completes the multimodal triad (images: ``ops/multimodal`` header
+probe; video: frame-sample manifest) with the audio path a speech /
+audio-LM data pipeline needs: treat the waveform as an opaque
+``binary`` column, derive the typed metadata (channels, sample rate,
+duration) by REAL byte inspection of the RIFF/WAVE header — never
+trusted sidecar metadata — and plan fixed-length training segments
+(the Whisper-style chunking unit) as a one-to-many ``mapInPandas``
+fan-out.  The sample DECODE is the honest stub (no audio codec in
+this container): ``fake=True`` derives each segment's id as
+``sha256(payload || seg_idx)``; ``fake=False`` raises until a codec
+ships to executors.  Partitioning, Arrow batching, fan-out shape and
+schema are the production article — the same contract as the video
+sampler.
+
+Oracled against twin-label parquet: tests/reference_twin.py restates
+synthesis, the struct-offset header parse, the ceil-division segment
+plan, and the digest ids with no engine imports; ``audio_format_stats``
+re-aggregates in SQL from the same labels so the rollup arithmetic is
+under the hash too.
+
+At 100 TB: headers are read from the payload's first bytes (a real
+deploy uses parquet binary column statistics + range reads), the
+fan-out is bounded by the segment cap, and nothing audio-sized ever
+reaches the driver.
+
+Reference scope: multimodal extension (the reference's media pipeline
+handles images only — Scrapy image sink, resolution filters).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+AUDIO_ORACLE_N = 200
+AUDIO_ORACLE_SEED = 17
+SEG_MS = 1000
+SEG_CAP = 6
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("audio_id", LongType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("byte_size", LongType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+SEG_SCHEMA = StructType(
+    [
+        StructField("audio_id", LongType(), False),
+        StructField("channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+        StructField("seg_idx", IntegerType(), True),
+        StructField("start_ms", LongType(), True),
+        StructField("end_ms", LongType(), True),
+        StructField("seg_sha", StringType(), True),
+    ]
+)
+
+
+def synthesize_audio(spark: SparkSession, n: int, seed: int = 17) -> DataFrame:
+    """Deterministic fake audio table with REAL RIFF/WAVE headers
+    (canonical 44-byte PCM layout) and digest filler for samples."""
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+                sample_rate = 16000 if h[0] % 2 == 0 else 44100
+                channels = 1 + h[1] % 2
+                bits = 16
+                n_samples = 4000 + h[2] * 997 + h[3]
+                block_align = channels * bits // 8
+                data_size = n_samples * block_align
+                byte_rate = sample_rate * block_align
+                fmt = struct.pack(
+                    "<IHHIIHH",
+                    16,
+                    1,
+                    channels,
+                    sample_rate,
+                    byte_rate,
+                    block_align,
+                    bits,
+                )
+                payload = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + data_size)
+                    + b"WAVE"
+                    + b"fmt "
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", data_size)
+                    + h * 4
+                )
+                rows.append((i, i % max(1, n // 4), "audio", len(payload), payload))
+            yield pd.DataFrame(
+                rows,
+                columns=["audio_id", "doc_id", "media_type", "byte_size", "payload"],
+            )
+
+    return spark.range(n).repartition(8).mapInPandas(_gen, schema=AUDIO_SCHEMA)
+
+
+def parse_wav_header(payload) -> Optional[Tuple[int, int, int]]:
+    """(channels, sample_rate, n_samples) from the canonical PCM WAV
+    layout, or None — real struct parsing of the payload bytes."""
+    if payload is None:
+        return None
+    data = bytes(payload)
+    if len(data) < 44:
+        return None
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE" or data[12:16] != b"fmt ":
+        return None
+    _, fmt_tag, channels, sample_rate, _, block_align, _ = struct.unpack(
+        "<IHHIIHH", data[16:36]
+    )
+    if fmt_tag != 1 or data[36:40] != b"data":
+        return None
+    data_size = struct.unpack("<I", data[40:44])[0]
+    return channels, sample_rate, data_size // block_align
+
+
+def segment_audio(
+    df: DataFrame, seg_ms: int = SEG_MS, cap: int = SEG_CAP, fake: bool = False
+) -> DataFrame:
+    """Fixed-length segment plan: each audio row fans out to
+    <= ``cap`` contiguous ``seg_ms`` windows over the REAL parsed
+    duration.  ``fake=True`` manifests digest-stub segment ids;
+    ``fake=False`` raises until an audio codec ships to executors."""
+
+    def _seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "segment decode requires an audio codec on executors; "
+                    "pass fake=True for the deterministic stub"
+                )
+            out = {c: [] for c in SEG_SCHEMA.fieldNames()}
+            for aid, payload in zip(pdf["audio_id"], pdf["payload"]):
+                parsed = parse_wav_header(payload)
+                if parsed is None:
+                    continue
+                channels, sample_rate, n_samples = parsed
+                duration_ms = n_samples * 1000 // sample_rate
+                n_segs = min(cap, (duration_ms + seg_ms - 1) // seg_ms)
+                for s in range(int(n_segs)):
+                    start = s * seg_ms
+                    out["audio_id"].append(int(aid))
+                    out["channels"].append(channels)
+                    out["sample_rate"].append(sample_rate)
+                    out["duration_ms"].append(duration_ms)
+                    out["seg_idx"].append(s)
+                    out["start_ms"].append(start)
+                    out["end_ms"].append(min(duration_ms, start + seg_ms))
+                    out["seg_sha"].append(
+                        hashlib.sha256(
+                            bytes(payload) + s.to_bytes(4, "big")
+                        ).hexdigest()[:16]
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select("audio_id", "payload").mapInPandas(_seg, SEG_SCHEMA)
+
+
+def audio_segment_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver query: the segment manifest over the deterministic audio
+    table — oracled against twin-label parquet (``sf`` unused: the
+    table is synthesized, not read — the video-manifest convention)."""
+    return segment_audio(
+        synthesize_audio(spark, AUDIO_ORACLE_N, seed=AUDIO_ORACLE_SEED), fake=True
+    )
+
+
+def audio_format_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(sample_rate, channels) rollup a curation pipeline reads
+    before fixing its resample target: audio count, total duration,
+    planned segments — all exact BIGINTs from the manifest."""
+    m = audio_segment_manifest(spark, sf)
+    per_audio = m.groupBy("audio_id", "sample_rate", "channels").agg(
+        F.max("duration_ms").cast("long").alias("duration_ms"),
+        F.count(F.lit(1)).cast("long").alias("n_segs"),
+    )
+    return per_audio.groupBy("sample_rate", "channels").agg(
+        F.count(F.lit(1)).cast("long").alias("n_audio"),
+        F.sum("duration_ms").cast("long").alias("total_ms"),
+        F.sum("n_segs").cast("long").alias("n_segments"),
+    )
+
+
+QUERIES = {
+    "audio_segment_manifest": audio_segment_manifest,
+    "audio_format_stats": audio_format_stats,
+}
+
+
+def audio_oracle_sql(labels_path: str) -> str:
+    return f"""
+        SELECT audio_id, channels, sample_rate, duration_ms,
+               seg_idx, start_ms, end_ms, seg_sha
+        FROM read_parquet('{labels_path}')
+    """
+
+
+def audio_stats_oracle_sql(labels_path: str) -> str:
+    return f"""
+        WITH per_audio AS (
+            SELECT audio_id, sample_rate, channels,
+                   MAX(duration_ms)::BIGINT AS duration_ms,
+                   COUNT(*)::BIGINT AS n_segs
+            FROM read_parquet('{labels_path}')
+            GROUP BY audio_id, sample_rate, channels
+        )
+        SELECT sample_rate, channels,
+               COUNT(*)::BIGINT AS n_audio,
+               SUM(duration_ms)::BIGINT AS total_ms,
+               SUM(n_segs)::BIGINT AS n_segments
+        FROM per_audio GROUP BY sample_rate, channels
+    """

@@ -894,3 +894,91 @@ def twin_compress_lens(doc_id, text):
     t = text + (TWIN_CR_FIXTURE if doc_id % TWIN_CR_RES == 4 else "")
     b = t.encode("utf-8")
     return len(b), len(zlib.compress(b, TWIN_CR_LEVEL))
+
+
+# --- audio twin (WAV header + segmentation manifest) -------------------------
+# Independent restatement of ops/audio: RIFF/WAVE synthesis, REAL header
+# parsing (struct offsets, never trusted metadata), fixed-length segment
+# planning, and the digest-stub segment ids.  No engine imports.
+
+TWIN_AUDIO_N = 200
+TWIN_AUDIO_SEED = 17
+TWIN_SEG_MS = 1000
+TWIN_SEG_CAP = 6
+
+
+def twin_synth_wav(seed, i):
+    import hashlib as _hl
+    import struct as _st
+
+    h = _hl.sha256(f"{seed}:{i}".encode()).digest()
+    sample_rate = 16000 if h[0] % 2 == 0 else 44100
+    channels = 1 + h[1] % 2
+    bits = 16
+    n_samples = 4000 + h[2] * 997 + h[3]
+    block_align = channels * bits // 8
+    data_size = n_samples * block_align
+    byte_rate = sample_rate * block_align
+    fmt = _st.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block_align, bits
+    )
+    header = (
+        b"RIFF"
+        + _st.pack("<I", 36 + data_size)
+        + b"WAVE"
+        + b"fmt "
+        + fmt
+        + b"data"
+        + _st.pack("<I", data_size)
+    )
+    return header + h * 4  # digest filler stands in for PCM samples
+
+
+def twin_parse_wav(data):
+    import struct as _st
+
+    if data is None or len(data) < 44:
+        return None
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE" or data[12:16] != b"fmt ":
+        return None
+    _, fmt_tag, channels, sample_rate, _, block_align, _ = _st.unpack(
+        "<IHHIIHH", data[16:36]
+    )
+    if fmt_tag != 1 or data[36:40] != b"data":
+        return None
+    data_size = _st.unpack("<I", data[40:44])[0]
+    n_samples = data_size // block_align
+    return channels, sample_rate, n_samples
+
+
+def twin_audio_segments(n=TWIN_AUDIO_N, seed=TWIN_AUDIO_SEED,
+                        seg_ms=TWIN_SEG_MS, cap=TWIN_SEG_CAP):
+    import hashlib as _hl
+
+    rows = []
+    for i in range(n):
+        payload = twin_synth_wav(seed, i)
+        parsed = twin_parse_wav(payload)
+        if parsed is None:
+            continue
+        channels, sample_rate, n_samples = parsed
+        duration_ms = n_samples * 1000 // sample_rate
+        n_segs = min(cap, (duration_ms + seg_ms - 1) // seg_ms)
+        for s in range(int(n_segs)):
+            start = s * seg_ms
+            end = min(duration_ms, start + seg_ms)
+            rows.append(
+                {
+                    "audio_id": i,
+                    "channels": channels,
+                    "sample_rate": sample_rate,
+                    "duration_ms": duration_ms,
+                    "seg_idx": s,
+                    "start_ms": start,
+                    "end_ms": end,
+                    "seg_sha": _hl.sha256(
+                        payload + s.to_bytes(4, "big")
+                    ).hexdigest()[:16],
+                }
+            )
+    return rows

@@ -1,0 +1,85 @@
+"""Audio-op tests: real WAV header parsing, segment-plan arithmetic,
+decode-stub honesty, and the manifest/stats contract."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from cleaning_web_corpus_spark.ops.audio import (
+    SEG_CAP,
+    SEG_MS,
+    audio_format_stats,
+    audio_segment_manifest,
+    parse_wav_header,
+    segment_audio,
+    synthesize_audio,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _wav(channels=1, sample_rate=16000, n_samples=32000, bits=16):
+    block = channels * bits // 8
+    fmt = struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate, sample_rate * block, block, bits
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n_samples * block)
+        + b"WAVE"
+        + b"fmt "
+        + fmt
+        + b"data"
+        + struct.pack("<I", n_samples * block)
+        + b"\x00" * 16
+    )
+
+
+def test_header_parse_is_real():
+    assert parse_wav_header(_wav(2, 44100, 44100)) == (2, 44100, 44100)
+    assert parse_wav_header(b"not a riff file at all........................") is None
+    assert parse_wav_header(_wav()[:20]) is None  # truncated header
+    # compressed (non-PCM) format tag is refused, not misparsed
+    bad = bytearray(_wav())
+    bad[20] = 2
+    assert parse_wav_header(bytes(bad)) is None
+
+
+def test_segment_plan_arithmetic(spark):
+    # 2 s mono @16k -> 2 segments of 1000 ms each
+    rows = [(0, _wav(1, 16000, 32000)), (1, _wav(1, 16000, 4000))]
+    df = spark.createDataFrame(rows, "audio_id long, payload binary")
+    out = sorted(
+        segment_audio(df, fake=True).collect(),
+        key=lambda r: (r.audio_id, r.seg_idx),
+    )
+    a0 = [r for r in out if r.audio_id == 0]
+    assert [(r.start_ms, r.end_ms) for r in a0] == [(0, 1000), (1000, 2000)]
+    assert all(r.duration_ms == 2000 for r in a0)
+    a1 = [r for r in out if r.audio_id == 1]  # 250 ms -> one partial segment
+    assert [(r.start_ms, r.end_ms) for r in a1] == [(0, 250)]
+    # the cap bounds the fan-out
+    long = spark.createDataFrame(
+        [(9, _wav(1, 16000, 16000 * 60))], "audio_id long, payload binary"
+    )
+    assert segment_audio(long, fake=True).count() == SEG_CAP
+
+
+def test_decode_stub_is_honest(spark):
+    df = synthesize_audio(spark, 4)
+    with pytest.raises(Exception) as e:
+        segment_audio(df, fake=False).collect()
+    assert "NotImplementedError" in str(e.value) or "codec" in str(e.value)
+
+
+def test_driver_queries(spark):
+    m = audio_segment_manifest(spark, SF).collect()
+    assert len(m) > 0
+    assert all(len(r.seg_sha) == 16 for r in m)
+    assert all(r.end_ms - r.start_ms <= SEG_MS for r in m)
+    s = {(r.sample_rate, r.channels): r for r in audio_format_stats(spark, SF).collect()}
+    assert set(s) == {(16000, 1), (16000, 2), (44100, 1), (44100, 2)}
+    assert sum(r.n_audio for r in s.values()) == 200
+    assert sum(r.n_segments for r in s.values()) == len(m)

@@ -160,6 +160,7 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
         "pca_matrix": os.path.join(out_dir, "pca_matrix.parquet"),
         "pca_eigvals": os.path.join(out_dir, "pca_eigvals.parquet"),
         "compress": os.path.join(out_dir, "compress_labels.parquet"),
+        "audio": os.path.join(out_dir, "audio_labels.parquet"),
     }
     # tmp + os.replace for every label file, mirroring the meta.json
     # commit below: a concurrent regeneration must never expose torn
@@ -197,6 +198,18 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
             {"doc_id": d["doc_id"], "raw_len": raw_len, "comp_len": comp_len}
         )
     _commit(pa.Table.from_pylist(compress_rows), paths["compress"])
+
+    # audio segment-manifest labels: twin-restated WAV synthesis +
+    # header parse + segment plan + digest ids (no engine imports)
+    _commit(
+        pa.Table.from_pylist(
+            twin.twin_audio_segments(
+                twin.TWIN_AUDIO_N, twin.TWIN_AUDIO_SEED,
+                twin.TWIN_SEG_MS, twin.TWIN_SEG_CAP,
+            )
+        ),
+        paths["audio"],
+    )
 
     probe_cells = _ivf_labels(sf_dir, paths["ivf_cells"])
     _pca_labels(sf_dir, paths["pca_matrix"], paths["pca_eigvals"])
