@@ -128,6 +128,12 @@ PLAN_QUERIES = [
     "pii_echo_report",
     "compressibility_scores",
     "pca_knn_reduced",
+    "embedding_outlier_report",
+    "answer_relevance_report",
+    "truncation_budget_sweep",
+    "audio_segment_manifest",
+    "dedup_threshold_sweep",
+    "deletion_propagation_report",
     "depth_failure_profile",
     "unimax_allocation",
     "length_quantile_sketch",
