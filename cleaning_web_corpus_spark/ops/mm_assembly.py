@@ -1,0 +1,133 @@
+"""Multimodal training-document assembly: text + image tokens.
+
+The export step a multimodal-LM pipeline (Flamingo/LLaVA/MM1 style)
+runs after the per-modality gates: join each document with its
+SURVIVING media (the full ``media_quality_filter`` composition —
+payload-probed dims, resolution/aspect/format gates), and render one
+training string with a placeholder token per kept image that the
+trainer's collator later swaps for vision embeddings.  The corpus has
+no intra-text anchor offsets, so placeholders append in deterministic
+``media_id`` order — the document-level interleaving contract; a
+source with real anchors swaps only the ordering key.
+
+* the media side is the AUDITED filter composition (not a re-derived
+  set), aggregated to one row per doc — at corpus scale that side is
+  kept-images-per-doc small and broadcasts into the documents scan;
+* rendering is pure codegen string concat (``<image:ID>`` tokens,
+  space-joined, media_id ASC); the gate hashes the FULL rendered
+  string, so token order, separators, and the join semantics are all
+  under the oracle;
+* the stats row gives the mixture designer's numbers: docs with/
+  without surviving media, image tokens emitted, images per
+  multimodal doc in exact ppm.
+
+The oracle splices the twin media labels (the media_quality_filter
+oracle's own source) through the SAME string_agg rendering in SQL.
+
+Reference scope: multimodal extension — the reference gates images
+(image_filters.py) but never assembles training documents from them.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.multimodal import media_quality_filter
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+_PPM = 1_000_000
+
+
+def assemble_multimodal_docs(docs: DataFrame, kept_media: DataFrame) -> DataFrame:
+    """(doc_id, n_images, interleaved_text) over (doc_id, text) docs and
+    a kept-media relation carrying (media_id, doc_id)."""
+    per_doc = (
+        kept_media.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("media_id")).alias("ids"))
+        .select(
+            "doc_id",
+            F.size("ids").cast("long").alias("n_images"),
+            F.expr(
+                "array_join(transform(ids,"
+                " i -> concat('<image:', cast(i as string), '>')), ' ')"
+            ).alias("tokens"),
+        )
+    )
+    return docs.join(F.broadcast(per_doc), "doc_id").select(
+        "doc_id",
+        "n_images",
+        F.concat(F.col("text"), F.lit(" "), F.col("tokens")).alias(
+            "interleaved_text"
+        ),
+    )
+
+
+def multimodal_doc_render(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    return assemble_multimodal_docs(docs, media_quality_filter(spark, sf))
+
+
+def multimodal_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").select("doc_id")
+    kept = media_quality_filter(spark, sf)
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_images")
+    )
+    j = docs.join(per_doc, "doc_id", "left")
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("n_images").isNotNull()).cast("long"))
+        .cast("long")
+        .alias("n_multimodal_docs"),
+        F.sum(F.coalesce("n_images", F.lit(0))).cast("long").alias("n_image_tokens"),
+    ).select(
+        "n_docs",
+        "n_multimodal_docs",
+        "n_image_tokens",
+        F.expr(
+            f"(n_image_tokens * {_PPM}) div greatest(n_multimodal_docs, 1)"
+        ).alias("images_per_mm_doc_micro"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "multimodal_doc_render": multimodal_doc_render,
+    "multimodal_doc_stats": multimodal_doc_stats,
+}
+
+
+def mm_render_oracle_sql(media_labels_path: str) -> str:
+    return f"""
+        WITH per_doc AS (
+            SELECT doc_id, COUNT(*)::BIGINT AS n_images,
+                   string_agg('<image:' || media_id || '>', ' '
+                              ORDER BY media_id) AS tokens
+            FROM read_parquet('{media_labels_path}')
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id, n_images,
+               d.text || ' ' || tokens AS interleaved_text
+        FROM documents d JOIN per_doc USING (doc_id)
+    """
+
+
+def mm_stats_oracle_sql(media_labels_path: str) -> str:
+    return f"""
+        WITH per_doc AS (
+            SELECT doc_id, COUNT(*)::BIGINT AS n_images
+            FROM read_parquet('{media_labels_path}')
+            GROUP BY doc_id
+        )
+        SELECT COUNT(*)::BIGINT AS n_docs,
+               SUM(CASE WHEN n_images IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_multimodal_docs,
+               COALESCE(SUM(n_images), 0)::BIGINT AS n_image_tokens,
+               ((COALESCE(SUM(n_images), 0) * {_PPM})
+                   // GREATEST(SUM(CASE WHEN n_images IS NOT NULL
+                                        THEN 1 ELSE 0 END), 1))::BIGINT
+                   AS images_per_mm_doc_micro
+        FROM documents d LEFT JOIN per_doc USING (doc_id)
+    """

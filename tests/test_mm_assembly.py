@@ -1,0 +1,45 @@
+"""Multimodal-assembly tests: rendering contract, token ordering, and
+the stats accounting."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.mm_assembly import (
+    assemble_multimodal_docs,
+    multimodal_doc_render,
+    multimodal_doc_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rendering_contract(spark):
+    docs = spark.createDataFrame(
+        [(0, "a cat photo"), (1, "plain text"), (2, "two pics")],
+        "doc_id long, text string",
+    )
+    media = spark.createDataFrame(
+        [(10, 0), (31, 2), (7, 2)], "media_id long, doc_id long"
+    )
+    out = {r.doc_id: r for r in assemble_multimodal_docs(docs, media).collect()}
+    assert out[0].interleaved_text == "a cat photo <image:10>"
+    # media_id ASC ordering, space-joined
+    assert out[2].interleaved_text == "two pics <image:7> <image:31>"
+    assert out[2].n_images == 2
+    assert 1 not in out  # text-only docs are not multimodal exports
+
+
+def test_driver_queries(spark):
+    rows = multimodal_doc_render(spark, SF).collect()
+    assert len(rows) > 0
+    assert all("<image:" in r.interleaved_text for r in rows)
+    assert all(
+        r.interleaved_text.count("<image:") == r.n_images for r in rows
+    )
+    s = multimodal_doc_stats(spark, SF).first()
+    assert s.n_docs == 500
+    assert s.n_multimodal_docs == len(rows)
+    assert s.n_image_tokens == sum(r.n_images for r in rows)
+    assert (
+        s.images_per_mm_doc_micro
+        == (s.n_image_tokens * 1_000_000) // s.n_multimodal_docs
+    )
