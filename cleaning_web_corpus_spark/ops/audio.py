@@ -90,13 +90,21 @@ def synthesize_audio(spark: SparkSession, n: int, seed: int = 17) -> DataFrame:
                 channels = 1 + h[1] % 2
                 bits = 16
                 n_samples = 4000 + h[2] * 997 + h[3]
+                fmt_tag = 1
+                # planted defects for the quality gates (twin-mirrored):
+                if i % 11 == 3:
+                    n_samples = 500  # sub-second clip
+                elif i % 11 == 7:
+                    sample_rate = 8000  # telephony rate, off-policy
+                if i % 13 == 5:
+                    fmt_tag = 2  # compressed: header refuses to parse
                 block_align = channels * bits // 8
                 data_size = n_samples * block_align
                 byte_rate = sample_rate * block_align
                 fmt = struct.pack(
                     "<IHHIIHH",
                     16,
-                    1,
+                    fmt_tag,
                     channels,
                     sample_rate,
                     byte_rate,
@@ -236,4 +244,87 @@ def audio_stats_oracle_sql(labels_path: str) -> str:
                SUM(duration_ms)::BIGINT AS total_ms,
                SUM(n_segs)::BIGINT AS n_segments
         FROM per_audio GROUP BY sample_rate, channels
+    """
+
+
+# --- quality gates (the image-filter F13-F15 analog for audio) ---------------
+
+MIN_DURATION_MS = 1000
+ALLOWED_RATES = (16000, 44100)
+PARSE_SCHEMA = (
+    "audio_id long, channels int, sample_rate int, duration_ms long"
+)
+
+
+def probe_audio(df: DataFrame) -> DataFrame:
+    """One mapInPandas pass parsing every payload header; unparseable
+    payloads keep their row with NULL fields (the lenient-probe
+    contract of ops/multimodal.with_probed_dims)."""
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: [] for c in ("audio_id", "channels", "sample_rate", "duration_ms")}
+            for aid, payload in zip(pdf["audio_id"], pdf["payload"]):
+                parsed = parse_wav_header(payload)
+                out["audio_id"].append(int(aid))
+                if parsed is None:
+                    out["channels"].append(None)
+                    out["sample_rate"].append(None)
+                    out["duration_ms"].append(None)
+                else:
+                    ch, sr, n = parsed
+                    out["channels"].append(ch)
+                    out["sample_rate"].append(sr)
+                    out["duration_ms"].append(n * 1000 // sr)
+            yield pd.DataFrame(out)
+
+    return df.select("audio_id", "payload").mapInPandas(_probe, PARSE_SCHEMA)
+
+
+def audio_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-clip keep/drop verdict with the FIRST failing reason, in the
+    filter-chain convention: unparseable (compressed/truncated headers
+    refuse, never mis-parse) > too_short > bad_rate > ok.  The verdict
+    is pure codegen over the probed fields — only the header probe
+    touches Python."""
+    probed = probe_audio(
+        synthesize_audio(spark, AUDIO_ORACLE_N, seed=AUDIO_ORACLE_SEED)
+    )
+    rates = ", ".join(str(r) for r in ALLOWED_RATES)
+    reason = F.expr(
+        "case when sample_rate is null then 'unparseable'"
+        f" when duration_ms < {MIN_DURATION_MS} then 'too_short'"
+        f" when sample_rate not in ({rates}) then 'bad_rate'"
+        " else 'ok' end"
+    )
+    return probed.select(
+        "audio_id",
+        "channels",
+        "sample_rate",
+        "duration_ms",
+        reason.alias("reason"),
+    ).select("*", (F.col("reason") == "ok").alias("keep"))
+
+
+QUERIES["audio_quality_filter"] = audio_quality_filter
+
+
+def audio_quality_oracle_sql(labels_path: str) -> str:
+    """Verdicts re-derived in SQL from the twin's probed fields."""
+    rates = ", ".join(str(r) for r in ALLOWED_RATES)
+    return f"""
+        WITH probed AS (
+            SELECT audio_id, channels, sample_rate, duration_ms
+            FROM read_parquet('{labels_path}')
+        )
+        SELECT audio_id, channels, sample_rate, duration_ms,
+               CASE WHEN sample_rate IS NULL THEN 'unparseable'
+                    WHEN duration_ms < {MIN_DURATION_MS} THEN 'too_short'
+                    WHEN sample_rate NOT IN ({rates}) THEN 'bad_rate'
+                    ELSE 'ok' END AS reason,
+               (CASE WHEN sample_rate IS NULL THEN 'unparseable'
+                     WHEN duration_ms < {MIN_DURATION_MS} THEN 'too_short'
+                     WHEN sample_rate NOT IN ({rates}) THEN 'bad_rate'
+                     ELSE 'ok' END) = 'ok' AS keep
+        FROM probed
     """

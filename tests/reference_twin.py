@@ -916,11 +916,21 @@ def twin_synth_wav(seed, i):
     channels = 1 + h[1] % 2
     bits = 16
     n_samples = 4000 + h[2] * 997 + h[3]
+    fmt_tag = 1
+    # planted defects (engine-mirrored): sub-second clip, telephony
+    # rate, compressed format tag
+    if i % 11 == 3:
+        n_samples = 500
+    elif i % 11 == 7:
+        sample_rate = 8000
+    if i % 13 == 5:
+        fmt_tag = 2
     block_align = channels * bits // 8
     data_size = n_samples * block_align
     byte_rate = sample_rate * block_align
     fmt = _st.pack(
-        "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block_align, bits
+        "<IHHIIHH", 16, fmt_tag, channels, sample_rate, byte_rate, block_align,
+        bits,
     )
     header = (
         b"RIFF"
@@ -980,5 +990,27 @@ def twin_audio_segments(n=TWIN_AUDIO_N, seed=TWIN_AUDIO_SEED,
                         payload + s.to_bytes(4, "big")
                     ).hexdigest()[:16],
                 }
+            )
+    return rows
+
+
+def twin_audio_probe(n=TWIN_AUDIO_N, seed=TWIN_AUDIO_SEED):
+    """Per-clip probed fields for the quality-gate labels: parsed
+    (channels, sample_rate, duration_ms) or NULLs when the header
+    refuses (compressed fmt tag / truncation)."""
+    rows = []
+    for i in range(n):
+        parsed = twin_parse_wav(twin_synth_wav(seed, i))
+        if parsed is None:
+            rows.append(
+                {"audio_id": i, "channels": None, "sample_rate": None,
+                 "duration_ms": None}
+            )
+        else:
+            channels, sample_rate, n_samples = parsed
+            rows.append(
+                {"audio_id": i, "channels": channels,
+                 "sample_rate": sample_rate,
+                 "duration_ms": n_samples * 1000 // sample_rate}
             )
     return rows

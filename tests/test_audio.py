@@ -80,6 +80,25 @@ def test_driver_queries(spark):
     assert all(len(r.seg_sha) == 16 for r in m)
     assert all(r.end_ms - r.start_ms <= SEG_MS for r in m)
     s = {(r.sample_rate, r.channels): r for r in audio_format_stats(spark, SF).collect()}
-    assert set(s) == {(16000, 1), (16000, 2), (44100, 1), (44100, 2)}
-    assert sum(r.n_audio for r in s.values()) == 200
+    assert {k[0] for k in s} <= {8000, 16000, 44100}
+    n_unparseable = sum(1 for i in range(200) if i % 13 == 5)
+    assert sum(r.n_audio for r in s.values()) == 200 - n_unparseable
     assert sum(r.n_segments for r in s.values()) == len(m)
+
+
+def test_quality_filter_reasons(spark):
+    from cleaning_web_corpus_spark.ops.audio import audio_quality_filter
+
+    rows = {r.audio_id: r for r in audio_quality_filter(spark, SF).collect()}
+    assert len(rows) == 200
+    by_reason = {}
+    for r in rows.values():
+        by_reason.setdefault(r.reason, []).append(r)
+    # every planted class fires
+    assert set(by_reason) == {"ok", "too_short", "bad_rate", "unparseable"}
+    # residue arithmetic: i%13==5 -> unparseable (wins over others)
+    assert all(r.audio_id % 13 == 5 for r in by_reason["unparseable"])
+    assert all(r.sample_rate is None for r in by_reason["unparseable"])
+    assert all(r.duration_ms < 1000 for r in by_reason["too_short"])
+    assert all(r.sample_rate == 8000 for r in by_reason["bad_rate"])
+    assert all(r.keep == (r.reason == "ok") for r in rows.values())

@@ -161,6 +161,7 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
         "pca_eigvals": os.path.join(out_dir, "pca_eigvals.parquet"),
         "compress": os.path.join(out_dir, "compress_labels.parquet"),
         "audio": os.path.join(out_dir, "audio_labels.parquet"),
+        "audio_probe": os.path.join(out_dir, "audio_probe_labels.parquet"),
     }
     # tmp + os.replace for every label file, mirroring the meta.json
     # commit below: a concurrent regeneration must never expose torn
@@ -209,6 +210,12 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
             )
         ),
         paths["audio"],
+    )
+    _commit(
+        pa.Table.from_pylist(
+            twin.twin_audio_probe(twin.TWIN_AUDIO_N, twin.TWIN_AUDIO_SEED)
+        ),
+        paths["audio_probe"],
     )
 
     probe_cells = _ivf_labels(sf_dir, paths["ivf_cells"])
