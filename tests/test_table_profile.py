@@ -33,14 +33,20 @@ def test_profile_semantics(spark):
     assert sd.min_repr.startswith("199") or sd.min_repr.startswith("20")
 
 
-def test_single_scan(spark):
+def test_two_pass_no_expand_plan(spark):
+    """Round-3 contract: exactly TWO pruned scans (the no-distinct
+    min/max pass + the unpivot distinct pass) and NO Expand node — the
+    old single-scan wide aggregate EXPANDed the scan by
+    (n_profiled_cols + 1), shuffling ~7x the table (11-13 s -> ~3.5 s
+    at sf0.1)."""
     plan = (
         QUERIES["table_profile_lineitem"](spark, SF)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert plan.count("Scan parquet") == 1
+    assert plan.count("Scan parquet") == 2
+    assert "Expand" not in plan
     assert "ArrowEvalPython" not in plan
 
 

@@ -290,6 +290,14 @@ the plan shape, which is window-invariant.)
   components -> join-back) plus one component-keyed aggregate — the
   same self-contained-for-the-gate shape as `fuzzy_dedup_survivors`
   above; in production it reads the persisted survivor stage.
+- `table_profile_lineitem` (was 9.7-13 s, now ~3.5 s): restructured —
+  the single wide aggregate's multi-distinct EXPAND shuffled ~7x the
+  table; now a no-distinct min/max/null pass plus an UNPIVOT distinct
+  pass whose map-side hash aggregation deduplicates (column, value)
+  pairs per partition BEFORE the shuffle (low-cardinality columns
+  contribute a handful of rows instead of n each). Exact answers kept;
+  approx_count_distinct remains the documented swap at 10^12 rows.
+  Plan-asserted: two pruned scans, zero Expand.
 """
 
 
