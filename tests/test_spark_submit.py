@@ -1,0 +1,89 @@
+"""REAL ``spark-submit --py-files`` deployment smoke.
+
+The north rule ships the pipeline as a spark-submit --py-files
+package; ``tests/test_cli.py`` smokes the entrypoint under plain
+Python, but THIS test runs the actual ``spark-submit`` binary with the
+packaged zip and NO repo PYTHONPATH — the driver and executors must
+resolve every ``cleaning_web_corpus_spark`` import from the shipped
+archive alone, which is exactly what breaks on a real cluster when the
+zip is stale or incomplete (the failure mode packaging.py's staleness
+check exists for)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+_JOB = """
+import json, sys
+from pyspark.sql import SparkSession
+
+# imports must resolve from --py-files, never from a repo checkout
+import cleaning_web_corpus_spark
+assert "cwc_spark.zip" in cleaning_web_corpus_spark.__file__, (
+    cleaning_web_corpus_spark.__file__
+)
+
+from cleaning_web_corpus_spark.config import PipelineConfig
+from cleaning_web_corpus_spark.pipeline import generate_transcripts
+from cleaning_web_corpus_spark.pipeline.run import turn_verdicts_df
+
+spark = (
+    SparkSession.builder.master("local[2]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .appName("cwc-submit-smoke")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+corpus = generate_transcripts(spark, 30, seed=3, mega_every=0, partitions=2)
+tv = turn_verdicts_df(corpus, PipelineConfig(), emit_stats=False)
+n = tv.count()
+passed = tv.filter("passed").count()
+print(json.dumps({"turns": n, "passed": passed}))
+spark.stop()
+"""
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="no spark-submit binary"
+)
+def test_spark_submit_py_files(tmp_path):
+    from cleaning_web_corpus_spark.packaging import build_pyfiles_zip
+
+    zip_path = build_pyfiles_zip(REPO, str(tmp_path / "cwc_spark.zip"))
+    job = tmp_path / "job.py"
+    job.write_text(_JOB)
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTHONPATH",)  # the zip must be the only source
+    }
+    env["SPARK_DRIVER_MEMORY"] = "2g"
+    out = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master",
+            "local[2]",
+            "--py-files",
+            zip_path,
+            str(job),
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        cwd=str(tmp_path),
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    payload = json.loads(
+        [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    assert payload["turns"] > 30  # multi-turn conversations
+    assert 0 < payload["passed"] <= payload["turns"]
