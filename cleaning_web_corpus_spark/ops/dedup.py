@@ -974,3 +974,66 @@ ORACLES["component_safe_splits"] = f"""
         FROM surv
     )
 """
+
+
+def split_leak_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """The invariant component-keyed splitting PROMISES, continuously
+    checked: no verified near-dup pair may straddle train/val/test.  A
+    regression anywhere in the chain — a hash-key change back to
+    doc_id, a component bug splitting a clique, a split-table rebuilt
+    against stale components — lands a nonzero ``n_leaked_pairs`` and
+    flips the gate hash.  Alongside the zero, the same pass reports the
+    per-split verified-pair mass (where the duplicate pairs LIVE — the
+    number an eval designer reads to size contamination risk had the
+    split been doc-keyed).
+
+    One extra equi-join of the (tiny) verified edge set against the
+    split relation per endpoint; at corpus scale both sides key on
+    doc_id and the edge side broadcasts."""
+    verified = minhash_candidate_jaccard(spark, sf).filter(F.col("near_dup"))
+    splits = component_safe_splits(spark, sf).select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    paired = verified.join(sa, "doc_a").join(sb, "doc_b")
+    return paired.agg(
+        F.count(F.lit(1)).cast("long").alias("n_verified_pairs"),
+        F.sum((F.col("split_a") != F.col("split_b")).cast("long"))
+        .cast("long")
+        .alias("n_leaked_pairs"),
+        F.sum((F.col("split_a") == "train").cast("long"))
+        .cast("long")
+        .alias("n_pairs_in_train"),
+        F.sum(((F.col("split_a") == F.col("split_b")) & (F.col("split_a") != "train")).cast("long"))
+        .cast("long")
+        .alias("n_pairs_in_eval"),
+    )
+
+
+QUERIES["split_leak_audit"] = split_leak_audit
+
+ORACLES["split_leak_audit"] = f"""
+    WITH RECURSIVE {_SQL_SURVIVORS_BODY},
+    splits AS (
+        SELECT doc_id,
+               CASE WHEN bucket < {SPLIT_TRAIN_LT} THEN 'train'
+                    WHEN bucket < {SPLIT_VAL_LT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5(component_id::VARCHAR), 1, 13))::BIGINT
+                       % {SPLIT_BUCKETS} AS bucket
+            FROM surv
+        )
+    ),
+    verified AS (SELECT doc_a, doc_b FROM cand WHERE near_dup)
+    SELECT COUNT(*)::BIGINT AS n_verified_pairs,
+           SUM(CASE WHEN a.split != b.split THEN 1 ELSE 0 END)::BIGINT
+               AS n_leaked_pairs,
+           SUM(CASE WHEN a.split = 'train' THEN 1 ELSE 0 END)::BIGINT
+               AS n_pairs_in_train,
+           SUM(CASE WHEN a.split = b.split AND a.split != 'train'
+                    THEN 1 ELSE 0 END)::BIGINT AS n_pairs_in_eval
+    FROM verified
+    JOIN splits a ON a.doc_id = verified.doc_a
+    JOIN splits b ON b.doc_id = verified.doc_b
+"""

@@ -98,3 +98,14 @@ def test_reassembly_drops_only_non_survivors(spark):
     }
     assert out[3] == (1, 0, "dup")
     assert out[7] == (3, 1, "u1 u2")
+
+
+def test_split_leak_audit_invariant(spark):
+    from cleaning_web_corpus_spark.ops.dedup import split_leak_audit
+
+    r = split_leak_audit(spark, "/root/testdata/sf0.001").first()
+    assert r.n_verified_pairs > 0  # the corpus has verified near-dups
+    assert r.n_leaked_pairs == 0  # the promise component-keying makes
+    assert (
+        r.n_pairs_in_train + r.n_pairs_in_eval == r.n_verified_pairs
+    )  # with zero leaks every pair is same-split
