@@ -1,0 +1,224 @@
+"""Refusal-impact audit: does a refusal make the user re-ask?
+
+Two detectors the corpus already trusts — the refusal regex family
+(``ops/response_quality``) and the consecutive-user-turn trigram
+re-ask signal (``ops/reask``) — joined into the 2x2 table that says
+whether refusals actually cost the conversation: per assistant turn,
+did the SAME user's next message repeat the previous request?  A
+refusal row with a high re-ask lift is the behavioral evidence that
+those turns teach the model to stonewall (drop/downweight them); a
+refusal class with NO lift is policy-consistent refusing that should
+stay.
+
+* pairing is one conv-window pass: assistant turn -> previous user
+  turn (the request) and next user turn (the reaction); the re-ask
+  verdict is the reask op's exact integer trigram rule
+  (``2*|A∩B| >= |A∪B|``, union>0 guard) applied to that
+  (request, reaction) pair;
+* the 2x2 counts are exact; the lift is one guarded ppm ratio
+  ``reask_rate(refused) / reask_rate(clean)`` in micro units — both
+  rates cleared symbolically into a single BIGINT division, guarded
+  positive so truncation can't disagree cross-engine.
+
+Driver non-degeneracy: the corpus is refusal-free word salad, so conv
+residues plant BOTH cells that matter (mirrored in the oracle): a
+refusal whose next user turn repeats the request verbatim (lift
+numerator) and a refusal whose user moves on (policy-consistent cell).
+
+Reference scope: transcripts-native composition of the
+response_quality + reask families; the reference sees neither.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.dedup import _shingle_arr
+from cleaning_web_corpus_spark.ops.response_quality import REFUSAL_RE
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+TURNS_PER_CONV = 6
+_G_N = 3
+_RES = 9  # conv%9==2: refusal+re-ask; ==5: refusal, user moves on; ==7: clean answer but the user re-asks anyway (the baseline cell)
+_REFUSAL_TEXT = "I'm sorry, but I cannot help with that request."
+_PPM = 1_000_000
+
+
+def refusal_impact_over(turns: DataFrame) -> DataFrame:
+    """2x2 impact table over ordered (conv_id, turn_idx, role, text)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    base = turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.lower("text").rlike(REFUSAL_RE).alias("is_refusal"),
+        F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)").alias("toks"),
+    ).select(
+        "conv_id", "turn_idx", "role", "is_refusal",
+        _shingle_arr(_G_N).alias("g"),  # the reask op's exact gram rule
+    )
+    ctx = base.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "is_refusal",
+        F.lag("g").over(w).alias("req_g"),
+        F.lag("role").over(w).alias("prev_role"),
+        F.lead("g").over(w).alias("next_g"),
+        F.lead("role").over(w).alias("next_role"),
+    ).filter(
+        (F.col("role") == "assistant")
+        & (F.col("prev_role") == "user")
+        & (F.col("next_role") == "user")
+    )
+    inter = F.size(F.array_intersect("req_g", "next_g"))
+    union = F.size(F.array_distinct(F.concat("req_g", "next_g")))
+    return ctx.select(
+        "conv_id",
+        F.col("turn_idx").alias("assistant_turn"),
+        "is_refusal",
+        ((F.lit(2) * inter >= union) & (union > 0)).alias("re_asked"),
+    )
+
+
+def _turns(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    conv = F.expr(f"doc_id div {TURNS_PER_CONV}")
+    turn = d % TURNS_PER_CONV
+    role = F.when(turn % 2 == 0, F.lit("user")).otherwise(F.lit("assistant"))
+    base = t(spark, sf, "documents")
+    w = Window.partitionBy(conv).orderBy(d)
+    prev_text = F.lag("text").over(w)
+    # plants: assistant turn 1 refuses in both residue classes; in the
+    # re-ask class, user turn 2 repeats user turn 0 verbatim
+    refusal = (conv % _RES).isin(2, 5) & (turn == 1)
+    reask = (conv % _RES).isin(2, 7) & (turn == 2)
+    prev2_text = F.lag("text", 2).over(w)
+    return base.select(
+        conv.alias("conv_id"),
+        turn.cast("long").alias("turn_idx"),
+        role.alias("role"),
+        F.when(refusal, F.lit(_REFUSAL_TEXT))
+        .when(reask & prev2_text.isNotNull(), prev2_text)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def refusal_impact_report(spark: SparkSession, sf: str) -> DataFrame:
+    return refusal_impact_over(_turns(spark, sf))
+
+
+def refusal_impact_stats(spark: SparkSession, sf: str) -> DataFrame:
+    r = refusal_impact_report(spark, sf)
+    agg = r.agg(
+        F.sum(F.col("is_refusal").cast("long")).cast("long").alias("n_refused"),
+        F.sum((F.col("is_refusal") & F.col("re_asked")).cast("long"))
+        .cast("long")
+        .alias("n_refused_reasked"),
+        F.sum((~F.col("is_refusal")).cast("long")).cast("long").alias("n_clean"),
+        F.sum((~F.col("is_refusal") & F.col("re_asked")).cast("long"))
+        .cast("long")
+        .alias("n_clean_reasked"),
+    )
+    # lift = (nrr/nr) / (ncr/nc) = nrr*nc*1e6 div (nr*ncr), guarded
+    return agg.select(
+        "n_refused",
+        "n_refused_reasked",
+        "n_clean",
+        "n_clean_reasked",
+        F.when(
+            (F.col("n_refused") > 0) & (F.col("n_clean_reasked") > 0),
+            F.expr(
+                f"(n_refused_reasked * n_clean * {_PPM})"
+                " div (n_refused * n_clean_reasked)"
+            ),
+        ).alias("reask_lift_micro"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "refusal_impact_report": refusal_impact_report,
+    "refusal_impact_stats": refusal_impact_stats,
+}
+
+_D_TURNS = f"""
+    SELECT conv_id, turn_idx, role,
+           CASE WHEN (conv_id % {_RES}) IN (2, 5) AND turn_idx = 1
+                THEN '{_REFUSAL_TEXT.replace("'", "''")}'
+                WHEN (conv_id % {_RES}) IN (2, 7) AND turn_idx = 2
+                     AND prev2 IS NOT NULL
+                THEN prev2
+                ELSE text END AS text
+    FROM (
+        SELECT (doc_id // {TURNS_PER_CONV}) AS conv_id,
+               (doc_id % {TURNS_PER_CONV}) AS turn_idx,
+               CASE WHEN (doc_id % {TURNS_PER_CONV}) % 2 = 0
+                    THEN 'user' ELSE 'assistant' END AS role,
+               text,
+               LAG(text, 2) OVER (PARTITION BY (doc_id // {TURNS_PER_CONV})
+                                  ORDER BY doc_id) AS prev2
+        FROM documents
+    )
+"""
+
+_D_GRAMS = f"""
+    SELECT conv_id, turn_idx, role,
+           regexp_matches(lower(text), '{REFUSAL_RE.replace(chr(39), chr(39) * 2)}') AS is_refusal,
+           CASE WHEN len(w) >= {_G_N}
+                THEN list_distinct(list_transform(
+                         range(0, len(w) - {_G_N - 1}),
+                         i -> {" || ' ' || ".join(f"w[i + {k}]" for k in range(1, _G_N + 1))}))
+                ELSE []::VARCHAR[] END AS g
+    FROM (
+        SELECT conv_id, turn_idx, role, text,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') AS w
+        FROM ({_D_TURNS})
+    )
+"""
+
+_D_REPORT = f"""
+    SELECT conv_id, turn_idx AS assistant_turn, is_refusal,
+           (2 * len(list_intersect(req_g, next_g))
+                >= len(list_distinct(req_g || next_g))
+            AND len(list_distinct(req_g || next_g)) > 0) AS re_asked
+    FROM (
+        SELECT conv_id, turn_idx, role, is_refusal,
+               LAG(g) OVER w AS req_g, LAG(role) OVER w AS prev_role,
+               LEAD(g) OVER w AS next_g, LEAD(role) OVER w AS next_role
+        FROM ({_D_GRAMS})
+        WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+    )
+    WHERE role = 'assistant' AND prev_role = 'user' AND next_role = 'user'
+"""
+
+ORACLES: Dict[str, str] = {
+    "refusal_impact_report": _D_REPORT,
+    "refusal_impact_stats": f"""
+        WITH r AS ({_D_REPORT})
+        SELECT SUM(CASE WHEN is_refusal THEN 1 ELSE 0 END)::BIGINT
+                   AS n_refused,
+               SUM(CASE WHEN is_refusal AND re_asked THEN 1 ELSE 0 END)::BIGINT
+                   AS n_refused_reasked,
+               SUM(CASE WHEN NOT is_refusal THEN 1 ELSE 0 END)::BIGINT
+                   AS n_clean,
+               SUM(CASE WHEN NOT is_refusal AND re_asked
+                        THEN 1 ELSE 0 END)::BIGINT AS n_clean_reasked,
+               CASE WHEN SUM(CASE WHEN is_refusal THEN 1 ELSE 0 END) > 0
+                     AND SUM(CASE WHEN NOT is_refusal AND re_asked
+                             THEN 1 ELSE 0 END) > 0
+                    THEN (SUM(CASE WHEN is_refusal AND re_asked
+                              THEN 1 ELSE 0 END)
+                          * SUM(CASE WHEN NOT is_refusal THEN 1 ELSE 0 END)
+                          * {_PPM})
+                         // (SUM(CASE WHEN is_refusal THEN 1 ELSE 0 END)
+                             * SUM(CASE WHEN NOT is_refusal AND re_asked
+                                   THEN 1 ELSE 0 END))
+               END::BIGINT AS reask_lift_micro
+        FROM r
+    """,
+}

@@ -1,0 +1,68 @@
+"""Refusal-impact tests: 2x2 cell semantics on hand-built turns and
+the lift accounting on the planted corpus."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.refusal_impact import (
+    refusal_impact_over,
+    refusal_impact_report,
+    refusal_impact_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+_ASK = "please explain the quicksort pivot selection strategy in detail"
+_REFUSE = "I'm sorry, but I cannot help with that request."
+_ANSWER = "the pivot choice determines partition balance and runtime"
+_MOVE_ON = "fine then tell me about mergesort stability instead please"
+
+
+def _cells(spark, turns):
+    df = spark.createDataFrame(
+        turns, "conv_id long, turn_idx long, role string, text string"
+    )
+    return {
+        (r.conv_id, r.assistant_turn): (r.is_refusal, r.re_asked)
+        for r in refusal_impact_over(df).collect()
+    }
+
+
+def test_cell_semantics(spark):
+    out = _cells(
+        spark,
+        [
+            # conv 0: refusal -> user repeats verbatim (the lift cell)
+            (0, 0, "user", _ASK),
+            (0, 1, "assistant", _REFUSE),
+            (0, 2, "user", _ASK),
+            # conv 1: refusal -> user moves on (policy-consistent cell)
+            (1, 0, "user", _ASK),
+            (1, 1, "assistant", _REFUSE),
+            (1, 2, "user", _MOVE_ON),
+            # conv 2: clean answer -> user moves on
+            (2, 0, "user", _ASK),
+            (2, 1, "assistant", _ANSWER),
+            (2, 2, "user", _MOVE_ON),
+            # conv 3: assistant turn with no following user turn: no row
+            (3, 0, "user", _ASK),
+            (3, 1, "assistant", _ANSWER),
+        ],
+    )
+    assert out[(0, 1)] == (True, True)
+    assert out[(1, 1)] == (True, False)
+    assert out[(2, 1)] == (False, False)
+    assert (3, 1) not in out
+
+
+def test_driver_stats(spark):
+    s = refusal_impact_stats(spark, SF).first()
+    # both planted refusal classes exist
+    assert s.n_refused > 0
+    assert 0 < s.n_refused_reasked < s.n_refused
+    assert s.n_clean > s.n_refused
+    # verbatim re-asks after refusals push the lift far above parity
+    assert s.reask_lift_micro is not None
+    assert s.reask_lift_micro > 1_000_000
+    rep = refusal_impact_report(spark, SF)
+    agg = rep.groupBy("is_refusal").count().collect()
+    assert sum(r["count"] for r in agg) == s.n_refused + s.n_clean
