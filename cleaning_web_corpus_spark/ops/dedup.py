@@ -1037,3 +1037,73 @@ ORACLES["split_leak_audit"] = f"""
     JOIN splits a ON a.doc_id = verified.doc_a
     JOIN splits b ON b.doc_id = verified.doc_b
 """
+
+
+NDLEN_SUSPICIOUS_MICRO = 3_000_000  # len ratio > 3x -> likely FP pair
+
+
+def neardup_length_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-QA: verified near-dup pairs whose token lengths differ
+    wildly are the classic FALSE-POSITIVE signature (a short template
+    fragment colliding with a long document that embeds it) — real
+    near-duplicates have near-equal lengths.  Before trusting a dedup
+    run, an operator reads this table: per verified pair, both token
+    counts and the max/min ratio in exact micro units; pairs above
+    ``NDLEN_SUSPICIOUS_MICRO`` are flagged for manual review (and, in a
+    pipeline that acts on it, routed to the exact-verify stage the
+    Levenshtein operator implements).
+
+    One extra join of the tiny verified edge set against the per-doc
+    token counts (computed in the documents scan projection, text never
+    shuffles); ratio guarded by min_len > 0.
+    """
+    verified = minhash_candidate_jaccard(spark, sf).filter(F.col("near_dup"))
+    lens = t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(lower(text), '{TOKEN_RE}', 0))")
+        .cast("long")
+        .alias("n_tok"),
+    )
+    la = lens.select(F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("len_a"))
+    lb = lens.select(F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("len_b"))
+    paired = (
+        verified.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.least("len_a", "len_b") > 0)
+    )
+    return paired.select(
+        "doc_a",
+        "doc_b",
+        "len_a",
+        "len_b",
+        F.expr("(greatest(len_a, len_b) * 1000000) div least(len_a, len_b)")
+        .alias("len_ratio_micro"),
+    ).select(
+        "*",
+        (F.col("len_ratio_micro") > NDLEN_SUSPICIOUS_MICRO).alias("suspicious"),
+    )
+
+
+QUERIES["neardup_length_audit"] = neardup_length_audit
+
+ORACLES["neardup_length_audit"] = f"""
+    WITH cand AS ({{CAND}}),
+    verified AS (SELECT doc_a, doc_b FROM cand WHERE near_dup),
+    lens AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '{TOKEN_RE}'))::BIGINT
+                   AS n_tok
+        FROM documents
+    )
+    SELECT doc_a, doc_b,
+           la.n_tok AS len_a, lb.n_tok AS len_b,
+           ((GREATEST(la.n_tok, lb.n_tok) * 1000000)
+               // LEAST(la.n_tok, lb.n_tok))::BIGINT AS len_ratio_micro,
+           ((GREATEST(la.n_tok, lb.n_tok) * 1000000)
+               // LEAST(la.n_tok, lb.n_tok)) > {NDLEN_SUSPICIOUS_MICRO}
+               AS suspicious
+    FROM verified
+    JOIN lens la ON la.doc_id = verified.doc_a
+    JOIN lens lb ON lb.doc_id = verified.doc_b
+    WHERE LEAST(la.n_tok, lb.n_tok) > 0
+""".replace("{CAND}", ORACLES["minhash_candidate_jaccard"])

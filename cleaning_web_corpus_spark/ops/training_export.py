@@ -624,3 +624,63 @@ ORACLES["truncation_budget_sweep"] = f"""
                AS lost_ppm
     FROM per_conv GROUP BY budget
 """
+
+
+def truncation_role_bias(spark: SparkSession, sf: str) -> DataFrame:
+    """What prefix truncation does to the ROLE MIX: per role, tokens in
+    the full conversations vs tokens surviving the greedy
+    ``TOKEN_BUDGET`` prefix, as exact integers with one kept-share ppm
+    division.  Prefix truncation is positionally biased — late turns
+    die first — and in alternating chats that lands asymmetrically on
+    roles; a trainer reading this table decides between prefix
+    truncation and the windowed chunker (``conversation_windows``)
+    before the role balance of the SFT mix silently shifts.
+
+    Same single conv exchange as the budget ops: running totals once,
+    one role-keyed aggregate."""
+    turns = _chat_turns(spark, sf)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    run = turns.select(
+        "role",
+        "n_tok",
+        F.sum("n_tok")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_tok"),
+    )
+    return (
+        run.groupBy("role")
+        .agg(
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(
+                F.when(F.col("cum_tok") <= TOKEN_BUDGET, F.col("n_tok")).otherwise(0)
+            )
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+        .select(
+            "role",
+            "tokens_total",
+            "tokens_kept",
+            F.expr("(tokens_kept * 1000000) div tokens_total").alias("kept_ppm"),
+        )
+    )
+
+
+QUERIES["truncation_role_bias"] = truncation_role_bias
+
+ORACLES["truncation_role_bias"] = f"""
+    WITH {_SQL_TURNS},
+    run AS (
+        SELECT role, n_tok,
+               SUM(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                ROWS UNBOUNDED PRECEDING) AS cum_tok
+        FROM roled
+    )
+    SELECT role,
+           SUM(n_tok)::BIGINT AS tokens_total,
+           SUM(CASE WHEN cum_tok <= {TOKEN_BUDGET} THEN n_tok ELSE 0 END)::BIGINT
+               AS tokens_kept,
+           ((SUM(CASE WHEN cum_tok <= {TOKEN_BUDGET} THEN n_tok ELSE 0 END)
+               * 1000000) // SUM(n_tok))::BIGINT AS kept_ppm
+    FROM run GROUP BY role
+"""

@@ -109,3 +109,16 @@ def test_split_leak_audit_invariant(spark):
     assert (
         r.n_pairs_in_train + r.n_pairs_in_eval == r.n_verified_pairs
     )  # with zero leaks every pair is same-split
+
+
+def test_neardup_length_audit(spark):
+    from cleaning_web_corpus_spark.ops.dedup import neardup_length_audit
+
+    rows = neardup_length_audit(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.len_ratio_micro >= 1_000_000  # max/min >= 1 by construction
+        assert r.len_ratio_micro == (
+            max(r.len_a, r.len_b) * 1_000_000
+        ) // min(r.len_a, r.len_b)
+        assert r.suspicious == (r.len_ratio_micro > 3_000_000)

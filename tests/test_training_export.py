@@ -258,3 +258,29 @@ def test_truncation_budget_sweep(spark):
         == ((r.total_tokens - r.kept_tokens) * 1_000_000) // r.total_tokens
         for r in ordered
     )
+
+
+def test_truncation_role_bias(spark):
+    from cleaning_web_corpus_spark.ops.training_export import (
+        truncation_budget_sweep,
+        truncation_role_bias,
+    )
+
+    rows = {r.role: r for r in truncation_role_bias(spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {"user", "assistant"}
+    for r in rows.values():
+        assert 0 <= r.tokens_kept <= r.tokens_total
+        assert r.kept_ppm == (r.tokens_kept * 1_000_000) // r.tokens_total
+    # accounting ties to the budget sweep at the same budget (512)
+    sweep = {
+        r.budget: r
+        for r in truncation_budget_sweep(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert (
+        rows["user"].tokens_kept + rows["assistant"].tokens_kept
+        == sweep[512].kept_tokens
+    )
+    assert (
+        rows["user"].tokens_total + rows["assistant"].tokens_total
+        == sweep[512].total_tokens
+    )
