@@ -1,0 +1,94 @@
+"""LSH banding-parameter advisor: the exact candidate S-curve.
+
+Choosing (bands, rows-per-band) IS choosing the dedup operating point:
+a pair with Jaccard ``s`` becomes an LSH candidate with probability
+``P(s) = 1 - (1 - s^r)^b`` (Leskovec/Rajaraman/Ullman, MMDS ch. 3),
+and the curve's knee decides which near-dups are recalled and how much
+band-collision noise the verify stage must reject.  This op tabulates
+the curve for the engine's actual MinHash layout and the alternative
+layouts of the same signature budget, over a decile similarity grid —
+the table an operator reads NEXT TO ``dedup_threshold_sweep`` (that op
+measures the corpus; this one gives the theory both engines must agree
+on to the last unit).
+
+EXACT arithmetic, no floating pow: with ``s = k/10`` the whole
+expression is one integer rational —
+
+    P_ppm = (10^(rb) - (10^r - k^r)^b) * 1e6  div  10^(rb)
+
+computed in BIGINT (largest intermediate 10^(rb) <= 10^8 at these
+layouts).  The relation is |layouts| x |grid| rows; everything runs on
+literals — the one operator family where the 100 TB plan is "no data
+at all".
+
+Reference scope: tuning-harness extension of the MinHash dedup family
+(the reference hard-codes one pairwise loop and has no banding).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.dedup import BAND_SIZE, N_HASHES
+
+# layouts of the SAME signature budget (b * r = N_HASHES), plus the
+# engine's actual one first
+LAYOUTS = tuple(
+    (N_HASHES // r, r) for r in (BAND_SIZE, 1, N_HASHES // 2, N_HASHES)
+    if N_HASHES % r == 0
+)
+_PPM = 1_000_000
+
+
+def _p_ppm(b: int, r: int, k: int) -> int:
+    """Exact integer P(candidate | s = k/10) in ppm."""
+    num = 10 ** (r * b) - (10**r - k**r) ** b
+    return (num * _PPM) // (10 ** (r * b))
+
+
+def lsh_banding_curve(spark: SparkSession, sf: str) -> DataFrame:
+    """(bands, rows_per_band, s_decile, p_candidate_ppm) over the decile
+    grid — driver-built literals (``sf`` unused), exact in both
+    engines."""
+    rows = [
+        (b, r, k, _p_ppm(b, r, k))
+        for (b, r) in LAYOUTS
+        for k in range(0, 11)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "bands long, rows_per_band long, s_decile long, p_candidate_ppm long",
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lsh_banding_curve": lsh_banding_curve,
+}
+
+# the oracle RE-DERIVES the curve from the closed form in SQL.
+# DuckDB's ``**`` operator routes through DOUBLE (it rounded 7 of 44
+# cells up by one ppm in testing), so the powers are explicit INTEGER
+# multiplication chains — k^r as k*k*..., (10^r - k^r)^b as t*t*...
+# over a BIGINT CTE column; every op stays integer end to end.
+def _chain(term: str, n: int) -> str:
+    return " * ".join([term] * n)
+
+
+_CELLS = " UNION ALL ".join(
+    f"""SELECT {b}::BIGINT AS bands, {r}::BIGINT AS rows_per_band,
+       k::BIGINT AS s_decile,
+       ((({10 ** (r * b)} - {_chain('t', b)}) * {_PPM})
+           // {10 ** (r * b)})::BIGINT AS p_candidate_ppm
+    FROM (
+        SELECT k, ({10 ** r} - {_chain('k', r)})::BIGINT AS t
+        FROM UNNEST(range(0, 11)) AS u(k)
+    )"""
+    for (b, r) in LAYOUTS
+)
+
+ORACLES: Dict[str, str] = {
+    "lsh_banding_curve": f"SELECT * FROM ({_CELLS})",
+}

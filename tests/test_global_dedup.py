@@ -122,3 +122,24 @@ def test_neardup_length_audit(spark):
             max(r.len_a, r.len_b) * 1_000_000
         ) // min(r.len_a, r.len_b)
         assert r.suspicious == (r.len_ratio_micro > 3_000_000)
+
+
+def test_lsh_banding_curve(spark):
+    from cleaning_web_corpus_spark.ops.dedup import BAND_SIZE, N_HASHES
+    from cleaning_web_corpus_spark.ops.lsh_curve import lsh_banding_curve
+
+    rows = lsh_banding_curve(spark, "/root/testdata/sf0.001").collect()
+    by_layout = {}
+    for r in rows:
+        by_layout.setdefault((r.bands, r.rows_per_band), {})[r.s_decile] = (
+            r.p_candidate_ppm
+        )
+    # the engine's actual layout is tabulated
+    assert (N_HASHES // BAND_SIZE, BAND_SIZE) in by_layout
+    for curve in by_layout.values():
+        # boundary exactness + monotonicity of the S-curve
+        assert curve[0] == 0 and curve[10] == 1_000_000
+        vals = [curve[k] for k in range(11)]
+        assert vals == sorted(vals)
+    # more rows per band -> sharper knee: lower P at low similarity
+    assert by_layout[(1, 8)][3] < by_layout[(8, 1)][3]
