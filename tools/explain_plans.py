@@ -134,6 +134,10 @@ PLAN_QUERIES = [
     "audio_segment_manifest",
     "dedup_threshold_sweep",
     "deletion_propagation_report",
+    "refusal_impact_report",
+    "neardup_length_audit",
+    "truncation_role_bias",
+    "split_leak_audit",
     "depth_failure_profile",
     "unimax_allocation",
     "length_quantile_sketch",
