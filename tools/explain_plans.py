@@ -201,12 +201,13 @@ round-3 window ran untouched JVM queries a uniform 1.7-2.5x slower
 than the BENCH_r02 window, see BENCH/BASELINE.md. Each note explains
 the plan shape, which is window-invariant.)
 
-- `embedding_near_dups_exact` (~21 s): the O(n^2) all-pairs cross join,
-  DOCUMENTED TEST-SCALE ONLY (ops/ann.py docstring) — it exists as the
-  recall baseline the banded `embedding_near_dups` (~2 s, bucketed,
-  single UDF pass) is measured against in tests/test_ann.py and as the
-  simplest oracle twin. Never a production operator; benched honestly
-  rather than hidden.
+- `embedding_near_dups_exact` (was ~21-28 s, now ~1 s): re-planned as a
+  distributed blocked GEMM — id-hash blocks, collect_list, block-pair
+  nested-loop join, one numpy cosine tile per pair (ops/ann.py). Same
+  O(n^2) exact contract and oracle, but ~12 us/pair of interpreted
+  zip_with/aggregate became BLAS; it is the per-bucket/per-cell exact
+  scorer of the SemDeDup pattern, still never run GLOBALLY at corpus
+  scale (the banded `embedding_near_dups` is the production operator).
 - `hard_negative_mining` (~5 s) / `hard_negative_stats` (~4.6 s, it
   re-pays the mining like every *_stats twin): one signature-UDF pass,
   one (band, sig) shuffle, then the per-anchor top-HN_K prune INSIDE
