@@ -209,8 +209,8 @@ def embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     ArrowEvalPython nodes). This is the ``simhash_near_dups`` shape
     instead (ops/dedup.py:224-240): ``collect_list`` groups each
     (band, sig) bucket into one row — ONE UDF pass, ONE shuffle — and
-    pair expansion + the zip_with dot product run natively inside the
-    bucket row. Size-1 buckets yield no pairs, so the
+    in-bucket scoring is one numpy cosine tile per bucket (see
+    ``banded_candidate_pairs``). Size-1 buckets yield no pairs, so the
     ``size(rs) BETWEEN 2 AND cap`` filter is contract-identical to the
     oracle's ``n_bucket <= cap`` window cap."""
     return banded_candidate_pairs(spark, sf).filter(
@@ -218,16 +218,40 @@ def embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _round6(S: np.ndarray) -> np.ndarray:
+    """HALF_AWAY_FROM_ZERO at 6 decimals — the rounding semantics both
+    Spark ``round()`` and DuckDB ``ROUND`` implement (np.round is
+    banker's, which would differ at exactly-representable halves)."""
+    return np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+
+
+def _bucket_mats(rs) -> tuple:
+    """One collected bucket -> (ids, E, norms) sorted by vec_id so
+    position order implies id order for triangle extraction."""
+    ids = np.fromiter((r["vec_id"] for r in rs), dtype=np.int64, count=len(rs))
+    E = np.array([r["emb"] for r in rs], dtype=np.float64)
+    nrm = np.fromiter((r["norm"] for r in rs), dtype=np.float64, count=len(rs))
+    order = np.argsort(ids, kind="stable")
+    return ids[order], E[order], nrm[order]
+
+
 def banded_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """All scored LSH band-bucket candidate pairs
     ``(vec_a < vec_b, cosine)`` with NO similarity threshold — the
     shared candidate relation under ``embedding_near_dups`` (which
-    keeps ``cosine >= NEAR_DUP_COS``) and ``ops/margin_mining`` (which
-    ranks by neighborhood margin instead of raw cosine)."""
-    # precompute each vector's norm ONCE before the explode: the
-    # per-pair cosine then costs a single zip_with dot product instead
-    # of three array aggregates (the norms are the identical float
-    # expressions, so the rounded result is bit-equal to the oracle's)
+    keeps ``cosine >= NEAR_DUP_COS``), ``ops/margin_mining`` (which
+    ranks by neighborhood margin) and ``ops/hard_negatives``.
+
+    In-bucket scoring is a numpy cosine tile per collected bucket
+    (the blocked-GEMM move from ``embedding_near_dups_exact``, applied
+    inside each (band, sig) bucket): the round-2/3 native form paid
+    ~12 us per pair of interpreted ``zip_with``/``aggregate``
+    evaluation, which dominated every consumer of this relation.  The
+    norms stay the JVM sequential-sum expression (bit-equal to the
+    oracle's); only the dot product moves to BLAS — last-ulp noise on a
+    64-term float64 sum, far inside the 1e-6 rounding grid.  Plan: ONE
+    ArrowEvalPython (signatures) + ONE MapInPandas (tile scorer), one
+    (band, sig) shuffle, nothing corpus-sized collected."""
     sigs = (
         _emb_double(spark, sf)
         .withColumn("sigs", _band_sigs_udf()(F.col("emb")))
@@ -241,21 +265,20 @@ def banded_candidate_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.collect_list(F.struct("vec_id", "emb", "norm")).alias("rs"))
         .filter(F.size("rs").between(2, ND_MAX_BUCKET))
     )
-    # id-filter BEFORE the cosine lambda so the dot product is paid on
-    # the kept half of the pair matrix only
-    pairs = F.expr(
-        "transform("
-        " filter(flatten(transform(rs, x -> transform(rs, y -> struct(x AS a, y AS b)))),"
-        "        p -> p.a.vec_id < p.b.vec_id),"
-        " p -> struct(p.a.vec_id AS vec_a, p.b.vec_id AS vec_b,"
-        "      round(aggregate(zip_with(p.a.emb, p.b.emb, (x, y) -> x * y),"
-        "      0D, (s, v) -> s + v) / (p.a.norm * p.b.norm), 6) AS cosine))"
-    )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.vec_a", "p.vec_b", "p.cosine")
-        .distinct()
-    )
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for rs in pdf["rs"]:
+                ids, E, nrm = _bucket_mats(rs)
+                S = _round6((E @ E.T) / np.outer(nrm, nrm))
+                iu, ju = np.triu_indices(len(ids), k=1)
+                yield pd.DataFrame(
+                    {"vec_a": ids[iu], "vec_b": ids[ju], "cosine": S[iu, ju]}
+                )
+
+    return buckets.mapInPandas(
+        _score, "vec_a long, vec_b long, cosine double"
+    ).distinct()
 
 
 def _planes() -> np.ndarray:

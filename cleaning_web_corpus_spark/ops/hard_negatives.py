@@ -20,8 +20,9 @@ bucket collides, so the work is sum-of-bucket² instead of n².
 
 Plan shape: ONE signature-UDF pass (the ``asNondeterministic`` Arrow
 UDF shared with embedding_near_dups), one (band, sig) shuffle into
-``collect_list`` buckets, native in-bucket pair expansion, then one
-window on anchor for the top-k.  Nothing corpus-sized is collected;
+``collect_list`` buckets, one numpy cosine tile + per-anchor top-k
+prune per bucket (MapInPandas), then one window on anchor for the
+global top-k.  Nothing corpus-sized is collected;
 the flood cap (``ND_MAX_BUCKET``) bounds every bucket.  At 100 TB you
 raise ``ND_BAND_BITS`` so buckets stay ~k·fanout, exactly as the
 near-dup operator documents.
@@ -38,8 +39,10 @@ of ``ops/ann``.
 
 from __future__ import annotations
 
-from typing import Callable, Dict
+from typing import Callable, Dict, Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -51,6 +54,7 @@ from cleaning_web_corpus_spark.ops.ann import (
     _band_sigs_udf,
     _emb_double,
     _nd_planes,
+    _round6,
     _sql_band_sig,
 )
 
@@ -74,10 +78,10 @@ def _cross_label_candidates(spark: SparkSession, sf: str) -> DataFrame:
     distinct + window downstream then touch K rows per (anchor, band)
     instead of the whole pair matrix.  The false-negative guard
     (cosine < NEAR_DUP_COS) applies before the in-bucket ranking, same
-    as the global contract.  The per-anchor sort comparator orders
-    exactly like the global window (cosine desc, negative asc), and
-    cosines are rounded to 6 decimals BEFORE it so the two rankings
-    cannot diverge on float noise.
+    as the global contract.  The per-anchor lexsort orders exactly
+    like the global window (cosine desc, negative asc), and cosines
+    are rounded to 6 decimals BEFORE it so the two rankings cannot
+    diverge on float noise.
 
     No self-union anywhere: a union would reference this subtree twice
     and duplicate the signature-UDF pipeline in the plan (the round-2
@@ -101,30 +105,67 @@ def _cross_label_candidates(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.size("rs").between(2, ND_MAX_BUCKET))
     )
-    per_anchor_topk = F.expr(
-        "flatten(transform(rs, x ->"
-        " slice(array_sort("
-        "  filter("
-        "   transform("
-        "    filter(rs, y -> y.vec_id != x.vec_id AND y.label != x.label),"
-        "    y -> struct(x.vec_id AS anchor, x.label AS anchor_label,"
-        "         y.vec_id AS negative, y.label AS negative_label,"
-        "         round(aggregate(zip_with(x.emb, y.emb, (u, v) -> u * v),"
-        "         0D, (s, v) -> s + v) / (x.norm * y.norm), 6) AS cosine)),"
-        f"  c -> c.cosine < {NEAR_DUP_COS!r}),"
-        "  (l, r) -> case when l.cosine > r.cosine then -1"
-        "                 when l.cosine < r.cosine then 1"
-        "                 when l.negative < r.negative then -1"
-        "                 when l.negative > r.negative then 1 else 0 end),"
-        f" 1, {HN_K})))"
-    )
-    return (
-        buckets.select(F.explode(per_anchor_topk).alias("q"))
-        .select(
-            "q.anchor", "q.anchor_label", "q.negative", "q.negative_label", "q.cosine"
-        )
-        .distinct()  # a pair colliding in several bands carries identical values
-    )
+    def _mine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # numpy tile per bucket (the banded_candidate_pairs GEMM move):
+        # the previous native form paid ~12 us of interpreted
+        # zip_with/aggregate per in-bucket pair. Per anchor row of the
+        # tile: mask same-id / same-label / near-dup-suspect entries,
+        # then lexsort (cosine desc, negative id asc) and keep HN_K —
+        # the identical comparator the global window applies, on
+        # already-rounded cosines, so the two rankings cannot diverge.
+        for pdf in batches:
+            out = []
+            for rs in pdf["rs"]:
+                n = len(rs)
+                ids = np.fromiter(
+                    (r["vec_id"] for r in rs), dtype=np.int64, count=n
+                )
+                E = np.array([r["emb"] for r in rs], dtype=np.float64)
+                nrm = np.fromiter(
+                    (r["norm"] for r in rs), dtype=np.float64, count=n
+                )
+                labels = np.array([r["label"] for r in rs], dtype=object)
+                S = _round6((E @ E.T) / np.outer(nrm, nrm))
+                for i in range(n):
+                    ok = (
+                        (ids != ids[i])
+                        & (labels != labels[i])
+                        & (S[i] < NEAR_DUP_COS)
+                    )
+                    js = np.nonzero(ok)[0]
+                    if js.size == 0:
+                        continue
+                    js = js[np.lexsort((ids[js], -S[i, js]))[:HN_K]]
+                    out.append(
+                        pd.DataFrame(
+                            {
+                                "anchor": ids[i],
+                                "anchor_label": labels[i],
+                                "negative": ids[js],
+                                "negative_label": labels[js],
+                                "cosine": S[i, js],
+                            }
+                        )
+                    )
+            yield (
+                pd.concat(out, ignore_index=True)
+                if out
+                else pd.DataFrame(
+                    {
+                        "anchor": pd.Series(dtype="int64"),
+                        "anchor_label": pd.Series(dtype="object"),
+                        "negative": pd.Series(dtype="int64"),
+                        "negative_label": pd.Series(dtype="object"),
+                        "cosine": pd.Series(dtype="float64"),
+                    }
+                )
+            )
+
+    return buckets.mapInPandas(
+        _mine,
+        "anchor long, anchor_label int, negative long,"
+        " negative_label int, cosine double",
+    ).distinct()  # a pair colliding in several bands carries identical values
 
 
 def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:

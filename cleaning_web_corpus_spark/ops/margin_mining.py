@@ -13,20 +13,19 @@ ordinary neighbors.  At corpus scale the neighborhoods come from the
 SAME banded-LSH candidate graph the near-dup pass uses (shuffle on
 (band, sig), flood cap, never a cross join).
 
-Plan shape — ONE evaluation of the signature-UDF subtree, enforced
-the ``hard_negatives`` way: the bucket pass emits BOTH orientations of
-every in-bucket pair (``(v, nb, cos)`` and ``(nb, v, cos)``) in a
-single native explode, so no self-union and no join-back-to-pairs
-diamond ever references the subtree twice (a naive
-pairs-union-aggregate-join form executed FIVE ArrowEvalPython nodes —
-the round-2 defect class, VERDICT r02 #1; the ``asNondeterministic``
-UDF also defeats exchange reuse, so restructuring is the only real
-fix).  Each endpoint's neighborhood then attaches by WINDOWED
-conditional sums over the ordered relation — partition by ``v`` for
-the left hood, partition by ``nb`` for the right hood (symmetry makes
-rows ``(*, nb)`` carry exactly nb's neighbor cosines) — two
-candidate-sized shuffles, zero joins.  A plan test pins the single
-ArrowEvalPython.
+Plan shape — ONE evaluation of the bucket subtree (signature UDF +
+GEMM tile scorer, shared via ``ann.banded_candidate_pairs``): pairs
+are scored once, then BOTH orientations fan out in a single native
+2-element explode, so no self-union and no join-back-to-pairs diamond
+ever references the subtree twice (a naive pairs-union-aggregate-join
+form executed FIVE ArrowEvalPython nodes — the round-2 defect class,
+VERDICT r02 #1; the ``asNondeterministic`` UDF also defeats exchange
+reuse, so restructuring is the only real fix).  Each endpoint's
+neighborhood then attaches by WINDOWED conditional sums over the
+ordered relation — partition by ``v`` for the left hood, partition by
+``nb`` for the right hood (symmetry makes rows ``(*, nb)`` carry
+exactly nb's neighbor cosines) — two candidate-sized shuffles, zero
+joins.  A plan test pins one ArrowEvalPython + one MapInPandas.
 
 Exactness under the cross-engine gate:
 
@@ -53,9 +52,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cleaning_web_corpus_spark.ops.ann import (
-    ND_MAX_BUCKET,
-    _band_sigs_udf,
-    _emb_double,
+    banded_candidate_pairs,
     candidate_pairs_oracle_sql,
 )
 
@@ -67,44 +64,30 @@ _PPM = 1_000_000
 
 def _ordered_candidates(spark: SparkSession, sf: str) -> DataFrame:
     """Both orientations of every scored LSH candidate pair
-    ``(v, nb, cos_micro)`` from ONE bucket pass (single UDF subtree —
-    see module docstring)."""
-    sigs = (
-        _emb_double(spark, sf)
-        .withColumn("sigs", _band_sigs_udf()(F.col("emb")))
-        .withColumn(
-            "norm", F.sqrt(F.expr("aggregate(emb, 0D, (s, v) -> s + v * v)"))
+    ``(v, nb, cos_micro)``, built ON TOP of the shared
+    ``banded_candidate_pairs`` relation (one signature-UDF pass + one
+    GEMM tile scorer, already distinct) — the orientation fan-out is a
+    native 2-element explode AFTER scoring, so each cosine is paid once
+    and no self-union ever references the bucket subtree twice."""
+    cand = banded_candidate_pairs(spark, sf).withColumn(
+        "cos_micro",
+        F.expr(f"cast(floor(cosine * {_PPM} + 0.5) as bigint)"),
+    )
+    both = F.explode(
+        F.array(
+            F.struct(
+                F.col("vec_a").alias("v"),
+                F.col("vec_b").alias("nb"),
+                F.col("cos_micro"),
+            ),
+            F.struct(
+                F.col("vec_b").alias("v"),
+                F.col("vec_a").alias("nb"),
+                F.col("cos_micro"),
+            ),
         )
     )
-    banded = sigs.select(
-        "vec_id", "emb", "norm", F.posexplode("sigs").alias("band", "sig")
-    )
-    buckets = (
-        banded.groupBy("band", "sig")
-        .agg(F.collect_list(F.struct("vec_id", "emb", "norm")).alias("rs"))
-        .filter(F.size("rs").between(2, ND_MAX_BUCKET))
-    )
-    # score each UNORDERED pair once (id-filter before the dot product,
-    # the near-dup shape), THEN fan the scored value out to both
-    # orientations — emitting directions before scoring would pay every
-    # cosine twice
-    ordered = F.expr(
-        "flatten(transform("
-        " transform("
-        "  filter(flatten(transform(rs, x -> transform(rs, y -> struct(x AS a, y AS b)))),"
-        "         p -> p.a.vec_id < p.b.vec_id),"
-        "  p -> struct(p.a.vec_id AS va, p.b.vec_id AS vb,"
-        f"      cast(floor(round(aggregate(zip_with(p.a.emb, p.b.emb, (x, y) -> x * y),"
-        f"      0D, (s, v) -> s + v) / (p.a.norm * p.b.norm), 6) * {_PPM} + 0.5)"
-        "       as bigint) AS c)),"
-        " s -> array(struct(s.va AS v, s.vb AS nb, s.c AS cos_micro),"
-        "            struct(s.vb AS v, s.va AS nb, s.c AS cos_micro))))"
-    )
-    return (
-        buckets.select(F.explode(ordered).alias("p"))
-        .select("p.v", "p.nb", "p.cos_micro")
-        .distinct()  # multi-band collisions carry identical values
-    )
+    return cand.select(both.alias("p")).select("p.v", "p.nb", "p.cos_micro")
 
 
 def _with_margin(ordered: DataFrame) -> DataFrame:

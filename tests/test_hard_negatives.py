@@ -64,6 +64,8 @@ def test_single_udf_evaluation(spark):
         df.explain("formatted")
     nodes = re.findall(r"^\(\d+\) (\w+)", buf.getvalue(), re.M)
     assert sum(1 for n in nodes if n == "ArrowEvalPython") == 1
+    # the in-bucket GEMM miner is the only other Python stage
+    assert sum(1 for n in nodes if n == "MapInPandas") == 1
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

@@ -94,3 +94,6 @@ def test_single_udf_evaluation_plan(spark):
     # "== Initial Plan ==" copy, which would double every node
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("ArrowEvalPython") == 1, final
+    # ... and the bucket GEMM tile scorer exactly once (shared
+    # banded_candidate_pairs relation, no duplicate subtree)
+    assert final.count("MapInPandas") == 1, final
