@@ -199,7 +199,55 @@ SLOW_QUERY_NOTES = """\
 (Absolute times swing with the sandbox's drifting core speed — a late
 round-3 window ran untouched JVM queries a uniform 1.7-2.5x slower
 than the BENCH_r02 window, see BENCH/BASELINE.md. Each note explains
-the plan shape, which is window-invariant.)
+the plan shape, which is window-invariant. General rule for the
+``*_stats`` / ``*_report`` twins throughout: each re-pays its base
+query's full composition by design — every entry must be a
+self-contained DataFrame for the oracle gate; in production the twin
+reads the persisted base stage.)
+
+- `split_leak_audit` (~4.8 s, the slowest surviving entry): the
+  continuous no-leak invariant — it re-pays BOTH the verified near-dup
+  edge set (`minhash_candidate_jaccard`) and the component-keyed split
+  relation (`component_safe_splits`, itself re-paying the bounded
+  connected-components rounds), then two doc_id equi-joins of the tiny
+  edge set against the splits and one 1-row aggregate. The expensive
+  parts are the two upstream compositions benched separately; at
+  corpus scale both read persisted stages and the edge side
+  broadcasts (ops/dedup.py:979).
+- `ngram_lm_scores` (~3.6 s) / `ngram_lm_lang_stats` (~3.8 s, the
+  stats twin): TRAIN + SCORE in one entry — the trigram-count model is
+  a RELATION (never collected/broadcast; CCNet-style corpus-trained
+  LM), its context/vocab branches hang off one ReusedExchange
+  (plan-asserted), and held-out scoring shuffle-joins test trigrams on
+  the (lang, ctx, w3) key both sides already carry. Two corpus scans
+  (train split, test split) is the floor for train+eval in one query
+  (ops/ngram_lm.py).
+- `effective_tokens_by_source` (~3.4 s): re-pays the
+  `fuzzy_dedup_survivors` composition, then one doc_id equi-join
+  against the pruned (doc_id, source, token-count) projection — text
+  dies at the scan, only counts ride the join — and one per-source
+  aggregate. The gate hash deliberately covers dedup AND the token
+  accounting in one query (ops/effective_tokens.py).
+- `host_pagerank_stats` (~3.2 s) / `containment_stats` (~2.7 s) /
+  `conversation_dedup_stats` (~2.4 s) / `global_line_dedup_stats`
+  (~2.3 s) / `quality_signals_summary` (~2.2 s) /
+  `fertility_word_outliers` (~2.1 s) / `basket_lift_stats` (~2.0 s):
+  stats twins of audited base queries (`host_pagerank`,
+  `containment_dup_pairs`, `conversation_near_dups`,
+  `global_line_dedup`, `quality_signals_table`, `tokenizer_fertility`,
+  `basket_pair_lift`) — each is the base composition plus one final
+  aggregate/projection; the base plan notes apply unchanged.
+- `labeler_agreement_report` (~2.5 s): re-trains the bounded NB
+  quality classifier (the `quality_classifier_scores` pattern — two
+  bounded eager training passes + broadcast-model inference), then ONE
+  exact-integer confusion aggregate; kappa in the N²-multiplied po/pe
+  form so the only division is the final one. Time at this sf is the
+  three job launches, not data (ops/agreement.py).
+- `cms_heavy_hitters` (~2.7 s): the Count-Min relation is built by ONE
+  (depth x bucket) aggregate over the exploded token stream, then
+  candidates (distinct tokens) probe it with a min-over-depth
+  aggregate — two shuffles, both on integer keys; sketch size is
+  (d x w) rows regardless of corpus size (ops/sketches.py).
 
 - `embedding_near_dups_exact` (was ~21-28 s, now ~1 s): re-planned as a
   distributed blocked GEMM — id-hash blocks, collect_list, block-pair
