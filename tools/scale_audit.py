@@ -1,0 +1,102 @@
+"""Empirical data-scaling audit: time every query at two scale factors.
+
+The plan audit (tools/explain_plans.py) argues each query's shape
+survives scale-up; this tool MEASURES it. Every ``queries()`` entry is
+timed at sf0.01 and sf0.1 (10x the rows) inside ONE Spark session,
+back-to-back, so both levels sample the same host-speed window. The
+ratio classifies each entry:
+
+- **fixed-cost** (< 3x): job-launch / shuffle-floor dominated at these
+  sizes — the data term is not yet visible; nothing to audit.
+- **sublinear** (3-8x): partial aggregation / pruning / top-k absorb
+  part of the growth.
+- **~linear** (8-13x): the expected slope for a scan-bound query; at
+  1000x the data this is exactly the entry that needs 1000x the
+  cluster, which is the definition of scalable.
+- **superlinear** (> 13x): a red flag — candidate volume, a widening
+  join, or a collect growing faster than the input. Each one gets
+  investigated or documented.
+
+Usage: python tools/scale_audit.py [sf_small_dir] [sf_big_dir]
+Writes BENCH/SCALE_AUDIT.md and prints the superlinear list.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402
+
+FIXED, SUB, LIN = 3.0, 8.0, 13.0
+
+
+def classify(ratio: float) -> str:
+    if ratio < FIXED:
+        return "fixed-cost"
+    if ratio < SUB:
+        return "sublinear"
+    if ratio < LIN:
+        return "~linear"
+    return "SUPERLINEAR"
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    big = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = bench._build(f"local[{bench.CPUS}]", bench.CPUS)
+    try:
+        bench.warm_up(spark)
+        t_small = bench.time_queries(spark, small)
+        t_big = bench.time_queries(spark, big)
+    finally:
+        spark.stop()
+
+    rows = []
+    for name in sorted(t_small):
+        a, b = t_small[name], t_big.get(name)
+        if b is None:
+            continue
+        ratio = b / a if a > 0 else float("inf")
+        rows.append((name, a, b, ratio, classify(ratio)))
+    rows.sort(key=lambda r: -r[3])
+
+    counts: dict[str, int] = {}
+    for *_, cls in rows:
+        counts[cls] = counts.get(cls, 0) + 1
+
+    lines = [
+        "# Data-scaling audit: per-query wall time at sf0.01 vs sf0.1 (10x rows)",
+        "",
+        "Both levels measured in ONE Spark session back-to-back (same",
+        "host window), steady-state best-of-2 per query per level",
+        f"(bench.time_queries), local[{bench.CPUS}]. Ratio thresholds:",
+        f"fixed-cost < {FIXED}x <= sublinear < {SUB}x <= ~linear < {LIN}x <=",
+        "SUPERLINEAR. A ~linear entry needs a proportionally bigger",
+        "cluster at bigger data — that is the scalable slope; a",
+        "SUPERLINEAR entry grows faster than its input and gets an",
+        "investigation note below. Regenerate: `python tools/scale_audit.py`.",
+        "",
+        "Classification counts: "
+        + ", ".join(f"{k} {v}" for k, v in sorted(counts.items())),
+        "",
+        "| query | sf0.01 s | sf0.1 s | ratio | class |",
+        "| --- | --- | --- | --- | --- |",
+    ]
+    for name, a, b, ratio, cls in rows:
+        lines.append(f"| `{name}` | {a:.2f} | {b:.2f} | {ratio:.1f}x | {cls} |")
+    lines.append("")
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open(os.path.join("BENCH", "SCALE_AUDIT.md"), "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote BENCH/SCALE_AUDIT.md ({len(rows)} queries)")
+    for name, a, b, ratio, cls in rows:
+        if cls == "SUPERLINEAR":
+            print(f"SUPERLINEAR {name}: {a:.2f} -> {b:.2f} ({ratio:.1f}x)")
+
+
+if __name__ == "__main__":
+    main()
