@@ -1,0 +1,201 @@
+"""Embedding-based (semantic) test-set decontamination.
+
+The n-gram decontamination pass (``ops/decontam.py``) catches verbatim
+and near-verbatim eval leakage, but a PARAPHRASED eval item shares no
+8-gram with its source — the leak the lexical pass cannot see.  The
+standard countermeasure (used by Llama/Phi-style data cards) is
+embedding similarity against the eval suite: a training document whose
+nearest eval-item cosine clears a threshold is flagged as semantically
+contaminated.
+
+Split (deterministic, mirrors the lexical pass's ``doc_id``-mod eval
+split): ``vec_id % SEM_EVAL_MOD == 0`` is the eval suite, the rest is
+the training corpus.
+
+Plan shape (the 100 TB story): the eval suite is a FIXED benchmark set
+— bounded by construction, like the IVF training sample — so it is the
+one side that may be collected (sorted by vec_id, so numpy argmax tie
+-> lowest eval id) and shipped to executors inside the mapInPandas
+closure (~eval_n x 64 float64, a few MB).  The training side is ONE
+scan, ZERO shuffles: each Arrow batch computes a blocked GEMM
+``E_batch @ E_eval.T`` (the ``embedding_near_dups_exact`` move) and
+emits per-vector ``(matched_eval_id, max_cosine)``.  At 10^12 rows the
+job is embarrassingly parallel — no exchange exists to skew.
+
+Rounding parity: cosines are rounded HALF_AWAY_FROM_ZERO at 6 dp
+(``ops/ann._round6``) BEFORE the per-row argmax, and the oracle ranks
+by the same rounded value with the same ``eval_id ASC`` tie-break, so
+both engines agree even when two eval items tie on the rounded grid.
+BLAS-vs-sequential float64 summation is last-ulp noise far inside the
+1e-6 grid (same argument, and the same gate evidence, as
+``banded_candidate_pairs``).
+
+Aggregate design: the stats row uses only order-independent reductions
+(counts, MAX of per-row rounded values) — no float mean whose
+accumulation order could differ between engines.
+
+Reference scope: beyond the reference (its pipeline has no eval-leak
+handling at all); extends the decontamination family alongside the
+8-gram pass.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.ann import _emb_double, _round6
+
+SEM_EVAL_MOD = 10  # vec_id % 10 == 0 -> eval suite (10% at test scale)
+SEM_THRESH = 0.45  # same grid as NEAR_DUP_COS: flags the near-dup tier
+TOP_REPORT = 20
+
+
+def _eval_matrix(spark: SparkSession, sf: str) -> tuple:
+    """Collect the eval suite (BOUNDED: a benchmark set is fixed-size
+    regardless of corpus size — the documented IVF-style exception to
+    no-driver-collect), sorted by vec_id so numpy's first-occurrence
+    argmax implements the lowest-eval-id tie-break."""
+    rows = (
+        _emb_double(spark, sf)
+        .filter(F.pmod(F.col("vec_id"), F.lit(SEM_EVAL_MOD)) == 0)
+        .select("vec_id", "emb")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    E = np.array([r["emb"] for r in rows], dtype=np.float64)
+    return ids, E
+
+
+def _nearest_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Per training vector: nearest eval item id + rounded max cosine.
+
+    One scan of the train side, blocked GEMM per Arrow batch against
+    the closure-shipped eval matrix; no shuffle anywhere."""
+    eval_ids, eval_E = _eval_matrix(spark, sf)
+    eval_norm = np.sqrt((eval_E * eval_E).sum(axis=1))
+
+    train = (
+        _emb_double(spark, sf)
+        .filter(F.pmod(F.col("vec_id"), F.lit(SEM_EVAL_MOD)) != 0)
+        .select("vec_id", "emb")
+    )
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            E = np.array(list(pdf["emb"]), dtype=np.float64)
+            nrm = np.sqrt((E * E).sum(axis=1))
+            S = _round6((E @ eval_E.T) / np.outer(nrm, eval_norm))
+            j = S.argmax(axis=1)  # first max -> lowest eval_id (sorted)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "matched_eval_id": eval_ids[j],
+                    "max_cosine": S[np.arange(len(ids)), j],
+                }
+            )
+
+    return train.mapInPandas(
+        _score, "vec_id long, matched_eval_id long, max_cosine double"
+    )
+
+
+def semantic_decontam_report(spark: SparkSession, sf: str) -> DataFrame:
+    """The TOP_REPORT training vectors closest to any eval item, with
+    the contamination flag at SEM_THRESH — the review queue a data
+    curator reads top-down (flagged rows first, then the near-misses
+    that calibrate the threshold)."""
+    return (
+        _nearest_eval(spark, sf)
+        .select(
+            "vec_id",
+            "matched_eval_id",
+            "max_cosine",
+            (F.col("max_cosine") >= SEM_THRESH).alias("contaminated"),
+        )
+        .orderBy(F.desc("max_cosine"), F.asc("vec_id"))
+        .limit(TOP_REPORT)
+    )
+
+
+def semantic_decontam_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row governance summary: corpus/eval sizes, flag count, and
+    the distribution of nearest-eval cosine in fixed bands (counts and
+    MAX only — order-independent, hash-safe)."""
+    scored = _nearest_eval(spark, sf)
+    n_eval = (
+        _emb_double(spark, sf)
+        .filter(F.pmod(F.col("vec_id"), F.lit(SEM_EVAL_MOD)) == 0)
+        .count()
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_train"),
+        F.lit(n_eval).cast("long").alias("n_eval"),
+        F.sum((F.col("max_cosine") >= SEM_THRESH).cast("long"))
+        .cast("long")
+        .alias("n_contaminated"),
+        F.max("max_cosine").alias("top_cosine"),
+        F.sum((F.col("max_cosine") >= 0.40).cast("long"))
+        .cast("long")
+        .alias("n_above_040"),
+        F.sum((F.col("max_cosine") >= 0.30).cast("long"))
+        .cast("long")
+        .alias("n_above_030"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "semantic_decontam_report": semantic_decontam_report,
+    "semantic_decontam_stats": semantic_decontam_stats,
+}
+
+# nearest-eval relation, restated: rounded cosine, rank by the ROUNDED
+# value with eval_id ASC tie-break (the numpy argmax semantics above)
+_SQL_NEAREST = f"""
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    ev AS (SELECT vec_id AS eval_id, e AS ee FROM emb
+           WHERE vec_id % {SEM_EVAL_MOD} = 0),
+    tr AS (SELECT vec_id, e FROM emb WHERE vec_id % {SEM_EVAL_MOD} != 0),
+    scored AS (
+        SELECT tr.vec_id, eval_id,
+               ROUND(list_dot_product(e, ee) /
+                     (sqrt(list_dot_product(e, e)) *
+                      sqrt(list_dot_product(ee, ee))), 6) AS cosine
+        FROM tr, ev),
+    best AS (
+        SELECT vec_id, eval_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, eval_id ASC) AS rn
+        FROM scored)
+"""
+
+ORACLES: Dict[str, str] = {
+    "semantic_decontam_report": f"""
+        WITH {_SQL_NEAREST}
+        SELECT vec_id, eval_id AS matched_eval_id, cosine AS max_cosine,
+               cosine >= {SEM_THRESH} AS contaminated
+        FROM best WHERE rn = 1
+        ORDER BY max_cosine DESC, vec_id ASC LIMIT {TOP_REPORT}
+    """,
+    "semantic_decontam_stats": f"""
+        WITH {_SQL_NEAREST}
+        SELECT COUNT(*)::BIGINT AS n_train,
+               (SELECT COUNT(*) FROM ev)::BIGINT AS n_eval,
+               SUM(CASE WHEN cosine >= {SEM_THRESH} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_contaminated,
+               MAX(cosine) AS top_cosine,
+               SUM(CASE WHEN cosine >= 0.40 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_above_040,
+               SUM(CASE WHEN cosine >= 0.30 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_above_030
+        FROM best WHERE rn = 1
+    """,
+}

@@ -1,0 +1,82 @@
+"""Semantic (embedding-based) decontamination — handcrafted-vector
+semantics; the sf-dir queries also carry full DuckDB oracles
+(ops/semantic_decontam.ORACLES)."""
+
+import numpy as np
+import pandas as pd
+
+from cleaning_web_corpus_spark.ops.semantic_decontam import (
+    SEM_EVAL_MOD,
+    SEM_THRESH,
+    semantic_decontam_report,
+    semantic_decontam_stats,
+)
+
+
+def _write_emb(tmp_path, rows):
+    pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [np.asarray(r[1], dtype=np.float32) for r in rows],
+            "label": [0] * len(rows),
+        }
+    ).to_parquet(tmp_path / "embeddings.parquet", index=False)
+    return str(tmp_path)
+
+
+E1 = [1.0, 0.0, 0.0, 0.0]
+E2 = [0.0, 1.0, 0.0, 0.0]
+E3 = [0.0, 0.0, 1.0, 0.0]
+
+
+def test_flags_aligned_vector_and_tie_breaks_low_eval_id(spark, tmp_path):
+    sf = _write_emb(
+        tmp_path,
+        [
+            (SEM_EVAL_MOD, E1),  # eval item A (id 10)
+            (2 * SEM_EVAL_MOD, E2),  # eval item B (id 20)
+            (1, [2.0, 0.0, 0.0, 0.0]),  # parallel to A -> cosine 1.0
+            (2, E3),  # orthogonal to both -> cosine 0.0
+            (3, [1.0, 1.0, 0.0, 0.0]),  # 45 deg to A AND B -> exact tie
+        ],
+    )
+    rows = {r.vec_id: r for r in semantic_decontam_report(spark, sf).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].max_cosine == 1.0 and rows[1].contaminated
+    assert rows[1].matched_eval_id == SEM_EVAL_MOD
+    assert rows[2].max_cosine == 0.0 and not rows[2].contaminated
+    # exact-tie rank: the LOWER eval id wins in both engines
+    assert rows[3].matched_eval_id == SEM_EVAL_MOD
+    assert rows[3].max_cosine == round(1 / np.sqrt(2), 6)
+    assert rows[3].contaminated  # 0.707107 >= SEM_THRESH
+
+
+def test_report_is_ranked_and_eval_side_excluded(spark, tmp_path):
+    rows = [(SEM_EVAL_MOD, E1)]
+    # train ids 1..9 at decreasing alignment with the eval vector
+    for i in range(1, 10):
+        rows.append((i, [10.0 - i, float(i), 0.0, 0.0]))
+    sf = _write_emb(tmp_path, rows)
+    out = semantic_decontam_report(spark, sf).collect()
+    ids = [r.vec_id for r in out]
+    assert SEM_EVAL_MOD not in ids  # eval items never appear as train
+    cosines = [r.max_cosine for r in out]
+    assert cosines == sorted(cosines, reverse=True)
+    assert ids[0] == 1  # most aligned first
+
+
+def test_stats_counts(spark, tmp_path):
+    sf = _write_emb(
+        tmp_path,
+        [
+            (SEM_EVAL_MOD, E1),
+            (1, E1),  # cosine 1.0 -> contaminated
+            (2, E2),  # cosine 0.0
+            (3, [1.0, 1.0, 0.0, 0.0]),  # 0.707107 -> contaminated
+        ],
+    )
+    r = semantic_decontam_stats(spark, sf).collect()[0]
+    assert (r.n_train, r.n_eval, r.n_contaminated) == (3, 1, 2)
+    assert r.top_cosine == 1.0
+    assert r.n_above_040 == 2 and r.n_above_030 == 2
+    assert SEM_THRESH <= 0.707  # the tie fixture stays above threshold
