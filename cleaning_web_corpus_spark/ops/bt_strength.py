@@ -1,0 +1,282 @@
+"""Bradley-Terry strength estimation from pairwise preference battles.
+
+Arena-style preference data (the Chatbot-Arena / RLHF-eval shape) asks
+one question of a pile of pairwise outcomes: what is each competitor's
+latent strength?  The standard answer is the Bradley-Terry model
+``P(i beats j) = p_i / (p_i + p_j)`` fit by Hunter's (2004) MM
+iteration:
+
+    p_i  <-  W_i / sum_j ( n_ij / (p_i + p_j) )
+
+This op is that fit as DataFrame rounds, exactly gate-reproducible:
+
+* the corpus-sized work is ONE aggregation: raw battles -> the
+  ``(model_a, model_b, n, wins_a)`` count matrix (at arena scale:
+  10^9 battles -> K^2 rows for K models); everything after runs on the
+  bounded matrix, so the MM rounds cost nothing at any corpus size —
+  the same collapse the pagerank op applies to the link graph;
+* ``BT_ITERS`` MM rounds run as chained join+agg over the matrix
+  (broadcast joins — the matrix is tiny), no ``collect``, no driver
+  state; the fixed trip count makes the DuckDB twin an unrolled CTE
+  chain (the bpe_train/pagerank move);
+* all arithmetic is BIGINT micro-units (init 10^6): the per-pair MM
+  term is ``n_ij * 10^12 div (p_i + p_j)`` and the update is
+  ``W_i * 10^12 div D_i`` — no float exists, so aggregation order
+  cannot drift the gate hash, and integer-div truncation is exact,
+  documented semantics shared by both engines.  A model that never
+  wins fixes at strength 0 (W_i = 0), which is the MM fixed point;
+  a (p_i + p_j) = 0 denominator would need two never-winning models
+  to have fought each other — impossible (someone won those battles)
+  — but both engines still guard with GREATEST(.., 1).
+
+Battle synthesis from the documents table (deterministic, mirrored
+literally in the oracle): adjacent doc_ids fight (2k vs 2k+1) when
+their sources differ; the higher chain word-count score wins, ties go
+to the lower doc_id.  Sources are the competitors, so the matchup
+graph is dense and the ranking non-degenerate at every SF (pinned by
+test).
+
+Reference scope: extends the preference family (preference_pairs,
+Wilson keep-ranking) with the model-strength view; no equivalent in
+the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+BT_ITERS = 4
+_INIT = 1_000_000  # strength micro-units
+_U = 1_000_000_000_000  # 10^12 MM scaling: n*U div p-sum keeps 6 digits
+
+
+def bt_fit(matrix: DataFrame, n_iters: int = BT_ITERS) -> DataFrame:
+    """MM rounds over a ``(model_a, model_b, n, wins_a)`` count matrix
+    (model_a < model_b); returns (model, strength_micro, n_wins,
+    n_battles)."""
+    per_model = (
+        matrix.select(
+            F.col("model_a").alias("model"),
+            F.col("n"),
+            F.col("wins_a").alias("w"),
+        )
+        .unionByName(
+            matrix.select(
+                F.col("model_b").alias("model"),
+                F.col("n"),
+                (F.col("n") - F.col("wins_a")).alias("w"),
+            )
+        )
+        .groupBy("model")
+        .agg(
+            F.sum("w").cast("long").alias("n_wins"),
+            F.sum("n").cast("long").alias("n_battles"),
+        )
+    )
+    # each round joins the CURRENT strengths twice (pa, pb) — without
+    # truncation the logical plan doubles per round (2^K blowup in
+    # Catalyst analysis, measured 40-60 s for K=4 at sf0.01);
+    # localCheckpoint keeps every round's plan one join deep (the
+    # kcore/redirects move). The matrix is K^2 rows — checkpoint cost
+    # is nil.
+    matrix = matrix.localCheckpoint()
+    strengths = per_model.select(
+        "model", F.lit(_INIT).cast("long").alias("p"), "n_wins", "n_battles"
+    ).localCheckpoint()
+    for _ in range(n_iters):
+        paired = (
+            matrix.join(
+                strengths.select(F.col("model").alias("model_a"), F.col("p").alias("pa")),
+                "model_a",
+            )
+            .join(
+                strengths.select(F.col("model").alias("model_b"), F.col("p").alias("pb")),
+                "model_b",
+            )
+            # `div` is true BIGINT division (a double `/` would round
+            # through 2^53 and drift from the oracle's `//`)
+            .withColumn(
+                "term",
+                F.expr(f"(n * {_U}L) div greatest(pa + pb, 1L)"),
+            )
+        )
+        denom = (
+            paired.select(F.col("model_a").alias("model"), "term")
+            .unionByName(paired.select(F.col("model_b").alias("model"), "term"))
+            .groupBy("model")
+            .agg(F.sum("term").cast("long").alias("d"))
+        )
+        strengths = (
+            strengths.join(denom, "model", "left")
+            .withColumn(
+                "p",
+                F.expr(f"(n_wins * {_U}L) div greatest(d, 1L)"),
+            )
+            .select("model", "p", "n_wins", "n_battles")
+            .localCheckpoint()
+        )
+    return strengths.select(
+        "model",
+        F.col("p").alias("strength_micro"),
+        "n_wins",
+        "n_battles",
+    )
+
+
+def _battle_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """documents -> (model_a < model_b, n, wins_a): the ONE
+    corpus-sized aggregation."""
+    scored = t(spark, sf, "documents").select(
+        "doc_id",
+        F.col("source").alias("model"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0))
+        .cast("long")
+        .alias("score"),
+    )
+    a = scored.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1).alias("join_id"),
+        F.col("model").alias("src_a"),
+        F.col("score").alias("score_a"),
+    )
+    b = scored.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("join_id"),
+        F.col("model").alias("src_b"),
+        F.col("score").alias("score_b"),
+    )
+    battles = (
+        a.join(b, "join_id")
+        .filter(F.col("src_a") != F.col("src_b"))
+        # ties go to the even (lower) doc_id, i.e. side a
+        .withColumn(
+            "winner",
+            F.when(F.col("score_a") >= F.col("score_b"), F.col("src_a")).otherwise(
+                F.col("src_b")
+            ),
+        )
+    )
+    return (
+        battles.select(
+            F.least("src_a", "src_b").alias("model_a"),
+            F.greatest("src_a", "src_b").alias("model_b"),
+            (F.col("winner") == F.least("src_a", "src_b"))
+            .cast("long")
+            .alias("win_a"),
+        )
+        .groupBy("model_a", "model_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("win_a").cast("long").alias("wins_a"),
+        )
+    )
+
+
+def preference_bt_strength(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-model Bradley-Terry leaderboard."""
+    return bt_fit(_battle_matrix(spark, sf)).orderBy(
+        F.desc("strength_micro"), F.asc("model")
+    )
+
+
+def preference_bt_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row arena summary: competitor/battle counts and the
+    integer strength spread (all order-independent reductions)."""
+    fit = bt_fit(_battle_matrix(spark, sf))
+    return fit.agg(
+        F.count(F.lit(1)).cast("long").alias("n_models"),
+        F.expr("sum(n_battles) div 2").alias("n_battles"),
+        F.max("strength_micro").alias("top_strength_micro"),
+        F.min("strength_micro").alias("bottom_strength_micro"),
+        # struct-max = (strength DESC, model string DESC) tie order —
+        # mirrored by the oracle's scalar-subquery ORDER BY
+        F.max(F.struct(F.col("strength_micro"), F.col("model")))["model"].alias(
+            "top_model"
+        ),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "preference_bt_strength": preference_bt_strength,
+    "preference_bt_stats": preference_bt_stats,
+}
+
+
+def _sql_rounds() -> str:
+    """r0 -> r{BT_ITERS} unrolled MM rounds (the pagerank-twin move)."""
+    parts = [
+        f"""
+    r0 AS (SELECT model, {_INIT}::BIGINT AS p, n_wins, n_battles
+           FROM per_model)"""
+    ]
+    for k in range(BT_ITERS):
+        parts.append(f"""
+    t{k} AS (
+        SELECT m.model_a, m.model_b,
+               (m.n * {_U}) // GREATEST(pa.p + pb.p, 1) AS term
+        FROM matrix m
+        JOIN r{k} pa ON pa.model = m.model_a
+        JOIN r{k} pb ON pb.model = m.model_b),
+    d{k} AS (
+        SELECT model, SUM(term)::BIGINT AS d FROM (
+            SELECT model_a AS model, term FROM t{k}
+            UNION ALL
+            SELECT model_b AS model, term FROM t{k})
+        GROUP BY model),
+    r{k + 1} AS (
+        SELECT r.model,
+               ((r.n_wins * {_U}) // GREATEST(d.d, 1))::BIGINT AS p,
+               r.n_wins, r.n_battles
+        FROM r{k} r LEFT JOIN d{k} d ON d.model = r.model)""")
+    return ",".join(parts)
+
+
+_SQL_BASE = f"""
+    scored AS (
+        SELECT doc_id, source AS model,
+               len(regexp_extract_all(lower(text), '{TOKEN_RE}'))::BIGINT AS score
+        FROM documents),
+    battles AS (
+        SELECT a.model AS src_a, b.model AS src_b,
+               CASE WHEN a.score >= b.score THEN a.model ELSE b.model END AS winner
+        FROM scored a JOIN scored b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 2 = 0 AND a.model != b.model),
+    matrix AS (
+        SELECT LEAST(src_a, src_b) AS model_a,
+               GREATEST(src_a, src_b) AS model_b,
+               COUNT(*)::BIGINT AS n,
+               SUM(CASE WHEN winner = LEAST(src_a, src_b) THEN 1 ELSE 0 END)::BIGINT
+                   AS wins_a
+        FROM battles GROUP BY 1, 2),
+    per_model AS (
+        SELECT model, SUM(w)::BIGINT AS n_wins, SUM(n)::BIGINT AS n_battles
+        FROM (
+            SELECT model_a AS model, n, wins_a AS w FROM matrix
+            UNION ALL
+            SELECT model_b AS model, n, n - wins_a AS w FROM matrix)
+        GROUP BY model),
+    {{rounds}}
+"""
+
+ORACLES: Dict[str, str] = {
+    "preference_bt_strength": f"""
+        WITH {_SQL_BASE.format(rounds=_sql_rounds())}
+        SELECT model, p AS strength_micro, n_wins, n_battles
+        FROM r{BT_ITERS}
+        ORDER BY strength_micro DESC, model ASC
+    """,
+    "preference_bt_stats": f"""
+        WITH {_SQL_BASE.format(rounds=_sql_rounds())}
+        SELECT COUNT(*)::BIGINT AS n_models,
+               (SUM(n_battles) // 2)::BIGINT AS n_battles,
+               MAX(p) AS top_strength_micro,
+               MIN(p) AS bottom_strength_micro,
+               (SELECT model FROM r{BT_ITERS}
+                ORDER BY p DESC, model DESC LIMIT 1) AS top_model
+        FROM r{BT_ITERS}
+    """,
+}

@@ -1,0 +1,62 @@
+"""Bradley-Terry MM fit — invariants on handcrafted battle matrices;
+the sf-dir queries also carry exact unrolled-CTE DuckDB oracles
+(ops/bt_strength.ORACLES)."""
+
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.bt_strength import (
+    _INIT,
+    bt_fit,
+    preference_bt_strength,
+)
+
+
+def _fit(spark, rows):
+    matrix = spark.createDataFrame(
+        rows, "model_a string, model_b string, n long, wins_a long"
+    )
+    return {r.model: r for r in bt_fit(matrix).collect()}
+
+
+def test_dominant_model_ranks_top_and_shutout_hits_zero(spark):
+    # a beats everyone always; c never wins anything
+    out = _fit(spark, [("a", "b", 4, 4), ("a", "c", 4, 4), ("b", "c", 4, 4)])
+    assert out["a"].strength_micro > out["b"].strength_micro > 0
+    assert out["c"].strength_micro == 0  # W=0 is the MM fixed point
+    assert (out["a"].n_wins, out["a"].n_battles) == (8, 8)
+    assert (out["c"].n_wins, out["c"].n_battles) == (0, 8)
+
+
+def test_symmetric_records_get_equal_strength(spark):
+    # perfectly balanced round-robin: 2-2 in every matchup
+    out = _fit(
+        spark, [("a", "b", 4, 2), ("a", "c", 4, 2), ("b", "c", 4, 2)]
+    )
+    strengths = {r.strength_micro for r in out.values()}
+    assert len(strengths) == 1  # identical integer fixed point
+    assert strengths.pop() == _INIT  # balanced data keeps the init scale
+
+
+def test_more_wins_vs_same_opponent_means_more_strength(spark):
+    out = _fit(spark, [("a", "c", 10, 7), ("b", "c", 10, 4)])
+    assert out["a"].strength_micro > out["b"].strength_micro
+
+
+def test_driver_query_shape(spark):
+    df = preference_bt_strength(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert [f.name for f in df.schema.fields] == [
+        "model",
+        "strength_micro",
+        "n_wins",
+        "n_battles",
+    ]
+    assert len(rows) == 20  # every source competes
+    s = [r.strength_micro for r in rows]
+    assert s == sorted(s, reverse=True)  # leaderboard order
+    assert len(set(s)) > 1  # ranking is non-degenerate
+    # conservation: every battle contributes exactly one win
+    total = df.agg(
+        F.expr("sum(n_wins)"), F.expr("sum(n_battles) div 2")
+    ).collect()[0]
+    assert total[0] == total[1]
