@@ -1,0 +1,161 @@
+"""Topic segmentation of conversations by lexical drift.
+
+Long multi-session conversations make bad single training examples:
+the context window fills with turns about an EARLIER topic, and
+truncation (ops/training_export.py) then cuts mid-topic instead of at
+a natural boundary.  The standard fix is drift segmentation — split
+where adjacent turns stop sharing vocabulary — and train on segments.
+This is TextTiling's boundary rule (Hearst 1997) reduced to its
+set-overlap core, exactly gate-reproducible:
+
+* per turn: the DISTINCT token set (one tokenize pass, ``TOKEN_RE``
+  parity with every other text op);
+* adjacent-turn Jaccard via one ``lag`` window over the conv ordering;
+  the boundary test is the INTEGER cross-multiplication
+  ``DEN * |A∩B| < NUM * |A∪B|`` (the containment-op move) — no float
+  boundary anywhere;
+* segment id = running sum of boundary flags over the SAME window
+  ordering — both windows share one (conv_id) exchange;
+* per-segment rollup reuses that clustering (turn counts, span).
+
+Plan (100 TB): one scan, ONE shuffle on conv_id serving both windows
+and the rollup; mega-conversations are window-ordered within their
+partition like every conv-grain op (AQE handles residual skew).
+
+Conversation framing mirrors the repo-wide synthetic convention
+(source = conv_id, doc_id order = turn order — the
+transcript_checks/agent_behavior relation), so the oracle restates the
+same windows over the same relation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+# boundary when Jaccard < 1/5 — web-chat topic shifts share almost no
+# content words while same-topic turns share entities/verbs
+SEG_NUM, SEG_DEN = 1, 5
+
+
+def segment_turns(turns: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx ordering col, toks array) -> + segment_id.
+
+    Generic composition half: callers bring any turn relation with a
+    distinct-token array column."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lagged = turns.withColumn("prev_toks", F.lag("toks").over(w))
+    inter = F.size(F.array_intersect("toks", "prev_toks"))
+    union = F.size("toks") + F.size("prev_toks") - inter
+    boundary = (
+        F.when(F.col("prev_toks").isNull(), F.lit(0))
+        .when(F.lit(SEG_DEN) * inter < F.lit(SEG_NUM) * union, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    flagged = lagged.withColumn("boundary", boundary)
+    return flagged.withColumn(
+        "segment_id",
+        F.sum("boundary")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    ).drop("prev_toks")
+
+
+def _doc_turns(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").alias("turn_idx"),
+        F.array_distinct(
+            F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)
+        ).alias("toks"),
+    )
+
+
+def conversation_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-segment table: the units a segment-aware exporter trains on."""
+    seg = segment_turns(_doc_turns(spark, sf))
+    return (
+        seg.groupBy("conv_id", "segment_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.min("turn_idx").cast("long").alias("first_turn"),
+            F.max("turn_idx").cast("long").alias("last_turn"),
+        )
+        .orderBy("conv_id", "segment_id")
+    )
+
+
+def conversation_segment_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row drift summary: how fragmented the corpus conversations
+    are under the boundary rule (all exact integer reductions)."""
+    segs = conversation_segments(spark, sf)
+    return segs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.sum("n_turns").cast("long").alias("n_turns"),
+        F.max("n_turns").alias("max_segment_turns"),
+        F.sum((F.col("n_turns") == 1).cast("long"))
+        .cast("long")
+        .alias("n_singleton_segments"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "conversation_segments": conversation_segments,
+    "conversation_segment_stats": conversation_segment_stats,
+}
+
+_SQL_SEGMENTS = f"""
+    turns AS (
+        SELECT source AS conv_id, doc_id AS turn_idx,
+               list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}'))
+                   AS toks
+        FROM documents),
+    lagged AS (
+        SELECT conv_id, turn_idx, toks,
+               LAG(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS prev_toks
+        FROM turns),
+    flagged AS (
+        SELECT conv_id, turn_idx,
+               CASE WHEN prev_toks IS NULL THEN 0
+                    WHEN {SEG_DEN} * len(list_intersect(toks, prev_toks))
+                         < {SEG_NUM} * (len(toks) + len(prev_toks)
+                            - len(list_intersect(toks, prev_toks)))
+                    THEN 1 ELSE 0 END AS boundary
+        FROM lagged),
+    segged AS (
+        SELECT conv_id, turn_idx,
+               SUM(boundary) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                                   ROWS UNBOUNDED PRECEDING)::BIGINT
+                   AS segment_id
+        FROM flagged),
+    segments AS (
+        SELECT conv_id, segment_id,
+               COUNT(*)::BIGINT AS n_turns,
+               MIN(turn_idx)::BIGINT AS first_turn,
+               MAX(turn_idx)::BIGINT AS last_turn
+        FROM segged GROUP BY conv_id, segment_id)
+"""
+
+ORACLES: Dict[str, str] = {
+    "conversation_segments": f"""
+        WITH {_SQL_SEGMENTS}
+        SELECT * FROM segments ORDER BY conv_id, segment_id
+    """,
+    "conversation_segment_stats": f"""
+        WITH {_SQL_SEGMENTS}
+        SELECT COUNT(*)::BIGINT AS n_segments,
+               COUNT(DISTINCT conv_id)::BIGINT AS n_convs,
+               SUM(n_turns)::BIGINT AS n_turns,
+               MAX(n_turns) AS max_segment_turns,
+               SUM(CASE WHEN n_turns = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_singleton_segments
+        FROM segments
+    """,
+}

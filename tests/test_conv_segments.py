@@ -1,0 +1,79 @@
+"""Lexical-drift conversation segmentation — handcrafted boundary
+semantics; the sf-dir queries also carry exact DuckDB oracles
+(ops/conv_segments.ORACLES)."""
+
+from cleaning_web_corpus_spark.ops.conv_segments import (
+    SEG_DEN,
+    SEG_NUM,
+    conversation_segments,
+    segment_turns,
+)
+
+
+def _seg(spark, rows):
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx long, toks array<string>"
+    )
+    out = segment_turns(turns).collect()
+    return {(r.conv_id, r.turn_idx): r for r in out}
+
+
+def test_disjoint_vocab_opens_a_new_segment(spark):
+    out = _seg(
+        spark,
+        [
+            ("c", 1, ["book", "flight", "paris"]),
+            ("c", 2, ["flight", "paris", "tuesday"]),  # J=2/4 -> same topic
+            ("c", 3, ["python", "spark", "shuffle"]),  # J=0 -> boundary
+            ("c", 4, ["spark", "shuffle", "join"]),  # J=2/4 -> same topic
+        ],
+    )
+    assert [out[("c", i)].segment_id for i in (1, 2, 3, 4)] == [0, 0, 1, 1]
+    assert out[("c", 3)].boundary == 1
+
+
+def test_threshold_is_integer_exact_at_the_boundary(spark):
+    # |A∩B|=1, |A∪B|=5 -> Jaccard exactly 1/5 = NUM/DEN: NOT a boundary
+    # (the rule is strict <)
+    at = _seg(
+        spark,
+        [("c", 1, ["a", "b", "c"]), ("c", 2, ["c", "d", "e"])],
+    )
+    assert at[("c", 2)].boundary == 0
+    # |A∩B|=1, |A∪B|=6 -> 1/6 < 1/5: boundary
+    below = _seg(
+        spark,
+        [("c", 1, ["a", "b", "c"]), ("c", 2, ["c", "d", "e", "f"])],
+    )
+    assert below[("c", 2)].boundary == 1
+    assert (SEG_NUM, SEG_DEN) == (1, 5)  # the fixtures encode this ratio
+
+
+def test_first_turn_never_opens_a_boundary_and_convs_are_independent(spark):
+    out = _seg(
+        spark,
+        [
+            ("c1", 1, ["x"]),
+            ("c2", 1, ["y"]),  # disjoint from c1 but a DIFFERENT conv
+            ("c2", 2, ["y", "z"]),
+        ],
+    )
+    assert out[("c1", 1)].segment_id == 0
+    assert out[("c2", 1)].segment_id == 0
+    assert out[("c2", 2)].segment_id == 0
+
+
+def test_driver_query_rolls_up_contiguous_spans(spark):
+    rows = conversation_segments(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > len({r.conv_id for r in rows})  # boundaries exist
+    for r in rows:
+        assert r.first_turn <= r.last_turn
+        assert r.n_turns >= 1
+    # segments within a conv tile its turn range without overlap
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    for segs in by_conv.values():
+        segs.sort(key=lambda r: r.segment_id)
+        for prev, nxt in zip(segs, segs[1:]):
+            assert prev.last_turn < nxt.first_turn
