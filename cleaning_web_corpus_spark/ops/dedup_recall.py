@@ -1,0 +1,253 @@
+"""Ground-truth-free dedup recall: two-capture (Lincoln-Petersen) estimate.
+
+``dedup_pr_eval`` measures MinHash recall against planted duplicates;
+production corpora have no plant.  The ecology trick transfers: run TWO
+INDEPENDENT LSH captures (disjoint hash-seed families, same banding)
+over the same corpus, verify every candidate with the exact shingle
+Jaccard, and treat each capture as a "tagging" of the true-duplicate
+population.  Under capture independence,
+
+    recall_A  ≈  |A∩B| / |B|        (fraction of B's catch A also saw)
+    N_hat_LP  =  |A|·|B| / |A∩B|    (estimated true duplicate pairs)
+
+so the pipeline can report "our production banding sees an estimated
+X% of real near-dup pairs" with no labels at all — the acceptance
+number a dedup rollout is judged on.
+
+Exactness: verification is the INTEGER cross-multiplied Jaccard
+(``5·|∩| >= |∪|`` for the 0.2 threshold — no float boundary); recalls
+are BIGINT ppm divisions; the LP estimate is one BIGINT div.  Both
+captures and the verification restate in the oracle from the same
+shingle CTE.
+
+Plan (100 TB): ONE corpus scan and ONE doc-level shuffle — both
+captures' min-hash signatures AND the verification shingle-set are
+fused into a single ``groupBy(doc_id)`` aggregation, persisted
+(MEMORY_AND_DISK, the ngram_lm pattern: a lazy DAG would rescan the
+corpus once per consumer because per-branch column pruning defeats
+ReusedExchange), then read three times — capture-A bands, capture-B
+bands, verification sets.  Each capture is the minhash_lsh_candidates
+banded bucket-grouping shape (bucket-capped, never all-pairs);
+everything downstream is candidate-sized.  The cache is reclaimed by
+Spark's ContextCleaner once the result DataFrame is dropped.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.dedup import (
+    BAND_SIZE,
+    MAX_BUCKET,
+    N_HASHES,
+    _shingles,
+    _SQL_SHINGLES,
+)
+
+# exact-verify threshold 0.2 as integers: 5*inter >= union
+VER_NUM, VER_DEN = 1, 5
+_PPM = 1_000_000
+
+
+def _perdoc(spark: SparkSession, sf: str) -> DataFrame:
+    """The ONE corpus aggregation: per doc, both seed families'
+    min-hash signatures plus the distinct shingle set for exact
+    verification.  Persisted so the three consumers (two band
+    relations, the verification sets) share a single scan + shuffle."""
+    from pyspark import StorageLevel
+
+    sh = _shingles(spark, sf)
+    aggs = []
+    for tag, prefix in (("a", ""), ("b", "B")):
+        aggs += [
+            F.min(
+                F.md5(F.concat(F.lit(f"{prefix}{i}:"), F.col("shingle")))
+            ).alias(f"{tag}sig{i}")
+            for i in range(N_HASHES)
+        ]
+    aggs.append(F.collect_set("shingle").alias("sset"))
+    return sh.groupBy("doc_id").agg(*aggs).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+
+def _capture(perdoc: DataFrame, tag: str) -> DataFrame:
+    """Candidate pairs from one seed family (the bucket-grouping
+    minhash_lsh_candidates shape, signature columns ``{tag}sig{i}``)."""
+    n_bands = N_HASHES // BAND_SIZE
+    band_arr = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    *[
+                        F.col(f"{tag}sig{j * BAND_SIZE + k}")
+                        for k in range(BAND_SIZE)
+                    ]
+                )
+            )
+            for j in range(n_bands)
+        ]
+    )
+    buckets = (
+        perdoc.select(
+            "doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
+        )
+        .groupBy("band_idx", "band_hash")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids").between(2, MAX_BUCKET))
+    )
+    pairs = F.expr(
+        "filter(flatten(transform(ids, x -> transform(ids, y ->"
+        " struct(x AS doc_a, y AS doc_b)))), p -> p.doc_a < p.doc_b)"
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
+def _verified_captures(spark: SparkSession, sf: str) -> DataFrame:
+    """Union of both captures' candidates with per-capture flags,
+    exact-verified: (doc_a, doc_b, in_a, in_b, n_common, n_union)."""
+    perdoc = _perdoc(spark, sf)
+    tagged = (
+        _capture(perdoc, "a").withColumn("src", F.lit(1))
+        .unionByName(_capture(perdoc, "b").withColumn("src", F.lit(2)))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max((F.col("src") == 1).cast("int")).cast("boolean").alias("in_a"),
+            F.max((F.col("src") == 2).cast("int")).cast("boolean").alias("in_b"),
+        )
+    )
+    sets = perdoc.select("doc_id", "sset")
+    joined = (
+        tagged.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sset").alias("sa")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sset").alias("sb")), "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sa", "sb")).cast("long"))
+        .withColumn(
+            "n_union",
+            (F.size("sa") + F.size("sb") - F.col("n_common")).cast("long"),
+        )
+        .drop("sa", "sb")
+    )
+    return joined.filter(
+        F.lit(VER_DEN) * F.col("n_common") >= F.lit(VER_NUM) * F.col("n_union")
+    )
+
+
+def dedup_recall_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """The verified two-capture pair table (the estimator's raw data)."""
+    return _verified_captures(spark, sf).orderBy("doc_a", "doc_b")
+
+
+def dedup_recall_estimate(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row Lincoln-Petersen report: per-capture verified catch,
+    overlap, ppm recall of the PRODUCTION banding (capture A), and the
+    estimated true pair population vs the observed union."""
+    v = _verified_captures(spark, sf)
+    return v.agg(
+        F.sum(F.col("in_a").cast("long")).cast("long").alias("n_a"),
+        F.sum(F.col("in_b").cast("long")).cast("long").alias("n_b"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long"))
+        .cast("long")
+        .alias("n_both"),
+        F.count(F.lit(1)).cast("long").alias("n_observed"),
+    ).select(
+        "n_a",
+        "n_b",
+        "n_both",
+        "n_observed",
+        F.expr(f"(n_both * {_PPM}) div greatest(n_b, 1L)").alias("recall_a_ppm"),
+        F.expr(f"(n_both * {_PPM}) div greatest(n_a, 1L)").alias("recall_b_ppm"),
+        F.expr("(n_a * n_b) div greatest(n_both, 1L)").alias("lp_total_est"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_recall_pairs": dedup_recall_pairs,
+    "dedup_recall_estimate": dedup_recall_estimate,
+}
+
+
+def _sql_capture(prefix: str, name: str) -> str:
+    sigs = ", ".join(
+        f"MIN(md5('{prefix}{i}:' || shingle)) AS sig{i}" for i in range(N_HASHES)
+    )
+    n_bands = N_HASHES // BAND_SIZE
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {j}::BIGINT AS band_idx, md5({cat}) AS band_hash"
+        " FROM sigs_{name}".format(
+            j=j,
+            name=name,
+            cat=" || ".join(f"sig{j * BAND_SIZE + k}" for k in range(BAND_SIZE)),
+        )
+        for j in range(n_bands)
+    )
+    return f"""
+    sigs_{name} AS (SELECT doc_id, {sigs} FROM shingles GROUP BY doc_id),
+    bands_{name} AS ({band_rows}),
+    cand_{name} AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands_{name} a JOIN bands_{name} b USING (band_idx, band_hash)
+        WHERE a.doc_id < b.doc_id
+          AND (band_idx, band_hash) IN (
+              SELECT (band_idx, band_hash) FROM bands_{name}
+              GROUP BY band_idx, band_hash
+              HAVING COUNT(*) <= {MAX_BUCKET}))"""
+
+
+_SQL_VERIFIED = f"""
+    {_SQL_SHINGLES},
+    {_sql_capture("", "a")},
+    {_sql_capture("B", "b")},
+    tagged AS (
+        SELECT doc_a, doc_b,
+               MAX(src = 1) AS in_a, MAX(src = 2) AS in_b
+        FROM (
+            SELECT doc_a, doc_b, 1 AS src FROM cand_a
+            UNION ALL
+            SELECT doc_a, doc_b, 2 AS src FROM cand_b)
+        GROUP BY doc_a, doc_b),
+    sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT t.doc_a, t.doc_b, COUNT(*)::BIGINT AS n_common
+        FROM tagged t
+        JOIN shingles s1 ON s1.doc_id = t.doc_a
+        JOIN shingles s2 ON s2.doc_id = t.doc_b AND s2.shingle = s1.shingle
+        GROUP BY t.doc_a, t.doc_b),
+    verified AS (
+        SELECT t.doc_a, t.doc_b, t.in_a, t.in_b,
+               COALESCE(i.n_common, 0) AS n_common,
+               za.n + zb.n - COALESCE(i.n_common, 0) AS n_union
+        FROM tagged t
+        LEFT JOIN inter i ON i.doc_a = t.doc_a AND i.doc_b = t.doc_b
+        JOIN sizes za ON za.doc_id = t.doc_a
+        JOIN sizes zb ON zb.doc_id = t.doc_b
+        WHERE {VER_DEN} * COALESCE(i.n_common, 0)
+              >= {VER_NUM} * (za.n + zb.n - COALESCE(i.n_common, 0)))
+"""
+
+ORACLES: Dict[str, str] = {
+    "dedup_recall_pairs": f"""
+        WITH {_SQL_VERIFIED}
+        SELECT * FROM verified ORDER BY doc_a, doc_b
+    """,
+    "dedup_recall_estimate": f"""
+        WITH {_SQL_VERIFIED},
+        agg AS (
+            SELECT SUM(in_a::INT)::BIGINT AS n_a,
+                   SUM(in_b::INT)::BIGINT AS n_b,
+                   SUM((in_a AND in_b)::INT)::BIGINT AS n_both,
+                   COUNT(*)::BIGINT AS n_observed
+            FROM verified)
+        SELECT n_a, n_b, n_both, n_observed,
+               (n_both * {_PPM}) // GREATEST(n_b, 1) AS recall_a_ppm,
+               (n_both * {_PPM}) // GREATEST(n_a, 1) AS recall_b_ppm,
+               (n_a * n_b) // GREATEST(n_both, 1) AS lp_total_est
+        FROM agg
+    """,
+}

@@ -1,0 +1,52 @@
+"""Two-capture (Lincoln-Petersen) dedup-recall estimator tests."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.dedup_recall import QUERIES
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_estimate_invariants(spark):
+    r = QUERIES["dedup_recall_estimate"](spark, SF).collect()[0]
+    # both captures catch verified pairs, and the overlap is bounded
+    assert r.n_a > 0 and r.n_b > 0
+    assert r.n_both <= min(r.n_a, r.n_b)
+    # observed union is exactly what the pair table unions to
+    assert max(r.n_a, r.n_b) <= r.n_observed <= r.n_a + r.n_b - r.n_both + 1
+    # ppm recalls are the integer cross ratios
+    assert r.recall_a_ppm == (r.n_both * 1_000_000) // max(r.n_b, 1)
+    assert r.recall_b_ppm == (r.n_both * 1_000_000) // max(r.n_a, 1)
+    # LP population estimate can never undercut the observed union
+    assert r.lp_total_est >= r.n_both
+    assert r.lp_total_est == (r.n_a * r.n_b) // max(r.n_both, 1)
+
+
+def test_pairs_verified_and_flagged(spark):
+    rows = QUERIES["dedup_recall_pairs"](spark, SF).collect()
+    assert rows, "planted twins must yield verified candidates"
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert r.in_a or r.in_b
+        # exact verification: 5*|inter| >= |union| at threshold 0.2
+        assert 5 * r.n_common >= r.n_union
+        assert 0 < r.n_common <= r.n_union
+
+
+def test_single_corpus_aggregation_plan(spark):
+    """Both captures and the verification sets must read the persisted
+    per-doc relation, not re-derive the shingle aggregation."""
+    df = QUERIES["dedup_recall_pairs"](spark, SF)
+    df.collect()  # materialize so the executed plan is final
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_estimate_consistent_with_pairs(spark):
+    pairs = QUERIES["dedup_recall_pairs"](spark, SF).collect()
+    est = QUERIES["dedup_recall_estimate"](spark, SF).collect()[0]
+    assert est.n_observed == len(pairs)
+    assert est.n_a == sum(1 for p in pairs if p.in_a)
+    assert est.n_b == sum(1 for p in pairs if p.in_b)
+    assert est.n_both == sum(1 for p in pairs if p.in_a and p.in_b)

@@ -138,6 +138,14 @@ PLAN_QUERIES = [
     "neardup_length_audit",
     "truncation_role_bias",
     "split_leak_audit",
+    "semantic_decontam_report",
+    "conversation_segments",
+    "dedup_recall_pairs",
+    # preference_bt_strength is ITERATIVE (localCheckpoint-truncated MM
+    # rounds, like dedup_components/kcore): its final plan is a scan of
+    # the last checkpoint, so the audit would inspect the truncation,
+    # not the per-round join+agg shape — scale story in the op
+    # docstring, round semantics pinned in tests/test_bt_strength.py.
     "depth_failure_profile",
     "unimax_allocation",
     "length_quantile_sketch",
