@@ -1,0 +1,308 @@
+"""Product quantization (PQ) — the memory-compression scale path for ANN.
+
+Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search" (TPAMI 2011): split each D-dim embedding into M subspaces,
+k-means each subspace independently into KS centroids, and store each
+vector as M small codes (here 8 codes ≈ 8 bytes vs 256 bytes of
+float32 — a 32× index shrink, what lets a 100 TB embedding corpus keep
+its whole index in executor memory).  Query-time kNN uses ADC
+(asymmetric distance computation): the probe precomputes an (M × KS)
+lookup table of squared distances to every centroid, and each stored
+vector's approximate distance is just M integer table lookups + adds —
+no float math per candidate.
+
+Spark shape: training is the IVF pattern (ONE bounded driver collect of
+the first PQ_TRAIN_CAP vec_ids — FAISS-style sample training — then
+everything distributed); code assignment is ONE Arrow-batched UDF pass
+returning a (codes, err_micro) struct; ADC scoring is PURE JVM codegen —
+the probe's LUT is inlined as a nested array literal and the score is
+``aggregate(zip_with(codes, lut, ...))``, so the scan side never touches
+Python.  At corpus scale the codes column is written back to the table
+once and every subsequent probe is a codes-only scan.
+
+Exactness contract (the ann_ivf_knn precedent): the oracle twin
+(tests/reference_twin.py, restated — no engine imports) re-trains the
+codebooks from the same deterministic sample straight off parquet and
+assigns every vector's codes in numpy; identical float64 operation
+order makes codes, per-vector err_micro (one +0.5 floor on the summed
+error), and the micro-quantized LUT bit-equal, so all sums are BIGINT
+and hash-exact.
+
+Reference scope: beyond-reference extension of the similarity-search
+family (SURVEY §2's ANN block; the reference has no vector index at
+all — `/root/reference/src/filters/alignment.py` scores pairs one at a
+time in a Python loop).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.ann import PROBE_VEC_ID, TOP_K, _emb_double
+
+PQ_M = 8
+PQ_KS = 16
+PQ_ITERS = 10
+PQ_TRAIN_CAP = 2048
+
+
+def train_pq_books_np(X_raw: np.ndarray) -> np.ndarray:
+    """Deterministic per-subspace L2 k-means over the raw sample
+    matrix: init = first KS subvectors, fixed iteration count, argmin
+    ties to the lowest centroid index, empty clusters keep their
+    centroid — no RNG, so the twin reproduces identical books."""
+    X = np.asarray(X_raw, dtype=np.float64)
+    d = X.shape[1] // PQ_M
+    books = []
+    for m in range(PQ_M):
+        S = X[:, m * d : (m + 1) * d]
+        C = S[:PQ_KS].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            nearest = np.argmin(d2, axis=1)
+            for k in range(PQ_KS):
+                members = S[nearest == k]
+                if len(members):
+                    C[k] = members.mean(axis=0)
+        books.append(C)
+    return np.stack(books)  # (M, KS, d)
+
+
+def assign_pq_np(X_raw: np.ndarray, books: np.ndarray):
+    """Codes (n, M) + per-vector reconstruction error micro-int — the
+    same math the Arrow UDF runs per batch."""
+    X = np.asarray(X_raw, dtype=np.float64)
+    M, KS, d = books.shape
+    codes = np.empty((len(X), M), dtype=np.int64)
+    err = np.zeros(len(X), dtype=np.float64)
+    for m in range(M):
+        S = X[:, m * d : (m + 1) * d]
+        d2 = ((S[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+        codes[:, m] = np.argmin(d2, axis=1)
+        err += d2[np.arange(len(X)), codes[:, m]]
+    return codes, np.floor(err * 1e6 + 0.5).astype(np.int64)
+
+
+def probe_lut_np(probe_raw: np.ndarray, books: np.ndarray) -> List[List[int]]:
+    """ADC lookup table: micro-quantized squared L2 from each probe
+    subvector to every centroid — (M, KS) ints, summed as BIGINTs so
+    the score is exact across engines."""
+    p = np.asarray(probe_raw, dtype=np.float64)
+    M, KS, d = books.shape
+    lut = np.empty((M, KS), dtype=np.int64)
+    for m in range(PQ_M):
+        d2 = ((books[m] - p[m * d : (m + 1) * d][None, :]) ** 2).sum(axis=1)
+        lut[m] = np.floor(d2 * 1e6 + 0.5).astype(np.int64)
+    return [[int(v) for v in row] for row in lut]
+
+
+def _codes_udf(books: np.ndarray):
+    def _batch(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for col in it:
+            codes, err = assign_pq_np(np.stack(col.to_numpy()), books)
+            yield pd.DataFrame(
+                {"codes": list(codes), "err_micro": err}
+            )
+
+    # pure; the nondeterministic marker stops downstream predicate
+    # pushdown from duplicating the assignment below the projection
+    # (the _bucket_udf/_cell_udf convention)
+    return F.pandas_udf(
+        _batch, "struct<codes: array<bigint>, err_micro: bigint>"
+    ).asNondeterministic()
+
+
+def _train(spark: SparkSession, sf: str):
+    """ONE bounded driver collect (first PQ_TRAIN_CAP vec_ids — the
+    probe row is a member, as in IVF) → (books, sample rows)."""
+    emb = _emb_double(spark, sf)
+    sample = (
+        emb.orderBy("vec_id").limit(PQ_TRAIN_CAP).select("vec_id", "emb").collect()
+    )
+    X = np.array([r.emb for r in sample], dtype=np.float64)
+    return train_pq_books_np(X), sample, X
+
+
+def _coded(spark: SparkSession, sf: str) -> DataFrame:
+    books, _, _ = _train(spark, sf)
+    c = _codes_udf(books)
+    return (
+        _emb_double(spark, sf)
+        .withColumn("c", c(F.col("emb")))
+        .select("vec_id", "label", "emb", "c.codes", "c.err_micro")
+    )
+
+
+def pq_codebook_utilization(spark: SparkSession, sf: str) -> DataFrame:
+    """Rows (m, code, n_vecs): how evenly each subspace's 16 codes are
+    used.  A collapsed codebook (one code hoarding a subspace) is the
+    classic PQ failure mode; this is its monitoring query."""
+    return (
+        _coded(spark, sf)
+        .select(F.posexplode("codes").alias("m", "code"))
+        .groupBy(F.col("m").cast("long").alias("m"), "code")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .orderBy("m", "code")
+    )
+
+
+def pq_recon_error_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row quantization-quality report over per-vector micro-int
+    reconstruction errors (BIGINT sums + divisions — hash-exact)."""
+    return _coded(spark, sf).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("err_micro").cast("long").alias("total_err_micro"),
+        F.expr("sum(err_micro) div count(1)").alias("avg_err_micro"),
+        F.min("err_micro").cast("long").alias("min_err_micro"),
+        F.max("err_micro").cast("long").alias("max_err_micro"),
+    )
+
+
+def pq_adc_knn(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k by ADC distance to the probe — the PQ query path.
+
+    The probe's LUT is inlined as a nested array literal, so scoring is
+    whole-stage codegen over the codes column: M element_at lookups +
+    a BIGINT sum per candidate, no Python on the scan side."""
+    books, sample, X = _train(spark, sf)
+    probe_idx = next(i for i, r in enumerate(sample) if r.vec_id == PROBE_VEC_ID)
+    lut = probe_lut_np(X[probe_idx], books)
+    lut_col = F.array(
+        *[F.array(*[F.lit(v) for v in row]) for row in lut]
+    )
+    c = _codes_udf(books)
+    adc = F.aggregate(
+        F.zip_with(
+            "codes",
+            lut_col,
+            lambda code, row: F.element_at(row, (code + 1).cast("int")),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    return (
+        _emb_double(spark, sf)
+        .filter(F.col("vec_id") != PROBE_VEC_ID)
+        .withColumn("c", c(F.col("emb")))
+        .select("vec_id", "label", F.col("c.codes").alias("codes"))
+        .withColumn("adc_micro", adc)
+        .select("vec_id", "label", "adc_micro")
+        .orderBy(F.asc("adc_micro"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def pq_recall_eval(spark: SparkSession, sf: str) -> DataFrame:
+    """Recall@k of the ADC ranking vs the exact cosine top-k — the
+    ann_recall_eval harness applied to PQ.  Note the metrics differ
+    (squared L2 vs cosine), so recall < 1 is expected even with perfect
+    codes; the number still moves on any codebook or assignment bug."""
+    from cleaning_web_corpus_spark.ops.ann import embedding_knn
+
+    exact = embedding_knn(spark, sf).select(
+        F.col("vec_id").alias("id"), F.lit(1).alias("in_exact")
+    )
+    approx = pq_adc_knn(spark, sf).select(
+        F.col("vec_id").alias("id"), F.lit(1).alias("in_approx")
+    )
+    joined = exact.join(approx, "id", "full_outer")
+    agg = joined.agg(
+        F.sum(F.coalesce("in_exact", F.lit(0))).cast("long").alias("k_exact"),
+        F.sum(F.coalesce("in_approx", F.lit(0))).cast("long").alias("k_approx"),
+        F.sum(
+            F.when(
+                F.col("in_exact").isNotNull() & F.col("in_approx").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_overlap"),
+    )
+    return agg.select(
+        "k_exact",
+        "k_approx",
+        "n_overlap",
+        F.round(
+            F.col("n_overlap").cast("double")
+            / F.when(F.col("k_exact") > 0, F.col("k_exact")).cast("double"),
+            6,
+        ).alias("recall"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pq_codebook_utilization": pq_codebook_utilization,
+    "pq_recon_error_stats": pq_recon_error_stats,
+    "pq_adc_knn": pq_adc_knn,  # oracle built at oracle_sql() time (twin codes)
+    "pq_recall_eval": pq_recall_eval,
+}
+
+
+def utilization_oracle_sql(codes_path: str) -> str:
+    return f"""
+        SELECT m, code, COUNT(*)::BIGINT AS n_vecs
+        FROM read_parquet('{codes_path}')
+        GROUP BY m, code
+        ORDER BY m, code
+    """
+
+
+def recon_oracle_sql(codes_path: str) -> str:
+    return f"""
+        WITH v AS (SELECT DISTINCT vec_id, err_micro
+                   FROM read_parquet('{codes_path}'))
+        SELECT COUNT(*)::BIGINT AS n_vecs,
+               SUM(err_micro)::BIGINT AS total_err_micro,
+               SUM(err_micro)::BIGINT // COUNT(*)::BIGINT AS avg_err_micro,
+               MIN(err_micro)::BIGINT AS min_err_micro,
+               MAX(err_micro)::BIGINT AS max_err_micro
+        FROM v
+    """
+
+
+def adc_oracle_sql(codes_path: str, lut: List[List[int]]) -> str:
+    """ADC ranking from the twin code labels with the twin LUT inlined
+    as a VALUES relation — BIGINT join + sum, exact."""
+    vals = ", ".join(
+        f"({m}, {k}, {lut[m][k]})" for m in range(len(lut)) for k in range(len(lut[m]))
+    )
+    return f"""
+        WITH lut(m, code, d_micro) AS (VALUES {vals}),
+        scored AS (
+            SELECT c.vec_id, SUM(l.d_micro)::BIGINT AS adc_micro
+            FROM read_parquet('{codes_path}') c
+            JOIN lut l ON l.m = c.m AND l.code = c.code
+            WHERE c.vec_id != {PROBE_VEC_ID}
+            GROUP BY c.vec_id)
+        SELECT s.vec_id, e.label, s.adc_micro
+        FROM scored s JOIN embeddings e USING (vec_id)
+        ORDER BY s.adc_micro ASC, s.vec_id ASC
+        LIMIT {TOP_K}
+    """
+
+
+def pq_recall_oracle_sql(codes_path: str, lut: List[List[int]]) -> str:
+    from cleaning_web_corpus_spark.ops.ann import ORACLES as _ANN_ORACLES
+
+    return f"""
+    WITH exact AS ({_ANN_ORACLES["embedding_knn"]}),
+    approx AS ({adc_oracle_sql(codes_path, lut)}),
+    joined AS (
+        SELECT (e.vec_id IS NOT NULL)::INT AS in_exact,
+               (a.vec_id IS NOT NULL)::INT AS in_approx
+        FROM exact e FULL OUTER JOIN approx a ON e.vec_id = a.vec_id
+    ),
+    agg AS (
+        SELECT SUM(in_exact)::BIGINT AS k_exact,
+               SUM(in_approx)::BIGINT AS k_approx,
+               SUM(in_exact * in_approx)::BIGINT AS n_overlap
+        FROM joined
+    )
+    SELECT k_exact, k_approx, n_overlap,
+           ROUND(n_overlap::DOUBLE / NULLIF(k_exact, 0)::DOUBLE, 6) AS recall
+    FROM agg
+    """

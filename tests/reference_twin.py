@@ -658,6 +658,70 @@ def twin_probe_cells(probe, centroids):
     return [int(c) for c in np.argsort(-(centroids @ p))[:TWIN_IVF_NPROBE]]
 
 
+# --- PQ twin (product quantizer) -------------------------------------------
+# Restated per-subspace L2 k-means + code assignment — does NOT import
+# ops/pq. As with the IVF twin, the numpy OPERATION ORDER (subspace
+# slice, squared-difference sum, argmin, member mean; error summed
+# across subspaces then micro-quantized with one +0.5 floor) is
+# deliberately identical: the contract is exact code and err_micro
+# equality with the engine's distributed Arrow-UDF assignment.
+
+TWIN_PQ_M = 8
+TWIN_PQ_KS = 16
+TWIN_PQ_ITERS = 10
+TWIN_PQ_TRAIN_CAP = 2048
+
+
+def twin_train_pq_codebooks(sample):
+    import numpy as np
+
+    X = np.asarray(sample, dtype=np.float64)
+    d = X.shape[1] // TWIN_PQ_M
+    books = []
+    for m in range(TWIN_PQ_M):
+        S = X[:, m * d : (m + 1) * d]
+        C = S[:TWIN_PQ_KS].copy()
+        for _ in range(TWIN_PQ_ITERS):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            nearest = np.argmin(d2, axis=1)
+            for k in range(TWIN_PQ_KS):
+                members = S[nearest == k]
+                if len(members):
+                    C[k] = members.mean(axis=0)
+        books.append(C)
+    return np.stack(books)  # (M, KS, d)
+
+
+def twin_assign_pq(X, books):
+    """Codes (n, M) int64 + per-vector reconstruction error micro-int."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    M, KS, d = books.shape
+    codes = np.empty((len(X), M), dtype=np.int64)
+    err = np.zeros(len(X), dtype=np.float64)
+    for m in range(M):
+        S = X[:, m * d : (m + 1) * d]
+        d2 = ((S[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+        codes[:, m] = np.argmin(d2, axis=1)
+        err += d2[np.arange(len(X)), codes[:, m]]
+    return codes, np.floor(err * 1e6 + 0.5).astype(np.int64)
+
+
+def twin_pq_lut(probe, books):
+    """ADC lookup table: micro-quantized squared L2 from each probe
+    subvector to every codebook centroid — (M, KS) ints."""
+    import numpy as np
+
+    p = np.asarray(probe, dtype=np.float64)
+    M, KS, d = books.shape
+    lut = np.empty((M, KS), dtype=np.int64)
+    for m in range(M):
+        d2 = ((books[m] - p[m * d : (m + 1) * d][None, :]) ** 2).sum(axis=1)
+        lut[m] = np.floor(d2 * 1e6 + 0.5).astype(np.int64)
+    return [[int(v) for v in row] for row in lut]
+
+
 # --- media twin (F13-F15 + header probe) -----------------------------------
 # Independent restatement for the media_quality_filter oracle — does NOT
 # import ops/multimodal. The payload GENERATION is a mirrored data

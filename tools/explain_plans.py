@@ -141,6 +141,7 @@ PLAN_QUERIES = [
     "semantic_decontam_report",
     "conversation_segments",
     "dedup_recall_pairs",
+    "pq_adc_knn",
     # preference_bt_strength is ITERATIVE (localCheckpoint-truncated MM
     # rounds, like dedup_components/kcore): its final plan is a scan of
     # the last checkpoint, so the audit would inspect the truncation,

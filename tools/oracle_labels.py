@@ -160,6 +160,7 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
         "pca_matrix": os.path.join(out_dir, "pca_matrix.parquet"),
         "pca_eigvals": os.path.join(out_dir, "pca_eigvals.parquet"),
         "compress": os.path.join(out_dir, "compress_labels.parquet"),
+        "pq_codes": os.path.join(out_dir, "pq_codes.parquet"),
         "audio": os.path.join(out_dir, "audio_labels.parquet"),
         "audio_probe": os.path.join(out_dir, "audio_probe_labels.parquet"),
     }
@@ -219,6 +220,7 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
     )
 
     probe_cells = _ivf_labels(sf_dir, paths["ivf_cells"])
+    pq_lut = _pq_labels(sf_dir, paths["pq_codes"])
     _pca_labels(sf_dir, paths["pca_matrix"], paths["pca_eigvals"])
 
     # the TWIN's check names (independent of the engine's CHECKS list):
@@ -228,6 +230,7 @@ def ensure_labels(sf_dir: str, cfg) -> dict:
     meta = {
         "fingerprint": fp,
         "probe_cells": probe_cells,
+        "pq_lut": pq_lut,
         "ablation_checks": ablation_checks,
         **paths,
     }
@@ -264,6 +267,45 @@ def _ivf_labels(sf_dir: str, cells_path: str) -> List[int]:
     os.replace(tmp, cells_path)
     probe = X[vec_ids == twin.TWIN_PROBE_VEC_ID][0]
     return twin.twin_probe_cells(probe, C)
+
+
+def _pq_labels(sf_dir: str, codes_path: str) -> List[List[int]]:
+    """Whole-table PQ code assignment computed by the twin's restated
+    per-subspace k-means — the distributed Arrow-UDF assignment in
+    ops/pq.py must reproduce codes and err_micro exactly. Label rows
+    are exploded to (vec_id, m, code, err_micro) so the DuckDB twins
+    are plain joins. Returns the probe's ADC lookup table (inlined into
+    the oracle SQL as a VALUES relation)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    twin = _load_twin()
+    tbl = (
+        pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        .select(["vec_id", "embedding"])
+        .sort_by("vec_id")
+    )
+    vec_ids = tbl.column("vec_id").to_numpy()
+    X = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
+    books = twin.twin_train_pq_codebooks(X[: twin.TWIN_PQ_TRAIN_CAP])
+    codes, err = twin.twin_assign_pq(X, books)
+    M = codes.shape[1]
+    tmp = f"{codes_path}.{os.getpid()}.tmp"
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": np.repeat(vec_ids, M),
+                "m": np.tile(np.arange(M, dtype=np.int64), len(vec_ids)),
+                "code": codes.reshape(-1),
+                "err_micro": np.repeat(err, M),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, codes_path)
+    probe = X[vec_ids == twin.TWIN_PROBE_VEC_ID][0]
+    return twin.twin_pq_lut(probe, books)
 
 
 def _pca_labels(sf_dir: str, matrix_path: str, eig_path: str) -> None:
