@@ -1,0 +1,172 @@
+"""Cost-based ordering advisor for the quality-filter chain.
+
+The verdict chain runs its checks in the reference's fixed order
+(filters/chain.py — reasons must match the reference byte-for-byte).
+But the checks are semantically independent (the ablation UDF already
+evaluates them independently), so a production pipeline is free to
+reorder them for throughput: classic selectivity-based predicate
+ordering (Hellerstein & Stonebraker, "Predicate Migration", SIGMOD
+1993) — run the most-selective (lowest pass-rate) check first so most
+documents short-circuit early and later, more expensive checks run on
+as few rows as possible.
+
+Two queries over ONE corpus-scale pass (the ablation flags UDF —
+everything downstream operates on a single 7-row relation):
+
+* ``filter_order_advisor`` — per check: advised rank (ascending
+  pass-rate, check-name tiebreak), pass count, pass rate (ppm), and
+  ``eval_ppm`` — the probability (ppm) that the check actually RUNS
+  under the advised order, i.e. the running product of the pass rates
+  before it.  This is each check's residual workload share.
+* ``filter_order_savings`` — one row: expected number of check
+  evaluations per document (ppm) under the current chain order vs the
+  advised order, and the relative saving.  Under independence,
+  E[evals] = Σ_i Π_{j<i} p_j.
+
+Exactness: pass rates are BIGINT ppm divisions; running products use
+the quantized integer recurrence ``cum_i = cum_{i-1} · p_i div 10^6``
+(restated as a recursive CTE in the DuckDB twin, which reads the
+twin-label flags parquet and the TWIN's check order — an engine-side
+chain reorder or check rename fails the gate loudly).
+
+Plan (100 TB): the corpus pays exactly one Arrow-UDF flags pass and
+one partial+final aggregation to 1 row; ordering, recurrences and the
+per-rank explode all run on the 7-element array.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def _entries_row(flags: DataFrame, checks: Sequence[str]) -> DataFrame:
+    """One row holding n_docs + the per-check entry array in CHAIN
+    order (struct field order n_pass-first so array_sort on a
+    re-projection yields the advised order)."""
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    for i, c in enumerate(checks):
+        aggs.append(F.sum(F.col(c).cast("long")).cast("long").alias(f"p{i}"))
+    wide = flags.agg(*aggs)
+    entry = ", ".join(
+        f"struct({i}L AS chain_idx, '{c}' AS check_name, p{i} AS n_pass,"
+        f" p{i} * {PPM}L div n_docs AS pass_ppm)"
+        for i, c in enumerate(checks)
+    )
+    return wide.selectExpr("n_docs", f"array({entry}) AS chain")
+
+
+_ADVISED = (
+    "array_sort(transform(chain, e -> struct("
+    " e.n_pass AS n_pass, e.check_name AS check_name,"
+    " e.pass_ppm AS pass_ppm)))"
+)
+
+# E[evals] ppm = sum over positions of the running pass-rate product
+# before that position (integer recurrence, seed 10^6)
+_EVAL_SUM = (
+    "aggregate(transform({arr}, (e, i) ->"
+    f" aggregate(slice({{arr}}, 1, i), {PPM}L,"
+    f" (s, x) -> (s * x.pass_ppm) div {PPM}L)),"
+    " 0L, (s, v) -> s + v)"
+)
+
+
+def filter_order_advisor(flags: DataFrame, checks: Sequence[str]) -> DataFrame:
+    """(rank, check_name, n_pass, pass_ppm, eval_ppm) in advised order."""
+    row = _entries_row(flags, checks).selectExpr(f"{_ADVISED} AS adv")
+    ranked = (
+        "transform(adv, (e, i) -> struct("
+        " cast(i + 1 AS bigint) AS rank,"
+        " e.check_name AS check_name,"
+        " e.n_pass AS n_pass,"
+        " e.pass_ppm AS pass_ppm,"
+        f" aggregate(slice(adv, 1, i), {PPM}L,"
+        f" (s, x) -> (s * x.pass_ppm) div {PPM}L) AS eval_ppm))"
+    )
+    return (
+        row.selectExpr(f"explode({ranked}) AS r")
+        .select("r.*")
+        .orderBy("rank")
+    )
+
+
+def filter_order_savings(flags: DataFrame, checks: Sequence[str]) -> DataFrame:
+    """One row: expected evals/doc (ppm) current vs advised + saving."""
+    row = _entries_row(flags, checks).selectExpr(
+        "n_docs", "chain", f"{_ADVISED} AS adv"
+    )
+    cur = _EVAL_SUM.format(arr="chain")
+    adv = _EVAL_SUM.format(arr="adv")
+    return row.selectExpr(
+        "n_docs",
+        f"{cur} AS current_eval_ppm",
+        f"{adv} AS advised_eval_ppm",
+    ).selectExpr(
+        "n_docs",
+        "current_eval_ppm",
+        "advised_eval_ppm",
+        f"(current_eval_ppm - advised_eval_ppm) * {PPM}L"
+        " div current_eval_ppm AS savings_ppm",
+    )
+
+
+def _counts_sql(flags_path: str, checks: Sequence[str]) -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS chain_idx, '{c}' AS check_name,"
+        f" SUM({c}::INT)::BIGINT AS n_pass FROM flags"
+        for i, c in enumerate(checks)
+    )
+    return f"""
+    flags AS (SELECT * FROM read_parquet('{flags_path}')),
+    tot AS (SELECT COUNT(*)::BIGINT AS n_docs FROM flags),
+    counts AS (
+        SELECT chain_idx, check_name, n_pass,
+               n_pass * {PPM} // n_docs AS pass_ppm
+        FROM ({branches}), tot)"""
+
+
+def _rec_sql(order_by: str, name: str) -> str:
+    """Recursive-CTE restatement of the integer running-product
+    recurrence over ``counts`` ranked by ``order_by``."""
+    return f"""
+    ranked_{name} AS (
+        SELECT chain_idx, check_name, n_pass, pass_ppm,
+               ROW_NUMBER() OVER (ORDER BY {order_by}) AS rank
+        FROM counts),
+    rec_{name} AS (
+        SELECT rank, check_name, n_pass, pass_ppm, {PPM}::BIGINT AS eval_ppm
+        FROM ranked_{name} WHERE rank = 1
+        UNION ALL
+        SELECT r.rank, r.check_name, r.n_pass, r.pass_ppm,
+               (p.eval_ppm * p.pass_ppm) // {PPM}
+        FROM ranked_{name} r JOIN rec_{name} p ON r.rank = p.rank + 1)"""
+
+
+def advisor_oracle_sql(flags_path: str, checks: Sequence[str]) -> str:
+    return f"""
+    WITH RECURSIVE {_counts_sql(flags_path, checks)},
+    {_rec_sql("n_pass, check_name", "adv")}
+    SELECT rank, check_name, n_pass, pass_ppm, eval_ppm
+    FROM rec_adv ORDER BY rank
+    """
+
+
+def savings_oracle_sql(flags_path: str, checks: Sequence[str]) -> str:
+    return f"""
+    WITH RECURSIVE {_counts_sql(flags_path, checks)},
+    {_rec_sql("n_pass, check_name", "adv")},
+    {_rec_sql("chain_idx", "cur")},
+    sums AS (
+        SELECT (SELECT SUM(eval_ppm)::BIGINT FROM rec_cur) AS current_eval_ppm,
+               (SELECT SUM(eval_ppm)::BIGINT FROM rec_adv) AS advised_eval_ppm,
+               (SELECT n_docs FROM tot) AS n_docs)
+    SELECT n_docs, current_eval_ppm, advised_eval_ppm,
+           (current_eval_ppm - advised_eval_ppm) * {PPM}
+           // current_eval_ppm AS savings_ppm
+    FROM sums
+    """

@@ -1,0 +1,63 @@
+"""Filter-order advisor tests (hand-computed integer recurrences)."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.filter_order import (
+    filter_order_advisor,
+    filter_order_savings,
+)
+
+CHECKS = ["c1", "c2", "c3"]
+
+
+def _flags(spark):
+    # pass counts over 4 docs: c1 4/4, c2 1/4, c3 2/4
+    rows = [
+        (True, True, True),
+        (True, False, True),
+        (True, False, False),
+        (True, False, False),
+    ]
+    return spark.createDataFrame(rows, "c1 boolean, c2 boolean, c3 boolean")
+
+
+def test_advisor_orders_by_selectivity(spark):
+    out = filter_order_advisor(_flags(spark), CHECKS).collect()
+    assert [r.check_name for r in out] == ["c2", "c3", "c1"]
+    assert [r.pass_ppm for r in out] == [250000, 500000, 1000000]
+    # eval share = running product of prior pass rates (ppm recurrence)
+    assert [r.eval_ppm for r in out] == [1000000, 250000, 125000]
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_savings_arithmetic(spark):
+    r = filter_order_savings(_flags(spark), CHECKS).collect()[0]
+    assert r.n_docs == 4
+    # current (c1,c2,c3): 1e6 + 1e6 + 250000
+    assert r.current_eval_ppm == 2250000
+    # advised (c2,c3,c1): 1e6 + 250000 + 125000
+    assert r.advised_eval_ppm == 1375000
+    assert r.savings_ppm == (2250000 - 1375000) * 1000000 // 2250000
+
+
+def test_tie_broken_by_check_name(spark):
+    rows = [(True, False), (False, True)]
+    flags = spark.createDataFrame(rows, "zb boolean, aa boolean")
+    out = filter_order_advisor(flags, ["zb", "aa"]).collect()
+    # equal pass counts: lexicographic check-name tiebreak
+    assert [r.check_name for r in out] == ["aa", "zb"]
+
+
+def test_real_chain_advisor_consistent(spark):
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    adv = e.queries()["filter_order_advisor"](spark, sf).collect()
+    sav = e.queries()["filter_order_savings"](spark, sf).collect()[0]
+    assert len(adv) == 7
+    assert [r.rank for r in adv] == list(range(1, 8))
+    ppms = [r.pass_ppm for r in adv]
+    assert ppms == sorted(ppms)
+    # advised can never be worse than the current order
+    assert sav.advised_eval_ppm <= sav.current_eval_ppm
+    assert 0 <= sav.savings_ppm < 1000000
