@@ -1,0 +1,213 @@
+"""Systematic PPS sampling — exactly-k, probability ∝ token count.
+
+Madow (1949) systematic probability-proportional-to-size selection:
+lay the corpus out on a line where each document occupies an interval
+equal to its weight (token count), then pick the k documents hit by a
+regular grid of stride ``s = W div k``.  Every document's selection
+probability is ∝ its weight, the draw is exactly k (with multiplicity
+``> 1`` for documents heavier than the stride — reported, not hidden),
+and the whole thing is INTEGER arithmetic — no RNG, no floats, so the
+DuckDB twin reproduces it bit-for-bit.  The grid anchor is the
+deterministic midpoint ``a = s div 2`` (the classic uniform-random
+start traded for reproducibility, documented here).
+
+This fills the sampling family's exactly-k weighted slot: Bernoulli
+temperature sampling (``stratified_sample``) and per-stratum quotas
+(``quota_sample``) bound only the EXPECTED size; token-weighted
+exactly-k is what a fixed token-budget mix actually wants.
+
+Plan (100 TB): the prefix sum is NOT a global single-partition window
+(that serializes the corpus through one task).  It is the two-phase
+distributed scan: range-repartition on the md5 layout key, per-partition weight
+totals (tiny: one row per partition) collected and turned into
+per-partition offsets, broadcast back, and a window partitioned BY
+PARTITION for the local running sum — every stage is
+partition-parallel.  The grid-hit rule is then a per-row integer
+predicate.  Selection correctness does not depend on where the range
+boundaries land (offset + local prefix = global prefix for any split).
+
+Exactness: weights reuse the ``word_stats`` token expression (ASCII
+``[a-z0-9_]+`` projection, oracle-matched there); cum/stride/multiplicity
+are BIGINT; inclusion_ppm = min(10^6, w·10^6 div s).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import _SQL_WC, _wc
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+SAMPLE_K = 100
+_PPM = 1_000_000
+_PARTS = 16
+
+
+def _weighted_cum(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, weight, cum) with cum = inclusive global prefix sum in
+    hashed-id layout order, via the two-phase distributed scan."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    w = (
+        t(spark, sf, "documents")
+        .select(
+            "doc_id",
+            _wc().alias("weight"),
+            # the line is laid out in HASHED id order: systematic
+            # selection is periodic in the layout order, so ordering by
+            # a meaningful key (ingest time, source, plain doc_id)
+            # would alias that period onto real structure (Madow's
+            # classic caveat). md5 decorrelates deterministically.
+            F.md5(F.col("doc_id").cast("string")).alias("hkey"),
+        )
+        .repartitionByRange(_PARTS, "hkey", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # per-partition totals: one tiny row per partition, broadcast back
+    offsets = (
+        w.groupBy("pid")
+        .agg(F.sum("weight").alias("part_w"), F.min("hkey").alias("lo"))
+        .select(
+            "pid",
+            (
+                F.sum("part_w").over(
+                    Window.orderBy("lo").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                )
+            ).alias("offset"),
+        )
+        .fillna(0, ["offset"])
+    )
+    local = F.sum("weight").over(
+        Window.partitionBy("pid").orderBy("hkey", "doc_id").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    return (
+        w.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "weight",
+            (F.col("offset") + local).cast("long").alias("cum"),
+        )
+    )
+
+
+def _grid_hits(cum: DataFrame, k: int) -> DataFrame:
+    """Apply the stride grid to the cum relation: rows with mult >= 1."""
+    tot = cum.agg(
+        F.sum("weight").cast("long").alias("total_w"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    ).selectExpr(
+        "total_w",
+        "n_docs",
+        f"total_w div {k}L AS stride",
+        f"(total_w div {k}L) div 2L AS anchor",
+    )
+    # hits before position x: clamp(ceil((x - a) / s), 0, k)
+    hits = (
+        "least({k}L, greatest(0L, ({x} - anchor + stride - 1) div stride))"
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "doc_id",
+            "weight",
+            "stride",
+            hits.format(k=k, x="cum")
+            + " - "
+            + hits.format(k=k, x="cum - weight")
+            + " AS mult",
+        )
+        .filter(F.col("mult") >= 1)
+        .selectExpr(
+            "doc_id",
+            "weight",
+            "mult",
+            f"least({_PPM}L, weight * {_PPM}L div stride) AS inclusion_ppm",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def pps_systematic_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """The exactly-k token-weighted sample: (doc_id, weight, mult,
+    inclusion_ppm), sum(mult) == k."""
+    return _grid_hits(_weighted_cum(spark, sf), SAMPLE_K)
+
+
+def pps_sample_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row audit: draw size, distinct docs, multiplicity spread,
+    and the token mass the sample's distinct docs cover (ppm)."""
+    cum = _weighted_cum(spark, sf)
+    hits = _grid_hits(cum, SAMPLE_K)
+    tot = cum.agg(F.sum("weight").cast("long").alias("total_w"))
+    return (
+        hits.agg(
+            F.sum("mult").cast("long").alias("n_draws"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_docs"),
+            F.max("mult").cast("long").alias("max_mult"),
+            F.sum("weight").cast("long").alias("sampled_w"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "n_draws",
+            "n_distinct_docs",
+            "max_mult",
+            "sampled_w",
+            f"sampled_w * {_PPM}L div total_w AS sampled_w_ppm",
+        )
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "pps_systematic_sample": pps_systematic_sample,
+    "pps_sample_stats": pps_sample_stats,
+}
+
+_SQL_CUM = f"""
+    w AS (SELECT doc_id, {_SQL_WC}::BIGINT AS weight FROM documents),
+    c AS (SELECT doc_id, weight,
+                 SUM(weight) OVER (ORDER BY md5(doc_id::VARCHAR), doc_id
+                                   ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+          FROM w),
+    tot AS (SELECT SUM(weight)::BIGINT AS total_w,
+                   SUM(weight)::BIGINT // {SAMPLE_K} AS stride,
+                   (SUM(weight)::BIGINT // {SAMPLE_K}) // 2 AS anchor
+            FROM w),
+    hits AS (
+        SELECT c.doc_id, c.weight, t.stride,
+               LEAST({SAMPLE_K}, GREATEST(0,
+                   (c.cum - t.anchor + t.stride - 1) // t.stride))
+               - LEAST({SAMPLE_K}, GREATEST(0,
+                   (c.cum - c.weight - t.anchor + t.stride - 1) // t.stride))
+               AS mult
+        FROM c, tot t)
+"""
+
+ORACLES: Dict[str, str] = {
+    "pps_systematic_sample": f"""
+        WITH {_SQL_CUM}
+        SELECT doc_id, weight, mult,
+               LEAST({_PPM}, weight * {_PPM} // stride) AS inclusion_ppm
+        FROM hits WHERE mult >= 1 ORDER BY doc_id
+    """,
+    "pps_sample_stats": f"""
+        WITH {_SQL_CUM},
+        agg AS (
+            SELECT SUM(mult)::BIGINT AS n_draws,
+                   COUNT(*)::BIGINT AS n_distinct_docs,
+                   MAX(mult)::BIGINT AS max_mult,
+                   SUM(weight)::BIGINT AS sampled_w
+            FROM hits WHERE mult >= 1)
+        SELECT n_draws, n_distinct_docs, max_mult, sampled_w,
+               sampled_w * {_PPM} // (SELECT total_w FROM tot) AS sampled_w_ppm
+        FROM agg
+    """,
+}

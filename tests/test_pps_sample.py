@@ -1,0 +1,78 @@
+"""Systematic PPS sampler tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.pps_sample import (
+    SAMPLE_K,
+    QUERIES,
+    _grid_hits,
+    _weighted_cum,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_distributed_prefix_sum_matches_serial(spark):
+    import hashlib
+
+    rows = _weighted_cum(spark, SF).collect()
+    rows.sort(key=lambda r: (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id))
+    running = 0
+    for r in rows:
+        running += r.weight
+        assert r.cum == running
+
+
+def test_exactly_k_draws(spark):
+    hits = QUERIES["pps_systematic_sample"](spark, SF).collect()
+    assert sum(r.mult for r in hits) == SAMPLE_K
+    assert all(r.mult >= 1 for r in hits)
+    assert all(0 < r.inclusion_ppm <= 1_000_000 for r in hits)
+
+
+def test_heavy_unit_drawn_with_multiplicity(spark):
+    # 3 docs; doc 2 owns ~everything -> at k=? grid points mostly in it.
+    cum = spark.createDataFrame(
+        [(1, 10, 10), (2, 970, 980), (3, 20, 1000)],
+        "doc_id long, weight long, cum long",
+    )
+    hits = {r.doc_id: r.mult for r in _grid_hits(cum, 10).collect()}
+    # stride 100, anchor 50: grid 50,150,...,950 -> doc1: none (cum 10
+    # < 50), doc2 covers [10,980): 50..950 = 10 hits
+    assert hits == {2: 10}
+
+
+def test_light_units_still_reachable(spark):
+    cum = spark.createDataFrame(
+        [(1, 50, 50), (2, 50, 100), (3, 100, 200)],
+        "doc_id long, weight long, cum long",
+    )
+    hits = {r.doc_id: r.mult for r in _grid_hits(cum, 4).collect()}
+    # stride 50, anchor 25: grid 25,75,125,175 -> doc1@25, doc2@75,
+    # doc3@125+175
+    assert hits == {1: 1, 2: 1, 3: 2}
+
+
+def test_stats_consistent(spark):
+    s = QUERIES["pps_sample_stats"](spark, SF).collect()[0]
+    assert s.n_draws == SAMPLE_K
+    assert 1 <= s.n_distinct_docs <= SAMPLE_K
+    assert s.max_mult >= 1
+    assert 0 < s.sampled_w_ppm <= 1_000_000
+
+
+def test_no_global_single_partition_window_on_corpus(spark):
+    """The corpus-sized running sum must be partitioned by pid; the
+    only unpartitioned window may run on the tiny per-partition offset
+    relation (input: an aggregate, not a scan)."""
+    df = _weighted_cum(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window nodes in the plan"
+    partitioned = [s for s in specs if s.startswith("pid")]
+    assert partitioned, "corpus running sum must partition by pid"
