@@ -1,0 +1,150 @@
+"""Pure-Python ARPA n-gram language model — the real-model-file path.
+
+KenLM's on-disk interchange format is the ARPA text file (Jurafsky &
+Martin §3; produced by ``lmplz`` and by SRILM/IRSTLM).  The kenlm
+C++ binding is not installable in every environment, which previously
+meant ``make_scorer(path)`` could never exercise a REAL model file and
+silently fell back to the built-in bigram.  This module closes that
+gap: a from-scratch ARPA parser + Katz-backoff scorer, so any
+``.arpa`` file a user ships (e.g. via ``spark-submit --files``) flows
+through the production scoring path with no native dependency.
+
+Scoring is the standard backoff recursion KenLM implements
+(Katz 1987):
+
+    P(w | ctx)   = p(ctx·w)                       if ctx·w in model
+                 = bo(ctx) + P(w | ctx[1:])        otherwise
+
+with log10 probabilities throughout, missing backoff weights = 0, and
+``<unk>``'s unigram probability (or a hard floor when the model has no
+``<unk>``) for out-of-vocabulary words.  Sentence scoring conditions
+on ``<s>`` and includes the ``</s>`` transition; perplexity normalizes
+by n+1 — identical to the kenlm binding's ``model.perplexity``, so the
+two backends are drop-in interchangeable.
+
+Executor lifecycle: parsed once per executor via the models module
+cache (the langid/perplexity convention); scoring is dict probes only.
+
+Reference analogue: `/root/reference/src/filters/text_filters.py:82-120`
+loads a KenLM model and skips the check when absent.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+_BOS = "<s>"
+_EOS = "</s>"
+_UNK = "<unk>"
+_LOG10_FLOOR = -6.0  # OOV floor when the model ships no <unk>
+
+
+class ArpaLanguageModel:
+    """N-gram LM parsed from an ARPA text file (any order)."""
+
+    def __init__(self, path: str):
+        # (w1, ..., wn) -> (log10 prob, log10 backoff-or-0)
+        self._grams: Dict[Tuple[str, ...], Tuple[float, float]] = {}
+        self.order = 0
+        self._parse(path)
+        if self.order == 0:
+            raise ValueError(f"{path}: no \\N-grams: sections found")
+
+    def _parse(self, path: str) -> None:
+        section = 0  # current n-gram order being read
+        with open(path, encoding="utf-8", errors="replace") as f:
+            for raw in f:
+                line = raw.strip()
+                if not line or line.startswith("\\data\\"):
+                    section = 0
+                    continue
+                if line.endswith("-grams:") and line.startswith("\\"):
+                    section = int(line[1 : line.index("-")])
+                    self.order = max(self.order, section)
+                    continue
+                if line == "\\end\\":
+                    break
+                if section == 0:
+                    continue  # header counts ("ngram 1=42")
+                # log10p  w1 ... wn  [backoff] — tabs separate the
+                # prob/ngram/backoff fields but the n-gram's words are
+                # space-separated, so tokenize by any whitespace
+                parts = line.split()
+                if len(parts) < section + 1:
+                    continue
+                try:
+                    logp = float(parts[0])
+                except ValueError:
+                    continue
+                words = tuple(parts[1 : 1 + section])
+                bo = 0.0
+                if len(parts) > section + 1:
+                    try:
+                        bo = float(parts[1 + section])
+                    except ValueError:
+                        bo = 0.0
+                self._grams[words] = (logp, bo)
+
+    def _logp(self, context: Tuple[str, ...], w: str) -> float:
+        """Backoff-chained log10 P(w | context) — recursion depth is
+        bounded by the model order."""
+        hit = self._grams.get(context + (w,))
+        if hit is not None:
+            return hit[0]
+        if not context:
+            unk = self._grams.get((_UNK,))
+            return unk[0] if unk is not None else _LOG10_FLOOR
+        ctx_hit = self._grams.get(context)
+        bo = ctx_hit[1] if ctx_hit is not None else 0.0
+        return bo + self._logp(context[1:], w)
+
+    def score(self, words: List[str]) -> float:
+        """Total log10 probability of <s> w1..wn </s>."""
+        context: Tuple[str, ...] = (_BOS,)
+        total = 0.0
+        maxctx = self.order - 1
+        for w in list(words) + [_EOS]:
+            total += self._logp(context, w)
+            context = (context + (w,))[-maxctx:] if maxctx > 0 else ()
+        return total
+
+    def perplexity(self, words: List[str]) -> float:
+        n = len(words) + 1  # + </s>, the kenlm normalization
+        if n <= 0:
+            return float("inf")
+        return 10.0 ** (-self.score(words) / n)
+
+
+def write_arpa_bigram(path: str, corpus: str) -> None:
+    """Train a plain ML bigram ARPA file from a text corpus — the
+    deterministic fixture generator for tests and offline smoke runs
+    (real pipelines bring their own lmplz-built file)."""
+    uni: Dict[str, int] = {}
+    bi: Dict[Tuple[str, str], int] = {}
+    total = 0
+    for line in corpus.strip().splitlines():
+        ws = line.split()
+        if not ws:
+            continue
+        prev = _BOS
+        uni[_BOS] = uni.get(_BOS, 0) + 1
+        for w in ws + [_EOS]:
+            uni[w] = uni.get(w, 0) + 1
+            bi[(prev, w)] = bi.get((prev, w), 0) + 1
+            total += 1
+            prev = w
+    bo = math.log10(0.4)  # stupid-backoff weight as a constant ARPA bo
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\\data\\\n")
+        f.write(f"ngram 1={len(uni)}\n")
+        f.write(f"ngram 2={len(bi)}\n\n")
+        f.write("\\1-grams:\n")
+        for w in sorted(uni):
+            lp = math.log10(uni[w] / total)
+            f.write(f"{lp:.6f}\t{w}\t{bo:.6f}\n")
+        f.write("\n\\2-grams:\n")
+        for (p, w) in sorted(bi):
+            lp = math.log10(bi[(p, w)] / uni[p])
+            f.write(f"{lp:.6f}\t{p} {w}\n")
+        f.write("\n\\end\\\n")

@@ -107,20 +107,37 @@ def make_scorer(kenlm_model_path: Optional[str] = None):
     check leniently, matching the reference's graceful fallback.
     """
     if kenlm_model_path:
+        def _load():
+            """words -> perplexity callable, or False if no backend
+            can read the file. kenlm preferred; a text-format ARPA
+            file still flows through the pure-Python backend (same
+            perplexity contract), so shipping a real model via
+            ``--files`` works without native deps."""
+            try:
+                import kenlm  # type: ignore
+
+                m = kenlm.Model(kenlm_model_path)
+                return lambda words: m.perplexity(" ".join(words))
+            except Exception:
+                pass
+            try:
+                from cleaning_web_corpus_spark.models.arpa import (
+                    ArpaLanguageModel,
+                )
+
+                return ArpaLanguageModel(kenlm_model_path).perplexity
+            except Exception:
+                return False
+
         def _kenlm_score(words: List[str]) -> Optional[float]:
             key = ("kenlm", kenlm_model_path)
             model = _CACHED.get(key)
             if model is None:
-                try:
-                    import kenlm  # type: ignore
-
-                    model = kenlm.Model(kenlm_model_path)
-                except Exception:
-                    model = False
+                model = _load()
                 _CACHED[key] = model
             if not model:
                 return get_default_model().perplexity(words)
-            return model.perplexity(" ".join(words))
+            return model(words)
 
         return _kenlm_score
 

@@ -1,0 +1,168 @@
+"""Pure-Python ARPA backend tests (hand-computed backoff chains)."""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import pytest
+
+from cleaning_web_corpus_spark.models.arpa import (
+    ArpaLanguageModel,
+    write_arpa_bigram,
+)
+from cleaning_web_corpus_spark.models import perplexity as ppl_mod
+from cleaning_web_corpus_spark.models.perplexity import (
+    BigramPerplexityModel,
+    make_scorer,
+)
+
+_TINY = """\
+\\data\\
+ngram 1=5
+ngram 2=3
+
+\\1-grams:
+-0.5\t<s>\t-0.30103
+-0.7\t</s>
+-0.4\ta\t-0.2
+-0.6\tb\t-0.1
+-5.0\t<unk>
+
+\\2-grams:
+-0.1\t<s> a
+-0.2\ta b
+-0.3\tb </s>
+
+\\end\\
+"""
+
+
+@pytest.fixture()
+def tiny(tmp_path):
+    p = tmp_path / "tiny.arpa"
+    p.write_text(_TINY)
+    return ArpaLanguageModel(str(p))
+
+
+def test_parse_counts_and_order(tiny):
+    assert tiny.order == 2
+    assert len(tiny._grams) == 8
+
+
+def test_full_chain_all_bigrams_present(tiny):
+    # <s>a=-0.1, ab=-0.2, b</s>=-0.3 -> total -0.6 over n+1=3 tokens
+    assert abs(tiny.score(["a", "b"]) + 0.6) < 1e-9
+    assert abs(tiny.perplexity(["a", "b"]) - 10 ** 0.2) < 1e-9
+
+
+def test_backoff_uses_context_weight(tiny):
+    # "a a": <s>a = -0.1; then (a,a) missing -> bo(a) = -0.2 + uni(a)
+    # = -0.4 => -0.6; then (a,</s>) missing -> bo(a) -0.2 + uni(</s>)
+    # -0.7 = -0.9. total = -1.6
+    assert abs(tiny.score(["a", "a"]) + 1.6) < 1e-9
+
+
+def test_oov_hits_unk(tiny):
+    # "z": (<s>,z) missing -> bo(<s>) -0.30103 + unk -5.0; then
+    # (z,</s>) missing, ctx (z,) unseen -> bo 0 + uni(</s>) -0.7
+    assert abs(tiny.score(["z"]) - (-0.30103 - 5.0 - 0.7)) < 1e-9
+
+
+def test_trigram_chain(tmp_path):
+    p = tmp_path / "tri.arpa"
+    p.write_text(
+        "\\data\\\nngram 1=4\nngram 2=2\nngram 3=1\n\n"
+        "\\1-grams:\n-0.5\t<s>\t-0.1\n-0.6\t</s>\n-0.4\tx\t-0.2\n-0.45\ty\t-0.3\n\n"
+        "\\2-grams:\n-0.15\t<s> x\t-0.25\n-0.35\tx y\t-0.05\n\n"
+        "\\3-grams:\n-0.05\t<s> x y\n\n\\end\\\n"
+    )
+    m = ArpaLanguageModel(str(p))
+    assert m.order == 3
+    # <s>x=-0.15 (bigram, trigram ctx only <s>); then (<s>,x,y)=-0.05;
+    # then (x,y,</s>) missing -> bo(x,y)=-0.05 + (y,</s>) missing ->
+    # bo(y)=-0.3 + uni(</s>)=-0.6  => -0.95
+    assert abs(m.score(["x", "y"]) - (-0.15 - 0.05 - 0.05 - 0.3 - 0.6)) < 1e-9
+
+
+def test_written_bigram_matches_builtin_model(tmp_path):
+    corpus = "the cat sat\nthe dog sat\nthe cat ran away\n"
+    p = tmp_path / "bg.arpa"
+    write_arpa_bigram(str(p), corpus)
+    arpa = ArpaLanguageModel(str(p))
+    builtin = BigramPerplexityModel(corpus)
+    for words in (["the", "cat", "sat"], ["the", "dog", "ran"], ["cat"]):
+        # identical training math; writer rounds to 6 decimals
+        assert arpa.perplexity(words) == pytest.approx(
+            builtin.perplexity(words), rel=1e-4
+        )
+
+
+def test_make_scorer_uses_arpa_when_kenlm_absent(tmp_path, monkeypatch):
+    monkeypatch.setitem(sys.modules, "kenlm", None)
+    ppl_mod._CACHED.clear()
+    p = tmp_path / "real.arpa"
+    write_arpa_bigram(str(p), "good clean fluent text\n" * 3)
+    scorer = make_scorer(str(p))
+    fluent = scorer(["good", "clean", "fluent", "text"])
+    gibberish = scorer(["zqxv", "wkjh", "pzzt"])
+    direct = ArpaLanguageModel(str(p))
+    assert fluent == pytest.approx(direct.perplexity(
+        ["good", "clean", "fluent", "text"]), rel=1e-12)
+    assert gibberish > fluent  # OOV floor pushes gibberish way up
+    ppl_mod._CACHED.clear()
+
+
+def test_make_scorer_unreadable_file_falls_back(tmp_path, monkeypatch):
+    monkeypatch.setitem(sys.modules, "kenlm", None)
+    ppl_mod._CACHED.clear()
+    p = tmp_path / "junk.bin"
+    p.write_bytes(b"\x00\x01notarpa")
+    scorer = make_scorer(str(p))
+    from cleaning_web_corpus_spark.models.perplexity import get_default_model
+
+    words = ["hello", "world"]
+    assert scorer(words) == pytest.approx(
+        get_default_model().perplexity(words)
+    )
+    ppl_mod._CACHED.clear()
+
+
+def test_verdict_udf_scores_through_real_arpa_file(spark, tmp_path):
+    """End-to-end: a real ARPA model FILE shipped by path changes the
+    chain's perplexity verdict inside the distributed Arrow UDF —
+    kenlm is absent in this environment, so reaching the UDF at all
+    proves the pure-Python backend carried the file."""
+    from pyspark.sql import functions as F
+
+    from cleaning_web_corpus_spark.config import QualityConfig
+    from cleaning_web_corpus_spark.filters.udf import make_verdict_udf
+
+    # alien vocabulary: every English word is OOV under this model
+    alien = tmp_path / "alien.arpa"
+    write_arpa_bigram(str(alien), "zog blarp wibble\nzog wibble\n" * 2)
+
+    text = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the quiet field toward the river bank"
+    )
+    cfg = QualityConfig(
+        min_words=5,
+        max_words=100,
+        min_avg_word_length=1.0,
+        min_words_for_repetition_check=500,
+        min_words_for_perplexity=5,
+        max_perplexity=1000.0,
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    default_udf = make_verdict_udf(cfg, emit_stats=False)
+    r0 = df.select(default_udf(F.col("text")).alias("v")).collect()[0].v
+    assert r0.passed  # fluent English passes under the built-in model
+
+    arpa_udf = make_verdict_udf(
+        cfg, kenlm_model_path=str(alien), emit_stats=False
+    )
+    r1 = df.select(arpa_udf(F.col("text")).alias("v")).collect()[0].v
+    assert not r1.passed
+    assert r1.reason.startswith("perplexity_too_high")
