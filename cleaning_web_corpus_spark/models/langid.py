@@ -184,7 +184,18 @@ def _load_fasttext(path: str):
 
             model = fasttext.load_model(path)
         except Exception:
-            model = False
+            # no native binding: an unquantized supervised .bin still
+            # flows through the pure-Python reader (same predict
+            # shape), so shipping a real model via --files works
+            # without native deps
+            try:
+                from cleaning_web_corpus_spark.models.fasttext_bin import (
+                    FastTextBinModel,
+                )
+
+                model = FastTextBinModel(path)
+            except Exception:
+                model = False
         _CACHED[key] = model
     return model
 

@@ -1,0 +1,183 @@
+"""Pure-Python fastText .bin reader tests (crafted model files)."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pytest
+
+from cleaning_web_corpus_spark.models import langid as langid_mod
+from cleaning_web_corpus_spark.models.fasttext_bin import (
+    LOSS_HS,
+    LOSS_OVA,
+    FastTextBinModel,
+    char_ngrams,
+    ft_hash,
+    write_fasttext_supervised,
+)
+
+
+def _tiny_model(path, **kw):
+    # dim 2: "bonjour"->[1,0], "hello"->[0,1], "</s>"->[0,0]
+    words = ["</s>", "bonjour", "hello"]
+    inp = np.array([[0, 0], [1, 0], [0, 1]], dtype=np.float64)
+    labels = ["__label__fr", "__label__en"]
+    out = np.array([[10, 0], [0, 10]], dtype=np.float64)
+    write_fasttext_supervised(str(path), words, labels, inp, out, **kw)
+    return FastTextBinModel(str(path))
+
+
+def test_roundtrip_and_predict(tmp_path):
+    m = _tiny_model(tmp_path / "m.bin")
+    assert m.nwords == 3 and m.nlabels == 2
+    labels, probs = m.predict("bonjour")
+    assert labels == ("__label__fr",)
+    assert probs[0] > 0.99
+    labels, _ = m.predict("hello")
+    assert labels == ("__label__en",)
+
+
+def test_mean_pooling_mixes_tokens(tmp_path):
+    m = _tiny_model(tmp_path / "m.bin")
+    # two French tokens vs one English: mean leans French
+    labels, _ = m.predict("bonjour bonjour hello")
+    assert labels == ("__label__fr",)
+
+
+def test_batch_predict_shape(tmp_path):
+    m = _tiny_model(tmp_path / "m.bin")
+    labels, probs = m.predict(["bonjour", "hello"])
+    assert [lb[0] for lb in labels] == ["__label__fr", "__label__en"]
+    assert len(probs) == 2
+
+
+def test_ova_sigmoid(tmp_path):
+    m = _tiny_model(tmp_path / "ova.bin", loss=LOSS_OVA)
+    labels, probs = m.predict("bonjour")
+    assert labels == ("__label__fr",) and 0.99 < probs[0] <= 1.0
+
+
+def test_hs_refused_loudly(tmp_path):
+    with pytest.raises(NotImplementedError, match="hierarchical"):
+        _tiny_model(tmp_path / "hs.bin", loss=LOSS_HS)
+
+
+def test_hash_is_fnv1a_with_sign_extension():
+    # FNV-1a of "a": (2166136261 ^ 97) * 16777619 mod 2^32
+    assert ft_hash("a") == ((2166136261 ^ 97) * 16777619) % (1 << 32)
+    # multi-byte utf-8 goes through the signed-char extension branch
+    assert 0 <= ft_hash("é") < (1 << 32)
+    assert ft_hash("é") != ft_hash("e")
+
+
+def test_char_ngrams_boundaries():
+    # <ab> with minn=2 maxn=3, excluding the full token
+    assert char_ngrams("ab", 2, 3) == ["<a", "<ab", "ab", "ab>", "b>"]
+    assert char_ngrams("ab", 0, 0) == []
+
+
+def test_word_ngram_bucket_changes_prediction(tmp_path):
+    words = ["</s>", "not", "good"]
+    labels = ["__label__neg", "__label__pos"]
+    bucket = 8
+    inp = np.zeros((3 + bucket, 2))
+    inp[2] = [0, 1]  # "good" alone -> pos
+    # find the bucket row the bigram ("not","good") hashes to and make
+    # it strongly negative
+    h = (ft_hash("not") * 116049371 + ft_hash("good")) % (1 << 64)
+    inp[3 + h % bucket] = [9, 0]
+    out = np.array([[10, 0], [0, 10]], dtype=np.float64)
+    p = tmp_path / "ng.bin"
+    write_fasttext_supervised(
+        str(p), words, labels, inp, out, bucket=bucket, word_ngrams=2
+    )
+    m = FastTextBinModel(str(p))
+    assert m.predict("good")[0] == ("__label__pos",)
+    assert m.predict("not good")[0] == ("__label__neg",)
+
+
+def test_subword_buckets_cover_oov(tmp_path):
+    words = ["</s>"]
+    labels = ["__label__de", "__label__en"]
+    bucket = 16
+    inp = np.zeros((1 + bucket, 2))
+    # every 3-gram of "<zug>" votes German
+    for sub in char_ngrams("zug", 3, 3):
+        inp[1 + ft_hash(sub) % bucket] += [5, 0]
+    out = np.array([[10, 0], [0, 10]], dtype=np.float64)
+    p = tmp_path / "sub.bin"
+    write_fasttext_supervised(
+        str(p), words, labels, inp, out, bucket=bucket, minn=3, maxn=3
+    )
+    m = FastTextBinModel(str(p))
+    labels_out, _ = m.predict("zug")  # OOV word, subwords only
+    assert labels_out == ("__label__de",)
+
+
+def test_make_detector_uses_pure_reader(tmp_path, monkeypatch):
+    monkeypatch.setitem(sys.modules, "fasttext", None)
+    langid_mod._CACHED.clear()
+    p = tmp_path / "lid.bin"
+    _tiny_model(p)
+    det = langid_mod.make_detector(str(p))
+    assert det("bonjour") == "fr"
+    assert det("hello") == "en"
+    batch = langid_mod.make_batch_detector(str(p))
+    assert batch(["bonjour", "hello"]) == ["fr", "en"]
+    langid_mod._CACHED.clear()
+
+
+def test_native_binding_cross_check(tmp_path):
+    """Whenever the real fasttext package is importable, our written
+    file must load there and agree — availability-gated."""
+    ft = pytest.importorskip("fasttext")
+    p = tmp_path / "x.bin"
+    _tiny_model(p)
+    real = ft.load_model(str(p))
+    ours = FastTextBinModel(str(p))
+    for text in ("bonjour", "hello", "bonjour hello hello"):
+        assert real.predict(text)[0][0] == ours.predict(text)[0][0]
+
+
+def test_verdict_udf_detects_through_real_bin_file(spark, tmp_path):
+    """End-to-end: a real .bin model FILE shipped by path changes the
+    chain's language verdict inside the distributed Arrow UDF — the
+    native binding is absent here, so the pure reader carried it."""
+    from pyspark.sql import functions as F
+
+    from cleaning_web_corpus_spark.config import QualityConfig
+    from cleaning_web_corpus_spark.filters.udf import make_verdict_udf
+
+    # a model that calls EVERYTHING French (words unseen -> EOS row
+    # only; make the fr output row win on the zero-ish hidden vector)
+    words = ["</s>"]
+    inp = np.array([[1.0, 0.0]])
+    labels = ["__label__fr", "__label__en"]
+    out = np.array([[10, 0], [0, 10]], dtype=np.float64)
+    p = tmp_path / "allfr.bin"
+    write_fasttext_supervised(str(p), words, labels, inp, out)
+
+    text = (
+        "this is a long and perfectly fluent english paragraph that "
+        "keeps going with common words so every other check passes fine"
+    )
+    cfg = QualityConfig(
+        min_words=5,
+        max_words=100,
+        min_avg_word_length=1.0,
+        min_words_for_langid=5,
+        min_words_for_repetition_check=500,
+        min_words_for_perplexity=5000,
+        language="en",
+    )
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    default_udf = make_verdict_udf(cfg, emit_stats=False)
+    assert df.select(default_udf(F.col("text")).alias("v")).collect()[0].v.passed
+
+    ft_udf = make_verdict_udf(
+        cfg, fasttext_model_path=str(p), emit_stats=False
+    )
+    v = df.select(ft_udf(F.col("text")).alias("v")).collect()[0].v
+    assert not v.passed
+    assert v.reason.startswith("language_failed")
