@@ -30,6 +30,13 @@ bands, verification sets.  Each capture is the minhash_lsh_candidates
 banded bucket-grouping shape (bucket-capped, never all-pairs);
 everything downstream is candidate-sized.  The cache is reclaimed by
 Spark's ContextCleaner once the result DataFrame is dropped.
+
+Memory-pressure degrade path (not needed at bench scale): the
+distinct-shingle arrays dominate the fused aggregation's shuffle
+size; if that bites at extreme doc sizes, drop ``sset`` from the
+aggregation and verify instead via a second shingle scan semi-joined
+to the candidate endpoints (the oracle's ``inter`` CTE shape) — one
+more corpus scan, far smaller shuffle rows.
 """
 
 from __future__ import annotations
