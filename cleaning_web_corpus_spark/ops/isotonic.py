@@ -1,0 +1,183 @@
+"""Isotonic (PAV) calibration of the quality-classifier score.
+
+``quality_calibration_bins`` draws the reliability diagram; this op
+FIXES it: the monotone step function closest to the per-bin positive
+rates (weighted least squares) — what production pipelines actually
+apply before using a classifier score as a sampling weight (isotonic
+regression, Zadrozny & Elkan KDD'02; the sklearn
+``IsotonicRegression`` use-case).
+
+Instead of the sequential pool-adjacent-violators loop, both engines
+evaluate PAV's closed-form **minimax characterization** (Barlow et al.
+1972, "Statistical Inference under Order Restrictions"):
+
+    iso(i) = max_{j<=i} min_{k>=i} avg(pos, j..k)
+
+over the bounded bins relation, with every candidate average quantized
+to ppm BIGINTs (``(Ppos_k - Ppos_{j-1})·10^6 div (Pn_k - Pn_{j-1})``)
+BEFORE the min/max — identical integer arithmetic on both sides, so
+the gate hash is exact (semantics: ppm-quantized isotonic fit; the
+hand-PAV equivalence on quantization-free cases is pinned by test).
+
+Plan (100 TB): the corpus pays only the classifier-score scan that
+``quality_calibration_bins`` already pays; binning reduces to a <= 10
+row relation and the O(bins³) minimax runs inside ONE collected-array
+projection (sequence/transform/array_min/array_max — pure JVM, no UDF,
+no driver round-trip).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.calibration import (
+    calibration_bins_over,
+)
+from cleaning_web_corpus_spark.ops.quality_classifier import (
+    ORACLES as _QC_ORACLES,
+    quality_classifier_scores,
+)
+
+_PPM = 1_000_000
+
+
+def isotonic_over(bins: DataFrame) -> DataFrame:
+    """(bin_lo, n_docs, n_label_pos, raw_ppm, iso_ppm) — the
+    ppm-quantized isotonic fit over a (bin_lo, n_docs, n_label_pos)
+    relation, non-decreasing in bin_lo."""
+    row = bins.agg(
+        F.expr(
+            "array_sort(collect_list(struct(bin_lo, n_docs, n_label_pos)))"
+        ).alias("bs")
+    )
+    # inclusive prefix sums over the sorted bins
+    prefix = (
+        "transform(sequence(1, size(bs)), z ->"
+        " aggregate(slice(bs, 1, z), 0L, (s, b) -> s + b.{fld}))"
+    )
+    row = row.selectExpr(
+        "bs",
+        prefix.format(fld="n_docs") + " AS pn",
+        prefix.format(fld="n_label_pos") + " AS pp",
+    )
+    ppm = (
+        f"((element_at(pp, k + 1) - if(j > 0, element_at(pp, j), 0L))"
+        f" * {_PPM}L)"
+        f" div (element_at(pn, k + 1) - if(j > 0, element_at(pn, j), 0L))"
+    )
+    iso = (
+        "transform(sequence(0, size(bs) - 1), i ->"
+        " array_max(transform(sequence(0, i), j ->"
+        "  array_min(transform(sequence(i, size(bs) - 1), k ->"
+        f"   {ppm})))))"
+    )
+    out = (
+        "transform(sequence(0, size(bs) - 1), i -> struct("
+        " element_at(bs, i + 1).bin_lo AS bin_lo,"
+        " element_at(bs, i + 1).n_docs AS n_docs,"
+        " element_at(bs, i + 1).n_label_pos AS n_label_pos,"
+        f" element_at(bs, i + 1).n_label_pos * {_PPM}L"
+        "   div element_at(bs, i + 1).n_docs AS raw_ppm,"
+        " element_at(iso_arr, i + 1) AS iso_ppm))"
+    )
+    return (
+        row.selectExpr("bs", f"{iso} AS iso_arr")
+        .selectExpr(f"explode({out}) AS r")
+        .select("r.*")
+        .orderBy("bin_lo")
+    )
+
+
+def isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    bins = calibration_bins_over(
+        quality_classifier_scores(spark, sf).select("label", "score_micro")
+    ).select("bin_lo", "n_docs", "n_label_pos")
+    return isotonic_over(bins)
+
+
+def isotonic_fit_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row audit: bin count, adjacent raw-rate violations the fit
+    repaired, and the largest per-bin adjustment (ppm)."""
+    fit = isotonic_calibration(spark, sf)
+    lagged = fit.selectExpr(
+        "bin_lo",
+        "raw_ppm",
+        "iso_ppm",
+        "lag(raw_ppm) OVER (ORDER BY bin_lo) AS prev_raw",
+    )
+    return lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum(
+            F.when(F.col("prev_raw") > F.col("raw_ppm"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_raw_violations"),
+        F.max(F.abs(F.col("iso_ppm") - F.col("raw_ppm")))
+        .cast("long")
+        .alias("max_adjust_ppm"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "isotonic_calibration": isotonic_calibration,
+    "isotonic_fit_stats": isotonic_fit_stats,
+}
+
+# the quality_calibration_bins binning restated (ops/calibration.py),
+# then the minimax as three tiny joins over the <= 10-row bins
+_SQL_FIT = f"""
+    scores AS ({_QC_ORACLES["quality_classifier_scores"]}),
+    binned AS (
+        SELECT label,
+               (((GREATEST(-6000000, LEAST(13999999, score_micro))
+                  + 6000000) // 2000000) * 2000000 - 6000000)::BIGINT AS bin_lo
+        FROM scores),
+    agg AS (
+        SELECT bin_lo, COUNT(*)::BIGINT AS n_docs,
+               SUM(label::INT)::BIGINT AS n_label_pos
+        FROM binned GROUP BY bin_lo),
+    ord AS (
+        SELECT bin_lo, n_docs, n_label_pos,
+               ROW_NUMBER() OVER (ORDER BY bin_lo) - 1 AS i,
+               SUM(n_docs) OVER (ORDER BY bin_lo)::BIGINT AS pn,
+               SUM(n_label_pos) OVER (ORDER BY bin_lo)::BIGINT AS pp
+        FROM agg),
+    vals AS (
+        SELECT j.i AS j, k.i AS k,
+               (k.pp - COALESCE(jp.pp, 0)) * {_PPM}
+               // (k.pn - COALESCE(jp.pn, 0)) AS ppm
+        FROM ord j JOIN ord k ON j.i <= k.i
+        LEFT JOIN ord jp ON jp.i = j.i - 1),
+    mins AS (
+        SELECT v.j, o.i, MIN(v.ppm) AS m
+        FROM vals v JOIN ord o ON v.j <= o.i AND v.k >= o.i
+        GROUP BY v.j, o.i),
+    fit AS (
+        SELECT o.bin_lo, o.n_docs, o.n_label_pos,
+               o.n_label_pos * {_PPM} // o.n_docs AS raw_ppm,
+               (SELECT MAX(m) FROM mins WHERE mins.i = o.i) AS iso_ppm
+        FROM ord o)
+"""
+
+ORACLES: Dict[str, str] = {
+    "isotonic_calibration": f"""
+        WITH {_SQL_FIT}
+        SELECT bin_lo, n_docs, n_label_pos, raw_ppm, iso_ppm
+        FROM fit ORDER BY bin_lo
+    """,
+    "isotonic_fit_stats": f"""
+        WITH {_SQL_FIT},
+        lagged AS (
+            SELECT raw_ppm, iso_ppm,
+                   LAG(raw_ppm) OVER (ORDER BY bin_lo) AS prev_raw
+            FROM fit)
+        SELECT COUNT(*)::BIGINT AS n_bins,
+               SUM(CASE WHEN prev_raw > raw_ppm THEN 1 ELSE 0 END)::BIGINT
+                   AS n_raw_violations,
+               MAX(ABS(iso_ppm - raw_ppm))::BIGINT AS max_adjust_ppm
+        FROM lagged
+    """,
+}

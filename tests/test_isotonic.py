@@ -1,0 +1,81 @@
+"""Isotonic calibration tests (hand-PAV equivalence + invariants)."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.isotonic import QUERIES, isotonic_over
+
+SF = "/root/testdata/sf0.001"
+
+
+def _bins(spark, rows):
+    return spark.createDataFrame(
+        rows, "bin_lo long, n_docs long, n_label_pos long"
+    )
+
+
+def _pav(ns, ps):
+    """Textbook pool-adjacent-violators on (count, positives) bins —
+    returns exact rational block rates as (pos, n) tuples per bin."""
+    blocks = [[n, p] for n, p in zip(ns, ps)]
+    out = []
+    for b in blocks:
+        out.append(b)
+        while len(out) > 1 and out[-2][1] * out[-1][0] > out[-1][1] * out[-2][0]:
+            n2, p2 = out.pop()
+            out[-1][0] += n2
+            out[-1][1] += p2
+    # expand back to per-bin
+    expanded = []
+    i = 0
+    for n, p in out:
+        # how many original bins were pooled into this block
+        cnt, acc_n = 0, 0
+        while acc_n < n:
+            acc_n += ns[i + cnt]
+            cnt += 1
+        expanded.extend([(p, n)] * cnt)
+        i += cnt
+    return expanded
+
+
+def test_matches_hand_pav(spark):
+    # rates 0.5, 0.0, 1.0 -> pool first two to 0.25, keep 1.0
+    fit = isotonic_over(
+        _bins(spark, [(0, 2, 1), (1, 2, 0), (2, 2, 2)])
+    ).collect()
+    assert [r.iso_ppm for r in fit] == [250000, 250000, 1000000]
+    assert [r.raw_ppm for r in fit] == [500000, 0, 1000000]
+
+
+def test_pav_equivalence_random_exact_cases(spark):
+    # denominators divide 10^6 so ppm quantization is exact and the
+    # minimax must equal textbook PAV exactly
+    ns = [4, 2, 5, 8, 10]
+    ps = [3, 0, 4, 2, 9]
+    fit = isotonic_over(
+        _bins(spark, list(zip(range(5), ns, ps)))
+    ).collect()
+    expect = [
+        (p * 1_000_000) // n for p, n in _pav(ns, ps)
+    ]
+    assert [r.iso_ppm for r in fit] == expect
+
+
+def test_monotone_and_identity_when_sorted(spark):
+    fit = isotonic_over(
+        _bins(spark, [(0, 4, 0), (1, 4, 1), (2, 4, 3), (3, 4, 4)])
+    ).collect()
+    isos = [r.iso_ppm for r in fit]
+    assert isos == sorted(isos)
+    # already monotone -> fit equals the raw rates
+    assert isos == [r.raw_ppm for r in fit]
+
+
+def test_real_chain_fit(spark):
+    fit = QUERIES["isotonic_calibration"](spark, SF).collect()
+    isos = [r.iso_ppm for r in fit]
+    assert isos == sorted(isos), "isotonic fit must be non-decreasing"
+    assert all(0 <= v <= 1_000_000 for v in isos)
+    s = QUERIES["isotonic_fit_stats"](spark, SF).collect()[0]
+    assert s.n_bins == len(fit)
+    assert s.max_adjust_ppm >= 0
