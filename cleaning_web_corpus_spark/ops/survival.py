@@ -1,0 +1,188 @@
+"""Kaplan-Meier survival over user lifetimes (right-censored).
+
+The retention question every activity log eventually gets asked —
+"how long does a user stay active?" — answered properly: users whose
+last event sits inside the final ``CENSOR_GAP_DAYS`` of the corpus are
+not dead, merely unobserved past the edge, and averaging their
+lifetimes as if complete biases retention low.  The Kaplan-Meier
+estimator (Kaplan & Meier 1958) handles exactly this: at each
+lifetime ``t`` with ``d_t`` observed churns out of ``n_t`` users still
+at risk,
+
+    S(t) = Π_{u <= t} (1 - d_u / n_u)
+
+with censored users counted at risk through their censoring time and
+then removed without a death.
+
+Exactness: lifetimes are integer epoch-day differences (the
+``ops/trend`` day key); ``S`` uses the quantized integer recurrence
+``S_ppm <- S_ppm · (n_u - d_u) div n_u`` (seed 10^6) — restated as a
+recursive CTE in the DuckDB twin, the ``filter_order`` contract, so
+the gate hash is exact.
+
+Plan (100 TB): the corpus pays one (user_id) aggregation for per-user
+first/last days; everything after runs on the per-lifetime relation,
+bounded by the observation window in days.  The recurrence runs in one
+collected-array projection (sequence/aggregate — no UDF, no driver
+loop); at-risk counts are prefix sums over the same tiny array.
+
+Reference scope: beyond-reference analytics extension (sessionize /
+cohorts / trend family) over the events table.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+US_PER_DAY = 86_400_000_000
+CENSOR_GAP_DAYS = 7
+_PPM = 1_000_000
+
+
+def _lifetimes(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user (lifetime_days, churned): one (user_id) aggregation +
+    a broadcast 1-row corpus-max join."""
+    ev = t(spark, sf, "events").select(
+        "user_id",
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {US_PER_DAY}").alias(
+            "day"
+        ),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    horizon = ev.agg(F.max("day").alias("max_day"))
+    return per_user.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        (F.col("last_day") - F.col("first_day")).cast("long").alias("lifetime"),
+        (F.col("last_day") <= F.col("max_day") - CENSOR_GAP_DAYS).alias(
+            "churned"
+        ),
+    )
+
+
+def km_curve(lifetimes: DataFrame) -> DataFrame:
+    """The KM estimator over any (lifetime:long, churned:boolean)
+    relation: (lifetime, n_at_risk, n_churned, n_censored, surv_ppm),
+    one row per distinct lifetime with any exit."""
+    per_t = (
+        lifetimes.groupBy("lifetime")
+        .agg(
+            F.sum(F.col("churned").cast("long")).cast("long").alias("d"),
+            F.sum((~F.col("churned")).cast("long")).cast("long").alias("c"),
+        )
+    )
+    row = per_t.agg(
+        F.expr("array_sort(collect_list(struct(lifetime, d, c)))").alias("ts")
+    )
+    # at risk at t = everyone who exits at or after t (exact prefix
+    # subtraction over the bounded array)
+    risk = (
+        "aggregate(ts, 0L, (s, x) -> s + x.d + x.c)"
+        " - aggregate(slice(ts, 1, i), 0L, (s, x) -> s + x.d + x.c)"
+    )
+    # KM integer recurrence: fold positions 0..i, each step multiplying
+    # by (at_risk_u - d_u) / at_risk_u with the quantized integer div
+    surv = (
+        f"aggregate(sequence(0, i), {_PPM}L, (s, u) -> "
+        "  (s * ((total - aggregate(slice(ts, 1, u), 0L,"
+        "         (a, y) -> a + y.d + y.c))"
+        "        - element_at(ts, u + 1).d))"
+        "  div (total - aggregate(slice(ts, 1, u), 0L,"
+        "       (a, y) -> a + y.d + y.c)))"
+    )
+    out = (
+        "transform(sequence(0, size(ts) - 1), i -> struct("
+        " element_at(ts, i + 1).lifetime AS lifetime,"
+        f" ({risk}) AS n_at_risk,"
+        " element_at(ts, i + 1).d AS n_churned,"
+        " element_at(ts, i + 1).c AS n_censored,"
+        f" ({surv}) AS surv_ppm))"
+    )
+    return (
+        row.selectExpr(
+            "ts", "aggregate(ts, 0L, (s, x) -> s + x.d + x.c) AS total"
+        )
+        .selectExpr(f"explode({out}) AS r")
+        .select("r.*")
+        .orderBy("lifetime")
+    )
+
+
+def survival_curve(spark: SparkSession, sf: str) -> DataFrame:
+    return km_curve(_lifetimes(spark, sf))
+
+
+def survival_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row summary: population, churned/censored split, median
+    survival lifetime (first t with S < 50%, NULL if never reached)."""
+    curve = survival_curve(spark, sf)
+    half = F.when(F.col("surv_ppm") < _PPM // 2, F.col("lifetime"))
+    return curve.agg(
+        F.sum(F.col("n_churned") + F.col("n_censored"))
+        .cast("long")
+        .alias("n_users"),
+        F.sum("n_churned").cast("long").alias("n_churned"),
+        F.sum("n_censored").cast("long").alias("n_censored"),
+        F.min(half).cast("long").alias("median_lifetime"),
+        F.min("surv_ppm").cast("long").alias("final_surv_ppm"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "survival_curve": survival_curve,
+    "survival_stats": survival_stats,
+}
+
+_SQL_CURVE = f"""
+    ev AS (SELECT user_id, epoch_us(ts) // {US_PER_DAY} AS day FROM events),
+    pu AS (SELECT user_id, MIN(day) AS first_day, MAX(day) AS last_day
+           FROM ev GROUP BY user_id),
+    hz AS (SELECT MAX(day) AS max_day FROM ev),
+    lt AS (SELECT (last_day - first_day)::BIGINT AS lifetime,
+                  (last_day <= max_day - {CENSOR_GAP_DAYS}) AS churned
+           FROM pu, hz),
+    per_t AS (SELECT lifetime,
+                     SUM(churned::INT)::BIGINT AS d,
+                     SUM((NOT churned)::INT)::BIGINT AS c
+              FROM lt GROUP BY lifetime),
+    ord AS (SELECT lifetime, d, c,
+                   ROW_NUMBER() OVER (ORDER BY lifetime) AS rnk,
+                   (SELECT SUM(d + c) FROM per_t)::BIGINT
+                     - COALESCE(SUM(d + c) OVER (ORDER BY lifetime
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::BIGINT AS n_at_risk
+            FROM per_t),
+    rec AS (
+        SELECT rnk, lifetime, d, c, n_at_risk,
+               ({_PPM}::BIGINT * (n_at_risk - d)) // n_at_risk AS surv_ppm
+        FROM ord WHERE rnk = 1
+        UNION ALL
+        SELECT o.rnk, o.lifetime, o.d, o.c, o.n_at_risk,
+               (r.surv_ppm * (o.n_at_risk - o.d)) // o.n_at_risk
+        FROM ord o JOIN rec r ON o.rnk = r.rnk + 1)
+"""
+
+ORACLES: Dict[str, str] = {
+    "survival_curve": f"""
+        WITH RECURSIVE {_SQL_CURVE}
+        SELECT lifetime, n_at_risk, d AS n_churned, c AS n_censored,
+               surv_ppm
+        FROM rec ORDER BY lifetime
+    """,
+    "survival_stats": f"""
+        WITH RECURSIVE {_SQL_CURVE}
+        SELECT SUM(d + c)::BIGINT AS n_users,
+               SUM(d)::BIGINT AS n_churned,
+               SUM(c)::BIGINT AS n_censored,
+               MIN(CASE WHEN surv_ppm < {_PPM // 2} THEN lifetime END)::BIGINT
+                   AS median_lifetime,
+               MIN(surv_ppm)::BIGINT AS final_surv_ppm
+        FROM rec
+    """,
+}

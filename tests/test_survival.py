@@ -1,0 +1,60 @@
+"""Kaplan-Meier survival tests (hand-computed curves with deaths)."""
+
+from __future__ import annotations
+
+from cleaning_web_corpus_spark.ops.survival import QUERIES, km_curve
+
+SF = "/root/testdata/sf0.001"
+
+
+def _lt(spark, rows):
+    return spark.createDataFrame(rows, "lifetime long, churned boolean")
+
+
+def test_textbook_curve_with_censoring(spark):
+    # classic example: 10 users; deaths at t=2 (2), t=5 (1);
+    # censored at t=3 (1), t=5 (2); survivors censored at t=8 (4)
+    rows = (
+        [(2, True)] * 2
+        + [(3, False)]
+        + [(5, True)]
+        + [(5, False)] * 2
+        + [(8, False)] * 4
+    )
+    out = km_curve(_lt(spark, rows)).collect()
+    by_t = {r.lifetime: r for r in out}
+    # t=2: 10 at risk, 2 die -> S = 0.8
+    assert by_t[2].n_at_risk == 10 and by_t[2].n_churned == 2
+    assert by_t[2].surv_ppm == 800000
+    # t=3: censor only -> S unchanged
+    assert by_t[3].n_at_risk == 8 and by_t[3].surv_ppm == 800000
+    # t=5: 7 at risk, 1 dies -> S = 0.8 * 6/7 (integer recurrence)
+    assert by_t[5].n_at_risk == 7
+    assert by_t[5].surv_ppm == (800000 * 6) // 7
+    # t=8: censor only, curve flat
+    assert by_t[8].n_at_risk == 4
+    assert by_t[8].surv_ppm == (800000 * 6) // 7
+
+
+def test_all_deaths_reaches_zero(spark):
+    out = km_curve(
+        _lt(spark, [(1, True), (2, True), (3, True)])
+    ).collect()
+    assert [r.surv_ppm for r in out] == [666666, 333333, 0]
+
+
+def test_curve_monotone_nonincreasing(spark):
+    rows = [(t, t % 3 != 0) for t in range(1, 20)]
+    out = km_curve(_lt(spark, rows)).collect()
+    s = [r.surv_ppm for r in out]
+    assert all(a >= b for a, b in zip(s, s[1:]))
+    assert out[0].n_at_risk == len(rows)
+
+
+def test_driver_data_consistency(spark):
+    curve = QUERIES["survival_curve"](spark, SF).collect()
+    stats = QUERIES["survival_stats"](spark, SF).collect()[0]
+    assert stats.n_users == sum(r.n_churned + r.n_censored for r in curve)
+    assert stats.final_surv_ppm == min(r.surv_ppm for r in curve)
+    # at-risk counts telescope: first row covers the whole population
+    assert curve[0].n_at_risk == stats.n_users
