@@ -1,0 +1,244 @@
+"""Lexical-diversity signals: distinct-n ratios + MATTR.
+
+Template-stamped and model-generated text is lexically NARROW — the
+distinct-n diversity metrics (Li et al. 2016, "A Diversity-Promoting
+Objective") and type-token-ratio family are the standard corpus-level
+and per-doc measures.  Plain TTR is length-confounded (longer docs
+always score lower), so the per-doc signal here is MATTR (Covington &
+McFall 2010): the mean type-token ratio over a fixed-width sliding
+window, which is length-invariant and flags the repetition-padded docs
+the n-gram repetition filters (F6-F8) can miss when the repetition is
+spread thin.
+
+Exact under the gate — everything is integer arithmetic:
+
+* distinct-n per language via a TWO-LEVEL aggregate (groupBy(lang,
+  gram) count, then groupBy(lang) count+sum) — the scalable shape: the
+  first shuffle spreads over (lang, gram) so a dominant language
+  cannot hot-spot one reducer the way countDistinct's expand would;
+* ratios as micro BIGINTs, ``floor(distinct * 1e6 / total)`` via
+  integral ``div`` (both engines floor non-negative quotients
+  identically);
+* MATTR windows via native ``transform(sequence(...)) ->
+  size(array_distinct(slice(...)))`` — no UDF, whole-stage codegen;
+  window width W is a constant so the per-doc cost is O(n_toks * W);
+* lowest-MATTR page via TakeOrderedAndProject, never a global sort.
+
+Driver non-degeneracy: a ``doc_id % 31 == 4`` residue slice gets a
+40-token single-word pad appended in both engines — those docs bottom
+out the MATTR ranking (pinned by test).
+
+Reference scope: text-quality extension of the repetition family
+(/root/reference/src/processors/text_filters.py repetition checks);
+corpus-statistics sibling of ops/corpus_stats.py (zipf/heaps).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+MATTR_W = 20  # MATTR window width (Covington-McFall use 10-100)
+TOP_K = 150
+_RES = 31  # doc_id % 31 == 4 docs get the low-diversity pad appended
+_PAD_N = 40
+_PAD_TOK = "looploop"
+
+
+def _docs_planted(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % _RES == 4,
+            F.concat(F.col("text"), F.expr(f"repeat(' {_PAD_TOK}', {_PAD_N})")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _toks(df: DataFrame) -> DataFrame:
+    return df.select(
+        "doc_id",
+        "lang",
+        F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)").alias("toks"),
+    )
+
+
+def distinct_n_over(docs: DataFrame) -> DataFrame:
+    """Per-language distinct-1/distinct-2 report over (doc_id, lang, text)."""
+    toks = _toks(docs)
+
+    def _level(grams: DataFrame, prefix: str) -> DataFrame:
+        # two-level aggregate: spread the first shuffle over (lang, gram)
+        per_gram = grams.groupBy("lang", "g").agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        return per_gram.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias(f"distinct_{prefix}"),
+            F.sum("c").cast("long").alias(f"total_{prefix}"),
+        )
+
+    uni = _level(
+        toks.select("lang", F.explode("toks").alias("g")), "unigrams"
+    )
+    bi = _level(
+        toks.select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "case when size(toks) < 2 then array() else"
+                    " transform(sequence(1, size(toks) - 1),"
+                    " i -> concat(toks[i-1], ' ', toks[i])) end"
+                )
+            ).alias("g"),
+        ),
+        "bigrams",
+    )
+    n_docs = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return (
+        n_docs.join(uni, "lang")
+        .join(bi, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "total_unigrams",
+            "distinct_unigrams",
+            F.expr("distinct_unigrams * 1000000L div total_unigrams").alias(
+                "dist1_micro"
+            ),
+            "total_bigrams",
+            "distinct_bigrams",
+            F.expr("distinct_bigrams * 1000000L div total_bigrams").alias(
+                "dist2_micro"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def mattr_over(docs: DataFrame) -> DataFrame:
+    """Lowest-MATTR page over (doc_id, lang, text): the most lexically
+    repetitive documents, length-invariant."""
+    W = MATTR_W
+    toks = _toks(docs).filter(F.expr("size(toks) > 0"))
+    scored = toks.select(
+        "doc_id",
+        "lang",
+        F.expr("size(toks)").cast("long").alias("n_toks"),
+        F.expr(f"greatest(size(toks) - {W} + 1, 1)").cast("long").alias(
+            "n_windows"
+        ),
+        F.expr(
+            f"aggregate(transform(sequence(1, greatest(size(toks) - {W} + 1, 1)),"
+            f" i -> size(array_distinct(slice(toks, i, {W})))),"
+            " 0L, (a, x) -> a + x)"
+        ).alias("sum_distinct"),
+    ).select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        "n_windows",
+        F.expr(
+            f"sum_distinct * 1000000L div (n_windows * least(n_toks, {W}L))"
+        ).alias("mattr_micro"),
+    )
+    return scored.orderBy(
+        F.asc("mattr_micro"), F.asc("doc_id")
+    ).limit(TOP_K)
+
+
+def lexical_diversity_report(spark: SparkSession, sf: str) -> DataFrame:
+    return distinct_n_over(_docs_planted(spark, sf))
+
+
+def mattr_lowest_page(spark: SparkSession, sf: str) -> DataFrame:
+    return mattr_over(_docs_planted(spark, sf))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "lexical_diversity_report": lexical_diversity_report,
+    "mattr_lowest_page": mattr_lowest_page,
+}
+
+_PLANT_SQL = f"""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % {_RES} = 4
+                THEN text || repeat(' {_PAD_TOK}', {_PAD_N})
+                ELSE text END AS text
+    FROM documents
+"""
+
+ORACLES: Dict[str, str] = {
+    "lexical_diversity_report": f"""
+    WITH docs AS ({_PLANT_SQL}),
+    tk AS (
+        SELECT doc_id, lang,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM docs
+    ),
+    uni_g AS (
+        SELECT lang, g, COUNT(*)::BIGINT AS c
+        FROM (SELECT lang, UNNEST(toks) AS g FROM tk) GROUP BY lang, g
+    ),
+    uni AS (
+        SELECT lang, COUNT(*)::BIGINT AS distinct_unigrams,
+               SUM(c)::BIGINT AS total_unigrams
+        FROM uni_g GROUP BY lang
+    ),
+    bi_g AS (
+        SELECT lang, g, COUNT(*)::BIGINT AS c
+        FROM (SELECT lang, toks[i] || ' ' || toks[i + 1] AS g
+              FROM tk, UNNEST(range(1, len(toks))) AS u(i))
+        GROUP BY lang, g
+    ),
+    bi AS (
+        SELECT lang, COUNT(*)::BIGINT AS distinct_bigrams,
+               SUM(c)::BIGINT AS total_bigrams
+        FROM bi_g GROUP BY lang
+    ),
+    nd AS (SELECT lang, COUNT(*)::BIGINT AS n_docs FROM docs GROUP BY lang)
+    SELECT nd.lang, nd.n_docs,
+           u.total_unigrams, u.distinct_unigrams,
+           (u.distinct_unigrams * 1000000 // u.total_unigrams)::BIGINT
+               AS dist1_micro,
+           b.total_bigrams, b.distinct_bigrams,
+           (b.distinct_bigrams * 1000000 // b.total_bigrams)::BIGINT
+               AS dist2_micro
+    FROM nd JOIN uni u ON nd.lang = u.lang JOIN bi b ON nd.lang = b.lang
+    ORDER BY nd.lang
+    """,
+    "mattr_lowest_page": f"""
+    WITH docs AS ({_PLANT_SQL}),
+    tk AS (
+        SELECT doc_id, lang,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM docs
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               len(toks)::BIGINT AS n_toks,
+               greatest(len(toks) - {MATTR_W} + 1, 1)::BIGINT AS n_windows,
+               list_sum(list_transform(
+                   range(1, greatest(len(toks) - {MATTR_W} + 1, 1) + 1),
+                   i -> len(list_distinct(
+                       list_slice(toks, i, i + {MATTR_W} - 1)))
+               ))::BIGINT AS sum_distinct
+        FROM tk WHERE len(toks) > 0
+    )
+    SELECT doc_id, lang, n_toks, n_windows,
+           (sum_distinct * 1000000
+            // (n_windows * least(n_toks, {MATTR_W})))::BIGINT AS mattr_micro
+    FROM scored
+    ORDER BY mattr_micro ASC, doc_id ASC
+    LIMIT {TOP_K}
+    """,
+}

@@ -1,0 +1,95 @@
+"""Lexical diversity (distinct-n + MATTR) tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.diversity import (
+    MATTR_W,
+    ORACLES,
+    QUERIES,
+    _PAD_TOK,
+    _RES,
+    distinct_n_over,
+    mattr_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_distinct_n_arithmetic(spark):
+    df = spark.createDataFrame(
+        [(0, "en", "a b a b"), (1, "en", "c c c"), (2, "fr", "x y")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r.lang: r for r in distinct_n_over(df).collect()}
+    en = rows["en"]
+    # en: tokens a b a b c c c -> 7 total, 3 distinct
+    assert (en.total_unigrams, en.distinct_unigrams) == (7, 3)
+    assert en.dist1_micro == 3 * 1_000_000 // 7
+    # en bigrams: "a b","b a","a b" (doc0) + "c c","c c" (doc1) -> 5 total, 3 distinct
+    assert (en.total_bigrams, en.distinct_bigrams) == (5, 3)
+    assert rows["fr"].n_docs == 1 and rows["fr"].dist1_micro == 1_000_000
+
+
+def test_mattr_window_arithmetic(spark):
+    # 25 tokens: 10 distinct then 15 repeats of 'z' -> 6 windows of W=20
+    text = " ".join([f"w{i}" for i in range(10)] + ["z"] * 15)
+    df = spark.createDataFrame(
+        [(0, "en", text)], "doc_id long, lang string, text string"
+    )
+    r = mattr_over(df).collect()[0]
+    assert r.n_toks == 25 and r.n_windows == 6
+    # window i (1-based): tokens i..i+19; distinct = (10 - i + 1) + 1 for i<=10
+    expected = sum((10 - i + 1) + 1 for i in range(1, 7))
+    assert r.mattr_micro == expected * 1_000_000 // (6 * MATTR_W)
+
+
+def test_short_doc_single_window(spark):
+    df = spark.createDataFrame(
+        [(0, "en", "a b a")], "doc_id long, lang string, text string"
+    )
+    r = mattr_over(df).collect()[0]
+    assert (r.n_toks, r.n_windows) == (3, 1)
+    assert r.mattr_micro == 2 * 1_000_000 // 3
+
+
+def test_planted_docs_bottom_ranking(spark):
+    rows = QUERIES["mattr_lowest_page"](spark, SF).collect()
+    assert len(rows) > 0
+    # the padded residue slice dominates the lowest-MATTR page head
+    head = rows[:10]
+    assert all(r.doc_id % _RES == 4 for r in head)
+
+
+def test_no_udf_no_global_sort(spark):
+    plan = (
+        QUERIES["mattr_lowest_page"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["lexical_diversity_report", "mattr_lowest_page"]
+)
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES[name]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0
