@@ -1,0 +1,139 @@
+"""Token burstiness: Fano factor + adaptation over per-doc counts.
+
+Church & Gale (1995): content words are BURSTY — given one occurrence
+in a document, more are far likelier than Poisson predicts — while
+function words and word-salad noise are dispersion-flat.  In a
+cleaning pipeline the inverted use is the valuable one: a token whose
+variance-to-mean ratio (Fano factor) across documents is implausibly
+high is a template/boilerplate/spam stamp concentrated in a few pages,
+and those pages are the removal candidates the per-doc repetition
+filters miss when each individual page stays under threshold.
+
+Exact under the gate — integer sufficient statistics only:
+
+* one shuffle on (token, doc) builds per-doc counts, a second on token
+  folds them to ``(df, c, s2) = (docs-with, Σx, Σx²)`` — both with
+  map-side partial aggregation, no countDistinct expand;
+* over ALL D corpus documents (zeros included) the Fano factor
+  ``Var/mean = (D·s2 − c²)/(D·c)`` needs no per-zero rows — the
+  algebra folds them in;
+* ``fano_micro = floor((D·s2 − c²)·10⁶ / (D·c))`` in DECIMAL(38,0) /
+  HUGEINT so the cross-product cannot overflow at corpus scale (the
+  numerator is ≥ 0 by Cauchy-Schwarz, so both engines' integral
+  division floors identically);
+* adaptation (P(repeat) = 1 − df/c): ``repeat_micro =
+  floor((c − df)·10⁶ / c)``;
+* noise floor ``df >= 20``; top-20 by (fano desc, token asc) via
+  TakeOrderedAndProject.
+
+Driver non-degeneracy: a ``doc_id % 17 == 3`` residue slice gets one
+token stamped 16× — maximal burstiness against the word-salad
+background, pinned to rank 1 by test.
+
+Reference scope: corpus-statistics extension (zipf/heaps/PMI family);
+sibling of ops/collocations.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+MIN_DF = 20
+TOP_K = 20
+_RES = 17  # doc_id % 17 == 3 docs get the bursty stamp
+_STAMP_N = 16
+_STAMP_TOK = "quasar"
+
+
+def _docs_planted(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _RES == 3,
+            F.concat(
+                F.col("text"), F.expr(f"repeat(' {_STAMP_TOK}', {_STAMP_N})")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def burstiness_over(docs: DataFrame) -> DataFrame:
+    """Top-K bursty tokens over a (doc_id, text) relation."""
+    d_row = docs.agg(F.count(F.lit(1)).cast("long").alias("d"))
+    per_doc = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)")
+            ).alias("w"),
+        )
+        .groupBy("w", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    per_tok = per_doc.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("x").cast("long").alias("c"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    ).filter(F.col("df") >= MIN_DF)
+    scored = per_tok.crossJoin(F.broadcast(d_row)).select(
+        "w",
+        "df",
+        "c",
+        "s2",
+        F.expr(
+            "cast((cast(d as decimal(38,0)) * s2 - cast(c as decimal(38,0)) * c)"
+            " * 1000000 div (cast(d as decimal(38,0)) * c) as bigint)"
+        ).alias("fano_micro"),
+        F.expr("(c - df) * 1000000L div c").alias("repeat_micro"),
+    )
+    return scored.orderBy(F.desc("fano_micro"), F.asc("w")).limit(TOP_K)
+
+
+def bursty_tokens_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return burstiness_over(_docs_planted(spark, sf))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "bursty_tokens_topk": bursty_tokens_topk,
+}
+
+ORACLES: Dict[str, str] = {
+    "bursty_tokens_topk": f"""
+    WITH docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_RES} = 3
+                    THEN text || repeat(' {_STAMP_TOK}', {_STAMP_N})
+                    ELSE text END AS text
+        FROM documents
+    ),
+    d_row AS (SELECT COUNT(*)::BIGINT AS d FROM docs),
+    per_doc AS (
+        SELECT w, doc_id, COUNT(*)::BIGINT AS x
+        FROM (SELECT doc_id, UNNEST(
+                  regexp_extract_all(lower(text), '{TOKEN_RE}')) AS w
+              FROM docs)
+        GROUP BY w, doc_id
+    ),
+    per_tok AS (
+        SELECT w, COUNT(*)::BIGINT AS df, SUM(x)::BIGINT AS c,
+               SUM(x * x)::BIGINT AS s2
+        FROM per_doc GROUP BY w
+        HAVING COUNT(*) >= {MIN_DF}
+    )
+    SELECT w, df, c, s2,
+           ((d.d::HUGEINT * s2 - c::HUGEINT * c) * 1000000
+            // (d.d::HUGEINT * c))::BIGINT AS fano_micro,
+           ((c - df) * 1000000 // c)::BIGINT AS repeat_micro
+    FROM per_tok CROSS JOIN d_row d
+    ORDER BY fano_micro DESC, w ASC
+    LIMIT {TOP_K}
+    """,
+}

@@ -1,0 +1,81 @@
+"""Token burstiness (Fano factor) tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.burstiness import (
+    MIN_DF,
+    ORACLES,
+    QUERIES,
+    _RES,
+    _STAMP_TOK,
+    burstiness_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_fano_arithmetic(spark):
+    # 4 docs; 'z' appears 8x in one doc only; 'a' once in every doc
+    rows_in = [
+        (0, "a " + "z " * 8),
+        (1, "a"),
+        (2, "a"),
+        (3, "a"),
+    ]
+    df = spark.createDataFrame(rows_in, "doc_id long, text string")
+    # lower floor so the tiny fixture clears it
+    import cleaning_web_corpus_spark.ops.burstiness as b
+
+    old = b.MIN_DF
+    try:
+        b.MIN_DF = 1
+        rows = {r.w: r for r in burstiness_over(df).collect()}
+    finally:
+        b.MIN_DF = old
+    z, a = rows["z"], rows["a"]
+    # z: D=4, df=1, c=8, s2=64 -> fano = (4*64 - 64)*1e6 // (4*8)
+    assert (z.df, z.c, z.s2) == (1, 8, 64)
+    assert z.fano_micro == (4 * 64 - 64) * 1_000_000 // (4 * 8)
+    assert z.repeat_micro == (8 - 1) * 1_000_000 // 8
+    # a: uniform 1-per-doc -> variance 0 -> fano 0
+    assert (a.df, a.c, a.s2) == (4, 4, 4)
+    assert a.fano_micro == 0 and a.repeat_micro == 0
+
+
+def test_planted_stamp_rank_one(spark):
+    rows = QUERIES["bursty_tokens_topk"](spark, SF).collect()
+    assert rows[0].w == _STAMP_TOK
+    assert rows[0].fano_micro > 2 * rows[1].fano_micro
+    assert all(r.df >= MIN_DF for r in rows)
+    assert len(rows) <= 20
+
+
+def test_plan_shape(spark):
+    plan = (
+        QUERIES["bursty_tokens_topk"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["bursty_tokens_topk"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["bursty_tokens_topk"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0
