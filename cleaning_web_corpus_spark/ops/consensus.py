@@ -1,0 +1,175 @@
+"""Self-consistency consensus: medoid vote over sampled responses.
+
+Wang et al. 2023 ("Self-Consistency Improves Chain of Thought"):
+sample k responses per prompt, keep the one the others agree with.
+Without an answer parser the general form is minimum-Bayes-risk
+selection — the medoid under a pairwise similarity, here token-set
+Jaccard: the kept sample maximizes the summed similarity to its
+siblings.  In a training-data pipeline this is the dedup-adjacent
+consolidation step for multi-sample generation logs: one response
+survives per prompt, chosen by agreement instead of arrival order.
+
+Exact under the gate — integer arithmetic only:
+
+* sample groups are derived deterministically from the documents
+  table (``prompt_id = doc_id div 4``, ``sample_id = doc_id % 4``);
+* ONE shuffle groups the k<=4 samples per prompt (`collect_list` of
+  (sample_id, token-set) structs, `array_sort`ed so the fold order is
+  deterministic); ALL pairwise scores are computed natively inside
+  the group via `transform`/`filter`/`aggregate` — the house shape
+  that avoids the self-join double-compute trap (cf. ops/dedup.py
+  SimHash buckets), so the token-set subtree is evaluated once;
+* pairwise score = ``floor(|A∩B|·10⁶ / (|A|+|B|−|A∩B|))`` on DISTINCT
+  token sets (empty-vs-empty defined as 10⁶);
+* the winner is folded out with a strict-`>` max over the sorted
+  array, so ties break to the smallest sample_id in both engines;
+* first-500-prompts page via TakeOrderedAndProject — bounded output,
+  never a global sort.
+
+The DuckDB oracle restates the pairwise scores as a within-group
+LEFT self-join + SUM — a genuinely different evaluation strategy
+arriving at the same integers.
+
+Driver non-degeneracy: for ``prompt_id % 11 == 6`` groups, samples
+1..3 get a shared 5-token anchor phrase appended — sample 0 can never
+win those groups (pinned by test).
+
+Reference scope: training-data-pipeline extension (dedup/consolidation
+family, SURVEY §2 "beyond-reference" ops).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+K_SAMPLES = 4
+TOP_N = 500
+_RES = 11  # prompt_id % 11 == 6 groups get the anchor phrase on samples 1..3
+_ANCHOR = " anchor alpha beta gamma delta"
+
+_JACC = (
+    "case when size(s.ts) + size(o.ts) - size(array_intersect(s.ts, o.ts)) = 0"
+    " then 1000000L else size(array_intersect(s.ts, o.ts)) * 1000000L div"
+    " (size(s.ts) + size(o.ts) - size(array_intersect(s.ts, o.ts))) end"
+)
+
+
+def _samples(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    return t(spark, sf, "documents").select(
+        F.expr(f"doc_id div {K_SAMPLES}").alias("prompt_id"),
+        (d % K_SAMPLES).alias("sample_id"),
+        F.when(
+            (F.expr(f"doc_id div {K_SAMPLES}") % _RES == 6)
+            & (d % K_SAMPLES != 0),
+            F.concat(F.col("text"), F.lit(_ANCHOR)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def consensus_over(samples: DataFrame) -> DataFrame:
+    """Per-prompt medoid vote over a (prompt_id, sample_id, text) relation."""
+    sets = samples.select(
+        "prompt_id",
+        "sample_id",
+        F.expr(
+            f"array_sort(array_distinct("
+            f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)))"
+        ).alias("ts"),
+    )
+    groups = sets.groupBy("prompt_id").agg(
+        F.expr("array_sort(collect_list(struct(sample_id, ts)))").alias(
+            "samples"
+        )
+    )
+    scored = groups.select(
+        "prompt_id",
+        F.expr("size(samples)").cast("long").alias("n_samples"),
+        F.expr(
+            "transform(samples, s -> named_struct("
+            " 'sample_id', s.sample_id,"
+            " 'score', aggregate("
+            "     filter(samples, o -> o.sample_id != s.sample_id), 0L,"
+            f"    (acc, o) -> acc + ({_JACC}))))"
+        ).alias("scored"),
+    )
+    winner = scored.select(
+        "prompt_id",
+        "n_samples",
+        F.expr(
+            "aggregate(scored, scored[0],"
+            " (best, s) -> case when s.score > best.score then s else best end)"
+        ).alias("win"),
+    ).select(
+        "prompt_id",
+        "n_samples",
+        F.col("win.sample_id").cast("long").alias("winner_sample"),
+        F.col("win.score").cast("long").alias("consensus_micro"),
+    )
+    return winner.orderBy(F.asc("prompt_id")).limit(TOP_N)
+
+
+def consensus_vote_page(spark: SparkSession, sf: str) -> DataFrame:
+    return consensus_over(_samples(spark, sf))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "consensus_vote_page": consensus_vote_page,
+}
+
+_O_II = "len(list_filter(a.ts, x -> list_contains(b.ts, x)))"
+_O_JACC = (
+    f"CASE WHEN b.sample_id IS NULL THEN 0"
+    f" WHEN len(a.ts) + len(b.ts) - {_O_II} = 0 THEN 1000000"
+    f" ELSE {_O_II} * 1000000 // (len(a.ts) + len(b.ts) - {_O_II}) END"
+)
+
+ORACLES: Dict[str, str] = {
+    "consensus_vote_page": f"""
+    WITH samp AS (
+        SELECT doc_id // {K_SAMPLES} AS prompt_id,
+               doc_id % {K_SAMPLES} AS sample_id,
+               list_sort(list_distinct(regexp_extract_all(lower(
+                   CASE WHEN (doc_id // {K_SAMPLES}) % {_RES} = 6
+                             AND doc_id % {K_SAMPLES} != 0
+                        THEN text || '{_ANCHOR}'
+                        ELSE text END), '{TOKEN_RE}'))) AS ts
+        FROM documents
+    ),
+    pair AS (
+        SELECT a.prompt_id, a.sample_id,
+               ({_O_JACC})::BIGINT AS jac
+        FROM samp a
+        LEFT JOIN samp b
+          ON a.prompt_id = b.prompt_id AND a.sample_id != b.sample_id
+    ),
+    score AS (
+        SELECT prompt_id, sample_id, SUM(jac)::BIGINT AS score
+        FROM pair GROUP BY prompt_id, sample_id
+    ),
+    nsz AS (
+        SELECT prompt_id, COUNT(*)::BIGINT AS n_samples FROM samp
+        GROUP BY prompt_id
+    ),
+    ranked AS (
+        SELECT s.prompt_id, n.n_samples, s.sample_id, s.score,
+               ROW_NUMBER() OVER (PARTITION BY s.prompt_id
+                                  ORDER BY s.score DESC, s.sample_id ASC)
+                   AS rk
+        FROM score s JOIN nsz n ON s.prompt_id = n.prompt_id
+    )
+    SELECT prompt_id, n_samples, sample_id::BIGINT AS winner_sample,
+           score AS consensus_micro
+    FROM ranked WHERE rk = 1
+    ORDER BY prompt_id ASC
+    LIMIT {TOP_N}
+    """,
+}

@@ -1,0 +1,86 @@
+"""Self-consistency consensus vote tests."""
+
+from __future__ import annotations
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.consensus import (
+    ORACLES,
+    QUERIES,
+    _RES,
+    consensus_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_medoid_arithmetic(spark):
+    # group 0: samples 0/1 agree ("a b c"), sample 2 is the outlier
+    rows_in = [
+        (0, 0, "a b c"),
+        (0, 1, "a b c"),
+        (0, 2, "x y z"),
+        # group 1: a singleton -> score 0, trivially wins
+        (1, 3, "solo"),
+    ]
+    df = spark.createDataFrame(
+        rows_in, "prompt_id long, sample_id long, text string"
+    )
+    rows = {r.prompt_id: r for r in consensus_over(df).collect()}
+    g0 = rows[0]
+    # sample 0: jacc(0,1)=1e6, jacc(0,2)=0 -> 1e6; ties with sample 1,
+    # smaller sample_id wins
+    assert (g0.winner_sample, g0.consensus_micro, g0.n_samples) == (
+        0,
+        1_000_000,
+        3,
+    )
+    g1 = rows[1]
+    assert (g1.winner_sample, g1.consensus_micro, g1.n_samples) == (3, 0, 1)
+
+
+def test_partial_overlap_scores(spark):
+    # jaccard({a,b},{b,c}) = 1/3
+    rows_in = [(0, 0, "a b"), (0, 1, "b c")]
+    df = spark.createDataFrame(
+        rows_in, "prompt_id long, sample_id long, text string"
+    )
+    r = consensus_over(df).collect()[0]
+    assert r.consensus_micro == 1_000_000 // 3
+
+
+def test_planted_anchor_beats_sample_zero(spark):
+    rows = QUERIES["consensus_vote_page"](spark, SF).collect()
+    planted = [r for r in rows if r.prompt_id % _RES == 6]
+    assert planted and all(r.winner_sample != 0 for r in planted)
+
+
+def test_plan_shape_one_shuffle_no_udf(spark):
+    plan = (
+        QUERIES["consensus_vote_page"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # no self-join: the pairwise expansion is in-group
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["consensus_vote_page"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["consensus_vote_page"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0
