@@ -1,0 +1,189 @@
+"""Retrieval chunking + cross-document duplicate-chunk audit.
+
+RAG indexing splits documents into fixed-width overlapping token
+windows (size 24, stride 16 here — the shape every retrieval stack
+uses so no answer span straddles a boundary unseen).  The cleaning
+concern is the DUPLICATE CHUNK: shared headers/footers/boilerplate
+produce byte-identical chunks across thousands of documents, which
+(a) waste index space, (b) dominate nearest-neighbor results, and
+(c) signal boilerplate the page-level dedup family
+(ops/dedup.py) intentionally under-weights because the surrounding
+page differs.  Chunk-grain exact dedup is the sub-document
+complement of ExactSubstr (ops/substr_dup.py) with an indexable key.
+
+Exact under the gate — integers and md5 only:
+
+* chunk keys are ``md5(concat_ws(' ', slice(toks, i, 24)))`` over
+  stride-16 starts from a native ``explode(transform(sequence(...)))``
+  — whole-stage codegen, no UDF, no shuffle until the key aggregate;
+* per-key doc spread via a TWO-LEVEL aggregate (groupBy(key, doc)
+  then groupBy(key)) — never countDistinct's expand;
+* the top-duplicated page orders by (n_docs desc, n_occ desc, key
+  asc) through TakeOrderedAndProject; the stats query folds the
+  per-key relation to ONE row with partial+final aggregation;
+* ``dup_ratio_micro = floor(dup_occurrences · 10⁶ / total_chunks)``.
+
+Driver non-degeneracy: a ``doc_id % 13 == 2`` residue slice gets a
+45-token boilerplate header PREPENDED — header-aligned windows (starts
+1 and 17) are byte-identical across the whole slice, so the dup page
+head and the stats row are structurally non-trivial (pinned by test).
+
+Reference scope: training-data-pipeline extension (dedup family);
+sibling of ops/substr_dup.py and ops/dedup.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+CHUNK = 24
+STRIDE = 16
+TOP_K = 20
+_RES = 13  # doc_id % 13 == 2 docs get the boilerplate header prepended
+_HDR = " ".join(f"hdr{i}" for i in range(45))
+
+
+def _docs_planted(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _RES == 2,
+            F.concat(F.lit(_HDR + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def chunk_keys_over(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_key) relation: stride-16 width-24 token windows."""
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(
+                f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+            ).alias("toks"),
+        )
+        .filter(F.expr("size(toks) > 0"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(toks) - {CHUNK} + 1, 1),"
+                    f" {STRIDE}), i -> md5(concat_ws(' ', slice(toks, i, {CHUNK}))))"
+                )
+            ).alias("chunk_key"),
+        )
+    )
+
+
+def _per_key(chunks: DataFrame) -> DataFrame:
+    per_doc = chunks.groupBy("chunk_key", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return per_doc.groupBy("chunk_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("cnt").cast("long").alias("n_occ"),
+    )
+
+
+def chunk_dup_topk_over(docs: DataFrame) -> DataFrame:
+    return (
+        _per_key(chunk_keys_over(docs))
+        .filter(F.col("n_docs") > 1)
+        .orderBy(F.desc("n_docs"), F.desc("n_occ"), F.asc("chunk_key"))
+        .limit(TOP_K)
+    )
+
+
+def chunk_dedup_stats_over(docs: DataFrame) -> DataFrame:
+    per_key = _per_key(chunk_keys_over(docs))
+    dup = F.col("n_docs") > 1
+    return per_key.agg(
+        F.sum("n_occ").cast("long").alias("total_chunks"),
+        F.count(F.lit(1)).cast("long").alias("distinct_chunks"),
+        F.sum(F.when(dup, 1).otherwise(0)).cast("long").alias("dup_keys"),
+        F.sum(F.when(dup, F.col("n_occ")).otherwise(0))
+        .cast("long")
+        .alias("dup_occurrences"),
+    ).select(
+        "total_chunks",
+        "distinct_chunks",
+        "dup_keys",
+        "dup_occurrences",
+        F.expr("dup_occurrences * 1000000L div total_chunks").alias(
+            "dup_ratio_micro"
+        ),
+    )
+
+
+def chunk_dup_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return chunk_dup_topk_over(_docs_planted(spark, sf))
+
+
+def chunk_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return chunk_dedup_stats_over(_docs_planted(spark, sf))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "chunk_dup_topk": chunk_dup_topk,
+    "chunk_dedup_stats": chunk_dedup_stats,
+}
+
+_CHUNK_SQL = f"""
+    docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_RES} = 2
+                    THEN '{_HDR} ' || text ELSE text END AS text
+        FROM documents
+    ),
+    tk AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM docs
+    ),
+    chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice(toks, i, i + {CHUNK} - 1), ' ')) AS chunk_key
+        FROM tk, UNNEST(generate_series(
+                 1, greatest(len(toks) - {CHUNK} + 1, 1), {STRIDE})) AS g(i)
+        WHERE len(toks) > 0
+    ),
+    per_doc AS (
+        SELECT chunk_key, doc_id, COUNT(*)::BIGINT AS cnt
+        FROM chunks GROUP BY chunk_key, doc_id
+    ),
+    per_key AS (
+        SELECT chunk_key, COUNT(*)::BIGINT AS n_docs,
+               SUM(cnt)::BIGINT AS n_occ
+        FROM per_doc GROUP BY chunk_key
+    )
+"""
+
+ORACLES: Dict[str, str] = {
+    "chunk_dup_topk": f"""
+    WITH {_CHUNK_SQL}
+    SELECT chunk_key, n_docs, n_occ FROM per_key
+    WHERE n_docs > 1
+    ORDER BY n_docs DESC, n_occ DESC, chunk_key ASC
+    LIMIT {TOP_K}
+    """,
+    "chunk_dedup_stats": f"""
+    WITH {_CHUNK_SQL}
+    SELECT SUM(n_occ)::BIGINT AS total_chunks,
+           COUNT(*)::BIGINT AS distinct_chunks,
+           SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_keys,
+           SUM(CASE WHEN n_docs > 1 THEN n_occ ELSE 0 END)::BIGINT
+               AS dup_occurrences,
+           (SUM(CASE WHEN n_docs > 1 THEN n_occ ELSE 0 END) * 1000000
+            // SUM(n_occ))::BIGINT AS dup_ratio_micro
+    FROM per_key
+    """,
+}

@@ -1,0 +1,106 @@
+"""Retrieval chunking + duplicate-chunk audit tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.rag_chunks import (
+    CHUNK,
+    ORACLES,
+    QUERIES,
+    STRIDE,
+    _HDR,
+    _RES,
+    chunk_dedup_stats_over,
+    chunk_dup_topk_over,
+    chunk_keys_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_window_boundaries(spark):
+    # 40 tokens -> starts 1 and 17 (41-24+1=17 is the last valid start)
+    toks = [f"w{i}" for i in range(40)]
+    df = spark.createDataFrame(
+        [(0, " ".join(toks))], "doc_id long, text string"
+    )
+    rows = chunk_keys_over(df).collect()
+    assert len(rows) == 2
+    exp0 = hashlib.md5(" ".join(toks[:CHUNK]).encode()).hexdigest()
+    exp1 = hashlib.md5(
+        " ".join(toks[STRIDE : STRIDE + CHUNK]).encode()
+    ).hexdigest()
+    assert {r.chunk_key for r in rows} == {exp0, exp1}
+
+
+def test_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    rows = chunk_keys_over(df).collect()
+    assert len(rows) == 1
+    assert rows[0].chunk_key == hashlib.md5(b"a b c").hexdigest()
+
+
+def test_shared_header_dedup(spark):
+    # two docs share a 45-token header -> header-aligned chunks collide
+    body1 = " ".join(f"x{i}" for i in range(30))
+    body2 = " ".join(f"y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(0, f"{_HDR} {body1}"), (1, f"{_HDR} {body2}")],
+        "doc_id long, text string",
+    )
+    top = chunk_dup_topk_over(df).collect()
+    # starts 1 and 17 fall fully inside the 45-token header
+    assert len(top) == 2
+    assert all(r.n_docs == 2 and r.n_occ == 2 for r in top)
+    stats = chunk_dedup_stats_over(df).collect()[0]
+    assert stats.dup_keys == 2 and stats.dup_occurrences == 4
+    assert stats.dup_ratio_micro == 4 * 1_000_000 // stats.total_chunks
+
+
+def test_planted_slice_found(spark):
+    top = QUERIES["chunk_dup_topk"](spark, SF).collect()
+    assert len(top) > 0
+    # the planted header spans the whole residue slice
+    import duckdb as d
+
+    n_planted = d.connect().execute(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet'"
+        f" WHERE doc_id % {_RES} = 2"
+    ).fetchone()[0]
+    assert top[0].n_docs == n_planted
+    stats = QUERIES["chunk_dedup_stats"](spark, SF).collect()[0]
+    assert stats.dup_occurrences >= 2 * n_planted
+
+
+def test_plan_shape(spark):
+    plan = (
+        QUERIES["chunk_dup_topk"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["chunk_dup_topk", "chunk_dedup_stats"])
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES[name]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0
