@@ -1,0 +1,181 @@
+"""Homoglyph/confusable-script audit + spoof-pair detection.
+
+Unicode confusables (UTS #39): Cyrillic ``а е о р с х у`` and Greek
+``ο α ε ρ τ υ ν κ`` render identically to their Latin twins but are
+DIFFERENT code points — NOT canonically equivalent, so the NFC stage
+(ops/nfc.py) passes them through untouched.  In web corpora they
+appear in two cleaning-relevant forms: spam/phishing text that spoofs
+blocklisted words past exact matchers ("pаypаl"), and re-encoded
+duplicates that defeat exact dedup because the bytes differ while the
+rendered text is identical.  The standard defense is the UTS #39
+confusable SKELETON: map confusables to their Latin targets and
+compare skeletons instead of raw bytes.
+
+Two queries, all-integer, zero UDFs (``translate`` is JVM/native on
+both engines):
+
+* ``homoglyph_audit_page`` — per-doc confusable census: confusable
+  code-point count via the translate-delete length trick
+  (``len(text) − len(translate(text, CONF, ''))``), mixed-script
+  adjacency runs via ``size(regexp_extract_all('[a-z][CONF]|…'))``
+  (the high-precision spoof signal: a confusable GLUED to Latin
+  letters inside one word), worst offenders first through
+  TakeOrderedAndProject.
+* ``homoglyph_spoof_pairs`` — skeleton-collision dedup: a derived
+  relation unions each ``doc_id % 19 == 5`` document with its
+  confusable-substituted twin (id offset +10⁷ — the attack replica),
+  then groups by ``md5(skeleton)`` keeping groups with >1 DISTINCT
+  raw digest: exact-dedup-invisible, skeleton-visible duplicates.
+  Two-level aggregate (skeleton, raw) → skeleton, no countDistinct
+  expand; bounded page by (n_docs desc, key asc).
+
+Scale: both queries are one documents scan + one narrow-key shuffle;
+the skeleton digest is 16 bytes regardless of doc size.
+
+Reference scope: scrub/dedup extension (UTS #39 confusables);
+sibling of ops/nfc.py (decode-health family) and ops/dedup.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+# lowercase confusable -> latin skeleton target (UTS #39 subset:
+# Cyrillic а е о р с х у і ѕ, Greek ο α ε ρ τ υ ν κ)
+_PAIRS = [
+    ("а", "a"), ("е", "e"), ("о", "o"), ("р", "p"),
+    ("с", "c"), ("х", "x"), ("у", "y"), ("і", "i"),
+    ("ѕ", "s"), ("ο", "o"), ("α", "a"), ("ε", "e"),
+    ("ρ", "p"), ("τ", "t"), ("υ", "u"), ("ν", "v"),
+    ("κ", "k"),
+]
+CONF_FROM = "".join(p[0] for p in _PAIRS)
+CONF_TO = "".join(p[1] for p in _PAIRS)
+# latin chars that have a Cyrillic twin above — used to FORGE the spoof
+_SPOOF_FROM = "aeopcxy"
+_SPOOF_TO = "аеорсху"
+
+TOP_K = 100
+PAIR_K = 20
+_RES = 19  # doc_id % 19 == 5 docs get a spoofed twin in the pair query
+_MIX_RE = f"[a-z][{CONF_FROM}]|[{CONF_FROM}][a-z]"
+
+
+def homoglyph_census_over(docs: DataFrame) -> DataFrame:
+    """Per-doc confusable census over a (doc_id, text) relation."""
+    return (
+        docs.select(
+            "doc_id",
+            (
+                F.length("text")
+                - F.length(F.translate(F.col("text"), CONF_FROM, ""))
+            )
+            .cast("long")
+            .alias("n_confusables"),
+            F.expr(f"size(regexp_extract_all(text, '{_MIX_RE}', 0))")
+            .cast("long")
+            .alias("mixed_runs"),
+        )
+        .filter(F.col("n_confusables") > 0)
+        .orderBy(
+            F.desc("n_confusables"), F.desc("mixed_runs"), F.asc("doc_id")
+        )
+        .limit(TOP_K)
+    )
+
+
+def spoof_pairs_over(variants: DataFrame) -> DataFrame:
+    """Skeleton-collision groups over a (doc_id, text) relation:
+    groups whose raw digests differ but confusable skeletons agree."""
+    keyed = variants.select(
+        F.md5(F.translate(F.col("text"), CONF_FROM, CONF_TO)).alias(
+            "skeleton_key"
+        ),
+        F.md5(F.col("text")).alias("raw_key"),
+    )
+    per_raw = keyed.groupBy("skeleton_key", "raw_key").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    groups = per_raw.groupBy("skeleton_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw_variants"),
+        F.sum("cnt").cast("long").alias("n_docs"),
+    )
+    return (
+        groups.filter(F.col("n_raw_variants") > 1)
+        .orderBy(F.desc("n_docs"), F.asc("skeleton_key"))
+        .limit(PAIR_K)
+    )
+
+
+def _spoof_variants(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % _RES == 5).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.translate(F.col("text"), _SPOOF_FROM, _SPOOF_TO).alias("text"),
+    )
+    return docs.unionByName(twins)
+
+
+def homoglyph_audit_page(spark: SparkSession, sf: str) -> DataFrame:
+    return homoglyph_census_over(_spoof_variants(spark, sf))
+
+
+def homoglyph_spoof_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return spoof_pairs_over(_spoof_variants(spark, sf))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "homoglyph_audit_page": homoglyph_audit_page,
+    "homoglyph_spoof_pairs": homoglyph_spoof_pairs,
+}
+
+_VARIANTS_SQL = f"""
+    variants AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000000 AS doc_id,
+               translate(text, '{_SPOOF_FROM}', '{_SPOOF_TO}') AS text
+        FROM documents WHERE doc_id % {_RES} = 5
+    )
+"""
+
+ORACLES: Dict[str, str] = {
+    "homoglyph_audit_page": f"""
+    WITH {_VARIANTS_SQL}
+    SELECT doc_id,
+           (length(text) - length(translate(text, '{CONF_FROM}', '')))::BIGINT
+               AS n_confusables,
+           len(regexp_extract_all(text, '{_MIX_RE}'))::BIGINT AS mixed_runs
+    FROM variants
+    WHERE length(text) - length(translate(text, '{CONF_FROM}', '')) > 0
+    ORDER BY n_confusables DESC, mixed_runs DESC, doc_id ASC
+    LIMIT {TOP_K}
+    """,
+    "homoglyph_spoof_pairs": f"""
+    WITH {_VARIANTS_SQL},
+    keyed AS (
+        SELECT md5(translate(text, '{CONF_FROM}', '{CONF_TO}'))
+                   AS skeleton_key,
+               md5(text) AS raw_key
+        FROM variants
+    ),
+    per_raw AS (
+        SELECT skeleton_key, raw_key, COUNT(*)::BIGINT AS cnt
+        FROM keyed GROUP BY skeleton_key, raw_key
+    ),
+    groups AS (
+        SELECT skeleton_key, COUNT(*)::BIGINT AS n_raw_variants,
+               SUM(cnt)::BIGINT AS n_docs
+        FROM per_raw GROUP BY skeleton_key
+    )
+    SELECT skeleton_key, n_raw_variants, n_docs FROM groups
+    WHERE n_raw_variants > 1
+    ORDER BY n_docs DESC, skeleton_key ASC
+    LIMIT {PAIR_K}
+    """,
+}

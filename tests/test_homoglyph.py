@@ -1,0 +1,96 @@
+"""Homoglyph confusable audit tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.homoglyph import (
+    CONF_FROM,
+    CONF_TO,
+    ORACLES,
+    QUERIES,
+    _RES,
+    homoglyph_census_over,
+    spoof_pairs_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_census_counts(spark):
+    # 'pаypаl' has 2 Cyrillic а glued to latin letters (4 mixed runs
+    # would overlap; non-overlapping scan finds 2: 'pа' then 'аl'... )
+    df = spark.createDataFrame(
+        [(0, "pаypаl"), (1, "plain ascii"), (2, "сс xх")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in homoglyph_census_over(df).collect()}
+    assert 1 not in rows  # pure ASCII filtered out
+    assert rows[0].n_confusables == 2
+    assert rows[0].mixed_runs == 2  # 'pа' and 'аl' (scan resumes after 'аy')
+    assert rows[2].n_confusables == 3
+    assert rows[2].mixed_runs == 1  # only 'xх' glues latin+confusable
+
+
+def test_skeleton_collision(spark):
+    raw = "paypal account verify"
+    spoof = raw.translate(str.maketrans("aeopcxy", "аеорсху"))
+    df = spark.createDataFrame(
+        [(0, raw), (1, spoof), (2, "unrelated text")],
+        "doc_id long, text string",
+    )
+    rows = spoof_pairs_over(df).collect()
+    assert len(rows) == 1
+    g = rows[0]
+    assert (g.n_raw_variants, g.n_docs) == (2, 2)
+    skel = spoof.translate(str.maketrans(CONF_FROM, CONF_TO))
+    assert skel == raw
+    assert g.skeleton_key == hashlib.md5(raw.encode()).hexdigest()
+
+
+def test_planted_twins_detected(spark):
+    pairs = QUERIES["homoglyph_spoof_pairs"](spark, SF).collect()
+    assert len(pairs) > 0
+    assert all(r.n_raw_variants == 2 for r in pairs)
+    audit = QUERIES["homoglyph_audit_page"](spark, SF).collect()
+    # only forged twins carry confusables; their ids are offset
+    assert audit and all(
+        r.doc_id >= 10_000_000 and (r.doc_id - 10_000_000) % _RES == 5
+        for r in audit
+    )
+
+
+def test_plan_shape(spark):
+    for name in ("homoglyph_audit_page", "homoglyph_spoof_pairs"):
+        plan = (
+            QUERIES[name](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["homoglyph_audit_page", "homoglyph_spoof_pairs"]
+)
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES[name]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0
