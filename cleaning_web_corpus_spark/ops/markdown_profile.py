@@ -1,0 +1,190 @@
+"""Markdown structure profile over documents/assistant text.
+
+Chat corpora are render-sensitive: headers, bullet lists, links and
+tables in assistant turns must survive chat-template rendering, and
+training mixtures are routinely stratified by "structuredness" (a
+doc that is 80% bullet lists teaches different behavior than prose).
+C4 famously DROPPED list-heavy pages wholesale; modern SFT pipelines
+instead measure the structure and balance it.  This op is the census
+the balancing step reads: per-doc counts of the four load-bearing
+markdown element families (ATX headers, bullet items, inline links,
+table rows) — the complement of ops/code_blocks.py, which owns fenced
+code.
+
+All-integer, zero UDFs: every counter is
+``size(regexp_extract_all(text, '(?m)^...'))`` — multiline-anchored
+regex counting, JVM-codegen on the Spark side, RE2 on the oracle
+side (both scan non-overlapping left-to-right).  The page query is
+TakeOrderedAndProject; the stats query folds to one row with
+partial+final aggregation.  One scan, no shuffle before the final
+reduce — flat to 100 TB.
+
+Driver non-degeneracy: word-salad documents carry no markdown, so two
+residue slices get deterministic snippets appended (a header+list+link
+block on ``% 7 == 1``, a two-row table on ``% 7 == 2``) — mirrored
+literally in the oracle via chr(10) composition (pinned by test).
+
+Reference scope: text-structure extension (C4 line-level family);
+sibling of ops/c4_filter.py and ops/code_blocks.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+TOP_K = 100
+_RES = 7
+
+_LIST_SNIPPET = "\n## setup notes\n- first item\n- second item\n[docs](http://example.com)\n"
+_TABLE_SNIPPET = "\n| name | value |\n| alpha | one |\n"
+
+# patterns reach BOTH engines verbatim: the Spark side passes them via
+# F.lit (no SQL-literal unescaping), the oracle embeds them in standard
+# SQL literals (DuckDB does not process backslash escapes) — so one
+# backslash level is correct for Java regex and RE2 alike
+_RE_HEADER = "(?m)^#{1,6} "
+_RE_BULLET = "(?m)^[-*+] "
+_RE_LINK = r"\[[^\]]+\]\([^)]+\)"
+_RE_TABLE = r"(?m)^\|.*\|$"
+
+
+def _sql_lit(s: str) -> str:
+    """Render a python string (with newlines) as a DuckDB expression."""
+    parts = []
+    for idx, seg in enumerate(s.split("\n")):
+        if idx:
+            parts.append("chr(10)")
+        if seg:
+            parts.append("'" + seg.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
+
+def _docs_planted(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(d % _RES == 1, F.concat("text", F.lit(_LIST_SNIPPET)))
+        .when(d % _RES == 2, F.concat("text", F.lit(_TABLE_SNIPPET)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def _counted(docs: DataFrame) -> DataFrame:
+    def c(pat: str, name: str) -> F.Column:
+        return (
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(name)
+        )
+
+    return docs.select(
+        "doc_id",
+        c(_RE_HEADER, "n_headers"),
+        c(_RE_BULLET, "n_bullets"),
+        c(_RE_LINK, "n_links"),
+        c(_RE_TABLE, "n_table_rows"),
+    ).select(
+        "*",
+        (
+            F.col("n_headers")
+            + F.col("n_bullets")
+            + F.col("n_links")
+            + F.col("n_table_rows")
+        ).alias("md_total"),
+    )
+
+
+def markdown_profile_over(docs: DataFrame) -> DataFrame:
+    return (
+        _counted(docs)
+        .filter(F.col("md_total") > 0)
+        .orderBy(F.desc("md_total"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def markdown_stats_over(docs: DataFrame) -> DataFrame:
+    cnt = _counted(docs)
+    return cnt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("md_total") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("docs_with_md"),
+        F.sum("n_headers").cast("long").alias("total_headers"),
+        F.sum("n_bullets").cast("long").alias("total_bullets"),
+        F.sum("n_links").cast("long").alias("total_links"),
+        F.sum("n_table_rows").cast("long").alias("total_table_rows"),
+    ).select(
+        "*",
+        F.expr("docs_with_md * 1000000L div n_docs").alias("md_doc_micro"),
+    )
+
+
+def markdown_profile_page(spark: SparkSession, sf: str) -> DataFrame:
+    return markdown_profile_over(_docs_planted(spark, sf))
+
+
+def markdown_structure_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return markdown_stats_over(_docs_planted(spark, sf))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "markdown_profile_page": markdown_profile_page,
+    "markdown_structure_stats": markdown_structure_stats,
+}
+
+_DOCS_SQL = f"""
+    docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_RES} = 1
+                        THEN text || {_sql_lit(_LIST_SNIPPET)}
+                    WHEN doc_id % {_RES} = 2
+                        THEN text || {_sql_lit(_TABLE_SNIPPET)}
+                    ELSE text END AS text
+        FROM documents
+    ),
+    counted AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_RE_HEADER}'))::BIGINT
+                   AS n_headers,
+               len(regexp_extract_all(text, '{_RE_BULLET}'))::BIGINT
+                   AS n_bullets,
+               len(regexp_extract_all(text, '{_RE_LINK}'))::BIGINT AS n_links,
+               len(regexp_extract_all(text, '{_RE_TABLE}'))::BIGINT
+                   AS n_table_rows
+        FROM docs
+    ),
+    totaled AS (
+        SELECT *, n_headers + n_bullets + n_links + n_table_rows AS md_total
+        FROM counted
+    )
+"""
+
+ORACLES: Dict[str, str] = {
+    "markdown_profile_page": f"""
+    WITH {_DOCS_SQL}
+    SELECT doc_id, n_headers, n_bullets, n_links, n_table_rows, md_total
+    FROM totaled WHERE md_total > 0
+    ORDER BY md_total DESC, doc_id ASC
+    LIMIT {TOP_K}
+    """,
+    "markdown_structure_stats": f"""
+    WITH {_DOCS_SQL}
+    SELECT COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN md_total > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS docs_with_md,
+           SUM(n_headers)::BIGINT AS total_headers,
+           SUM(n_bullets)::BIGINT AS total_bullets,
+           SUM(n_links)::BIGINT AS total_links,
+           SUM(n_table_rows)::BIGINT AS total_table_rows,
+           (SUM(CASE WHEN md_total > 0 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*))::BIGINT AS md_doc_micro
+    FROM totaled
+    """,
+}

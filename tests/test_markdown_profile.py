@@ -1,0 +1,90 @@
+"""Markdown structure profile tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.markdown_profile import (
+    ORACLES,
+    QUERIES,
+    _RES,
+    markdown_profile_over,
+    markdown_stats_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_element_counts(spark):
+    md = (
+        "# title\n"
+        "## section\n"
+        "- one\n"
+        "* two\n"
+        "+ three\n"
+        "see [docs](http://x) and [api](http://y)\n"
+        "| a | b |\n"
+        "| 1 | 2 |\n"
+        "####### not a header (7 hashes)\n"
+        "-no space: not a bullet\n"
+    )
+    df = spark.createDataFrame(
+        [(0, md), (1, "plain prose only")], "doc_id long, text string"
+    )
+    rows = markdown_profile_over(df).collect()
+    assert len(rows) == 1  # plain doc filtered
+    r = rows[0]
+    assert (r.n_headers, r.n_bullets, r.n_links, r.n_table_rows) == (
+        2,
+        3,
+        2,
+        2,
+    )
+    assert r.md_total == 9
+    s = markdown_stats_over(df).collect()[0]
+    assert (s.n_docs, s.docs_with_md) == (2, 1)
+    assert s.md_doc_micro == 500_000
+
+
+def test_planted_residues(spark):
+    rows = QUERIES["markdown_profile_page"](spark, SF).collect()
+    assert rows and all(r.doc_id % _RES in (1, 2) for r in rows)
+    list_docs = [r for r in rows if r.doc_id % _RES == 1]
+    table_docs = [r for r in rows if r.doc_id % _RES == 2]
+    assert all(
+        (r.n_headers, r.n_bullets, r.n_links) == (1, 2, 1) for r in list_docs
+    )
+    assert all(r.n_table_rows == 2 for r in table_docs)
+
+
+def test_plan_shape(spark):
+    plan = (
+        QUERIES["markdown_profile_page"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["markdown_profile_page", "markdown_structure_stats"]
+)
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES[name]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0
