@@ -1,0 +1,169 @@
+"""Instruction-complexity scoring for SFT difficulty stratification.
+
+Evol-Instruct/WizardLM-style pipelines and every curriculum mixture
+need a model-free difficulty axis for instructions: how many explicit
+CONSTRAINTS does the request carry ("must", "exactly", "at most"),
+how many enumerated SUB-TASKS, how many imperative clauses, how many
+questions.  The weighted integer sum is the stratification key —
+training mixtures balance it, eval sets hold out the top stratum, and
+too-trivial instructions (score 0) are down-sampled.
+
+All-integer, zero UDFs: each family is a
+``size(regexp_extract_all(...))`` counter (patterns passed verbatim
+via ``F.lit`` so Java and RE2 receive identical strings), the
+composite is ``3·constraints + 2·steps + imperatives + questions``,
+and the histogram buckets by integral ``div``.  One scan; the page is
+TakeOrderedAndProject, the histogram a partial+final aggregate on a
+tiny key — flat to 100 TB.
+
+Driver non-degeneracy: a ``doc_id % 9 == 4`` residue slice gets a
+constraint-dense enumerated request appended (mirrored via chr(10)
+composition in the oracle) — it tops the page and fills the high
+buckets (pinned by test).
+
+Reference scope: enrichment extension (keyword-confidence family,
+SURVEY §2 P8-P11); sibling of ops/keywords.py and enrich/extract.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.markdown_profile import _sql_lit
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+TOP_K = 100
+BUCKET = 5
+_RES = 9
+
+_SNIPPET = (
+    "\nyou must sort exactly three tables and report only passing rows.\n"
+    "1. filter the staging rows\n"
+    "2. join on the key without duplicates\n"
+    "3. explain the plan, is it correct?\n"
+)
+
+_RE_CONSTRAINT = "(must|exactly|at least|at most|only|without)"
+_RE_IMPERATIVE = (
+    "(^|[.!?] |\n)(write|list|explain|describe|compare|create|"
+    "summarize|translate|sort|filter|join)"
+)
+_RE_STEP = "(?m)^[0-9]+[.] "
+_RE_QUESTION = "[?]"
+
+
+def _docs_planted(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _RES == 4,
+            F.concat("text", F.lit(_SNIPPET)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def complexity_over(docs: DataFrame) -> DataFrame:
+    """Per-doc complexity signals over a (doc_id, text) relation."""
+
+    def c(pat: str, name: str) -> F.Column:
+        return (
+            F.size(
+                F.regexp_extract_all(
+                    F.lower(F.col("text")), F.lit(pat), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias(name)
+        )
+
+    return docs.select(
+        "doc_id",
+        c(_RE_CONSTRAINT, "n_constraints"),
+        c(_RE_IMPERATIVE, "n_imperatives"),
+        c(_RE_STEP, "n_steps"),
+        c(_RE_QUESTION, "n_questions"),
+    ).select(
+        "*",
+        (
+            F.col("n_constraints") * 3
+            + F.col("n_steps") * 2
+            + F.col("n_imperatives")
+            + F.col("n_questions")
+        ).alias("complexity"),
+    )
+
+
+def instruction_complexity_page(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        complexity_over(_docs_planted(spark, sf))
+        .orderBy(F.desc("complexity"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def instruction_complexity_hist(spark: SparkSession, sf: str) -> DataFrame:
+    scored = complexity_over(_docs_planted(spark, sf))
+    return (
+        scored.select(
+            F.expr(f"least(complexity div {BUCKET}, 10L)").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("bucket")
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "instruction_complexity_page": instruction_complexity_page,
+    "instruction_complexity_hist": instruction_complexity_hist,
+}
+
+_SCORED_SQL = f"""
+    docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_RES} = 4
+                    THEN text || {_sql_lit(_SNIPPET)}
+                    ELSE text END AS text
+        FROM documents
+    ),
+    counted AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text),
+                   '{_RE_CONSTRAINT}'))::BIGINT AS n_constraints,
+               len(regexp_extract_all(lower(text),
+                   '{_RE_IMPERATIVE}'))::BIGINT AS n_imperatives,
+               len(regexp_extract_all(lower(text),
+                   '{_RE_STEP}'))::BIGINT AS n_steps,
+               len(regexp_extract_all(lower(text),
+                   '{_RE_QUESTION}'))::BIGINT AS n_questions
+        FROM docs
+    ),
+    scored AS (
+        SELECT *, n_constraints * 3 + n_steps * 2 + n_imperatives
+                  + n_questions AS complexity
+        FROM counted
+    )
+"""
+
+ORACLES: Dict[str, str] = {
+    "instruction_complexity_page": f"""
+    WITH {_SCORED_SQL}
+    SELECT doc_id, n_constraints, n_imperatives, n_steps, n_questions,
+           complexity
+    FROM scored
+    ORDER BY complexity DESC, doc_id ASC
+    LIMIT {TOP_K}
+    """,
+    "instruction_complexity_hist": f"""
+    WITH {_SCORED_SQL}
+    SELECT least(complexity // {BUCKET}, 10)::BIGINT AS bucket,
+           COUNT(*)::BIGINT AS n_docs
+    FROM scored
+    GROUP BY 1 ORDER BY 1
+    """,
+}

@@ -1,0 +1,91 @@
+"""Instruction-complexity scoring tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.instruction_complexity import (
+    _RES,
+    _SNIPPET,
+    ORACLES,
+    QUERIES,
+    complexity_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_signal_counts(spark):
+    text = (
+        "write a report. you must include exactly two sections, "
+        "only the latest data?\n"
+        "1. gather inputs\n"
+        "2. compare results\n"
+    )
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    r = complexity_over(df).collect()[0]
+    # constraints: must, exactly, only = 3
+    assert r.n_constraints == 3
+    # imperatives: ^write, plus '2. compare' (the '[.!?] ' branch
+    # matches the period of a step number too)
+    assert r.n_imperatives == 2
+    assert r.n_steps == 2
+    assert r.n_questions == 1
+    assert r.complexity == 3 * 3 + 2 * 2 + 2 + 1
+
+
+def test_snippet_scores_high(spark):
+    df = spark.createDataFrame(
+        [(0, "plain words here" + _SNIPPET), (1, "plain words here")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in complexity_over(df).collect()}
+    assert rows[0].complexity >= 10
+    assert rows[1].complexity == 0
+
+
+def test_planted_page_and_hist(spark):
+    page = QUERIES["instruction_complexity_page"](spark, SF).collect()
+    assert page and all(r.doc_id % _RES == 4 for r in page[:20])
+    hist = QUERIES["instruction_complexity_hist"](spark, SF).collect()
+    total = sum(r.n_docs for r in hist)
+    import duckdb as d
+
+    n = d.connect().execute(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet'"
+    ).fetchone()[0]
+    assert total == n
+    assert len(hist) >= 2  # planted slice fills a higher bucket
+
+
+def test_plan_shape(spark):
+    plan = (
+        QUERIES["instruction_complexity_page"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["instruction_complexity_page", "instruction_complexity_hist"]
+)
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES[name]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0
