@@ -1,0 +1,148 @@
+"""Line-wrap de-hyphenation audit + repair for extracted text.
+
+PDF/book/column extraction leaves typographic line-wraps inside
+words: ``infor-\\nmation`` — one token split into two lines with a
+trailing hyphen.  Left unrepaired they corrupt tokenization, word
+counts, dedup shingles and every keyword matcher downstream, which is
+why pdfplumber/GROBID-style pipelines and book-corpus cleaners run a
+de-hyphenation pass first.  The repair rule (the conservative
+standard): hyphen + newline + lowercase letter rejoins the word;
+anything else (em-dash lists, numeric ranges, hyphen-at-EOL before
+uppercase) is left alone.
+
+Two queries, all-integer/digest, zero UDFs:
+
+* ``dehyphenation_page`` — per-doc wrap count
+  (``size(regexp_extract_all('-\\n[a-z]'))``) and the md5 of the
+  REPAIRED text (``regexp_replace`` rejoining the split), worst
+  offenders first via TakeOrderedAndProject.  The digest is the
+  byte-exact cross-engine proof the repair itself matches — Spark's
+  ``$1`` and DuckDB's ``\\1`` replacement syntaxes differ, so each
+  side states the rewrite natively and the gate hash arbitrates.
+* ``dehyphenation_stats`` — one row: affected docs, total wraps,
+  affected-doc ppm — the go/no-go number for enabling the repair
+  stage on a new source.
+
+Patterns are passed verbatim via ``F.lit`` on the Spark side and a
+standard SQL literal on the oracle side (no double-escaping).  One
+scan, no shuffle before the final fold — flat to 100 TB.
+
+Driver non-degeneracy: a ``doc_id % 21 == 8`` residue slice gets a
+fixed wrapped paragraph appended; repairing it yields a known phrase
+(pinned by digest in test).
+
+Reference scope: text-normalization extension (P3 whitespace-squeeze
+family, SURVEY §2); sibling of ops/nfc.py and ops/encoding.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.markdown_profile import _sql_lit
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+TOP_K = 100
+_RES = 21
+
+_WRAPPED = "\ninfor-\nmation about proces-\nsing pipe-\nlines\n"
+
+_WRAP_RE = "-\n[a-z]"  # count pattern: literal newline inside
+_FIX_RE = "-\n([a-z])"  # repair pattern: rejoin with the captured letter
+
+
+def _docs_planted(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _RES == 8,
+            F.concat("text", F.lit(_WRAPPED)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def dehyphenate_over(docs: DataFrame) -> DataFrame:
+    """Per-doc wrap census + repaired-text digest."""
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_WRAP_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_wraps"),
+        F.md5(
+            F.regexp_replace(F.col("text"), F.lit(_FIX_RE), F.lit("$1"))
+        ).alias("repaired_md5"),
+    )
+
+
+def dehyphenation_page(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        dehyphenate_over(_docs_planted(spark, sf))
+        .filter(F.col("n_wraps") > 0)
+        .orderBy(F.desc("n_wraps"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def dehyphenation_stats(spark: SparkSession, sf: str) -> DataFrame:
+    census = dehyphenate_over(_docs_planted(spark, sf))
+    return census.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_wraps") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("affected_docs"),
+        F.sum("n_wraps").cast("long").alias("total_wraps"),
+    ).select(
+        "*",
+        F.expr("affected_docs * 1000000L div n_docs").alias(
+            "affected_ppm"
+        ),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dehyphenation_page": dehyphenation_page,
+    "dehyphenation_stats": dehyphenation_stats,
+}
+
+_CENSUS_SQL = f"""
+    docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_RES} = 8
+                    THEN text || {_sql_lit(_WRAPPED)}
+                    ELSE text END AS text
+        FROM documents
+    ),
+    census AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '-' || chr(10) || '[a-z]'))::BIGINT
+                   AS n_wraps,
+               md5(regexp_replace(text, '-' || chr(10) || '([a-z])',
+                                  '\\1', 'g')) AS repaired_md5
+        FROM docs
+    )
+"""
+
+ORACLES: Dict[str, str] = {
+    "dehyphenation_page": f"""
+    WITH {_CENSUS_SQL}
+    SELECT doc_id, n_wraps, repaired_md5 FROM census
+    WHERE n_wraps > 0
+    ORDER BY n_wraps DESC, doc_id ASC
+    LIMIT {TOP_K}
+    """,
+    "dehyphenation_stats": f"""
+    WITH {_CENSUS_SQL}
+    SELECT COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN n_wraps > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS affected_docs,
+           SUM(n_wraps)::BIGINT AS total_wraps,
+           (SUM(CASE WHEN n_wraps > 0 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*))::BIGINT AS affected_ppm
+    FROM census
+    """,
+}

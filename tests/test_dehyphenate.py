@@ -1,0 +1,87 @@
+"""De-hyphenation audit tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.dehyphenate import (
+    _RES,
+    _WRAPPED,
+    ORACLES,
+    QUERIES,
+    dehyphenate_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_repair_semantics(spark):
+    cases = [
+        # wrapped word rejoined
+        (0, "infor-\nmation", "information", 1),
+        # uppercase continuation: NOT a wrap (proper-noun hyphen break)
+        (1, "Band-\nAid", "Band-\nAid", 0),
+        # numeric range: untouched
+        (2, "pages 4-\n5", "pages 4-\n5", 0),
+        # hyphen without newline: untouched
+        (3, "state-of-the-art", "state-of-the-art", 0),
+        # multiple wraps in one doc
+        (4, "a-\nb c-\nd", "ab cd", 2),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _, _ in cases], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in dehyphenate_over(df).collect()}
+    for i, _, repaired, wraps in cases:
+        assert rows[i].n_wraps == wraps, i
+        assert rows[i].repaired_md5 == hashlib.md5(
+            repaired.encode()
+        ).hexdigest(), i
+
+
+def test_planted_slice(spark):
+    page = QUERIES["dehyphenation_page"](spark, SF).collect()
+    assert page and all(r.doc_id % _RES == 8 for r in page)
+    assert all(r.n_wraps == 3 for r in page)
+    stats = QUERIES["dehyphenation_stats"](spark, SF).collect()[0]
+    assert stats.affected_docs == len(page)
+    assert stats.total_wraps == 3 * len(page)
+    assert (
+        stats.affected_ppm
+        == stats.affected_docs * 1_000_000 // stats.n_docs
+    )
+
+
+def test_plan_shape(spark):
+    plan = (
+        QUERIES["dehyphenation_page"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["dehyphenation_page", "dehyphenation_stats"]
+)
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES[name]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0
