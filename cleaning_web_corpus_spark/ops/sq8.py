@@ -1,0 +1,168 @@
+"""Int8 scalar quantization (SQ8) of embeddings + reconstruction audit.
+
+The workhorse compression every vector index offers (FAISS
+``SQ8``/ScalarQuantizer, Milvus/pgvector int8): per-dimension min/max
+over the corpus, then each float maps to ``round((v − mn)·255 /
+(mx − mn))`` — 4× smaller than float32 with near-zero recall loss.
+The complement of ops/pq.py (product quantization, 32×, trained
+codebooks): SQ8 is training-free, exactly invertible to a known grid,
+and the form used for the memory-bound first pass at index-build
+time.  The audit half answers the enablement question: what
+reconstruction error does 255-level quantization actually introduce
+on THIS corpus, per dimension?
+
+Exact under the gate — one float chain, identical on both engines:
+
+* per-dim (min, max) from ONE posexplode + partial+final aggregate
+  (64 dims × n_partitions partial rows — narrow at any corpus size);
+* the dim-stats relation is BROADCAST back onto the exploded values —
+  an equi-join on a 64-row table, never a shuffle of the big side;
+* ``code = floor((CAST(v AS DOUBLE) − mn)·255/(mx − mn) + 0.5)``
+  (guarded to 0 when the span is 0) — float32→float64 widening is
+  exact, the arithmetic tree is identical in both engines, and the
+  only float→int crossing is one ``floor`` (the ops/ann.py contract);
+* errors quantize to micro BIGINTs the same way: ``err_micro =
+  floor(|v − deq|·10⁶ + 0.5)``.
+
+``sq8_codes_page``: per-(vec, dim) codes for a vec_id residue slice —
+the gate-visible replica of the codes column an index build would
+write back.  ``sq8_error_stats``: per-dim span, max and mean
+(floored) reconstruction error — the go/no-go table.
+
+Reference scope: ANN/embedding extension; sibling of ops/pq.py and
+ops/ann.py (same float-determinism contract, cited at ann.py:1-31).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+_RES = 25  # vec_id % 25 == 0 rows land in the codes page
+PAGE_CAP = 1500
+
+
+def _exploded(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        t(spark, sf, "embeddings")
+        .select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "v"
+            ),
+        )
+    )
+
+
+def _dim_stats(vals: DataFrame) -> DataFrame:
+    return vals.groupBy("dim").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+
+
+def _quantized(spark: SparkSession, sf: str) -> DataFrame:
+    vals = _exploded(spark, sf)
+    stats = _dim_stats(vals)
+    code = (
+        "case when mx = mn then 0L else"
+        " cast(floor((v - mn) * 255.0 / (mx - mn) + 0.5) as bigint) end"
+    )
+    q = vals.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        "v",
+        "mn",
+        "mx",
+        F.expr(code).alias("code"),
+    )
+    deq = "case when mx = mn then mn else mn + code * (mx - mn) / 255.0 end"
+    return q.select(
+        "vec_id",
+        "dim",
+        "code",
+        F.expr(
+            f"cast(floor(abs(v - ({deq})) * 1000000.0 + 0.5) as bigint)"
+        ).alias("err_micro"),
+        F.expr(
+            "cast(floor((mx - mn) * 1000000.0 + 0.5) as bigint)"
+        ).alias("span_micro"),
+    )
+
+
+def sq8_codes_page(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _quantized(spark, sf)
+        .filter(F.col("vec_id") % _RES == 0)
+        .select("vec_id", "dim", "code", "err_micro")
+        .orderBy(F.asc("vec_id"), F.asc("dim"))
+        .limit(PAGE_CAP)
+    )
+
+
+def sq8_error_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _quantized(spark, sf)
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.max("span_micro").alias("span_micro"),
+            F.max("err_micro").alias("max_err_micro"),
+            F.expr("sum(err_micro) div count(1)").alias("avg_err_micro"),
+        )
+        .orderBy("dim")
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sq8_codes_page": sq8_codes_page,
+    "sq8_error_stats": sq8_error_stats,
+}
+
+_Q_SQL = f"""
+    vals AS (
+        SELECT vec_id, i - 1 AS dim, embedding[i]::DOUBLE AS v
+        FROM embeddings,
+             UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    stats AS (
+        SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM vals GROUP BY dim
+    ),
+    q AS (
+        SELECT vec_id, vals.dim, v, mn, mx,
+               CASE WHEN mx = mn THEN 0
+                    ELSE floor((v - mn) * 255.0 / (mx - mn) + 0.5)::BIGINT
+               END AS code
+        FROM vals JOIN stats ON vals.dim = stats.dim
+    ),
+    scored AS (
+        SELECT vec_id, dim, code,
+               floor(abs(v - (CASE WHEN mx = mn THEN mn
+                    ELSE mn + code * (mx - mn) / 255.0 END))
+                    * 1000000.0 + 0.5)::BIGINT AS err_micro,
+               floor((mx - mn) * 1000000.0 + 0.5)::BIGINT AS span_micro
+        FROM q
+    )
+"""
+
+ORACLES: Dict[str, str] = {
+    "sq8_codes_page": f"""
+    WITH {_Q_SQL}
+    SELECT vec_id, dim, code, err_micro FROM scored
+    WHERE vec_id % {_RES} = 0
+    ORDER BY vec_id ASC, dim ASC
+    LIMIT {PAGE_CAP}
+    """,
+    "sq8_error_stats": f"""
+    WITH {_Q_SQL}
+    SELECT dim, COUNT(*)::BIGINT AS n_vecs,
+           MAX(span_micro)::BIGINT AS span_micro,
+           MAX(err_micro)::BIGINT AS max_err_micro,
+           (SUM(err_micro) // COUNT(*))::BIGINT AS avg_err_micro
+    FROM scored
+    GROUP BY dim ORDER BY dim
+    """,
+}
