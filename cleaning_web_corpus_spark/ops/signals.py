@@ -61,6 +61,22 @@ from cleaning_web_corpus_spark.ops.response_quality import (
     with_refusal_flags,
     with_truncation_flags,
 )
+from cleaning_web_corpus_spark.ops.dehyphenate import _WRAP_RE
+from cleaning_web_corpus_spark.ops.homoglyph import CONF_FROM
+from cleaning_web_corpus_spark.ops.instruction_complexity import (
+    _RE_CONSTRAINT,
+    _RE_IMPERATIVE,
+    _RE_QUESTION,
+    _RE_STEP,
+)
+from cleaning_web_corpus_spark.ops.markdown_profile import (
+    _RE_BULLET,
+    _RE_HEADER,
+    _RE_LINK,
+    _RE_TABLE,
+    _sql_lit,
+)
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
 from cleaning_web_corpus_spark.ops.tokenize_fp import BPE_RE, WS_RE
 from cleaning_web_corpus_spark.warehouse.queries import t
 
@@ -72,6 +88,8 @@ SIGNAL_COLUMNS = [
     "n_fffd", "n_mojibake", "n_ctrl", "encoding_clean",
     "is_refusal", "is_disclaimer", "truncated",
     "ws_tokens", "bpe_tokens", "quality_score",
+    # round-3 session-5 structure signals (one-pass codegen like the rest)
+    "ttr_micro", "md_total", "complexity", "n_wraps", "n_confusables",
 ]
 
 
@@ -102,7 +120,58 @@ def add_signal_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.size(F.regexp_extract_all(c, F.lit(BPE_RE), F.lit(0))).cast("long"),
         )
         .withColumn("quality_score", quality.cast("double"))
+        # type-token ratio: the 1-element-transform binding evaluates
+        # the tokenizer ONCE even though the lambda body uses it twice
+        .withColumn(
+            "ttr_micro",
+            F.expr(
+                f"element_at(transform(array(regexp_extract_all(lower({text_col}),"
+                f" '{TOKEN_RE}', 0)), T -> size(array_distinct(T)) * 1000000L"
+                " div greatest(size(T), 1)), 1)"
+            ),
+        )
+        .withColumn(
+            "md_total",
+            sum(
+                F.size(F.regexp_extract_all(c, F.lit(p), F.lit(0))).cast("long")
+                for p in (_RE_HEADER, _RE_BULLET, _RE_LINK, _RE_TABLE)
+            ),
+        )
+        .withColumn(
+            "complexity",
+            F.size(
+                F.regexp_extract_all(F.lower(c), F.lit(_RE_CONSTRAINT), F.lit(0))
+            ).cast("long")
+            * 3
+            + F.size(
+                F.regexp_extract_all(F.lower(c), F.lit(_RE_STEP), F.lit(0))
+            ).cast("long")
+            * 2
+            + F.size(
+                F.regexp_extract_all(F.lower(c), F.lit(_RE_IMPERATIVE), F.lit(0))
+            ).cast("long")
+            + F.size(
+                F.regexp_extract_all(F.lower(c), F.lit(_RE_QUESTION), F.lit(0))
+            ).cast("long"),
+        )
+        .withColumn(
+            "n_wraps",
+            F.size(F.regexp_extract_all(c, F.lit(_WRAP_RE), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .withColumn(
+            "n_confusables",
+            (F.length(c) - F.length(F.translate(c, CONF_FROM, ""))).cast(
+                "long"
+            ),
+        )
     )
+
+
+_MD_TOKEN = "\n## notes\n- item\n"
+_WRAP_TOKEN = "\nrepor-\nting"
+_CONF_TOKEN = " pаypаl"  # Cyrillic а twice
 
 
 def _injected_docs(spark: SparkSession, sf: str) -> DataFrame:
@@ -122,6 +191,12 @@ def _injected_docs(spark: SparkSession, sf: str) -> DataFrame:
         F.when(doc % _RES_FFFD == 0, F.lit(_FFFD_TOKEN)).otherwise(F.lit("")),
         F.when(doc % _RES_MOJI == 0, F.lit(_MOJI_TOKEN)).otherwise(F.lit("")),
         F.when(doc % _RES_CTRL == 0, F.lit(_CTRL_TOKEN)).otherwise(F.lit("")),
+        # session-5 structure plants: markdown block, a line wrap, a
+        # confusable-spoofed word — so md_total / n_wraps /
+        # n_confusables are non-degenerate under the gate hash
+        F.when(doc % 7 == 2, F.lit(_MD_TOKEN)).otherwise(F.lit("")),
+        F.when(doc % 21 == 8, F.lit(_WRAP_TOKEN)).otherwise(F.lit("")),
+        F.when(doc % 19 == 5, F.lit(_CONF_TOKEN)).otherwise(F.lit("")),
         F.when(doc % 5 < 3, F.lit(".")).otherwise(F.lit("")),
     )
     return t(spark, sf, "documents").select(
@@ -169,6 +244,12 @@ _SQL_INJECTED_ALL = f"""
                         THEN ' cafÃ© donâ€™t' ELSE '' END)
                || (CASE WHEN doc_id % {_RES_CTRL} = 0
                         THEN ' ctl' || chr(1) || 'chr' ELSE '' END)
+               || (CASE WHEN doc_id % 7 = 2
+                        THEN {_sql_lit(_MD_TOKEN)} ELSE '' END)
+               || (CASE WHEN doc_id % 21 = 8
+                        THEN {_sql_lit(_WRAP_TOKEN)} ELSE '' END)
+               || (CASE WHEN doc_id % 19 = 5
+                        THEN ' pаypаl' ELSE '' END)
                || (CASE WHEN doc_id % 5 < 3 THEN '.' ELSE '' END)
                AS text
         FROM documents
@@ -197,7 +278,23 @@ _SQL_TABLE = f"""
                (regexp_matches(rtrim(text), '\\.\\.\\.$')
                 OR NOT regexp_matches(rtrim(text), '[.!?]$')) AS truncated,
                len(regexp_extract_all(text, '\\S+'))::BIGINT AS ws_tokens,
-               len(regexp_extract_all(text, '{_BPE_SQL}'))::BIGINT AS bpe_tokens
+               len(regexp_extract_all(text, '{_BPE_SQL}'))::BIGINT AS bpe_tokens,
+               list_transform([regexp_extract_all(lower(text), '{TOKEN_RE}')],
+                   T -> len(list_distinct(T)) * 1000000
+                        // greatest(len(T), 1))[1]::BIGINT AS ttr_micro,
+               (len(regexp_extract_all(text, '{_RE_HEADER}'))
+                + len(regexp_extract_all(text, '{_RE_BULLET}'))
+                + len(regexp_extract_all(text, '{_RE_LINK}'))
+                + len(regexp_extract_all(text, '{_RE_TABLE}')))::BIGINT
+                   AS md_total,
+               (len(regexp_extract_all(lower(text), '{_RE_CONSTRAINT}')) * 3
+                + len(regexp_extract_all(lower(text), '{_RE_STEP}')) * 2
+                + len(regexp_extract_all(lower(text), '{_RE_IMPERATIVE}'))
+                + len(regexp_extract_all(lower(text), '{_RE_QUESTION}')))::BIGINT
+                   AS complexity,
+               len(regexp_extract_all(text, '{_WRAP_RE}'))::BIGINT AS n_wraps,
+               (length(text) - length(translate(text, '{CONF_FROM}', '')))::BIGINT
+                   AS n_confusables
         FROM injected
     )
     SELECT g.doc_id, g.lang, s.source, s.n_chars,
@@ -212,7 +309,8 @@ _SQL_TABLE = f"""
                  WHEN g.n_words >= 40 AND g.mean_word_len >= 3.9 THEN 0.8
                  WHEN g.n_words >= 20 AND g.mean_word_len >= 3.5 THEN 0.6
                  WHEN g.n_words >= 10 THEN 0.4
-                 ELSE 0.2 END)::DOUBLE AS quality_score
+                 ELSE 0.2 END)::DOUBLE AS quality_score,
+           s.ttr_micro, s.md_total, s.complexity, s.n_wraps, s.n_confusables
     FROM g JOIN s USING (doc_id)
 """
 

@@ -42,6 +42,37 @@ def test_signal_families_agree_with_sources(spark):
     assert uni[1].quality_score >= 0.6 and uni[3].quality_score == 0.2
 
 
+def test_structure_signals_fire_and_rest(spark):
+    """Session-5 structure columns: exact values on crafted rows, and
+    every column both fires and stays zero across the driver corpus."""
+    rows = [
+        (1, "alpha beta alpha"),                      # ttr 2/3
+        (2, "# h\n- a\n[x](http://y)\n| a | b |\n"),  # 4 md elements
+        (3, "sort the rows. you must do exactly two?"),  # 2*3 + 1 + 1
+        (4, "repor-\nting news"),                     # one wrap
+        (5, "pаypаl"),                                # two confusables
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in add_signal_columns(df).collect()}
+    assert got[1].ttr_micro == 2 * 1_000_000 // 3
+    assert got[2].md_total == 4
+    assert got[3].complexity == 8
+    assert got[4].n_wraps == 1
+    assert got[5].n_confusables == 2
+    table = QUERIES["quality_signals_table"](spark, SF)
+    from pyspark.sql import functions as F
+
+    agg = table.agg(
+        *[
+            F.sum((F.col(c) > 0).cast("long")).alias(c)
+            for c in ("md_total", "complexity", "n_wraps", "n_confusables")
+        ],
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    for c in ("md_total", "complexity", "n_wraps", "n_confusables"):
+        assert 0 < agg[c] < agg["n"], c
+
+
 def test_table_single_scan_no_python(spark):
     df = QUERIES["quality_signals_table"](spark, SF)
     assert df.columns == SIGNAL_COLUMNS

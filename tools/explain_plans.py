@@ -198,6 +198,18 @@ PLAN_QUERIES = [
     "prompt_dedup_report",
     "source_token_divergence",
     "snapshot_churn_report",
+    # round-3 session-5 wave (stats twins share the audited base shape)
+    "lexical_diversity_report",
+    "mattr_lowest_page",
+    "bursty_tokens_topk",
+    "consensus_vote_page",
+    "chunk_dup_topk",
+    "homoglyph_spoof_pairs",
+    "markdown_profile_page",
+    "instruction_complexity_page",
+    "dehyphenation_page",
+    "sq8_codes_page",
+    "sq8_error_stats",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
