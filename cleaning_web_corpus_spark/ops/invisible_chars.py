@@ -1,0 +1,177 @@
+"""Invisible-character + bidi-control audit (Trojan Source class).
+
+Zero-width characters (ZWSP/ZWNJ/ZWJ/word-joiner/stray BOM) and
+Unicode bidirectional controls are invisible in every renderer yet
+change tokenization, break exact dedup and PII matchers, and — the
+Trojan Source result (Boucher & Anderson 2021, CVE-2021-42574) — can
+make displayed text differ from the bytes a compiler or LLM consumes.
+Code corpora are routinely scanned for exactly these ranges before
+training.  This audit reports both burdens: the zero-width census and
+the bidi-control census with the UNBALANCED-direction flag (an
+embed/override opener U+202A-E without its closing PDF U+202C, or an
+isolate U+2066-8 without its PDI U+2069 — the Trojan Source shape;
+balanced RTL formatting in genuine Arabic/Hebrew text does NOT trip
+it).
+
+All-integer, zero UDFs: each category is one
+``size(regexp_extract_all(...))`` over a literal-character class —
+the code points are embedded as raw characters so Java regex and RE2
+receive the identical BMP literals (no escape-syntax divergence).
+Balance is integer equality of opener vs closer counts.  Page via
+TakeOrderedAndProject; stats fold to one row — flat to 100 TB.
+
+Driver non-degeneracy: three residue slices plant zero-widths inside
+a word, a BALANCED RLO..PDF span (counted, not flagged), and an
+UNCLOSED RLO (flagged) — so both the counters and the unbalanced flag
+fire and stay false somewhere (pinned by test).
+
+Reference scope: decode-health extension; sibling of ops/encoding.py
+(C0 controls / mojibake / U+FFFD) and ops/homoglyph.py (confusables).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+TOP_K = 100
+_RES = 23  # residues 3 / 10 / 15 carry the three plants
+
+_ZW = "\u200b\u200c\u200d\u2060\ufeff"
+_BIDI_OPEN = "\u202a\u202b\u202d\u202e"
+_PDF = "\u202c"
+_ISO_OPEN = "\u2066\u2067\u2068"
+_PDI = "\u2069"
+
+_ZW_RE = f"[{_ZW}]"
+_BIDI_RE = f"[{_BIDI_OPEN}{_PDF}{_ISO_OPEN}{_PDI}\u200e\u200f]"
+_OPEN_RE = f"[{_BIDI_OPEN}]"
+_PDF_RE = f"[{_PDF}]"
+_ISO_RE = f"[{_ISO_OPEN}]"
+_PDI_RE = f"[{_PDI}]"
+
+_ZW_PLANT = "da\u200bta\u200cbase\ufeff"
+_BAL_PLANT = " \u202etxet\u202c done"
+_UNBAL_PLANT = " \u202eoverride with no close"
+
+
+def _docs_planted(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(d % _RES == 3, F.concat("text", F.lit(" " + _ZW_PLANT)))
+        .when(d % _RES == 10, F.concat("text", F.lit(_BAL_PLANT)))
+        .when(d % _RES == 15, F.concat("text", F.lit(_UNBAL_PLANT)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def invisible_census_over(docs: DataFrame) -> DataFrame:
+    """Per-doc invisible/bidi census over a (doc_id, text) relation."""
+
+    def n(pat: str) -> F.Column:
+        return F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))
+        ).cast("long")
+
+    return docs.select(
+        "doc_id",
+        n(_ZW_RE).alias("n_zero_width"),
+        n(_BIDI_RE).alias("n_bidi_ctrl"),
+        (
+            (n(_OPEN_RE) != n(_PDF_RE)) | (n(_ISO_RE) != n(_PDI_RE))
+        ).alias("bidi_unbalanced"),
+    )
+
+
+def invisible_char_page(spark: SparkSession, sf: str) -> DataFrame:
+    census = invisible_census_over(_docs_planted(spark, sf))
+    return (
+        census.filter(
+            (F.col("n_zero_width") + F.col("n_bidi_ctrl")) > 0
+        )
+        .orderBy(
+            F.desc(F.col("n_zero_width") + F.col("n_bidi_ctrl")),
+            F.asc("doc_id"),
+        )
+        .limit(TOP_K)
+    )
+
+
+def invisible_char_stats(spark: SparkSession, sf: str) -> DataFrame:
+    census = invisible_census_over(_docs_planted(spark, sf))
+    return census.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                (F.col("n_zero_width") + F.col("n_bidi_ctrl")) > 0, 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("affected_docs"),
+        F.sum("n_zero_width").cast("long").alias("total_zero_width"),
+        F.sum("n_bidi_ctrl").cast("long").alias("total_bidi_ctrl"),
+        F.sum(F.col("bidi_unbalanced").cast("long"))
+        .cast("long")
+        .alias("n_bidi_unbalanced"),
+    ).select(
+        "*",
+        F.expr("affected_docs * 1000000L div n_docs").alias("affected_ppm"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "invisible_char_page": invisible_char_page,
+    "invisible_char_stats": invisible_char_stats,
+}
+
+_CENSUS_SQL = f"""
+    docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_RES} = 3 THEN text || ' {_ZW_PLANT}'
+                    WHEN doc_id % {_RES} = 10 THEN text || '{_BAL_PLANT}'
+                    WHEN doc_id % {_RES} = 15 THEN text || '{_UNBAL_PLANT}'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    census AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_ZW_RE}'))::BIGINT
+                   AS n_zero_width,
+               len(regexp_extract_all(text, '{_BIDI_RE}'))::BIGINT
+                   AS n_bidi_ctrl,
+               (len(regexp_extract_all(text, '{_OPEN_RE}'))
+                    != len(regexp_extract_all(text, '{_PDF_RE}'))
+                OR len(regexp_extract_all(text, '{_ISO_RE}'))
+                    != len(regexp_extract_all(text, '{_PDI_RE}')))
+                   AS bidi_unbalanced
+        FROM docs
+    )
+"""
+
+ORACLES: Dict[str, str] = {
+    "invisible_char_page": f"""
+    WITH {_CENSUS_SQL}
+    SELECT doc_id, n_zero_width, n_bidi_ctrl, bidi_unbalanced FROM census
+    WHERE n_zero_width + n_bidi_ctrl > 0
+    ORDER BY n_zero_width + n_bidi_ctrl DESC, doc_id ASC
+    LIMIT {TOP_K}
+    """,
+    "invisible_char_stats": f"""
+    WITH {_CENSUS_SQL}
+    SELECT COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN n_zero_width + n_bidi_ctrl > 0 THEN 1 ELSE 0
+               END)::BIGINT AS affected_docs,
+           SUM(n_zero_width)::BIGINT AS total_zero_width,
+           SUM(n_bidi_ctrl)::BIGINT AS total_bidi_ctrl,
+           SUM(bidi_unbalanced::INT)::BIGINT AS n_bidi_unbalanced,
+           (SUM(CASE WHEN n_zero_width + n_bidi_ctrl > 0 THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*))::BIGINT AS affected_ppm
+    FROM census
+    """,
+}

@@ -1,0 +1,75 @@
+"""Invisible-character / bidi-control audit tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.invisible_chars import (
+    _RES,
+    ORACLES,
+    QUERIES,
+    invisible_census_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_census_semantics(spark):
+    rows_in = [
+        (0, "plain ascii only"),
+        (1, "da​ta‌base"),            # 2 zero-widths
+        (2, "‮RTL‬ ok"),              # balanced override
+        (3, "‮RTL attack no close"),       # unbalanced
+        (4, "⁦iso⁩ ‎"),          # balanced isolate + LRM
+    ]
+    df = spark.createDataFrame(rows_in, "doc_id long, text string")
+    rows = {r.doc_id: r for r in invisible_census_over(df).collect()}
+    assert (rows[0].n_zero_width, rows[0].n_bidi_ctrl) == (0, 0)
+    assert not rows[0].bidi_unbalanced
+    assert rows[1].n_zero_width == 2 and rows[1].n_bidi_ctrl == 0
+    assert rows[2].n_bidi_ctrl == 2 and not rows[2].bidi_unbalanced
+    assert rows[3].n_bidi_ctrl == 1 and rows[3].bidi_unbalanced
+    assert rows[4].n_bidi_ctrl == 3 and not rows[4].bidi_unbalanced
+
+
+def test_planted_slices(spark):
+    page = QUERIES["invisible_char_page"](spark, SF).collect()
+    assert page and all(r.doc_id % _RES in (3, 10, 15) for r in page)
+    flagged = [r for r in page if r.bidi_unbalanced]
+    assert flagged and all(r.doc_id % _RES == 15 for r in flagged)
+    stats = QUERIES["invisible_char_stats"](spark, SF).collect()[0]
+    assert stats.affected_docs == len(page)
+    assert 0 < stats.n_bidi_unbalanced < stats.affected_docs
+
+
+def test_plan_shape(spark):
+    plan = (
+        QUERIES["invisible_char_page"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["invisible_char_page", "invisible_char_stats"]
+)
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES[name]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0
