@@ -1,0 +1,158 @@
+"""Surface-noise census: emoji, punctuation runs, shouting.
+
+The social-media noise axis every web-corpus mixture measures before
+deciding how much of it to keep: emoji density (spam/engagement-bait
+correlates; also the signal for emoji-stripping ablations), repeated
+terminal punctuation ("!!!", "???" — the classic clickbait marker C4's
+punctuation rules don't count), and ALL-CAPS shouting tokens.  None
+is a hard drop by itself — the census feeds mixture weighting and the
+per-source monitoring dashboards.
+
+All-integer, zero UDFs, one scan: each family is a
+``size(regexp_extract_all(...))`` counter.  The emoji class uses
+``\\x{...}`` code-point ranges (Misc Symbols & Pictographs through
+Symbols-Extended plus the classic U+2600-27BF block) — passed
+verbatim via ``F.lit`` / standard SQL literal, and Java regex counts
+a non-BMP emoji as ONE match exactly like RE2 (surrogate-pair
+verified in tests).  Page via TakeOrderedAndProject; stats fold to
+one row — flat at any corpus size.
+
+Driver non-degeneracy: residue slices plant an emoji run, a "!!!"
+clickbait tail and a shouted token (pinned by test).
+
+Reference scope: text-quality extension (Gopher symbol-ratio family);
+sibling of ops/gopher.py and ops/encoding.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+TOP_K = 100
+_RES = 29  # residues 6 / 13 / 20 carry the three plants
+
+_RE_EMOJI = r"[\x{1F300}-\x{1FAFF}\x{2600}-\x{27BF}]"
+_RE_PUNCT_RUN = "[!?]{2,}"
+_RE_SHOUT = "[A-Z]{3,}"
+
+_EMOJI_PLANT = " 🔥🔥🚀 great 🙂"
+_PUNCT_PLANT = " you will not believe this!!! really??"
+_SHOUT_PLANT = " BREAKING NEWS now"
+
+
+def _docs_planted(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(d % _RES == 6, F.concat("text", F.lit(_EMOJI_PLANT)))
+        .when(d % _RES == 13, F.concat("text", F.lit(_PUNCT_PLANT)))
+        .when(d % _RES == 20, F.concat("text", F.lit(_SHOUT_PLANT)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def surface_noise_over(docs: DataFrame) -> DataFrame:
+    """Per-doc noise census over a (doc_id, text) relation."""
+
+    def n(pat: str, name: str) -> F.Column:
+        return (
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(name)
+        )
+
+    return docs.select(
+        "doc_id",
+        n(_RE_EMOJI, "n_emoji"),
+        n(_RE_PUNCT_RUN, "n_punct_runs"),
+        n(_RE_SHOUT, "n_shout_tokens"),
+    ).select(
+        "*",
+        (
+            F.col("n_emoji") + F.col("n_punct_runs") + F.col("n_shout_tokens")
+        ).alias("noise_total"),
+    )
+
+
+def surface_noise_page(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        surface_noise_over(_docs_planted(spark, sf))
+        .filter(F.col("noise_total") > 0)
+        .orderBy(F.desc("noise_total"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def surface_noise_stats(spark: SparkSession, sf: str) -> DataFrame:
+    census = surface_noise_over(_docs_planted(spark, sf))
+    return census.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("noise_total") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("noisy_docs"),
+        F.sum("n_emoji").cast("long").alias("total_emoji"),
+        F.sum("n_punct_runs").cast("long").alias("total_punct_runs"),
+        F.sum("n_shout_tokens").cast("long").alias("total_shout_tokens"),
+    ).select(
+        "*",
+        F.expr("noisy_docs * 1000000L div n_docs").alias("noisy_ppm"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "surface_noise_page": surface_noise_page,
+    "surface_noise_stats": surface_noise_stats,
+}
+
+_CENSUS_SQL = f"""
+    docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_RES} = 6 THEN text || '{_EMOJI_PLANT}'
+                    WHEN doc_id % {_RES} = 13 THEN text || '{_PUNCT_PLANT}'
+                    WHEN doc_id % {_RES} = 20 THEN text || '{_SHOUT_PLANT}'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    census AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{_RE_EMOJI}'))::BIGINT
+                   AS n_emoji,
+               len(regexp_extract_all(text, '{_RE_PUNCT_RUN}'))::BIGINT
+                   AS n_punct_runs,
+               len(regexp_extract_all(text, '{_RE_SHOUT}'))::BIGINT
+                   AS n_shout_tokens
+        FROM docs
+    ),
+    totaled AS (
+        SELECT *, n_emoji + n_punct_runs + n_shout_tokens AS noise_total
+        FROM census
+    )
+"""
+
+ORACLES: Dict[str, str] = {
+    "surface_noise_page": f"""
+    WITH {_CENSUS_SQL}
+    SELECT doc_id, n_emoji, n_punct_runs, n_shout_tokens, noise_total
+    FROM totaled WHERE noise_total > 0
+    ORDER BY noise_total DESC, doc_id ASC
+    LIMIT {TOP_K}
+    """,
+    "surface_noise_stats": f"""
+    WITH {_CENSUS_SQL}
+    SELECT COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN noise_total > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS noisy_docs,
+           SUM(n_emoji)::BIGINT AS total_emoji,
+           SUM(n_punct_runs)::BIGINT AS total_punct_runs,
+           SUM(n_shout_tokens)::BIGINT AS total_shout_tokens,
+           (SUM(CASE WHEN noise_total > 0 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*))::BIGINT AS noisy_ppm
+    FROM totaled
+    """,
+}

@@ -1,0 +1,72 @@
+"""Surface-noise census tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.surface_noise import (
+    _RES,
+    ORACLES,
+    QUERIES,
+    surface_noise_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_census_semantics(spark):
+    rows_in = [
+        (0, "plain prose with one exclamation! and a question?"),
+        (1, "wow 🔥🔥🚀 nice 🙂 ☀"),      # 5 emoji (incl. BMP sun)
+        (2, "no way!!! seriously?? ?! x"),  # runs: !!!, ??, ?!
+        (3, "THIS IS FINE but OK is short"),
+    ]
+    df = spark.createDataFrame(rows_in, "doc_id long, text string")
+    rows = {r.doc_id: r for r in surface_noise_over(df).collect()}
+    assert rows[0].noise_total == 0  # single ! / ? never count
+    assert rows[1].n_emoji == 5 and rows[1].noise_total == 5
+    assert rows[2].n_punct_runs == 3
+    # THIS, FINE (IS/OK are 2 chars)
+    assert rows[3].n_shout_tokens == 2
+
+
+def test_planted_slices(spark):
+    page = QUERIES["surface_noise_page"](spark, SF).collect()
+    assert page and all(r.doc_id % _RES in (6, 13, 20) for r in page)
+    by_res = {6: "n_emoji", 13: "n_punct_runs", 20: "n_shout_tokens"}
+    for r in page:
+        assert r[by_res[r.doc_id % _RES]] > 0
+    stats = QUERIES["surface_noise_stats"](spark, SF).collect()[0]
+    assert stats.noisy_docs == len(page)
+    assert stats.total_emoji >= 4 and stats.total_punct_runs >= 2
+
+
+def test_plan_shape(spark):
+    plan = (
+        QUERIES["surface_noise_page"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["surface_noise_page", "surface_noise_stats"])
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES[name]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

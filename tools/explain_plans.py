@@ -210,6 +210,7 @@ PLAN_QUERIES = [
     "dehyphenation_page",
     "sq8_codes_page",
     "sq8_error_stats",
+    "invisible_char_page",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
