@@ -211,6 +211,7 @@ PLAN_QUERIES = [
     "sq8_codes_page",
     "sq8_error_stats",
     "invisible_char_page",
+    "surface_noise_page",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
