@@ -1,0 +1,219 @@
+"""Entropy rate + Shannon redundancy per language.
+
+Shannon (1951): natural language's conditional entropy drops sharply
+with context — H(B|A) well below the unigram entropy H1 — and the gap
+(redundancy) is a corpus-level fingerprint.  In cleaning use it is the
+TEMPLATE detector at the distribution level: boilerplate-stamped or
+model-degenerate corpora show abnormally high redundancy (the next
+token is too predictable) long before any per-doc filter fires, and
+per-language tracking catches a contaminated ingest for one language
+that corpus-wide stats average away.
+
+Exact under the gate — the zipf/heaps/PMI quantized-log contract:
+
+* ``q(c) = floor(ln(c)·10⁶ + 0.5)`` micro-nat BIGINTs of INTEGER
+  counts, so both engines quantize the same doubles;
+* ``H1 = (N·q(N) − Σ c_w·q(c_w)) div N`` — the algebraic form of
+  ``ln N − (1/N)Σ c ln c`` with ONE integral division at the end;
+  products ride DECIMAL(38,0)/HUGEINT so corpus scale cannot overflow;
+* ``H(B|A) = (Σ c_ab·(q(c_a·) − q(c_ab))) div N₂`` over the bigram
+  table with its OWN row-marginal ``c_a·`` (self-consistent, no
+  unigram off-by-one at document edges);
+* ``redundancy = (H1 − H2)·10⁶ div H1``;
+* shuffles: two-level (lang, gram) aggregates — never a hot per-lang
+  reducer — plus one (lang, a) marginal join on the bigram relation.
+
+Driver non-degeneracy: German documents get a 12× repeated-token pad
+appended in both engines — 'de' shows depressed H2 and elevated
+redundancy vs its siblings (pinned by test).
+
+Reference scope: corpus-statistics extension; sibling of
+ops/corpus_stats.py (zipf/heaps) and ops/collocations.py (PMI).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+_MICRO = 1_000_000
+_PAD = " wiederholt" * 12
+
+
+def _q(e: str) -> str:
+    return f"cast(floor(ln(cast({e} as double)) * {_MICRO} + 0.5) as bigint)"
+
+
+def _docs_planted(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(F.col("lang") == "de", F.concat("text", F.lit(_PAD)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def entropy_rate_over(docs: DataFrame) -> DataFrame:
+    """Per-language H1 / H(B|A) / redundancy over (doc_id, lang, text)."""
+    toks = docs.select(
+        "lang",
+        F.expr(f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)").alias(
+            "toks"
+        ),
+    )
+    uni_g = (
+        toks.select("lang", F.explode("toks").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    uni = uni_g.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("distinct_unigrams"),
+        F.sum(F.expr(f"cast(c as decimal(38,0)) * {_q('c')}")).alias("s1"),
+    )
+    h1 = uni.select(
+        "lang",
+        "n_tokens",
+        "distinct_unigrams",
+        F.expr(
+            f"cast((cast(n_tokens as decimal(38,0)) * {_q('n_tokens')} - s1)"
+            " div n_tokens as bigint)"
+        ).alias("h1_micro"),
+    )
+    bi_g = (
+        toks.select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "case when size(toks) < 2 then array() else"
+                    " transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(toks[i-1] as a, toks[i] as b)) end"
+                )
+            ).alias("p"),
+        )
+        .groupBy("lang", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    )
+    marg = bi_g.groupBy("lang", "a").agg(
+        F.sum("c_ab").cast("long").alias("c_a")
+    )
+    bi = (
+        bi_g.join(marg, ["lang", "a"])
+        .groupBy("lang")
+        .agg(
+            F.sum("c_ab").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("long").alias("distinct_bigrams"),
+            F.sum(
+                F.expr(
+                    f"cast(c_ab as decimal(38,0)) * ({_q('c_a')} - {_q('c_ab')})"
+                )
+            ).alias("s2"),
+        )
+    )
+    h2 = bi.select(
+        "lang",
+        "n_bigrams",
+        "distinct_bigrams",
+        F.expr("cast(s2 div n_bigrams as bigint)").alias("h2_micro"),
+    )
+    return (
+        h1.join(h2, "lang")
+        .select(
+            "lang",
+            "n_tokens",
+            "distinct_unigrams",
+            "n_bigrams",
+            "distinct_bigrams",
+            "h1_micro",
+            "h2_micro",
+            # clamped at 0: on tiny samples H(B|A) can exceed H1 (the
+            # bigram table has its own support), and negative integral
+            # division truncates differently across engines
+            F.expr(
+                "case when h1_micro > 0 then"
+                f" greatest(h1_micro - h2_micro, 0L) * {_MICRO}L div h1_micro"
+                " else 0L end"
+            ).alias("redundancy_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+def entropy_rate_report(spark: SparkSession, sf: str) -> DataFrame:
+    return entropy_rate_over(_docs_planted(spark, sf))
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "entropy_rate_report": entropy_rate_report,
+}
+
+_SQL_Q = (
+    lambda e: f"CAST(FLOOR(ln(({e})::DOUBLE) * {_MICRO} + 0.5) AS BIGINT)"
+)
+
+ORACLES: Dict[str, str] = {
+    "entropy_rate_report": f"""
+    WITH docs AS (
+        SELECT doc_id, lang,
+               CASE WHEN lang = 'de' THEN text || '{_PAD}'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    tk AS (
+        SELECT lang, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM docs
+    ),
+    uni_g AS (
+        SELECT lang, w, COUNT(*)::BIGINT AS c
+        FROM (SELECT lang, UNNEST(toks) AS w FROM tk) GROUP BY lang, w
+    ),
+    uni AS (
+        SELECT lang, SUM(c)::BIGINT AS n_tokens,
+               COUNT(*)::BIGINT AS distinct_unigrams,
+               SUM(c::HUGEINT * {_SQL_Q('c')})::HUGEINT AS s1
+        FROM uni_g GROUP BY lang
+    ),
+    h1 AS (
+        SELECT lang, n_tokens, distinct_unigrams,
+               ((n_tokens::HUGEINT * {_SQL_Q('n_tokens')} - s1)
+                // n_tokens)::BIGINT AS h1_micro
+        FROM uni
+    ),
+    bi_g AS (
+        SELECT lang, a, b, COUNT(*)::BIGINT AS c_ab
+        FROM (SELECT lang, toks[i] AS a, toks[i + 1] AS b
+              FROM tk, UNNEST(range(1, len(toks))) AS u(i))
+        GROUP BY lang, a, b
+    ),
+    marg AS (
+        SELECT lang, a, SUM(c_ab)::BIGINT AS c_a FROM bi_g GROUP BY lang, a
+    ),
+    bi AS (
+        SELECT g.lang, SUM(c_ab)::BIGINT AS n_bigrams,
+               COUNT(*)::BIGINT AS distinct_bigrams,
+               SUM(c_ab::HUGEINT
+                   * ({_SQL_Q('m.c_a')} - {_SQL_Q('c_ab')}))::HUGEINT AS s2
+        FROM bi_g g JOIN marg m ON g.lang = m.lang AND g.a = m.a
+        GROUP BY g.lang
+    ),
+    h2 AS (
+        SELECT lang, n_bigrams, distinct_bigrams,
+               (s2 // n_bigrams)::BIGINT AS h2_micro
+        FROM bi
+    )
+    SELECT h1.lang, h1.n_tokens, h1.distinct_unigrams,
+           h2.n_bigrams, h2.distinct_bigrams, h1.h1_micro, h2.h2_micro,
+           (CASE WHEN h1.h1_micro > 0
+                 THEN greatest(h1.h1_micro - h2.h2_micro, 0) * {_MICRO}
+                      // h1.h1_micro
+                 ELSE 0 END)::BIGINT AS redundancy_micro
+    FROM h1 JOIN h2 ON h1.lang = h2.lang
+    ORDER BY h1.lang
+    """,
+}

@@ -1,0 +1,70 @@
+"""Entropy-rate / Shannon-redundancy tests."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+
+from cleaning_web_corpus_spark.ops.entropy_rate import (
+    ORACLES,
+    QUERIES,
+    entropy_rate_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+_q = lambda v: math.floor(math.log(v) * 1_000_000 + 0.5)
+
+
+def test_quantized_entropy_arithmetic(spark):
+    # one doc: "a a b" -> N=3, c(a)=2, c(b)=1
+    df = spark.createDataFrame(
+        [(0, "en", "a a b")], "doc_id long, lang string, text string"
+    )
+    r = entropy_rate_over(df).collect()[0]
+    assert r.n_tokens == 3 and r.distinct_unigrams == 2
+    # H1 = (3*q(3) - (2*q(2) + 1*q(1))) div 3
+    assert r.h1_micro == (3 * _q(3) - (2 * _q(2) + 1 * _q(1))) // 3
+    # bigrams: (a,a) x1, (a,b) x1; marginal c_a=2
+    # H2 = (1*(q(2)-q(1)) + 1*(q(2)-q(1))) div 2 = q(2)
+    assert r.n_bigrams == 2 and r.distinct_bigrams == 2
+    assert r.h2_micro == _q(2)
+    # tiny-sample artifact: H2 > H1 here, redundancy clamps to 0
+    assert r.redundancy_micro == 0
+
+
+def test_deterministic_text_zero_conditional_entropy(spark):
+    # "x y x y x y": every bigram context fully determines the next
+    # token -> H(B|A) = 0, redundancy = 1e6
+    df = spark.createDataFrame(
+        [(0, "en", "x y x y x y")], "doc_id long, lang string, text string"
+    )
+    r = entropy_rate_over(df).collect()[0]
+    assert r.h2_micro == 0
+    assert r.redundancy_micro == 1_000_000
+
+
+def test_planted_lang_shows_elevated_redundancy(spark):
+    rows = {r.lang: r for r in QUERIES["entropy_rate_report"](spark, SF).collect()}
+    assert len(rows) >= 3
+    others = [r.redundancy_micro for lg, r in rows.items() if lg != "de"]
+    assert rows["de"].redundancy_micro > max(others)
+
+
+def test_oracle_parity(spark):
+    sdf = QUERIES["entropy_rate_report"](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES["entropy_rate_report"]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0
