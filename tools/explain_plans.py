@@ -374,6 +374,19 @@ reads the persisted base stage.)
   contribute a handful of rows instead of n each). Exact answers kept;
   approx_count_distinct remains the documented swap at 10^12 rows.
   Plan-asserted: two pruned scans, zero Expand.
+
+### Close-bench addendum (bench_r3_close_303q, session 5)
+
+Fresh full-surface run after the session-5 wave: e2e **177,855
+turns/sec** (round 2: 166,604 — +6.7% on the same corpus shape), all
+21 new-operator queries <= 1.05 s at sf0.1 (the wave is censor/
+aggregate-shaped: one scan, partial+final aggregates, bounded pages).
+One apparent outlier, `ngram_lm_lang_stats` at 9.3 s, is a cold-start
+artifact, not a plan change: re-timed solo it runs 12.5 s on the first
+collect of a fresh session and 2.4-2.8 s steady-state (its documented
+band) — the first collect pays the train+score codegen and the first
+big shuffle's buffer allocation; nothing in ops/ngram_lm.py changed
+this session.
 """
 
 
