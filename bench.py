@@ -338,19 +338,28 @@ def main_scaling():
     for _round in range(rounds):
         level = {}
         aligned = {}
-        for cores in (8, 32):
-            for align in ("0", "1"):
-                wenv = dict(env, SPARK_GRAFT_ALIGN=align)
-                out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores)],
-                    capture_output=True, text=True, env=wenv, check=True,
-                )
-                line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-                d = json.loads(line)
-                tgt = level if align == "0" else aligned
-                tgt[cores] = (
-                    d["n_turns"] / d["elapsed"], d.get("pinned", False), d["n_turns"]
-                )
+        # ROTATE the arm order each round: with a fixed order the same
+        # arm always occupies the round's tail slot, and on this host a
+        # throttling window arriving mid-round then systematically hits
+        # that one arm (observed: aligned@32 measured 70-88k tps in two
+        # rounds whose composite@32, run minutes earlier in the same
+        # round, held 159k — impossible as an engine property).
+        # Rotation cycles which arm pays the tail window, so the
+        # median-round headline stops being biased against one layout.
+        arms = [(8, "0"), (8, "1"), (32, "0"), (32, "1")]
+        shift = _round % len(arms)
+        for cores, align in arms[shift:] + arms[:shift]:
+            wenv = dict(env, SPARK_GRAFT_ALIGN=align)
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores)],
+                capture_output=True, text=True, env=wenv, check=True,
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+            d = json.loads(line)
+            tgt = level if align == "0" else aligned
+            tgt[cores] = (
+                d["n_turns"] / d["elapsed"], d.get("pinned", False), d["n_turns"]
+            )
         ctl = _run_controls()
         # "eff" (the headline) is the PRODUCTION DEFAULT layout — the
         # aligned salted conv_id repartition shipped since round 3.
