@@ -156,6 +156,60 @@ def mattr_over(docs: DataFrame) -> DataFrame:
     ).limit(TOP_K)
 
 
+def hapax_over(docs: DataFrame) -> DataFrame:
+    """Per-language hapax-legomena report: the once-only vocabulary
+    share.  OCR garbage and misdecodes inflate hapaxes (every mangled
+    word is new); template-stamped corpora depress them — either tail
+    of the per-language band is an ingest alarm."""
+    toks = _toks(docs)
+    per_type = (
+        toks.select("lang", F.explode("toks").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        per_type.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "vocab",
+            "n_hapax",
+            "n_tokens",
+            F.expr("n_hapax * 1000000L div vocab").alias("hapax_vocab_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+_HAPAX_RES = 11  # doc_id % 11 == 7 docs get a corpus-unique token
+
+
+def _docs_hapax_planted(spark: SparkSession, sf: str) -> DataFrame:
+    """The word-salad vocab is tiny, so natural hapaxes vanish at
+    corpus size — a residue slice appends a doc_id-derived token that
+    is unique corpus-wide, making the hapax counters non-degenerate."""
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % _HAPAX_RES == 7,
+            F.concat("text", F.lit(" uniqtok"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def hapax_report(spark: SparkSession, sf: str) -> DataFrame:
+    return hapax_over(_docs_hapax_planted(spark, sf))
+
+
 def lexical_diversity_report(spark: SparkSession, sf: str) -> DataFrame:
     return distinct_n_over(_docs_planted(spark, sf))
 
@@ -167,6 +221,7 @@ def mattr_lowest_page(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lexical_diversity_report": lexical_diversity_report,
     "mattr_lowest_page": mattr_lowest_page,
+    "hapax_report": hapax_report,
 }
 
 _PLANT_SQL = f"""
@@ -215,6 +270,29 @@ ORACLES: Dict[str, str] = {
                AS dist2_micro
     FROM nd JOIN uni u ON nd.lang = u.lang JOIN bi b ON nd.lang = b.lang
     ORDER BY nd.lang
+    """,
+    "hapax_report": f"""
+    WITH docs AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % {_HAPAX_RES} = 7
+                    THEN text || ' uniqtok' || doc_id::VARCHAR
+                    ELSE text END AS text
+        FROM documents
+    ),
+    tk AS (
+        SELECT lang, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+        FROM docs
+    ),
+    per_type AS (
+        SELECT lang, w, COUNT(*)::BIGINT AS c
+        FROM (SELECT lang, UNNEST(toks) AS w FROM tk) GROUP BY lang, w
+    )
+    SELECT lang, COUNT(*)::BIGINT AS vocab,
+           SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+           SUM(c)::BIGINT AS n_tokens,
+           (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*))::BIGINT AS hapax_vocab_micro
+    FROM per_type GROUP BY lang ORDER BY lang
     """,
     "mattr_lowest_page": f"""
     WITH docs AS ({_PLANT_SQL}),

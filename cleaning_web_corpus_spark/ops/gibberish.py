@@ -1,0 +1,163 @@
+"""Gibberish censor: vowel-free token runs (OCR/keyboard-mash noise).
+
+OCR failure, binary-as-text misdecodes and keyboard-mash spam share a
+lexical fingerprint no word-count or repetition filter sees: long
+alphanumeric tokens with NO vowels ("xkcdqfz", "bgrtmnp") at rates
+real language never produces (English long-token no-vowel rate is
+near zero; even consonant-heavy Slavic transliterations keep it under
+a few percent).  The UT1/C4-era cleaners gate on exactly this; the
+censor below reports the per-doc rate and the corpus page of worst
+offenders.
+
+All-integer, zero UDFs: tokens come from the shared tokenizer regex,
+the vowel test runs INSIDE a native lambda over the token array
+(``size(filter(toks, t -> length(t) >= 5 and not t rlike '[aeiou]'))``
+— higher-order functions stay in codegen; the per-token test touches
+array elements, never re-scanning the raw text), and the rate is a
+micro BIGINT.  One scan; page via TakeOrderedAndProject; one-row
+stats fold.
+
+Driver non-degeneracy: a ``doc_id % 27 == 9`` residue slice gets a
+4-token consonant mash appended; the word-salad background (normal
+English-like vocab) keeps the rest at zero (pinned by test).
+
+Reference scope: text-quality extension (Gopher/C4 heuristic family);
+sibling of ops/gopher.py and ops/encoding.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+TOP_K = 100
+MIN_LEN = 5
+_RES = 27
+_MASH = " xkcdqfz bgrtmnp zzxwqv hjklbnm"
+
+
+def _docs_planted(spark: SparkSession, sf: str) -> DataFrame:
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _RES == 9,
+            F.concat("text", F.lit(_MASH)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def gibberish_over(docs: DataFrame) -> DataFrame:
+    """Per-doc vowel-free-token census over a (doc_id, text) relation."""
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"regexp_extract_all(lower(text), '{TOKEN_RE}', 0)"
+        ).alias("toks"),
+    ).select(
+        "doc_id",
+        F.expr("size(toks)").cast("long").alias("n_toks"),
+        F.expr(
+            f"size(filter(toks, x -> length(x) >= {MIN_LEN}"
+            " and not x rlike '[aeiou]'))"
+        )
+        .cast("long")
+        .alias("n_gibberish"),
+    ).select(
+        "*",
+        F.expr(
+            "case when n_toks > 0 then n_gibberish * 1000000L div n_toks"
+            " else 0L end"
+        ).alias("gibberish_micro"),
+    )
+
+
+def gibberish_page(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        gibberish_over(_docs_planted(spark, sf))
+        .filter(F.col("n_gibberish") > 0)
+        .orderBy(
+            F.desc("gibberish_micro"), F.desc("n_gibberish"), F.asc("doc_id")
+        )
+        .limit(TOP_K)
+    )
+
+
+def gibberish_stats(spark: SparkSession, sf: str) -> DataFrame:
+    census = gibberish_over(_docs_planted(spark, sf))
+    return census.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_gibberish") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("affected_docs"),
+        F.sum("n_gibberish").cast("long").alias("total_gibberish_tokens"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+    ).select(
+        "*",
+        F.expr(
+            "case when total_tokens > 0 then"
+            " total_gibberish_tokens * 1000000L div total_tokens"
+            " else 0L end"
+        ).alias("corpus_gibberish_micro"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "gibberish_page": gibberish_page,
+    "gibberish_stats": gibberish_stats,
+}
+
+_CENSUS_SQL = f"""
+    docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_RES} = 9 THEN text || '{_MASH}'
+                    ELSE text END AS text
+        FROM documents
+    ),
+    census AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '{TOKEN_RE}'))::BIGINT
+                   AS n_toks,
+               len(list_filter(
+                   regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                   x -> len(x) >= {MIN_LEN}
+                        AND NOT regexp_matches(x, '[aeiou]')))::BIGINT
+                   AS n_gibberish
+        FROM docs
+    ),
+    scored AS (
+        SELECT *,
+               CASE WHEN n_toks > 0
+                    THEN n_gibberish * 1000000 // n_toks
+                    ELSE 0 END::BIGINT AS gibberish_micro
+        FROM census
+    )
+"""
+
+ORACLES: Dict[str, str] = {
+    "gibberish_page": f"""
+    WITH {_CENSUS_SQL}
+    SELECT doc_id, n_toks, n_gibberish, gibberish_micro FROM scored
+    WHERE n_gibberish > 0
+    ORDER BY gibberish_micro DESC, n_gibberish DESC, doc_id ASC
+    LIMIT {TOP_K}
+    """,
+    "gibberish_stats": f"""
+    WITH {_CENSUS_SQL}
+    SELECT COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN n_gibberish > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS affected_docs,
+           SUM(n_gibberish)::BIGINT AS total_gibberish_tokens,
+           SUM(n_toks)::BIGINT AS total_tokens,
+           (CASE WHEN SUM(n_toks) > 0
+                 THEN SUM(n_gibberish) * 1000000 // SUM(n_toks)
+                 ELSE 0 END)::BIGINT AS corpus_gibberish_micro
+    FROM scored
+    """,
+}

@@ -9,9 +9,11 @@ from cleaning_web_corpus_spark.ops.diversity import (
     MATTR_W,
     ORACLES,
     QUERIES,
+    _HAPAX_RES,
     _PAD_TOK,
     _RES,
     distinct_n_over,
+    hapax_over,
     mattr_over,
 )
 
@@ -55,6 +57,28 @@ def test_short_doc_single_window(spark):
     assert r.mattr_micro == 2 * 1_000_000 // 3
 
 
+def test_hapax_arithmetic(spark):
+    df = spark.createDataFrame(
+        [(0, "en", "a b c"), (1, "en", "a b")],
+        "doc_id long, lang string, text string",
+    )
+    r = hapax_over(df).collect()[0]
+    assert (r.vocab, r.n_hapax, r.n_tokens) == (3, 1, 5)
+    assert r.hapax_vocab_micro == 1 * 1_000_000 // 3
+
+
+def test_hapax_planted_uniques(spark):
+    import duckdb as d
+
+    rows = QUERIES["hapax_report"](spark, SF).collect()
+    total_hapax = sum(r.n_hapax for r in rows)
+    n_planted = d.connect().execute(
+        f"SELECT COUNT(*) FROM '{SF}/documents.parquet'"
+        f" WHERE doc_id % {_HAPAX_RES} = 7"
+    ).fetchone()[0]
+    assert total_hapax >= n_planted > 0
+
+
 def test_planted_docs_bottom_ranking(spark):
     rows = QUERIES["mattr_lowest_page"](spark, SF).collect()
     assert len(rows) > 0
@@ -75,7 +99,7 @@ def test_no_udf_no_global_sort(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["lexical_diversity_report", "mattr_lowest_page"]
+    "name", ["lexical_diversity_report", "mattr_lowest_page", "hapax_report"]
 )
 def test_oracle_parity(spark, name):
     sdf = QUERIES[name](spark, SF)

@@ -1,0 +1,72 @@
+"""Gibberish (vowel-free token) censor tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.gibberish import (
+    _RES,
+    MIN_LEN,
+    ORACLES,
+    QUERIES,
+    gibberish_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_census_semantics(spark):
+    rows_in = [
+        (0, "normal english words here"),
+        # xkcdqfz (7, no vowel) counts; bcdf (4) too short; rhythm has
+        # no aeiou and length 6 -> counts (the classic false-positive
+        # the MIN_LEN floor accepts)
+        (1, "xkcdqfz bcdf rhythm ok"),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows_in, "doc_id long, text string")
+    rows = {r.doc_id: r for r in gibberish_over(df).collect()}
+    assert rows[0].n_gibberish == 0
+    assert rows[1].n_gibberish == 2 and rows[1].n_toks == 4
+    assert rows[1].gibberish_micro == 2 * 1_000_000 // 4
+    assert rows[2].n_toks == 0 and rows[2].gibberish_micro == 0
+
+
+def test_planted_slice(spark):
+    page = QUERIES["gibberish_page"](spark, SF).collect()
+    assert page and all(r.doc_id % _RES == 9 for r in page)
+    assert all(r.n_gibberish == 4 for r in page)
+    stats = QUERIES["gibberish_stats"](spark, SF).collect()[0]
+    assert stats.affected_docs == len(page)
+    assert stats.total_gibberish_tokens == 4 * len(page)
+
+
+def test_plan_shape(spark):
+    plan = (
+        QUERIES["gibberish_page"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", ["gibberish_page", "gibberish_stats"])
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES[name]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0
