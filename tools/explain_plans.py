@@ -212,6 +212,9 @@ PLAN_QUERIES = [
     "sq8_error_stats",
     "invisible_char_page",
     "surface_noise_page",
+    "entropy_rate_report",
+    "gibberish_page",
+    "hapax_report",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
