@@ -19,7 +19,7 @@ from collections import defaultdict
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DEFAULT_BENCH = "BENCH/bench_r3_close_303q.json"
+DEFAULT_BENCH = "BENCH/bench_r3_close_306q.json"
 
 
 def _first_sentence(doc: str | None) -> str:
