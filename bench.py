@@ -279,6 +279,16 @@ def scaling_worker(cores: int):
         spark.stop()
 
 
+_ARMS = [(8, "0"), (8, "1"), (32, "0"), (32, "1")]
+
+
+def _arm_order(round_idx: int):
+    """Per-round (cores, align) measurement order, rotated so the tail
+    slot cycles across arms (see the comment at the call site)."""
+    shift = round_idx % len(_ARMS)
+    return _ARMS[shift:] + _ARMS[:shift]
+
+
 def main_scaling():
     """Same job, identical input, at local[8] and local[32].
 
@@ -346,9 +356,7 @@ def main_scaling():
         # round, held 159k — impossible as an engine property).
         # Rotation cycles which arm pays the tail window, so the
         # median-round headline stops being biased against one layout.
-        arms = [(8, "0"), (8, "1"), (32, "0"), (32, "1")]
-        shift = _round % len(arms)
-        for cores, align in arms[shift:] + arms[:shift]:
+        for cores, align in _arm_order(_round):
             wenv = dict(env, SPARK_GRAFT_ALIGN=align)
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores)],

@@ -1,0 +1,32 @@
+"""Scaling-campaign arm-rotation regression test.
+
+Pins the session-5 methodology fix: with a FIXED per-round arm order
+the same arm always occupies the round's tail slot, and a
+host-throttling window arriving mid-round then systematically biases
+that one arm (observed: aligned@32 "collapsed" in exactly the rounds
+where it ran last while composite@32 held, BENCH/SCALING.md campaign
+history). Rotation cycles the tail slot across arms.
+"""
+
+from __future__ import annotations
+
+from bench import _ARMS, _arm_order
+
+
+def test_every_round_covers_all_arms_once():
+    for r in range(8):
+        order = _arm_order(r)
+        assert sorted(order) == sorted(_ARMS)
+
+
+def test_tail_slot_cycles():
+    tails = [_arm_order(r)[-1] for r in range(len(_ARMS))]
+    assert sorted(tails) == sorted(_ARMS)  # each arm is last exactly once
+
+
+def test_pairing_preserved():
+    # both cores levels of both layouts appear in every round, so
+    # per-round paired ratios remain formable
+    for r in range(4):
+        order = _arm_order(r)
+        assert {(c, a) for c, a in order} == set(_ARMS)
