@@ -1,0 +1,193 @@
+"""Whitespace-hygiene census: CRLF / bare CR / tabs / trailing space.
+
+The quiet exact-dedup killer: two byte-identical documents that differ
+only in line endings (CRLF vs LF), tab-vs-space indentation or
+trailing whitespace hash to different digests, so every md5/sha-keyed
+dedup stage (ops/dedup.py, ops/rag_chunks.py) treats them as
+distinct.  Normalization-first pipelines (ftfy/Dolma) strip these
+before hashing; this census is the enablement audit — how much of the
+corpus carries each artifact, and which docs are worst.  Deliberately
+disjoint from ops/encoding.py, whose C0-control counter EXCLUDES
+``\\t``/``\\r`` precisely because they are legitimate — until they
+skew dedup.
+
+All-integer, zero UDFs, one scan: four ``size(regexp_extract_all)``
+counters (patterns passed verbatim via ``F.lit`` / standard SQL
+literal; CR and LF appear as literal characters, so Java regex and
+RE2 receive identical bytes).  Bare CR is ``count(CR) − count(CRLF)``
+— an end-anchored regex would hit the ``$`` semantic split between
+Java and RE2, and RE2 has no lookahead; the subtraction is
+engine-safe.  Page via TakeOrderedAndProject; one-row ppm stats.
+
+Driver non-degeneracy: residue slices plant a CRLF line break, a
+tab-indented line with trailing spaces, and a lone CR (pinned by
+test).
+
+Reference scope: text-normalization extension (P3 whitespace-squeeze
+family); sibling of ops/dehyphenate.py and ops/encoding.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cleaning_web_corpus_spark.ops.markdown_profile import _sql_lit
+from cleaning_web_corpus_spark.warehouse.queries import t
+
+TOP_K = 100
+_RES = 31  # residues 6 / 12 / 21 carry the three plants
+
+_RE_CR = "\r"
+_RE_CRLF = "\r\n"
+# bare CR = total CR minus CRLF pairs: an end-anchored regex would
+# need `$` (Java matches it before a final LF, RE2 does not) or a
+# lookahead (RE2 has none) — the subtraction is engine-safe
+_RE_TAB = "\t"
+_RE_TRAIL = "[ \t]+\n"
+
+_CRLF_PLANT = "line one\r\nline two\r\n"
+_TAB_PLANT = "\tindented line   \nnext\n"
+_CR_PLANT = "old mac line\rend"
+
+
+def _docs_planted(spark: SparkSession, sf: str) -> DataFrame:
+    d = F.col("doc_id")
+    return t(spark, sf, "documents").select(
+        "doc_id",
+        F.when(d % _RES == 6, F.concat("text", F.lit("\n" + _CRLF_PLANT)))
+        .when(d % _RES == 12, F.concat("text", F.lit("\n" + _TAB_PLANT)))
+        .when(d % _RES == 21, F.concat("text", F.lit("\n" + _CR_PLANT)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def whitespace_census_over(docs: DataFrame) -> DataFrame:
+    """Per-doc whitespace-artifact census over a (doc_id, text) relation."""
+
+    def n(pat: str, name: str) -> F.Column:
+        return (
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(name)
+        )
+
+    return docs.select(
+        "doc_id",
+        n(_RE_CRLF, "n_crlf"),
+        (
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(_RE_CR), F.lit(0))
+            )
+            - F.size(
+                F.regexp_extract_all(F.col("text"), F.lit(_RE_CRLF), F.lit(0))
+            )
+        )
+        .cast("long")
+        .alias("n_bare_cr"),
+        n(_RE_TAB, "n_tabs"),
+        n(_RE_TRAIL, "n_trailing_ws"),
+    ).select(
+        "*",
+        (
+            F.col("n_crlf")
+            + F.col("n_bare_cr")
+            + F.col("n_tabs")
+            + F.col("n_trailing_ws")
+        ).alias("ws_total"),
+    )
+
+
+def whitespace_hygiene_page(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        whitespace_census_over(_docs_planted(spark, sf))
+        .filter(F.col("ws_total") > 0)
+        .orderBy(F.desc("ws_total"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+def whitespace_hygiene_stats(spark: SparkSession, sf: str) -> DataFrame:
+    census = whitespace_census_over(_docs_planted(spark, sf))
+    return census.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("ws_total") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("affected_docs"),
+        F.sum("n_crlf").cast("long").alias("total_crlf"),
+        F.sum("n_bare_cr").cast("long").alias("total_bare_cr"),
+        F.sum("n_tabs").cast("long").alias("total_tabs"),
+        F.sum("n_trailing_ws").cast("long").alias("total_trailing_ws"),
+    ).select(
+        "*",
+        F.expr("affected_docs * 1000000L div n_docs").alias("affected_ppm"),
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "whitespace_hygiene_page": whitespace_hygiene_page,
+    "whitespace_hygiene_stats": whitespace_hygiene_stats,
+}
+
+# chr(13)/chr(9) composition keeps CR and TAB visible in the SQL text
+_P_CRLF = "'" + "line one" + "' || chr(13) || chr(10) || '" + "line two" + "' || chr(13) || chr(10)"
+_CENSUS_SQL = f"""
+    docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % {_RES} = 6
+                        THEN text || chr(10) || {_P_CRLF}
+                    WHEN doc_id % {_RES} = 12
+                        THEN text || chr(10) || chr(9) || 'indented line   '
+                             || chr(10) || 'next' || chr(10)
+                    WHEN doc_id % {_RES} = 21
+                        THEN text || chr(10) || 'old mac line' || chr(13)
+                             || 'end'
+                    ELSE text END AS text
+        FROM docs0
+    ),
+    census AS (
+        SELECT doc_id,
+               len(regexp_extract_all(text, chr(13) || chr(10)))::BIGINT
+                   AS n_crlf,
+               (len(regexp_extract_all(text, chr(13)))
+                - len(regexp_extract_all(text, chr(13) || chr(10))))::BIGINT
+                   AS n_bare_cr,
+               len(regexp_extract_all(text, chr(9)))::BIGINT AS n_tabs,
+               len(regexp_extract_all(text,
+                   '[ ' || chr(9) || ']+' || chr(10)))::BIGINT
+                   AS n_trailing_ws
+        FROM docs
+    ),
+    totaled AS (
+        SELECT *, n_crlf + n_bare_cr + n_tabs + n_trailing_ws AS ws_total
+        FROM census
+    )
+"""
+
+ORACLES: Dict[str, str] = {
+    "whitespace_hygiene_page": f"""
+    WITH docs0 AS (SELECT doc_id, text FROM documents),
+    {_CENSUS_SQL}
+    SELECT doc_id, n_crlf, n_bare_cr, n_tabs, n_trailing_ws, ws_total
+    FROM totaled WHERE ws_total > 0
+    ORDER BY ws_total DESC, doc_id ASC
+    LIMIT {TOP_K}
+    """,
+    "whitespace_hygiene_stats": f"""
+    WITH docs0 AS (SELECT doc_id, text FROM documents),
+    {_CENSUS_SQL}
+    SELECT COUNT(*)::BIGINT AS n_docs,
+           SUM(CASE WHEN ws_total > 0 THEN 1 ELSE 0 END)::BIGINT
+               AS affected_docs,
+           SUM(n_crlf)::BIGINT AS total_crlf,
+           SUM(n_bare_cr)::BIGINT AS total_bare_cr,
+           SUM(n_tabs)::BIGINT AS total_tabs,
+           SUM(n_trailing_ws)::BIGINT AS total_trailing_ws,
+           (SUM(CASE WHEN ws_total > 0 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*))::BIGINT AS affected_ppm
+    FROM totaled
+    """,
+}

@@ -1,0 +1,81 @@
+"""Whitespace-hygiene census tests."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from cleaning_web_corpus_spark.ops.whitespace_hygiene import (
+    _RES,
+    ORACLES,
+    QUERIES,
+    whitespace_census_over,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_census_semantics(spark):
+    rows_in = [
+        (0, "clean unix text\nno artifacts\n"),
+        (1, "a\r\nb\r\nc"),          # 2 CRLF, 0 bare CR
+        (2, "a\rb\r"),                # 2 bare CR (mid + end)
+        (3, "\tx\t\ty"),              # 3 tabs
+        (4, "trail  \nok\nmore\t\n"),  # 2 trailing-ws lines
+        (5, "mix\r\nthen\rdone"),     # 1 CRLF + 1 bare CR
+    ]
+    df = spark.createDataFrame(rows_in, "doc_id long, text string")
+    rows = {r.doc_id: r for r in whitespace_census_over(df).collect()}
+    assert rows[0].ws_total == 0
+    assert (rows[1].n_crlf, rows[1].n_bare_cr) == (2, 0)
+    assert (rows[2].n_crlf, rows[2].n_bare_cr) == (0, 2)
+    assert rows[3].n_tabs == 3
+    assert rows[4].n_trailing_ws == 2
+    assert (rows[5].n_crlf, rows[5].n_bare_cr) == (1, 1)
+
+
+def test_planted_slices(spark):
+    page = QUERIES["whitespace_hygiene_page"](spark, SF).collect()
+    assert page and all(r.doc_id % _RES in (6, 12, 21) for r in page)
+    for r in page:
+        if r.doc_id % _RES == 6:
+            assert r.n_crlf == 2 and r.n_bare_cr == 0
+        elif r.doc_id % _RES == 12:
+            assert r.n_tabs == 1 and r.n_trailing_ws == 1
+        else:
+            assert r.n_bare_cr == 1 and r.n_crlf == 0
+    stats = QUERIES["whitespace_hygiene_stats"](spark, SF).collect()[0]
+    assert stats.affected_docs == len(page)
+    assert stats.total_crlf >= 2 and stats.total_bare_cr >= 1
+
+
+def test_plan_shape(spark):
+    plan = (
+        QUERIES["whitespace_hygiene_page"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["whitespace_hygiene_page", "whitespace_hygiene_stats"]
+)
+def test_oracle_parity(spark, name):
+    sdf = QUERIES[name](spark, SF)
+    cols = sorted(sdf.columns)
+    srows = sorted(tuple(str(r[c]) for c in cols) for r in sdf.collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    o = ORACLES[name]
+    ocols = [d[0] for d in con.execute(o).description]
+    assert sorted(ocols) == cols
+    orows = sorted(
+        tuple(str(row[ocols.index(c)]) for c in cols)
+        for row in con.execute(o).fetchall()
+    )
+    assert srows == orows and len(srows) > 0

@@ -215,6 +215,7 @@ PLAN_QUERIES = [
     "entropy_rate_report",
     "gibberish_page",
     "hapax_report",
+    "whitespace_hygiene_page",
 ]
 
 # sf0.1 bench entries over the 2s line (VERDICT r02 #5): why each is
