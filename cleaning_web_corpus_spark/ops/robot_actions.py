@@ -1,0 +1,350 @@
+"""Robot action extraction: cleaning-step text -> structured actions.
+
+Spark twin of the reference's ActionExtractor
+(/root/reference/src/robot/action_extractor.py:19-398): keyword-scored
+action type (wait has priority, then argmax match count with dict-order
+tie-break), first-match tool mapping with an inference fallback, ordered
+force groups, first-matching time pattern for duration, motion pattern,
+and the composite confidence formula with the short-step penalty and the
+``>= 0.3`` keep gate.
+
+Everything is native Catalyst expressions (contains / regexp_extract /
+CASE) — no UDF; the projection whole-stage-codegens and is a per-row
+constant cost, so it scales linearly over any steps relation. The
+keyword tables below mirror the reference's constants verbatim
+(action_extractor.py:20-62) — unavoidable parity data, same adjudication
+as STOP_WORDS; the matching LOGIC is restated independently here and
+again in the DuckDB oracle SQL.
+
+Reference quirks reproduced deliberately (documented at the use site):
+the minute pattern is tried before the second/hour patterns and has no
+word boundary, so "500 ml" parses as 500 minutes and "3-5 minutes"
+takes the 5 (the reference's range/``for X`` patterns are unreachable:
+any text they match, the first pattern already matched); an explicit
+"30 seconds" equals the default duration and therefore earns no
+confidence bonus.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --- parity constants, mirroring action_extractor.py:20-62 ------------------
+# dict order matters: it is the tie-break priority for equal match counts
+ACTION_TYPES: List[Tuple[str, List[str]]] = [
+    ("apply", ["apply", "spray", "spread", "pour", "add", "dose"]),
+    ("scrub", ["scrub", "brush", "rub", "scour", "clean", "wipe", "polish"]),
+    ("vacuum", ["vacuum", "suck", "extract", "remove debris"]),
+    ("rinse", ["rinse", "wash", "flush", "soak", "drench"]),
+    ("dry", ["dry", "air dry", "blot", "pat dry", "towel dry"]),
+    ("pick", ["pick up", "pick", "grab", "grasp", "take", "lift"]),
+    ("place", ["place", "put", "set down", "position", "set"]),
+    ("remove", ["remove", "take out", "extract"]),
+    ("move", ["move", "relocate", "transfer"]),
+    ("check", ["check", "inspect", "examine", "verify", "test"]),
+]
+WAIT_KEYWORDS = ["wait", "let sit", "allow", "leave", "rest", "stand", "soak for"]
+
+# ordered groups: first group containing a matching keyword wins
+FORCE_GROUPS: List[Tuple[List[str], float]] = [
+    (["gentle", "lightly", "softly", "carefully", "delicately", "gently"], 3.0),
+    (["moderate", "firmly", "thoroughly", "well"], 5.0),
+    (["firm", "hard", "vigorously", "forcefully", "strongly", "aggressively"], 7.5),
+    (["light", "soft", "minimal", "slight"], 3.0),
+]
+
+TOOL_GROUPS: List[Tuple[str, List[str]]] = [
+    ("brush", ["brush", "scrub brush", "cleaning brush", "stiff brush"]),
+    ("sponge", ["sponge", "cleaning sponge"]),
+    ("cloth", ["cloth", "rag", "towel", "paper towel", "cleaning cloth"]),
+    ("vacuum", ["vacuum", "vacuum cleaner", "hoover"]),
+    ("spray_bottle", ["spray bottle", "sprayer", "bottle"]),
+    ("scraper", ["scraper", "putty knife", "razor"]),
+    ("mop", ["mop", "mop head"]),
+    ("detergent", ["detergent", "soap", "cleaning solution", "cleaner"]),
+]
+# inference fallback chain (action_extractor.py:225-233), in order
+TOOL_INFERENCE: List[Tuple[List[str], str]] = [
+    (["scrub", "brush"], "brush"),
+    (["vacuum"], "vacuum"),
+    (["spray", "apply"], "spray_bottle"),
+    (["rinse", "wash"], "cloth"),
+]
+
+IMMEDIATE_WORDS = ["immediately", "right away", "right now", "instantly"]
+
+# first-match time patterns (action_extractor.py:43-49); the range and
+# "for X" forms are unreachable behind the first pattern (see module doc)
+RX_MINUTES = r"(\d+)\s*(?:minute|min|m)\s*s?"
+RX_SECONDS = r"(\d+)\s*(?:second|sec|s)\s*s?"
+RX_HOURS = r"(\d+)\s*(?:hour|hr|h)\s*s?"
+
+DEFAULT_FORCE = 5.0
+DEFAULT_DURATION = 30
+MIN_CONFIDENCE = 0.3
+
+
+def _any_kw(t: Column, kws: List[str]) -> Column:
+    import functools
+    import operator
+
+    return functools.reduce(operator.or_, [F.contains(t, F.lit(k)) for k in kws])
+
+
+def _n_matches(t: Column, kws: List[str]) -> Column:
+    import functools
+    import operator
+
+    return functools.reduce(
+        operator.add, [F.contains(t, F.lit(k)).cast("int") for k in kws]
+    )
+
+
+def extract_robot_actions(
+    steps: DataFrame,
+    text_col: str = "step_text",
+    keep_cols: Optional[List[str]] = None,
+) -> DataFrame:
+    """steps relation -> actions child table. Per-row constant cost,
+    zero shuffles: at 100 TB this is a map-only projection that rides
+    whatever partitioning the steps table already has.
+
+    Built as STAGED projections (raw signals -> derived fields ->
+    confidence) rather than one nested expression: the fully-inlined
+    form repeats the ~200 ``contains`` signals several times inside the
+    confidence CASE tree, overflowing janino's 64 KB method cap and
+    silently dropping the whole projection out of codegen. Staged
+    aliases are flat lists Spark can split into generated sub-methods,
+    and CollapseProject keeps non-cheap aliases referenced more than
+    once in their own stage.
+    """
+    keep_cols = keep_cols or ["conv_id", "step_order"]
+    raw = F.col(text_col)
+    t = F.lower(F.trim(raw))
+
+    # stage 1: flat match signals (each alias a small independent tree)
+    sig = steps.filter(F.length(F.trim(raw)) >= 5).select(
+        *keep_cols,
+        F.length(raw).alias("_rawlen"),
+        _any_kw(t, WAIT_KEYWORDS).alias("_is_wait"),
+        *[_n_matches(t, kws).alias(f"_m_{name}") for name, kws in ACTION_TYPES],
+        # tool: first mapping group with a hit, then the inference chain
+        # (action_extractor.py:209-235)
+        _tool_case(t).alias("tool"),
+        _force_case(t).alias("force"),
+        _duration_case(t).alias("duration_s"),
+        _pattern_case(t).alias("pattern"),
+    )
+
+    # stage 2: argmax action + base confidence from the match counts
+    best_m = F.greatest(*[F.col(f"_m_{name}") for name, _ in ACTION_TYPES])
+    sig = sig.withColumn("_best_m", best_m)
+    pick_chain = F.lit("apply")
+    # build the CASE bottom-up so earlier dict entries take precedence
+    for name, _ in reversed(ACTION_TYPES):
+        pick_chain = F.when(
+            F.col(f"_m_{name}") == F.col("_best_m"), F.lit(name)
+        ).otherwise(pick_chain)
+    sig = sig.withColumns(
+        {
+            "action_type": F.when(F.col("_is_wait"), F.lit("wait"))
+            .when(F.col("_best_m") == 0, F.lit("apply"))
+            .otherwise(pick_chain),
+            "_base_conf": F.when(F.col("_is_wait"), F.lit(0.8))
+            .when(F.col("_best_m") == 0, F.lit(0.3))
+            .otherwise(
+                F.least(
+                    F.lit(0.9),
+                    F.lit(0.4) + F.col("_best_m").cast("double") * F.lit(0.15),
+                )
+            ),
+        }
+    )
+
+    # stage 3: composite confidence in the reference's exact
+    # accumulation order: base + tool + duration + force bonuses, then
+    # the short-step penalty on the RAW (untrimmed) length
+    penalty = F.when(
+        F.col("_rawlen") < 15,
+        F.when(F.col("_base_conf") < 0.5, F.lit(0.2)).otherwise(F.lit(0.1)),
+    ).otherwise(F.lit(0.0))
+    conf = (
+        F.col("_base_conf")
+        + F.when(F.col("tool").isNotNull(), F.lit(0.1)).otherwise(F.lit(0.0))
+        + F.when(F.col("duration_s") != DEFAULT_DURATION, F.lit(0.1)).otherwise(
+            F.lit(0.0)
+        )
+        + F.when(F.col("force") != DEFAULT_FORCE, F.lit(0.05)).otherwise(F.lit(0.0))
+        - penalty
+    )
+    return (
+        sig.withColumn("_conf", F.least(F.lit(1.0), F.greatest(F.lit(0.0), conf)))
+        # the keep gate compares the UNROUNDED confidence (reference
+        # filters before its round(…, 3))
+        .filter(F.col("_conf") >= MIN_CONFIDENCE)
+        .withColumn("confidence", F.round("_conf", 3))
+        .select(
+            *keep_cols,
+            "action_type", "tool", "force", "duration_s", "pattern", "confidence",
+        )
+    )
+
+
+def _tool_case(t: Column) -> Column:
+    tool = F.lit(None).cast("string")
+    for kws, inferred in reversed(TOOL_INFERENCE):
+        tool = F.when(_any_kw(t, kws), F.lit(inferred)).otherwise(tool)
+    for name, kws in reversed(TOOL_GROUPS):
+        tool = F.when(_any_kw(t, kws), F.lit(name)).otherwise(tool)
+    return tool
+
+
+def _force_case(t: Column) -> Column:
+    force = F.lit(DEFAULT_FORCE)
+    for kws, value in reversed(FORCE_GROUPS):
+        force = F.when(_any_kw(t, kws), F.lit(value)).otherwise(force)
+    return force
+
+
+def _duration_case(t: Column) -> Column:
+    mins = F.regexp_extract(t, RX_MINUTES, 1)
+    secs = F.regexp_extract(t, RX_SECONDS, 1)
+    hrs = F.regexp_extract(t, RX_HOURS, 1)
+    return (
+        F.when(mins != "", mins.cast("int") * 60)
+        .when(secs != "", secs.cast("int"))
+        .when(hrs != "", hrs.cast("int") * 3600)
+        .when(_any_kw(t, IMMEDIATE_WORDS), F.lit(0))
+        .otherwise(F.lit(DEFAULT_DURATION))
+    )
+
+
+def _pattern_case(t: Column) -> Column:
+    # motion pattern (action_extractor.py:296-316 elif chain)
+    return (
+        F.when(_any_kw(t, ["circular", "circle", "round"]), F.lit("circular"))
+        .when(
+            _any_kw(t, ["back and forth", "backward and forward", "side to side"]),
+            F.lit("back_and_forth"),
+        )
+        .when(_any_kw(t, ["up and down", "vertical"]), F.lit("vertical"))
+        .when(_any_kw(t, ["horizontal", "left to right"]), F.lit("horizontal"))
+        .when(_any_kw(t, ["gentle", "light"]), F.lit("gentle"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def robot_actions_query(spark: SparkSession, sf: str) -> DataFrame:
+    """queries() entry: actions extracted from the enrichment
+    warehouse's steps child table."""
+    from cleaning_web_corpus_spark.warehouse.enrich_queries import _enriched_children
+
+    steps = _enriched_children(spark, sf, "steps").select(
+        "conv_id",
+        F.col("child.order").alias("step_order"),
+        F.col("child.step").alias("step_text"),
+    )
+    return extract_robot_actions(steps)
+
+
+def _sql_any(col: str, kws: List[str]) -> str:
+    return "(" + " OR ".join(f"contains({col}, '{k}')" for k in kws) + ")"
+
+
+def _sql_nm(col: str, kws: List[str]) -> str:
+    return "(" + " + ".join(f"CAST(contains({col}, '{k}') AS INT)" for k in kws) + ")"
+
+
+def robot_actions_oracle_sql(steps_labels: str) -> str:
+    """Independent DuckDB restatement over the twin's steps labels: the
+    same keyword tables, re-derived as SQL CASE/contains/regexp_extract
+    (RE2) instead of Catalyst expressions."""
+    m_cols = ",\n               ".join(
+        f"{_sql_nm('t', kws)} AS m_{name}" for name, kws in ACTION_TYPES
+    )
+    best = "greatest(" + ", ".join(f"m_{name}" for name, _ in ACTION_TYPES) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN m_{name} = best_m THEN '{name}'" for name, _ in ACTION_TYPES
+    ) + " END"
+    # CAST: bare 7.5 literals are DECIMAL in DuckDB and would stringify
+    # as "3.0" where Spark's double prints "3" — force DOUBLE end to end
+    force_case = "CAST(CASE " + " ".join(
+        f"WHEN {_sql_any('t', kws)} THEN {v}" for kws, v in FORCE_GROUPS
+    ) + f" ELSE {DEFAULT_FORCE} END AS DOUBLE)"
+    tool_case = (
+        "CASE "
+        + " ".join(f"WHEN {_sql_any('t', kws)} THEN '{name}'" for name, kws in TOOL_GROUPS)
+        + " "
+        + " ".join(
+            f"WHEN {_sql_any('t', kws)} THEN '{name}'" for kws, name in TOOL_INFERENCE
+        )
+        + " ELSE NULL END"
+    )
+    pattern_case = f"""CASE
+            WHEN {_sql_any('t', ['circular', 'circle', 'round'])} THEN 'circular'
+            WHEN {_sql_any('t', ['back and forth', 'backward and forward', 'side to side'])} THEN 'back_and_forth'
+            WHEN {_sql_any('t', ['up and down', 'vertical'])} THEN 'vertical'
+            WHEN {_sql_any('t', ['horizontal', 'left to right'])} THEN 'horizontal'
+            WHEN {_sql_any('t', ['gentle', 'light'])} THEN 'gentle'
+            ELSE NULL END"""
+    return f"""
+        WITH base AS (
+            SELECT conv_id, step_order, step_text,
+                   lower(trim(step_text)) AS t
+            FROM read_parquet('{steps_labels}')
+            WHERE length(trim(step_text)) >= 5
+        ),
+        scored AS (
+            SELECT conv_id, step_order, step_text, t,
+               {m_cols},
+               {_sql_any('t', WAIT_KEYWORDS)} AS is_wait
+            FROM base
+        ),
+        best AS (
+            SELECT *, {best} AS best_m FROM scored
+        ),
+        parts AS (
+            SELECT conv_id, step_order, step_text, t,
+               CASE WHEN is_wait THEN 'wait'
+                    WHEN best_m = 0 THEN 'apply'
+                    ELSE {pick} END AS action_type,
+               CASE WHEN is_wait THEN 0.8
+                    WHEN best_m = 0 THEN 0.3
+                    ELSE least(0.9, 0.4 + CAST(best_m AS DOUBLE) * 0.15)
+               END AS base_conf,
+               {tool_case} AS tool,
+               {force_case} AS force,
+               CASE WHEN regexp_extract(t, '{RX_MINUTES}', 1) <> ''
+                      THEN CAST(regexp_extract(t, '{RX_MINUTES}', 1) AS INT) * 60
+                    WHEN regexp_extract(t, '{RX_SECONDS}', 1) <> ''
+                      THEN CAST(regexp_extract(t, '{RX_SECONDS}', 1) AS INT)
+                    WHEN regexp_extract(t, '{RX_HOURS}', 1) <> ''
+                      THEN CAST(regexp_extract(t, '{RX_HOURS}', 1) AS INT) * 3600
+                    WHEN {_sql_any('t', IMMEDIATE_WORDS)} THEN 0
+                    ELSE {DEFAULT_DURATION} END AS duration_s,
+               {pattern_case} AS pattern
+            FROM best
+        ),
+        conf AS (
+            SELECT conv_id, step_order, action_type, tool, force, duration_s, pattern,
+               least(1.0, greatest(0.0,
+                 base_conf
+                 + CASE WHEN tool IS NOT NULL THEN 0.1 ELSE 0.0 END
+                 + CASE WHEN duration_s <> {DEFAULT_DURATION} THEN 0.1 ELSE 0.0 END
+                 + CASE WHEN force <> {DEFAULT_FORCE} THEN 0.05 ELSE 0.0 END
+                 - CASE WHEN length(step_text) < 15
+                        THEN CASE WHEN base_conf < 0.5 THEN 0.2 ELSE 0.1 END
+                        ELSE 0.0 END)) AS confidence
+            FROM parts
+        )
+        SELECT conv_id, step_order, action_type, tool, force, duration_s, pattern,
+               round(confidence, 3) AS confidence
+        FROM conf
+        WHERE confidence >= {MIN_CONFIDENCE}
+    """
+
+
+QUERIES = {"robot_actions": robot_actions_query}
