@@ -16,11 +16,119 @@ surfaces as a mismatch.
 
 from __future__ import annotations
 
+import codecs
+import math
 import re
-from typing import Dict, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
-from cleaning_web_corpus_spark.models.langid import NgramLanguageID
-from cleaning_web_corpus_spark.models.perplexity import BigramPerplexityModel
+# the ONLY remaining engine import is pure DATA: the embedded seed
+# corpora (the stand-in for a shipped lid.176.bin / kenlm.arpa model
+# file). The featurizer, trigram scorer and perplexity scorer are
+# restated below with no engine-code imports (VERDICT r3 task #5), so a
+# scorer defect on either side surfaces as a label mismatch.
+from cleaning_web_corpus_spark.models.seed_corpora import EN_CORPUS, LANG_CORPORA
+
+
+# --- restated language-ID: NB over char 1-3-grams ---------------------------
+# 5-bit byte codes: a-z -> 1..26, other ASCII -> 0, high bytes ->
+# 27 + (byte % 5); non-latin-1 chars encode to \xff so wrong-script
+# text keeps a letter signal. Trigram id = c0*1024 + c1*32 + c2 over
+# " " + lower(text) + " " capped at 600 + 2 bytes, re-windowed from the
+# first letter byte when a digits/punct-only prefix swallowed the cap.
+_TWIN_LID_MAX_CHARS = 600
+_TWIN_CODES = bytes(
+    (b - 96) if ord("a") <= b <= ord("z") else (0 if b < 128 else 27 + (b % 5))
+    for b in range(256)
+)
+codecs.register_error(
+    "twin_high_byte", lambda e: ("\xff" * (e.end - e.start), e.end)
+)
+
+
+def _twin_lid_ids(text: str, max_chars: int = _TWIN_LID_MAX_CHARS):
+    import numpy as np
+
+    b = (" " + text.lower() + " ").encode("latin-1", "twin_high_byte")[: max_chars + 2]
+    codes = np.frombuffer(b.translate(_TWIN_CODES), dtype=np.uint8).astype(np.int32)
+    ids = codes[:-2] * 1024 + codes[1:-1] * 32 + codes[2:]
+    if len(b) > max_chars and not ids.any():
+        full = (" " + text.lower() + " ").encode("latin-1", "twin_high_byte")
+        codes_full = np.frombuffer(full.translate(_TWIN_CODES), dtype=np.uint8)
+        nz = np.flatnonzero(codes_full)
+        if len(nz):
+            start = max(0, nz[0] - 1)
+            window = codes_full[start : start + max_chars + 2].astype(np.int32)
+            ids = window[:-2] * 1024 + window[1:-1] * 32 + window[2:]
+    return ids
+
+
+class _TwinLangID:
+    """Weight = float32 log1p(rel_freq * 10000); score = float64 column
+    sum of the gathered float32 rows; argmax with sorted-language
+    tie-break — the numeric contract a fastText-lid-shaped linear
+    classifier needs, restated independently of the engine."""
+
+    def __init__(self):
+        import numpy as np
+
+        self.langs = sorted(LANG_CORPORA)
+        self._w = np.zeros((32 * 32 * 32, len(self.langs)), dtype=np.float32)
+        for li, lang in enumerate(self.langs):
+            ids = _twin_lid_ids(LANG_CORPORA[lang], max_chars=1 << 30)
+            counts = np.bincount(ids, minlength=32 * 32 * 32).astype(np.float64)
+            self._w[:, li] = np.log1p(counts / counts.sum() * 10_000.0).astype(
+                np.float32
+            )
+
+    def detect(self, text: str) -> Optional[str]:
+        import numpy as np
+
+        if not text or not text.strip():
+            return None
+        ids = _twin_lid_ids(text)
+        if len(ids) == 0 or not ids.any():
+            return None
+        acc = self._w[ids].sum(axis=0, dtype=np.float64)
+        return self.langs[int(np.argmax(acc))]
+
+
+# --- restated perplexity: word-bigram LM with stupid backoff ----------------
+# KenLM normalization: ppl = 10 ** (-log10 P(<s> w1..wn </s>) / (n+1));
+# unknown words floor at 1e-6, backoff weight log10(0.4).
+_TWIN_UNK = -6.0
+_TWIN_BACKOFF = math.log10(0.4)
+
+
+class _TwinPerplexity:
+    def __init__(self):
+        uni: Dict[str, int] = {}
+        bi: Dict[Tuple[str, str], int] = {}
+        total = 0
+        for line in EN_CORPUS.strip().splitlines():
+            words = line.split()
+            if not words:
+                continue
+            prev = "<s>"
+            uni[prev] = uni.get(prev, 0) + 1
+            for w in words + ["</s>"]:
+                uni[w] = uni.get(w, 0) + 1
+                bi[(prev, w)] = bi.get((prev, w), 0) + 1
+                total += 1
+                prev = w
+        self._uni = {w: math.log10(c / total) for w, c in uni.items()}
+        self._bi = {k: math.log10(c / uni[k[0]]) for k, c in bi.items()}
+
+    def perplexity(self, words: List[str]) -> float:
+        total = 0.0
+        prev = "<s>"
+        for w in list(words) + ["</s>"]:
+            lp = self._bi.get((prev, w))
+            if lp is None:
+                lp = _TWIN_BACKOFF + self._uni.get(w, _TWIN_UNK)
+            total += lp
+            prev = w
+        n = len(words) + 1
+        return 10.0 ** (-total / n)
 
 STOPS = set(
     "a an the i you he she it we they me him her us them this that these those "
@@ -34,8 +142,8 @@ STOPS = set(
     "any same own than then there here".split()
 )
 
-_LID = NgramLanguageID()
-_PPL = BigramPerplexityModel()
+_LID = _TwinLangID()
+_PPL = _TwinPerplexity()
 
 
 def _words(text: str):

@@ -37,21 +37,20 @@ def _load_twin():
 
 def _fingerprint(sf_dir: str, cfg) -> str:
     """Covers everything the labels are a function of: the twin + this
-    generator, the model implementations the twin calls
-    (langid/perplexity + their seed corpora — the one remaining shared
-    dependency, see reference_twin's module docstring), the chain
-    config, and the identity of the input parquet (path + size + mtime —
-    regenerated testdata invalidates the cache). Engine extractor/
-    ANN/vocab files are deliberately NOT imported or hashed: the twin
-    restates them, so an engine edit must surface as a driver-gate
-    mismatch against unchanged labels, not silently regenerate them."""
+    generator, the seed-corpora DATA constants (the twin's one remaining
+    engine import — a pure data table standing in for a shipped model
+    file; the langid/perplexity scorers themselves are restated inside
+    the twin since round 4), the chain config, and the identity of the
+    input parquet (path + size + mtime — regenerated testdata
+    invalidates the cache). Engine scorer/extractor/ANN/vocab files are
+    deliberately NOT imported or hashed: the twin restates them, so an
+    engine edit must surface as a driver-gate mismatch against
+    unchanged labels, not silently regenerate them."""
     _models = os.path.join(_REPO, "cleaning_web_corpus_spark", "models")
     h = hashlib.md5()
     for path in (
         _TWIN_PATH,
         os.path.abspath(__file__),
-        os.path.join(_models, "langid.py"),
-        os.path.join(_models, "perplexity.py"),
         os.path.join(_models, "seed_corpora.py"),
     ):
         with open(path, "rb") as f:
