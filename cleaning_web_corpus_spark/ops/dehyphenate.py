@@ -42,7 +42,7 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cleaning_web_corpus_spark.ops.markdown_profile import _sql_lit
+from cleaning_web_corpus_spark.ops.markdown_profile import sql_lit
 from cleaning_web_corpus_spark.warehouse.queries import t
 
 TOP_K = 100
@@ -50,7 +50,7 @@ _RES = 21
 
 _WRAPPED = "\ninfor-\nmation about proces-\nsing pipe-\nlines\n"
 
-_WRAP_RE = "-\n[a-z]"  # count pattern: literal newline inside
+WRAP_RE = "-\n[a-z]"  # count pattern: literal newline inside
 _FIX_RE = "-\n([a-z])"  # repair pattern: rejoin with the captured letter
 
 
@@ -70,7 +70,7 @@ def dehyphenate_over(docs: DataFrame) -> DataFrame:
     """Per-doc wrap census + repaired-text digest."""
     return docs.select(
         "doc_id",
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(_WRAP_RE), F.lit(0)))
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(WRAP_RE), F.lit(0)))
         .cast("long")
         .alias("n_wraps"),
         F.md5(
@@ -113,7 +113,7 @@ _CENSUS_SQL = f"""
     docs AS (
         SELECT doc_id,
                CASE WHEN doc_id % {_RES} = 8
-                    THEN text || {_sql_lit(_WRAPPED)}
+                    THEN text || {sql_lit(_WRAPPED)}
                     ELSE text END AS text
         FROM documents
     ),

@@ -42,7 +42,7 @@ from cleaning_web_corpus_spark.ops.response_quality import (
 )
 from cleaning_web_corpus_spark.warehouse.queries import t
 
-_REFUSE_TOKEN = "I'm sorry, but I cannot help with that. "
+REFUSE_TOKEN = "I'm sorry, but I cannot help with that. "
 
 
 def depth_profile_over(turns: DataFrame) -> DataFrame:
@@ -116,7 +116,7 @@ def _synth_turns(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(
             F.when(
                 (d % 11 == 4) & (F.col("turn_idx") * 2 > F.col("_n")),
-                F.lit(_REFUSE_TOKEN),
+                F.lit(REFUSE_TOKEN),
             ).otherwise(F.lit("")),
             F.col("text"),
             F.when(d % 5 < 3, F.lit(".")).otherwise(F.lit("")),
@@ -149,7 +149,7 @@ ORACLES: Dict[str, str] = {
     injected AS (
         SELECT conv_id, turn_idx, role, n,
                (CASE WHEN doc_id % 11 = 4 AND turn_idx * 2 > n
-                     THEN '{_REFUSE_TOKEN.replace("'", "''")}'
+                     THEN '{REFUSE_TOKEN.replace("'", "''")}'
                      ELSE '' END)
                || text
                || (CASE WHEN doc_id % 5 < 3 THEN '.' ELSE '' END) AS text

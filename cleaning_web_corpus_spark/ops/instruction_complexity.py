@@ -32,7 +32,11 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cleaning_web_corpus_spark.ops.markdown_profile import _sql_lit
+from cleaning_web_corpus_spark.ops.markdown_profile import (
+    SQL_LINE_NORM,
+    line_normalized,
+    sql_lit,
+)
 from cleaning_web_corpus_spark.warehouse.queries import t
 
 TOP_K = 100
@@ -46,13 +50,13 @@ _SNIPPET = (
     "3. explain the plan, is it correct?\n"
 )
 
-_RE_CONSTRAINT = "(must|exactly|at least|at most|only|without)"
-_RE_IMPERATIVE = (
+RE_CONSTRAINT = "(must|exactly|at least|at most|only|without)"
+RE_IMPERATIVE = (
     "(^|[.!?] |\n)(write|list|explain|describe|compare|create|"
     "summarize|translate|sort|filter|join)"
 )
-_RE_STEP = "(?m)^[0-9]+[.] "
-_RE_QUESTION = "[?]"
+RE_STEP = "(?m)^[0-9]+[.] "
+RE_QUESTION = "[?]"
 
 
 def _docs_planted(spark: SparkSession, sf: str) -> DataFrame:
@@ -74,7 +78,9 @@ def complexity_over(docs: DataFrame) -> DataFrame:
         return (
             F.size(
                 F.regexp_extract_all(
-                    F.lower(F.col("text")), F.lit(pat), F.lit(0)
+                    # line-normalized (markdown_profile.LINE_NORM_CHARS):
+                    # Java vs RE2 (?m) parity on non-LF terminators
+                    F.lower(line_normalized(F.col("text"))), F.lit(pat), F.lit(0)
                 )
             )
             .cast("long")
@@ -83,10 +89,10 @@ def complexity_over(docs: DataFrame) -> DataFrame:
 
     return docs.select(
         "doc_id",
-        c(_RE_CONSTRAINT, "n_constraints"),
-        c(_RE_IMPERATIVE, "n_imperatives"),
-        c(_RE_STEP, "n_steps"),
-        c(_RE_QUESTION, "n_questions"),
+        c(RE_CONSTRAINT, "n_constraints"),
+        c(RE_IMPERATIVE, "n_imperatives"),
+        c(RE_STEP, "n_steps"),
+        c(RE_QUESTION, "n_questions"),
     ).select(
         "*",
         (
@@ -127,21 +133,23 @@ _SCORED_SQL = f"""
     docs AS (
         SELECT doc_id,
                CASE WHEN doc_id % {_RES} = 4
-                    THEN text || {_sql_lit(_SNIPPET)}
+                    THEN text || {sql_lit(_SNIPPET)}
                     ELSE text END AS text
         FROM documents
     ),
     counted AS (
         SELECT doc_id,
-               len(regexp_extract_all(lower(text),
-                   '{_RE_CONSTRAINT}'))::BIGINT AS n_constraints,
-               len(regexp_extract_all(lower(text),
-                   '{_RE_IMPERATIVE}'))::BIGINT AS n_imperatives,
-               len(regexp_extract_all(lower(text),
-                   '{_RE_STEP}'))::BIGINT AS n_steps,
-               len(regexp_extract_all(lower(text),
-                   '{_RE_QUESTION}'))::BIGINT AS n_questions
-        FROM docs
+               len(regexp_extract_all(nt,
+                   '{RE_CONSTRAINT}'))::BIGINT AS n_constraints,
+               len(regexp_extract_all(nt,
+                   '{RE_IMPERATIVE}'))::BIGINT AS n_imperatives,
+               len(regexp_extract_all(nt,
+                   '{RE_STEP}'))::BIGINT AS n_steps,
+               len(regexp_extract_all(nt,
+                   '{RE_QUESTION}'))::BIGINT AS n_questions
+        FROM (SELECT doc_id,
+                     lower({SQL_LINE_NORM.format(col='text')}) AS nt
+              FROM docs)
     ),
     scored AS (
         SELECT *, n_constraints * 3 + n_steps * 2 + n_imperatives

@@ -32,7 +32,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cleaning_web_corpus_spark.warehouse.queries import t
@@ -47,13 +47,27 @@ _TABLE_SNIPPET = "\n| name | value |\n| alpha | one |\n"
 # F.lit (no SQL-literal unescaping), the oracle embeds them in standard
 # SQL literals (DuckDB does not process backslash escapes) — so one
 # backslash level is correct for Java regex and RE2 alike
-_RE_HEADER = "(?m)^#{1,6} "
-_RE_BULLET = "(?m)^[-*+] "
-_RE_LINK = r"\[[^\]]+\]\([^)]+\)"
-_RE_TABLE = r"(?m)^\|.*\|$"
+RE_HEADER = "(?m)^#{1,6} "
+RE_BULLET = "(?m)^[-*+] "
+RE_LINK = r"\[[^\]]+\]\([^)]+\)"
+RE_TABLE = r"(?m)^\|.*\|$"
+
+# Java MULTILINE treats \r, NEL (U+0085) and LS/PS (U+2028/29) as line
+# boundaries; DuckDB's RE2 (?m) only recognizes \n. Normalize the
+# non-LF terminators OUT before applying any (?m)-anchored counter so
+# both engines see identical line semantics on CRLF/bare-CR documents
+# (ADVICE r3; the whitespace_hygiene op audits exactly those artifacts).
+LINE_NORM_CHARS = "\r\u0085\u2028\u2029"
 
 
-def _sql_lit(s: str) -> str:
+def line_normalized(c: Column) -> Column:
+    return F.translate(c, LINE_NORM_CHARS, "")
+
+
+SQL_LINE_NORM = "translate({col}, chr(13)||chr(133)||chr(8232)||chr(8233), '')"
+
+
+def sql_lit(s: str) -> str:
     """Render a python string (with newlines) as a DuckDB expression."""
     parts = []
     for idx, seg in enumerate(s.split("\n")):
@@ -76,19 +90,24 @@ def _docs_planted(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _counted(docs: DataFrame) -> DataFrame:
+    # count on the line-normalized text (see LINE_NORM_CHARS): keeps
+    # Spark's Java (?m) and the oracle's RE2 (?m) in agreement on
+    # CRLF/bare-CR documents
+    norm = line_normalized(F.col("text"))
+
     def c(pat: str, name: str) -> F.Column:
         return (
-            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+            F.size(F.regexp_extract_all(norm, F.lit(pat), F.lit(0)))
             .cast("long")
             .alias(name)
         )
 
     return docs.select(
         "doc_id",
-        c(_RE_HEADER, "n_headers"),
-        c(_RE_BULLET, "n_bullets"),
-        c(_RE_LINK, "n_links"),
-        c(_RE_TABLE, "n_table_rows"),
+        c(RE_HEADER, "n_headers"),
+        c(RE_BULLET, "n_bullets"),
+        c(RE_LINK, "n_links"),
+        c(RE_TABLE, "n_table_rows"),
     ).select(
         "*",
         (
@@ -143,22 +162,22 @@ _DOCS_SQL = f"""
     docs AS (
         SELECT doc_id,
                CASE WHEN doc_id % {_RES} = 1
-                        THEN text || {_sql_lit(_LIST_SNIPPET)}
+                        THEN text || {sql_lit(_LIST_SNIPPET)}
                     WHEN doc_id % {_RES} = 2
-                        THEN text || {_sql_lit(_TABLE_SNIPPET)}
+                        THEN text || {sql_lit(_TABLE_SNIPPET)}
                     ELSE text END AS text
         FROM documents
     ),
     counted AS (
         SELECT doc_id,
-               len(regexp_extract_all(text, '{_RE_HEADER}'))::BIGINT
+               len(regexp_extract_all(nt, '{RE_HEADER}'))::BIGINT
                    AS n_headers,
-               len(regexp_extract_all(text, '{_RE_BULLET}'))::BIGINT
+               len(regexp_extract_all(nt, '{RE_BULLET}'))::BIGINT
                    AS n_bullets,
-               len(regexp_extract_all(text, '{_RE_LINK}'))::BIGINT AS n_links,
-               len(regexp_extract_all(text, '{_RE_TABLE}'))::BIGINT
+               len(regexp_extract_all(nt, '{RE_LINK}'))::BIGINT AS n_links,
+               len(regexp_extract_all(nt, '{RE_TABLE}'))::BIGINT
                    AS n_table_rows
-        FROM docs
+        FROM (SELECT doc_id, {SQL_LINE_NORM.format(col='text')} AS nt FROM docs)
     ),
     totaled AS (
         SELECT *, n_headers + n_bullets + n_links + n_table_rows AS md_total

@@ -117,9 +117,13 @@ def chunk_dedup_stats_over(docs: DataFrame) -> DataFrame:
         "distinct_chunks",
         "dup_keys",
         "dup_occurrences",
-        F.expr("dup_occurrences * 1000000L div total_chunks").alias(
-            "dup_ratio_micro"
-        ),
+        # zero guard (ADVICE r3): on a degenerate corpus where every doc
+        # tokenizes empty, total_chunks is 0 and the engines' null/zero
+        # integral-division behaviors are not pinned — emit 0 instead
+        F.expr(
+            "case when total_chunks > 0"
+            " then dup_occurrences * 1000000L div total_chunks else 0L end"
+        ).alias("dup_ratio_micro"),
     )
 
 
@@ -182,8 +186,10 @@ ORACLES: Dict[str, str] = {
            SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_keys,
            SUM(CASE WHEN n_docs > 1 THEN n_occ ELSE 0 END)::BIGINT
                AS dup_occurrences,
-           (SUM(CASE WHEN n_docs > 1 THEN n_occ ELSE 0 END) * 1000000
-            // SUM(n_occ))::BIGINT AS dup_ratio_micro
+           (CASE WHEN COALESCE(SUM(n_occ), 0) > 0
+                 THEN SUM(CASE WHEN n_docs > 1 THEN n_occ ELSE 0 END) * 1000000
+                      // SUM(n_occ)
+                 ELSE 0 END)::BIGINT AS dup_ratio_micro
     FROM per_key
     """,
 }

@@ -51,9 +51,9 @@ REFUSAL_RE = "(i cannot|i can't|i am unable to|i'm sorry, but)"
 DISCLAIMER_RE = "(as an ai|as a language model)"
 
 # Injection residues / tokens for the synthetic driver corpus.
-_RES_REFUSE, _RES_DISCLAIM = 11, 13
-_REFUSE_TOKEN = "I'm sorry, but I cannot help with that. "
-_DISCLAIM_TOKEN = "As an AI language model, I don't have personal opinions. "
+RES_REFUSE, RES_DISCLAIM = 11, 13
+REFUSE_TOKEN = "I'm sorry, but I cannot help with that. "
+DISCLAIM_TOKEN = "As an AI language model, I don't have personal opinions. "
 _RES_CUT, _RES_ELLIPSIS = 7, 7  # same modulus, different residues (2 / 5)
 _RES_CANNED = 17
 _CANNED_TOKEN = (
@@ -99,8 +99,8 @@ def _assistant(spark: SparkSession, sf: str) -> DataFrame:
 def refusal_report(spark: SparkSession, sf: str) -> DataFrame:
     doc = F.col("doc_id")
     injected = F.concat(
-        F.when(doc % _RES_REFUSE == 4, F.lit(_REFUSE_TOKEN)).otherwise(F.lit("")),
-        F.when(doc % _RES_DISCLAIM == 6, F.lit(_DISCLAIM_TOKEN)).otherwise(
+        F.when(doc % RES_REFUSE == 4, F.lit(REFUSE_TOKEN)).otherwise(F.lit("")),
+        F.when(doc % RES_DISCLAIM == 6, F.lit(DISCLAIM_TOKEN)).otherwise(
             F.lit("")
         ),
         F.col("text"),
@@ -229,10 +229,10 @@ _SQL_REFUSAL_FLAGGED = f"""
 {_SQL_ASSISTANT},
         injected AS (
             SELECT doc_id, conv_id,
-                   (CASE WHEN doc_id % {_RES_REFUSE} = 4
-                         THEN '{_q(_REFUSE_TOKEN)}' ELSE '' END)
-                   || (CASE WHEN doc_id % {_RES_DISCLAIM} = 6
-                            THEN '{_q(_DISCLAIM_TOKEN)}' ELSE '' END)
+                   (CASE WHEN doc_id % {RES_REFUSE} = 4
+                         THEN '{_q(REFUSE_TOKEN)}' ELSE '' END)
+                   || (CASE WHEN doc_id % {RES_DISCLAIM} = 6
+                            THEN '{_q(DISCLAIM_TOKEN)}' ELSE '' END)
                    || text AS text
             FROM assistant
         ),

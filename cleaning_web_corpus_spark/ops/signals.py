@@ -54,27 +54,29 @@ from cleaning_web_corpus_spark.ops.gopher import add_gopher_columns
 from cleaning_web_corpus_spark.ops.response_quality import (
     DISCLAIMER_RE,
     REFUSAL_RE,
-    _DISCLAIM_TOKEN,
-    _REFUSE_TOKEN,
-    _RES_DISCLAIM,
-    _RES_REFUSE,
+    DISCLAIM_TOKEN,
+    REFUSE_TOKEN,
+    RES_DISCLAIM,
+    RES_REFUSE,
     with_refusal_flags,
     with_truncation_flags,
 )
-from cleaning_web_corpus_spark.ops.dehyphenate import _WRAP_RE
+from cleaning_web_corpus_spark.ops.dehyphenate import WRAP_RE
 from cleaning_web_corpus_spark.ops.homoglyph import CONF_FROM
 from cleaning_web_corpus_spark.ops.instruction_complexity import (
-    _RE_CONSTRAINT,
-    _RE_IMPERATIVE,
-    _RE_QUESTION,
-    _RE_STEP,
+    RE_CONSTRAINT,
+    RE_IMPERATIVE,
+    RE_QUESTION,
+    RE_STEP,
 )
 from cleaning_web_corpus_spark.ops.markdown_profile import (
-    _RE_BULLET,
-    _RE_HEADER,
-    _RE_LINK,
-    _RE_TABLE,
-    _sql_lit,
+    RE_BULLET,
+    RE_HEADER,
+    RE_LINK,
+    SQL_LINE_NORM,
+    line_normalized,
+    RE_TABLE,
+    sql_lit,
 )
 from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
 from cleaning_web_corpus_spark.ops.tokenize_fp import BPE_RE, WS_RE
@@ -131,32 +133,45 @@ def add_signal_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
         .withColumn(
+            # (?m) counters run on line-normalized text (see
+            # markdown_profile.LINE_NORM_CHARS): Java vs RE2 parity on
+            # non-LF line terminators
             "md_total",
             sum(
-                F.size(F.regexp_extract_all(c, F.lit(p), F.lit(0))).cast("long")
-                for p in (_RE_HEADER, _RE_BULLET, _RE_LINK, _RE_TABLE)
+                F.size(
+                    F.regexp_extract_all(line_normalized(c), F.lit(p), F.lit(0))
+                ).cast("long")
+                for p in (RE_HEADER, RE_BULLET, RE_LINK, RE_TABLE)
             ),
         )
         .withColumn(
             "complexity",
             F.size(
-                F.regexp_extract_all(F.lower(c), F.lit(_RE_CONSTRAINT), F.lit(0))
+                F.regexp_extract_all(
+                    F.lower(line_normalized(c)), F.lit(RE_CONSTRAINT), F.lit(0)
+                )
             ).cast("long")
             * 3
             + F.size(
-                F.regexp_extract_all(F.lower(c), F.lit(_RE_STEP), F.lit(0))
+                F.regexp_extract_all(
+                    F.lower(line_normalized(c)), F.lit(RE_STEP), F.lit(0)
+                )
             ).cast("long")
             * 2
             + F.size(
-                F.regexp_extract_all(F.lower(c), F.lit(_RE_IMPERATIVE), F.lit(0))
+                F.regexp_extract_all(
+                    F.lower(line_normalized(c)), F.lit(RE_IMPERATIVE), F.lit(0)
+                )
             ).cast("long")
             + F.size(
-                F.regexp_extract_all(F.lower(c), F.lit(_RE_QUESTION), F.lit(0))
+                F.regexp_extract_all(
+                    F.lower(line_normalized(c)), F.lit(RE_QUESTION), F.lit(0)
+                )
             ).cast("long"),
         )
         .withColumn(
             "n_wraps",
-            F.size(F.regexp_extract_all(c, F.lit(_WRAP_RE), F.lit(0))).cast(
+            F.size(F.regexp_extract_all(c, F.lit(WRAP_RE), F.lit(0))).cast(
                 "long"
             ),
         )
@@ -183,8 +198,8 @@ def _injected_docs(spark: SparkSession, sf: str) -> DataFrame:
     flag column is non-degenerate under the gate hash."""
     doc = F.col("doc_id")
     injected = F.concat(
-        F.when(doc % _RES_REFUSE == 4, F.lit(_REFUSE_TOKEN)).otherwise(F.lit("")),
-        F.when(doc % _RES_DISCLAIM == 6, F.lit(_DISCLAIM_TOKEN)).otherwise(
+        F.when(doc % RES_REFUSE == 4, F.lit(REFUSE_TOKEN)).otherwise(F.lit("")),
+        F.when(doc % RES_DISCLAIM == 6, F.lit(DISCLAIM_TOKEN)).otherwise(
             F.lit("")
         ),
         F.col("text"),
@@ -228,14 +243,14 @@ _BPE_SQL = BPE_RE.replace("'", "''")
 _RQ_REFUSAL_SQL = REFUSAL_RE.replace("'", "''")
 _RQ_DISCLAIM_SQL = DISCLAIMER_RE.replace("'", "''")
 
-_REFUSE_SQL = _REFUSE_TOKEN.replace("'", "''")
-_DISCLAIM_SQL = _DISCLAIM_TOKEN.replace("'", "''")
+_REFUSE_SQL = REFUSE_TOKEN.replace("'", "''")
+_DISCLAIM_SQL = DISCLAIM_TOKEN.replace("'", "''")
 
 _SQL_INJECTED_ALL = f"""
         SELECT doc_id, lang, source, n_chars,
-               (CASE WHEN doc_id % {_RES_REFUSE} = 4
+               (CASE WHEN doc_id % {RES_REFUSE} = 4
                      THEN '{_REFUSE_SQL}' ELSE '' END)
-               || (CASE WHEN doc_id % {_RES_DISCLAIM} = 6
+               || (CASE WHEN doc_id % {RES_DISCLAIM} = 6
                         THEN '{_DISCLAIM_SQL}' ELSE '' END)
                || text
                || (CASE WHEN doc_id % {_RES_FFFD} = 0
@@ -245,9 +260,9 @@ _SQL_INJECTED_ALL = f"""
                || (CASE WHEN doc_id % {_RES_CTRL} = 0
                         THEN ' ctl' || chr(1) || 'chr' ELSE '' END)
                || (CASE WHEN doc_id % 7 = 2
-                        THEN {_sql_lit(_MD_TOKEN)} ELSE '' END)
+                        THEN {sql_lit(_MD_TOKEN)} ELSE '' END)
                || (CASE WHEN doc_id % 21 = 8
-                        THEN {_sql_lit(_WRAP_TOKEN)} ELSE '' END)
+                        THEN {sql_lit(_WRAP_TOKEN)} ELSE '' END)
                || (CASE WHEN doc_id % 19 = 5
                         THEN ' pаypаl' ELSE '' END)
                || (CASE WHEN doc_id % 5 < 3 THEN '.' ELSE '' END)
@@ -282,17 +297,17 @@ _SQL_TABLE = f"""
                list_transform([regexp_extract_all(lower(text), '{TOKEN_RE}')],
                    T -> len(list_distinct(T)) * 1000000
                         // greatest(len(T), 1))[1]::BIGINT AS ttr_micro,
-               (len(regexp_extract_all(text, '{_RE_HEADER}'))
-                + len(regexp_extract_all(text, '{_RE_BULLET}'))
-                + len(regexp_extract_all(text, '{_RE_LINK}'))
-                + len(regexp_extract_all(text, '{_RE_TABLE}')))::BIGINT
+               (len(regexp_extract_all({SQL_LINE_NORM.format(col='text')}, '{RE_HEADER}'))
+                + len(regexp_extract_all({SQL_LINE_NORM.format(col='text')}, '{RE_BULLET}'))
+                + len(regexp_extract_all({SQL_LINE_NORM.format(col='text')}, '{RE_LINK}'))
+                + len(regexp_extract_all({SQL_LINE_NORM.format(col='text')}, '{RE_TABLE}')))::BIGINT
                    AS md_total,
-               (len(regexp_extract_all(lower(text), '{_RE_CONSTRAINT}')) * 3
-                + len(regexp_extract_all(lower(text), '{_RE_STEP}')) * 2
-                + len(regexp_extract_all(lower(text), '{_RE_IMPERATIVE}'))
-                + len(regexp_extract_all(lower(text), '{_RE_QUESTION}')))::BIGINT
+               (len(regexp_extract_all(lower({SQL_LINE_NORM.format(col='text')}), '{RE_CONSTRAINT}')) * 3
+                + len(regexp_extract_all(lower({SQL_LINE_NORM.format(col='text')}), '{RE_STEP}')) * 2
+                + len(regexp_extract_all(lower({SQL_LINE_NORM.format(col='text')}), '{RE_IMPERATIVE}'))
+                + len(regexp_extract_all(lower({SQL_LINE_NORM.format(col='text')}), '{RE_QUESTION}')))::BIGINT
                    AS complexity,
-               len(regexp_extract_all(text, '{_WRAP_RE}'))::BIGINT AS n_wraps,
+               len(regexp_extract_all(text, '{WRAP_RE}'))::BIGINT AS n_wraps,
                (length(text) - length(translate(text, '{CONF_FROM}', '')))::BIGINT
                    AS n_confusables
         FROM injected

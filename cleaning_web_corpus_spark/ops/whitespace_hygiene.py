@@ -34,7 +34,7 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cleaning_web_corpus_spark.ops.markdown_profile import _sql_lit
+from cleaning_web_corpus_spark.ops.markdown_profile import sql_lit
 from cleaning_web_corpus_spark.warehouse.queries import t
 
 TOP_K = 100

@@ -88,3 +88,46 @@ def test_oracle_parity(spark, name):
         for row in con.execute(o).fetchall()
     )
     assert srows == orows and len(srows) > 0
+
+
+def test_crlf_and_bare_cr_count_identically(spark):
+    """ADVICE r3: Java MULTILINE accepts \\r/NEL/LS/PS as line
+    boundaries, RE2 (?m) only \\n. With line normalization both engines
+    must agree on CRLF and bare-CR documents."""
+    from cleaning_web_corpus_spark.ops.markdown_profile import markdown_stats_over
+
+    texts = [
+        (1, "intro\r\n# crlf header\r\n- item one\r\n| a | b |\r\n"),
+        (2, "intro\r# bare-cr header\r- item two\r"),
+        (3, "intro\u2028# ls header\u2028- item three\u2028"),
+        (4, "plain\n# lf header\n- item four\n| x | y |\n"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in _counted_rows(df)}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO d VALUES (?, ?)", texts)
+    from cleaning_web_corpus_spark.ops.markdown_profile import (
+        RE_BULLET,
+        RE_HEADER,
+        SQL_LINE_NORM,
+    )
+
+    norm = SQL_LINE_NORM.format(col="text")
+    orows = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            f"SELECT doc_id, len(regexp_extract_all({norm}, '{RE_HEADER}')),"
+            f" len(regexp_extract_all({norm}, '{RE_BULLET}')) FROM d"
+        ).fetchall()
+    }
+    for doc_id, r in got.items():
+        assert (r["n_headers"], r["n_bullets"]) == orows[doc_id], doc_id
+    # the LF doc still counts its elements (normalization is a no-op)
+    assert got[4]["n_headers"] == 1 and got[4]["n_bullets"] == 1
+
+
+def _counted_rows(df):
+    from cleaning_web_corpus_spark.ops.markdown_profile import _counted
+
+    return _counted(df).collect()
