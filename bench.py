@@ -151,10 +151,18 @@ def run_pipeline_timed(spark, corpus_path: str):
     # A/B: +10-30% at 32 cores in 2/3 paired rounds, identical labels);
     # SPARK_GRAFT_ALIGN=0 forces the round-2 composite-key baseline
     align = os.environ.get("SPARK_GRAFT_ALIGN", "1") == "1"
+    # defer_scrub: lazy-path plan improvement (round 4) — scrub runs
+    # after the conversation keep filter inside kept_turns_df, so the
+    # JVM regex chain costs kept-fraction x corpus instead of
+    # pass-fraction x corpus. Final output byte-identical (same
+    # scrub_col on the same surviving turns); the materialized
+    # production path keeps scrub-at-pass (privacy contract).
+    # SPARK_GRAFT_DEFER_SCRUB=0 restores the round-3 plan for A/B.
+    defer = os.environ.get("SPARK_GRAFT_DEFER_SCRUB", "1") == "1"
     t0 = time.time()
     transcripts = spark.read.parquet(corpus_path)
     tv = turn_verdicts_df(
-        transcripts, pcfg, emit_stats=False, align_conv=align
+        transcripts, pcfg, emit_stats=False, align_conv=align, defer_scrub=defer
     ).persist()
     cv = conversation_verdicts(tv, pcfg.conversation).persist()
     stats = cv.agg(

@@ -88,6 +88,10 @@ class NgramLanguageID:
         corpora = corpora or LANG_CORPORA
         self.langs = sorted(corpora)
         self._w = np.zeros((_N_TRIGRAMS, len(self.langs)), dtype=np.float32)
+        # float64 copy for the batch scorer, built on first use (~1.8 MB;
+        # see detect_batch). The float32 matrix stays the serialized /
+        # broadcast form.
+        self._w64 = None
         for li, lang in enumerate(self.langs):
             ids = _trigram_ids(corpora[lang], max_chars=1 << 30)
             counts = np.bincount(ids, minlength=_N_TRIGRAMS).astype(np.float64)
@@ -123,36 +127,81 @@ class NgramLanguageID:
     def detect_batch(self, texts) -> list:
         """Vectorized ``detect`` over a whole Arrow batch.
 
-        Per-text numpy dispatch (~15 us each: gather + sum + argmax) is
-        the dominant cost of per-row detection; here the per-chunk cost
-        is ONE gather + one ``np.add.reduceat`` + one argmax for ~1k
-        texts. Featurization (regex + encode) stays per-text — it is
-        C-speed already. Same output contract as ``detect``: None for
-        empty/featureless texts."""
+        Both halves are batch-shaped (round 4): featurization joins all
+        capped byte windows of a chunk and runs ONE ``bytes.translate``
+        + ONE ``frombuffer``/``astype`` + one vectorized trigram-id
+        computation (boundary-crossing positions masked out), replacing
+        ~8 per-text numpy/str dispatches that dominated the former
+        per-text featurizer; scoring was already one gather + one
+        ``np.add.reduceat`` + one argmax per chunk. Trigram ids,
+        summation order and dtypes are IDENTICAL to ``detect`` per
+        text, so labels are unchanged. Contract: None for
+        empty/featureless texts; the pathological capped-window case
+        (>600-char text whose first window has no letter bytes) falls
+        back to the per-text re-windowing featurizer."""
         out: list = [None] * len(texts)
+        cap = _MAX_DETECT_CHARS + 2
         for lo in range(0, len(texts), self._BATCH_CHUNK):
             chunk = texts[lo : lo + self._BATCH_CHUNK]
             idx = []
-            ids_list = []
+            bufs = []
             for i, t in enumerate(chunk):
                 if not t or not t.strip():
                     continue
-                ids = _trigram_ids(t)
-                if len(ids) == 0 or not ids.any():
-                    continue
+                b = (" " + t.lower() + " ").encode("latin-1", "cwc_high_byte")[:cap]
                 idx.append(lo + i)
-                ids_list.append(ids)
+                bufs.append(b)
             if not idx:
                 continue
-            lens = np.fromiter((len(x) for x in ids_list), dtype=np.int64)
-            offs = np.zeros(len(ids_list), dtype=np.int64)
-            np.cumsum(lens[:-1], out=offs[1:])
-            gathered = self._w[np.concatenate(ids_list)]
-            # dtype=float64: accumulate in double without materializing a
-            # float64 copy of the gathered block
-            sums = np.add.reduceat(gathered, offs, axis=0, dtype=np.float64)
+            joined = b"".join(bufs).translate(_CODE_TABLE)
+            codes = np.frombuffer(joined, dtype=np.uint8).astype(np.int32)
+            lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=len(bufs))
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            # per-segment letter signal: any nonzero code byte <=> the
+            # per-text ids would have a nonzero entry (every byte of a
+            # >=3-byte window is covered by some trigram)
+            nz = np.add.reduceat((codes != 0).astype(np.int32), starts)
+            # global trigram ids; positions starting in the last 2 bytes
+            # of a segment cross into the next segment — mask them out
+            # so each segment's id run equals the per-text array
+            ids_all = codes[:-2] * 1024 + codes[1:-1] * 32 + codes[2:]
+            mask = np.ones(len(ids_all), dtype=bool)
+            bad = np.concatenate([ends - 2, ends - 1])
+            mask[bad[bad < len(ids_all)]] = False
+            valid = ids_all[mask]
+            vlens = lens - 2
+            # letterless segments: short ones are None; capped ones may
+            # have letters past the window — per-text re-window fallback
+            keep = nz > 0
+            for k in np.flatnonzero(~keep):
+                if lens[k] > _MAX_DETECT_CHARS:
+                    ids = _trigram_ids(chunk[idx[k] - lo])
+                    if len(ids) and ids.any():
+                        acc = self._w[ids].sum(axis=0, dtype=np.float64)
+                        out[idx[k]] = self.langs[int(np.argmax(acc))]
+            if not keep.any():
+                continue
+            # drop the masked-out rows of dropped segments as well
+            seg_sel = np.repeat(keep, vlens)
+            valid = valid[seg_sel]
+            vlens = vlens[keep]
+            offs = np.zeros(len(vlens), dtype=np.int64)
+            np.cumsum(vlens[:-1], out=offs[1:])
+            # gather directly from a float64 view of the weights:
+            # reduceat(dtype=float64) over a float32 block runs a
+            # per-element casting inner loop ~200x slower than reducing
+            # an already-float64 array, and gathering float64 rows
+            # skips the extra astype pass entirely. float32 -> float64
+            # is exact, so the addition sequence (and every label) is
+            # identical to the per-text path.
+            if self._w64 is None:
+                self._w64 = self._w.astype(np.float64)
+            gathered = self._w64[valid]
+            sums = np.add.reduceat(gathered, offs, axis=0)
             best = np.argmax(sums, axis=1)
-            for k, i in enumerate(idx):
+            kept_idx = [idx[k] for k in np.flatnonzero(keep)]
+            for k, i in enumerate(kept_idx):
                 out[i] = self.langs[int(best[k])]
         return out
 

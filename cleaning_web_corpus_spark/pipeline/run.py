@@ -67,9 +67,19 @@ def turn_verdicts_df(
     emit_stats: bool = True,
     salt: bool = False,
     align_conv: bool = True,
+    defer_scrub: bool = False,
 ) -> DataFrame:
     """Dedup + per-turn verdict + scrub; the expensive, perfectly
     parallel stage.
+
+    ``defer_scrub=True`` (lazy/in-memory pipelines only) emits the raw
+    ``text`` column instead of ``text_scrubbed`` and lets
+    :func:`kept_turns_df`'s fallback scrub AFTER the conversation keep
+    filter — the scrub then costs kept-fraction x the corpus instead of
+    pass-fraction x the corpus, with byte-identical final output (the
+    same ``scrub_col`` runs on the same turns that survive). The
+    MATERIALIZED path must keep the default: a committed verdict stage
+    may never contain raw text (privacy contract above).
 
     Layout (default, ``align_conv=True`` — round-3 measurement,
     BENCH/SCALING.md): ONE explicit repartition on
@@ -108,6 +118,15 @@ def turn_verdicts_df(
             spread = deduped
 
     verdict = make_verdict_udf(pcfg.quality, emit_stats=emit_stats)
+    if defer_scrub:
+        text_col = F.when(F.col("verdict.passed"), F.col("text")).alias("text")
+    else:
+        # native expressions evaluate lazily under when(), so the
+        # regex chain runs only for passing rows; failed turns
+        # commit NULL — raw text (and its PII) is never retained
+        text_col = F.when(
+            F.col("verdict.passed"), scrub_col(F.col("text"), pcfg.scrub)
+        ).alias("text_scrubbed")
     return (
         spread.withColumn("verdict", verdict(F.col("text")))
         .select(
@@ -119,12 +138,7 @@ def turn_verdicts_df(
             F.col("verdict.passed").alias("passed"),
             F.col("verdict.reason").alias("reason"),
             F.col("verdict.stats").alias("stats"),
-            # native expressions evaluate lazily under when(), so the
-            # regex chain runs only for passing rows; failed turns
-            # commit NULL — raw text (and its PII) is never retained
-            F.when(
-                F.col("verdict.passed"), scrub_col(F.col("text"), pcfg.scrub)
-            ).alias("text_scrubbed"),
+            text_col,
         )
     )
 
