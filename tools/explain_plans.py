@@ -28,6 +28,8 @@ PLAN_QUERIES = [
     "embedding_near_dups",
     "steps_search_page",
     "workflow_plan_candidates",
+    "workflow_composition",
+    "robot_actions",
     "ngram_repetition_stats",
     "word_repetition_stats",
     "word_stats",
