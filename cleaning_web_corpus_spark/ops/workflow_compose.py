@@ -411,12 +411,34 @@ def workflow_metadata_query(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def workflow_tools_query(spark: SparkSession, sf: str) -> DataFrame:
-    from cleaning_web_corpus_spark.warehouse.enrich_queries import _enriched_children
+    """ONE enrichment-UDF pass serves both children: steps and tools
+    are two explodes of the same enriched relation (a second
+    `_enriched_children` call would plan a second ArrowEvalPython over
+    the same input — the round-2 duplicated-UDF anti-pattern)."""
+    from cleaning_web_corpus_spark.enrich.extract import enrich_turns
+    from cleaning_web_corpus_spark.warehouse.enrich_queries import _synth_transcripts
 
-    tools = _enriched_children(spark, sf, "tools").select(
-        "conv_id", F.col("child.name").alias("tool_name")
-    )
-    return workflow_tools(compose_workflow_steps(_steps_relation(spark, sf)), tools)
+    # localCheckpoint (not persist): materializes the single UDF pass
+    # eagerly and ties block lifetime to the returned plan's RDD (GC'd
+    # with it) — a persist() here would leak cache for the session
+    enriched = enrich_turns(
+        _synth_transcripts(spark, sf), text_col="text"
+    ).localCheckpoint()
+    def child(field, cols):
+        return enriched.select(
+            "conv_id",
+            F.col("enrichment.surface_type").alias("surface_type"),
+            F.col("enrichment.dirt_type").alias("dirt_type"),
+            F.explode(f"enrichment.{field}").alias("child"),
+        ).select("conv_id", "surface_type", "dirt_type", *cols)
+
+    steps = child("steps", [
+        F.col("child.order").alias("step_order"),
+        F.col("child.step").alias("step_text"),
+        F.col("child.confidence").alias("confidence"),
+    ])
+    tools = child("tools", [F.col("child.name").alias("tool_name")])
+    return workflow_tools(compose_workflow_steps(steps), tools)
 
 
 # --- DuckDB oracle restatements ---------------------------------------------

@@ -91,7 +91,14 @@ def _synth_transcripts(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("conv_id"),
         F.lit(0).alias("turn_idx"),
         F.format_string(_TEMPLATE, tool, obj, dirt, obj, obj).alias("text"),
-    )
+        # the testdata documents table is one small parquet file -> ONE
+        # scan partition, which would serialize the enrichment UDF and
+        # every downstream projection (observed: the whole workflow
+        # composition on a single task). Spread the tiny relation
+        # across the executor cores; at production scale the input is
+        # already multi-partition and this is a no-op-cheap reshuffle
+        # of narrow rows.
+    ).repartition(spark.sparkContext.defaultParallelism)
 
 
 def _enriched_children(spark: SparkSession, sf: str, field: str) -> DataFrame:
