@@ -1,0 +1,48 @@
+"""defer_scrub (round 4): the lazy pipeline's scrub-after-keep plan
+must produce byte-identical kept turns to the scrub-at-pass plan — the
+optimization moves the same scrub_col past the conversation filter,
+it must never change a byte of output."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cleaning_web_corpus_spark.config import PipelineConfig
+from cleaning_web_corpus_spark.pipeline.conversation import conversation_verdicts
+from cleaning_web_corpus_spark.pipeline.run import kept_turns_df, turn_verdicts_df
+from cleaning_web_corpus_spark.pipeline.transcripts import generate_transcripts
+
+
+def _kept_rows(spark, corpus, pcfg, defer):
+    tv = turn_verdicts_df(corpus, pcfg, emit_stats=False, defer_scrub=defer).persist()
+    cv = conversation_verdicts(tv, pcfg.conversation).persist()
+    rows = sorted(tuple(r) for r in kept_turns_df(tv, cv, pcfg.scrub).collect())
+    tv.unpersist()
+    cv.unpersist()
+    return rows
+
+
+def test_defer_scrub_outputs_byte_identical(spark):
+    pcfg = PipelineConfig()
+    corpus = generate_transcripts(spark, 800, seed=42, mega_every=200).persist()
+    at_pass = _kept_rows(spark, corpus, pcfg, defer=False)
+    deferred = _kept_rows(spark, corpus, pcfg, defer=True)
+    corpus.unpersist()
+    assert len(at_pass) > 0
+    assert at_pass == deferred
+
+
+def test_defer_scrub_column_contract(spark):
+    """Deferred tv exposes raw ``text`` (failing turns NULL), default tv
+    exposes ``text_scrubbed`` — kept_turns_df handles both."""
+    pcfg = PipelineConfig()
+    corpus = generate_transcripts(spark, 50, seed=7)
+    tv_def = turn_verdicts_df(corpus, pcfg, emit_stats=False, defer_scrub=True)
+    tv_std = turn_verdicts_df(corpus, pcfg, emit_stats=False)
+    assert "text" in tv_def.columns and "text_scrubbed" not in tv_def.columns
+    assert "text_scrubbed" in tv_std.columns and "text" not in tv_std.columns
+    # failing turns retain no text on either path
+    assert tv_def.filter("NOT passed AND text IS NOT NULL").count() == 0

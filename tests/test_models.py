@@ -164,3 +164,29 @@ class TestNonLatinScripts:
         m = lid_singleton()
         t = "0123456789 " * 60 + "the quick brown fox jumps over the lazy dog"
         assert m.detect(t) == "en"
+
+
+class TestBatchDetectCappedWindows:
+    """Round-4 batched featurizer: the >600-char cap and the
+    pathological digits-only-prefix re-window must match the per-text
+    path exactly (the batch path handles them via a per-text
+    fallback)."""
+
+    def test_capped_and_rewindowed_inputs(self):
+        m = lid_singleton()
+        texts = [
+            "1" * 700,                                   # capped, letterless
+            "1" * 700 + " bonjour le monde entier mes amis",  # letters past cap
+            "9" * 599 + "word of english text here",     # letters straddle cap
+            "8" * 601,                                   # capped exactly past
+            "7" * 601 + " hola mundo amigos buenos dias todos",
+            "el zorro marron salta sobre el perro " * 40,  # long, letters early
+            " " * 650 + "the dog sat on the mat today",  # whitespace prefix
+        ]
+        assert m.detect_batch(texts) == [m.detect(t) for t in texts]
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.text(max_size=900), min_size=1, max_size=8))
+    def test_batch_equals_per_row_past_the_cap(self, texts):
+        m = lid_singleton()
+        assert m.detect_batch(texts) == [m.detect(t) for t in texts]
