@@ -45,6 +45,15 @@ from cleaning_web_corpus_spark.warehouse.queries import t
 
 LM_TEST_MOD = 5  # doc_id % 5 == 0 -> held-out test split (matches NB)
 
+# Trained-model relation, ONE per (session, sf): CCNet materializes its
+# trained LM once and every consumer reads the artifact — the Spark
+# analogue is a persisted relation shared by every queries() entry in
+# the session (ngram_lm_scores + ngram_lm_lang_stats), so the
+# corpus-scale trigram aggregation is paid exactly once per session
+# instead of once per entry (VERDICT r04 next-round #1). Keyed by
+# applicationId so a stopped/rebuilt session never sees a stale plan.
+_MODEL_CACHE: Dict[tuple, DataFrame] = {}
+
 
 def _trigrams(docs: DataFrame) -> DataFrame:
     """(doc_id, lang, ctx, w3) — one row per trigram TOKEN.
@@ -83,19 +92,26 @@ def _scored(spark: SparkSession, sf: str) -> DataFrame:
     plan-asserted).  This mirrors what CCNet actually does — the
     trained LM is materialized, not re-derived per use; in production
     the persist becomes a table write + read-back so the model is also
-    a lineage/resume point.  The cache is reclaimed by Spark's
-    ContextCleaner once the result DataFrame is dropped.
+    a lineage/resume point.  The persisted model is memoized per
+    (session, sf) — see ``_MODEL_CACHE`` — so the second consumer in
+    the same session (ngram_lm_scores after ngram_lm_lang_stats) pays
+    only the test-split scan + joins, exactly as a production job
+    reading the materialized LM table would.
     """
     tg = _trigrams(t(spark, sf, "documents"))
     is_test = F.col("doc_id") % LM_TEST_MOD == 0
 
     from pyspark import StorageLevel
 
-    tri_counts = (
-        tg.filter(~is_test)
-        .groupBy("lang", "ctx", "w3")
-        .agg(F.count(F.lit(1)).alias("c"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    key = (spark.sparkContext.applicationId, sf)
+    tri_counts = _MODEL_CACHE.get(key)
+    if tri_counts is None:
+        tri_counts = (
+            tg.filter(~is_test)
+            .groupBy("lang", "ctx", "w3")
+            .agg(F.count(F.lit(1)).alias("c"))
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _MODEL_CACHE[key] = tri_counts
     ctx_counts = tri_counts.groupBy("lang", "ctx").agg(F.sum("c").alias("cc"))
     vstats = tri_counts.groupBy("lang").agg(
         F.countDistinct("w3").alias("v")

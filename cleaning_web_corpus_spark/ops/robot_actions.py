@@ -23,6 +23,16 @@ takes the 5 (the reference's range/``for X`` patterns are unreachable:
 any text they match, the first pattern already matched); an explicit
 "30 seconds" equals the default duration and therefore earns no
 confidence bonus.
+
+Duration parity is ASCII-scoped (ADVICE r04): Python re's ``\\d``/``\\s``
+match Unicode digits/whitespace, so the reference would parse e.g. an
+Arabic-Indic "٥ minutes" as a duration, while Java regex and DuckDB's
+RE2 are ASCII-only and both fall back to the default here — Spark and
+the oracle stay mutually consistent; only the reference diverges on
+non-ASCII digit/space step text. Digit runs beyond 19 digits are a
+second ASCII-side divergence: the reference's Python int is unbounded,
+the twin's BIGINT (Spark long / DuckDB TRY_CAST AS BIGINT) NULLs — both
+engines NULL together, see ``_duration_case``.
 """
 
 from __future__ import annotations
@@ -210,15 +220,26 @@ def _force_case(t: Column) -> Column:
 
 
 def _duration_case(t: Column) -> Column:
+    # try_cast to BIGINT on BOTH engines (ADVICE r04): a pathological
+    # step text with a >=2^31 digit run before the unit token crashed
+    # under the old plain int cast (Spark 4 runs ANSI by default, so
+    # cast THROWS on overflow; DuckDB's CAST errors too). try_cast /
+    # TRY_CAST(... AS BIGINT) keeps both engines NULL-consistent out to
+    # 2^63 (the reference's Python int is unbounded — documented
+    # divergence only beyond 19 digits).
     mins = F.regexp_extract(t, RX_MINUTES, 1)
     secs = F.regexp_extract(t, RX_SECONDS, 1)
     hrs = F.regexp_extract(t, RX_HOURS, 1)
+    # try_multiply: a 19-digit value can fit BIGINT yet overflow *60 —
+    # ANSI multiply would throw; the oracle widens through HUGEINT and
+    # TRY_CASTs back down, NULLing at exactly the same boundary.
     return (
-        F.when(mins != "", mins.cast("int") * 60)
-        .when(secs != "", secs.cast("int"))
-        .when(hrs != "", hrs.cast("int") * 3600)
+        F.when(mins != "", F.try_multiply(mins.try_cast("long"), F.lit(60)))
+        .when(secs != "", secs.try_cast("long"))
+        .when(hrs != "", F.try_multiply(hrs.try_cast("long"), F.lit(3600)))
         .when(_any_kw(t, IMMEDIATE_WORDS), F.lit(0))
         .otherwise(F.lit(DEFAULT_DURATION))
+        .cast("long")
     )
 
 
@@ -317,14 +338,14 @@ def robot_actions_oracle_sql(steps_labels: str) -> str:
                END AS base_conf,
                {tool_case} AS tool,
                {force_case} AS force,
-               CASE WHEN regexp_extract(t, '{RX_MINUTES}', 1) <> ''
-                      THEN CAST(regexp_extract(t, '{RX_MINUTES}', 1) AS INT) * 60
+               CAST(CASE WHEN regexp_extract(t, '{RX_MINUTES}', 1) <> ''
+                      THEN TRY_CAST(TRY_CAST(regexp_extract(t, '{RX_MINUTES}', 1) AS HUGEINT) * 60 AS BIGINT)
                     WHEN regexp_extract(t, '{RX_SECONDS}', 1) <> ''
-                      THEN CAST(regexp_extract(t, '{RX_SECONDS}', 1) AS INT)
+                      THEN TRY_CAST(regexp_extract(t, '{RX_SECONDS}', 1) AS BIGINT)
                     WHEN regexp_extract(t, '{RX_HOURS}', 1) <> ''
-                      THEN CAST(regexp_extract(t, '{RX_HOURS}', 1) AS INT) * 3600
+                      THEN TRY_CAST(TRY_CAST(regexp_extract(t, '{RX_HOURS}', 1) AS HUGEINT) * 3600 AS BIGINT)
                     WHEN {_sql_any('t', IMMEDIATE_WORDS)} THEN 0
-                    ELSE {DEFAULT_DURATION} END AS duration_s,
+                    ELSE {DEFAULT_DURATION} END AS BIGINT) AS duration_s,
                {pattern_case} AS pattern
             FROM best
         ),

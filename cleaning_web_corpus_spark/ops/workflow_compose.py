@@ -169,24 +169,30 @@ def _quality_pass(t: Column, raw: Column, confidence: Column) -> Column:
 
 
 def _relevance(t: Column, dirt: Column, query: Column) -> Column:
-    """composition.py:322-429, exact accumulation order so the sort key
-    is bit-identical to the DuckDB restatement."""
+    """composition.py:322-429 in the reference's exact sequential
+    accumulation order — rel starts at 0.5, the stain branch does
+    ``(0.5 + boost) - maintenance_penalty`` via += then -= (ADVICE r04:
+    the earlier ``0.5 + (boost - penalty)`` association differed in the
+    last ULP), then += query boost, -= info penalty. The DuckDB
+    restatement mirrors the same association, so the sort key is
+    bit-identical across both engines AND the reference."""
 
     def boost(kws, cap):
         c = _n_kw(t, kws)
         return F.when(c > 0, F.least(F.lit(cap), c.cast("double") * 0.1)).otherwise(0.0)
 
-    stain_adj = boost(STAIN_KEYWORDS, 0.4) - F.when(
+    base = F.lit(0.5)
+    stain_base = base + boost(STAIN_KEYWORDS, 0.4) - F.when(
         _n_kw(t, MAINTENANCE_KEYWORDS) > 0,
         F.least(F.lit(0.3), _n_kw(t, MAINTENANCE_KEYWORDS).cast("double") * 0.1),
     ).otherwise(0.0)
-    dirt_adj = (
-        F.when(dirt == "stain", stain_adj)
-        .when(dirt == "dust", boost(DUST_KEYWORDS, 0.3))
-        .when(dirt == "pet_hair", boost(PET_HAIR_KEYWORDS, 0.3))
-        .when(dirt == "grease", boost(GREASE_KEYWORDS, 0.3))
-        .when(dirt == "mold", boost(MOLD_KEYWORDS, 0.3))
-        .otherwise(0.0)
+    based = (
+        F.when(dirt == "stain", stain_base)
+        .when(dirt == "dust", base + boost(DUST_KEYWORDS, 0.3))
+        .when(dirt == "pet_hair", base + boost(PET_HAIR_KEYWORDS, 0.3))
+        .when(dirt == "grease", base + boost(GREASE_KEYWORDS, 0.3))
+        .when(dirt == "mold", base + boost(MOLD_KEYWORDS, 0.3))
+        .otherwise(base)
     )
     stop_arr = F.array(*[F.lit(s) for s in RELEVANCE_STOP_WORDS])
     qw = F.array_except(F.array_distinct(F.split(query, r"\s+")), stop_arr)
@@ -199,7 +205,7 @@ def _relevance(t: Column, dirt: Column, query: Column) -> Column:
     info_pen = F.when(
         info_c > 0, F.least(F.lit(0.4), info_c.cast("double") * 0.15)
     ).otherwise(0.0)
-    rel = F.lit(0.5) + dirt_adj + q_boost - info_pen
+    rel = based + q_boost - info_pen
     return F.least(F.lit(1.0), F.greatest(F.lit(0.0), rel))
 
 
@@ -211,13 +217,23 @@ def _phase_rank(t: Column) -> Column:
 
 
 def _duration_estimate(t: Column) -> Column:
+    # try_cast('long') + oracle TRY_CAST(... AS BIGINT) (ADVICE r04): a
+    # >=2^31 digit run crashed under the old plain int cast (Spark 4
+    # runs ANSI by default, so cast THROWS on overflow; DuckDB's CAST
+    # errors too); BIGINT try-casts keep both engines NULL-consistent
+    # out to 2^63.
     out = F.lit(DUR_DEFAULT)
     for kws, secs in reversed(DUR_HEURISTICS):
         out = F.when(_any_kw(t, kws), F.lit(secs)).otherwise(out)
+    # try_multiply: a 19-digit value can fit BIGINT yet overflow *60 —
+    # ANSI multiply would throw; the oracle widens through HUGEINT and
+    # TRY_CASTs back down, NULLing at the same boundary.
     for rx, mult in reversed(DUR_RX):
         g = F.regexp_extract(t, rx, 1)
-        out = F.when(g != "", g.cast("int") * mult).otherwise(out)
-    return out
+        out = F.when(
+            g != "", F.try_multiply(g.try_cast("long"), F.lit(mult))
+        ).otherwise(out)
+    return out.cast("long")
 
 
 def _action_label(raw: Column) -> Column:
@@ -414,16 +430,13 @@ def workflow_tools_query(spark: SparkSession, sf: str) -> DataFrame:
     """ONE enrichment-UDF pass serves both children: steps and tools
     are two explodes of the same enriched relation (a second
     `_enriched_children` call would plan a second ArrowEvalPython over
-    the same input — the round-2 duplicated-UDF anti-pattern)."""
-    from cleaning_web_corpus_spark.enrich.extract import enrich_turns
-    from cleaning_web_corpus_spark.warehouse.enrich_queries import _synth_transcripts
+    the same input — the round-2 duplicated-UDF anti-pattern). Since
+    round 5 that relation is the SESSION-shared checkpointed stage
+    (enrich_queries.enriched_relation), so this entry also shares the
+    UDF pass with every other enrichment consumer in the gate run."""
+    from cleaning_web_corpus_spark.warehouse.enrich_queries import enriched_relation
 
-    # localCheckpoint (not persist): materializes the single UDF pass
-    # eagerly and ties block lifetime to the returned plan's RDD (GC'd
-    # with it) — a persist() here would leak cache for the session
-    enriched = enrich_turns(
-        _synth_transcripts(spark, sf), text_col="text"
-    ).localCheckpoint()
+    enriched = enriched_relation(spark, sf)
     def child(field, cols):
         return enriched.select(
             "conv_id",
@@ -473,29 +486,32 @@ def _composed_cte(steps_labels: str) -> str:
     dur_heur = "CASE " + " ".join(
         f"WHEN {_sql_any('t', kws)} THEN {secs}" for kws, secs in DUR_HEURISTICS
     ) + f" ELSE {DUR_DEFAULT} END"
-    dur_case = "CASE " + " ".join(
+    dur_case = "CAST(CASE " + " ".join(
         f"WHEN regexp_extract(t, '{rx}', 1) <> '' "
-        f"THEN CAST(regexp_extract(t, '{rx}', 1) AS INT) * {mult}"
+        f"THEN TRY_CAST(TRY_CAST(regexp_extract(t, '{rx}', 1) AS HUGEINT) * {mult} AS BIGINT)"
         for rx, mult in DUR_RX
-    ) + f" ELSE {dur_heur} END"
+    ) + f" ELSE {dur_heur} END AS BIGINT)"
     tools_csv = "concat_ws(',', " + ", ".join(
         f"CASE WHEN contains(t, '{k}') THEN '{k.replace(' ', '_')}' END"
         for k in STEP_TOOL_KEYWORDS
     ) + ")"
     stop_sql = ", ".join(f"'{s}'" for s in RELEVANCE_STOP_WORDS)
-    stain_adj = (
-        f"({_sql_boost('t', STAIN_KEYWORDS, 0.4)}"
+    # base 0.5 folded INTO each branch (ADVICE r04): the stain branch is
+    # ((0.5 + boost) - penalty), matching the reference's sequential
+    # +=/-= association and the Spark column above, bit for bit
+    stain_based = (
+        f"((CAST(0.5 AS DOUBLE) + {_sql_boost('t', STAIN_KEYWORDS, 0.4)})"
         f" - CASE WHEN {_sql_n('t', MAINTENANCE_KEYWORDS)} > 0"
         f" THEN least(CAST(0.3 AS DOUBLE), CAST({_sql_n('t', MAINTENANCE_KEYWORDS)} AS DOUBLE) * CAST(0.1 AS DOUBLE))"
         f" ELSE CAST(0.0 AS DOUBLE) END)"
     )
-    dirt_adj = f"""CASE
-          WHEN dirt_type = 'stain' THEN {stain_adj}
-          WHEN dirt_type = 'dust' THEN {_sql_boost('t', DUST_KEYWORDS, 0.3)}
-          WHEN dirt_type = 'pet_hair' THEN {_sql_boost('t', PET_HAIR_KEYWORDS, 0.3)}
-          WHEN dirt_type = 'grease' THEN {_sql_boost('t', GREASE_KEYWORDS, 0.3)}
-          WHEN dirt_type = 'mold' THEN {_sql_boost('t', MOLD_KEYWORDS, 0.3)}
-          ELSE CAST(0.0 AS DOUBLE) END"""
+    based = f"""CASE
+          WHEN dirt_type = 'stain' THEN {stain_based}
+          WHEN dirt_type = 'dust' THEN CAST(0.5 AS DOUBLE) + {_sql_boost('t', DUST_KEYWORDS, 0.3)}
+          WHEN dirt_type = 'pet_hair' THEN CAST(0.5 AS DOUBLE) + {_sql_boost('t', PET_HAIR_KEYWORDS, 0.3)}
+          WHEN dirt_type = 'grease' THEN CAST(0.5 AS DOUBLE) + {_sql_boost('t', GREASE_KEYWORDS, 0.3)}
+          WHEN dirt_type = 'mold' THEN CAST(0.5 AS DOUBLE) + {_sql_boost('t', MOLD_KEYWORDS, 0.3)}
+          ELSE CAST(0.5 AS DOUBLE) END"""
     info_pen = (
         f"CASE WHEN {_sql_n('t', INFO_PHRASES)} > 0"
         f" THEN least(CAST(0.4 AS DOUBLE), CAST({_sql_n('t', INFO_PHRASES)} AS DOUBLE) * CAST(0.15 AS DOUBLE))"
@@ -527,7 +543,7 @@ def _composed_cte(steps_labels: str) -> str:
             SELECT conv_id, step_order, t, step_text,
                    list_distinct(string_split_regex(t, '\s+')) AS words,
                    least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE),
-                     CAST(0.5 AS DOUBLE) + {dirt_adj}
+                     {based}
                      + CASE WHEN len(list_filter(list_distinct(string_split_regex(query, '\s+')),
                                     x -> NOT list_contains([{stop_sql}], x))) > 0
                         THEN least(CAST(0.3 AS DOUBLE),

@@ -101,12 +101,39 @@ def _synth_transcripts(spark: SparkSession, sf: str) -> DataFrame:
     ).repartition(spark.sparkContext.defaultParallelism)
 
 
+# The enrichment-UDF output, ONE per (session, sf): in production the
+# enriched relation is a committed warehouse stage every downstream
+# query reads; here the localCheckpoint'ed twin is memoized so the
+# seven gate entries that consume it (steps_search_page,
+# tools_usage_agg, workflow_plan_candidates, workflow_composition,
+# workflow_metadata, workflow_tools, robot_actions) pay the Arrow UDF
+# pass exactly once per session instead of once each (VERDICT r04
+# next-round #2 — extends the commit-c585db4 fusion session-wide).
+# localCheckpoint (not persist) materializes eagerly and pins the
+# blocks to the checkpointed RDD, which the module reference keeps
+# alive for the session — the intended persisted-stage lifetime.
+# Keyed by applicationId so a new session never sees a stale plan.
+_ENRICHED_CACHE: Dict[tuple, DataFrame] = {}
+
+
+def enriched_relation(spark: SparkSession, sf: str) -> DataFrame:
+    """The session-shared enrichment stage (see ``_ENRICHED_CACHE``)."""
+    key = (spark.sparkContext.applicationId, sf)
+    df = _ENRICHED_CACHE.get(key)
+    if df is None:
+        from cleaning_web_corpus_spark.enrich.extract import enrich_turns
+
+        df = enrich_turns(
+            _synth_transcripts(spark, sf), text_col="text"
+        ).localCheckpoint()
+        _ENRICHED_CACHE[key] = df
+    return df
+
+
 def _enriched_children(spark: SparkSession, sf: str, field: str) -> DataFrame:
     """One UDF pass -> posexplode of the requested child array with the
     parent dims denormalized onto every child row."""
-    from cleaning_web_corpus_spark.enrich.extract import enrich_turns
-
-    enriched = enrich_turns(_synth_transcripts(spark, sf), text_col="text")
+    enriched = enriched_relation(spark, sf)
     return enriched.select(
         "conv_id",
         "turn_idx",

@@ -43,10 +43,17 @@ def test_scoring_matches_hand_computation(spark):
 
     orig_t = m.t
     m.t = lambda spark, sf, name: df  # route the table loader to the fixture
+    # the trained model is memoized per (session, sf) — flush it around
+    # the monkeypatch so this fixture's model never leaks into (or out
+    # of) the shared-session cache other tests read
+    m._MODEL_CACHE.clear()
     try:
         out = {r.doc_id: r for r in m.ngram_lm_scores(spark, SF).collect()}
     finally:
         m.t = orig_t
+        for cached in m._MODEL_CACHE.values():
+            cached.unpersist()
+        m._MODEL_CACHE.clear()
     # model: c('a b','c') = 4; c('a b') = 4; V = |{c}| = 1
     # test trigrams of 'a b c a b d': (a b, c) hit, (b c, a) miss,
     # (c a, b) miss, (a b, d) miss-within-seen-ctx

@@ -129,3 +129,21 @@ def test_plan_is_udf_free(spark):
     df = spark.createDataFrame([(1, "scrub well")], "step_order int, step_text string")
     plan = extract_robot_actions(df, keep_cols=["step_order"])._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_overflow_digit_run_nulls_duration(spark):
+    # ADVICE r04: a >=2^31 (here >2^63) digit run before the unit token
+    # must produce NULL duration, not an ANSI cast crash — and a
+    # 19-digit value that fits BIGINT but overflows *60 must NULL via
+    # try_multiply rather than throw. No duration bonus accrues (NULL
+    # != DEFAULT falls through to no-op on both engines).
+    rows = _run(spark, [
+        "Wait 99999999999999999999999 minutes before rinsing the pan",
+        "Wait 9223372036854775807 minutes before rinsing the pan",
+        "Wait 30 minutes before rinsing the pan",
+    ])
+    assert rows[1]["duration_s"] is None
+    assert rows[2]["duration_s"] is None
+    assert rows[3]["duration_s"] == 1800
+    # NULL duration earns no confidence bonus
+    assert rows[1]["confidence"] < rows[3]["confidence"]

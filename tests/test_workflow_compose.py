@@ -156,3 +156,23 @@ def test_dedup_prefers_higher_relevance(spark):
     comp = compose_workflow_steps(_steps(spark, rows))
     kept = [r["step_order"] for r in comp.collect()]
     assert kept == [2]
+
+
+def test_overflow_digit_run_nulls_duration(spark):
+    # ADVICE r04 mirror of the robot_actions fix: a digit run past
+    # BIGINT (or one that fits but overflows the *60) must NULL the
+    # duration estimate via try_cast/try_multiply, not crash the ANSI
+    # cast; metadata's SUM skips the NULL on both engines.
+    rows = [
+        ("c9", 1, "Wait 99999999999999999999999 minutes for it to soak", 0.9),
+        ("c9", 2, "Let the mixture rest 9223372036854775807 minutes on the grout", 0.9),
+        ("c9", 3, "Scrub the tile grout thoroughly for 5 minutes", 0.9),
+    ]
+    df = compose_workflow_steps(_steps(spark, rows))
+    by_order = {r["step_order"]: r.asDict() for r in df.collect()}
+    assert by_order[1]["duration_s"] is None
+    assert by_order[2]["duration_s"] is None
+    assert by_order[3]["duration_s"] == 300
+    md = workflow_metadata(df).collect()[0]
+    assert md["n_steps"] == 3
+    assert md["duration_minutes"] == 5  # NULLs skipped by SUM
