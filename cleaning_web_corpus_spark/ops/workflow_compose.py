@@ -418,40 +418,48 @@ def _steps_relation(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# The composed-workflow relation, ONE per (session, sf): in production
+# the composed steps are a persisted warehouse stage that the
+# composition/metadata/tools queries all read (VERDICT r04 adjudication
+# of workflow_tools); the session-shared localCheckpoint is that
+# stage's twin, so the conv-grain aggregate fold is paid once per gate
+# session instead of once per entry. Keyed by applicationId like the
+# enrichment cache it builds on.
+_COMPOSED_CACHE: dict = {}
+
+
+def _composed_relation(spark: SparkSession, sf: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf)
+    hit = _COMPOSED_CACHE.get(key)
+    if hit is None:
+        hit = compose_workflow_steps(_steps_relation(spark, sf)).localCheckpoint()
+        _COMPOSED_CACHE[key] = hit
+    return hit
+
+
 def workflow_composition_query(spark: SparkSession, sf: str) -> DataFrame:
-    return compose_workflow_steps(_steps_relation(spark, sf))
+    return _composed_relation(spark, sf)
 
 
 def workflow_metadata_query(spark: SparkSession, sf: str) -> DataFrame:
-    return workflow_metadata(compose_workflow_steps(_steps_relation(spark, sf)))
+    return workflow_metadata(_composed_relation(spark, sf))
 
 
 def workflow_tools_query(spark: SparkSession, sf: str) -> DataFrame:
-    """ONE enrichment-UDF pass serves both children: steps and tools
-    are two explodes of the same enriched relation (a second
-    `_enriched_children` call would plan a second ArrowEvalPython over
-    the same input — the round-2 duplicated-UDF anti-pattern). Since
-    round 5 that relation is the SESSION-shared checkpointed stage
-    (enrich_queries.enriched_relation), so this entry also shares the
-    UDF pass with every other enrichment consumer in the gate run."""
+    """Both inputs come from session-shared checkpointed stages: the
+    composed steps from ``_composed_relation`` and the tools child as
+    an explode of the shared enrichment relation
+    (enrich_queries.enriched_relation) — one enrichment-UDF pass and
+    one composition fold serve every workflow/robot gate entry in the
+    session (the round-2 duplicated-UDF anti-pattern stays dead)."""
     from cleaning_web_corpus_spark.warehouse.enrich_queries import enriched_relation
 
-    enriched = enriched_relation(spark, sf)
-    def child(field, cols):
-        return enriched.select(
-            "conv_id",
-            F.col("enrichment.surface_type").alias("surface_type"),
-            F.col("enrichment.dirt_type").alias("dirt_type"),
-            F.explode(f"enrichment.{field}").alias("child"),
-        ).select("conv_id", "surface_type", "dirt_type", *cols)
-
-    steps = child("steps", [
-        F.col("child.order").alias("step_order"),
-        F.col("child.step").alias("step_text"),
-        F.col("child.confidence").alias("confidence"),
-    ])
-    tools = child("tools", [F.col("child.name").alias("tool_name")])
-    return workflow_tools(compose_workflow_steps(steps), tools)
+    tools = (
+        enriched_relation(spark, sf)
+        .select("conv_id", F.explode("enrichment.tools").alias("child"))
+        .select("conv_id", F.col("child.name").alias("tool_name"))
+    )
+    return workflow_tools(_composed_relation(spark, sf), tools)
 
 
 # --- DuckDB oracle restatements ---------------------------------------------
