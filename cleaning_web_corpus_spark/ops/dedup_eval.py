@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from cleaning_web_corpus_spark.ops.dedup import (
     ORACLES as _DEDUP_ORACLES,
-    minhash_candidate_jaccard,
+    verified_candidates_stage,
 )
 from cleaning_web_corpus_spark.warehouse.queries import t
 
@@ -63,7 +63,7 @@ def _truth_pairs(spark: SparkSession, sf: str) -> DataFrame:
 def dedup_pr_eval(spark: SparkSession, sf: str) -> DataFrame:
     truth = _truth_pairs(spark, sf).withColumn("in_truth", F.lit(1))
     pred = (
-        minhash_candidate_jaccard(spark, sf)
+        verified_candidates_stage(spark, sf)
         .filter(F.col("near_dup"))
         .select("doc_a", "doc_b")
         .withColumn("in_pred", F.lit(1))

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from cleaning_web_corpus_spark.ops.dedup import (
     _SQL_SURVIVORS_BODY,
-    fuzzy_dedup_survivors,
+    survivors_stage,
 )
 
 DEL_RES = 37  # doc_id % 37 == 5 -> a user requested deletion
@@ -80,11 +80,11 @@ def _deleted_flag():
 
 
 def deletion_propagation_report(spark: SparkSession, sf: str) -> DataFrame:
-    return deletion_impact_over(fuzzy_dedup_survivors(spark, sf), _deleted_flag())
+    return deletion_impact_over(survivors_stage(spark, sf), _deleted_flag())
 
 
 def deletion_propagation_stats(spark: SparkSession, sf: str) -> DataFrame:
-    surv = fuzzy_dedup_survivors(spark, sf).withColumn("deleted", _deleted_flag())
+    surv = survivors_stage(spark, sf).withColumn("deleted", _deleted_flag())
     impact = deletion_impact_over(
         surv.drop("deleted"), _deleted_flag()
     )

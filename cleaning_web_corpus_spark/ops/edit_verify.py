@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from cleaning_web_corpus_spark.ops.dedup import (
     ORACLES as _DEDUP_ORACLES,
-    minhash_candidate_jaccard,
+    verified_candidates_stage,
 )
 from cleaning_web_corpus_spark.warehouse.queries import t
 
@@ -52,7 +52,7 @@ def edit_verified_pairs(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents").select(
         "doc_id", F.substring("text", 1, CAP_CHARS).alias("head")
     )
-    pairs = minhash_candidate_jaccard(spark, sf).select(
+    pairs = verified_candidates_stage(spark, sf).select(
         "doc_a", "doc_b", "near_dup"
     )
     hydrated = (

@@ -37,14 +37,14 @@ from pyspark.sql import functions as F
 
 from cleaning_web_corpus_spark.ops.dedup import (
     _SQL_SURVIVORS_BODY,
-    fuzzy_dedup_survivors,
+    survivors_stage,
 )
 from cleaning_web_corpus_spark.ops.text_queries import TOKEN_RE
 from cleaning_web_corpus_spark.warehouse.queries import t
 
 
 def effective_tokens_by_source(spark: SparkSession, sf: str) -> DataFrame:
-    surv = fuzzy_dedup_survivors(spark, sf).select("doc_id", "keep")
+    surv = survivors_stage(spark, sf).select("doc_id", "keep")
     docs = t(spark, sf, "documents").select(
         "doc_id",
         "source",

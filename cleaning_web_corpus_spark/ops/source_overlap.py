@@ -37,13 +37,13 @@ from pyspark.sql import functions as F
 
 from cleaning_web_corpus_spark.ops.dedup import (
     ORACLES as _DEDUP_ORACLES,
-    minhash_candidate_jaccard,
+    verified_candidates_stage,
 )
 from cleaning_web_corpus_spark.warehouse.queries import t
 
 
 def source_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
-    pairs = minhash_candidate_jaccard(spark, sf).filter(F.col("near_dup"))
+    pairs = verified_candidates_stage(spark, sf).filter(F.col("near_dup"))
     docs = t(spark, sf, "documents").select("doc_id", "source")
     joined = pairs.join(
         docs.select(

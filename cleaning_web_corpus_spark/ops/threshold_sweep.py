@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from cleaning_web_corpus_spark.ops.dedup import (
     N_HASHES,
     ORACLES as _DEDUP_ORACLES,
-    minhash_candidate_jaccard,
+    verified_candidates_stage,
 )
 
 SWEEP_MIN = 2  # below 2/8 agreement a "pair" is band noise
@@ -79,7 +79,7 @@ def threshold_sweep_over(cand: DataFrame) -> DataFrame:
 
 
 def dedup_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
-    return threshold_sweep_over(minhash_candidate_jaccard(spark, sf))
+    return threshold_sweep_over(verified_candidates_stage(spark, sf))
 
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -45,9 +45,6 @@ def _query(name):
     "name",
     [
         "embedding_near_dups",
-        "steps_search_page",
-        "tools_usage_agg",
-        "workflow_plan_candidates",
         "simhash_fingerprints",
         "simhash_near_dups",
         "nfc_normalization_audit",
@@ -57,6 +54,42 @@ def test_single_arrow_eval_python(spark, name):
     df = _query(name)(spark, SF)
     n = _arrow_eval_nodes(df)
     assert n == 1, f"{name}: expected exactly 1 ArrowEvalPython node, plan has {n}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["steps_search_page", "tools_usage_agg", "workflow_plan_candidates"],
+)
+def test_enrichment_queries_never_duplicate_udf(spark, name):
+    """Since round 5 these entries read the SESSION-SHARED checkpointed
+    enrichment stage (enrich_queries.enriched_relation), so their plans
+    show 0 ArrowEvalPython when the stage is warm — and never more than
+    1 if a fresh session builds it inline. The stronger invariant (the
+    UDF subtree itself evaluates exactly once) is pinned on the raw
+    builder below."""
+    df = _query(name)(spark, SF)
+    n = _arrow_eval_nodes(df)
+    assert n <= 1, f"{name}: UDF subtree duplicated — {n} ArrowEvalPython nodes"
+
+
+def test_raw_enrichment_relation_single_udf(spark):
+    """The un-memoized enrichment builder plans exactly ONE
+    ArrowEvalPython (the round-2 pushdown-duplication fix, pinned at
+    the stage-build layer the session cache materializes from)."""
+    from cleaning_web_corpus_spark.enrich.extract import enrich_turns
+    from cleaning_web_corpus_spark.warehouse.enrich_queries import (
+        _synth_transcripts,
+    )
+    from pyspark.sql import functions as F
+
+    enriched = enrich_turns(_synth_transcripts(spark, SF), text_col="text")
+    child = enriched.select(
+        "conv_id",
+        F.col("enrichment.surface_type").alias("surface_type"),
+        F.explode("enrichment.steps").alias("child"),
+    ).filter(F.col("surface_type") == "carpets_floors")
+    n = _arrow_eval_nodes(child)
+    assert n == 1, f"raw enrichment builder: expected 1 ArrowEvalPython, got {n}"
 
 
 @pytest.mark.parametrize("name", ["minhash_signatures", "minhash_lsh_candidates"])
