@@ -101,9 +101,15 @@ def _lift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _lift_stage(spark: SparkSession, sf: str) -> DataFrame:
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    return session_stage(spark, sf, "basket_lift", lambda: _lift(spark, sf))
+
+
 def basket_pair_lift(spark: SparkSession, sf: str) -> DataFrame:
     return (
-        _lift(spark, sf)
+        _lift_stage(spark, sf)
         .select("part_a", "part_b", "c_ab", "c_a", "c_b", "lift_ppm")
         .orderBy(
             F.col("lift_ppm").desc(), F.col("part_a").asc(), F.col("part_b").asc()
@@ -113,7 +119,7 @@ def basket_pair_lift(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def basket_lift_stats(spark: SparkSession, sf: str) -> DataFrame:
-    lifted = _lift(spark, sf)
+    lifted = _lift_stage(spark, sf)
     return lifted.agg(
         F.min("n_baskets").cast("long").alias("n_baskets"),
         F.count(F.lit(1)).cast("long").alias("n_supported_pairs"),

@@ -140,16 +140,27 @@ def _stacked_sql(col: str, merges: List[Tuple[int, str, str, int]]) -> str:
     return expr
 
 
+def _trained_merges(spark: SparkSession, sf: str):
+    """Session-shared trained merges list (driver-side scalar): the
+    bounded train loop — K argmax collects — is paid once per session,
+    like a committed tokenizer artifact, instead of once per entry."""
+    from cleaning_web_corpus_spark.ops.session_stage import session_scalar
+
+    return session_scalar(
+        spark, sf, "bpe_merges", lambda: train_bpe(t(spark, sf, "documents"))
+    )
+
+
 def bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     """The learned merge table — both engines train from scratch."""
-    merges = train_bpe(t(spark, sf, "documents"))
+    merges = _trained_merges(spark, sf)
     return spark.createDataFrame(
         merges, "rank bigint, left_sym string, right_sym string, pair_count bigint"
     )
 
 
 def _segments(spark: SparkSession, sf: str) -> DataFrame:
-    merges = train_bpe(t(spark, sf, "documents"))
+    merges = _trained_merges(spark, sf)
     seg = _vocab_syms(t(spark, sf, "documents")).withColumn(
         "sym", F.expr(_stacked_sql("sym", merges))
     )
@@ -161,14 +172,22 @@ def _segments(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _segments_stage(spark: SparkSession, sf: str) -> DataFrame:
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    return session_stage(
+        spark, sf, "bpe_segments", lambda: _segments(spark, sf)
+    )
+
+
 def bpe_vocab_segments(spark: SparkSession, sf: str) -> DataFrame:
     """Every vocabulary word segmented under the learned merges."""
-    return _segments(spark, sf)
+    return _segments_stage(spark, sf)
 
 
 def bpe_compression_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-level tokenizer quality: tokens per word / per char."""
-    s = _segments(spark, sf)
+    s = _segments_stage(spark, sf)
     return s.agg(
         F.count(F.lit(1)).alias("n_vocab"),
         F.sum("cnt").alias("n_word_occurrences"),

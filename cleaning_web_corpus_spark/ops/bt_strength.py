@@ -176,9 +176,17 @@ def _battle_matrix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _bt_fit_stage(spark: SparkSession, sf: str) -> DataFrame:
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    return session_stage(
+        spark, sf, "bt_fit", lambda: bt_fit(_battle_matrix(spark, sf))
+    )
+
+
 def preference_bt_strength(spark: SparkSession, sf: str) -> DataFrame:
     """Per-model Bradley-Terry leaderboard."""
-    return bt_fit(_battle_matrix(spark, sf)).orderBy(
+    return _bt_fit_stage(spark, sf).orderBy(
         F.desc("strength_micro"), F.asc("model")
     )
 
@@ -186,7 +194,7 @@ def preference_bt_strength(spark: SparkSession, sf: str) -> DataFrame:
 def preference_bt_stats(spark: SparkSession, sf: str) -> DataFrame:
     """One-row arena summary: competitor/battle counts and the
     integer strength spread (all order-independent reductions)."""
-    fit = bt_fit(_battle_matrix(spark, sf))
+    fit = _bt_fit_stage(spark, sf)
     return fit.agg(
         F.count(F.lit(1)).cast("long").alias("n_models"),
         F.expr("sum(n_battles) div 2").alias("n_battles"),

@@ -130,7 +130,12 @@ def containment_pairs_frame(sh: DataFrame, max_bucket: int = MAX_BUCKET) -> Data
 
 
 def containment_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    return containment_pairs_frame(_injected_shingles(spark, sf))
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    return session_stage(
+        spark, sf, "containment_pairs",
+        lambda: containment_pairs_frame(_injected_shingles(spark, sf)),
+    )
 
 
 def containment_stats(spark: SparkSession, sf: str) -> DataFrame:

@@ -142,7 +142,11 @@ def conversation_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Rollup: verified conversation-level dup rate + twin recall (the
     fraction of synthesized (full, head) twin pairs the detector
     recovered as near-dups — a self-measuring recall gauge)."""
-    pairs = conversation_near_dups(spark, sf)
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    pairs = session_stage(
+        spark, sf, "conv_near_dups", lambda: conversation_near_dups(spark, sf)
+    )
     is_twin = (
         F.split(F.col("conv_id_a"), "#").getItem(0)
         == F.split(F.col("conv_id_b"), "#").getItem(0)

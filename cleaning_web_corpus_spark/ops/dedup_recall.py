@@ -146,16 +146,24 @@ def _verified_captures(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _captures_stage(spark: SparkSession, sf: str) -> DataFrame:
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    return session_stage(
+        spark, sf, "recall_captures", lambda: _verified_captures(spark, sf)
+    )
+
+
 def dedup_recall_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """The verified two-capture pair table (the estimator's raw data)."""
-    return _verified_captures(spark, sf).orderBy("doc_a", "doc_b")
+    return _captures_stage(spark, sf).orderBy("doc_a", "doc_b")
 
 
 def dedup_recall_estimate(spark: SparkSession, sf: str) -> DataFrame:
     """One-row Lincoln-Petersen report: per-capture verified catch,
     overlap, ppm recall of the PRODUCTION banding (capture A), and the
     estimated true pair population vs the observed union."""
-    v = _verified_captures(spark, sf)
+    v = _captures_stage(spark, sf)
     return v.agg(
         F.sum(F.col("in_a").cast("long")).cast("long").alias("n_a"),
         F.sum(F.col("in_b").cast("long")).cast("long").alias("n_b"),

@@ -116,7 +116,11 @@ def dsir_importance_weights(spark: SparkSession, sf: str) -> DataFrame:
 def dsir_selection_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus rollup: how much of the raw split DSIR would select
     (positive weight = more target-like than raw-like)."""
-    r = dsir_importance_weights(spark, sf)
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    r = session_stage(
+        spark, sf, "dsir_weights", lambda: dsir_importance_weights(spark, sf)
+    )
     return r.agg(
         F.count(F.lit(1)).alias("n_docs_scored"),
         F.sum((F.col("logw_micro") > 0).cast("long")).alias("n_selected"),

@@ -154,7 +154,11 @@ def grounding_report(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def grounding_stats(spark: SparkSession, sf: str) -> DataFrame:
-    r = grounding_report(spark, sf)
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    r = session_stage(
+        spark, sf, "grounding_report", lambda: grounding_report(spark, sf)
+    )
     gradable = F.sum(F.when(F.col("n_grams") > 0, 1).otherwise(0)).cast("long")
     grounded = F.sum(F.when(F.col("grounded"), 1).otherwise(0)).cast("long")
     return r.agg(

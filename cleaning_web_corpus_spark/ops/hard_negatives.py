@@ -175,7 +175,11 @@ def hard_negative_mining(spark: SparkSession, sf: str) -> DataFrame:
     rank.  Candidates at cosine >= NEAR_DUP_COS are excluded as
     suspected label errors rather than negatives.
     """
-    cand = _cross_label_candidates(spark, sf)
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    cand = session_stage(
+        spark, sf, "hn_candidates", lambda: _cross_label_candidates(spark, sf)
+    )
     w = Window.partitionBy("anchor").orderBy(
         F.desc("cosine"), F.asc("negative")
     )

@@ -92,6 +92,12 @@ def isotonic_over(bins: DataFrame) -> DataFrame:
 
 
 def isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    return session_stage(spark, sf, "isotonic_fit", lambda: _isotonic_plan(spark, sf))
+
+
+def _isotonic_plan(spark: SparkSession, sf: str) -> DataFrame:
     bins = calibration_bins_over(
         quality_classifier_scores(spark, sf).select("label", "score_micro")
     ).select("bin_lo", "n_docs", "n_label_pos")

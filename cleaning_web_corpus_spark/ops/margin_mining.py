@@ -131,10 +131,19 @@ def _with_margin(ordered: DataFrame) -> DataFrame:
     )
 
 
+def _margin_stage(spark: SparkSession, sf: str) -> DataFrame:
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    return session_stage(
+        spark, sf, "margin_pairs",
+        lambda: _with_margin(_ordered_candidates(spark, sf)),
+    )
+
+
 def margin_pair_mining(spark: SparkSession, sf: str) -> DataFrame:
     """Top mined pairs by neighborhood margin (deterministic page)."""
     return (
-        _with_margin(_ordered_candidates(spark, sf))
+        _margin_stage(spark, sf)
         .orderBy(F.desc("margin_ppm"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(MARGIN_PAGE)
     )
@@ -144,7 +153,7 @@ def margin_mining_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Mining yield report: candidate pairs vs margin-cleared pairs,
     and how differently margin and raw cosine would rank (pairs the
     margin keeps that the near-dup cosine bar would miss)."""
-    m = _with_margin(_ordered_candidates(spark, sf))
+    m = _margin_stage(spark, sf)
     return m.agg(
         F.count(F.lit(1)).cast("long").alias("n_candidates"),
         F.sum((F.col("margin_ppm") >= MARGIN_MIN_PPM).cast("long"))

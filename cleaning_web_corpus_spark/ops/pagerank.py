@@ -119,7 +119,11 @@ def _edges(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def host_pagerank(spark: SparkSession, sf: str) -> DataFrame:
-    return pagerank_over(_edges(spark, sf))
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    return session_stage(
+        spark, sf, "host_pagerank", lambda: pagerank_over(_edges(spark, sf))
+    )
 
 
 def host_pagerank_stats(spark: SparkSession, sf: str) -> DataFrame:

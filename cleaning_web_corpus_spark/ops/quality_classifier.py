@@ -167,7 +167,11 @@ def quality_classifier_pr(spark: SparkSession, sf: str) -> DataFrame:
     keep rate and the precision/recall/F1 of the distilled filter
     against the weak label — every ratio a division of exact integers.
     """
-    scores = quality_classifier_scores(spark, sf)
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    scores = session_stage(
+        spark, sf, "qc_scores", lambda: quality_classifier_scores(spark, sf)
+    )
     th = spark.createDataFrame(
         [(tau * _MICRO,) for tau in QC_THRESHOLDS], "tau_micro bigint"
     )

@@ -183,7 +183,11 @@ def substring_dup_report(spark: SparkSession, sf: str) -> DataFrame:
 def substring_dup_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus rollup: how much of the corpus sits inside shared
     substrings (the number Lee et al. report before cutting)."""
-    r = substring_dup_report(spark, sf)
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    r = session_stage(
+        spark, sf, "substr_spans", lambda: substring_dup_report(spark, sf)
+    )
     return r.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum((F.col("n_dup_windows") > 0).cast("long")).alias("n_docs_with_dups"),

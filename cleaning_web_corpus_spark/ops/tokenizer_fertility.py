@@ -73,16 +73,28 @@ def _lang_word_counts(docs: DataFrame) -> DataFrame:
 
 def _word_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """(word, n_tokens) under the learned merges — pure codegen."""
+    from cleaning_web_corpus_spark.ops.bpe_train import _trained_merges
+
     docs = t(spark, sf, "documents")
-    merges = train_bpe(docs)
+    merges = _trained_merges(spark, sf)  # session-shared trained artifact
     seg = _vocab_syms(docs).withColumn("sym", F.expr(_stacked_sql("sym", merges)))
     return seg.select("word", F.expr(f"size({_SYMS})").cast("long").alias("n_tokens"))
 
 
+def _joined_stage(spark: SparkSession, sf: str) -> DataFrame:
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    return session_stage(
+        spark, sf, "fertility_joined",
+        lambda: _lang_word_counts(t(spark, sf, "documents")).join(
+            _word_tokens(spark, sf), "word"
+        ),
+    )
+
+
 def tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language fertility rollup of the corpus-trained tokenizer."""
-    docs = t(spark, sf, "documents")
-    joined = _lang_word_counts(docs).join(_word_tokens(spark, sf), "word")
+    joined = _joined_stage(spark, sf)
     return joined.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
         F.sum("cnt").cast("long").alias("n_word_occurrences"),
@@ -102,8 +114,7 @@ def tokenizer_fertility(spark: SparkSession, sf: str) -> DataFrame:
 def fertility_word_outliers(spark: SparkSession, sf: str) -> DataFrame:
     """Per language, the FERT_TOP_K frequent words the tokenizer
     segments worst (token count desc, frequency desc, word asc)."""
-    docs = t(spark, sf, "documents")
-    joined = _lang_word_counts(docs).join(_word_tokens(spark, sf), "word")
+    joined = _joined_stage(spark, sf)
     w = Window.partitionBy("lang").orderBy(
         F.desc("n_tokens"), F.desc("cnt"), F.asc("word")
     )

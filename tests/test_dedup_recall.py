@@ -37,7 +37,11 @@ def test_pairs_verified_and_flagged(spark):
 def test_single_corpus_aggregation_plan(spark):
     """Both captures and the verification sets must read the persisted
     per-doc relation, not re-derive the shingle aggregation."""
-    df = QUERIES["dedup_recall_pairs"](spark, SF)
+    from cleaning_web_corpus_spark.ops.dedup_recall import _verified_captures
+
+    # RAW builder — the query layer serves the session-shared
+    # checkpointed stage (round 5), which hides the cache reads
+    df = _verified_captures(spark, SF)
     df.collect()  # materialize so the executed plan is final
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 3

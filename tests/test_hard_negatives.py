@@ -53,12 +53,18 @@ def test_single_udf_evaluation(spark):
     """The signature UDF runs ONCE: both pair directions are emitted
     from the ordered in-bucket pair matrix instead of a self-union, so
     the plan must contain exactly one Arrow subtree (the round-2
-    embedding_near_dups defect shape)."""
+    embedding_near_dups defect shape). Pinned on the RAW candidate
+    builder — the query layer serves the session-shared checkpointed
+    stage (round 5), whose plan shows zero Python nodes."""
     import io
     import re
     from contextlib import redirect_stdout
 
-    df = QUERIES["hard_negative_mining"](spark, SF)
+    from cleaning_web_corpus_spark.ops.hard_negatives import (
+        _cross_label_candidates,
+    )
+
+    df = _cross_label_candidates(spark, SF)
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")

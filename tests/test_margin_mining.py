@@ -86,8 +86,15 @@ def test_query_contract(spark):
 def test_single_udf_evaluation_plan(spark):
     """The executed plan must evaluate the signature-UDF subtree ONCE
     (VERDICT r02 #1 defect class): one ArrowEvalPython, no self-join
-    of the candidate relation."""
-    df = margin_pair_mining(spark, SF)
+    of the candidate relation. Pinned on the RAW builder — the query
+    layer serves the session-shared checkpointed stage (round 5), whose
+    plan shows zero Python nodes by construction."""
+    from cleaning_web_corpus_spark.ops.margin_mining import (
+        _ordered_candidates,
+        _with_margin,
+    )
+
+    df = _with_margin(_ordered_candidates(spark, SF))
     df.collect()  # AQE: final plan only materializes on execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     # count in the FINAL plan only — AQE's toString appends the
