@@ -142,9 +142,19 @@ def _scored(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _scored_stage(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-shared checkpoint of the held-out scoring relation: both
+    LM entries consume the same (doc, nll) table, so the test-split
+    trigram aggregation + three model joins are paid once per session
+    (the raw ``_scored`` stays exported for the plan test)."""
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    return session_stage(spark, sf, "ngram_lm_scored", lambda: _scored(spark, sf))
+
+
 def ngram_lm_scores(spark: SparkSession, sf: str) -> DataFrame:
     """Held-out per-document trigram negative log-likelihood."""
-    return _scored(spark, sf).select(
+    return _scored_stage(spark, sf).select(
         "doc_id", "lang", "n_trigrams", F.round("_nll", 4).alias("nll")
     )
 
@@ -156,7 +166,7 @@ def ngram_lm_lang_stats(spark: SparkSession, sf: str) -> DataFrame:
     number before bucketing.
     """
     return (
-        _scored(spark, sf)
+        _scored_stage(spark, sf)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -43,10 +43,14 @@ def test_scoring_matches_hand_computation(spark):
 
     orig_t = m.t
     m.t = lambda spark, sf, name: df  # route the table loader to the fixture
-    # the trained model is memoized per (session, sf) — flush it around
-    # the monkeypatch so this fixture's model never leaks into (or out
-    # of) the shared-session cache other tests read
+    # the trained model AND the scored stage are memoized per
+    # (session, sf) — flush both around the monkeypatch so this
+    # fixture's relations never leak into (or out of) the
+    # shared-session caches other tests read
+    from cleaning_web_corpus_spark.ops import session_stage as stg
+
     m._MODEL_CACHE.clear()
+    stg._CACHE.clear()
     try:
         out = {r.doc_id: r for r in m.ngram_lm_scores(spark, SF).collect()}
     finally:
@@ -54,6 +58,7 @@ def test_scoring_matches_hand_computation(spark):
         for cached in m._MODEL_CACHE.values():
             cached.unpersist()
         m._MODEL_CACHE.clear()
+        stg._CACHE.clear()
     # model: c('a b','c') = 4; c('a b') = 4; V = |{c}| = 1
     # test trigrams of 'a b c a b d': (a b, c) hit, (b c, a) miss,
     # (c a, b) miss, (a b, d) miss-within-seen-ctx
@@ -67,7 +72,11 @@ def test_scoring_matches_hand_computation(spark):
 
 
 def test_plan_two_scans_model_cached_no_python(spark):
-    df = ngram_lm_scores(spark, SF)
+    # RAW scoring plan — the query layer serves the session-shared
+    # checkpointed stage (round 5), whose plan is a single RDD scan
+    import cleaning_web_corpus_spark.ops.ngram_lm as m
+
+    df = m._scored(spark, SF)
     df.count()  # populate the model cache so the executed plan is final
     import contextlib
     from io import StringIO

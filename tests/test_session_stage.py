@@ -1,0 +1,86 @@
+"""Session-shared stage utility (ops/session_stage.py) semantics.
+
+The round-5 gate twin of committed warehouse stages: one eager
+localCheckpoint per (applicationId, sf, name), shared by every
+consumer in the session. These tests pin the contract the ~15
+stage-backed query families rely on."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from cleaning_web_corpus_spark.ops import session_stage as stg
+
+
+def _fresh(spark, n):
+    return spark.range(n)
+
+
+def test_same_key_returns_same_relation(spark):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return _fresh(spark, 5)
+
+    a = stg.session_stage(spark, "/tmp/sfX", "t1", build)
+    b = stg.session_stage(spark, "/tmp/sfX", "t1", build)
+    assert a is b  # one checkpoint object, shared
+    assert len(calls) == 1  # build ran exactly once
+    assert a.count() == 5
+
+
+def test_distinct_sf_and_name_are_distinct_stages(spark):
+    a = stg.session_stage(spark, "/tmp/sfA", "t2", lambda: _fresh(spark, 3))
+    b = stg.session_stage(spark, "/tmp/sfB", "t2", lambda: _fresh(spark, 4))
+    c = stg.session_stage(spark, "/tmp/sfA", "t3", lambda: _fresh(spark, 6))
+    assert a.count() == 3 and b.count() == 4 and c.count() == 6
+
+
+def test_stage_is_checkpointed_and_udf_free_downstream(spark):
+    """The returned plan must be a materialized RDD scan — consumers
+    never re-run the build subtree (the production committed-stage
+    property every stage-backed family's speedup rests on)."""
+    from pyspark.sql import functions as F
+
+    df = stg.session_stage(
+        spark, "/tmp/sfC", "t4",
+        lambda: spark.range(10).select(
+            (F.col("id") % 3).alias("k")
+        ).groupBy("k").count(),
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan
+    assert "Exchange" not in plan  # the shuffle was paid at build time
+
+
+def test_scalar_cache_builds_once(spark):
+    calls = []
+
+    def build():
+        calls.append(1)
+        return [1, 2, 3]
+
+    a = stg.session_scalar(spark, "/tmp/sfD", "merges", build)
+    b = stg.session_scalar(spark, "/tmp/sfD", "merges", build)
+    assert a is b and len(calls) == 1
+
+
+def test_values_match_raw_builder(spark):
+    """Staging must never change values — spot-checked here on one
+    family (the oracle gate arbitrates this for all 312 entries)."""
+    from cleaning_web_corpus_spark.ops.containment import (
+        _injected_shingles,
+        containment_dup_pairs,
+        containment_pairs_frame,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    staged = sorted(map(tuple, containment_dup_pairs(spark, sf).collect()))
+    raw = sorted(
+        map(tuple, containment_pairs_frame(_injected_shingles(spark, sf)).collect())
+    )
+    assert staged == raw and len(staged) > 0
