@@ -209,7 +209,11 @@ def heaps_growth_curve(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def heaps_fit_report(spark: SparkSession, sf: str) -> DataFrame:
-    curve = heaps_growth_curve(spark, sf)
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    curve = session_stage(
+        spark, sf, "heaps_curve", lambda: heaps_growth_curve(spark, sf)
+    )
     q = curve.select(
         "bucket",
         "vocab_cum",

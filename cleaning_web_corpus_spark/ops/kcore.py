@@ -88,14 +88,27 @@ def kcore_over(
     return _degrees(edges), edges
 
 
+def _kcore_stage(spark: SparkSession, sf: str):
+    """Session-shared (deg, edges) pair from ONE k-core peel — the
+    iterative loop is paid once per session, like a committed graph
+    stage; both relations are checkpointed together."""
+    from cleaning_web_corpus_spark.ops.session_stage import session_scalar
+
+    def build():
+        deg, edges = kcore_over(_host_edges(spark, sf))
+        return (deg.localCheckpoint(), edges.localCheckpoint())
+
+    return session_scalar(spark, sf, "kcore", build)
+
+
 def kcore_membership(spark: SparkSession, sf: str) -> DataFrame:
-    deg, _ = kcore_over(_host_edges(spark, sf))
+    deg, _ = _kcore_stage(spark, sf)
     return deg.select(F.col("v").alias("host"), F.col("deg").alias("core_deg"))
 
 
 def kcore_stats(spark: SparkSession, sf: str) -> DataFrame:
     und = _host_edges(spark, sf)
-    deg, edges = kcore_over(und)
+    deg, edges = _kcore_stage(spark, sf)
     initial = _degrees(und).agg(
         F.count(F.lit(1)).cast("long").alias("n_hosts_initial")
     )

@@ -146,9 +146,21 @@ def project_pca(emb: DataFrame, W_micro: np.ndarray) -> DataFrame:
     return emb.select(*cols)
 
 
+def trained_pca_cached(spark: SparkSession, sf: str):
+    """Session-shared (W_micro, eig) from ONE distributed train pass —
+    shared by projection/variance here and the outlier report in
+    pca_eval.py."""
+    from cleaning_web_corpus_spark.ops.session_stage import session_scalar
+
+    return session_scalar(
+        spark, sf, "pca_train",
+        lambda: train_pca(_emb(spark, sf).select("vec_id", "embedding")),
+    )
+
+
 def embedding_pca_projection(spark: SparkSession, sf: str) -> DataFrame:
     emb = _emb(spark, sf)
-    W, _ = train_pca(emb.select("vec_id", "embedding"))
+    W, _ = trained_pca_cached(spark, sf)
     return project_pca(emb, W)
 
 
@@ -156,7 +168,7 @@ def pca_variance_report(spark: SparkSession, sf: str) -> DataFrame:
     """Full eigenvalue spectrum with explained-variance shares in exact
     ppm (floor division of the micro-quantized integers — identical
     arithmetic in the twin, so the driver hash pins the whole trainer)."""
-    _, eig = train_pca(_emb(spark, sf).select("vec_id", "embedding"))
+    _, eig = trained_pca_cached(spark, sf)
     tot = int(eig.sum())
     rows = []
     cum = 0

@@ -227,13 +227,13 @@ def embedding_outlier_report(spark: SparkSession, sf: str) -> DataFrame:
     from cleaning_web_corpus_spark.ops.pca import (
         PCA_K,
         embedding_pca_projection,
-        train_pca,
+        trained_pca_cached,
     )
 
     proj = embedding_pca_projection(spark, sf)
-    _, eig = train_pca(
-        _emb_for_outliers(spark, sf).select("vec_id", "embedding")
-    )
+    # same raw embeddings relation as pca._emb -> the session-shared
+    # trained spectrum is the identical artifact
+    _, eig = trained_pca_cached(spark, sf)
     sums = proj.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         *[F.sum(f"pc{c}").cast("long").alias(f"s{c}") for c in range(PCA_K)],

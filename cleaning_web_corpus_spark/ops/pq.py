@@ -128,8 +128,20 @@ def _train(spark: SparkSession, sf: str):
     return train_pq_books_np(X), sample, X
 
 
+def _train_cached(spark: SparkSession, sf: str):
+    from cleaning_web_corpus_spark.ops.session_stage import session_scalar
+
+    return session_scalar(spark, sf, "pq_train", lambda: _train(spark, sf))
+
+
+def _coded_stage(spark: SparkSession, sf: str) -> DataFrame:
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    return session_stage(spark, sf, "pq_coded", lambda: _coded(spark, sf))
+
+
 def _coded(spark: SparkSession, sf: str) -> DataFrame:
-    books, _, _ = _train(spark, sf)
+    books, _, _ = _train_cached(spark, sf)
     c = _codes_udf(books)
     return (
         _emb_double(spark, sf)
@@ -143,7 +155,7 @@ def pq_codebook_utilization(spark: SparkSession, sf: str) -> DataFrame:
     used.  A collapsed codebook (one code hoarding a subspace) is the
     classic PQ failure mode; this is its monitoring query."""
     return (
-        _coded(spark, sf)
+        _coded_stage(spark, sf)
         .select(F.posexplode("codes").alias("m", "code"))
         .groupBy(F.col("m").cast("long").alias("m"), "code")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
@@ -154,7 +166,7 @@ def pq_codebook_utilization(spark: SparkSession, sf: str) -> DataFrame:
 def pq_recon_error_stats(spark: SparkSession, sf: str) -> DataFrame:
     """One-row quantization-quality report over per-vector micro-int
     reconstruction errors (BIGINT sums + divisions — hash-exact)."""
-    return _coded(spark, sf).agg(
+    return _coded_stage(spark, sf).agg(
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
         F.sum("err_micro").cast("long").alias("total_err_micro"),
         F.expr("sum(err_micro) div count(1)").alias("avg_err_micro"),
@@ -169,7 +181,7 @@ def pq_adc_knn(spark: SparkSession, sf: str) -> DataFrame:
     The probe's LUT is inlined as a nested array literal, so scoring is
     whole-stage codegen over the codes column: M element_at lookups +
     a BIGINT sum per candidate, no Python on the scan side."""
-    books, sample, X = _train(spark, sf)
+    books, sample, X = _train_cached(spark, sf)
     probe_idx = next(i for i, r in enumerate(sample) if r.vec_id == PROBE_VEC_ID)
     lut = probe_lut_np(X[probe_idx], books)
     lut_col = F.array(

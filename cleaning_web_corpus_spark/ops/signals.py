@@ -225,7 +225,11 @@ def quality_signals_table(spark: SparkSession, sf: str) -> DataFrame:
 
 def quality_signals_summary(spark: SparkSession, sf: str) -> DataFrame:
     """Per-(lang, source) monitoring rollup over the signals table."""
-    r = quality_signals_table(spark, sf)
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    r = session_stage(
+        spark, sf, "signals_table", lambda: quality_signals_table(spark, sf)
+    )
     return r.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("gopher_passed").cast("long")).alias("n_gopher_pass"),

@@ -135,7 +135,11 @@ def char_entropy_report(spark: SparkSession, sf: str) -> DataFrame:
 
 def char_entropy_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language entropy rollup (associative BIGINT micro sums)."""
-    r = char_entropy_report(spark, sf).withColumn(
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    r = session_stage(
+        spark, sf, "char_entropy", lambda: char_entropy_report(spark, sf)
+    ).withColumn(
         "ent_micro",
         F.expr(f"cast(floor(entropy_bits * {_MICRO} + 0.5) as bigint)"),
     )

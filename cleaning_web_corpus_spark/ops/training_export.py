@@ -344,7 +344,11 @@ def sft_loss_span_report(spark: SparkSession, sf: str) -> DataFrame:
 
 def sft_loss_span_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Release numbers: how much of the rendered corpus carries loss."""
-    spans = sft_loss_span_report(spark, sf)
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    spans = session_stage(
+        spark, sf, "sft_spans", lambda: sft_loss_span_report(spark, sf)
+    )
     chars = render_chat(_chat_turns(spark, sf)).agg(
         F.sum("n_chars").alias("total_chars")
     )

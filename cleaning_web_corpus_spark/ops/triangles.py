@@ -154,7 +154,11 @@ def host_triangles(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def triangle_stats(spark: SparkSession, sf: str) -> DataFrame:
-    per_v = host_triangles(spark, sf)
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    per_v = session_stage(
+        spark, sf, "host_triangles", lambda: host_triangles(spark, sf)
+    )
     edges = _host_edges(spark, sf).agg(
         F.count(F.lit(1)).cast("long").alias("n_edges")
     )
