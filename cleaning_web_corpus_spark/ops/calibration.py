@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from cleaning_web_corpus_spark.ops.quality_classifier import (
     ORACLES as _QC_ORACLES,
-    quality_classifier_scores,
+    scores_stage,
 )
 
 BIN_MICRO = 2_000_000  # 2.0 log-odds per bin
@@ -71,7 +71,7 @@ def calibration_bins_over(scores: DataFrame) -> DataFrame:
 
 def quality_calibration_bins(spark: SparkSession, sf: str) -> DataFrame:
     return calibration_bins_over(
-        quality_classifier_scores(spark, sf).select("label", "score_micro")
+        scores_stage(spark, sf).select("label", "score_micro")
     )
 
 

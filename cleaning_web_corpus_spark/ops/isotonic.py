@@ -38,7 +38,7 @@ from cleaning_web_corpus_spark.ops.calibration import (
 )
 from cleaning_web_corpus_spark.ops.quality_classifier import (
     ORACLES as _QC_ORACLES,
-    quality_classifier_scores,
+    scores_stage,
 )
 
 _PPM = 1_000_000
@@ -99,7 +99,7 @@ def isotonic_calibration(spark: SparkSession, sf: str) -> DataFrame:
 
 def _isotonic_plan(spark: SparkSession, sf: str) -> DataFrame:
     bins = calibration_bins_over(
-        quality_classifier_scores(spark, sf).select("label", "score_micro")
+        scores_stage(spark, sf).select("label", "score_micro")
     ).select("bin_lo", "n_docs", "n_label_pos")
     return isotonic_over(bins)
 

@@ -162,16 +162,23 @@ def quality_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def scores_stage(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-shared checkpoint of the held-out scores — consumed by
+    the PR sweep here plus the calibration-bins and isotonic entries
+    (ops/calibration.py, ops/isotonic.py)."""
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    return session_stage(
+        spark, sf, "qc_scores", lambda: quality_classifier_scores(spark, sf)
+    )
+
+
 def quality_classifier_pr(spark: SparkSession, sf: str) -> DataFrame:
     """Threshold sweep over the held-out scores: per tau_micro, the
     keep rate and the precision/recall/F1 of the distilled filter
     against the weak label — every ratio a division of exact integers.
     """
-    from cleaning_web_corpus_spark.ops.session_stage import session_stage
-
-    scores = session_stage(
-        spark, sf, "qc_scores", lambda: quality_classifier_scores(spark, sf)
-    )
+    scores = scores_stage(spark, sf)
     th = spark.createDataFrame(
         [(tau * _MICRO,) for tau in QC_THRESHOLDS], "tau_micro bigint"
     )
