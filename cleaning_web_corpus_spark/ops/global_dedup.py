@@ -82,8 +82,26 @@ def mark_keep_first(lines: DataFrame) -> DataFrame:
     )
 
 
+def _keyed_stage(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-shared checkpoint of the line-keyed relation: both
+    entries aggregate the same exploded/keyed lines, and the explode +
+    line-global shuffle is the family's dominant cost."""
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    return session_stage(
+        spark, sf, "global_keyed_lines",
+        lambda: keyed_lines(_doc_lines(spark, sf)),
+    )
+
+
 def global_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    marked = mark_keep_first(_doc_lines(spark, sf))
+    keyed = _keyed_stage(spark, sf)
+    firsts = keyed.groupBy("line").agg(F.min("k").alias("keeper"))
+    marked = (
+        keyed.join(firsts, "line")
+        .withColumn("keep", F.col("k") == F.col("keeper"))
+        .select("doc_id", "i", "line", "keep")
+    )
     return marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_lines"),
         F.sum((~F.col("keep")).cast("long")).cast("long").alias("n_removed"),
@@ -100,7 +118,7 @@ def global_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def global_line_dedup_stats(spark: SparkSession, sf: str) -> DataFrame:
-    keyed = keyed_lines(_doc_lines(spark, sf))
+    keyed = _keyed_stage(spark, sf)
     per_line = keyed.groupBy("line").agg(
         F.count(F.lit(1)).cast("long").alias("n_occ"),
         F.min("k").alias("keeper"),

@@ -71,7 +71,12 @@ def ndcg_over(ranked: DataFrame) -> DataFrame:
 
 
 def bm25_ndcg_eval(spark: SparkSession, sf: str) -> DataFrame:
-    return ndcg_over(bm25_search(spark, sf))
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    retrieved = session_stage(
+        spark, sf, "bm25_retrieved", lambda: bm25_search(spark, sf)
+    )
+    return ndcg_over(retrieved)
 
 
 QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {

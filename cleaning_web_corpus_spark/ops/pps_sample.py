@@ -136,16 +136,24 @@ def _grid_hits(cum: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _cum_stage(spark: SparkSession, sf: str) -> DataFrame:
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    return session_stage(
+        spark, sf, "pps_cum", lambda: _weighted_cum(spark, sf)
+    )
+
+
 def pps_systematic_sample(spark: SparkSession, sf: str) -> DataFrame:
     """The exactly-k token-weighted sample: (doc_id, weight, mult,
     inclusion_ppm), sum(mult) == k."""
-    return _grid_hits(_weighted_cum(spark, sf), SAMPLE_K)
+    return _grid_hits(_cum_stage(spark, sf), SAMPLE_K)
 
 
 def pps_sample_stats(spark: SparkSession, sf: str) -> DataFrame:
     """One-row audit: draw size, distinct docs, multiplicity spread,
     and the token mass the sample's distinct docs cover (ppm)."""
-    cum = _weighted_cum(spark, sf)
+    cum = _cum_stage(spark, sf)
     hits = _grid_hits(cum, SAMPLE_K)
     tot = cum.agg(F.sum("weight").cast("long").alias("total_w"))
     return (

@@ -108,13 +108,21 @@ def _nearest_eval(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _nearest_stage(spark: SparkSession, sf: str) -> DataFrame:
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    return session_stage(
+        spark, sf, "sem_nearest", lambda: _nearest_eval(spark, sf)
+    )
+
+
 def semantic_decontam_report(spark: SparkSession, sf: str) -> DataFrame:
     """The TOP_REPORT training vectors closest to any eval item, with
     the contamination flag at SEM_THRESH — the review queue a data
     curator reads top-down (flagged rows first, then the near-misses
     that calibrate the threshold)."""
     return (
-        _nearest_eval(spark, sf)
+        _nearest_stage(spark, sf)
         .select(
             "vec_id",
             "matched_eval_id",
@@ -130,7 +138,7 @@ def semantic_decontam_stats(spark: SparkSession, sf: str) -> DataFrame:
     """One-row governance summary: corpus/eval sizes, flag count, and
     the distribution of nearest-eval cosine in fixed bands (counts and
     MAX only — order-independent, hash-safe)."""
-    scored = _nearest_eval(spark, sf)
+    scored = _nearest_stage(spark, sf)
     n_eval = (
         _emb_double(spark, sf)
         .filter(F.pmod(F.col("vec_id"), F.lit(SEM_EVAL_MOD)) == 0)
