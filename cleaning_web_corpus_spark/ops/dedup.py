@@ -263,26 +263,18 @@ def minhash_candidate_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 # per-entry re-pay is gate-harness accounting, not a plan property).
 # The gate twin of that layout is ONE localCheckpoint per (session, sf)
 # shared by the ~10 consumers (split/leak/deletion/edit-verify/
-# threshold-sweep/source-overlap/effective-tokens entries), mirroring
-# the round-5 enrichment/composition stages. The raw plan-builders
-# below stay exported unchanged for plan tests and composition.
-_STAGE_CACHE: dict = {}
-
-
-def _session_stage(spark: SparkSession, sf: str, name: str, build) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf, name)
-    hit = _STAGE_CACHE.get(key)
-    if hit is None:
-        hit = build().localCheckpoint()
-        _STAGE_CACHE[key] = hit
-    return hit
+# threshold-sweep/source-overlap/effective-tokens entries), via the
+# common ops/session_stage utility. The raw plan-builders below stay
+# exported unchanged for plan tests and composition.
 
 
 def verified_candidates_stage(spark: SparkSession, sf: str) -> DataFrame:
     """Session-shared checkpoint of ``minhash_candidate_jaccard`` (the
     FULL scored candidate relation; filter ``near_dup`` for the
     verified edge set)."""
-    return _session_stage(
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    return session_stage(
         spark, sf, "cand_jaccard", lambda: minhash_candidate_jaccard(spark, sf)
     )
 
@@ -290,7 +282,9 @@ def verified_candidates_stage(spark: SparkSession, sf: str) -> DataFrame:
 def survivors_stage(spark: SparkSession, sf: str) -> DataFrame:
     """Session-shared checkpoint of ``fuzzy_dedup_survivors`` (includes
     the connected-components driver loop — paid once per session)."""
-    return _session_stage(
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    return session_stage(
         spark, sf, "survivors", lambda: fuzzy_dedup_survivors(spark, sf)
     )
 

@@ -424,17 +424,16 @@ def _steps_relation(spark: SparkSession, sf: str) -> DataFrame:
 # of workflow_tools); the session-shared localCheckpoint is that
 # stage's twin, so the conv-grain aggregate fold is paid once per gate
 # session instead of once per entry. Keyed by applicationId like the
-# enrichment cache it builds on.
-_COMPOSED_CACHE: dict = {}
+# enrichment cache it builds on (ops/session_stage utility).
 
 
 def _composed_relation(spark: SparkSession, sf: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf)
-    hit = _COMPOSED_CACHE.get(key)
-    if hit is None:
-        hit = compose_workflow_steps(_steps_relation(spark, sf)).localCheckpoint()
-        _COMPOSED_CACHE[key] = hit
-    return hit
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
+
+    return session_stage(
+        spark, sf, "composed_workflow",
+        lambda: compose_workflow_steps(_steps_relation(spark, sf)),
+    )
 
 
 def workflow_composition_query(spark: SparkSession, sf: str) -> DataFrame:

@@ -110,24 +110,19 @@ def _synth_transcripts(spark: SparkSession, sf: str) -> DataFrame:
 # pass exactly once per session instead of once each (VERDICT r04
 # next-round #2 — extends the commit-c585db4 fusion session-wide).
 # localCheckpoint (not persist) materializes eagerly and pins the
-# blocks to the checkpointed RDD, which the module reference keeps
-# alive for the session — the intended persisted-stage lifetime.
-# Keyed by applicationId so a new session never sees a stale plan.
-_ENRICHED_CACHE: Dict[tuple, DataFrame] = {}
+# blocks to the checkpointed RDD, which the session cache keeps alive —
+# the intended persisted-stage lifetime (ops/session_stage utility).
 
 
 def enriched_relation(spark: SparkSession, sf: str) -> DataFrame:
-    """The session-shared enrichment stage (see ``_ENRICHED_CACHE``)."""
-    key = (spark.sparkContext.applicationId, sf)
-    df = _ENRICHED_CACHE.get(key)
-    if df is None:
-        from cleaning_web_corpus_spark.enrich.extract import enrich_turns
+    """The session-shared enrichment stage."""
+    from cleaning_web_corpus_spark.enrich.extract import enrich_turns
+    from cleaning_web_corpus_spark.ops.session_stage import session_stage
 
-        df = enrich_turns(
-            _synth_transcripts(spark, sf), text_col="text"
-        ).localCheckpoint()
-        _ENRICHED_CACHE[key] = df
-    return df
+    return session_stage(
+        spark, sf, "enriched",
+        lambda: enrich_turns(_synth_transcripts(spark, sf), text_col="text"),
+    )
 
 
 def _enriched_children(spark: SparkSession, sf: str, field: str) -> DataFrame:
