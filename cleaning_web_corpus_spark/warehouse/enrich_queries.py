@@ -29,8 +29,6 @@ group-by aggregation.
 
 from __future__ import annotations
 
-from typing import Dict
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
