@@ -187,7 +187,6 @@ def pq_adc_knn(spark: SparkSession, sf: str) -> DataFrame:
     lut_col = F.array(
         *[F.array(*[F.lit(v) for v in row]) for row in lut]
     )
-    c = _codes_udf(books)
     adc = F.aggregate(
         F.zip_with(
             "codes",
@@ -197,11 +196,13 @@ def pq_adc_knn(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda s, x: s + x,
     )
+    # codes come from the session-shared coded stage (same books, same
+    # UDF) — scoring is pure codegen over the staged column, no second
+    # Arrow pass over the corpus
     return (
-        _emb_double(spark, sf)
+        _coded_stage(spark, sf)
         .filter(F.col("vec_id") != PROBE_VEC_ID)
-        .withColumn("c", c(F.col("emb")))
-        .select("vec_id", "label", F.col("c.codes").alias("codes"))
+        .select("vec_id", "label", "codes")
         .withColumn("adc_micro", adc)
         .select("vec_id", "label", "adc_micro")
         .orderBy(F.asc("adc_micro"), F.asc("vec_id"))

@@ -68,16 +68,27 @@ def test_recon_stats_bounds(spark):
 
 
 def test_adc_knn_plan_single_python_node(spark):
-    """ADC scoring must be pure JVM: exactly one ArrowEvalPython (the
-    code assignment) and a TakeOrderedAndProject final reduce."""
+    """ADC scoring must be pure JVM: since round 5 the codes come from
+    the session-shared coded stage, so the warm plan has ZERO Arrow
+    nodes (and never more than one in a cold session); the raw coded
+    builder's single-UDF property is pinned below."""
     df = QUERIES["pq_adc_knn"](spark, SF)
     out = df.collect()
     assert len(out) == 10
     adcs = [r.adc_micro for r in out]
     assert adcs == sorted(adcs)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ArrowEvalPython") == 1
+    assert plan.count("ArrowEvalPython") <= 1
     assert "TakeOrderedAndProject" in plan
+
+
+def test_raw_coded_builder_single_python_node(spark):
+    """The un-staged coded relation plans exactly ONE ArrowEvalPython
+    (the code-assignment UDF) — the subtree the stage materializes."""
+    from cleaning_web_corpus_spark.ops.pq import _coded
+
+    plan = _coded(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
 
 
 def test_recall_eval_informative(spark):
